@@ -1,0 +1,353 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference has no dedup at all (its nearest neighbor is the
+``unique_column`` DQ check, ref: operators/data_quality_operator.py:103-114);
+these are the north-star operators for a 100 TB corpus. All of the heavy
+lifting is built-in DataFrame expressions — shingling, hashing, banding, and
+group-joins — so every stage is a shuffle-on-key Catalyst plan, no Python in
+the hot path.
+
+Operators
+---------
+- :func:`dedup_exact` — hash-groupBy on a canonical text fingerprint.
+- :func:`jaccard_pairs` — exact word-k-shingle Jaccard over ALL pairs that
+  share a shingle (correct but O(pairs-sharing-a-shingle); the baseline).
+- :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH candidate
+  generation + exact-Jaccard verification. Same OUTPUT as ``jaccard_pairs``
+  above the threshold (with overwhelming probability given the band/row
+  choice) while only scoring colliding candidates — the 100 TB path.
+- :func:`simhash_buckets` — 64-bit SimHash signatures + same-bucket
+  candidate pairs with Hamming distance ≤ k (approximate, no oracle).
+- :func:`embedding_neardup_pairs` — exact cosine threshold over embedding
+  pairs (blocked brute force; see similarity.py for the ANN path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, word_shingles
+from ..functions.vector import cosine
+
+
+# ---------------------------------------------------------------- exact
+
+
+def dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalized: bool = True,
+) -> DataFrame:
+    """Exact dedup: keep the lowest-id document per identical (normalized)
+    text. Returns (keep_id, n_copies, fp). One shuffle on the fingerprint.
+
+    The md5 fingerprint (32 hex chars) is grouped INSTEAD of the full text so
+    the shuffle moves 16 bytes per doc, not the document body — at 100 TB
+    that is the difference between shuffling hashes and shuffling the corpus.
+    """
+    fp = (
+        fingerprint(F.col(text_col))
+        if normalized
+        else F.md5(F.col(text_col))
+    )
+    return (
+        docs.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+
+def _shingle_table(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, shingle) exploded distinct word-k-shingles."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram (word k-shingle) Jaccard similarity pairs ≥ threshold.
+
+    Plan: explode shingles → self-equi-join on shingle (inverted index) →
+    count intersections → join |A|,|B| → filter. The self-join shuffles on
+    the shingle hash; hot shingles are the skew risk, which is why the
+    production path is :func:`minhash_lsh_pairs` — this exact form is the
+    semantic baseline and verification oracle.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = _shingle_table(docs, text_col, id_col, k)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+# ------------------------------------------------------------- MinHash
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """(id, h0..h_{n-1}) MinHash signature columns.
+
+    Hash family: ``xxhash64(seed_i, shingle)`` — a keyed 64-bit hash built in
+    to Spark (JVM, codegen'd). Per (doc, shingle) we compute the n-vector of
+    hashes with a single ``transform`` over a literal seed sequence, then take
+    n elementwise MIN aggregates in ONE groupBy pass — no n× row explosion:
+    the exploded (doc, shingle) table is scanned once.
+    """
+    sh = _shingle_table(docs, text_col, id_col, k)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = sh.select(
+        "_id",
+        F.transform(seeds, lambda s: F.xxhash64(s, F.col("shingle"))).alias("hs"),
+    )
+    mins = sig.groupBy("_id").agg(
+        *[F.min(F.col("hs")[i]).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
+
+    With 32 bands × 4 rows, a pair at the 0.8 threshold collides with
+    probability 1-(1-0.8⁴)³² ≈ 1-5e-8 — so the verified output equals the
+    exact :func:`jaccard_pairs` result in practice, while candidate
+    generation is a bucket groupBy instead of an all-pairs shingle join.
+
+    Scale path (100 TB): signatures shuffle once on doc id (16 B × 128 per
+    doc), band buckets shuffle once on (band, hash); candidate verification
+    touches only colliding pairs. Band-bucket skew (a boilerplate band hash
+    shared by millions of docs) is the known hazard — AQE skew-join plus a
+    per-bucket cap are the mitigations; here buckets are capped implicitly by
+    verification cost.
+
+    Output: (doc_a, doc_b, jaccard) — same contract as :func:`jaccard_pairs`.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col("_id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    l, r = buckets.alias("l"), buckets.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
+        .distinct()
+    )
+
+    # Exact-Jaccard verification of candidates only.
+    sh = _shingle_table(docs, text_col, id_col, k)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        candidates.join(a, F.col("a._id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b._id") == F.col("doc_b"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (unweighted).
+
+    Per token, ``xxhash64(token)`` supplies the bit pattern; the signature
+    bit b is 1 iff more tokens have bit b set than unset. Implemented as 64
+    conditional SUM aggregates over the exploded token table — one scan, one
+    shuffle on doc id.
+    """
+    from ..functions.text import tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64(F.col("tok")))
+    bit_sums = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    one = F.lit(1).cast("long")
+    sig = bit_sums.select(
+        "_id",
+        sum(
+            [
+                # shiftleft(1L, i) instead of lit(1 << i): bit 63 overflows a
+                # Python-side long literal but is a fine JVM shift.
+                F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+                for i in range(bits)
+            ],
+            F.lit(0).cast("long"),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit signature into ``blocks`` chunks;
+    any pair within distance ≤ blocks-1 shares at least one exact chunk, so
+    candidates come from equi-joins on chunk values (shuffle on 16-bit
+    chunks) instead of an all-pairs scan. Requires max_hamming ≤ blocks-1
+    for completeness.
+    """
+    assert max_hamming <= blocks - 1, "pigeonhole completeness needs blocks > max_hamming"
+    sig = simhash_signatures(docs, text_col, id_col)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    chunked = sig.select(
+        "_id",
+        "simhash",
+        *[
+            (F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))).alias(
+                f"c{i}"
+            )
+            for i in range(blocks)
+        ],
+    )
+    pairs = None
+    for i in range(blocks):
+        l, r = chunked.alias("l"), chunked.alias("r")
+        p = l.join(
+            r,
+            (F.col(f"l.c{i}") == F.col(f"r.c{i}")) & (F.col("l._id") < F.col("r._id")),
+        ).select(
+            F.col("l._id").alias("doc_a"),
+            F.col("r._id").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ----------------------------------------------------------- embeddings
+
+
+def embedding_neardup_pairs(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, exact.
+
+    Brute-force all-pairs via a self-join; at 100 TB this MUST be blocked —
+    the production path is LSH bucketing (similarity.py) feeding this exact
+    check over candidates only. Kept exact here as the semantic baseline.
+    Output: (id_a, id_b, cos) with id_a < id_b.
+    """
+    l = embs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    r = embs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

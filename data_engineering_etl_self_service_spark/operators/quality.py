@@ -1,0 +1,158 @@
+"""Data-quality check engine — single-pass, expression-compiled.
+
+Re-expresses the reference's ``DataQualityCheckOperator`` check language
+(ref: operators/data_quality_operator.py:77-117):
+
+- ``min_row_count`` (threshold) — ref :81-88
+- ``required_columns`` (presence) — ref :91-100
+- ``unique_column`` — ref :103-114 (fails when the column is absent, :112-114)
+- unknown check types are reported, not crashed on — ref :116-117
+
+Differences by design:
+
+1. **One scan, not N.** The reference runs each check as a separate pandas
+   pass over the whole file. Here every data-touching check compiles to an
+   aggregate EXPRESSION and all of them evaluate in ONE ``df.agg(...)`` job
+   — at 100 TB that is the difference between 1 and N full-table scans.
+   Metadata checks (required_columns) never touch data at all.
+2. **Reports, not exceptions.** The reference raises on failure, which makes
+   its own FAILED branch unreachable (xcom_push at ref :129 only runs on
+   success while dag_factory.py:38 branches on the pushed status — a
+   reference bug we do not reproduce). ``run_checks`` returns a ``DQReport``;
+   the caller (pipeline runner) decides to publish, quarantine, or alert.
+3. **Exact/approx tiers.** ``unique_column`` supports
+   ``approx=True`` → ``approx_count_distinct`` for a cheap 100 TB pre-gate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNOWN_CHECKS = ("min_row_count", "required_columns", "unique_column")
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declarative check (same dict shape as the reference YAML,
+    ref: configs/sources/marketing_api_campaigns.yaml:28-34)."""
+
+    check_type: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Check":
+        d = dict(d)
+        return cls(check_type=d.pop("check_type"), params=d)
+
+    @property
+    def name(self) -> str:
+        target = (
+            self.params.get("column")
+            or ",".join(self.params.get("columns", []) or [])
+            or self.params.get("threshold", "")
+        )
+        return f"{self.check_type}({target})"
+
+
+@dataclass
+class CheckResult:
+    check: Check
+    passed: bool
+    detail: str = ""
+
+
+@dataclass
+class DQReport:
+    results: list[CheckResult]
+
+    @property
+    def passed(self) -> bool:
+        return all(r.passed for r in self.results)
+
+    @property
+    def failures(self) -> list[str]:
+        return [f"{r.check.name}: {r.detail}" for r in self.results if not r.passed]
+
+    def to_df(self, spark) -> DataFrame:
+        rows = [
+            (r.check.check_type, r.check.name, r.passed, r.detail)
+            for r in self.results
+        ]
+        return spark.createDataFrame(
+            rows, "check_type string, check_name string, passed boolean, detail string"
+        )
+
+
+def compile_checks(
+    df: DataFrame, checks: list[Check]
+) -> tuple[list[Column], list[tuple[Check, Any]]]:
+    """Compile checks against a DataFrame.
+
+    Returns (aggregate_columns, immediate_results). Data-touching checks
+    yield one aggregate expression each (fused later into a single
+    ``df.agg``); metadata-only checks and malformed checks resolve
+    immediately without running a job.
+    """
+    agg_cols: list[Column] = []
+    immediate: list[tuple[Check, Any]] = []
+    for i, check in enumerate(checks):
+        t, p = check.check_type, check.params
+        if t == "min_row_count":
+            # COUNT once; compared to threshold after the single pass.
+            agg_cols.append(F.count(F.lit(1)).alias(f"_dq_{i}_rows"))
+        elif t == "required_columns":
+            missing = [c for c in p.get("columns", []) if c not in df.columns]
+            immediate.append((check, {"missing": missing}))
+        elif t == "unique_column":
+            col = p.get("column")
+            if col not in df.columns:
+                # Reference fails this case too (ref :112-114).
+                immediate.append((check, {"absent": True}))
+            elif p.get("approx"):
+                agg_cols.append(
+                    F.approx_count_distinct(col).alias(f"_dq_{i}_distinct")
+                )
+                agg_cols.append(F.count(col).alias(f"_dq_{i}_count"))
+            else:
+                agg_cols.append(F.count_distinct(F.col(col)).alias(f"_dq_{i}_distinct"))
+                agg_cols.append(F.count(col).alias(f"_dq_{i}_count"))
+        else:
+            # Unknown check type: recorded, not fatal (ref :116-117 warns+skips;
+            # we surface it in the report instead of silently passing).
+            immediate.append((check, {"unknown": True}))
+    return agg_cols, immediate
+
+
+def run_checks(df: DataFrame, checks: list[Check | dict]) -> DQReport:
+    """Evaluate all checks in at most ONE Spark job."""
+    checks = [c if isinstance(c, Check) else Check.from_dict(c) for c in checks]
+    agg_cols, immediate = compile_checks(df, checks)
+    row = df.agg(*agg_cols).collect()[0].asDict() if agg_cols else {}
+
+    results: list[CheckResult] = []
+    imm = {id(c): v for c, v in immediate}
+    for i, check in enumerate(checks):
+        t, p = check.check_type, check.params
+        if id(check) in imm:
+            v = imm[id(check)]
+            if t == "required_columns":
+                missing = v["missing"]
+                results.append(
+                    CheckResult(check, not missing, f"missing columns: {missing}" if missing else "all present")
+                )
+            elif t == "unique_column":
+                results.append(CheckResult(check, False, f"column '{p.get('column')}' not found"))
+            else:
+                results.append(CheckResult(check, False, f"unknown check_type '{t}'"))
+        elif t == "min_row_count":
+            n = row[f"_dq_{i}_rows"]
+            thr = int(p.get("threshold", 0))
+            results.append(CheckResult(check, n >= thr, f"rows={n} threshold={thr}"))
+        elif t == "unique_column":
+            d, c = row[f"_dq_{i}_distinct"], row[f"_dq_{i}_count"]
+            results.append(CheckResult(check, d == c, f"distinct={d} non-null={c}"))
+    return DQReport(results)

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star operator set (no counterpart in the reference). Two tiers:
+
+- :func:`cosine_topk` — exact brute-force top-k. The correctness baseline;
+  at scale it is a full scan per query (fine for offline batch scoring of a
+  few queries over a partitioned table, wrong for high-QPS lookup).
+- :func:`ivf_topk` — IVF-style partition-pruned ANN: vectors are assigned to
+  the nearest of C deterministic centroids; a query probes only the
+  ``nprobe`` nearest cells. At 100 TB the assignment is a write-time
+  partition key (one shuffle, then ``partitionBy(cell)`` parquet), and a
+  query scans ``nprobe/C`` of the data — classic coarse quantization, all
+  expressible as joins + window ranks, fully deterministic (ties broken by
+  centroid id) so it stays oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+
+
+def cosine_scores(
+    embs: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cross-score every row of ``embs`` against every query vector.
+
+    ``query`` must have (query_id, vec) columns; it is broadcast — queries
+    are few, the corpus is huge. Output: (query_id, vec_id, cos).
+    """
+    q = F.broadcast(query)
+    return (
+        embs.join(q, F.col(id_col) != F.col("query_id"))
+        .withColumn("cos", cosine(F.col(vec_col), F.col("vec")))
+        .select("query_id", id_col, "cos")
+    )
+
+
+def cosine_topk(
+    embs: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k nearest neighbours per query (ties → lowest id).
+
+    Window rank per query_id; with few queries the window shuffle is tiny
+    compared to the scan. Output: (query_id, rank, vec_id, cos).
+    """
+    scored = cosine_scores(embs, query, vec_col, id_col)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cos")
+    )
+
+
+def assign_cells(
+    embs: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, ties → lowest
+    centroid id). ``centroids``: (cell_id, cvec), broadcast. Deterministic."""
+    c = F.broadcast(centroids)
+    scored = embs.crossJoin(c).withColumn(
+        "ccos", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cvec", "ccos")
+    )
+
+
+def first_n_centroids(
+    embs: DataFrame,
+    n: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic 'training-free' centroid pick: the n lowest-id vectors.
+
+    A real deployment would k-means sample; for a reproducible,
+    oracle-checkable ANN path the centroid choice must be a pure function of
+    the data, and first-n is the simplest such function.
+    """
+    return (
+        embs.orderBy(id_col)
+        .limit(n)
+        .select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+
+
+def ivf_topk(
+    embs: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` cells nearest to each query, exact
+    top-k within the probed cells. Output: (query_id, rank, vec_id, cos)."""
+    cents = first_n_centroids(embs, n_cells, vec_col, id_col)
+    assigned = assign_cells(embs, cents, vec_col, id_col)
+
+    # Which cells does each query probe? (few queries × few centroids → tiny)
+    qcells = (
+        query.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", cosine(F.col("vec"), F.col("cvec")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cell_id"))
+    probe = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "vec", "cell_id")
+    )
+
+    # Scan only the probed cells (at rest this is partition pruning).
+    cand = assigned.join(
+        F.broadcast(probe), on="cell_id"
+    ).filter(F.col(id_col) != F.col("query_id"))
+    scored = cand.withColumn("cos", cosine(F.col(vec_col), F.col("vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cos")
+    )

@@ -1,0 +1,144 @@
+"""Pipeline compiler/runner: PipelineSpec → DataFrame stages → lake.
+
+The Spark-native re-trace of the reference's DAG lifecycle (SURVEY.md §3):
+ingest → data-quality → branch → publish/quarantine/alert, in ONE driver
+program. The reference's XCom channel, branch operator, and metadata DB
+(ref: dags/dag_factory.py:35-40,74-95) become plain return values and an
+``if`` — and, unlike the reference, the FAILED branch is actually reachable
+(the reference raises before pushing the FAILED status,
+ref: operators/data_quality_operator.py:120-129 vs dag_factory.py:38).
+
+Quarantine semantics: on DQ failure the batch is written to
+``<path>__quarantine`` instead of the publish path, so bad data is kept for
+forensics but never visible to consumers — at 100 TB "re-ingest later" is a
+real cost, "published bad data" is worse.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.quality import DQReport, run_checks
+from .spec import PipelineSpec
+
+AlertFn = Callable[[str, DQReport], None]
+
+
+@dataclass
+class PipelineResult:
+    spec: PipelineSpec
+    report: DQReport
+    published_path: str | None
+    quarantined_path: str | None
+    n_rows: int | None = None
+
+    @property
+    def passed(self) -> bool:
+        return self.report.passed
+
+
+def _read_source(spark: SparkSession, spec: PipelineSpec, ds: str | None) -> DataFrame:
+    src = spec.source
+    opts = dict(src.options)
+    # template substitution: the reference's Jinja {{ ds }} fields
+    # (ref: operators/api_to_s3.py:29, yaml:16,25) become str.format(ds=…).
+    if ds is not None:
+        opts = {
+            k: (v.replace("{{ ds }}", ds).replace("{ds}", ds) if isinstance(v, str) else v)
+            for k, v in opts.items()
+        }
+    if src.type == "file":
+        from ..sources.files import read_csv, read_json, read_parquet
+
+        fmt = opts.get("format", "parquet")
+        path = opts["path"]
+        if fmt == "csv":
+            return read_csv(spark, path, schema=opts.get("schema"))
+        if fmt == "json":
+            return read_json(spark, path, schema=opts.get("schema"))
+        return read_parquet(spark, path)
+    if src.type == "http_api":
+        from ..sources.http import fetch_json_df
+
+        return fetch_json_df(
+            spark, opts["endpoint"], params=opts.get("params"), schema=opts.get("schema")
+        )
+    if src.type == "synthetic_events":
+        from ..sources.synthetic import synthetic_user_events
+
+        return synthetic_user_events(
+            spark, n=int(opts.get("n", 5000)), seed=int(opts.get("seed", 42))
+        )
+    if src.type == "table":
+        return spark.read.parquet(opts["path"])
+    if src.type == "kafka":
+        raise NotImplementedError(
+            "kafka batch source requires spark-sql-kafka jars; see sources/kafka.py"
+        )
+    raise ValueError(f"unsupported source type: {src.type}")
+
+
+def _write_sink(df: DataFrame, spec: PipelineSpec, path: str) -> None:
+    dst = spec.destination
+    if dst.type == "none":
+        return
+    writer = df.write.mode("overwrite")
+    if dst.partition_by:
+        writer = writer.partitionBy(*dst.partition_by)
+    if dst.type == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)
+
+
+def compile_pipeline(
+    spec: PipelineSpec,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    alert: AlertFn | None = None,
+) -> Callable[[SparkSession, str | None], PipelineResult]:
+    """Spec → runnable pipeline function (the Spark-native analog of the
+    reference's create_dag, ref: dag_factory.py:22-97)."""
+
+    def run(spark: SparkSession, ds: str | None = None) -> PipelineResult:
+        df = _read_source(spark, spec, ds)
+        if ds is not None and "ds" not in df.columns and spec.destination.partition_by:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ds", F.lit(ds))
+        if transform is not None:
+            df = transform(df)
+        report = run_checks(df, list(spec.checks))
+        base = spec.destination.path
+        published = quarantined = None
+        if base:
+            if report.passed:
+                published = base
+                _write_sink(df, spec, published)
+            else:
+                quarantined = f"{base}__quarantine"
+                _write_sink(df, spec, quarantined)
+        if not report.passed and alert is not None:
+            # the reference's Slack alert hook (ref: dag_factory.py:80-87),
+            # as a pluggable callback carrying the structured report.
+            alert(spec.dag_id, report)
+        return PipelineResult(
+            spec=spec,
+            report=report,
+            published_path=published,
+            quarantined_path=quarantined,
+        )
+
+    return run
+
+
+def run_pipeline(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    ds: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    alert: AlertFn | None = None,
+) -> PipelineResult:
+    return compile_pipeline(spec, transform, alert)(spark, ds)

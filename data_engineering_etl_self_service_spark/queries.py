@@ -1,0 +1,1206 @@
+"""The engine's query surface: named queries + their ANSI-SQL oracles.
+
+Every operator family from SURVEY.md §2 (plus the north-star
+training-data-pipeline operators) is represented by at least one named query
+here. Each entry is a callable ``(spark, sf_dir) -> DataFrame`` paired —
+where SQL-expressible — with a DuckDB oracle that computes the same result
+on the same parquet tables. The driver hash-compares them at sf=0.01.
+
+Determinism contract (what makes exact hash-matching possible):
+
+- SUM/AVG of doubles go through an exact DECIMAL transit
+  (functions/numeric.py) so aggregation order cannot change the value.
+- Per-row double arithmetic mirrors the SAME IEEE operation sequence on
+  both sides (e.g. cosine = dot/(sqrt(dot_aa)*sqrt(dot_bb)) in both).
+- Every top-k / LIMIT has a total ORDER BY (unique tiebreak column).
+- Integer division drift is avoided (``floor`` on both sides; DuckDB CAST
+  rounds where Spark truncates).
+- Approximate operators (SimHash) either verify candidates with an exact
+  measure (MinHash-LSH → exact Jaccard) or carry no oracle (rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.numeric import davg_expr, dsum, davg, dsum_expr
+from .functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    langid,
+    quality_score_cols,
+    tokens,
+)
+from .session import ensure_session_defaults
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_defaults(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# §2.4 / §2.6 — scans, filters, aggregations, sort/limit
+# =========================================================================
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_expr('l_quantity')} AS sum_qty,
+           {dsum_expr('l_extendedprice')} AS sum_base_price,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_expr('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_expr('l_quantity')} AS avg_qty,
+           {davg_expr('l_extendedprice')} AS avg_price,
+           {davg_expr('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + 8 grouped aggregates.
+
+    Scale: filter pushes to the parquet scan; partial aggregation map-side;
+    two grouping columns with tiny cardinality → near-zero shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_forecast",
+    f"""
+    SELECT {dsum_expr('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure predicate pushdown + single global aggregate.
+
+    All four predicates reach the parquet reader (PushedFilters); only three
+    columns are read (ReadSchema) — the canonical pushdown/pruning check.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 48 AND l_discount = 0.0
+    """,
+)
+def filter_project(spark, sf_dir):
+    """Row-level projection + filter (§2.2) — passthrough columns only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") >= 48) & (F.col("l_discount") == 0.0)).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """Top-k (§2.6) with a total order (tiebreak on the unique key).
+
+    Spark executes this as TakeOrderedAndProject — no global sort.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_OPEN_VALUE = dsum_expr("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")
+
+
+@register(
+    "conditional_agg",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           {_OPEN_VALUE} AS open_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg(spark, sf_dir):
+    """Conditional aggregation (§2.4 — the funnel/session building block)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_big"),
+        dsum(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0),
+            "open_value",
+        ),
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    """,
+)
+def distinct_counts(spark, sf_dir):
+    """COUNT DISTINCT (§2.4 A2 — the exact tier of the uniqueness check)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
+    )
+
+
+@register(
+    "rollup_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_expr('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    """ROLLUP grouping sets (§2.4 — free from Catalyst)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# =========================================================================
+# §2.3 — joins
+# =========================================================================
+
+
+@register(
+    "customer_order_stats",
+    f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {dsum_expr('o.o_totalprice')} AS segment_value,
+           {davg_expr('o.o_totalprice')} AS avg_order_value
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def customer_order_stats(spark, sf_dir):
+    """Inner join + grouped agg (§2.3). Customer is the small side →
+    explicitly broadcast: no shuffle of the orders fact table."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "segment_value"),
+            davg("o_totalprice", "avg_order_value"),
+        )
+    )
+
+
+@register(
+    "regional_revenue",
+    f"""
+    SELECT r.r_name, n.n_name,
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way star join (§2.3).
+
+    Scale plan: dimensions (region, nation, customer) broadcast; the only
+    shuffle is lineitem⋈orders on orderkey + the final tiny agg. The date
+    filter pushes into the orders scan before the join.
+    """
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def semi_join(spark, sf_dir):
+    """LEFT SEMI join (EXISTS, §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def anti_join(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS, §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "left_join_fill",
+    f"""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE({dsum_expr('o.o_totalprice')}, 0.0) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def left_join_fill(spark, sf_dir):
+    """LEFT OUTER join with null-fill (§2.3) — keeps order-less customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "exists_highqty",
+    """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 50)
+    """,
+)
+def exists_highqty(spark, sf_dir):
+    """EXISTS subquery as a semi join over the fact table (§2.3)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 50)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# =========================================================================
+# §2.5 — window functions
+# =========================================================================
+
+
+@register(
+    "window_rank",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer)
+    WHERE rnk <= 3
+    """,
+)
+def window_rank(spark, sf_dir):
+    """Top-k per group via ranking window (§2.5)."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@register(
+    "running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spent,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def running_total(spark, sf_dir):
+    """Cumulative frame window (§2.5) — the sessionizer's core primitive.
+    Exact decimal transit inside the frame keeps it order-reproducible."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_spent"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "lag_gaps",
+    """
+    SELECT user_id, event_id,
+           CAST(FLOOR((epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) / 1000000)
+                AS BIGINT) AS gap_sec
+    FROM events
+    """,
+)
+def lag_gaps(spark, sf_dir):
+    """LAG analytic window (§2.5) — inter-event gaps in seconds."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.floor((us - F.lag(us).over(w)) / F.lit(1_000_000)).alias("gap_sec"),
+    )
+
+
+# =========================================================================
+# §2.7 — set operations
+# =========================================================================
+
+
+@register(
+    "set_operations",
+    """
+    SELECT 'open_and_closed' AS op, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus='F')
+    UNION ALL
+    SELECT 'open_not_closed' AS op, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus='F')
+    UNION ALL
+    SELECT 'either' AS op, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+      UNION
+      SELECT o_custkey FROM orders WHERE o_orderstatus='F')
+    """,
+)
+def set_operations(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION (§2.7)."""
+    o = _t(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    closed = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    rows = [
+        open_.intersect(closed).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("open_and_closed").alias("op"), "n"
+        ),
+        open_.distinct().subtract(closed.distinct()).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("open_not_closed").alias("op"), "n"
+        ),
+        open_.union(closed).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("either").alias("op"), "n"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# =========================================================================
+# §2.8 — scalar functions: string / date / json / array
+# =========================================================================
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LENGTH(p_name) AS name_len,
+           SUBSTRING(p_type, 1, 4) AS type_prefix,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           string_split(p_name, ' ')[1] AS first_word
+    FROM part
+    WHERE p_name LIKE '%red%'
+    """,
+)
+def string_funcs(spark, sf_dir):
+    """String scalar functions (§2.8 F4/F6/F7)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+
+
+@register(
+    "date_funcs",
+    f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           {dsum_expr('o_totalprice')} AS month_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def date_funcs(spark, sf_dir):
+    """Date scalar functions + calendar aggregation (§2.8 F3, §2.9 ST4)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "month_value"))
+
+
+@register(
+    "json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract(spark, sf_dir):
+    """JSON field extraction (§2.8 F2 — the reference's payloads are JSON)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "array_funcs",
+    """
+    WITH toks AS (
+      SELECT lang,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_spark_docs
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def array_funcs(spark, sf_dir):
+    """Array column functions (§2.8 — split/size/contains over tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return (
+        d.select("lang", t.alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("t")).cast("bigint").alias("total_tokens"),
+            F.sum(F.array_contains(F.col("t"), "spark").cast("int"))
+            .cast("bigint")
+            .alias("n_spark_docs"),
+        )
+    )
+
+
+@register(
+    "pivot_events",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_events(spark, sf_dir):
+    """PIVOT (§2.4) — per-user event-type matrix."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+        .fillna(0, subset=["view", "click", "purchase", "signup", "error"])
+    )
+
+
+# =========================================================================
+# Sessionization / funnel / event analytics (the reference's implied payload)
+# =========================================================================
+
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(FLOOR((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000) AS BIGINT)
+         AS duration_sec,
+       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+@register("sessionize_stats", _SESSIONIZE_ORACLE)
+def sessionize_stats(spark, sf_dir):
+    """FLAGSHIP: 30-min-gap sessionization + per-session rollup (§2.5/2.9).
+
+    The analytical payload the reference implies but never ships
+    (ref: README.md:1; dags/kafka_stream.py:87-92 recovered). One shuffle.
+    """
+    from .operators.sessionize import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    out = session_stats(e, gap_minutes=30.0)
+    return out.withColumn("session_seq", F.col("session_seq").cast("bigint"))
+
+
+@register(
+    "session_summary",
+    f"""
+    WITH s AS ({_SESSIONIZE_ORACLE})
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events_per_session,
+           CAST(SUM(duration_sec) AS DOUBLE) / COUNT(*) AS avg_duration_sec
+    FROM s
+    """,
+)
+def session_summary(spark, sf_dir):
+    """Corpus-level session KPIs derived from the flagship sessionizer."""
+    s = sessionize_stats(spark, sf_dir)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "avg_events_per_session"
+        ),
+        (F.sum("duration_sec").cast("double") / F.count(F.lit(1))).alias(
+            "avg_duration_sec"
+        ),
+    )
+
+
+@register(
+    "funnel",
+    """
+    WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+           JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s0) AS n_step1_view,
+           (SELECT COUNT(*) FROM s1) AS n_step2_click,
+           (SELECT COUNT(*) FROM s2) AS n_step3_purchase
+    """,
+)
+def funnel(spark, sf_dir):
+    """view → click → purchase conversion funnel (strictly ordered steps)."""
+    from .operators.funnel import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_counts(e, ("view", "click", "purchase"))
+
+
+@register(
+    "hourly_event_counts",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           {dsum_expr('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_counts(spark, sf_dir):
+    """Tumbling time windows, batch form (§2.9 ST4)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+
+
+@register(
+    "daily_retention",
+    """
+    WITH actives AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT a.day,
+           COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained
+    FROM actives a
+    LEFT JOIN actives b ON b.user_id = a.user_id AND b.day = a.day + 1
+    GROUP BY a.day
+    """,
+)
+def daily_retention(spark, sf_dir):
+    """Day-over-day retention: self-join of daily actives on (user, day+1)."""
+    e = _t(spark, sf_dir, "events")
+    actives = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    a, b = actives.alias("a"), actives.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.day") == F.date_add(F.col("a.day"), 1)),
+            "left",
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.col("b.user_id").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_retained"),
+        )
+    )
+
+
+@register(
+    "first_touch",
+    """
+    SELECT user_id, first_ts, first_event_type FROM (
+      SELECT user_id, ts AS first_ts, event_type AS first_event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def first_touch(spark, sf_dir):
+    """First-touch attribution (§2.5 — rank window, deterministic tiebreak)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("first_ts"),
+            F.col("event_type").alias("first_event_type"),
+        )
+    )
+
+
+# =========================================================================
+# North-star: deduplication (documents)
+# =========================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via normalized-md5 groupBy (north-star; shuffles 16-byte
+    fingerprints, never document bodies)."""
+    from .operators.dedup import dedup_exact as op
+
+    d = _t(spark, sf_dir, "documents")
+    return op(d)
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[g:g+2], ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(g)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) AS jaccard
+FROM pair JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= 0.8
+"""
+
+
+@register("jaccard_pairs", _JACCARD_ORACLE)
+def jaccard_pairs_q(spark, sf_dir):
+    """Exact 3-shingle Jaccard near-dup pairs ≥ 0.8 (north-star baseline)."""
+    from .operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(d, k=3, threshold=0.8)
+
+
+@register("minhash_lsh_dedup", _JACCARD_ORACLE)
+def minhash_lsh_dedup(spark, sf_dir):
+    """MinHash(128) + LSH(32 bands) near-dup pairs, exact-Jaccard verified.
+
+    Same oracle as ``jaccard_pairs``: banded LSH at these parameters has
+    ≈1-5e-8 recall at the 0.8 threshold, and verification removes all false
+    positives — so the verified candidate set IS the exact answer, computed
+    the 100 TB-scalable way.
+    """
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, k=3, threshold=0.8, num_hashes=128, bands=32)
+
+
+@register("simhash_neardup")  # approximate — no SQL oracle (rows-only check)
+def simhash_neardup(spark, sf_dir):
+    """SimHash(64-bit) near-dup candidate pairs, Hamming ≤ 3 (approximate;
+    deliberately un-oracled — the driver records a rows-only check)."""
+    from .operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3, blocks=4)
+
+
+@register(
+    "embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+             AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.4
+    """,
+)
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.4 (north-star; exact baseline —
+    the blocked/ANN path is `ivf_ann`)."""
+    from .operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.4)
+
+
+# =========================================================================
+# North-star: similarity search (embeddings)
+# =========================================================================
+
+_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_COS.format(a='e.embedding', b='q.qvec')} AS cos
+      FROM embeddings e CROSS JOIN qs q
+      WHERE e.vec_id <> q.query_id)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def cosine_topk_q(spark, sf_dir):
+    """Brute-force exact cosine top-10 for 3 query vectors (north-star
+    baseline; broadcast queries × full scan)."""
+    from .operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    out = cosine_topk(e, q, k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "ivf_ann",
+    f"""
+    WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 8),
+    qs AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 3),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='c.cvec')} DESC,
+                          c.cell_id) AS rn
+      FROM embeddings e CROSS JOIN cents c),
+    acell AS (SELECT vec_id, embedding, cell_id FROM assign WHERE rn = 1),
+    probe AS (
+      SELECT query_id, qvec, cell_id FROM (
+        SELECT q.query_id, q.qvec, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {_COS.format(a='q.qvec', b='c.cvec')} DESC,
+                            c.cell_id) AS rn
+        FROM qs q CROSS JOIN cents c)
+      WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, a.vec_id,
+             {_COS.format(a='a.embedding', b='p.qvec')} AS cos
+      FROM probe p JOIN acell a USING (cell_id)
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM cand)
+    WHERE rank <= 10
+    """,
+)
+def ivf_ann(spark, sf_dir):
+    """IVF-pruned ANN top-10 (8 deterministic cells, nprobe=2) — the scale
+    path: at rest, cells are partition keys and a probe prunes partitions."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    out = ivf_topk(e, q, k=10, n_cells=8, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# =========================================================================
+# North-star: text analysis (documents)
+# =========================================================================
+
+
+@register(
+    "token_stats",
+    """
+    WITH toks AS (
+      SELECT lang,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM toks GROUP BY lang
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting per language (north-star text analysis)."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    return d.select("lang", n.alias("n_tok")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+@register(
+    "quality_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+               AS mean_token_len,
+             CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to')))
+                  AS DOUBLE) / len(t) AS stopword_ratio
+      FROM toks)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, mean_token_len, stopword_ratio,
+           least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+           + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 8
+                  THEN 0.3 ELSE 0.0 END
+           + least(stopword_ratio * 4.0, 1.0) * 0.3 AS quality_score
+    FROM m
+    """,
+)
+def quality_scores(spark, sf_dir):
+    """Per-document quality signals (north-star text analysis)."""
+    d = _t(spark, sf_dir, "documents")
+    cols = quality_score_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["mean_token_len"].alias("mean_token_len"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+        cols["quality_score"].alias("quality_score"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Deterministic md5 document fingerprints (north-star text analysis)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _langid_sql() -> str:
+    hits = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        hits.append(f"len(list_filter(t, x -> x IN ({words}))) AS h_{lang}")
+    langs = sorted(LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN h_{l} = {m} THEN '{l}' "
+    case += "END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM documents),
+    scored AS (SELECT doc_id, lang, {', '.join(hits)} FROM toks)
+    SELECT lang, {case} AS predicted, COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@register("langid_confusion", _langid_sql())
+def langid_confusion(spark, sf_dir):
+    """Heuristic stopword language-ID vs the labeled lang column
+    (north-star text analysis) — confusion-matrix counts."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("lang", langid(F.col("text")).alias("predicted")).groupBy(
+        "lang", "predicted"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# =========================================================================
+# North-star: multimodal binary columns
+# =========================================================================
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Opaque-binary metadata pass (north-star multimodal): payload bytes →
+    size + content hash, no decode. The payload here is the document text
+    cast to binary (the container has no image/audio fixtures); the
+    expressions are the same ones a real binary column gets."""
+    from .operators.multimodal import attach_binary_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    out = attach_binary_metadata(payload)
+    return out.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "payload_sha")
+
+
+# =========================================================================
+# DQ check engine (§2.2 P1-P4, entry point 3)
+# =========================================================================
+
+
+@register(
+    "dq_report",
+    """
+    SELECT 'min_row_count(100)' AS check_name,
+           (SELECT COUNT(*) FROM customer) >= 100 AS passed
+    UNION ALL
+    SELECT 'required_columns(c_custkey,c_name)', TRUE
+    UNION ALL
+    SELECT 'unique_column(c_custkey)',
+           (SELECT COUNT(c_custkey) = COUNT(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'unique_column(c_mktsegment)',
+           (SELECT COUNT(c_mktsegment) = COUNT(DISTINCT c_mktsegment) FROM customer)
+    UNION ALL
+    SELECT 'row_has_soul()', FALSE
+    """,
+)
+def dq_report(spark, sf_dir):
+    """The reference's DQ check language (ref:
+    operators/data_quality_operator.py:77-117) compiled to ONE aggregate
+    pass: min_row_count + required_columns + unique_column + the
+    unknown-check path, as a (check_name, passed) report."""
+    from .operators.quality import run_checks
+
+    c = _t(spark, sf_dir, "customer")
+    report = run_checks(
+        c,
+        [
+            {"check_type": "min_row_count", "threshold": 100},
+            {"check_type": "required_columns", "columns": ["c_custkey", "c_name"]},
+            {"check_type": "unique_column", "column": "c_custkey"},
+            {"check_type": "unique_column", "column": "c_mktsegment"},
+            {"check_type": "row_has_soul"},
+        ],
+    )
+    return report.to_df(spark).select("check_name", "passed")
+
+
+# =========================================================================
+# Public accessors (driver contract)
+# =========================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,73 @@
+"""File sources/sinks over the lake.
+
+Re-expresses the reference's S3 landing-zone convention — one JSON blob per
+run under ``raw/<source>/{{ ds }}/…`` (ref: operators/api_to_s3.py:67-73,
+configs/sources/marketing_api_campaigns.yaml:25) — as partitioned columnar
+parquet, which buys predicate pushdown, column pruning, and partition
+pruning at 100 TB instead of opaque per-day JSON blobs.
+
+Schemas are explicit ``StructType``s by default (inference is a convenience
+path only) — the reference's everything-is-inferred posture (ref:
+operators/data_quality_operator.py:69) is exactly what schema-contract
+validation at ingestion replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV source (the reference's clickstream replay input,
+    ref: dags/kafka_stream.py:61,68-69 recovered)."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON source (the reference's landed API payloads,
+    ref: operators/data_quality_operator.py:63-70)."""
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("ds",),
+    mode: str = "overwrite",
+) -> None:
+    """Lake sink: date-partitioned parquet (the reference's S2 sink,
+    ref: operators/api_to_s3.py:67-73, re-expressed columnar).
+
+    ``partitionOverwriteMode=dynamic`` so a re-run of one ``ds`` replaces
+    only that partition — the idempotent-backfill semantics the reference
+    gets from date-keyed S3 paths.
+    """
+    (
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+    )
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,75 @@
+"""Dedup operators: exact, Jaccard, MinHash-LSH (vs exact), SimHash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_etl_self_service_spark.catalog import load_table
+from data_engineering_etl_self_service_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_dedup_exact_collapses_normalized_copies(spark):
+    df = _docs(spark, ["Hello  World", "hello world", "other doc entirely"])
+    out = dedup_exact(df).collect()
+    groups = {r.keep_id: r.n_copies for r in out}
+    assert groups == {0: 2, 2: 1}
+
+
+def test_jaccard_identical_docs_score_1(spark):
+    t = "a b c d e f g h i j"
+    df = _docs(spark, [t, t, "completely different words here now ok yes sure fine"])
+    out = jaccard_pairs(df, threshold=0.99).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(0, 1, 1.0)]
+
+
+def test_minhash_lsh_equals_exact_on_corpus(spark, sf_dir):
+    """LSH+verify must reproduce the exact-Jaccard result on real docs."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(d, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(d, threshold=0.8).collect()
+    }
+    assert exact == lsh
+    assert len(exact) > 0  # corpus has a real near-dup cluster
+
+
+def test_simhash_finds_identical_docs(spark):
+    t = "the quick brown fox jumps over the lazy dog today"
+    df = _docs(spark, [t, t, "unrelated totally separate vocabulary set list items"])
+    out = simhash_pairs(df, max_hamming=0).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in out] == [(0, 1, 0)]
+
+
+def test_simhash_blocking_requires_enough_blocks():
+    with pytest.raises(AssertionError):
+        # max_hamming 4 with 4 blocks breaks pigeonhole completeness
+        simhash_pairs.__wrapped__ if False else None
+        from data_engineering_etl_self_service_spark.operators import dedup
+
+        dedup.simhash_pairs(None, max_hamming=4, blocks=4)
+
+
+def test_embedding_neardup_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 2.0]), (1, [1.0, 0.0, 2.0]), (2, [-1.0, 5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_neardup_pairs(df, threshold=0.999).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
+    assert out[0].cos == pytest.approx(1.0)

@@ -1,0 +1,78 @@
+"""DQ engine: each check type incl. the unknown-type and absent-column
+paths (ref: operators/data_quality_operator.py:77-117), single-pass fusion,
+and report (not exception) semantics."""
+
+from __future__ import annotations
+
+from data_engineering_etl_self_service_spark.operators.quality import (
+    Check,
+    run_checks,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b")], "id long, name string"
+    )
+
+
+def test_min_row_count(spark):
+    df = _df(spark)
+    assert run_checks(df, [{"check_type": "min_row_count", "threshold": 3}]).passed
+    assert not run_checks(df, [{"check_type": "min_row_count", "threshold": 4}]).passed
+
+
+def test_required_columns(spark):
+    df = _df(spark)
+    ok = run_checks(df, [{"check_type": "required_columns", "columns": ["id", "name"]}])
+    assert ok.passed
+    bad = run_checks(df, [{"check_type": "required_columns", "columns": ["id", "email"]}])
+    assert not bad.passed
+    assert "email" in bad.failures[0]
+
+
+def test_unique_column(spark):
+    df = _df(spark)
+    assert run_checks(df, [{"check_type": "unique_column", "column": "id"}]).passed
+    assert not run_checks(df, [{"check_type": "unique_column", "column": "name"}]).passed
+
+
+def test_unique_column_absent_fails(spark):
+    # reference parity: absent column FAILS the check (ref :112-114)
+    df = _df(spark)
+    rep = run_checks(df, [{"check_type": "unique_column", "column": "nope"}])
+    assert not rep.passed
+
+
+def test_unknown_check_reported_not_fatal(spark):
+    df = _df(spark)
+    rep = run_checks(df, [{"check_type": "row_has_soul"}])
+    assert not rep.passed
+    assert "unknown" in rep.failures[0]
+
+
+def test_approx_unique_tier(spark):
+    df = _df(spark)
+    rep = run_checks(df, [{"check_type": "unique_column", "column": "id", "approx": True}])
+    assert rep.passed
+
+
+def test_mixed_suite_single_pass(spark):
+    df = _df(spark)
+    rep = run_checks(
+        df,
+        [
+            {"check_type": "min_row_count", "threshold": 1},
+            {"check_type": "unique_column", "column": "id"},
+            {"check_type": "required_columns", "columns": ["id"]},
+        ],
+    )
+    assert rep.passed and len(rep.results) == 3
+
+
+def test_check_name_formatting():
+    assert Check.from_dict({"check_type": "min_row_count", "threshold": 10}).name == "min_row_count(10)"
+    assert (
+        Check.from_dict({"check_type": "required_columns", "columns": ["a", "b"]}).name
+        == "required_columns(a,b)"
+    )

@@ -1,0 +1,106 @@
+"""Pipeline spec parsing + compiled pipeline runs (publish/quarantine/alert)."""
+
+from __future__ import annotations
+
+import textwrap
+
+from data_engineering_etl_self_service_spark.plans import (
+    load_spec,
+    run_pipeline,
+)
+from data_engineering_etl_self_service_spark.plans.spec import spec_from_dict
+
+REFERENCE_SHAPE = """
+pipeline_info:
+  name: marketing_api_campaigns
+  owner: data-team
+  schedule: "0 2 * * *"
+source:
+  type: http_api
+  endpoint: campaigns
+  params:
+    date: "{{ ds }}"
+destination:
+  s3_bucket: data-lake
+  s3_key: raw/marketing_api/{{ ds }}/campaigns.json
+data_quality_checks:
+  - check_type: min_row_count
+    threshold: 10
+  - check_type: required_columns
+    columns: [id, name]
+  - check_type: unique_column
+    column: id
+"""
+
+
+def test_parse_reference_yaml_shape(tmp_path):
+    p = tmp_path / "campaigns.yaml"
+    p.write_text(textwrap.dedent(REFERENCE_SHAPE))
+    spec = load_spec(p)
+    assert spec.name == "marketing_api_campaigns"
+    assert spec.dag_id == "dynamic_ingest_marketing_api_campaigns"
+    assert spec.source.type == "http_api"
+    assert spec.destination.type == "parquet"
+    assert spec.destination.partition_by == ("ds",)
+    assert len(spec.checks) == 3
+    assert spec.warnings == ()
+
+
+def test_unknown_check_type_warns_at_parse():
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "x"},
+            "source": {"type": "synthetic_events"},
+            "destination": {"type": "none"},
+            "data_quality_checks": [{"check_type": "vibes"}],
+        }
+    )
+    assert any("vibes" in w for w in spec.warnings)
+
+
+def test_pipeline_publishes_on_pass(spark, tmp_path):
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "synth"},
+            "source": {"type": "synthetic_events", "n": 100, "seed": 7},
+            "destination": {"type": "parquet", "path": str(tmp_path / "out"), "partition_by": ["ds"]},
+            "data_quality_checks": [{"check_type": "min_row_count", "threshold": 10}],
+        }
+    )
+    res = run_pipeline(spark, spec, ds="2025-07-28")
+    assert res.passed and res.published_path and not res.quarantined_path
+    out = spark.read.parquet(res.published_path)
+    assert out.count() == 100
+    assert "ds" in out.columns
+
+
+def test_pipeline_quarantines_and_alerts_on_failure(spark, tmp_path):
+    alerts = []
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "synth"},
+            "source": {"type": "synthetic_events", "n": 5},
+            "destination": {"type": "parquet", "path": str(tmp_path / "out")},
+            "data_quality_checks": [{"check_type": "min_row_count", "threshold": 10}],
+        }
+    )
+    res = run_pipeline(spark, spec, alert=lambda dag, rep: alerts.append((dag, rep)))
+    assert not res.passed
+    assert res.quarantined_path and res.quarantined_path.endswith("__quarantine")
+    assert res.published_path is None
+    # the FAILED branch is reachable (unlike the reference, SURVEY §2.11 C5)
+    assert alerts and alerts[0][0] == "dynamic_ingest_synth"
+
+
+def test_synthetic_generator_schema_and_vocab(spark):
+    from data_engineering_etl_self_service_spark.sources.synthetic import (
+        EVENT_TYPES,
+        synthetic_user_events,
+    )
+
+    df = synthetic_user_events(spark, n=200, seed=1)
+    assert df.columns == ["user_id", "event_type", "url", "timestamp", "utm_source"]
+    types = {r.event_type for r in df.select("event_type").distinct().collect()}
+    assert types <= set(EVENT_TYPES)
+    users = {r.user_id for r in df.select("user_id").distinct().collect()}
+    assert all(u.startswith("user_") for u in users)

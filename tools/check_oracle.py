@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB against the same sf dir, then compares row count, column names, and
+values (rows sorted by all columns; exact equality for non-floats, exact
+equality for floats too — our determinism contract says they must match
+bit-for-bit; a tolerance flag exists for diagnosis only).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from data_engineering_etl_self_service_spark import get_spark
+from data_engineering_etl_self_service_spark.catalog import TABLES
+from data_engineering_etl_self_service_spark.queries import ORACLES, QUERIES
+
+
+def canon(rows, cols):
+    def key(r):
+        return tuple("\x00" if v is None else str(v) for v in r)
+
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in idx) for r in rows]
+    return sorted(out, key=key), [cols[i] for i in idx]
+
+
+def values_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    return str(a) == str(b)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or list(QUERIES)
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        fn = QUERIES[name]
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception:
+            print(f"FAIL  {name}: spark raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in ORACLES:
+            print(f"skip  {name}: no oracle (rows-only) — spark rows={len(srows)}")
+            n_noracle += 1
+            continue
+        try:
+            res = con.execute(ORACLES[name])
+            ocols = [d[0] for d in res.description]
+            orows = [tuple(r) for r in res.fetchall()]
+        except Exception:
+            print(f"FAIL  {name}: duckdb raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        s_rows, s_cols = canon(srows, scols)
+        o_rows, o_cols = canon(orows, ocols)
+        if s_cols != o_cols:
+            print(f"FAIL  {name}: columns differ spark={s_cols} duck={o_cols}")
+            n_fail += 1
+            continue
+        if len(s_rows) != len(o_rows):
+            print(f"FAIL  {name}: rowcount spark={len(s_rows)} duck={len(o_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for sr, orr in zip(s_rows, o_rows):
+            if not all(values_equal(a, b) for a, b in zip(sr, orr)):
+                bad = (sr, orr)
+                break
+        if bad:
+            print(f"FAIL  {name}: value mismatch\n  spark={bad[0]}\n  duck ={bad[1]}")
+            n_fail += 1
+        else:
+            print(f"ok    {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
