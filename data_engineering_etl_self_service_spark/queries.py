@@ -592,7 +592,7 @@ def json_extract(spark, sf_dir):
     """
     WITH toks AS (
       SELECT lang,
-             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+             string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents)
     SELECT lang,
            COUNT(*) AS n_docs,
@@ -847,7 +847,7 @@ def dedup_exact(spark, sf_dir):
 _JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(t[g:g+2], ' ') AS s
@@ -875,17 +875,17 @@ def jaccard_pairs_q(spark, sf_dir):
 
 @register("minhash_lsh_dedup", _JACCARD_ORACLE)
 def minhash_lsh_dedup(spark, sf_dir):
-    """MinHash(128) + LSH(32 bands) near-dup pairs, exact-Jaccard verified.
+    """MinHash(96) + LSH(24 bands) near-dup pairs, exact-Jaccard verified.
 
-    Same oracle as ``jaccard_pairs``: banded LSH at these parameters has
-    ≈1-5e-8 recall at the 0.8 threshold, and verification removes all false
+    Same oracle as ``jaccard_pairs``: banded LSH at these parameters misses
+    a threshold-grade pair with p≈3e-6, and verification removes all false
     positives — so the verified candidate set IS the exact answer, computed
     the 100 TB-scalable way.
     """
     from .operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, k=3, threshold=0.8, num_hashes=128, bands=32)
+    return minhash_lsh_pairs(d, k=3, threshold=0.8, num_hashes=96, bands=24)
 
 
 @register("simhash_neardup")  # approximate — no SQL oracle (rows-only check)
@@ -1022,7 +1022,7 @@ def ivf_ann(spark, sf_dir):
     """
     WITH toks AS (
       SELECT lang,
-             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+             string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents)
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
@@ -1046,7 +1046,7 @@ def token_stats(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+             string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents),
     m AS (
       SELECT doc_id,
@@ -1105,7 +1105,7 @@ def _langid_sql() -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id, lang,
-             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+             string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents),
     scored AS (SELECT doc_id, lang, {', '.join(hits)} FROM toks)
     SELECT lang, {case} AS predicted, COUNT(*) AS n
