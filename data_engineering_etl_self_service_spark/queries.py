@@ -1204,3 +1204,207 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# =========================================================================
+# Batch 2: as-of join, math scalars, cube, unions, timestamp round-trip,
+# HAVING, percentiles, unpivot
+# =========================================================================
+
+
+@register(
+    "asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+           CAST(FLOOR((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000) AS BIGINT)
+             AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_q(spark, sf_dir):
+    """As-of join (custom operator — Spark has no native one): each purchase
+    gets the most recent click at or before it. Window-based, one shuffle,
+    no inequality join (operators/asof.py)."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    out = asof_join(purchases, clicks, on="user_id", ts_col="ts")
+    gap = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right")))
+        / F.lit(1_000_000)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("click_ts"),
+        gap.alias("gap_sec"),
+    )
+
+
+@register(
+    "math_funcs",
+    """
+    SELECT c_custkey,
+           abs(c_acctbal) AS abs_bal,
+           floor(c_acctbal) AS floor_bal,
+           ceiling(c_acctbal) AS ceil_bal,
+           sqrt(abs(c_acctbal)) AS sqrt_bal,
+           c_custkey % 7 AS key_mod7,
+           c_acctbal * c_acctbal AS bal_sq
+    FROM customer
+    """,
+)
+def math_funcs(spark, sf_dir):
+    """Math scalar functions (§2.8). ``round`` is deliberately absent: Spark
+    rounds the decimal string of a double (HALF_UP on shortest repr) while
+    DuckDB rounds the binary value — they disagree on half-way doubles, so a
+    portable pipeline shouldn't lean on cross-engine round()."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.abs(F.col("c_acctbal")).alias("abs_bal"),
+        F.floor("c_acctbal").alias("floor_bal"),
+        F.ceil("c_acctbal").alias("ceil_bal"),
+        F.sqrt(F.abs(F.col("c_acctbal"))).alias("sqrt_bal"),
+        (F.col("c_custkey") % 7).alias("key_mod7"),
+        (F.col("c_acctbal") * F.col("c_acctbal")).alias("bal_sq"),
+    )
+
+
+@register(
+    "cube_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {dsum_expr('l_extendedprice')} AS total_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    """CUBE grouping sets (§2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "total_price")
+    )
+
+
+@register(
+    "union_slices",
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {dsum_expr('o_totalprice')} AS total
+    FROM (
+      SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                             AND o_orderdate <  TIMESTAMP '1996-07-01'
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+                             AND o_orderdate <  TIMESTAMP '1997-01-01')
+    GROUP BY o_orderstatus
+    """,
+)
+def union_slices(spark, sf_dir):
+    """UNION ALL of two ingestion slices (§2.7 — the multi-config daily-drop
+    union the reference implies via its shared lake layout)."""
+    o = _t(spark, sf_dir, "orders")
+    h1 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    h2 = o.filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return (
+        h1.unionByName(h2)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@register(
+    "timestamp_roundtrip",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+           CAST(FLOOR(epoch_us(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                '%Y-%m-%dT%H:%M:%SZ')) / 1000000) AS BIGINT) AS epoch_sec
+    FROM events
+    WHERE event_id < 100
+    """,
+)
+def timestamp_roundtrip(spark, sf_dir):
+    """ISO-8601 format → parse round-trip (§2.8 F3 — the reference's exact
+    wire format, ref: dags/kafka_stream.py:36 recovered)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    parsed = F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return e.select(
+        "event_id",
+        iso.alias("iso"),
+        F.floor(F.unix_micros(parsed) / F.lit(1_000_000)).alias("epoch_sec"),
+    )
+
+
+@register(
+    "having_filter",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum_expr('o_totalprice')} AS spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def having_filter(spark, sf_dir):
+    """HAVING — post-aggregation filter (§2.4)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spent"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "percentiles",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentiles(spark, sf_dir):
+    """Exact percentiles (§2.4). Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share linear-interpolation semantics; the approximate
+    tier at 100 TB is ``percentile_approx`` (not oracle-comparable)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "unpivot_metrics",
+    """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """UNPIVOT/melt (§2.4 — wide→long reshaping)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
