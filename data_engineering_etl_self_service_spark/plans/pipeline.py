@@ -73,12 +73,53 @@ def _read_source(spark: SparkSession, spec: PipelineSpec, ds: str | None) -> Dat
             spark, n=int(opts.get("n", 5000)), seed=int(opts.get("seed", 42))
         )
     if src.type == "table":
-        return spark.read.parquet(opts["path"])
+        from ..sources.files import read_parquet
+
+        return read_parquet(spark, opts["path"])
     if src.type == "kafka":
         raise NotImplementedError(
             "kafka batch source requires spark-sql-kafka jars; see sources/kafka.py"
         )
     raise ValueError(f"unsupported source type: {src.type}")
+
+
+def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
+    """Apply the spec's declarative transformation list.
+
+    Every op compiles to a DataFrame expression (``F.expr`` for predicates
+    and column expressions) so Catalyst sees ONE logical plan across
+    source → transform → checks → sink: filters written in YAML still push
+    down into the parquet/JSON scan, column selections still prune.
+    """
+    from pyspark.sql import functions as F
+
+    for t in spec.transformations:
+        op = t.get("op")
+        if op == "filter":
+            df = df.filter(F.expr(t["predicate"]))
+        elif op == "select":
+            df = df.select(*t["columns"])
+        elif op == "with_column":
+            df = df.withColumn(t["name"], F.expr(t["expr"]))
+        elif op == "drop":
+            df = df.drop(*t["columns"])
+        elif op == "rename":
+            df = df.withColumnRenamed(t["from"], t["to"])
+        elif op == "deduplicate":
+            df = df.dropDuplicates(t.get("columns"))
+        elif op == "repartition":
+            cols = t.get("columns", [])
+            n = t.get("n")
+            if cols and n:
+                df = df.repartition(int(n), *cols)
+            elif cols:
+                df = df.repartition(*cols)
+            elif n:
+                df = df.repartition(int(n))
+        # unknown ops were flagged at parse time (spec.warnings); skipping
+        # here mirrors the reference's tolerant dispatch (ref:
+        # operators/data_quality_operator.py:116-117).
+    return df
 
 
 def _write_sink(df: DataFrame, spec: PipelineSpec, path: str) -> None:
@@ -108,6 +149,7 @@ def compile_pipeline(
             from pyspark.sql import functions as F
 
             df = df.withColumn("ds", F.lit(ds))
+        df = apply_transformations(df, spec)
         if transform is not None:
             df = transform(df)
         report = run_checks(df, list(spec.checks))

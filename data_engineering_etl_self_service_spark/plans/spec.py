@@ -26,6 +26,18 @@ from ..operators.quality import KNOWN_CHECKS
 #: source kinds the compiler accepts (reference surface + engine extensions)
 SOURCE_TYPES = ("http_api", "file", "table", "synthetic_events", "kafka")
 SINK_TYPES = ("parquet", "json", "none")
+#: declarative transformation ops (compiled to DataFrame expressions —
+#: the reference has no transform stage at all; SURVEY §2.2 requires the
+#: engine to expose select/filter in the self-service contract)
+TRANSFORM_OPS = (
+    "filter",
+    "select",
+    "with_column",
+    "drop",
+    "rename",
+    "deduplicate",
+    "repartition",
+)
 
 
 @dataclass(frozen=True)
@@ -50,6 +62,7 @@ class PipelineSpec:
     source: SourceSpec
     destination: SinkSpec
     checks: list[dict[str, Any]]
+    transformations: tuple[dict[str, Any], ...] = ()
     warnings: tuple[str, ...] = ()
 
     @property
@@ -86,6 +99,10 @@ def _parse(config: dict[str, Any], origin: str = "<dict>") -> PipelineSpec:
     for c in checks:
         if c.get("check_type") not in KNOWN_CHECKS:
             warnings.append(f"{origin}: unknown check_type '{c.get('check_type')}'")
+    transformations = tuple(config.get("transformations", []) or [])
+    for t in transformations:
+        if t.get("op") not in TRANSFORM_OPS:
+            warnings.append(f"{origin}: unknown transformation op '{t.get('op')}'")
 
     return PipelineSpec(
         name=info.get("name", Path(origin).stem),
@@ -94,6 +111,7 @@ def _parse(config: dict[str, Any], origin: str = "<dict>") -> PipelineSpec:
         source=SourceSpec(type=stype, options=src),
         destination=sink,
         checks=checks,
+        transformations=transformations,
         warnings=tuple(warnings),
     )
 

@@ -19,6 +19,9 @@ from pyspark.sql.types import StructType
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    # Accept INT64 TIMESTAMP(NANOS) parquet (Spark rejects it by default);
+    # nanos arrive as long — see catalog.load_table for the conversion idiom.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(path)
 
 

@@ -104,3 +104,42 @@ def test_synthetic_generator_schema_and_vocab(spark):
     assert types <= set(EVENT_TYPES)
     users = {r.user_id for r in df.select("user_id").distinct().collect()}
     assert all(u.startswith("user_") for u in users)
+
+
+def test_transformations_compile_and_push_down(spark, tmp_path):
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "xf"},
+            "source": {"type": "table", "path": "/root/testdata/sf0.001/events.parquet"},
+            "transformations": [
+                {"op": "filter", "predicate": "event_type = 'purchase'"},
+                {"op": "with_column", "name": "day", "expr": "to_date(timestamp_micros(ts div 1000))"},
+                {"op": "select", "columns": ["event_id", "user_id", "day", "value"]},
+                {"op": "rename", "from": "value", "to": "amount"},
+                {"op": "deduplicate", "columns": ["event_id"]},
+            ],
+            "destination": {"type": "parquet", "path": str(tmp_path / "out")},
+            "data_quality_checks": [
+                {"check_type": "required_columns", "columns": ["event_id", "user_id", "day", "amount"]},
+                {"check_type": "unique_column", "column": "event_id"},
+            ],
+        }
+    )
+    assert spec.warnings == ()
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    out = spark.read.parquet(res.published_path)
+    assert set(out.columns) == {"event_id", "user_id", "day", "amount"}
+    assert out.count() > 0
+
+
+def test_unknown_transformation_warns():
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "x"},
+            "source": {"type": "synthetic_events"},
+            "destination": {"type": "none"},
+            "transformations": [{"op": "teleport"}],
+        }
+    )
+    assert any("teleport" in w for w in spec.warnings)
