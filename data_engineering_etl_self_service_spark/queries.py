@@ -1408,3 +1408,217 @@ def unpivot_metrics(spark, sf_dir):
         F.col("p_size").cast("double").alias("size"),
         F.col("p_retailprice").alias("retailprice"),
     ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+# =========================================================================
+# Batch 3: skew-safe joins, range joins, window distributions, regex,
+# correlated subqueries, grouping sets, positional explode
+# =========================================================================
+
+
+@register(
+    "salted_join_agg",
+    f"""
+    SELECT o.o_orderstatus, COUNT(*) AS n,
+           {dsum_expr('l.l_extendedprice')} AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def salted_join_agg(spark, sf_dir):
+    """Skew-salted fact⋈dim join (operators/skew.py) — the oracle is the
+    UNSALTED SQL join, proving salting preserves join semantics exactly."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    j = salted_join(li, o, "l_orderkey", "o_orderkey", salt=8)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "total")
+    )
+
+
+@register(
+    "interval_join",
+    """
+    SELECT s.event_id AS signup_id, e.event_id AS event_id, e.event_type,
+           CAST(FLOOR((epoch_us(e.ts) - epoch_us(s.ts)) / 1000000) AS BIGINT)
+             AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts
+     AND e.ts <= s.ts + INTERVAL 30 MINUTE
+    """,
+)
+def interval_join(spark, sf_dir):
+    """Keyed interval join: events within 30 min after a same-user signup.
+    With an equi-key (user_id) Catalyst plans hash-join + range residual —
+    no row explosion; the keyless case needs bucketing (range_join_buckets)."""
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    j = e.join(
+        s,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") > F.col("s_ts"))
+        & (F.unix_micros(F.col("ts")) <= F.unix_micros(F.col("s_ts")) + 30 * 60 * 1_000_000),
+    )
+    gap = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("s_ts"))) / F.lit(1_000_000)
+    )
+    return j.select("signup_id", "event_id", "event_type", gap.alias("gap_sec"))
+
+
+@register(
+    "range_join_keyless",
+    """
+    SELECT l.event_id AS l_id, r.event_id AS r_id,
+           CAST(FLOOR((epoch_us(r.ts) - epoch_us(l.ts)) / 1000000) AS BIGINT)
+             AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'signup') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON epoch_us(r.ts) - epoch_us(l.ts) >= 0
+     AND epoch_us(r.ts) - epoch_us(l.ts) <= 60000000
+    """,
+)
+def range_join_keyless(spark, sf_dir):
+    """Keyless time-range join via timeline bucketing (operators/skew.py):
+    signup→purchase pairs across ALL users within 60 s. The oracle is the
+    naive inequality join; bucketing turns O(n·m) into an equi-join."""
+    from .operators.skew import range_join_buckets
+
+    e = _t(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "signup").select("event_id", "ts")
+    r = e.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    out = range_join_buckets(l, r, ts_col="ts", max_gap_sec=60)
+    gap = F.floor(
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))) / F.lit(1_000_000)
+    )
+    return out.select(
+        F.col("l_event_id").alias("l_id"),
+        F.col("r_event_id").alias("r_id"),
+        gap.alias("gap_sec"),
+    )
+
+
+@register(
+    "window_distribution",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(c_custkey) OVER w AS poorest_key,
+           CAST(lead(c_custkey, 1) OVER w AS BIGINT) AS next_key
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window functions (§2.5): ntile, percent_rank, cume_dist,
+    first_value, lead — integer-ratio doubles, so cross-engine exact."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("c_custkey").over(w).alias("poorest_key"),
+        F.lead("c_custkey", 1).over(w).cast("bigint").alias("next_key"),
+    )
+
+
+@register(
+    "regex_extract",
+    """
+    SELECT event_id,
+           regexp_extract(props, '"k":\\s*(\\d+)', 1) AS k_str,
+           regexp_matches(props, '"k":\\s*8\\d') AS k_in_80s
+    FROM events
+    WHERE event_id < 200
+    """,
+)
+def regex_extract(spark, sf_dir):
+    """Regex scalar functions (§2.8) over the JSON props payload."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).alias("k_str"),
+        F.col("props").rlike(r'"k":\s*8\d').alias("k_in_80s"),
+    )
+
+
+@register(
+    "above_customer_avg",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(i.o_totalprice)
+      FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def above_customer_avg(spark, sf_dir):
+    """Correlated scalar subquery (§2.3/2.4): orders >1.5× their customer's
+    average — decorrelated into a groupBy + self-join (what Catalyst does
+    to the SQL form too)."""
+    o = _t(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("a_custkey")).agg(
+        davg("o_totalprice", "avg_price")
+    )
+    return (
+        o.join(avgs, o.o_custkey == avgs.a_custkey)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {dsum_expr('l_quantity')} AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (§2.4) — the general form behind cube/rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               {dsum_expr('l_quantity')} AS qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "posexplode_tokens",
+    """
+    SELECT doc_id, CAST(g.pos - 1 AS INT) AS pos, t[g.pos] AS token
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents WHERE doc_id < 20) d,
+         unnest(range(1, len(t) + 1)) AS g(pos)
+    """,
+)
+def posexplode_tokens(spark, sf_dir):
+    """Positional explode (§2.8 arrays): token stream with offsets — the
+    building block for windowed shingling and positional n-gram features."""
+    from .functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    )
