@@ -388,3 +388,66 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ------------------------------------------------- near-dup clustering
+
+
+def neardup_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → (doc_id, group_id).
+
+    THE dedup deliverable for a training corpus: near-dup PAIRS don't
+    dedupe anything — transitive clusters do (keep min-id per group, drop
+    the rest). Pairs come from :func:`minhash_lsh_pairs` (exact-verified);
+    components via iterative min-label propagation:
+
+        label(v) ← min(label(v), min label over neighbours)
+
+    repeated to fixpoint. Iterations = cluster diameter (near-dup clusters
+    are shallow; the loop is bounded by ``max_iter``). Each round is one
+    join + one groupBy — the standard Spark connected-components shape when
+    a graph library isn't warranted. Labels and edges are cached; only
+    docs appearing in ≥1 pair are returned (singletons are their own
+    trivial group).
+    """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, k, threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    ).persist()
+
+    for _ in range(max_iter):
+        neighbor_lbls = (
+            labels.join(edges, labels.v == edges.a)
+            .select(F.col("b").alias("v"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_lbls)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("group_id"))

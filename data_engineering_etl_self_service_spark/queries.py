@@ -1622,3 +1622,52 @@ def posexplode_tokens(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
     )
+
+
+@register(
+    "neardup_groups",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[g:g+2], ' ') AS s
+           FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(g)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    edges AS (
+      SELECT da, db FROM pair
+      JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+      WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+    bidir AS (SELECT da AS a, db AS b FROM edges UNION SELECT db, da FROM edges),
+    nodes AS (SELECT DISTINCT a AS v FROM bidir),
+    labels(v, lbl) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT b.b, l.lbl FROM labels l JOIN bidir b ON b.a = l.v WHERE l.lbl < b.b
+    )
+    SELECT v AS doc_id, MIN(lbl) AS group_id FROM labels GROUP BY v
+    """,
+)
+def neardup_groups_q(spark, sf_dir):
+    """Transitive near-dup clusters (north-star): LSH pairs → connected
+    components → (doc_id, group_id). The oracle walks the same graph with a
+    recursive CTE."""
+    from .operators.dedup import neardup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return neardup_groups(d, threshold=0.8)
+
+
+@register("approx_tier")  # approximate by design — rows-only check
+def approx_tier(spark, sf_dir):
+    """The 100 TB approximate tier (§4 note 3): HLL distinct + t-digest
+    percentiles. Deliberately un-oracled — approx answers differ by engine;
+    the exact twins are `distinct_counts` and `percentiles`."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

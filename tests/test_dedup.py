@@ -73,3 +73,18 @@ def test_embedding_neardup_identical_vectors(spark):
     out = embedding_neardup_pairs(df, threshold=0.999).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(0, 1)]
     assert out[0].cos == pytest.approx(1.0)
+
+
+def test_neardup_groups_transitive_closure(spark):
+    """A-B and B-C similar (A-C not directly) must still share one group."""
+    from data_engineering_etl_self_service_spark.operators.dedup import neardup_groups
+
+    base = [f"w{i}" for i in range(30)]
+    a = " ".join(base)
+    b = " ".join(base[:-2] + ["x1", "x2"])          # ~similar to a
+    c = " ".join(base[:-4] + ["x1", "x2", "x3", "x4"])  # similar to b, less to a
+    d = " ".join(f"z{i}" for i in range(30))        # unrelated
+    df = _docs(spark, [a, b, c, d])
+    out = {r.doc_id: r.group_id for r in neardup_groups(df, threshold=0.6).collect()}
+    assert out.get(0) == out.get(1) == out.get(2) == 0
+    assert 3 not in out  # singleton never appears in the pair graph

@@ -1,0 +1,56 @@
+"""Plan-shape regression tests: the physical properties SCALE.md promises.
+
+These assert on the executed plan string, so a refactor that silently
+loses predicate pushdown, broadcasts, or single-shuffle sessionization
+fails CI instead of shipping a 100 TB regression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_etl_self_service_spark.queries import QUERIES
+
+
+def _plan(spark, name, sf_dir, mode="formatted"):
+    df = QUERIES[name](spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark, sf_dir):
+    plan = _plan(spark, "revenue_forecast", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # pruned scan: only the 4 needed columns of lineitem's 11
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, "regional_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def _op_count(plan: str, op: str) -> int:
+    """Count physical operators in formatted-explain detail entries."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.M))
+
+
+def test_sessionization_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "sessionize_stats", sf_dir)
+    assert _op_count(plan, "Exchange") == 1, plan
+
+
+def test_funnel_depth_does_not_add_shuffles(spark, sf_dir):
+    plan = _plan(spark, "funnel", sf_dir)
+    # one user exchange + the final single-row aggregate exchange
+    assert _op_count(plan, "Exchange") <= 2
+    assert _op_count(plan, "Window") == 3  # 3 funnel steps
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, "topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,110 @@
+"""Sources: HTTP (driver fetch + PySpark 4 data source), CSV/JSON files.
+
+The HTTP tests run a localhost http.server — the same ingest path as the
+reference's GenericApiToS3Operator (ref: operators/api_to_s3.py:57-62)
+without external network dependence.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+USERS = [
+    {"id": 1, "name": "Ada", "email": "ada@example.com"},
+    {"id": 2, "name": "Grace", "email": "grace@example.com"},
+    {"id": 3, "name": "Edsger", "email": "e@example.com"},
+    {"id": 4, "name": "Barbara", "email": "b@example.com"},
+]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_GET(self):
+        q = parse_qs(urlparse(self.path).query)
+        page = int(q.get("page", ["0"])[0])
+        body = json.dumps(USERS[page * 2 : page * 2 + 2]).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def api_server():
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/users"
+    srv.shutdown()
+
+
+def test_fetch_json_df_driver_side(spark, api_server):
+    from data_engineering_etl_self_service_spark.sources.http import fetch_json_df
+
+    df = fetch_json_df(
+        spark, api_server, schema="id long, name string, email string"
+    )
+    rows = {r.id: r.name for r in df.collect()}
+    assert rows == {1: "Ada", 2: "Grace"}  # page 0 only (no params)
+
+
+def test_http_python_datasource_paged(spark, api_server):
+    from data_engineering_etl_self_service_spark.sources.http import (
+        register_http_source,
+    )
+
+    assert register_http_source(spark), "PySpark 4 should support Python data sources"
+    df = (
+        spark.read.format("http_json")
+        .schema("id long, name string, email string")
+        .option("url", api_server)
+        .option("pages", "2")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one partition per page
+    assert {r.id for r in df.collect()} == {1, 2, 3, 4}
+
+
+def test_csv_source_with_schema_contract(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.files import read_csv
+
+    p = tmp_path / "clicks.csv"
+    p.write_text(
+        "event_time,event_type,price,user_id\n"
+        "2019-10-01 00:00:00,view,12.5,100\n"
+        "2019-10-01 00:01:00,purchase,99.0,101\n"
+    )
+    df = read_csv(
+        spark,
+        str(p),
+        schema="event_time timestamp, event_type string, price double, user_id long",
+    )
+    rows = df.orderBy("user_id").collect()
+    assert rows[0].event_type == "view" and rows[0].price == 12.5
+    assert df.schema["price"].dataType.simpleString() == "double"
+
+
+def test_json_source_roundtrip(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.files import (
+        read_json,
+        write_partitioned_parquet,
+    )
+
+    p = tmp_path / "recs.json"
+    p.write_text("\n".join(json.dumps(u) for u in USERS))
+    df = read_json(spark, str(p), schema="id long, name string, email string")
+    assert df.count() == 4
+
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "lake"
+    write_partitioned_parquet(df.withColumn("ds", F.lit("2025-08-13")), str(out))
+    back = spark.read.parquet(str(out))
+    assert back.count() == 4 and "ds" in back.columns
