@@ -28,9 +28,12 @@ HEADLINE = [
     "sessionize_stats",
     "funnel",
     "hourly_event_counts",
+    "asof_join",
     "dedup_exact",
     "minhash_lsh_dedup",
+    "neardup_groups",
     "cosine_topk",
+    "ivf_ann",
     "quality_scores",
 ]
 

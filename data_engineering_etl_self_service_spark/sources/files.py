@@ -74,3 +74,24 @@ def write_partitioned_parquet(
         )
     )
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffled at rest so later joins/aggs on
+    ``bucket_col`` skip the exchange entirely (SCALE.md — co-located joins).
+
+    At 100 TB, bucketing the big fact tables on their join key once at
+    write time removes the dominant shuffle from every downstream join.
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if sort_col:
+        writer = writer.bucketBy(n_buckets, bucket_col).sortBy(sort_col)
+    else:
+        writer = writer.bucketBy(n_buckets, bucket_col)
+    writer.saveAsTable(table)

@@ -13,6 +13,7 @@ from http.server import BaseHTTPRequestHandler, HTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import pytest
+from pyspark.sql import functions as F
 
 USERS = [
     {"id": 1, "name": "Ada", "email": "ada@example.com"},
@@ -108,3 +109,35 @@ def test_json_source_roundtrip(spark, tmp_path):
     write_partitioned_parquet(df.withColumn("ds", F.lit("2025-08-13")), str(out))
     back = spark.read.parquet(str(out))
     assert back.count() == 4 and "ds" in back.columns
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key → SortMergeJoin with ZERO
+    exchanges (the 100 TB co-located-join recipe, SCALE.md)."""
+    import re
+
+    from data_engineering_etl_self_service_spark.catalog import load_table
+    from data_engineering_etl_self_service_spark.sources.files import (
+        write_bucketed_table,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders")
+        write_bucketed_table(li, "b_lineitem", "l_orderkey", 8)
+        write_bucketed_table(o, "b_orders", "o_orderkey", 8)
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(jmode)
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 0, plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
