@@ -252,7 +252,7 @@ def minhash_lsh_pairs(
     )
     sa = sizes.select(F.col("_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -263,6 +263,10 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # Callers that materialize the result (e.g. neardup_groups) can release
+    # the shingle cache afterwards without clearing unrelated caches.
+    out._cached_deps = [sh]  # type: ignore[attr-defined]
+    return out
 
 
 # ------------------------------------------------------------- SimHash
@@ -413,20 +417,43 @@ def neardup_groups(
     repeated to fixpoint. Iterations = cluster diameter (near-dup clusters
     are shallow; the loop is bounded by ``max_iter``). Each round is one
     join + one groupBy — the standard Spark connected-components shape when
-    a graph library isn't warranted. Labels and edges are cached; only
-    docs appearing in ≥1 pair are returned (singletons are their own
-    trivial group).
+    a graph library isn't warranted. Only docs appearing in ≥1 pair are
+    returned (singletons are their own trivial group).
+
+    Cost discipline (this is an iterative op, the worst case for lazy
+    re-evaluation):
+
+    - the pair graph is materialized ONCE with a lineage-truncating
+      ``localCheckpoint`` before the loop — the LSH pipeline must not sit
+      in the lineage of every iteration;
+    - symmetric edges come from ONE ``explode`` pass over the pairs (a
+      union of two selects would evaluate the pairs plan twice);
+    - convergence is detected by the monotone invariant ``sum(lbl)``
+      strictly decreases until fixpoint — one cheap aggregate per round
+      instead of a join of old vs new labels.
     """
     pairs = minhash_lsh_pairs(docs, text_col, id_col, k, threshold)
+    # Materialize the (small) pair graph, cut the LSH plan out of the loop's
+    # lineage, then drop the shingle cache the LSH pass left behind.
+    pairs = pairs.localCheckpoint(eager=True)
+    for dep in getattr(pairs, "_cached_deps", []):
+        dep.unpersist()
     edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .distinct()
-        .persist()
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                    F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .persist()  # pairs are distinct with doc_a < doc_b → edges distinct
     )
     labels = (
         edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
     ).persist()
+    prev_sum = None
 
     for _ in range(max_iter):
         neighbor_lbls = (
@@ -439,15 +466,11 @@ def neardup_groups(
             .agg(F.min("lbl").alias("lbl"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
+    edges.unpersist()
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("group_id"))
