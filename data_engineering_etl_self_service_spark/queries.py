@@ -1671,3 +1671,198 @@ def approx_tier(spark, sf_dir):
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_p50"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# =========================================================================
+# Relational depth: TPC-H Q3/Q4 shapes over the synthetic tables
+# =========================================================================
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → 3-way join → grouped agg →
+    total-ordered top-k.
+
+    Scale: the filtered customer side is small → broadcast; both fact-side
+    filters push to the parquet scans; top-k compiles to
+    TakeOrderedAndProject (no global sort).
+    """
+    cutoff = "1996-03-15"
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "priority_exists_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_exists_counts(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi join feeding a grouped count (§2.3/§2.4).
+
+    Scale: the quantity filter prunes the fact scan before the semi join;
+    the semi join shuffles only (orderkey) pairs, never lineitem payload.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# =========================================================================
+# North-star: corpus curation (split / histogram / per-group top-k / index)
+# =========================================================================
+
+
+@register(
+    "train_test_split",
+    """
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'eval' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def train_test_split(spark, sf_dir):
+    """Deterministic ~80/20 corpus split by content-free hash of the id.
+
+    THE way to split at 100 TB: no shuffle, no sampling state, stable under
+    re-runs and appends — membership is a pure function of doc_id (md5 is
+    engine-portable, unlike xxhash64). First hex byte < 0xcd ≈ 80.08%.
+    """
+    d = _t(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd", "train"
+    ).otherwise("eval")
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark, sf_dir):
+    """Document-length histogram (100-char buckets) — the curation signal
+    behind min/max-length filters. Pure map-side bucketing + tiny-key agg."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.floor(F.col("n_chars") / 100).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "top_docs_per_lang",
+    """
+    SELECT lang, doc_id, n_chars, rn FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) WHERE rn <= 3
+    """,
+)
+def top_docs_per_lang(spark, sf_dir):
+    """Per-group top-k (longest docs per language) via ranking window.
+
+    Scale note: k is tiny and groups are few → the window (one shuffle on
+    lang) is fine; for millions of groups the same result shape comes from
+    a groupBy + max_by/slice to avoid big-partition sorts.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "term_doc_freq",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents)
+    SELECT term,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           COUNT(*) AS total_tf
+    FROM toks GROUP BY term
+    ORDER BY doc_freq DESC, term LIMIT 25
+    """,
+)
+def term_doc_freq(spark, sf_dir):
+    """Inverted-index statistics: per-term document frequency and total term
+    frequency, top 25 — the exact building block of TF-IDF scoring kept in
+    integer space so the oracle hash-matches (ln() is libm-dependent and
+    would not be bit-stable across engines).
+
+    Scale: explode → two-level agg; partial aggregation absorbs the token
+    skew ("the" appears everywhere) before the shuffle on term.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(25)
+    )
