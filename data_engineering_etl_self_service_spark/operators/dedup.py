@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, word_shingles
+from ..functions.text import fingerprint, tokens
 from ..functions.vector import cosine
 
 
@@ -68,10 +68,57 @@ def dedup_exact(
 def _shingle_table(
     docs: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    """(id, shingle) exploded distinct word-k-shingles."""
-    return docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    """(id, shingle) exploded distinct word-k-shingles.
+
+    Formulated as explode(sequence) → ``slice``/``concat_ws`` → ``distinct``
+    rather than exploding :func:`word_shingles`'s array: higher-order
+    ``transform`` lambdas evaluate interpreted (outside whole-stage codegen)
+    and measured 4× slower end-to-end; plain slice/concat exprs stay in
+    codegen. ``distinct`` keeps set semantics (required for Jaccard; MinHash
+    is indifferent). Same output either way.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("t")
+    )
+    n = F.size("t")
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        toks.select("_id", "t", F.explode(idx).alias("i"))
+        .select(
+            "_id", F.concat_ws(" ", F.slice("t", F.col("i"), k)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def _hashed_shingle_table(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, hs) distinct 64-bit-hashed word-k-shingles — the scale variant.
+
+    Hashing each shingle to ``xxhash64`` BEFORE the distinct means the
+    distinct, every downstream shuffle, and the verification self-join move
+    8-byte longs instead of shingle strings. Collisions merge shingles with
+    probability ~n²/2⁶⁵ (≈2e-9 for the sf0.1 corpus); at 100 TB a collision
+    merely perturbs a Jaccard estimate used as a threshold — acceptable, and
+    why MinHash itself hashes shingles the same way.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("t")
+    )
+    n = F.size("t")
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        toks.select("_id", "t", F.explode(idx).alias("i"))
+        .select(
+            "_id",
+            F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("i"), k))).alias("hs"),
+        )
+        .distinct()
     )
 
 
@@ -148,8 +195,8 @@ def minhash_signatures(
     signature stage from ~13 s to ~1 s at sf0.1 and, at 100 TB, cuts per-row
     work by ~n×.
     """
-    sh = _shingle_table(docs, text_col, id_col, k)
-    base = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 31) - 1))
+    sh = _hashed_shingle_table(docs, text_col, id_col, k)
+    base = F.col("hs").bitwiseAND(F.lit((1 << 31) - 1))
     coeffs = _affine_coeffs(num_hashes)
     withbase = sh.select("_id", base.alias("hb"))
     p = F.lit((1 << 31) - 1)  # Mersenne prime: the mod is what de-correlates
@@ -195,12 +242,14 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    # One shingle pass feeds signatures AND verification — persist it so the
-    # tokenize/shingle work (the most expensive per-row stage) runs once.
+    # One HASHED shingle pass feeds signatures AND verification — persist it
+    # so the tokenize/shingle work (the most expensive per-row stage) runs
+    # once, and so every downstream shuffle/join moves 8-byte longs instead
+    # of shingle strings (see :func:`_hashed_shingle_table`).
     # At 100 TB this would be a materialized intermediate table instead.
-    sh = _shingle_table(docs, text_col, id_col, k).persist()
+    sh = _hashed_shingle_table(docs, text_col, id_col, k).persist()
 
-    base = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit((1 << 31) - 1))
+    base = F.col("hs").bitwiseAND(F.lit((1 << 31) - 1))
     coeffs = _affine_coeffs(num_hashes)
     p = F.lit((1 << 31) - 1)
     sig = sh.select("_id", base.alias("hb")).groupBy("_id").agg(
@@ -245,7 +294,7 @@ def minhash_lsh_pairs(
         .join(
             b,
             (F.col("b._id") == F.col("doc_b"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
+            & (F.col("a.hs") == F.col("b.hs")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -263,6 +312,12 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # The verified pair set is tiny and is THE reusable product of this
+    # pipeline (clustering, keep-lists, audits all start from it) — persist
+    # it so a same-session re-derivation (e.g. neardup_groups after a pairs
+    # query) hits the cache via canonicalized-plan matching instead of
+    # re-running LSH end to end.
+    out = out.persist()
     # Callers that materialize the result (e.g. neardup_groups) can release
     # the shingle cache afterwards without clearing unrelated caches.
     out._cached_deps = [sh]  # type: ignore[attr-defined]
