@@ -1866,3 +1866,87 @@ def term_doc_freq(spark, sf_dir):
         .orderBy(F.desc("doc_freq"), "term")
         .limit(25)
     )
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH offer AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS best
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT l_partkey, MIN(best) AS best_price FROM offer GROUP BY l_partkey)
+    SELECT p_partkey, p_brand, s_name, best_price
+    FROM best
+    JOIN offer ON offer.l_partkey = best.l_partkey AND offer.best = best.best_price
+    JOIN part ON p_partkey = best.l_partkey
+    JOIN supplier ON s_suppkey = offer.l_suppkey
+    WHERE p_size <= 10
+    ORDER BY best_price, p_partkey, s_name LIMIT 20
+    """,
+)
+def min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-group min (correlated-subquery semantics) joined
+    back to recover the argmin rows, small-dim enrich, total-ordered top-k.
+
+    Scale: the argmin join keys on (partkey, price) after two grouped aggs —
+    both shuffle on l_partkey so AQE reuses the partitioning; part/supplier
+    dims broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = _t(spark, sf_dir, "supplier")
+    offer = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best")
+    )
+    best = offer.groupBy("l_partkey").agg(F.min("best").alias("best_price"))
+    return (
+        offer.join(
+            best,
+            (offer.l_partkey == best.l_partkey) & (offer.best == best.best_price),
+        )
+        .drop(offer.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", "best_price")
+        .orderBy("best_price", "p_partkey", "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "large_orders",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {dsum_expr('l_quantity')} AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150)
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+    """,
+)
+def large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING, re-join, top-k.
+
+    Scale: the HAVING list and the outer agg both shuffle lineitem on
+    l_orderkey — expressed so the exchange is reused, and the (small)
+    qualifying-key set semi-joins the fact scan.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
