@@ -1950,3 +1950,58 @@ def large_orders(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    counted AS (
+      SELECT doc_id, t,
+             CAST(1 + floor((greatest(len(t) - 64, 0) + 47) / 48.0) AS INT)
+               AS n_chunks
+      FROM toks),
+    ex AS (
+      SELECT doc_id, t, CAST(u.g AS INT) AS chunk_id
+      FROM counted, unnest(range(0, n_chunks)) AS u(g))
+    SELECT doc_id, chunk_id,
+           array_to_string(t[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+             AS chunk_text,
+           CAST(len(t[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INT) AS n_tok
+    FROM ex
+    """,
+)
+def chunk_documents_q(spark, sf_dir):
+    """Overlapping token-window chunking (64-token chunks, 16 overlap) —
+    the retrieval/embedding unit of an LLM data pipeline (north-star)."""
+    from .operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH toks AS (
+      SELECT lang, doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tok
+      FROM documents)
+    SELECT lang AS shard, doc_id, CAST(n_tok AS INT) AS n_tok,
+           SUM(n_tok) OVER w - n_tok AS start_tok,
+           CAST(floor((SUM(n_tok) OVER w - n_tok) / 2048.0) AS BIGINT) AS seq_id
+    FROM toks
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """Concat-then-cut sequence packing at a 2048-token budget, sharded by
+    language (north-star): the distributed form of pretraining-stream
+    packing — per-shard cumsum window, no global sort."""
+    from .operators.chunking import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, shard_col="lang", seq_tokens=2048)
