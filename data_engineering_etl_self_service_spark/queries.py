@@ -2005,3 +2005,64 @@ def pack_sequences_q(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return pack_sequences(d, shard_col="lang", seq_tokens=2048)
+
+
+@register(
+    "label_centroids",
+    """
+    WITH comp AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000000.0)
+                  AS BIGINT) AS xf
+      FROM embeddings),
+    agg AS (
+      SELECT label, pos,
+             CAST(SUM(xf) AS DOUBLE) / 1000000000.0 / COUNT(*) AS m
+      FROM comp GROUP BY label, pos)
+    SELECT label, list(m ORDER BY pos) AS centroid, CAST(n AS BIGINT) AS n_vecs
+    FROM agg
+    JOIN (SELECT label AS l2, COUNT(*) AS n FROM embeddings GROUP BY label)
+      ON label = l2
+    GROUP BY label, n
+    """,
+)
+def label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (north-star vector aggregation):
+    elementwise mean over array<float> columns.
+
+    Float SUM is order-dependent, so each component is quantized to 1e-9
+    fixed point (floor(x*1e9) — float32 inputs carry < 8 significant decimal
+    digits, so nothing real is lost) and summed as exact longs: the centroid
+    is bit-identical across partitionings and engines. A DECIMAL transit is
+    NOT enough here — double→decimal rounding of full-mantissa values hits
+    engine rounding-mode differences at the last digit.
+
+    Scale: posexplode → (label, pos) partial aggregation → sort_array
+    reassembly. The shuffle carries one row per (label, pos) pair after
+    map-side combine — dimensions × labels, independent of corpus size.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * 1e9).alias("xf"),
+    )
+    agg = comp.groupBy("label", "pos").agg(
+        (
+            F.sum("xf").cast("double") / F.lit(1e9) / F.count(F.lit(1))
+        ).alias("m")
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    cent = (
+        agg.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm")
+        )
+        .select("label", F.col("pm.m").alias("centroid"))
+    )
+    return cent.join(counts, "label").select("label", "centroid", "n_vecs")
