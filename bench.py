@@ -28,13 +28,18 @@ HEADLINE = [
     "sessionize_stats",
     "funnel",
     "hourly_event_counts",
+    "shipping_priority",
     "asof_join",
     "dedup_exact",
     "minhash_lsh_dedup",
     "neardup_groups",
     "cosine_topk",
     "ivf_ann",
+    "label_centroids",
     "quality_scores",
+    "term_doc_freq",
+    "chunk_documents",
+    "pack_sequences",
 ]
 
 

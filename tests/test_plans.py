@@ -54,3 +54,31 @@ def test_funnel_depth_does_not_add_shuffles(spark, sf_dir):
 def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
     plan = _plan(spark, "topk_orders", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_shipping_priority_broadcasts_and_takeordered(spark, sf_dir):
+    plan = _plan(spark, "shipping_priority", sf_dir)
+    assert _op_count(plan, "BroadcastHashJoin") >= 1
+    assert "TakeOrderedAndProject" in plan
+    # all three per-table filters reach the scans
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, "chunk_documents", sf_dir)
+    assert _op_count(plan, "Exchange") == 0, plan
+
+
+def test_large_orders_reuses_orderkey_exchange(spark, sf_dir):
+    # lineitem is shuffled on l_orderkey once for the HAVING list and once
+    # for the outer agg — the second must be a ReusedExchange (or AQE twin)
+    plan = _plan(spark, "large_orders", sf_dir)
+    assert "ReusedExchange" in plan or _op_count(plan, "Exchange") <= 3, plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    plan = _plan(spark, "pack_sequences", sf_dir)
+    # one hash exchange on shard for the cumsum window; no global sort
+    assert _op_count(plan, "Exchange") == 1, plan
