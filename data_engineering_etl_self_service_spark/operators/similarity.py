@@ -69,16 +69,24 @@ def assign_cells(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine, ties → lowest
-    centroid id). ``centroids``: (cell_id, cvec), broadcast. Deterministic."""
+    centroid id). ``centroids``: (cell_id, cvec), broadcast. Deterministic.
+
+    Argmax via ``max_by`` over (ccos, -cell_id) instead of a ranking window:
+    partial aggregation collapses the C-way crossJoin expansion map-side, so
+    the shuffle carries one row per vector (not C) and needs no sort — at
+    100 TB that is C× less shuffle than the window form. ``first`` for the
+    carried columns is deterministic here (identical within each group).
+    """
     c = F.broadcast(centroids)
     scored = embs.crossJoin(c).withColumn(
         "ccos", cosine(F.col(vec_col), F.col("cvec"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cell_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "cvec", "ccos")
+    carried = [col for col in embs.columns if col != id_col]
+    return scored.groupBy(id_col).agg(
+        F.max_by("cell_id", F.struct(F.col("ccos"), -F.col("cell_id"))).alias(
+            "cell_id"
+        ),
+        *[F.first(col).alias(col) for col in carried],
     )
 
 
