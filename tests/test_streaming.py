@@ -137,3 +137,99 @@ def test_running_user_counters_state(spark, tmp_path_factory):
     for u in expected:
         assert got[u][0] == expected[u][0]
         assert abs(got[u][1] - expected[u][1]) < 1e-6
+
+
+def test_kafka_serde_roundtrip_and_builder_wiring(spark):
+    """S6/S7 serde pair: to_json(struct(*)) → from_json recovers the rows
+    byte-for-byte (the broker itself is absent in this container, so the
+    builder is asserted to fail at data-source lookup, not before)."""
+    from data_engineering_etl_self_service_spark.sources.kafka import (
+        parse_events,
+        read_stream,
+        write_batch,
+    )
+
+    rows = [(1, "u_1", "click", 9.5), (2, "u_2", "view", 0.25)]
+    schema = "event_id long, user_id string, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+    wire = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    back = parse_events(wire, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    reader = read_stream(spark, topic="t", brokers="b:9092")
+    try:
+        reader.load()
+        loaded = True
+    except Exception as ex:  # no kafka jars here — wiring reached the lookup
+        loaded = False
+        assert "kafka" in str(ex).lower()
+    assert not loaded
+
+
+def test_late_event_dropped_by_watermark(spark, tmp_path_factory):
+    """ST5: an event older than watermark − delay is DROPPED from an
+    append-mode windowed aggregate; the on-time window emits without it."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    tmp = tmp_path_factory.mktemp("late")
+    watched = str(tmp / "watched")
+    os.makedirs(watched)
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def land(rows, name, mtime):
+        stage = str(tmp / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dest = os.path.join(watched, name + ".parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ckpt = str(tmp / "ckpt")
+
+    sink = str(tmp / "sink")
+
+    def run(qname):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(watched)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(sink)
+            .select(F.col("w.start").alias("s"), "n")
+            .orderBy("s")
+            .collect()
+        )
+
+    # run 1: two events in [12:00,13:00) plus one at 15:00 → watermark
+    # persisted at 14:50; the finalized [12,13) window emits with n=2
+    land(
+        [(1, t0, 1), (2, t0 + dt.timedelta(minutes=30), 1),
+         (3, t0 + dt.timedelta(hours=3), 1)],
+        "a", 1_700_000_000,
+    )
+    got1 = run("late_out1")
+    assert [(r.s, r.n) for r in got1] == [(t0, 2)]
+
+    # run 2 (same checkpoint → watermark restored): a 12:40 event is far
+    # behind the 14:50 watermark → DROPPED; nothing new emits
+    land([(4, t0 + dt.timedelta(minutes=40), 1)], "b", 1_700_000_100)
+    got2 = run("late_out2")
+    assert [(r.s, r.n) for r in got2] == [(t0, 2)]  # unchanged — late row dropped
