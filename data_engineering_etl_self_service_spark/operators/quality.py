@@ -32,7 +32,15 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-KNOWN_CHECKS = ("min_row_count", "required_columns", "unique_column")
+KNOWN_CHECKS = (
+    "min_row_count",
+    "required_columns",
+    "unique_column",
+    # engine extensions beyond reference parity — same fused-agg contract
+    "non_null",
+    "value_range",
+    "accepted_values",
+)
 
 
 @dataclass(frozen=True)
@@ -120,6 +128,26 @@ def compile_checks(
             else:
                 agg_cols.append(F.count_distinct(F.col(col)).alias(f"_dq_{i}_distinct"))
                 agg_cols.append(F.count(col).alias(f"_dq_{i}_count"))
+        elif t in ("non_null", "value_range", "accepted_values"):
+            col = p.get("column")
+            if col not in df.columns:
+                immediate.append((check, {"absent": True}))
+            elif t == "non_null":
+                agg_cols.append(
+                    F.sum(F.col(col).isNull().cast("long")).alias(f"_dq_{i}_nulls")
+                )
+                agg_cols.append(F.count(F.lit(1)).alias(f"_dq_{i}_rows"))
+            elif t == "value_range":
+                lo, hi = p.get("min"), p.get("max")
+                viol = F.lit(False)
+                if lo is not None:
+                    viol = viol | (F.col(col) < F.lit(lo))
+                if hi is not None:
+                    viol = viol | (F.col(col) > F.lit(hi))
+                agg_cols.append(F.sum(viol.cast("long")).alias(f"_dq_{i}_viol"))
+            else:  # accepted_values
+                ok = F.col(col).isin(list(p.get("values", []))) | F.col(col).isNull()
+                agg_cols.append(F.sum((~ok).cast("long")).alias(f"_dq_{i}_viol"))
         else:
             # Unknown check type: recorded, not fatal (ref :116-117 warns+skips;
             # we surface it in the report instead of silently passing).
@@ -144,7 +172,7 @@ def run_checks(df: DataFrame, checks: list[Check | dict]) -> DQReport:
                 results.append(
                     CheckResult(check, not missing, f"missing columns: {missing}" if missing else "all present")
                 )
-            elif t == "unique_column":
+            elif t in ("unique_column", "non_null", "value_range", "accepted_values"):
                 results.append(CheckResult(check, False, f"column '{p.get('column')}' not found"))
             else:
                 results.append(CheckResult(check, False, f"unknown check_type '{t}'"))
@@ -155,4 +183,14 @@ def run_checks(df: DataFrame, checks: list[Check | dict]) -> DQReport:
         elif t == "unique_column":
             d, c = row[f"_dq_{i}_distinct"], row[f"_dq_{i}_count"]
             results.append(CheckResult(check, d == c, f"distinct={d} non-null={c}"))
+        elif t == "non_null":
+            nulls, n = row[f"_dq_{i}_nulls"] or 0, row[f"_dq_{i}_rows"]
+            frac = (nulls / n) if n else 0.0
+            max_frac = float(p.get("max_null_fraction", 0.0))
+            results.append(
+                CheckResult(check, frac <= max_frac, f"null_fraction={frac:.6f} max={max_frac}")
+            )
+        elif t in ("value_range", "accepted_values"):
+            viol = row[f"_dq_{i}_viol"] or 0
+            results.append(CheckResult(check, viol == 0, f"violations={viol}"))
     return DQReport(results)

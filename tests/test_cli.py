@@ -1,0 +1,66 @@
+"""CLI surface: the self-service entry (`python -m …` analog of the
+reference's drop-a-YAML-in-configs workflow, ref: dags/dag_factory.py:100-106).
+
+Invoked in-process via main(argv) — a subprocess would pay a fresh JVM per
+test for no extra fidelity.
+"""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+from data_engineering_etl_self_service_spark.__main__ import main
+
+
+def _write_spec(tmp_path, name, min_rows, out_dir):
+    p = tmp_path / f"{name}.yaml"
+    p.write_text(textwrap.dedent(f"""
+    pipeline_info:
+      name: {name}
+    source:
+      type: file
+      format: parquet
+      path: /root/testdata/sf0.001/region.parquet
+    destination:
+      path: {out_dir}/{name}
+    data_quality_checks:
+      - check_type: min_row_count
+        threshold: {min_rows}
+      - check_type: unique_column
+        column: r_regionkey
+    """))
+    return str(p)
+
+
+def test_cli_run_publishes_on_pass(spark, tmp_path, capsys):
+    spec = _write_spec(tmp_path, "ok_pipe", 1, str(tmp_path / "lake"))
+    rc = main(["run", spec, "--ds", "2025-08-13"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["passed"] is True and out["published_path"]
+    assert spark.read.parquet(out["published_path"]).count() == 5
+
+
+def test_cli_run_quarantines_on_dq_failure(tmp_path, capsys):
+    spec = _write_spec(tmp_path, "bad_pipe", 10_000, str(tmp_path / "lake"))
+    rc = main(["run", spec])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2
+    assert out["passed"] is False
+    assert out["quarantined_path"] and out["quarantined_path"].endswith("__quarantine")
+    assert any("min_row_count" in f for f in out["failures"])
+
+
+def test_cli_run_dir_runs_every_spec(tmp_path, capsys):
+    _write_spec(tmp_path, "p1", 1, str(tmp_path / "lake"))
+    _write_spec(tmp_path, "p2", 1, str(tmp_path / "lake"))
+    rc = main(["run-dir", str(tmp_path)])
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert rc == 0 and len(lines) == 2
+
+
+def test_cli_unknown_query_lists_known(capsys):
+    rc = main(["query", "definitely_not_a_query"])
+    assert rc == 1
+    assert "unknown query" in capsys.readouterr().err

@@ -76,3 +76,52 @@ def test_check_name_formatting():
         Check.from_dict({"check_type": "required_columns", "columns": ["a", "b"]}).name
         == "required_columns(a,b)"
     )
+
+
+def test_extension_checks_fused_single_pass(spark):
+    """non_null / value_range / accepted_values evaluate in the same single
+    agg job and report precise violation detail."""
+    from data_engineering_etl_self_service_spark.operators.quality import (
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 99.0, "zz"), (4, 5.0, None)],
+        "id long, price double, tag string",
+    )
+    report = run_checks(
+        df,
+        [
+            {"check_type": "non_null", "column": "price",
+             "max_null_fraction": 0.25},
+            {"check_type": "non_null", "column": "price"},
+            {"check_type": "value_range", "column": "price", "min": 0,
+             "max": 50},
+            {"check_type": "accepted_values", "column": "tag",
+             "values": ["a", "b"]},
+            {"check_type": "value_range", "column": "nope", "min": 0},
+        ],
+    )
+    by_name = {r.check.name + r.detail[:4]: r for r in report.results}
+    got = [(r.check.check_type, r.passed) for r in report.results]
+    assert got == [
+        ("non_null", True),        # 1/4 nulls ≤ 0.25
+        ("non_null", False),       # default max_null_fraction=0
+        ("value_range", False),    # 99 > 50
+        ("accepted_values", False),  # 'zz' (NULL is allowed)
+        ("value_range", False),    # absent column fails, like the reference
+    ]
+    assert "violations=1" in report.results[2].detail
+    assert "not found" in report.results[4].detail
+
+
+def test_accepted_values_null_is_allowed(spark):
+    from data_engineering_etl_self_service_spark.operators.quality import (
+        run_checks,
+    )
+
+    df = spark.createDataFrame([("a",), (None,)], "tag string")
+    report = run_checks(
+        df, [{"check_type": "accepted_values", "column": "tag", "values": ["a"]}]
+    )
+    assert report.passed

@@ -233,3 +233,27 @@ def test_late_event_dropped_by_watermark(spark, tmp_path_factory):
     land([(4, t0 + dt.timedelta(minutes=40), 1)], "b", 1_700_000_100)
     got2 = run("late_out2")
     assert [(r.s, r.n) for r in got2] == [(t0, 2)]  # unchanged — late row dropped
+
+
+def test_stream_static_enrichment_join(spark, event_stream):
+    """SURVEY §2.3: enrich a stream with a static dimension (the reference's
+    implied user-profile join) — stream-static joins need no watermark and
+    the static side is broadcast per micro-batch."""
+    users = spark.range(0, 10_000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 5).alias("cohort"),
+    )
+    enriched = event_stream.join(F.broadcast(users), "user_id", "left").groupBy(
+        "cohort"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT sum(n) AS total FROM enrich_out").collect()[0].total
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert got == batch
