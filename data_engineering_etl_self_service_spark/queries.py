@@ -2066,3 +2066,149 @@ def label_centroids(spark, sf_dir):
         .select("label", F.col("pm.m").alias("centroid"))
     )
     return cent.join(counts, "label").select("label", "centroid", "n_vecs")
+
+
+@register(
+    "promo_revenue",
+    f"""
+    SELECT 100.0 * {dsum_expr("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+           / {dsum_expr('l_extendedprice * (1 - l_discount)')} AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+)
+def promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact-dim join.
+
+    Scale: part broadcasts; both sums come out of ONE aggregation pass
+    (conditional agg, not two scans); the month filter is pushed.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "returned_top_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def returned_top_customers(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue — 3-way join with a
+    returnflag fact filter, grouped agg, total-ordered top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer histogram INCLUDING zero-order
+    customers (left join → count of non-nulls → second aggregation)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "nation_market_share",
+    f"""
+    WITH sales AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             (SELECT n_name FROM nation WHERE n_nationkey = s_nationkey)
+               AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA')
+    SELECT o_year,
+           {dsum_expr("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END")}
+           / {dsum_expr('volume')} AS mkt_share
+    FROM sales GROUP BY o_year
+    """,
+)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: a nation's share of supplier revenue into one region,
+    per year — 6-table star join + conditional-aggregate ratio.
+
+    Scale: every dimension broadcasts; the two fact tables join on orderkey
+    (one shuffle); both sums come from ONE pass.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sales = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    share = F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return sales.groupBy("o_year").agg(
+        (dsum(share) / dsum(F.col("volume"))).alias("mkt_share")
+    )
