@@ -48,7 +48,18 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
 
-    # warm the JVM + parquet footers once so timings measure the queries
+    # Warm-up: run every headline query once at the SMALLEST sf so codegen +
+    # JIT compile outside the timed region (the LSH pipeline alone carries
+    # ~5-10 s of one-time compile cost that vanishes into any real job), then
+    # drop the caches the warm-up may have planted so timings are honest.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception as ex:  # never let warm-up break the bench
+                print(f"# warmup {name} failed: {ex}", file=sys.stderr)
+        spark.catalog.clearCache()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}

@@ -2212,3 +2212,96 @@ def nation_market_share(spark, sf_dir):
     return sales.groupBy("o_year").agg(
         (dsum(share) / dsum(F.col("volume"))).alias("mkt_share")
     )
+
+
+@register(
+    "corpus_mix",
+    """
+    WITH rated AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'ff'
+                  ELSE '66' END AS rate_hex
+      FROM documents)
+    SELECT source, COUNT(*) AS n_kept, SUM(n_chars) AS kept_chars
+    FROM rated
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < rate_hex
+    GROUP BY source
+    """,
+)
+def corpus_mix(spark, sf_dir):
+    """Deterministic weighted corpus mixing (north-star curation): keep 100%
+    of curated sources (src0-9) and a ~40% hash-sample of the web-ish tail
+    (src10+) — membership is a pure function of doc_id, so the mix is stable
+    under re-runs and appends, and no sampling state or shuffle exists.
+    The same mechanism expresses per-source epoch weights at 100 TB.
+    """
+    d = _t(spark, sf_dir, "documents")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, F.lit("ff")
+    ).otherwise(F.lit("66"))
+    kept = d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < rate
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+@register(
+    "daily_gap_fill",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             {dsum_expr('value')} AS rev
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    b AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+          FROM events),
+    spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                     AS DATE) AS d FROM b),
+    grid AS (SELECT t.event_type, s.d
+             FROM (SELECT DISTINCT event_type FROM events) t, spine s)
+    SELECT g.event_type, g.d, daily.rev,
+           last_value(daily.rev IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+    FROM grid g
+    LEFT JOIN daily ON daily.event_type = g.event_type AND daily.d = g.d
+    """,
+)
+def daily_gap_fill(spark, sf_dir):
+    """Date-spine densification + forward fill (the timeseries ETL staple):
+    every (event_type, day) cell exists, missing days carry the last
+    observed value.
+
+    Scale: the spine is generated (`sequence`), never scanned; the fill is
+    one window over the (type, day) grid — grid size = types × days,
+    independent of event volume; the heavy table is only touched by the
+    pre-aggregation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(dsum("value", "rev"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            "rev",
+            F.last("rev", ignorenulls=True).over(w).alias("rev_filled"),
+        )
+    )
