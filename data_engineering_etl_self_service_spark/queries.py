@@ -2305,3 +2305,51 @@ def daily_gap_fill(spark, sf_dir):
             F.last("rev", ignorenulls=True).over(w).alias("rev_filled"),
         )
     )
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority,
+             1 AS _v
+      FROM orders WHERE o_orderkey % 10 = 0),
+    unioned AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority, 0 AS _v
+      FROM orders
+      UNION ALL SELECT * FROM updates),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY _v DESC)
+               AS rn
+      FROM unioned)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM ranked WHERE rn = 1
+    """,
+)
+def merge_upsert(spark, sf_dir):
+    """SCD1 upsert without a table format: latest-wins merge of an update
+    batch into the base table by key (here: a synthetic +10% reprice of
+    every 10th order).
+
+    One shuffle on the merge key; ties impossible (version column). At
+    100 TB the same plan runs per partition of a date-partitioned lake
+    table, rewriting only partitions that contain updated keys — the
+    poor-engine's MERGE INTO, and exactly what Delta/Iceberg do underneath.
+    """
+    o = _t(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("_v", F.lit(1))
+    )
+    base = o.withColumn("_v", F.lit(0))
+    unioned = base.unionByName(updates)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("_v"))
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "_v")
+    )
