@@ -141,3 +141,14 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_missing_path_fails_fast(spark):
+    """S3 existence probe analog: reading an absent lake path raises
+    AnalysisException [PATH_NOT_FOUND] at plan time — the engine's
+    fail-fast equivalent of the reference's check_for_key
+    (ref: operators/data_quality_operator.py:54-57)."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND|Path does not exist"):
+        spark.read.parquet("/root/testdata/sf0.001/definitely_absent.parquet").count()
