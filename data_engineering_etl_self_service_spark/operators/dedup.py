@@ -94,16 +94,20 @@ def _shingle_table(
 
 
 def _hashed_shingle_table(
-    docs: DataFrame, text_col: str, id_col: str, k: int
+    docs: DataFrame, text_col: str, id_col: str, k: int, distinct: bool = True
 ) -> DataFrame:
-    """(id, hs) distinct 64-bit-hashed word-k-shingles — the scale variant.
+    """(id, hs) 64-bit-hashed word-k-shingles — the scale variant.
 
-    Hashing each shingle to ``xxhash64`` BEFORE the distinct means the
-    distinct, every downstream shuffle, and the verification self-join move
-    8-byte longs instead of shingle strings. Collisions merge shingles with
-    probability ~n²/2⁶⁵ (≈2e-9 for the sf0.1 corpus); at 100 TB a collision
-    merely perturbs a Jaccard estimate used as a threshold — acceptable, and
-    why MinHash itself hashes shingles the same way.
+    Hashing each shingle to ``xxhash64`` up front means every downstream
+    shuffle/join moves 8-byte longs instead of shingle strings. Collisions
+    merge shingles with probability ~n²/2⁶⁵ (≈2e-9 for the sf0.1 corpus); at
+    100 TB a collision merely perturbs a Jaccard estimate used as a
+    threshold — acceptable, and why MinHash itself hashes shingles this way.
+
+    ``distinct=False`` returns the raw bag with NO shuffle at all — correct
+    for MinHash signatures (MIN is duplicate-insensitive); set-semantics
+    consumers (Jaccard counts) must dedupe their (usually much smaller)
+    slice themselves.
     """
     toks = docs.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("t")
@@ -112,14 +116,11 @@ def _hashed_shingle_table(
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    return (
-        toks.select("_id", "t", F.explode(idx).alias("i"))
-        .select(
-            "_id",
-            F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("i"), k))).alias("hs"),
-        )
-        .distinct()
+    out = toks.select("_id", "t", F.explode(idx).alias("i")).select(
+        "_id",
+        F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("i"), k))).alias("hs"),
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -195,7 +196,7 @@ def minhash_signatures(
     signature stage from ~13 s to ~1 s at sf0.1 and, at 100 TB, cuts per-row
     work by ~n×.
     """
-    sh = _hashed_shingle_table(docs, text_col, id_col, k)
+    sh = _hashed_shingle_table(docs, text_col, id_col, k, distinct=False)
     base = F.col("hs").bitwiseAND(F.lit((1 << 31) - 1))
     coeffs = _affine_coeffs(num_hashes)
     withbase = sh.select("_id", base.alias("hb"))
@@ -246,8 +247,12 @@ def minhash_lsh_pairs(
     # so the tokenize/shingle work (the most expensive per-row stage) runs
     # once, and so every downstream shuffle/join moves 8-byte longs instead
     # of shingle strings (see :func:`_hashed_shingle_table`).
+    # The bag is NOT globally deduped: MIN-based signatures don't care, and
+    # verification dedupes only the candidate docs' slice below — that swaps
+    # a full-corpus shuffle for a broadcast-filtered one (at 100 TB, the
+    # global distinct would be the single biggest shuffle in the pipeline).
     # At 100 TB this would be a materialized intermediate table instead.
-    sh = _hashed_shingle_table(docs, text_col, id_col, k).persist()
+    sh = _hashed_shingle_table(docs, text_col, id_col, k, distinct=False).persist()
 
     base = F.col("hs").bitwiseAND(F.lit((1 << 31) - 1))
     coeffs = _affine_coeffs(num_hashes)
@@ -285,10 +290,15 @@ def minhash_lsh_pairs(
     )
 
     # Exact-Jaccard verification of candidates only (reuses the cached
-    # shingle table; candidate set is small → broadcast).
-    candidates = F.broadcast(candidates)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # shingle bag; candidate set is small → broadcast). Set semantics are
+    # restored HERE, on the candidate slice only.
+    candidates = F.broadcast(candidates.persist())
+    cand_ids = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("_id")
+    ).distinct()
+    csh = sh.join(F.broadcast(cand_ids), "_id", "left_semi").distinct().persist()
+    sizes = csh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = csh.alias("a"), csh.alias("b")
     inter = (
         candidates.join(a, F.col("a._id") == F.col("doc_a"))
         .join(
@@ -320,7 +330,7 @@ def minhash_lsh_pairs(
     out = out.persist()
     # Callers that materialize the result (e.g. neardup_groups) can release
     # the shingle cache afterwards without clearing unrelated caches.
-    out._cached_deps = [sh]  # type: ignore[attr-defined]
+    out._cached_deps = [sh, csh]  # type: ignore[attr-defined]
     return out
 
 
