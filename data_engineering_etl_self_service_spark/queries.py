@@ -2353,3 +2353,41 @@ def merge_upsert(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn", "_v")
     )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS g
+      FROM events),
+    ex AS (
+      SELECT event_type, g AS ws FROM e
+      UNION ALL
+      SELECT event_type, g - 1800 FROM e)
+    SELECT ws AS window_start_epoch, event_type, COUNT(*) AS n
+    FROM ex GROUP BY ws, event_type
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    """Hopping/sliding windows (ST4's second form): 1-hour windows every 30
+    minutes — each event counts in exactly two windows. Same `F.window`
+    call works unchanged in Structured Streaming with a watermark.
+
+    The oracle reconstructs window membership arithmetically (floor to the
+    30-min grid + the preceding grid start); window starts are emitted as
+    epoch seconds so no cross-engine timestamp-zone semantics are in play.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n",
+        )
+    )
