@@ -2391,3 +2391,35 @@ def sliding_window_counts(spark, sf_dir):
             "n",
         )
     )
+
+
+@register(
+    "props_json_stats",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def props_json_stats(spark, sf_dir):
+    """Semi-structured payload parsing (F2, the implied consumer of the
+    reference's JSON-serialized Kafka values): typed extraction from the
+    `props` JSON column feeding a grouped aggregate.
+
+    Scale: `from_json` with an explicit schema (not schema_of_json per row);
+    extraction happens before the shuffle so only (event_type, k) moves.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
