@@ -30,10 +30,30 @@ def read_csv(
     path: str,
     schema: StructType | str | None = None,
     header: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """CSV source (the reference's clickstream replay input,
-    ref: dags/kafka_stream.py:61,68-69 recovered)."""
-    reader = spark.read.option("header", header)
+    ref: dags/kafka_stream.py:61,68-69 recovered).
+
+    Malformed-row policy (the reference would crash inside pandas):
+
+    - ``mode="PERMISSIVE"`` (default) nulls unparseable fields; pass
+      ``corrupt_col="_corrupt"`` to also capture the raw line per bad row
+      so a DQ ``non_null`` check (or a quarantine filter) can count them.
+    - ``mode="DROPMALFORMED"`` silently drops bad rows — only for ingest
+      paths where a row-count DQ gate follows.
+    - ``mode="FAILFAST"`` raises on first bad row — contract ingestion.
+    """
+    reader = spark.read.option("header", header).option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        if isinstance(schema, StructType):
+            from pyspark.sql.types import StringType, StructField
+
+            schema = schema.add(StructField(corrupt_col, StringType(), True))
+        elif isinstance(schema, str):
+            schema = f"{schema}, {corrupt_col} string"
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -152,3 +152,28 @@ def test_missing_path_fails_fast(spark):
 
     with pytest.raises(AnalysisException, match="PATH_NOT_FOUND|Path does not exist"):
         spark.read.parquet("/root/testdata/sf0.001/definitely_absent.parquet").count()
+
+
+def test_csv_malformed_row_policies(spark, tmp_path):
+    """PERMISSIVE captures bad rows in the corrupt column (feeding a DQ
+    gate); DROPMALFORMED removes them; FAILFAST raises."""
+    from data_engineering_etl_self_service_spark.sources.files import read_csv
+
+    p = tmp_path / "rows.csv"
+    p.write_text("id,price\n1,10.5\n2,notanumber\n3,7.25\n")
+    schema = "id int, price double"
+
+    df = read_csv(spark, str(p), schema=schema, corrupt_col="_corrupt")
+    rows = {r.id: (r.price, r._corrupt) for r in df.collect()}
+    assert rows[1] == (10.5, None) and rows[3] == (7.25, None)
+    assert rows[2][0] is None and "notanumber" in rows[2][1]
+
+    dropped = read_csv(spark, str(p), schema=schema, mode="DROPMALFORMED")
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    failed = read_csv(spark, str(p), schema=schema, mode="FAILFAST")
+    with pytest.raises((PySparkException, Py4JJavaError, Exception)):
+        failed.collect()
