@@ -2423,3 +2423,478 @@ def props_json_stats(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# =========================================================================
+# §2.3/§2.4 — remaining TPC-H join shapes (Q5/Q7/Q9/Q11/Q15/Q16/Q17/Q19/
+# Q20/Q21/Q22, adapted where the driver schema lacks partsupp/shipmode).
+# The reference implements no joins (SURVEY §2.3) — these pin the full
+# implied relational surface with DuckDB oracles.
+# =========================================================================
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join where customer and supplier must share a
+    nation, revenue per nation for one region-year.
+
+    Scale: the only shuffle is lineitem⋈orders on orderkey; supplier /
+    nation / region broadcast; the c_nationkey = s_nationkey equality is a
+    post-broadcast filter, not an extra exchange.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(rev, "revenue"))
+    )
+
+
+@register(
+    "volume_shipping",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+        OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year —
+    double nation-dimension join with a disjunctive cross-pair predicate.
+
+    Scale: same single fact-fact shuffle as Q5; the nation-pair predicate
+    is evaluated after two broadcast joins, so no row explosion.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.alias("sn")
+    cn = n.alias("cn")
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .select(
+            F.col("sn.n_name").alias("supp_nation"),
+            F.col("cn.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            rev.alias("rev"),
+        )
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("rev"), "revenue"))
+    )
+
+
+@register(
+    "product_type_profit",
+    f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no partsupp/supplycost in the driver schema):
+    profit on a product family by supplier nation and order year.
+
+    Scale: the part-name LIKE filter broadcasts with part and prunes
+    lineitem BEFORE the orderkey shuffle — the Q9 classic is making the
+    selective dimension cut the fact early.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(rev, "profit"))
+    )
+
+
+@register(
+    "top_value_parts",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             {dsum_expr('l_extendedprice * (1 - l_discount)')} AS part_value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, part_value
+    FROM pv
+    WHERE part_value > (
+      SELECT {dsum_expr('l_extendedprice * (1 - l_discount)')} * 0.008
+      FROM lineitem)
+    """,
+)
+def top_value_parts(spark, sf_dir):
+    """TPC-H Q11 shape (adapted to lineitem value — no partsupp): parts whose
+    total sales value exceeds a fixed fraction of GLOBAL sales — a grouped
+    aggregate filtered against a scalar-subquery aggregate.
+
+    Scale: the global scalar is one extra map-side-combined pass that
+    reduces to a single row, broadcast into the HAVING filter — never a
+    driver collect. Exchange reuse lets Spark share the lineitem scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(dsum(rev, "part_value"))
+    total = li.agg((dsum(rev) * F.lit(0.008)).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("partkey", "part_value")
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {dsum_expr('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly revenue —
+    an aggregate view compared against its own MAX (ties kept).
+
+    Scale: rev is tiny (one row per supplier); MAX broadcasts back over it;
+    supplier broadcasts. Only the grouped scan of lineitem is distributed.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "supplier_part_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def supplier_part_variety(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp → lineitem adaptation): distinct supplier
+    count per part attribute bucket, excluding a NOT-IN supplier set.
+
+    Scale: NOT IN over a nullable-free key compiles to a broadcast
+    left-anti join (no null-aware NAAJ penalty); count-distinct expands
+    to a two-stage partial aggregate.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "small_qty_revenue",
+    f"""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT {dsum_expr('l.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa    ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost if small-quantity orders (below 20% of
+    the part's average quantity) were dropped — correlated per-part average
+    decorrelated into a grouped aggregate re-joined to the fact.
+
+    Scale: per-part averages are one map-combined pass; re-join is on the
+    same key as the grouping so AQE can reuse the exchange; part broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "disjunctive_revenue",
+    f"""
+    SELECT {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#18' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive multi-table predicates.
+
+    Scale: Catalyst extracts the common `p_brand IN (...)`/size bounds into
+    the broadcast side and keeps the full disjunction as a post-join
+    filter; lineitem quantity bounds (1..50 hull) still push to the scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#15") & sz.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#18") & sz.between(1, 35) & q.between(20, 50))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disj)
+        .agg(dsum(rev, "revenue"))
+    )
+
+
+@register(
+    "bulk_part_suppliers",
+    """
+    WITH widget AS (
+      SELECT l.l_suppkey, SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%widget%'
+      GROUP BY l.l_suppkey)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM widget
+      WHERE CAST(qty AS DOUBLE) >
+            (SELECT 1.1 * CAST(SUM(qty) AS DOUBLE) / COUNT(*) FROM widget))
+    """,
+)
+def bulk_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted): suppliers who moved an above-average share
+    (>110% of the mean) of a product family — nested IN over a grouped
+    subquery, itself thresholded by a scalar aggregate of that subquery.
+
+    Scale: `widget` has one row per supplier; its mean is a broadcast
+    scalar; the final IN is a broadcast semi-join against supplier.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    widget = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty"))
+    )
+    thr = widget.agg(
+        (F.lit(1.1) * F.sum("qty").cast("double") / F.count(F.lit(1))).alias("thr")
+    )
+    heavy = (
+        widget.join(F.broadcast(thr))
+        .filter(F.col("qty").cast("double") > F.col("thr"))
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "sole_returning_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def sole_returning_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: on finished multi-supplier orders, count returned
+    line items whose supplier is the ONLY one with returns — the classic
+    EXISTS + NOT-EXISTS double correlation.
+
+    Scale: both correlations decorrelate into ONE per-order aggregate
+    (distinct suppliers, distinct returning suppliers) — a single extra
+    shuffle on orderkey instead of two correlated re-scans of lineitem.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(i.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(i.c_acctbal)
+        FROM customer i WHERE i.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_nationkey
+    """,
+)
+def idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (phone prefix → nation adaptation): customers with
+    above-average positive balances and no RECENT orders (none since
+    1999), bucketed by nation — scalar-subquery threshold + anti join.
+
+    Scale: the threshold is a broadcast one-row aggregate; NOT EXISTS is a
+    shuffle anti-join on custkey (orders' side pre-projected to the key).
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal", "thr"))
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
