@@ -115,6 +115,37 @@ def quality_score_cols(text: Column | str) -> dict[str, Column]:
     }
 
 
+#: PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
+#: (DuckDB): character classes, bounded repetition and ASCII \b only — no
+#: lookaround, no backrefs — so redaction is oracle-checkable cross-engine.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, international phone numbers, and IPv4 addresses with
+    typed placeholder tokens. Pure ``regexp_replace`` chain — JVM-side,
+    codegen'd, linear over a 100 TB corpus. Order matters: emails first so
+    their digit runs can't be half-eaten by the phone/IP patterns.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for _name, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (audit signal alongside redaction)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("bigint")
+        for name, pat, _repl in PII_PATTERNS
+    }
+
+
 def langid_scores(text: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit counts (the heuristic language-ID input)."""
     toks = tokens(text)

@@ -2898,3 +2898,256 @@ def idle_rich_customers(spark, sf_dir):
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# =========================================================================
+# Training-corpus curation II — repetition, decontamination, PII
+# =========================================================================
+
+
+@register(
+    "repetition_signals",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2),
+    c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg)
+    SELECT doc_id,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+             AS dup_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def repetition_signals(spark, sf_dir):
+    """Gopher/MassiveText-style repetition filters: per document, the
+    fraction of word bigrams taken by the single most frequent bigram and
+    the fraction occurring more than once. High values flag boilerplate /
+    degenerate generations — a standard pre-training quality gate the
+    reference has no analog for.
+
+    Scale: explode bigrams (plain slice/concat exprs, stays in codegen) →
+    two keyed aggs. Both shuffles key on doc_id(+bigram) — high cardinality,
+    evenly spread, partial aggregation absorbs in-doc repetition map-side.
+    Fractions are ratios of integer counts → bit-reproducible.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = toks.select("doc_id", "t", F.explode(idx).alias("i")).select(
+        "doc_id", F.concat_ws(" ", F.slice("t", F.col("i"), 2)).alias("bg")
+    )
+    c = bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    return c.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("c")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0)
+    SELECT sh.doc_id, COUNT(*) AS n_shared_shingles
+    FROM sh JOIN ev USING (s)
+    WHERE sh.doc_id % 10 <> 0
+    GROUP BY sh.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents that share any
+    word 3-shingle with the held-out eval slice (here: doc_id % 10 == 0
+    stands in for the benchmark set), with the count of distinct shared
+    shingles as the contamination strength.
+
+    Scale: the eval side's distinct shingle set is tiny relative to the
+    corpus → broadcast it; the training corpus then streams through a
+    broadcast hash semi-join with NO shuffle of the big side — the exact
+    shape used to decontaminate a 100 TB crawl against benchmark suites.
+    """
+    from .operators.dedup import _shingle_table
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    ev_sh = _shingle_table(ev, "text", "doc_id", 3).select("shingle").distinct()
+    tr_sh = _shingle_table(tr, "text", "doc_id", 3)
+    return (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .select(F.col("_id").alias("doc_id"), "n_shared_shingles")
+    )
+
+
+@register(
+    "pii_redaction",
+    r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com on +1415' 
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+                  || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               AS t
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+\d{7,15}', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\+\d{7,15}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+    FROM dirty
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing over a deterministically-dirtied corpus: seed each doc
+    with a synthetic email / E.164 phone / IPv4 (so the fixture actually
+    exercises every pattern), then redact with typed placeholders and count
+    matches per category. Patterns restricted to the Java∩RE2 common
+    dialect so the DuckDB oracle verifies the exact same semantics.
+
+    Scale: regexp_replace/regexp_count chain — narrow, codegen'd, no
+    shuffle at all; redaction of 100 TB is embarrassingly parallel.
+    """
+    from .functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com on +1415"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    counts = pii_counts(dirty)
+    return d.select(
+        "doc_id",
+        redact_pii(dirty).alias("clean_text"),
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ip"].alias("n_ip"),
+    )
+
+
+# =========================================================================
+# §2.5 / §2.9 — range frames and native session windows
+# =========================================================================
+
+
+@register(
+    "sliding_hour_user_stats",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS sec
+      FROM events)
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_events_1h,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS value_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def sliding_hour_user_stats(spark, sf_dir):
+    """Per-event trailing-hour activity via a RANGE window frame (value-based
+    bounds — the frame §2.5's ROWS-frame queries don't cover): for every
+    event, how many events and how much value the same user produced in the
+    preceding 3600 seconds.
+
+    Scale: one shuffle on user_id, sort by epoch second; the range frame is
+    evaluated with a sliding two-pointer over the sorted run — no self-join
+    blowup (the naive equivalent is an interval self-join). Decimal-transit
+    window SUM keeps the double bit-stable cross-engine.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias(
+            "value_1h"
+        ),
+    )
+
+
+@register(
+    "session_window_agg",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS last_event,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, seq
+    """,
+)
+def session_window_agg(spark, sf_dir):
+    """Sessionization via Spark's NATIVE ``session_window`` (the same
+    primitive the streaming path uses, §2.9 ST3) run in batch mode — the
+    semantic twin of the flagship lag/cumsum sessionizer, letting the oracle
+    pin down the merge semantics (a gap of exactly 30:00 starts a NEW
+    session: session windows are half-open ``[ts, ts+gap)``).
+
+    Scale: one shuffle on user_id; state merging is Catalyst's
+    UpdatingSessionsExec, no window-function sort-and-scan needed.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select("user_id", "session_start", "last_event", "n_events", "total_value")
+    )

@@ -50,3 +50,48 @@ def test_langid_picks_stopword_language(spark):
 def test_bpe_ish_counts_long_words_more(spark):
     assert _one(spark, "hi there", bpe_ish_token_count(F.col("text"))) == 1 + 2
     assert _one(spark, "internationalization", bpe_ish_token_count(F.col("text"))) == 5
+
+
+def test_redact_pii_all_categories(spark):
+    from data_engineering_etl_self_service_spark.functions.text import redact_pii
+
+    dirty = "mail a.b+c@ex-ample.co.uk call +4917012345678 host 192.168.0.1 ok"
+    out = _one(spark, dirty, redact_pii(F.col("text")))
+    assert out == "mail <EMAIL> call <PHONE> host <IP> ok"
+
+
+def test_redact_pii_noop_on_clean_text(spark):
+    from data_engineering_etl_self_service_spark.functions.text import redact_pii
+
+    clean = "version 1.2 costs 3 dollars at example dot com"
+    assert _one(spark, clean, redact_pii(F.col("text"))) == clean
+
+
+def test_pii_counts(spark):
+    from data_engineering_etl_self_service_spark.functions.text import pii_counts
+
+    dirty = "a@b.io c@d.io +1234567890 10.0.0.1"
+    df = spark.createDataFrame([(dirty,)], "text string")
+    row = df.select(
+        *[c.alias(k) for k, c in pii_counts(F.col("text")).items()]
+    ).collect()[0]
+    assert (row.n_email, row.n_phone, row.n_ip) == (2, 1, 1)
+
+
+def test_repetition_signals_known_fractions(spark, tmp_path):
+    """'a b a b a b' → bigrams [ab, ba, ab, ba, ab]: top=3/5, dup=5/5;
+    all-distinct doc → top=1/n, dup=0."""
+    from data_engineering_etl_self_service_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "p q r s")], "doc_id long, text string"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in QUERIES["repetition_signals"](spark, str(tmp_path)).collect()
+    }
+    assert abs(out[1].top_bigram_frac - 3 / 5) < 1e-12
+    assert abs(out[1].dup_bigram_frac - 1.0) < 1e-12
+    assert abs(out[2].top_bigram_frac - 1 / 3) < 1e-12
+    assert out[2].dup_bigram_frac == 0.0
