@@ -111,6 +111,56 @@ def first_n_centroids(
     )
 
 
+def quantize_int8(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (SQ8).
+
+    ``q[i] = floor(x[i] * (127 / max|x|) + 0.5)`` — a pure per-row JVM
+    expression (no UDF, no training state). At 100 TB this is the storage
+    tier that matters: 4× less scan I/O than float32, and candidate scoring
+    becomes exact integer arithmetic (no float-order nondeterminism in the
+    ranking). Zero vectors quantize to all-zero (scale 0, not inf).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)))
+    return embs.withColumn(out_col, q)
+
+
+def sq_topk(
+    embs: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by int8-quantized dot product (SQ8 rerank-free tier).
+
+    Scores are exact BIGINTs (|q|≤127, dim≤2^36 fits int64), so ordering is
+    bit-stable across engines — the approximate tier that is still fully
+    oracle-checkable. Output: (query_id, rank, vec_id, qdot).
+    """
+    qe = quantize_int8(embs, vec_col, "qa").select(id_col, "qa")
+    qq = quantize_int8(query, "vec", "qb").select("query_id", "qb")
+    prods = F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y)
+    qdot = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (
+        qe.join(F.broadcast(qq), F.col(id_col) != F.col("query_id"))
+        .withColumn("qdot", qdot)
+        .select("query_id", id_col, "qdot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "qdot")
+    )
+
+
 def ivf_topk(
     embs: DataFrame,
     query: DataFrame,

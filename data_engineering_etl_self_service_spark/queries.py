@@ -1012,6 +1012,52 @@ def ivf_ann(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@register(
+    "sq_ann",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                  ELSE 0.0 END AS s
+      FROM base),
+    quant AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qv
+      FROM scaled),
+    qs AS (SELECT vec_id AS query_id, qv AS qq FROM quant WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(list_dot_product(e.qv, q.qq) AS BIGINT) AS qdot
+      FROM quant e CROSS JOIN qs q
+      WHERE e.vec_id <> q.query_id)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, qdot FROM (
+      SELECT query_id, vec_id, qdot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qdot DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def sq_ann(spark, sf_dir):
+    """Int8 scalar-quantized (SQ8) top-10 — the 4×-less-I/O storage tier.
+
+    Ranking is exact integer arithmetic, so unlike most ANN tiers it stays
+    hash-oracle-checkable; recall vs the float path is asserted in
+    tests/test_similarity.py.
+    """
+    from .operators.similarity import sq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    out = sq_topk(e, q, k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # =========================================================================
 # North-star: text analysis (documents)
 # =========================================================================
@@ -3101,6 +3147,56 @@ def sliding_hour_user_stats(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias(
             "value_1h"
         ),
+    )
+
+
+@register(
+    "scd2_history",
+    """
+    WITH numbered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)
+           - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS island
+      FROM orders)
+    SELECT o_custkey, o_orderpriority,
+           MIN(o_orderdate) AS valid_from,
+           MAX(o_orderdate) AS valid_to,
+           COUNT(*) AS n_orders,
+           MIN(o_orderkey) AS first_orderkey
+    FROM numbered
+    GROUP BY o_custkey, o_orderpriority, island
+    """,
+)
+def scd2_history(spark, sf_dir):
+    """SCD Type-2 history build from a change log (gaps-and-islands).
+
+    Treats orders as a per-customer attribute change stream and collapses
+    consecutive runs of equal ``o_orderpriority`` into validity intervals —
+    the standard CDC→warehouse dimension-history pattern the reference's
+    Postgres sink implies (ref: dags/kafka_stream.py:91 recovered).
+
+    Scale: both row_numbers share ONE shuffle+sort on o_custkey (the second
+    window's key is a prefix extension), and the final groupBy arrives
+    pre-partitioned — Catalyst plans a single exchange for the whole query.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w_all = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_attr = W.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    island = F.row_number().over(w_all) - F.row_number().over(w_attr)
+    return (
+        o.withColumn("island", island)
+        .groupBy("o_custkey", "o_orderpriority", "island")
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.max("o_orderdate").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("first_orderkey"),
+        )
+        .drop("island")
     )
 
 

@@ -82,3 +82,28 @@ def test_uniqueness_check_matches_groupby_dupfinder(ids):
     rep = run_checks(df, [{"check_type": "unique_column", "column": "id"}])
     dupes = df.groupBy("id").count().filter(F.col("count") > 1).count()
     assert rep.passed == (dupes == 0)
+
+
+def test_scd2_intervals_partition_the_change_log(spark):
+    """SCD2 islands: intervals per customer are ordered, non-overlapping,
+    cover every order exactly once, and adjacent intervals differ in the
+    tracked attribute."""
+    from data_engineering_etl_self_service_spark.queries import QUERIES
+
+    out = QUERIES["scd2_history"](spark, "/root/testdata/sf0.001")
+    rows = sorted(
+        out.collect(), key=lambda r: (r.o_custkey, r.valid_from, r.first_orderkey)
+    )
+    import duckdb
+
+    n_orders = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_orders for r in rows) == n_orders
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for ivs in by_cust.values():
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to <= b.valid_from
+            assert a.o_orderpriority != b.o_orderpriority or a.valid_to < b.valid_from

@@ -50,3 +50,34 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
         for r in ivf_topk(e, q, k=10, n_cells=8, nprobe=8).collect()
     ]
     assert sorted(exact) == sorted(full)
+
+
+def test_sq8_recall_vs_exact(spark, sf_dir):
+    """Int8 quantization must keep most of the true top-10 (recall ≥ 0.7
+    at dim=64) and score with exact integers."""
+    from data_engineering_etl_self_service_spark.operators.similarity import sq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query(e, n=3)
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(e, q, k=10).collect()
+    }
+    approx = sq_topk(e, q, k=10).collect()
+    assert len(approx) == 30
+    assert all(isinstance(r.qdot, int) for r in approx)
+    hits = sum((r.query_id, r.vec_id) in exact for r in approx)
+    assert hits / len(exact) >= 0.7
+
+
+def test_sq8_zero_vector_is_safe(spark):
+    from data_engineering_etl_self_service_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -2.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r.vec_id: r.qvec for r in quantize_int8(df).collect()}
+    assert out[1] == [0, 0]
+    assert out[2] == [64, -127]  # floor(1*63.5+0.5), floor(-2*63.5+0.5)
