@@ -257,3 +257,43 @@ def test_stream_static_enrichment_join(spark, event_stream):
     got = spark.sql("SELECT sum(n) AS total FROM enrich_out").collect()[0].total
     batch = load_table(spark, "/root/testdata/sf0.001", "events").count()
     assert got == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_stream):
+    """Watermarked stream-stream interval join (view→purchase within 30 min)
+    drains to exactly the batch join of the same predicate under
+    availableNow (closed watermark ⇒ no rows withheld)."""
+    from data_engineering_etl_self_service_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    views = event_stream.filter(F.col("event_type") == "view")
+    buys = event_stream.filter(F.col("event_type") == "purchase")
+    joined = interval_join_streams(views, buys, interval="30 minutes")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n FROM ss_join_out").collect()[0].n
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = v.join(
+        b,
+        (v.user_id == b.r_user)
+        & (b.r_ts >= v.l_ts)
+        & (b.r_ts <= v.l_ts + F.expr("interval 30 minutes")),
+    ).count()
+    assert got == batch
+    assert batch > 0
