@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine
+from ..functions.vector import cosine, dot, norm
+
+
+def _cos_pre(d: "F.Column", na: "F.Column", nb: "F.Column") -> "F.Column":
+    """Cosine from a precomputed dot and norms — bit-identical to
+    ``cosine(a, b)`` (same IEEE ops: d / (na * nb), same zero guard) but the
+    norms are computed ONCE per vector instead of once per pair."""
+    return F.when((na > 0) & (nb > 0), d / (na * nb))
 
 
 def cosine_scores(
@@ -77,9 +84,12 @@ def assign_cells(
     100 TB that is C× less shuffle than the window form. ``first`` for the
     carried columns is deterministic here (identical within each group).
     """
-    c = F.broadcast(centroids)
-    scored = embs.crossJoin(c).withColumn(
-        "ccos", cosine(F.col(vec_col), F.col("cvec"))
+    c = F.broadcast(centroids.withColumn("_cnorm", norm(F.col("cvec"))))
+    scored = embs.withColumn("_vnorm", norm(F.col(vec_col))).crossJoin(c).withColumn(
+        "ccos",
+        _cos_pre(
+            dot(F.col(vec_col), F.col("cvec")), F.col("_vnorm"), F.col("_cnorm")
+        ),
     )
     carried = [col for col in embs.columns if col != id_col]
     return scored.groupBy(id_col).agg(
@@ -184,14 +194,20 @@ def ivf_topk(
     probe = (
         qcells.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "vec", "cell_id")
+        .select("query_id", "vec", F.col("cell_id").alias("probe_cell"))
+        .withColumn("_qnorm", norm(F.col("vec")))
     )
 
     # Scan only the probed cells (at rest this is partition pruning).
-    cand = assigned.join(
-        F.broadcast(probe), on="cell_id"
-    ).filter(F.col(id_col) != F.col("query_id"))
-    scored = cand.withColumn("cos", cosine(F.col(vec_col), F.col("vec")))
+    cand = (
+        assigned.withColumn("_anorm", norm(F.col(vec_col)))
+        .join(F.broadcast(probe), F.col("cell_id") == F.col("probe_cell"))
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = cand.withColumn(
+        "cos",
+        _cos_pre(dot(F.col(vec_col), F.col("vec")), F.col("_anorm"), F.col("_qnorm")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
