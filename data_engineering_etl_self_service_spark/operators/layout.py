@@ -1,0 +1,102 @@
+"""Lake file-layout management: compaction and Z-order clustering.
+
+The reference lands one JSON blob per day per pipeline (ref:
+operators/api_to_s3.py:68-73) — at 100 TB the lake's dominant failure mode
+is the opposite: millions of small files and no data-clustering, so every
+query scans everything. Two write-time operators fix that:
+
+- :func:`compact` — rewrite a path to ~``target_mb`` files, sized from the
+  actual input bytes (not a guessed partition count).
+- :func:`zorder_by` — cluster rows on a Morton (bit-interleaved) key over
+  2+ columns so parquet row-group min/max stats prune multi-dimensional
+  point/range queries. This is the portable core of Delta/Iceberg
+  ``OPTIMIZE ZORDER BY``, expressed as pure DataFrame ops: rank-normalize →
+  interleave bits → repartitionByRange + sortWithinPartitions.
+
+Both run one shuffle; neither collects data to the driver (only 2-value
+min/max aggregates for normalization).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _input_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FS API (no data read)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return fs.getContentSummary(p).getLength()
+
+
+def compact(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 128,
+) -> int:
+    """Rewrite ``in_path`` parquet into ~``target_mb``-sized files at
+    ``out_path``. Returns the file count written.
+
+    Scale: file count is derived from real input bytes, so the same call is
+    right at 1 GB and at 100 TB; the round-robin repartition is one shuffle
+    that also breaks any pathological skew in the input layout.
+    """
+    n_files = max(1, math.ceil(_input_bytes(spark, in_path) / (target_mb << 20)))
+    df = spark.read.parquet(in_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> F.Column:
+    """Morton key: each column rank-normalized to ``[0, 2^bits)`` by its
+    global min/max, then bit-interleaved. Min/max come from ONE tiny
+    aggregate (collected scalars, not data)."""
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must fit a signed long (<= 62)")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast(
+                "long"
+            ),
+        )
+        quantized.append(F.greatest(F.lit(0), q))
+    n = len(cols)
+    terms = [
+        ((q.bitwiseAND(F.lit(1 << i))) * F.lit(1 << (i * (n - 1) + j)))
+        for j, q in enumerate(quantized)
+        for i in range(bits)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Cluster ``df`` for multi-dimensional data skipping: range-partition
+    and sort by the Morton key so each output file covers a small hyper-box
+    of the key space. Write the result with ``.write.parquet(...)``."""
+    keyed = df.withColumn("_zkey", zorder_key(df, cols, bits))
+    return (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )

@@ -1,0 +1,68 @@
+"""Lake layout operators: compaction sizing and Z-order data skipping."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from data_engineering_etl_self_service_spark.operators.layout import (
+    compact,
+    zorder_by,
+    zorder_key,
+)
+
+
+def test_compact_reduces_file_count(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("small_files"))
+    out = str(tmp_path_factory.mktemp("compacted"))
+    spark.range(0, 100_000).repartition(64).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 64
+    n = compact(spark, src, out, target_mb=128)
+    assert n == 1  # ~800 KB of input → one target file
+    assert len(glob.glob(f"{out}/part-*")) == 1
+    assert spark.read.parquet(out).count() == 100_000
+
+
+def test_zorder_key_interleaves_bits(spark):
+    # 2 columns, 2 bits each: corners of the unit square map to the
+    # classic Morton order 0,1,2,3.
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (3.0, 0.0), (0.0, 3.0), (3.0, 3.0)], "x double, y double"
+    )
+    got = {
+        (r.x, r.y): r.k
+        for r in df.withColumn("k", zorder_key(df, ["x", "y"], bits=2)).collect()
+    }
+    assert got[(0.0, 0.0)] == 0
+    assert got[(3.0, 0.0)] == 0b0101  # x bits at even positions
+    assert got[(0.0, 3.0)] == 0b1010
+    assert got[(3.0, 3.0)] == 0b1111
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path_factory):
+    """After Z-order by (x, y), each output file covers a small box of BOTH
+    dimensions — the property parquet min/max skipping needs. A plain sort
+    by x would leave per-file y spans ≈ the full domain."""
+    out = str(tmp_path_factory.mktemp("zordered"))
+    n, files = 40_000, 16
+    df = spark.range(0, n).select(
+        (F.col("id") % 200).cast("double").alias("x"),
+        (F.floor(F.col("id") / 200)).cast("double").alias("y"),
+    )
+    zorder_by(df, ["x", "y"], n_files=files).write.mode("overwrite").parquet(out)
+    spans = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(spans) == files
+    avg_sx = sum(r.sx for r in spans) / files
+    avg_sy = sum(r.sy for r in spans) / files
+    # global span is ~200 in each dimension; clustered files must be far
+    # narrower in BOTH (perfect quadrants would be ~50).
+    assert avg_sx < 120 and avg_sy < 120, (avg_sx, avg_sy)
