@@ -35,7 +35,10 @@ HEADLINE = [
     "neardup_groups",
     "cosine_topk",
     "ivf_ann",
+    "sq_ann",
     "label_centroids",
+    "centroid_outliers",
+    "scd2_history",
     "quality_scores",
     "term_doc_freq",
     "chunk_documents",

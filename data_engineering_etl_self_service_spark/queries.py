@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .functions.numeric import davg_expr, dsum, davg, dsum_expr
+from .functions.vector import cosine as cosine_vec
 from .functions.text import (
     LANG_STOPWORDS,
     fingerprint,
@@ -2112,6 +2113,57 @@ def label_centroids(spark, sf_dir):
         .select("label", F.col("pm.m").alias("centroid"))
     )
     return cent.join(counts, "label").select("label", "centroid", "n_vecs")
+
+
+@register(
+    "centroid_outliers",
+    f"""
+    WITH comp AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000000.0)
+                  AS BIGINT) AS xf
+      FROM embeddings),
+    agg AS (
+      SELECT label, pos,
+             CAST(SUM(xf) AS DOUBLE) / 1000000000.0 / COUNT(*) AS m
+      FROM comp GROUP BY label, pos),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM agg GROUP BY label),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             {_COS.format(a='e.embedding', b='c.centroid')} AS cos
+      FROM embeddings e JOIN cent c ON e.label = c.label)
+    SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM (
+      SELECT label, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY cos ASC NULLS FIRST, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def centroid_outliers(spark, sf_dir):
+    """Embedding-QA: the 5 vectors farthest (lowest cosine) from their own
+    label centroid — the standard mislabeled-example / contamination signal
+    in training-data curation.
+
+    Scale: centroids are labels×dims (tiny) → broadcast join back onto the
+    full table; one scan scores everything, the per-label top-k window
+    shuffles only (label, vec_id, cos) triples.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    cent = label_centroids(spark, sf_dir).select("label", "centroid")
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        cosine_vec(F.col("embedding"), F.col("centroid")).alias("cos"),
+    )
+    w = W.partitionBy("label").orderBy(F.asc_nulls_first("cos"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("label", "rank", "vec_id", "cos")
+    )
 
 
 @register(
