@@ -82,3 +82,25 @@ def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
     plan = _plan(spark, "pack_sequences", sf_dir)
     # one hash exchange on shard for the cumsum window; no global sort
     assert _op_count(plan, "Exchange") == 1, plan
+
+
+def test_scd2_history_single_exchange(spark, sf_dir):
+    """Both islands row_numbers AND the final groupBy must share one
+    hashpartitioning(o_custkey) exchange."""
+    plan = _plan(spark, "scd2_history", sf_dir)
+    assert _op_count(plan, "Exchange") == 1, plan
+
+
+def test_centroid_outliers_broadcasts_centroids(spark, sf_dir):
+    plan = _plan(spark, "centroid_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sq_ann_broadcasts_queries_no_shuffle_scan(spark, sf_dir):
+    """SQ8 scoring: queries broadcast (BroadcastNestedLoop over the !=
+    condition), corpus side scans without a pre-join exchange."""
+    plan = _plan(spark, "sq_ann", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only exchange should be the top-k window's, on query_id
+    assert _op_count(plan, "Exchange") <= 1, plan
