@@ -194,3 +194,56 @@ def run_checks(df: DataFrame, checks: list[Check | dict]) -> DQReport:
             viol = row[f"_dq_{i}_viol"] or 0
             results.append(CheckResult(check, viol == 0, f"violations={viol}"))
     return DQReport(results)
+
+
+def profile(df, cols: list[str] | None = None):
+    """Single-pass column profiler — the self-service ``ANALYZE TABLE``.
+
+    One aggregation job computes, per column: row count, non-null count,
+    exact distinct count, and (for numeric/timestamp columns) min/max as
+    doubles. Long-format output: (col_name, n_rows, n_nonnull, n_distinct,
+    min_num, max_num).
+
+    Scale: ONE scan; the multiple COUNT(DISTINCT)s expand the input
+    |cols|-way before the shuffle (Spark's Expand), so for very wide tables
+    at 100 TB profile in column batches or swap in approx_count_distinct
+    (the DQ engine's ``approx=True`` tier) — exact is the default because
+    profiles feed uniqueness decisions.
+    """
+    from pyspark.sql import functions as F
+
+    cols = cols or df.columns
+    numeric_kinds = ("int", "long", "short", "byte", "float", "double", "decimal")
+    dtypes = dict(df.dtypes)
+    aggs, structs = [], []
+    for c in cols:
+        is_num = any(k in dtypes[c] for k in numeric_kinds)
+        is_ts = "timestamp" in dtypes[c] or dtypes[c] == "date"
+        if is_num:
+            val = F.col(c).cast("double")
+        elif is_ts:
+            # epoch seconds as double (mirrors DuckDB epoch_us(x)/1e6)
+            val = F.unix_micros(F.col(c).cast("timestamp")).cast("double") / F.lit(
+                1000000.0
+            )
+        else:
+            val = F.lit(None).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"_{c}_rows"),
+            F.count(c).alias(f"_{c}_nonnull"),
+            F.countDistinct(c).alias(f"_{c}_distinct"),
+            F.min(val).alias(f"_{c}_min"),
+            F.max(val).alias(f"_{c}_max"),
+        ]
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"_{c}_rows").alias("n_rows"),
+                F.col(f"_{c}_nonnull").alias("n_nonnull"),
+                F.col(f"_{c}_distinct").alias("n_distinct"),
+                F.col(f"_{c}_min").alias("min_num"),
+                F.col(f"_{c}_max").alias("max_num"),
+            )
+        )
+    wide = df.agg(*aggs)
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

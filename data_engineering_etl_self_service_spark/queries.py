@@ -3202,6 +3202,81 @@ def sliding_hour_user_stats(spark, sf_dir):
     )
 
 
+def _profile_oracle() -> str:
+    numeric = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+    ]
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_num,
+               CAST(MAX({c}) AS DOUBLE) AS max_num
+        FROM lineitem"""
+        for c in numeric
+    ]
+    parts += [
+        f"""
+        SELECT '{c}', COUNT(*), COUNT({c}), COUNT(DISTINCT {c}),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM lineitem"""
+        for c in ("l_returnflag", "l_linestatus")
+    ]
+    parts.append(
+        """
+        SELECT 'l_shipdate', COUNT(*), COUNT(l_shipdate),
+               COUNT(DISTINCT l_shipdate),
+               MIN(CAST(epoch_us(l_shipdate) AS DOUBLE) / 1000000.0),
+               MAX(CAST(epoch_us(l_shipdate) AS DOUBLE) / 1000000.0)
+        FROM lineitem"""
+    )
+    return " UNION ALL ".join(parts)
+
+
+@register("table_profile", _profile_oracle())
+def table_profile(spark, sf_dir):
+    """Self-service table profiling (the ANALYZE TABLE analog): one scan,
+    per-column null/distinct/min/max stats in long form — what the
+    reference's DQ operator would need to auto-suggest checks.
+
+    Scale note in operators/quality.py::profile (COUNT DISTINCT expand)."""
+    from .operators.quality import profile
+
+    return profile(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT user_id, n, CAST(n AS DOUBLE) / total AS share
+    FROM counts, tot
+    ORDER BY n DESC, user_id
+    LIMIT 20
+    """,
+)
+def key_skew_report(spark, sf_dir):
+    """Heavy-key diagnostic: the 20 hottest join/agg keys and their share of
+    all rows — the number that decides salting factors and AQE skew
+    thresholds before a 100 TB join, computed with one groupBy + a scalar
+    total (broadcast), no window over the full key set.
+    """
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id", "n", (F.col("n").cast("double") / F.col("total")).alias("share")
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(20)
+    )
+
+
 @register(
     "scd2_history",
     """

@@ -125,3 +125,18 @@ def test_accepted_values_null_is_allowed(spark):
         df, [{"check_type": "accepted_values", "column": "tag", "values": ["a"]}]
     )
     assert report.passed
+
+
+def test_profile_single_pass_stats(spark):
+    from data_engineering_etl_self_service_spark.operators.quality import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 4.5), (3, "b", 4.5)],
+        "id int, s string, x double",
+    )
+    got = {r.col_name: r for r in profile(df).collect()}
+    assert got["id"].n_rows == 4 and got["id"].n_distinct == 3
+    assert got["s"].n_nonnull == 3 and got["s"].n_distinct == 2
+    assert got["s"].min_num is None  # strings have no numeric min
+    assert got["x"].min_num == 1.5 and got["x"].max_num == 4.5
+    assert got["x"].n_nonnull == 3
