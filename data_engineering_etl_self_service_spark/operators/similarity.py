@@ -171,6 +171,56 @@ def sq_topk(
     )
 
 
+def knn_join(
+    embs: DataFrame,
+    k: int = 1,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-vectors k-nearest-neighbor self-join, blocked by IVF cell.
+
+    Every vector finds its k nearest neighbors WITHIN its own cell — the
+    standard blocked KNN for semantic dedup / clustering prep. At 100 TB
+    the cell is a write-time partition key, so the self-join is
+    co-partitioned (no shuffle beyond the one that built the layout), and
+    cost drops from O(n²) to O(Σ|cell|²). Boundary recall loss is the known
+    trade: raise it by multi-assigning vectors to their m nearest cells
+    (not done here — single assignment keeps the output oracle-exact).
+
+    Output: (vec_id, rank, nn_id, cos), rank 1..k by cosine desc.
+    """
+    cents = first_n_centroids(embs, n_cells, vec_col, id_col)
+    assigned = assign_cells(embs, cents, vec_col, id_col).withColumn(
+        "_n", norm(F.col(vec_col))
+    )
+    a = assigned.select(
+        F.col("cell_id"),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("_n").alias("a_norm"),
+    )
+    b = assigned.select(
+        F.col("cell_id"),
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("_n").alias("b_norm"),
+    )
+    pairs = a.join(b, "cell_id").filter(F.col("a_id") != F.col("nn_id"))
+    scored = pairs.withColumn(
+        "cos",
+        _cos_pre(
+            dot(F.col("a_vec"), F.col("b_vec")), F.col("a_norm"), F.col("b_norm")
+        ),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc_nulls_last("cos"), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("a_id").alias(id_col), "rank", "nn_id", "cos")
+    )
+
+
 def ivf_topk(
     embs: DataFrame,
     query: DataFrame,

@@ -1059,6 +1059,41 @@ def sq_ann(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@register(
+    "knn_join",
+    f"""
+    WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+                   FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='c.cvec')} DESC,
+                          c.cell_id) AS rn
+      FROM embeddings e CROSS JOIN cents c),
+    acell AS (SELECT vec_id, embedding, cell_id FROM assign WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS nn_id,
+             {_COS.format(a='a.embedding', b='b.embedding')} AS cos
+      FROM acell a JOIN acell b
+        ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id)
+    SELECT vec_id, CAST(rank AS BIGINT) AS rank, nn_id, cos FROM (
+      SELECT vec_id, nn_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC NULLS LAST, nn_id) AS rank
+      FROM pairs)
+    WHERE rank <= 1
+    """,
+)
+def knn_join_q(spark, sf_dir):
+    """Blocked KNN self-join: every vector's nearest neighbor within its IVF
+    cell (semantic-dedup prep). Cell = co-partitioned join key at scale."""
+    from .operators.similarity import knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = knn_join(e, k=1, n_cells=8)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # =========================================================================
 # North-star: text analysis (documents)
 # =========================================================================

