@@ -75,6 +75,19 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """ORC source (engine extension — same columnar pushdown/pruning story
+    as parquet for lakes that standardized on ORC)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

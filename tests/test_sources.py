@@ -177,3 +177,18 @@ def test_csv_malformed_row_policies(spark, tmp_path):
     failed = read_csv(spark, str(p), schema=schema, mode="FAILFAST")
     with pytest.raises((PySparkException, Py4JJavaError, Exception)):
         failed.collect()
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path_factory):
+    from data_engineering_etl_self_service_spark.sources.files import read_orc
+
+    out = str(tmp_path_factory.mktemp("orc_lake"))
+    spark.range(0, 1000).selectExpr("id", "id % 7 AS g").write.mode(
+        "overwrite"
+    ).orc(out)
+    df = read_orc(spark, out).filter("g = 3")
+    assert df.count() == sum(1 for i in range(1000) if i % 7 == 3)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Scan orc" in plan and "PushedFilters" in plan
