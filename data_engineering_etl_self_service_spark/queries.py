@@ -3313,6 +3313,49 @@ def key_skew_report(spark, sf_dir):
 
 
 @register(
+    "cohort_retention",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    firsts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+    SELECT f.cohort_day,
+           COUNT(DISTINCT f.user_id) AS n_users,
+           COUNT(DISTINCT CASE WHEN date_diff('day', f.cohort_day, u.day) = 7
+                               THEN u.user_id END) AS n_day7,
+           CAST(COUNT(DISTINCT CASE WHEN date_diff('day', f.cohort_day, u.day) = 7
+                                    THEN u.user_id END) AS DOUBLE)
+             / COUNT(DISTINCT f.user_id) AS retention_rate
+    FROM firsts f JOIN ud u ON f.user_id = u.user_id
+    GROUP BY f.cohort_day
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Day-7 cohort retention — the canonical user-session-analysis readout
+    the reference's README names as its purpose (ref: README.md:1).
+
+    Scale: the (user, day) distinct collapses the event volume to
+    users×active-days BEFORE any join; the firsts join is keyed on user_id
+    so it reuses that partitioning; per-cohort distinct counts shuffle only
+    the collapsed pairs.
+    """
+    e = _t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = firsts.join(ud, "user_id").withColumn(
+        "offset", F.datediff("day", "cohort_day")
+    )
+    day7_user = F.when(F.col("offset") == 7, F.col("user_id"))
+    return j.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(day7_user).alias("n_day7"),
+        (
+            F.countDistinct(day7_user).cast("double") / F.countDistinct("user_id")
+        ).alias("retention_rate"),
+    )
+
+
+@register(
     "scd2_history",
     """
     WITH numbered AS (
