@@ -1094,6 +1094,18 @@ def knn_join_q(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@register("knn_join_fast")  # BLAS twin — last-ulp float drift ⇒ rows-only
+def knn_join_fast(spark, sf_dir):
+    """Arrow/numpy twin of `knn_join` (~10× at 20k×64 measured): mapInPandas
+    centroid assignment + per-cell gram matrix. Set-parity with the exact
+    tier is pinned in tests; no hash oracle because BLAS sums differ from
+    the sequential fold in the last ulp."""
+    from .operators.similarity import knn_join_blas
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_join_blas(e, k=1, n_cells=8)
+
+
 # =========================================================================
 # North-star: text analysis (documents)
 # =========================================================================

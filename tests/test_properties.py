@@ -107,3 +107,33 @@ def test_scd2_intervals_partition_the_change_log(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to <= b.valid_from
             assert a.o_orderpriority != b.o_orderpriority or a.valid_to < b.valid_from
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_sq8_quantization_error_bound(vecs):
+    """Dequantized int8 components are within half a step (max|x|/127/2,
+    plus float slack) of the original — the property that bounds SQ8
+    ranking error."""
+    import math
+
+    for v in vecs:
+        maxabs = max(abs(x) for x in v)
+        if maxabs == 0:
+            continue
+        s = 127.0 / maxabs
+        for x in v:
+            q = math.floor(x * s + 0.5)
+            assert abs(q / s - x) <= (1.0 / s) * 0.5 + 1e-9
+            assert -127 <= q <= 127
