@@ -116,6 +116,28 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                 df = df.repartition(*cols)
             elif n:
                 df = df.repartition(int(n))
+        elif op == "join":
+            # enrichment join against another lake path — the reference's
+            # implied user-profile join (SURVEY §2.3) as one YAML stanza
+            spark = df.sparkSession
+            fmt = t.get("format", "parquet")
+            other = spark.read.format(fmt).load(t["path"])
+            if t.get("select"):
+                other = other.select(*t["select"])
+            if t.get("broadcast", False):  # small dims: say so in the spec
+                other = F.broadcast(other)
+            # `on`: list of shared column names, or a condition expression
+            # string (for differently-named keys, e.g. "o_custkey = c_custkey")
+            on = t["on"]
+            if isinstance(on, str):
+                on = F.expr(on)
+            df = df.join(other, on=on, how=t.get("how", "inner"))
+        elif op == "aggregate":
+            aggs = [
+                F.expr(expr).alias(alias)
+                for alias, expr in t.get("aggs", {}).items()
+            ]
+            df = df.groupBy(*t.get("group_by", [])).agg(*aggs)
         # unknown ops were flagged at parse time (spec.warnings); skipping
         # here mirrors the reference's tolerant dispatch (ref:
         # operators/data_quality_operator.py:116-117).

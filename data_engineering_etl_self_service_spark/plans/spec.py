@@ -37,6 +37,8 @@ TRANSFORM_OPS = (
     "rename",
     "deduplicate",
     "repartition",
+    "join",
+    "aggregate",
 )
 
 

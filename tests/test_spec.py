@@ -143,3 +143,50 @@ def test_unknown_transformation_warns():
         }
     )
     assert any("teleport" in w for w in spec.warnings)
+
+
+def test_join_and_aggregate_transformations(spark, tmp_path):
+    """A YAML pipeline can enrich against another lake path (broadcast) and
+    aggregate — the reference's implied user-profile join + session-metric
+    rollup as pure config."""
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "join_agg"},
+            "source": {
+                "type": "table",
+                "path": "/root/testdata/sf0.001/orders.parquet",
+            },
+            "transformations": [
+                {
+                    "op": "join",
+                    "path": "/root/testdata/sf0.001/customer.parquet",
+                    "select": ["c_custkey", "c_mktsegment"],
+                    "on": "o_custkey = c_custkey",
+                    "how": "inner",
+                    "broadcast": True,
+                },
+                {
+                    "op": "aggregate",
+                    "group_by": ["c_mktsegment"],
+                    "aggs": {
+                        "n_orders": "count(*)",
+                        "total_price": "cast(sum(cast(o_totalprice as decimal(38,6))) as double)",
+                    },
+                },
+            ],
+            "destination": {"type": "parquet", "path": str(tmp_path / "out")},
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1},
+                {"check_type": "unique_column", "column": "c_mktsegment"},
+            ],
+        }
+    )
+    assert spec.warnings == ()
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    out = spark.read.parquet(res.published_path)
+    assert set(out.columns) == {"c_mktsegment", "n_orders", "total_price"}
+    rows = out.collect()
+    assert sum(r.n_orders for r in rows) == spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).count()
