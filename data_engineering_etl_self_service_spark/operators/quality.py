@@ -40,6 +40,7 @@ KNOWN_CHECKS = (
     "non_null",
     "value_range",
     "accepted_values",
+    "foreign_key",
 )
 
 
@@ -148,6 +149,13 @@ def compile_checks(
             else:  # accepted_values
                 ok = F.col(col).isin(list(p.get("values", []))) | F.col(col).isNull()
                 agg_cols.append(F.sum((~ok).cast("long")).alias(f"_dq_{i}_viol"))
+        elif t == "foreign_key":
+            # Referential integrity needs a second table — it cannot fuse
+            # into the single-pass agg; compile_checks defers it and
+            # run_checks executes one anti-join job per such check.
+            col = p.get("column")
+            if col not in df.columns:
+                immediate.append((check, {"absent": True}))
         else:
             # Unknown check type: recorded, not fatal (ref :116-117 warns+skips;
             # we surface it in the report instead of silently passing).
@@ -172,7 +180,7 @@ def run_checks(df: DataFrame, checks: list[Check | dict]) -> DQReport:
                 results.append(
                     CheckResult(check, not missing, f"missing columns: {missing}" if missing else "all present")
                 )
-            elif t in ("unique_column", "non_null", "value_range", "accepted_values"):
+            elif t in ("unique_column", "non_null", "value_range", "accepted_values", "foreign_key"):
                 results.append(CheckResult(check, False, f"column '{p.get('column')}' not found"))
             else:
                 results.append(CheckResult(check, False, f"unknown check_type '{t}'"))
@@ -193,6 +201,27 @@ def run_checks(df: DataFrame, checks: list[Check | dict]) -> DQReport:
         elif t in ("value_range", "accepted_values"):
             viol = row[f"_dq_{i}_viol"] or 0
             results.append(CheckResult(check, viol == 0, f"violations={viol}"))
+        elif t == "foreign_key":
+            # side job: orphan keys = left anti join against the ref column.
+            # At 100 TB the ref side is usually a dimension → broadcast; a
+            # fact-fact FK check becomes one shuffled semi/anti join, which
+            # is the minimum possible cost for exact referential integrity.
+            col, ref_col = p["column"], p["ref_column"]
+            spark = df.sparkSession
+            ref = spark.read.parquet(p["ref_path"]).select(
+                F.col(ref_col).alias("__ref_key")
+            )
+            if p.get("broadcast", True):
+                ref = F.broadcast(ref)
+            orphans = (
+                df.select(F.col(col).alias("__key"))
+                .filter(F.col("__key").isNotNull())
+                .join(ref, F.col("__key") == F.col("__ref_key"), "left_anti")
+                .count()
+            )
+            results.append(
+                CheckResult(check, orphans == 0, f"orphan_keys={orphans}")
+            )
     return DQReport(results)
 
 

@@ -140,3 +140,37 @@ def test_profile_single_pass_stats(spark):
     assert got["s"].min_num is None  # strings have no numeric min
     assert got["x"].min_num == 1.5 and got["x"].max_num == 4.5
     assert got["x"].n_nonnull == 3
+
+
+def test_foreign_key_check_pass_and_fail(spark, tmp_path_factory):
+    from data_engineering_etl_self_service_spark.operators.quality import run_checks
+
+    ref_dir = str(tmp_path_factory.mktemp("fk_ref"))
+    spark.createDataFrame([(1,), (2,), (3,)], "k long").write.mode(
+        "overwrite"
+    ).parquet(ref_dir)
+    df = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, None)], "id long, fk long"
+    )
+    ok = run_checks(
+        df,
+        [{"check_type": "foreign_key", "column": "fk",
+          "ref_path": ref_dir, "ref_column": "k"}],
+    )
+    assert ok.passed  # NULL fk is not an orphan (SQL FK semantics)
+
+    bad = df.union(spark.createDataFrame([(13, 99)], "id long, fk long"))
+    rep = run_checks(
+        bad,
+        [{"check_type": "foreign_key", "column": "fk",
+          "ref_path": ref_dir, "ref_column": "k"}],
+    )
+    assert not rep.passed
+    assert "orphan_keys=1" in rep.failures[0]
+
+    absent = run_checks(
+        df,
+        [{"check_type": "foreign_key", "column": "nope",
+          "ref_path": ref_dir, "ref_column": "k"}],
+    )
+    assert not absent.passed
