@@ -3325,6 +3325,39 @@ def key_skew_report(spark, sf_dir):
 
 
 @register(
+    "fk_orphans",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def fk_orphans(spark, sf_dir):
+    """Referential-integrity audit across the star schema (the query-level
+    twin of the DQ engine's ``foreign_key`` check): orphan counts per FK
+    edge via anti joins — dimension side broadcasts, fact side streams.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .select(F.lit("lineitem.l_orderkey->orders").alias("fk"), "orphans")
+    )
+    b = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .select(F.lit("orders.o_custkey->customer").alias("fk"), "orphans")
+    )
+    return a.unionByName(b)
+
+
+@register(
     "cohort_retention",
     """
     WITH ud AS (

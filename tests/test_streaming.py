@@ -297,3 +297,29 @@ def test_stream_stream_interval_join_matches_batch(spark, event_stream):
     ).count()
     assert got == batch
     assert batch > 0
+
+
+def test_session_stats_on_rocksdb_state_store(spark, event_stream):
+    """The streaming sessionizer runs unchanged on the RocksDB state store
+    (the backend a 100 TB/day deployment needs: state off-heap, bounded by
+    disk not executor memory)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming_session_stats(event_stream, gap="30 minutes")
+        run_stream_to_memory(stream, "rocksdb_sessions")
+        got = spark.sql(
+            "SELECT count(*) AS n, sum(n_events) AS ev FROM rocksdb_sessions"
+        ).collect()[0]
+        batch = session_stats(
+            load_table(spark, "/root/testdata/sf0.001", "events"), gap_minutes=30
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("n_events").alias("ev")).collect()[0]
+        assert (got.n, got.ev) == (batch.n, batch.ev)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
