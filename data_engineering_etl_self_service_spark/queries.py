@@ -3358,6 +3358,53 @@ def fk_orphans(spark, sf_dir):
 
 
 @register(
+    "disorder_profile",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - epoch_us(ts) AS DOUBLE) / 1000000.0 AS late_s
+      FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS n_late,
+           MAX(late_s) AS max_late_s,
+           quantile_cont(late_s, 0.95) AS p95_late_s
+    FROM seq
+    GROUP BY user_id
+    """,
+)
+def disorder_profile(spark, sf_dir):
+    """Event-time disorder profile per key — THE number that sizes a
+    watermark (§2.9 ST5): how far events arrive behind the running
+    event-time max, in arrival order (event_id). A watermark below the
+    observed p95/max lateness silently drops that fraction of data.
+
+    Scale: one shuffle on user_id; the running max, lateness, and the
+    grouped stats all evaluate inside that partitioning.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    late_s = (F.max(us).over(w) - us).cast("double") / F.lit(1000000.0)
+    return (
+        e.select("user_id", late_s.alias("late_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("late_s") > 0).cast("long")).alias("n_late"),
+            F.max("late_s").alias("max_late_s"),
+            F.expr("percentile(late_s, 0.95)").alias("p95_late_s"),
+        )
+    )
+
+
+@register(
     "cohort_retention",
     """
     WITH ud AS (
