@@ -3325,6 +3325,28 @@ def key_skew_report(spark, sf_dir):
 
 
 @register(
+    "zorder_layout",
+    """
+    SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem
+    """,
+)
+def zorder_layout(spark, sf_dir):
+    """Z-order clustering as a query: rows come back Morton-clustered by
+    (l_orderkey, l_partkey) — content-identical to the input (the oracle is
+    the identity projection; the driver's hash is order-insensitive), which
+    pins that the layout operator reorders and never drops/duplicates.
+
+    Scale notes in operators/layout.py (one shuffle; per-file min/max spans
+    shrink in BOTH dimensions → parquet row-group skipping)."""
+    from .operators.layout import zorder_by
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    return zorder_by(li, ["l_orderkey", "l_partkey"], n_files=16)
+
+
+@register(
     "fk_orphans",
     """
     SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS orphans
