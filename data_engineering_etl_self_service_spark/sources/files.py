@@ -93,20 +93,25 @@ def write_partitioned_parquet(
     path: str,
     partition_cols: tuple[str, ...] = ("ds",),
     mode: str = "overwrite",
+    compression: str = "zstd",
 ) -> None:
     """Lake sink: date-partitioned parquet (the reference's S2 sink,
     ref: operators/api_to_s3.py:67-73, re-expressed columnar).
 
     ``partitionOverwriteMode=dynamic`` so a re-run of one ``ds`` replaces
     only that partition — the idempotent-backfill semantics the reference
-    gets from date-keyed S3 paths.
+    gets from date-keyed S3 paths. Default codec is zstd: at 100 TB the
+    ~25-30% size win over snappy is a first-order scan-cost lever and the
+    decode speed is comparable.
     """
     (
         df.sparkSession.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
     )
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    df.write.mode(mode).option("compression", compression).partitionBy(
+        *partition_cols
+    ).parquet(path)
 
 
 def write_bucketed_table(

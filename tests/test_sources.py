@@ -192,3 +192,18 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path_factory):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Scan orc" in plan and "PushedFilters" in plan
+
+
+def test_partitioned_writer_uses_zstd(spark, tmp_path_factory):
+    import glob as _glob
+
+    from data_engineering_etl_self_service_spark.sources.files import (
+        write_partitioned_parquet,
+    )
+
+    out = str(tmp_path_factory.mktemp("zstd_lake"))
+    df = spark.range(0, 100).selectExpr("id", "'2024-01-01' AS ds")
+    write_partitioned_parquet(df, out)
+    files = _glob.glob(f"{out}/ds=2024-01-01/*.parquet")
+    assert files and all(".zstd." in f for f in files)
+    assert spark.read.parquet(out).count() == 100
