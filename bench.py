@@ -52,18 +52,23 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
 
-    # Warm-up: run every headline query once at the SMALLEST sf so codegen +
-    # JIT compile outside the timed region (the LSH pipeline alone carries
-    # ~5-10 s of one-time compile cost that vanishes into any real job), then
-    # drop the caches the warm-up may have planted so timings are honest.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
+    # Warm-up: run every headline query at the two smallest sfs so codegen +
+    # C2 JIT compile outside the timed region (sf0.001 alone leaves the hot
+    # loops below JIT thresholds — measured ~1.5 s still burning in the first
+    # sf0.1 LSH run), then drop any caches the warm-up planted so timings are
+    # honest. Warm dirs equal to the measured dir are skipped so the timed
+    # run still pays its own page-cache/scan cost.
+    for warm_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(warm_dir):
+            continue
+        if os.path.isdir(sf_dir) and os.path.samefile(warm_dir, sf_dir):
+            continue
         for name in HEADLINE:
             try:
                 QUERIES[name](spark, warm_dir).count()
             except Exception as ex:  # never let warm-up break the bench
                 print(f"# warmup {name} failed: {ex}", file=sys.stderr)
-        spark.catalog.clearCache()
+    spark.catalog.clearCache()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
