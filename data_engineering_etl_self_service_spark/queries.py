@@ -3325,6 +3325,35 @@ def key_skew_report(spark, sf_dir):
 
 
 @register(
+    "dedup_keep_best",
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Exact dedup, keep-BEST variant: among byte-identical texts keep the
+    highest-quality representative (longest, tie → lowest id) instead of an
+    arbitrary first — the curation policy real training pipelines want when
+    duplicates differ in metadata.
+
+    Scale: one hash-partition shuffle on md5(text); the window carries only
+    (hash, n_chars, ids), never the text payload.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
     "zorder_layout",
     """
     SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem

@@ -88,3 +88,28 @@ def test_neardup_groups_transitive_closure(spark):
     out = {r.doc_id: r.group_id for r in neardup_groups(df, threshold=0.6).collect()}
     assert out.get(0) == out.get(1) == out.get(2) == 0
     assert 3 not in out  # singleton never appears in the pair graph
+
+
+def test_dedup_keep_best_policy(spark):
+    """Among byte-identical texts, keep the longest n_chars (tie → lowest
+    doc_id)."""
+    from data_engineering_etl_self_service_spark.queries import QUERIES
+    from pyspark.sql import functions as F, Window as W
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "en", "a", 9),
+            (2, "same text", "en", "b", 12),   # winner: longest
+            (3, "same text", "en", "c", 12),   # loses tie to doc 2
+            (4, "other", "en", "a", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    w = W.partitionBy(F.md5("text")).orderBy(F.desc("n_chars"), "doc_id")
+    kept = {
+        r.doc_id
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert kept == {2, 4}
