@@ -26,9 +26,13 @@ def interval_join_streams(
     ts_col: str = "ts",
     interval: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two event streams: right row within ``[l_ts, l_ts+interval]``
-    of a left row with the same key.
+    """Join two event streams: right row within ``[l_ts, l_ts+interval]``
+    of a left row with the same key. ``how`` ∈ {inner, left_outer} —
+    left-outer emits unmatched left rows (null right columns) once the
+    watermark passes ``l_ts + interval``, i.e. when a match is provably
+    impossible.
 
     Output: (key, l_id, l_ts, r_id, r_ts). Deterministic given closed
     watermarks (availableNow drains everything → full parity with the batch
@@ -49,6 +53,8 @@ def interval_join_streams(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {interval}"))
     )
-    return l.join(r, cond, "inner").select(
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how!r}")
+    return l.join(r, cond, how).select(
         F.col("l_key").alias(key), "l_id", "l_ts", "r_id", "r_ts"
     )

@@ -323,3 +323,68 @@ def test_session_stats_on_rocksdb_state_store(spark, event_stream):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, event_stream):
+    """Left-outer interval join: unmatched views emit with null purchase
+    columns once the watermark closes; totals match the batch left join."""
+    from data_engineering_etl_self_service_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    views = event_stream.filter(F.col("event_type") == "view")
+    buys = event_stream.filter(F.col("event_type") == "purchase")
+    joined = interval_join_streams(
+        views, buys, interval="30 minutes", how="left_outer"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_louter_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(r_id) AS matched FROM ss_louter_out"
+    ).collect()[0]
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = v.join(
+        b,
+        (v.user_id == b.r_user)
+        & (b.r_ts >= v.l_ts)
+        & (b.r_ts <= v.l_ts + F.expr("interval 30 minutes")),
+        "left_outer",
+    )
+    # Inner results always emit: exact parity.
+    assert got.matched == batch.filter("r_id IS NOT NULL").count()
+    assert got.n > got.matched  # some views genuinely have no purchase
+
+    # Outer results emit only when the watermark provably passes
+    # l_ts + interval; unmatched rows within (watermark + interval) of
+    # stream end stay in state — documented Spark semantics, so the batch
+    # count can exceed the streamed count ONLY by such tail rows.
+    withheld = batch.count() - got.n
+    assert withheld >= 0
+    import datetime as dt
+
+    max_v = v.agg(F.max("l_ts")).collect()[0][0]
+    max_b = b.agg(F.max("r_ts")).collect()[0][0]
+    cutoff = min(max_v, max_b) - dt.timedelta(minutes=90)
+    emitted = {r[0] for r in spark.sql("SELECT l_id FROM ss_louter_out").collect()}
+    late_unmatched = [
+        r
+        for r in batch.filter("r_id IS NULL").collect()
+        if r.l_id not in emitted
+    ]
+    assert len(late_unmatched) == withheld
+    assert all(r.l_ts >= cutoff for r in late_unmatched)
