@@ -3595,3 +3595,95 @@ def session_window_agg(spark, sf_dir):
         )
         .select("user_id", "session_start", "last_event", "n_events", "total_value")
     )
+
+
+@register(
+    "volume_anomalies",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(n_orders) AS s,
+             SUM(n_orders * n_orders) AS q
+      FROM daily)
+    SELECT day, n_orders,
+           CAST(n * n_orders - s AS DOUBLE)
+             / sqrt(CAST(n * q - s * s AS DOUBLE)) AS z,
+           (n * n_orders - s) * (n * n_orders - s) > 9 * (n * q - s * s)
+             AS is_anomaly
+    FROM daily, g
+    """,
+)
+def volume_anomalies(spark, sf_dir):
+    """Cross-run DQ monitoring: flag days whose ingest volume is a >3-sigma
+    outlier vs the table's own history — the anomaly tier above the
+    reference's static ``min_row_count`` gate (ref:
+    operators/data_quality_operator.py:81-88, which can only catch empty
+    loads, not a half-sized or doubled one).
+
+    Determinism: with z = (n*x - s)/sqrt(n*q - s^2) (population variance),
+    the 3-sigma test z^2 > 9 reduces to (n*x - s)^2 > 9*(n*q - s^2) —
+    PURE INTEGER arithmetic, so the boolean can never drift between
+    engines; the reported z itself is one float division of exact integers
+    (identical IEEE sequence both sides).
+
+    Scale: daily rollup is one partial-agg shuffle on day; the global
+    moments are a second tiny agg broadcast back — the fact table is
+    scanned once regardless of history length.
+    """
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_orders").alias("s"),
+        F.sum(F.col("n_orders") * F.col("n_orders")).alias("q"),
+    )
+    nx_s = F.col("n") * F.col("n_orders") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return daily.crossJoin(F.broadcast(g)).select(
+        "day",
+        "n_orders",
+        (nx_s.cast("double") / F.sqrt(var_n2.cast("double"))).alias("z"),
+        (nx_s * nx_s > F.lit(9) * var_n2).alias("is_anomaly"),
+    )
+
+
+@register(
+    "lang_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents)
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 60
+    """,
+)
+def lang_cap(spark, sf_dir):
+    """Per-key frequency capping (north-star curation): keep at most K=60
+    documents per language, chosen by a content-free hash of doc_id so the
+    sample is uniform, re-run-stable, and append-stable (a doc already kept
+    stays kept until K new docs out-hash it).
+
+    The same shape caps per-domain page counts — the standard defense
+    against a single crawled site dominating a 100 TB corpus.
+
+    Scale: rank<=K over a window triggers Spark's WindowGroupLimit rewrite —
+    each map task pre-truncates to its local top-K per key BEFORE the
+    exchange, so the shuffle carries O(keys * K) rows per task, not the
+    corpus; a skewed key cannot flood one reducer.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 60)
+        .drop("rk")
+    )
