@@ -36,6 +36,7 @@ HEADLINE = [
     "cosine_topk",
     "ivf_ann",
     "sq_ann",
+    "pq_ann",
     "knn_join_fast",
     "label_centroids",
     "centroid_outliers",

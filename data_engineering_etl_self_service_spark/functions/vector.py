@@ -22,6 +22,16 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product for quantized (integral) vectors.
+
+    BIGINT fold — no floating point anywhere, so the result is
+    order-independent and engine-portable (DuckDB's ``list_dot_product``
+    on BIGINT lists matches bit-for-bit)."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -1060,6 +1060,80 @@ def sq_ann(spark, sf_dir):
 
 
 @register(
+    "pq_ann",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                  ELSE 0.0 END AS s
+      FROM base),
+    quant AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS qv
+      FROM scaled),
+    subs AS (SELECT CAST(m AS INT) AS m FROM range(0, 8) t(m)),
+    cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv
+      FROM (SELECT vec_id, qv FROM quant ORDER BY vec_id LIMIT 16)),
+    cbsub AS (
+      SELECT s.m, c.code, list_slice(c.qv, s.m * 8 + 1, s.m * 8 + 8) AS cs
+      FROM cb c CROSS JOIN subs s),
+    vsub AS (
+      SELECT e.vec_id, s.m, list_slice(e.qv, s.m * 8 + 1, s.m * 8 + 8) AS vs
+      FROM quant e CROSS JOIN subs s),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT v.vec_id, v.m, c.code,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m ORDER BY
+                   CAST(list_dot_product(v.vs, v.vs) AS BIGINT)
+                 + CAST(list_dot_product(c.cs, c.cs) AS BIGINT)
+                 - 2 * CAST(list_dot_product(v.vs, c.cs) AS BIGINT),
+                 c.code) AS rn
+        FROM vsub v JOIN cbsub c ON v.m = c.m)
+      WHERE rn = 1),
+    qtab AS (
+      SELECT q.vec_id AS query_id, c.m, c.code,
+               CAST(list_dot_product(q.vs, q.vs) AS BIGINT)
+             + CAST(list_dot_product(c.cs, c.cs) AS BIGINT)
+             - 2 * CAST(list_dot_product(q.vs, c.cs) AS BIGINT) AS qd2
+      FROM vsub q JOIN cbsub c ON q.m = c.m
+      WHERE q.vec_id < 3),
+    scored AS (
+      SELECT t.query_id, e.vec_id, SUM(t.qd2) AS adc_dist2
+      FROM enc e JOIN qtab t ON e.m = t.m AND e.code = t.code
+      WHERE e.vec_id <> t.query_id
+      GROUP BY t.query_id, e.vec_id)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist2 FROM (
+      SELECT query_id, vec_id, adc_dist2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist2, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def pq_ann(spark, sf_dir):
+    """Product-quantization ANN (ADC top-10) — the 32×-less-I/O code tier
+    (64 float32 dims → 8 one-byte codes; operators/similarity.py pq_*).
+
+    Codes + distance tables are exact BIGINTs end-to-end, so even this
+    doubly-approximated tier (SQ8 then PQ) stays hash-oracle-checkable;
+    ADC-vs-true-quantized-distance identity is pinned in
+    tests/test_similarity.py.
+    """
+    from .operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    out = pq_topk(e, q, k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
     "knn_join",
     f"""
     WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec

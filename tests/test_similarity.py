@@ -83,6 +83,48 @@ def test_sq8_zero_vector_is_safe(spark):
     assert out[2] == [64, -127]  # floor(1*63.5+0.5), floor(-2*63.5+0.5)
 
 
+def test_pq_adc_matches_numpy(spark, sf_dir):
+    """PQ codes and ADC scores must equal an independent numpy recompute
+    (int8 quantize → subspace slice → argmin → table lookup sum) exactly —
+    every step is integer, so there is no tolerance."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.similarity import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query(e, n=3)
+    got = {
+        (r.query_id, r.vec_id): (r.rank, r.adc_dist2)
+        for r in pq_topk(e, q, k=10).collect()
+    }
+    assert len(got) == 30
+
+    rows = sorted(e.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    maxabs = np.abs(M).max(axis=1, keepdims=True)
+    scale = np.divide(127.0, maxabs, out=np.zeros_like(maxabs), where=maxabs > 0)
+    Q = np.floor(M * scale + 0.5).astype(np.int64)
+
+    nsub, k_codes, sub = 8, 16, 8
+    cb = Q[:k_codes]
+    codes = np.zeros((len(ids), nsub), dtype=np.int64)
+    dtab = np.zeros((len(ids), nsub, k_codes), dtype=np.int64)
+    for m in range(nsub):
+        vs = Q[:, m * sub : (m + 1) * sub]
+        cs = cb[:, m * sub : (m + 1) * sub]
+        d2 = ((vs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = d2.argmin(axis=1)  # first-min = lowest code on ties
+        dtab[:, m, :] = d2
+
+    for qi in range(3):
+        qrow = int(np.flatnonzero(ids == qi)[0])
+        adc = dtab[qrow][np.arange(nsub)[:, None], codes.T].sum(axis=0)
+        cand = [(int(adc[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != qi]
+        for rank, (d, vid) in enumerate(sorted(cand)[:10], start=1):
+            assert got[(qi, vid)] == (rank, d)
+
+
 def test_knn_join_is_cell_bounded_exact(spark, sf_dir):
     """Each vector's blocked-KNN neighbor can never beat the true (global)
     nearest neighbor, and the reported cosine matches the brute-force score
