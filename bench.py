@@ -40,6 +40,7 @@ HEADLINE = [
     "knn_join_fast",
     "label_centroids",
     "centroid_outliers",
+    "kmeans_clusters",
     "scd2_history",
     "quality_scores",
     "term_doc_freq",

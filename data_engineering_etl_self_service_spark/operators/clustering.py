@@ -1,0 +1,163 @@
+"""Deterministic distributed k-means over embedding columns.
+
+North-star operator (no counterpart in the reference — the clustering the
+reference's implied analytics would need for topic bucketing / semantic
+sharding of a training corpus).
+
+Why a FIXED-POINT Lloyd: textbook k-means is float arithmetic, and float
+sums are order-dependent — across partitionings, runs, and engines the
+centroids (then the assignments) drift, which makes the operator untestable
+against an oracle and non-reproducible in production. Here every quantity
+is an exact integer:
+
+- vectors are quantized once to 1e-6 fixed point (``floor(x * 1e6)`` —
+  float32 inputs carry < 8 significant decimal digits, so nothing real is
+  lost);
+- squared L2 distances are BIGINT sums of squared integer diffs;
+- centroid updates are elementwise integer FLOOR division of the
+  per-cluster component sums (the portable ``(s - ((s%n)+n)%n) div n``
+  form, identical in Spark and ANSI SQL);
+- ties (equal distance) break to the lowest cluster id.
+
+The result: bit-identical clusters on any partitioning, any engine —
+Lloyd's algorithm as a pure function of the data. Quantization error is
+1e-6 per component, invisible next to k-means' own local-optimum noise.
+
+Execution shape (designed for 100 TB):
+
+- ASSIGNMENT IS SHUFFLE-FREE: centroids are inlined as literal expressions
+  (k × dim ints), and the argmin is a per-row ``array_min`` over a
+  transform — whole-stage-codegen'd, no crossJoin, no exchange.
+- The update step shuffles only (cluster, pos) partial sums — k × dim rows
+  after map-side combine, independent of corpus size.
+- Centroids live on the driver between iterations (k × dim ints), exactly
+  like MLlib's implementation — NOT a growing lazy plan, so iteration T
+  does not recompute iterations 1..T-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000  # 1e-6 fixed point
+
+
+def _fixed(vec_col: str) -> Column:
+    return F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * SCALE)
+    )
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Exact BIGINT squared L2 distance between integer vectors."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _best_cluster(xf: Column, centroids: list[list[int]]) -> Column:
+    """(d2, cid) struct of the nearest centroid — a pure expression.
+
+    Centroids are literal arrays; ``array_min`` over (d2, cid) structs is
+    the argmin with ties to the lowest cluster id. No join, no shuffle.
+    """
+    cents = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(int(v)) for v in cv]).alias("cv"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in enumerate(centroids)
+        ]
+    )
+    scored = F.transform(
+        cents,
+        lambda s: F.struct(
+            _d2(xf, s["cv"]).alias("d2"), s["cid"].alias("cid")
+        ),
+    )
+    return F.array_min(scored)
+
+
+def _init_centroids(
+    embs: DataFrame, k: int, vec_col: str, id_col: str
+) -> list[list[int]]:
+    """Training-free deterministic init: the k lowest-id vectors (same rule
+    as similarity.first_n_centroids)."""
+    rows = (
+        embs.select(id_col, _fixed(vec_col).alias("xf"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [list(r["xf"]) for r in rows]
+
+
+def kmeans_fit(
+    embs: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[int]]:
+    """Run ``n_iters`` exact Lloyd iterations; return final integer
+    centroids (k × dim, 1e-6 fixed point). Empty clusters keep their
+    previous centroid."""
+    cents = _init_centroids(embs, k, vec_col, id_col)
+    xfdf = embs.select(_fixed(vec_col).alias("xf"))
+    for _ in range(n_iters):
+        assigned = xfdf.withColumn("cid", _best_cluster(F.col("xf"), cents)["cid"])
+        sums = (
+            assigned.select("cid", F.posexplode("xf").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cluster -> carry previous
+        per_cluster: dict[int, list] = {}
+        for r in sums:
+            per_cluster.setdefault(r["cid"], []).append(r)
+        for cid, rows in per_cluster.items():
+            for r in rows:
+                s, n = int(r["s"]), int(r["n"])
+                new[cid][r["pos"]] = (s - ((s % n) + n) % n) // n
+        cents = new
+    return cents
+
+
+def kmeans_assign(
+    embs: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid.
+
+    Output: input columns + (cluster_id, d2). Pure map-side expression —
+    at 100 TB this is the write-time labeling pass that turns cluster_id
+    into a partition key."""
+    best = _best_cluster(_fixed(vec_col), centroids)
+    return embs.withColumn("_b", best).select(
+        *embs.columns,
+        F.col("_b")["cid"].alias("cluster_id"),
+        F.col("_b")["d2"].alias("d2"),
+    )
+
+
+def kmeans_summary(
+    embs: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fit + assign + per-cluster rollup: (cluster_id, n_vecs, inertia).
+
+    ``inertia`` is the exact BIGINT sum of squared fixed-point distances —
+    the engine-portable training loss."""
+    cents = kmeans_fit(embs, k, n_iters, vec_col, id_col)
+    assigned = kmeans_assign(embs, cents, vec_col, id_col)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("d2").alias("inertia"),
+    )

@@ -1059,6 +1059,87 @@ def sq_ann(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def _kmeans_oracle(k: int = 8, n_iters: int = 3) -> str:
+    """Unrolled fixed-point Lloyd in ANSI SQL: every iteration is one
+    assign CTE (argmin by exact BIGINT d2) + one centroid-update CTE
+    (elementwise integer floor-division mean, empty clusters carried)."""
+    ctes = [
+        """xq AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS xf
+      FROM embeddings)""",
+        f"""cents_0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, xf AS cv
+      FROM (SELECT vec_id, xf FROM xq ORDER BY vec_id LIMIT {k}))""",
+    ]
+    d2 = (
+        "CAST(list_dot_product(v.xf, v.xf) AS BIGINT)"
+        " + CAST(list_dot_product(c.cv, c.cv) AS BIGINT)"
+        " - 2 * CAST(list_dot_product(v.xf, c.cv) AS BIGINT)"
+    )
+    for i in range(n_iters):
+        ctes.append(
+            f"""assign_{i} AS (
+      SELECT vec_id, xf, cid, d2 FROM (
+        SELECT vec_id, xf, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (SELECT v.vec_id, v.xf, c.cid, {d2} AS d2
+              FROM xq v CROSS JOIN cents_{i} c))
+      WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""cents_{i + 1} AS (
+      SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+      FROM cents_{i} p LEFT JOIN (
+        SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cv
+        FROM (SELECT cid, pos, SUM(x) AS s, COUNT(*) AS n
+              FROM (SELECT cid, generate_subscripts(xf, 1) AS pos,
+                           unnest(xf) AS x
+                    FROM assign_{i})
+              GROUP BY cid, pos)
+        GROUP BY cid) u ON p.cid = u.cid)"""
+        )
+    ctes.append(
+        f"""final_assign AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (SELECT v.vec_id, c.cid, {d2} AS d2
+              FROM xq v CROSS JOIN cents_{n_iters} c))
+      WHERE rn = 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT cid AS cluster_id, COUNT(*) AS n_vecs,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM final_assign GROUP BY cid"""
+    )
+
+
+@register("kmeans_clusters", _kmeans_oracle(k=8, n_iters=3))
+def kmeans_clusters(spark, sf_dir):
+    """Deterministic k-means (k=8, 3 exact Lloyd iterations) — per-cluster
+    size and integer inertia. The rare thing here: an ITERATIVE algorithm
+    that still hash-matches an ANSI-SQL oracle, because every step is
+    fixed-point integer arithmetic (operators/clustering.py — quantized
+    vectors, BIGINT distances, floor-division centroid means, lowest-id
+    tie-breaks). The oracle unrolls the three iterations as CTE pairs.
+
+    Scale: assignment is a shuffle-free codegen'd expression (centroids
+    inlined as literals); each iteration shuffles only k×dim partial sums;
+    centroids are driver state exactly as in MLlib — no growing lineage.
+    """
+    from .operators.clustering import kmeans_summary
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_summary(e, k=8, n_iters=3).withColumn(
+        "cluster_id", F.col("cluster_id").cast("bigint")
+    )
+
+
 @register(
     "pq_ann",
     """
