@@ -1059,6 +1059,45 @@ def sq_ann(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@register(
+    "variant_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_extract(spark, sf_dir):
+    """Semi-structured ingestion via Spark 4's VARIANT type: the JSON
+    ``props`` payload is parsed ONCE into the binary variant encoding
+    (``parse_json``), then fields are extracted with typed
+    ``variant_get`` paths — the schemaless twin of the reference's
+    ``pd.read_json`` load (ref: operators/data_quality_operator.py:69)
+    that needs no declared schema and no per-access string re-parse.
+
+    Scale: variant parse + path extraction are JVM intrinsics inside
+    whole-stage codegen (no UDF); at rest, shredded variant columns keep
+    parquet column pruning for hot paths. Integer sums keep the oracle
+    exact.
+    """
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _kmeans_oracle(k: int = 8, n_iters: int = 3) -> str:
     """Unrolled fixed-point Lloyd in ANSI SQL: every iteration is one
     assign CTE (argmin by exact BIGINT d2) + one centroid-update CTE

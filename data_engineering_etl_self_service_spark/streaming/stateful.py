@@ -59,6 +59,98 @@ def foreach_batch_parquet(stream_df: DataFrame, out_dir: str, query_name: str):
     )
 
 
+def user_event_profile(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user event-type profile via Spark 4's ``transformWithStateInPandas``
+    — the successor API to ``applyInPandasWithState`` with TYPED state
+    primitives (ValueState / MapState / ListState, optional TTL) backed by
+    the state store.
+
+    State here: a ValueState running total and a MapState of per-event-type
+    counts — the shape ``GroupState``'s single-tuple state cannot express
+    without serializing a whole dict per update. Emits one row per user per
+    micro-batch: (user_id, n_events, total_value, n_types, top_type);
+    ``top_type`` ties break lexicographically for determinism.
+
+    Scale: state is keyed by user and lives in the state store (RocksDB
+    provider at 100 TB/day); per-type counts are point lookups, not a
+    re-aggregation of history.
+
+    Runtime requirement: the transformWithState Python runner speaks
+    protobuf to the JVM state server — ``google.protobuf`` must be
+    importable on workers (absent → the query fails at start; the parity
+    test skips in such environments).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+            self._types = handle.getMapState(
+                "types", "event_type string", "c long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for et, c in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._types.getValue((et,))[0]
+                        if self._types.containsKey((et,))
+                        else 0
+                    )
+                    self._types.updateValue((et,), (prev + int(c),))
+            self._totals.update((n, total))
+            counts = sorted(
+                (k[0], v[0]) for k, v in self._types.iterator()
+            )
+            # deterministic top type: highest count, then lexicographically first
+            best = None
+            for et, c in counts:  # counts already sorted by event_type
+                if best is None or c > best[1]:
+                    best = (et, c)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "n_types": [len(counts)],
+                    "top_type": [best[0] if best else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = (
+        "user_id long, n_events long, total_value double, "
+        "n_types int, top_type string"
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_Profile(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 _COUNTER_STATE_SCHEMA = "n long, total double"
 _COUNTER_OUT_SCHEMA = "user_id long, n long, total double"
 

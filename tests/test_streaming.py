@@ -139,6 +139,73 @@ def test_running_user_counters_state(spark, tmp_path_factory):
         assert abs(got[u][1] - expected[u][1]) < 1e-6
 
 
+def test_user_event_profile_transform_with_state(spark, tmp_path_factory):
+    """transformWithStateInPandas (Spark 4 typed-state API): the per-user
+    profile emitted after the last micro-batch must equal the batch
+    ground truth (count, total, distinct types, modal type with lexical
+    tie-break).
+
+    The runner needs protobuf (spark-connect wire format for the state
+    server); environments without it can't start the Python state worker,
+    so the test skips there — the operator itself is plain PySpark.
+    """
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState runner needs protobuf"
+    )
+    from data_engineering_etl_self_service_spark.streaming.stateful import (
+        user_event_profile,
+    )
+
+    src = str(tmp_path_factory.mktemp("prof_src"))
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = user_event_profile(spark.readStream.schema(schema).parquet(src))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profile_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.n_types, r.top_type)
+        for r in spark.sql(
+            """SELECT user_id, last(n_events) AS n_events,
+                      last(total_value) AS total_value,
+                      last(n_types) AS n_types, last(top_type) AS top_type
+               FROM profile_out GROUP BY user_id"""
+        ).collect()
+    }
+    per_type = {
+        (r.user_id, r.event_type): r.c
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    expected = {}
+    for (u, et), c in sorted(per_type.items()):
+        n, tot, types = expected.get(u, (0, 0.0, []))
+        expected[u] = (n + c, tot, types + [(et, c)])
+    totals = {
+        r.user_id: r.total
+        for r in ev.groupBy("user_id").agg(F.sum("value").alias("total")).collect()
+    }
+    assert set(got) == set(expected)
+    for u, (n, _tot, types) in expected.items():
+        best = None
+        for et, c in sorted(types):
+            if best is None or c > best[1]:
+                best = (et, c)
+        assert got[u][0] == n
+        assert abs(got[u][1] - totals[u]) < 1e-6
+        assert got[u][2] == len(types)
+        assert got[u][3] == best[0]
+
+
 def test_kafka_serde_roundtrip_and_builder_wiring(spark):
     """S6/S7 serde pair: to_json(struct(*)) → from_json recovers the rows
     byte-for-byte (the broker itself is absent in this container, so the
