@@ -1060,6 +1060,46 @@ def sq_ann(spark, sf_dir):
 
 
 @register(
+    "token_runs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+               AS pos
+      FROM documents),
+    islands AS (
+      SELECT doc_id, token, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, token
+                                      ORDER BY pos) AS isl
+      FROM toks)
+    SELECT doc_id, token, MIN(pos) AS run_start, COUNT(*) AS run_len
+    FROM islands
+    GROUP BY doc_id, token, isl
+    HAVING COUNT(*) >= 3
+    """,
+)
+def token_runs(spark, sf_dir):
+    """Degenerate-repetition spans via a Python UDTF (§2.10 extension
+    surface): maximal runs of >= 3 identical consecutive tokens, one output
+    row per run (functions/udtf.py TokenRuns, used through SQL LATERAL).
+
+    The oracle is the declarative twin (unnest + gaps-and-islands) — which
+    is also the shape to prefer at 100 TB; the UDTF form pins that the
+    engine's table-function extension point works end-to-end and agrees
+    with the relational semantics exactly.
+    """
+    from .functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT r.doc_id, r.token, r.run_start, r.run_len "
+        "FROM _docs_udtf, LATERAL token_runs(doc_id, text) r"
+    )
+
+
+@register(
     "variant_extract",
     """
     SELECT event_type,
