@@ -206,6 +206,60 @@ def test_user_event_profile_transform_with_state(spark, tmp_path_factory):
         assert got[u][3] == best[0]
 
 
+def test_synthetic_stream_datasource(spark, tmp_path_factory):
+    """Python streaming data source: micro-batches arrive in rowsperbatch
+    strides, rows are the exact deterministic function of the global index
+    (replay-safe like Kafka offsets), and the reference vocabularies hold."""
+    from data_engineering_etl_self_service_spark.sources.stream_source import (
+        gen_event,
+        register_synthetic_stream,
+    )
+    from data_engineering_etl_self_service_spark.sources.synthetic import (
+        EVENT_TYPES,
+        URLS,
+        UTM_SOURCES,
+    )
+
+    assert register_synthetic_stream(spark)
+    ckpt = str(tmp_path_factory.mktemp("synth_ckpt"))
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsperbatch", "50")
+        .option("numpartitions", "4")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) c FROM synth_out").first().c >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM synth_out").collect()
+    assert len(rows) >= 100 and len(rows) % 50 == 0
+
+    # deterministic replay: the collected rows are exactly gen_event(0..n)
+    expected = {gen_event(i) for i in range(len(rows))}
+    got = {
+        (r.user_id, r.event_type, r.url, r.timestamp, r.utm_source)
+        for r in rows
+    }
+    assert got == expected
+    assert all(r.event_type in EVENT_TYPES for r in rows)
+    assert all(r.url in URLS for r in rows)
+    assert all(r.utm_source in UTM_SOURCES for r in rows)
+
+
 def test_kafka_serde_roundtrip_and_builder_wiring(spark):
     """S6/S7 serde pair: to_json(struct(*)) → from_json recovers the rows
     byte-for-byte (the broker itself is absent in this container, so the
