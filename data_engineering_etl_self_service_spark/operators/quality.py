@@ -41,6 +41,7 @@ KNOWN_CHECKS = (
     "value_range",
     "accepted_values",
     "foreign_key",
+    "freshness",
 )
 
 
@@ -149,6 +150,17 @@ def compile_checks(
             else:  # accepted_values
                 ok = F.col(col).isin(list(p.get("values", []))) | F.col(col).isNull()
                 agg_cols.append(F.sum((~ok).cast("long")).alias(f"_dq_{i}_viol"))
+        elif t == "freshness":
+            # max(ts) fuses into the single pass; the lag comparison happens
+            # driver-side against the run's explicit as_of (never wall-clock
+            # now() — freshness must be reproducible per scheduled run).
+            col = p.get("column")
+            if col not in df.columns:
+                immediate.append((check, {"absent": True}))
+            else:
+                agg_cols.append(
+                    F.max(F.col(col).cast("timestamp")).alias(f"_dq_{i}_maxts")
+                )
         elif t == "foreign_key":
             # Referential integrity needs a second table — it cannot fuse
             # into the single-pass agg; compile_checks defers it and
@@ -180,7 +192,7 @@ def run_checks(df: DataFrame, checks: list[Check | dict]) -> DQReport:
                 results.append(
                     CheckResult(check, not missing, f"missing columns: {missing}" if missing else "all present")
                 )
-            elif t in ("unique_column", "non_null", "value_range", "accepted_values", "foreign_key"):
+            elif t in ("unique_column", "non_null", "value_range", "accepted_values", "foreign_key", "freshness"):
                 results.append(CheckResult(check, False, f"column '{p.get('column')}' not found"))
             else:
                 results.append(CheckResult(check, False, f"unknown check_type '{t}'"))
@@ -201,6 +213,30 @@ def run_checks(df: DataFrame, checks: list[Check | dict]) -> DQReport:
         elif t in ("value_range", "accepted_values"):
             viol = row[f"_dq_{i}_viol"] or 0
             results.append(CheckResult(check, viol == 0, f"violations={viol}"))
+        elif t == "freshness":
+            import datetime as _dt
+
+            maxts = row[f"_dq_{i}_maxts"]
+            as_of = p.get("as_of")
+            as_of_dt = (
+                _dt.datetime.fromisoformat(as_of)
+                if isinstance(as_of, str)
+                else as_of
+            )
+            lag = float(p.get("max_lag_seconds", 86400))
+            if maxts is None or as_of_dt is None:
+                results.append(
+                    CheckResult(check, False, f"max({p.get('column')})=None")
+                )
+            else:
+                behind = (as_of_dt - maxts).total_seconds()
+                results.append(
+                    CheckResult(
+                        check,
+                        behind <= lag,
+                        f"max_ts={maxts.isoformat()} lag_s={behind:.0f} max_lag_s={lag:.0f}",
+                    )
+                )
         elif t == "foreign_key":
             # side job: orphan keys = left anti join against the ref column.
             # At 100 TB the ref side is usually a dimension → broadcast; a

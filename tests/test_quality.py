@@ -174,3 +174,39 @@ def test_foreign_key_check_pass_and_fail(spark, tmp_path_factory):
           "ref_path": ref_dir, "ref_column": "k"}],
     )
     assert not absent.passed
+
+
+def test_freshness_check(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2025-07-28 10:00:00"), (2, "2025-07-28 23:30:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    fresh = run_checks(
+        df,
+        [{"check_type": "freshness", "column": "ts",
+          "as_of": "2025-07-29T00:00:00", "max_lag_seconds": 3600}],
+    )
+    assert fresh.passed  # 30 min behind as_of, within 1 h
+
+    stale = run_checks(
+        df,
+        [{"check_type": "freshness", "column": "ts",
+          "as_of": "2025-07-30T00:00:00", "max_lag_seconds": 3600}],
+    )
+    assert not stale.passed
+    assert "lag_s=88200" in stale.failures[0]
+
+    empty = run_checks(
+        df.filter("id < 0"),
+        [{"check_type": "freshness", "column": "ts",
+          "as_of": "2025-07-29T00:00:00"}],
+    )
+    assert not empty.passed  # no data at all is maximally stale
+
+    absent = run_checks(
+        df, [{"check_type": "freshness", "column": "nope", "as_of": "2025-07-29T00:00:00"}]
+    )
+    assert not absent.passed
