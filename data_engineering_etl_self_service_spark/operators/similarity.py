@@ -171,35 +171,46 @@ def sq_topk(
     )
 
 
-def pq_codebook(
+def collect_pq_codebook(
     embs: DataFrame,
     n_subspaces: int = 8,
     n_codes: int = 16,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """Deterministic product-quantization codebook: (m, code, cs).
+) -> list[list[list[int]]]:
+    """Deterministic product-quantization codebook as driver state:
+    ``cb[m][code] -> int8 sub-vector`` (``n_subspaces`` contiguous slices,
+    ``n_codes`` codewords each).
 
-    The vector space is split into ``n_subspaces`` contiguous slices; each
-    subspace gets ``n_codes`` codewords taken from the int8-quantized
-    sub-vectors of the ``n_codes`` lowest-id rows (the same training-free
-    determinism rule as :func:`first_n_centroids` — a real deployment would
-    k-means per subspace, but codeword choice must be a pure function of
-    the data to stay oracle-checkable).
+    Codewords are the int8-quantized sub-vectors of the ``n_codes``
+    lowest-id rows — the same training-free determinism rule as
+    :func:`first_n_centroids` (a real deployment would k-means per
+    subspace, but codeword choice must be a pure function of the data to
+    stay oracle-checkable). The only cluster work is a top-K-by-id fetch
+    (TakeOrderedAndProject over the scan); quantization of those K rows
+    happens here in Python with the exact IEEE sequence of
+    :func:`quantize_int8` (double ops are elementwise → bit-identical).
+
+    M × K × sub ints of driver state — a training artifact, exactly like
+    k-means centroids (operators/clustering.py) or MLlib models.
     """
+    import math
+
     sub = dim // n_subspaces
-    qe = quantize_int8(embs, vec_col, "qv").select(id_col, "qv")
-    w = Window.orderBy(id_col)
-    first_k = (
-        qe.orderBy(id_col)
-        .limit(n_codes)
-        .withColumn("code", F.row_number().over(w) - 1)
+    rows = sorted(
+        embs.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect(),
+        key=lambda r: r[id_col],
     )
-    m = F.explode(F.array([F.lit(i) for i in range(n_subspaces)])).alias("m")
-    return first_k.select("code", m, "qv").select(
-        "m", "code", F.slice("qv", F.col("m") * sub + 1, sub).alias("cs")
-    )
+    cb: list[list[list[int]]] = [[] for _ in range(n_subspaces)]
+    for r in rows:
+        v = [float(x) for x in r[vec_col]]
+        maxabs = max((abs(x) for x in v), default=0.0)
+        scale = 127.0 / maxabs if maxabs > 0 else 0.0
+        q = [math.floor(x * scale + 0.5) for x in v]
+        for m in range(n_subspaces):
+            cb[m].append(q[m * sub : (m + 1) * sub])
+    return cb
 
 
 def pq_encode(
@@ -209,41 +220,59 @@ def pq_encode(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    codebook: list[list[list[int]]] | None = None,
 ) -> DataFrame:
-    """Product-quantization encoding: (vec_id, m, code), one row per
-    (vector, subspace), code = argmin squared L2 to the subspace codebook
-    (ties → lowest code).
+    """Product-quantization encoding: (vec_id, codes array<int>), code m =
+    argmin squared L2 between the m-th int8-quantized sub-vector and the
+    m-th subspace codebook (ties → lowest code).
 
-    All distances are exact BIGINTs (int8 sub-vectors; d2 = <a,a> + <c,c>
-    - 2<a,c>), so encoding can never drift between engines. At 100 TB this
-    runs ONCE at write time and the stored representation is
-    ``n_subspaces`` single-byte codes per vector — a 32× scan-size
-    reduction vs float32 (64 dims → 8 bytes), which is the entire point:
+    Implementation is an Arrow-batched numpy ``mapInPandas`` — and unlike
+    the float BLAS twins elsewhere, this is NOT an approximation trade:
+    quantization is elementwise IEEE-identical and every distance is int64
+    matrix arithmetic, so the numpy path is bit-identical to the
+    relational/SQL definition (the pq_ann oracle pins exactly that). A
+    pure-expression encode was measured 10-20× slower: the argmin needs
+    n_subspaces × n_codes interpreted higher-order-function folds per row,
+    at ~µs per fold call.
+
+    Scale: shuffle-free map over the scan; runs ONCE at write time, and
+    the stored representation is ``n_subspaces`` single-byte codes per
+    vector — a 32× scan-size reduction vs float32 (64 dims → 8 bytes):
     ANN candidate generation reads codes, never raw vectors.
-
-    Shuffle shape: the codebook is broadcast; the argmin is a map-side
-    partial ``min_by`` over narrow (id, m, d2, code) rows — the K-way
-    expansion never reaches the exchange.
     """
+    import numpy as np
+
     sub = dim // n_subspaces
-    cb = F.broadcast(
-        pq_codebook(embs, n_subspaces, n_codes, dim, vec_col, id_col)
+    cb = codebook or collect_pq_codebook(
+        embs, n_subspaces, n_codes, dim, vec_col, id_col
     )
-    qe = quantize_int8(embs, vec_col, "qv").select(id_col, "qv")
-    m = F.explode(F.array([F.lit(i) for i in range(n_subspaces)])).alias("m")
-    vs = qe.select(id_col, m, "qv").select(
-        id_col, "m", F.slice("qv", F.col("m") * sub + 1, sub).alias("vs")
-    )
-    d2 = (
-        idot(F.col("vs"), F.col("vs"))
-        + idot(F.col("cs"), F.col("cs"))
-        - 2 * idot(F.col("vs"), F.col("cs"))
-    )
-    return (
-        vs.join(cb, "m")
-        .withColumn("d2", d2)
-        .groupBy(id_col, "m")
-        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    C = np.asarray(cb, dtype=np.int64)  # (M, K, sub)
+    CC = (C * C).sum(axis=2)  # (M, K)
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            maxabs = np.abs(M).max(axis=1, keepdims=True)
+            scale = np.divide(
+                127.0, maxabs, out=np.zeros_like(maxabs), where=maxabs > 0
+            )
+            Q = np.floor(M * scale + 0.5).astype(np.int64)
+            codes = np.empty((len(Q), n_subspaces), dtype=np.int32)
+            for m in range(n_subspaces):
+                vs = Q[:, m * sub : (m + 1) * sub]
+                # argmin ||v-c||^2 = argmin (<c,c> - 2<v,c>); first min on
+                # ties = lowest code, matching the SQL ROW_NUMBER order.
+                codes[:, m] = np.argmin(CC[m] - 2 * (vs @ C[m].T), axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return embs.select(id_col, vec_col).mapInPandas(
+        encode_batches, f"{id_col} long, codes array<int>"
     )
 
 
@@ -259,39 +288,43 @@ def pq_topk(
 ) -> DataFrame:
     """Top-k by asymmetric distance computation (ADC) over PQ codes.
 
-    Per query: build the M×K table of exact squared L2 distances from the
-    query's int8 sub-vectors to every codeword, then score each corpus
-    vector as the SUM of table entries selected by its stored codes — a
-    join on (m, code) against a broadcast table, never touching raw
-    vectors. Scores are exact BIGINTs → rank order is engine-portable.
+    Each corpus vector is scored as the sum over subspaces of the exact
+    squared L2 distance between the query's int8 sub-vector and the
+    CODEWORD selected by the vector's stored code — raw corpus vectors are
+    never touched. Codewords are literal expressions (driver-state
+    codebook), so scoring is a codegen'd per-row fold after one broadcast
+    join of the (few) quantized queries; the only exchange in the whole
+    plan is the final per-query top-k window. Scores are exact BIGINTs →
+    rank order is engine-portable.
 
     Output: (query_id, rank, vec_id, adc_dist2), rank 1..k ascending
     distance (ties → lowest vec_id).
     """
     sub = dim // n_subspaces
-    cb = pq_codebook(embs, n_subspaces, n_codes, dim, vec_col, id_col)
-    enc = pq_encode(embs, n_subspaces, n_codes, dim, vec_col, id_col)
-    qq = quantize_int8(query, "vec", "qv").select("query_id", "qv")
-    m = F.explode(F.array([F.lit(i) for i in range(n_subspaces)])).alias("m")
-    qsub = qq.select("query_id", m, "qv").select(
-        "query_id", "m", F.slice("qv", F.col("m") * sub + 1, sub).alias("qs")
+    cb = collect_pq_codebook(embs, n_subspaces, n_codes, dim, vec_col, id_col)
+    enc = pq_encode(
+        embs, n_subspaces, n_codes, dim, vec_col, id_col, codebook=cb
     )
-    qd2 = (
-        idot(F.col("qs"), F.col("qs"))
-        + idot(F.col("cs"), F.col("cs"))
-        - 2 * idot(F.col("qs"), F.col("cs"))
+    qq = quantize_int8(query, "vec", "qv").select(
+        "query_id", F.col("qv").alias("qqv")
     )
-    qtab = (
-        qsub.join(cb, "m")
-        .withColumn("qd2", qd2)
-        .select("query_id", "m", "code", "qd2")
-    )
-    scored = (
-        enc.join(F.broadcast(qtab), ["m", "code"])
-        .filter(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", id_col)
-        .agg(F.sum("qd2").alias("adc_dist2"))
-    )
+    pairs = enc.join(F.broadcast(qq), F.col(id_col) != F.col("query_id"))
+
+    def _m_dist(m: int) -> "F.Column":
+        qs = F.slice("qqv", m * sub + 1, sub)
+        qq2 = idot(qs, qs)
+        cw_arr = F.array(
+            *[F.array(*[F.lit(x) for x in cw]) for cw in cb[m]]
+        )
+        cc_arr = F.array(*[F.lit(sum(x * x for x in cw)) for cw in cb[m]])
+        code1 = F.element_at(F.col("codes"), m + 1) + 1
+        cs = F.element_at(cw_arr, code1)
+        return qq2 + F.element_at(cc_arr, code1) - 2 * idot(qs, cs)
+
+    adc = _m_dist(0)
+    for m in range(1, n_subspaces):
+        adc = adc + _m_dist(m)
+    scored = pairs.select("query_id", id_col, adc.alias("adc_dist2"))
     w = Window.partitionBy("query_id").orderBy("adc_dist2", id_col)
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1060,6 +1060,49 @@ def sq_ann(spark, sf_dir):
 
 
 @register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type, next_type, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the clickstream: for each
+    event type, where users go next and with what probability — the flow
+    model behind funnel/drop-off analysis (the reference's stated purpose,
+    ref: README.md:1; its event_type vocab at dags/kafka_stream.py:28 rec.).
+
+    Determinism: next-event ordering is total ((ts, event_id) tiebreak);
+    probabilities are one double division of exact integer counts.
+
+    Scale: one shuffle on user_id for the LEAD window; the transition
+    rollup then aggregates K² tiny groups; the probability normalization
+    is a window over those K groups — negligible after the collapse.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = W.partitionBy("event_type")
+    return counts.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(wt)
+    )
+
+
+@register(
     "token_runs",
     """
     WITH toks AS (
