@@ -1060,6 +1060,105 @@ def sq_ann(spark, sf_dir):
 
 
 @register(
+    "linear_interp_fill",
+    f"""
+    WITH sub AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value
+      FROM events WHERE user_id < 3 AND event_type = 'purchase'),
+    daily AS (
+      SELECT user_id, d, {dsum_expr('value')} AS rev
+      FROM sub GROUP BY user_id, d),
+    b AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+          FROM events),
+    spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                     AS DATE) AS d FROM b),
+    grid AS (SELECT u.user_id, s.d
+             FROM (SELECT DISTINCT user_id FROM sub) u, spine s),
+    j AS (
+      SELECT g.user_id, g.d, daily.rev FROM grid g
+      LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d),
+    ctx AS (
+      SELECT user_id, d, rev,
+             last_value(rev IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wp AS pd,
+             first_value(rev IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS)
+               OVER wn AS nd
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, d, rev,
+           CASE WHEN rev IS NOT NULL THEN rev
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                     * (CAST(date_diff('day', pd, d) AS DOUBLE)
+                        / CAST(date_diff('day', pd, nd) AS DOUBLE))
+           END AS rev_interp
+    FROM ctx
+    """,
+)
+def linear_interp_fill(spark, sf_dir):
+    """Date-spine densification with LINEAR interpolation — the numeric
+    companion to ``daily_gap_fill``'s forward fill: interior gaps take the
+    line between the surrounding observations, edge gaps take the nearest
+    one (sensor/metric resampling semantics).
+
+    Determinism: observed values ride the DECIMAL transit; the interp is
+    one identical IEEE sequence (pv + (nv-pv)*(Δ1/Δ2)) of exact inputs on
+    both engines.
+
+    Scale: both windows (previous / next observation) share ONE shuffle on
+    user_id — the frames differ, not the partitioning; grid size is
+    keys × days, independent of event volume.
+    """
+    ev = _t(spark, sf_dir, "events")
+    sub = ev.filter((F.col("user_id") < 3) & (F.col("event_type") == "purchase"))
+    daily = sub.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(dsum("value", "rev"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    grid = sub.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    j = grid.join(daily, ["user_id", "d"], "left")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("rev").isNotNull(), F.col("d"))
+    ctx = j.select(
+        "user_id",
+        "d",
+        "rev",
+        F.last("rev", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_d, ignorenulls=True).over(wp).alias("pd"),
+        F.first("rev", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_d, ignorenulls=True).over(wn).alias("nd"),
+    )
+    frac = F.datediff("d", "pd").cast("double") / F.datediff("nd", "pd").cast(
+        "double"
+    )
+    interp = (
+        F.when(F.col("rev").isNotNull(), F.col("rev"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select("user_id", "d", "rev", interp.alias("rev_interp"))
+
+
+@register(
     "event_transitions",
     """
     WITH seq AS (
