@@ -4063,3 +4063,151 @@ def lang_cap(spark, sf_dir):
         .filter(F.col("rk") <= 60)
         .drop("rk")
     )
+
+
+@register(
+    "apply_cdc",
+    """
+    WITH cdc AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority,
+             'U' AS _op, 1 AS _seq
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority, 'D' AS _op, 1 AS _seq
+      FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, 'O' AS
+             o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+             'I' AS _op, 1 AS _seq
+      FROM orders WHERE o_orderkey % 10 = 2
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.2 AS o_totalprice, o_orderdate, o_orderpriority,
+             'U' AS _op, 2 AS _seq
+      FROM orders WHERE o_orderkey % 100 = 0),
+    unioned AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority, 'I' AS _op, 0 AS _seq
+      FROM orders
+      UNION ALL SELECT * FROM cdc),
+    latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY _seq DESC) AS rn
+      FROM unioned)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM latest WHERE rn = 1 AND _op <> 'D'
+    """,
+)
+def apply_cdc(spark, sf_dir):
+    """CDC apply (Debezium/DMS-style change log -> warehouse snapshot):
+    a log of I/U/D operations with a monotone sequence number is folded
+    into the base table — latest op per key wins, and a final 'D'
+    tombstone removes the key entirely. Extends `merge_upsert` (SCD1,
+    updates only) with deletes, inserts of new keys, and multi-version
+    logs (keys ending in 00 get two updates; only the later survives).
+
+    The synthetic log: every 10th key repriced +10% (seq 1), keys %10==1
+    deleted, keys %10==2 cloned to a new key range (inserts), every 100th
+    key repriced again at seq 2.
+
+    Scale: exactly one shuffle on the merge key regardless of how many
+    change batches are folded (union is shuffle-free); at 100 TB this runs
+    per lake partition touched by the log — partitions with no changed
+    keys are never rewritten. The same fold is the `foreachBatch` body of
+    a streaming CDC sink, with _seq = Kafka offset.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    updates1 = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("_op", F.lit("U")).withColumn("_seq", F.lit(1))
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 10 == 1)
+        .withColumn("_op", F.lit("D")).withColumn("_seq", F.lit(1))
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 10 == 2)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("O"))
+        .withColumn("_op", F.lit("I")).withColumn("_seq", F.lit(1))
+    )
+    updates2 = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.2)
+        .withColumn("_op", F.lit("U")).withColumn("_seq", F.lit(2))
+    )
+    base = o.withColumn("_op", F.lit("I")).withColumn("_seq", F.lit(0))
+    log = base
+    for batch in (updates1, deletes, inserts, updates2):
+        log = log.unionByName(batch.select(*cols, "_op", "_seq"))
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("_seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("_op") != "D"))
+        .select(*cols)
+    )
+
+
+@register(
+    "late_shipment_priority",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape, adapted to the testdata's columns: count high- vs
+    low-priority order lines among LATE shipments (shipped >=60 days after
+    the order date), grouped by return flag. The reference's testdata has
+    no l_shipmode/l_commitdate, so the late predicate uses
+    shipdate-vs-orderdate and the grouping key is l_returnflag — the
+    operator shape (join + non-equi date predicate + conditional counts)
+    is Q12's. Completes the TPC-H Q1-Q22 analog set.
+
+    Scale: the shipdate year filter is pushed to the lineitem scan; the
+    join shuffles on orderkey with only 3 columns of payload; both counts
+    come from ONE aggregation pass (conditional agg); the lateness
+    predicate is evaluated post-join JVM-side (no UDF).
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
