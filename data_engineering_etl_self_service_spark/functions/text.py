@@ -69,8 +69,9 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct word k-shingles → array<string>.
+def word_shingles(text: Column | str, k: int = 3, distinct: bool = True) -> Column:
+    """Word k-shingles → array<string> (distinct set by default; pass
+    ``distinct=False`` for the positional multiset, e.g. occurrence counting).
 
     ``sequence(1, size-k+1)`` is guarded because Spark's ``sequence``
     *descends* when start > stop (a classic footgun); short docs yield [].
@@ -81,7 +82,7 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
         F.array().cast("array<int>")
     )
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.array_distinct(sh)
+    return F.array_distinct(sh) if distinct else sh
 
 
 def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:

@@ -35,6 +35,7 @@ from .functions.text import (
     langid,
     quality_score_cols,
     tokens,
+    word_shingles,
 )
 from .session import ensure_session_defaults
 
@@ -4210,4 +4211,186 @@ def late_shipment_priority(spark, sf_dir):
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "map_funcs",
+    """
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           COUNT(*) AS n_event_types,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN c END), 0)
+                AS BIGINT) AS purchases,
+           string_agg(event_type, ',' ORDER BY event_type) AS type_list
+    FROM cnt GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def map_funcs(spark, sf_dir):
+    """Map column functions (§2.8): per-user event-type histogram held as a
+    genuine ``map<string,bigint>`` column, then consumed with
+    ``element_at`` (keyed lookup), ``map_keys`` (key enumeration), and
+    ``size`` — the map round-trip must reproduce exactly what the plain
+    grouped count computes (the oracle). ``map_from_entries`` over
+    ``collect_list(struct(...))`` is order-insensitive here because the
+    entries are already unique per key.
+
+    Scale: one shuffle (user_id, event_type) then a map-side-combinable
+    regroup on user_id; the map column is bounded by the event-type
+    vocabulary (~6 keys), so collect_list cannot blow up a row.
+    """
+    e = _t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    m = cnt.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "c"))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").cast("bigint").alias("n_event_types"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias(
+            "purchases"
+        ),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("type_list"),
+    ).orderBy("user_id")
+
+
+_BM25_TERMS = ("spark", "join", "window", "stream")
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+    tf AS (
+      SELECT doc_id, u.term, COUNT(*) AS tf
+      FROM toks, unnest(t) AS u(term)
+      WHERE u.term IN ('spark', 'join', 'window', 'stream')
+      GROUP BY doc_id, u.term),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           {dsum_expr('CAST((2*n - 2*df + 1) * 22 * tf * tot AS DOUBLE)'
+                      ' / CAST((2*df + 1) * (10*tf*tot + 3*tot + 9*dl*n)'
+                      ' AS DOUBLE)')} AS bm25,
+           COUNT(*) AS n_hit_terms
+    FROM tf JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id LIMIT 15
+    """,
+)
+def bm25_search(spark, sf_dir):
+    """BM25 full-text retrieval (north-star text analysis): rank documents
+    for the query ``spark join window stream`` — the scoring kernel behind
+    corpus search and retrieval-based decontamination.
+
+    Log-free BM25 variant so the oracle hash-matches bit-for-bit: with
+    k1=1.2, b=0.75, the per-term score
+    ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` is algebraically
+    rescaled by ``10*total_len`` into a ratio of two EXACT bigint products
+    (idf is the rational ``(2N-2df+1)/(2df+1)``, the monotone core of the
+    BM25 idf with ln() dropped — ln is libm-dependent, see term_doc_freq),
+    so the only float op is one correctly-rounded division, identical on
+    any IEEE-754 engine; the per-doc sum then rides the decimal transit.
+
+    Scale: exactly TWO scans of documents (corpus stats; term match) and
+    ONE token-stream shuffle — doc length rides along through the explode
+    so there is no per-doc length join, and df comes from a window over
+    the already-aggregated tf table (|matching docs| × |terms| rows, a
+    count-only partition by term) instead of a re-derived side aggregate.
+    At 100 TB you would persist the tiny tf table (or store dl as a
+    column) and the stats scan amortizes across queries.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    stats = d.select(F.size("t").cast("bigint").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("dl"),
+            F.explode("t").alias("term"),
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+        )
+    )
+    n, df, tfc, tot, dlc = (
+        F.col("n"), F.col("df"), F.col("tf"), F.col("tot"), F.col("dl")
+    )
+    num = ((2 * n - 2 * df + 1) * 22 * tfc * tot).cast("double")
+    den = ((2 * df + 1) * (10 * tfc * tot + 3 * tot + 9 * dlc * n)).cast(
+        "double"
+    )
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .withColumn("score", num / den)
+        .groupBy("doc_id")
+        .agg(
+            dsum("score", "bm25"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
+
+
+@register(
+    "dup_ngram_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, array_to_string(t[g:g+4], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(g))
+    SELECT gram,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occ
+    FROM sh GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_occ DESC, gram LIMIT 25
+    """,
+)
+def dup_ngram_spans(spark, sf_dir):
+    """Cross-document duplicate 5-gram catalog (north-star dedup signal):
+    word 5-grams appearing in >= 2 distinct documents, with document reach
+    and total occurrence counts — the memorization / boilerplate detector
+    behind exact-substring training-data dedup (the n-gram analogue of the
+    suffix-array method), and the blocking key for span-level dedup.
+
+    Scale: the positional (non-distinct) shingle explode is ~|tokens| rows
+    per doc; partial aggregation collapses the heavy grams ("the the the")
+    map-side before the single shuffle on gram. At 100 TB, gram keys are
+    near-uniform (hash of 5 words), so no skew salting is needed.
+    """
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            word_shingles(F.col("text"), k=5, distinct=False)
+        ).alias("gram"),
+    )
+    return (
+        sh.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occ"), "gram")
+        .limit(25)
     )
