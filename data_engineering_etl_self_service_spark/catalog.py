@@ -45,8 +45,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # µs-precision parquet with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ under inferTimestampNTZ (Spark 3.4+ default).
+            # The session zone is pinned to UTC, so this cast re-labels the
+            # same instant as TIMESTAMP (LTZ) without shifting the value —
+            # matching DuckDB, which reads the file as naive TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -121,6 +121,34 @@ def first_n_centroids(
     )
 
 
+def kmeans_centroids(
+    embs: DataFrame,
+    n: int = 8,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production centroid training: deterministic k-means (reuses the
+    exact fixed-point Lloyd in :mod:`..operators.clustering`), returned in
+    the same ``(cell_id, cvec)`` shape as :func:`first_n_centroids`.
+
+    :func:`first_n_centroids` is the oracle-determinism path; at 100 TB the
+    first n ids are not a representative sample, so cell balance and recall
+    degrade silently. This trainer is still a pure function of the data
+    (integer Lloyd, ties to lowest id — no RNG at all), so it is equally
+    reproducible; it is just not expressible as short ANSI SQL, which is why
+    the oracle-checked queries keep first-n. Cost: ``n_iters`` passes, each
+    a shuffle-free assignment plus a k×dim partial-sum shuffle.
+    """
+    from .clustering import SCALE, kmeans_fit
+
+    cents = kmeans_fit(embs, k=n, n_iters=n_iters, vec_col=vec_col, id_col=id_col)
+    rows = [(cid, [v / SCALE for v in cv]) for cid, cv in enumerate(cents)]
+    return embs.sparkSession.createDataFrame(
+        rows, "cell_id long, cvec array<double>"
+    )
+
+
 def quantize_int8(
     embs: DataFrame,
     vec_col: str = "embedding",
@@ -178,10 +206,19 @@ def collect_pq_codebook(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    mode: str = "first_n",
 ) -> list[list[list[int]]]:
     """Deterministic product-quantization codebook as driver state:
     ``cb[m][code] -> int8 sub-vector`` (``n_subspaces`` contiguous slices,
     ``n_codes`` codewords each).
+
+    ``mode="kmeans"`` trains each subspace's codewords with the exact
+    integer Lloyd (:mod:`..operators.clustering`) over the int8-quantized
+    sub-vectors instead of taking the first ``n_codes`` rows — the
+    production default for representative codewords at scale; still a pure
+    function of the data (no RNG), codewords rounded back to integers so
+    ADC scoring stays BIGINT-exact. ``mode="first_n"`` (default) is the
+    short-SQL-expressible choice the oracle pins.
 
     Codewords are the int8-quantized sub-vectors of the ``n_codes``
     lowest-id rows — the same training-free determinism rule as
@@ -198,6 +235,22 @@ def collect_pq_codebook(
     import math
 
     sub = dim // n_subspaces
+    if mode == "kmeans":
+        from .clustering import SCALE, kmeans_fit
+
+        q = quantize_int8(embs, vec_col, "_q").select(id_col, "_q")
+        cb = []
+        for m in range(n_subspaces):
+            subdf = q.select(
+                id_col, F.slice("_q", m * sub + 1, sub).alias("sv")
+            )
+            cents = kmeans_fit(
+                subdf, k=n_codes, n_iters=3, vec_col="sv", id_col=id_col
+            )
+            cb.append(
+                [[math.floor(c / SCALE + 0.5) for c in cw] for cw in cents]
+            )
+        return cb
     rows = sorted(
         embs.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect(),
         key=lambda r: r[id_col],
@@ -339,6 +392,8 @@ def knn_join(
     n_cells: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_size: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """All-vectors k-nearest-neighbor self-join, blocked by IVF cell.
 
@@ -350,12 +405,55 @@ def knn_join(
     trade: raise it by multi-assigning vectors to their m nearest cells
     (not done here — single assignment keeps the output oracle-exact).
 
+    Skew guard: centroid quality is data-dependent, and a degenerate cell
+    (most vectors nearest one centroid) costs |cell|² pairs — the same
+    hazard ``max_bucket_size`` guards in
+    :func:`~..operators.dedup.minhash_lsh_pairs`. Unlike LSH bands, a
+    vector has no "other band" to pair through, so oversized cells are
+    SPLIT, not dropped: each cell with more than ``max_cell_size`` members
+    is deterministically sub-partitioned (xxhash64 of the id, mod
+    ceil(|cell|/max)) so per-cell pair count is bounded by ~max² and every
+    vector still gets k neighbors (from its sub-cell — a recall trade, not
+    a correctness one; neighbors are still true cosines). ``None`` (the
+    default) disables splitting: the exact blocked result, and what the
+    oracle checks. Production at 100 TB should set this (e.g. 4096).
+
+    ``centroids`` (``(cell_id, cvec)``) overrides the default first-n pick —
+    pass :func:`kmeans_centroids` output for the production-trained layout.
+
     Output: (vec_id, rank, nn_id, cos), rank 1..k by cosine desc.
     """
-    cents = first_n_centroids(embs, n_cells, vec_col, id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else first_n_centroids(embs, n_cells, vec_col, id_col)
+    )
     assigned = assign_cells(embs, cents, vec_col, id_col).withColumn(
         "_n", norm(F.col(vec_col))
     )
+    if max_cell_size is not None:
+        # Cell census is n_cells rows — broadcast it back, then carve each
+        # oversized cell into ceil(size/max) hash sub-cells. One tiny agg +
+        # a map-side join; no extra shuffle of the vectors themselves.
+        sizes = assigned.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("_cell_n")
+        )
+        assigned = assigned.join(F.broadcast(sizes), "cell_id").withColumn(
+            "_nsub",
+            F.ceil(F.col("_cell_n") / F.lit(max_cell_size)).cast("long"),
+        )
+        assigned = assigned.withColumn(
+            "cell_id",
+            F.struct(
+                F.col("cell_id").alias("c"),
+                F.when(
+                    F.col("_nsub") > 1,
+                    F.pmod(F.xxhash64(F.col(id_col)), F.col("_nsub")),
+                )
+                .otherwise(F.lit(0))
+                .alias("s"),
+            ),
+        ).drop("_cell_n", "_nsub")
     a = assigned.select(
         F.col("cell_id"),
         F.col(id_col).alias("a_id"),
@@ -470,10 +568,19 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` cells nearest to each query, exact
-    top-k within the probed cells. Output: (query_id, rank, vec_id, cos)."""
-    cents = first_n_centroids(embs, n_cells, vec_col, id_col)
+    top-k within the probed cells. Output: (query_id, rank, vec_id, cos).
+
+    ``centroids`` (``(cell_id, cvec)``) overrides the default first-n pick;
+    pass :func:`kmeans_centroids` output for the production-trained coarse
+    quantizer (better cell balance + recall on non-uniform corpora)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else first_n_centroids(embs, n_cells, vec_col, id_col)
+    )
     assigned = assign_cells(embs, cents, vec_col, id_col)
 
     # Which cells does each query probe? (few queries × few centroids → tiny)

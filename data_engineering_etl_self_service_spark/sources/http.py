@@ -18,22 +18,85 @@ Spark has no built-in HTTP source, so there are two tiers:
 
 from __future__ import annotations
 
+import base64
 import json
+import time
+import urllib.error
 import urllib.parse
 import urllib.request
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+#: HTTP statuses worth retrying: throttling + transient server errors.
+RETRY_STATUSES: frozenset[int] = frozenset({429, 500, 502, 503, 504})
 
-def http_get_json(url: str, params: dict[str, Any] | None = None, timeout: int = 30) -> Any:
-    """Driver-side GET returning parsed JSON (stdlib only)."""
+
+@dataclass(frozen=True)
+class HttpConnection:
+    """Named-connection semantics, the engine's analog of the reference's
+    ``HttpHook(http_conn_id)`` (ref: operators/api_to_s3.py:57-58): auth and
+    retry policy live on the connection object, not in every call site, so a
+    self-service pipeline spec can reference one connection for every
+    endpoint of an API.
+
+    Exactly one of ``bearer_token`` / (``username``+``password``) should be
+    set for authenticated APIs; extra ``headers`` always apply.
+    """
+
+    headers: dict[str, str] = field(default_factory=dict)
+    bearer_token: str | None = None
+    username: str | None = None
+    password: str | None = None
+    max_retries: int = 3
+    backoff_s: float = 0.2
+    timeout: int = 30
+
+    def auth_headers(self) -> dict[str, str]:
+        h = {"Accept": "application/json", **self.headers}
+        if self.bearer_token:
+            h["Authorization"] = f"Bearer {self.bearer_token}"
+        elif self.username is not None:
+            cred = f"{self.username}:{self.password or ''}"
+            h["Authorization"] = (
+                "Basic " + base64.b64encode(cred.encode()).decode("ascii")
+            )
+        return h
+
+
+def http_get_json(
+    url: str,
+    params: dict[str, Any] | None = None,
+    timeout: int | None = None,
+    conn: HttpConnection | None = None,
+) -> Any:
+    """Driver-side GET returning parsed JSON (stdlib only).
+
+    Bounded retry with exponential backoff on throttle/transient statuses
+    (``RETRY_STATUSES``) and network-level failures; 4xx auth/client errors
+    fail immediately (retrying a 401 is never going to help).
+    """
+    conn = conn or HttpConnection()
     if params:
         url = f"{url}?{urllib.parse.urlencode(params)}"
-    req = urllib.request.Request(url, headers={"Accept": "application/json"})
-    with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
-        return json.loads(resp.read().decode("utf-8"))
+    req = urllib.request.Request(url, headers=conn.auth_headers())
+    attempts = conn.max_retries + 1
+    for attempt in range(attempts):
+        try:
+            with urllib.request.urlopen(  # noqa: S310
+                req, timeout=timeout or conn.timeout
+            ) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as ex:
+            if ex.code not in RETRY_STATUSES or attempt == attempts - 1:
+                raise
+        except urllib.error.URLError:
+            if attempt == attempts - 1:
+                raise
+        time.sleep(conn.backoff_s * (2**attempt))
+    raise AssertionError("unreachable")
 
 
 def fetch_json_df(
@@ -41,13 +104,15 @@ def fetch_json_df(
     url: str,
     params: dict[str, Any] | None = None,
     schema: StructType | str | None = None,
+    conn: HttpConnection | None = None,
 ) -> DataFrame:
     """GET a JSON-array endpoint into a DataFrame (ref: api_to_s3.py:57-62).
 
     With an explicit schema this is the schema-contract ingestion path; with
-    none, Spark infers from the records (convenience only).
+    none, Spark infers from the records (convenience only). ``conn`` carries
+    auth + retry policy (ref's named-connection semantics).
     """
-    payload = http_get_json(url, params)
+    payload = http_get_json(url, params, conn=conn)
     if isinstance(payload, dict):
         payload = [payload]
     if schema is not None:
@@ -73,13 +138,21 @@ try:  # pragma: no cover - import surface depends on pyspark minor version
             self.url = options.get("url")
             self.pages = int(options.get("pages", "1"))
             self.page_param = options.get("pageparam", "page")
+            # auth/retry policy travels to executors as plain fields
+            self.conn = HttpConnection(
+                bearer_token=options.get("bearertoken"),
+                username=options.get("username"),
+                password=options.get("password"),
+                max_retries=int(options.get("maxretries", "3")),
+                backoff_s=float(options.get("backoffs", "0.2")),
+            )
 
         def partitions(self):
             return [_PagePartition(p) for p in range(self.pages)]
 
         def read(self, partition):
             params = {self.page_param: partition.page} if self.pages > 1 else None
-            payload = http_get_json(self.url, params)
+            payload = http_get_json(self.url, params, conn=self.conn)
             if isinstance(payload, dict):
                 payload = [payload]
             names = self.schema_.fieldNames()

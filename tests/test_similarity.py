@@ -171,3 +171,185 @@ def test_knn_blas_matches_exact_pairs(spark, sf_dir):
     for p, c in fast.items():
         if p in exact:
             assert abs(c - exact[p]) < 1e-9
+
+
+def test_knn_join_max_cell_size_bounds_degenerate_cell(spark):
+    """Skew guard: a fixture where almost every vector lands in ONE cell
+    (all near-parallel to centroid 0) must be split by ``max_cell_size``
+    so the per-cell pair count is bounded, while every vector still gets
+    a true-cosine neighbor from its sub-cell."""
+    import math
+
+    from data_engineering_etl_self_service_spark.operators.similarity import (
+        assign_cells,
+        first_n_centroids,
+        knn_join,
+    )
+
+    dim = 8
+    n = 200
+
+    def vec(i):
+        # ids 0..7 become the centroids (first_n picks lowest ids); make
+        # them one-hot so they are mutually orthogonal. Every later vector
+        # is a slight, deterministic perturbation of centroid 0 — all of
+        # them assign to cell 0.
+        if i < 8:
+            return [1.0 if j == i else 0.0 for j in range(dim)]
+        eps = 0.01 + 0.0001 * (i % 37)
+        return [1.0] + [eps * math.sin(i * (j + 1)) for j in range(1, dim)]
+
+    rows = [(i, vec(i)) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = first_n_centroids(e, 8)
+    sizes = (
+        assign_cells(e, cents)
+        .groupBy("cell_id")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in sizes) >= n - 8  # fixture really is skewed
+
+    cap = 32
+    got = knn_join(e, k=1, n_cells=8, max_cell_size=cap).collect()
+    # Coverage: the degenerate cell splits into ~ceil(193/32)=7 hash
+    # sub-cells of ~27 vectors each — no singletons in practice, so every
+    # vector in a multi-member sub-cell reports a neighbor.
+    assert len(got) >= int(0.95 * n)
+
+    # The reported score is a true cosine: it can never beat the global
+    # (uncapped) in-cell best for that vector.
+    uncapped = {r.vec_id: r.cos for r in knn_join(e, k=1, n_cells=8).collect()}
+    for r in got:
+        assert r.cos <= uncapped[r.vec_id] + 1e-12
+
+    # Bounded pair work: sub-cells are capped, so no partition ever holds
+    # more than ~2*cap members (hash imbalance allowance).
+    from data_engineering_etl_self_service_spark.operators.similarity import (
+        assign_cells as _ac,
+    )
+    # re-derive the split census the operator builds internally
+    from pyspark.sql import functions as SF
+
+    assigned = _ac(e, cents)
+    cell_sizes = assigned.groupBy("cell_id").agg(SF.count(SF.lit(1)).alias("m"))
+    split = (
+        assigned.join(SF.broadcast(cell_sizes), "cell_id")
+        .withColumn("nsub", SF.ceil(SF.col("m") / SF.lit(cap)).cast("long"))
+        .withColumn("sub", SF.pmod(SF.xxhash64("vec_id"), SF.col("nsub")))
+        .groupBy("cell_id", "sub")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in split) <= 2 * cap
+
+
+def test_kmeans_centroids_beat_first_n_recall_on_skew(spark):
+    """Production-trained centroids (exact-Lloyd k-means) must match or
+    beat the first-N pick on a corpus where the first N ids are NOT
+    representative: ids 0-7 are one-hot 'bait' vectors, while the real
+    mass sits in two tight clusters (around e8 and e9) whose members are
+    near-orthogonal to every bait centroid — so first-N assignment
+    scatters each cluster across cells by noise, and nprobe=2 recall
+    collapses; a trained coarse quantizer gives the clusters their own
+    cells."""
+    import math
+
+    from data_engineering_etl_self_service_spark.operators.similarity import (
+        cosine_topk,
+        first_n_centroids,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    dim = 16
+
+    def bait(i):
+        return [1.0 if j == i else 0.0 for j in range(dim)]
+
+    def member(i, axis, f):
+        v = [0.01 * f(i * 31 + j) for j in range(8)] + [0.0] * 8
+        v[axis] = 1.0
+        return v
+
+    rows = [(i, bait(i)) for i in range(8)]
+    rows += [(i, member(i, 8, math.sin)) for i in range(8, 58)]
+    rows += [(i, member(i, 9, math.cos)) for i in range(58, 108)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    q = e.filter(F.col("vec_id").isin(10, 60)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    exact = {
+        qid: {r.vec_id for r in grp}
+        for qid, grp in __import__("itertools").groupby(
+            sorted(cosine_topk(e, q, k=10).collect(), key=lambda r: r.query_id),
+            key=lambda r: r.query_id,
+        )
+    }
+
+    def recall(cents):
+        got = ivf_topk(e, q, k=10, n_cells=8, nprobe=2, centroids=cents).collect()
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(per_q.get(qid, set()) & hits) / len(hits)
+            for qid, hits in exact.items()
+        ) / len(exact)
+
+    r_first = recall(first_n_centroids(e, 8))
+    r_train = recall(kmeans_centroids(e, 8, n_iters=3))
+    assert r_train >= r_first
+    assert r_train >= 0.9  # trained cells isolate the two true clusters
+    assert r_first < 1.0  # and the bait pick measurably loses neighbors
+
+
+def test_pq_codebook_kmeans_mode_is_integer_and_trains(spark):
+    """The trained PQ codebook keeps the int8 ADC contract (all codewords
+    integers) and achieves quantization error no worse than first-N on a
+    corpus whose first rows are unrepresentative."""
+    import math
+
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.similarity import (
+        collect_pq_codebook,
+        pq_encode,
+    )
+
+    dim = 16
+
+    def vec(i):
+        if i < 16:
+            return [100.0 if j == i else 0.0 for j in range(dim)]
+        return [math.sin(i * (j + 3)) for j in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(116)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def sq_err(cb):
+        C = np.asarray(cb, dtype=np.int64)  # (M, K, sub)
+        enc = {r.vec_id: r.codes for r in pq_encode(
+            e, n_subspaces=4, n_codes=16, dim=dim, codebook=cb
+        ).collect()}
+        # reconstruct each vector's int8 quantization from its codewords
+        err = 0
+        for i in range(116):
+            v = np.asarray(vec(i), dtype=np.float64)
+            maxabs = np.abs(v).max()
+            scale = 127.0 / maxabs if maxabs > 0 else 0.0
+            qv = np.floor(v * scale + 0.5).astype(np.int64)
+            rec = np.concatenate([C[m, enc[i][m]] for m in range(4)])
+            err += int(((qv - rec) ** 2).sum())
+        return err
+
+    cb_first = collect_pq_codebook(e, n_subspaces=4, n_codes=16, dim=dim)
+    cb_train = collect_pq_codebook(
+        e, n_subspaces=4, n_codes=16, dim=dim, mode="kmeans"
+    )
+    for m in range(4):
+        for cw in cb_train[m]:
+            assert all(isinstance(x, int) for x in cw)
+    assert sq_err(cb_train) <= sq_err(cb_first)

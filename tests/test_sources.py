@@ -23,15 +23,37 @@ USERS = [
 ]
 
 
+FLAKY_STATE = {"failures_left": 0, "hits": 0}
+
+
 class _Handler(BaseHTTPRequestHandler):
-    def do_GET(self):
-        q = parse_qs(urlparse(self.path).query)
-        page = int(q.get("page", ["0"])[0])
-        body = json.dumps(USERS[page * 2 : page * 2 + 2]).encode()
-        self.send_response(200)
+    def _json(self, obj, status=200):
+        body = json.dumps(obj).encode()
+        self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.end_headers()
         self.wfile.write(body)
+
+    def do_GET(self):
+        path = urlparse(self.path).path
+        q = parse_qs(urlparse(self.path).query)
+        if path == "/secure":
+            auth = self.headers.get("Authorization", "")
+            if auth not in ("Bearer sesame", "Basic YWRhOmxvdmVsYWNl"):
+                self._json({"error": "unauthorized"}, status=401)
+                return
+            self._json(USERS[:2])
+            return
+        if path == "/flaky":
+            FLAKY_STATE["hits"] += 1
+            if FLAKY_STATE["failures_left"] > 0:
+                FLAKY_STATE["failures_left"] -= 1
+                self._json({"error": "try later"}, status=503)
+                return
+            self._json(USERS[:2])
+            return
+        page = int(q.get("page", ["0"])[0])
+        self._json(USERS[page * 2 : page * 2 + 2])
 
     def log_message(self, *a):  # silence
         pass
@@ -71,6 +93,51 @@ def test_http_python_datasource_paged(spark, api_server):
     )
     assert df.rdd.getNumPartitions() == 2  # one partition per page
     assert {r.id for r in df.collect()} == {1, 2, 3, 4}
+
+
+def test_http_auth_bearer_and_basic(spark, api_server):
+    """Named-connection auth (ref: HttpHook(http_conn_id),
+    operators/api_to_s3.py:57-58): bearer and basic both unlock the
+    endpoint; no auth is a hard 401 with no retry."""
+    import urllib.error
+
+    from data_engineering_etl_self_service_spark.sources.http import (
+        HttpConnection,
+        fetch_json_df,
+        http_get_json,
+    )
+
+    url = api_server.replace("/users", "/secure")
+    bearer = HttpConnection(bearer_token="sesame")
+    basic = HttpConnection(username="ada", password="lovelace")
+    df = fetch_json_df(spark, url, schema="id long, name string, email string", conn=bearer)
+    assert {r.id for r in df.collect()} == {1, 2}
+    assert len(http_get_json(url, conn=basic)) == 2
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        http_get_json(url, conn=HttpConnection(max_retries=2, backoff_s=0.01))
+    assert ei.value.code == 401
+
+
+def test_http_retry_flaky_then_succeeds(api_server):
+    """Transient 503s are retried with backoff up to max_retries; a budget
+    too small surfaces the error."""
+    import urllib.error
+
+    from tests import test_sources as _self  # noqa: F401  (state lives here)
+    from data_engineering_etl_self_service_spark.sources.http import (
+        HttpConnection,
+        http_get_json,
+    )
+
+    url = api_server.replace("/users", "/flaky")
+
+    FLAKY_STATE.update(failures_left=2, hits=0)
+    out = http_get_json(url, conn=HttpConnection(max_retries=3, backoff_s=0.01))
+    assert len(out) == 2 and FLAKY_STATE["hits"] == 3  # 2 fails + 1 ok
+
+    FLAKY_STATE.update(failures_left=5, hits=0)
+    with pytest.raises(urllib.error.HTTPError):
+        http_get_json(url, conn=HttpConnection(max_retries=1, backoff_s=0.01))
 
 
 def test_csv_source_with_schema_contract(spark, tmp_path):
@@ -207,3 +274,43 @@ def test_partitioned_writer_uses_zstd(spark, tmp_path_factory):
     files = _glob.glob(f"{out}/ds=2024-01-01/*.parquet")
     assert files and all(".zstd." in f for f in files)
     assert spark.read.parquet(out).count() == 100
+
+
+def test_jdbc_sink_write_readback_parity(spark, tmp_path_factory):
+    """S10: the JDBC publish leg (ref: dags/kafka_stream.py:91 recovered —
+    Postgres JDBC), exercised end-to-end against embedded Derby (same
+    format("jdbc") code path; only URL/driver differ). Write, read back
+    plain, then read back with a partitioned range scan — all three must
+    agree."""
+    from data_engineering_etl_self_service_spark.sources.jdbc import (
+        DERBY_DRIVER,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    db = str(tmp_path_factory.mktemp("derby")) + "/servedb"
+    url = f"jdbc:derby:{db};create=true"
+
+    src = spark.range(0, 500).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS g", "CAST(id * 1.5 AS DOUBLE) AS v"
+    )
+    write_jdbc(src, url, "results", driver=DERBY_DRIVER, max_connections=2)
+
+    back = read_jdbc(spark, url, "results", driver=DERBY_DRIVER)
+    assert back.count() == 500
+    assert {f.name.lower() for f in back.schema.fields} == {"id", "g", "v"}
+    assert back.agg({"v": "sum"}).collect()[0][0] == sum(i * 1.5 for i in range(500))
+
+    ranged = read_jdbc(
+        spark, url, "results", driver=DERBY_DRIVER,
+        partition_column="id", lower_bound=0, upper_bound=500, num_partitions=4,
+    )
+    assert ranged.rdd.getNumPartitions() == 4
+    assert ranged.count() == 500
+
+    # append mode adds rows on the same table
+    write_jdbc(
+        src.limit(10), url, "results",
+        mode="append", driver=DERBY_DRIVER, max_connections=1,
+    )
+    assert read_jdbc(spark, url, "results", driver=DERBY_DRIVER).count() == 510

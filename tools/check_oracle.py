@@ -76,13 +76,42 @@ def main() -> int:
             continue
         try:
             res = con.execute(ORACLES[name])
-            ocols = [d[0] for d in res.description]
-            orows = [tuple(r) for r in res.fetchall()]
+            otab = res.arrow()
+            ocols = otab.schema.names
+            orows = [
+                tuple(otab.column(i)[j].as_py() for i in range(otab.num_columns))
+                for j in range(otab.num_rows)
+            ]
         except Exception:
             print(f"FAIL  {name}: duckdb raised")
             traceback.print_exc()
             n_fail += 1
             continue
+        # Type audit: the driver's value hash is type-sensitive (round-1
+        # lesson: DuckDB SUM(BIGINT) -> HUGEINT -> decimal128 in Arrow,
+        # hashing differently from Spark's int64 even when values match).
+        # Compare Arrow type *families* per column name.
+        try:
+            stab_schema = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+            for fld in otab.schema:
+                dt = str(fld.type)
+                sp = stab_schema.get(fld.name)
+                if sp is None:
+                    continue
+                if dt.startswith("decimal") and sp in ("bigint", "int", "double", "float"):
+                    print(
+                        f"TYPE  {name}: oracle col {fld.name} is {dt} "
+                        f"but spark is {sp} — cast the oracle aggregate"
+                    )
+                    n_fail += 1
+                    bad_type = True
+                    break
+            else:
+                bad_type = False
+            if bad_type:
+                continue
+        except Exception:
+            pass
         s_rows, s_cols = canon(srows, scols)
         o_rows, o_cols = canon(orows, ocols)
         if s_cols != o_cols:
