@@ -31,6 +31,7 @@ HEADLINE = [
     "shipping_priority",
     "asof_join",
     "dedup_exact",
+    "dedup_keep_best",
     "minhash_lsh_dedup",
     "neardup_groups",
     "cosine_topk",
@@ -46,6 +47,7 @@ HEADLINE = [
     "term_doc_freq",
     "chunk_documents",
     "pack_sequences",
+    "zorder_layout",
 ]
 
 

@@ -151,19 +151,82 @@ def user_event_profile(
     )
 
 
+_PROFILE_STATE_SCHEMA = (
+    "n long, total double, types array<string>, counts array<long>"
+)
+_PROFILE_OUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, "
+    "n_types int, top_type string"
+)
+
+
+def user_event_profile_gs(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """:func:`user_event_profile` re-expressed on ``applyInPandasWithState``
+    (GroupState API) — identical output contract, no typed-state runtime
+    requirement (the transformWithState runner needs ``google.protobuf``
+    on workers; GroupState does not).
+
+    The per-type map rides in the single state tuple as parallel sorted
+    arrays — exactly the dict-serialization cost the typed MapState avoids,
+    which is why :func:`user_event_profile` is the preferred form where the
+    runtime allows. Semantics (counts, totals, lexical tie-break for
+    ``top_type``) are pinned identical by the parity test.
+
+    The update fn is nested so cloudpickle ships it BY VALUE — workers
+    need no importable copy of this package (module-level fns pickle by
+    reference and break when the package isn't on executor PYTHONPATH).
+    """
+
+    def update_profile(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total, types, counts = (
+            state.get if state.exists else (0, 0.0, [], [])
+        )
+        per_type = dict(zip(types, (int(c) for c in counts)))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            for et, c in pdf.groupby("event_type").size().items():
+                per_type[et] = per_type.get(et, 0) + int(c)
+        items = sorted(per_type.items())  # lexical order pins the tie-break
+        state.update(
+            (n, total, [k for k, _ in items], [v for _, v in items])
+        )
+        best = None
+        for et, c in items:
+            if best is None or c > best[1]:
+                best = (et, c)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "n_types": [len(items)],
+                "top_type": [best[0] if best else None],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update_profile,
+            outputStructType=_PROFILE_OUT_SCHEMA,
+            stateStructType=_PROFILE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 _COUNTER_STATE_SCHEMA = "n long, total double"
 _COUNTER_OUT_SCHEMA = "user_id long, n long, total double"
-
-
-def _update_counters(key, pdf_iter, state: GroupState):
-    import pandas as pd
-
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdf_iter:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
 
 
 def running_user_counters(
@@ -175,13 +238,25 @@ def running_user_counters(
     """Per-user running (count, sum(value)) maintained as explicit state —
     the ``applyInPandasWithState`` template for custom stateful operators.
     State is per-user and survives across micro-batches; at scale it lives
-    in the state store partitioned by user.
+    in the state store partitioned by user. Update fn nested → pickled by
+    value → no package install needed on executors.
     """
+
+    def update_counters(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(user_col)
         .applyInPandasWithState(
-            _update_counters,
+            update_counters,
             outputStructType=_COUNTER_OUT_SCHEMA,
             stateStructType=_COUNTER_STATE_SCHEMA,
             outputMode="update",

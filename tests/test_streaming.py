@@ -140,29 +140,35 @@ def test_running_user_counters_state(spark, tmp_path_factory):
 
 
 def test_user_event_profile_transform_with_state(spark, tmp_path_factory):
-    """transformWithStateInPandas (Spark 4 typed-state API): the per-user
-    profile emitted after the last micro-batch must equal the batch
-    ground truth (count, total, distinct types, modal type with lexical
-    tie-break).
+    """Custom stateful profile operator: the per-user profile emitted
+    after the last micro-batch must equal the batch ground truth (count,
+    total, distinct types, modal type with lexical tie-break).
 
-    The runner needs protobuf (spark-connect wire format for the state
-    server); environments without it can't start the Python state worker,
-    so the test skips there — the operator itself is plain PySpark.
+    Two implementations share the output contract:
+    ``transformWithStateInPandas`` (Spark 4 typed state — preferred, but
+    its runner speaks protobuf to the JVM state server) and the
+    ``applyInPandasWithState`` twin (GroupState, no protobuf needed).
+    The test exercises the typed-state path when ``google.protobuf`` is
+    importable and the GroupState twin otherwise — the semantics under
+    test are identical, so it never skips.
     """
-    import pytest
-
-    pytest.importorskip(
-        "google.protobuf", reason="transformWithState runner needs protobuf"
-    )
     from data_engineering_etl_self_service_spark.streaming.stateful import (
         user_event_profile,
+        user_event_profile_gs,
     )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        profile_op = user_event_profile
+    except ImportError:
+        profile_op = user_event_profile_gs
 
     src = str(tmp_path_factory.mktemp("prof_src"))
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     ev.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
-    stream = user_event_profile(spark.readStream.schema(schema).parquet(src))
+    stream = profile_op(spark.readStream.schema(schema).parquet(src))
     q = (
         stream.writeStream.outputMode("update")
         .format("memory")
