@@ -104,6 +104,11 @@ def kmeans_fit(
     centroids (k × dim, 1e-6 fixed point). Empty clusters keep their
     previous centroid."""
     cents = _init_centroids(embs, k, vec_col, id_col)
+    # Each iteration re-scans the narrow (xf-only) projection rather than
+    # persisting it: measured locally the persist is a wash warm and SLOWER
+    # cold (memory-store population costs more than the pruned re-scan).
+    # On a cluster where the input is remote object storage, persist the
+    # projection (MEMORY_AND_DISK) before calling — the loop is agnostic.
     xfdf = embs.select(_fixed(vec_col).alias("xf"))
     for _ in range(n_iters):
         assigned = xfdf.withColumn("cid", _best_cluster(F.col("xf"), cents)["cid"])

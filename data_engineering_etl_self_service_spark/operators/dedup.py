@@ -300,9 +300,24 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact-Jaccard verification of candidates only. Shingles are recomputed
-    # for the candidate docs (broadcast semi-join prunes the corpus scan);
-    # set semantics (distinct) are restored HERE, on the tiny slice only.
+    return _verify_jaccard(docs, candidates, text_col, id_col, k, threshold)
+
+
+def _verify_jaccard(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of a (doc_a, doc_b) candidate set.
+
+    Shingles are recomputed for the candidate docs only (broadcast
+    semi-join prunes the corpus scan); set semantics (distinct) are
+    restored HERE, on the tiny slice only. Output: (doc_a, doc_b, jaccard)
+    filtered to ≥ threshold.
+    """
     candidates = F.broadcast(candidates.persist())
     cand_ids = candidates.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
@@ -344,6 +359,91 @@ def minhash_lsh_pairs(
     # the intermediate caches afterwards without clearing unrelated caches.
     out._cached_deps = [candidates, csh]  # type: ignore[attr-defined]
     return out
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 96,
+    bands: int = 24,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: the ingestion-time variant of
+    :func:`minhash_lsh_pairs`.
+
+    A 100 TB corpus is not re-deduped from scratch per ingest; the standing
+    pattern is: signatures of the existing corpus are a stored artifact
+    (computed once, at their own ingest), and each incoming batch is checked
+    against (corpus ∪ batch) while never re-generating corpus×corpus pairs
+    — those were emitted when their docs arrived. This function expresses
+    exactly that: band buckets that contain no batch doc are dropped before
+    pair generation, and surviving in-bucket pairs must include ≥1 batch
+    doc. Cost scales with |batch| × bucket overlap, not |corpus|²
+    (the corpus side contributes only signatures — 8 B × num_hashes per doc
+    — and the text of the docs that actually collide).
+
+    Output: (doc_a, doc_b, jaccard), doc_a < doc_b, at least one side from
+    ``batch``, exact-Jaccard verified — identical semantics to running
+    :func:`minhash_lsh_pairs` on (corpus ∪ batch) and discarding
+    corpus-only pairs, which is what the oracle pins.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    sig_old = minhash_signatures(corpus, text_col, id_col, k, num_hashes)
+    sig_new = minhash_signatures(batch, text_col, id_col, k, num_hashes)
+    tagged = sig_old.withColumn("_new", F.lit(False)).unionByName(
+        sig_new.withColumn("_new", F.lit(True))
+    )
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = tagged.select(
+        "_id", "_new", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "_id", "_new", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    # Buckets without a batch doc can't produce a reportable pair — drop
+    # them BEFORE pair generation (this is the incremental saving: at scale
+    # the overwhelming majority of corpus buckets have no new collision).
+    grp = (
+        buckets.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_id", "_new"))).alias("ms"),
+            F.max("_new").alias("has_new"),
+        )
+        .filter((F.size("ms") > 1) & F.col("has_new"))
+    )
+    if max_bucket_size is not None:
+        grp = grp.filter(F.size("ms") <= max_bucket_size)
+    candidates = (
+        grp.select(F.posexplode("ms").alias("i", "a"), F.col("ms"))
+        .select(
+            "a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b")
+        )
+        .filter(F.col("a._new") | F.col("b._new"))
+        .select(
+            F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    alldocs = corpus.select(id_col, text_col).unionByName(
+        batch.select(id_col, text_col)
+    )
+    return _verify_jaccard(alldocs, candidates, text_col, id_col, k, threshold)
 
 
 # ------------------------------------------------------------- SimHash

@@ -113,3 +113,36 @@ def test_dedup_keep_best_policy(spark):
         .collect()
     }
     assert kept == {2, 4}
+
+
+def test_minhash_incremental_equals_full_minus_corpus_pairs(spark, sf_dir):
+    """The incremental batch-vs-corpus LSH must report exactly the pairs a
+    full-corpus run reports, minus corpus-only pairs — no pair lost at the
+    corpus/batch boundary, none invented, scores identical."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_self_service_spark.catalog import load_table
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(d, k=3, threshold=0.8).collect()
+    }
+    expected = {
+        p: j for p, j in full.items() if not (p[0] % 2 == 0 and p[1] % 2 == 0)
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_incremental(
+            corpus, batch, k=3, threshold=0.8
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must actually contain cross/batch pairs"

@@ -113,7 +113,7 @@ def test_transformations_compile_and_push_down(spark, tmp_path):
             "source": {"type": "table", "path": "/root/testdata/sf0.001/events.parquet"},
             "transformations": [
                 {"op": "filter", "predicate": "event_type = 'purchase'"},
-                {"op": "with_column", "name": "day", "expr": "to_date(timestamp_micros(ts div 1000))"},
+                {"op": "with_column", "name": "day", "expr": "to_date(ts)"},
                 {"op": "select", "columns": ["event_id", "user_id", "day", "value"]},
                 {"op": "rename", "from": "value", "to": "amount"},
                 {"op": "deduplicate", "columns": ["event_id"]},
