@@ -8,12 +8,19 @@ Design for image/audio/video at 100 TB:
 - decode / feature-extract runs as Arrow-batched ``mapInPandas`` so the
   Python worker sees whole batches, not rows, and the schema is declared up
   front (the plan stays exact for Catalyst);
-- the actual codec calls are STUBBED here (no image/audio libs in this
-  container): ``decode_stub=True`` produces a deterministic fake feature
-  vector from the payload bytes; ``decode_stub=False`` raises
-  ``NotImplementedError`` at the exact integration point a real codec
-  (Pillow/torchaudio/decord) would plug into. The Spark-side plumbing —
-  schema, batching, partition flow — is real and tested.
+- codec calls for COMPRESSED formats (jpeg/png/mp4/ogg) are stubbed (no
+  image/audio libs in this container): ``decode_stub=True`` produces a
+  deterministic fake feature vector from the payload bytes;
+  ``decode_stub=False`` raises ``NotImplementedError`` at the exact
+  integration point a real codec (Pillow/torchaudio/decord) would plug
+  into. The Spark-side plumbing — schema, batching, partition flow — is
+  real and tested;
+- UNCOMPRESSED containers are decoded FOR REAL: PCM WAV (stdlib ``wave``),
+  24-bit BMP and binary PPM (``struct``/numpy) — :func:`decode_features`
+  parses actual bytes into typed features (dims, channel means, sample
+  rate, RMS) with no external codec, and the ``multimodal_decode`` query
+  oracle pins the byte-level decode against features recomputed
+  symbolically in SQL.
 """
 
 from __future__ import annotations
@@ -96,6 +103,164 @@ def extract_features(
                     "features": feats,
                 }
             )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real decoders for uncompressed containers (no codec libs needed).
+# Builders below hand-pack bytes with struct; decoders parse independently
+# (WAV through the stdlib ``wave`` module), so agreement between the two —
+# and with the symbolic SQL oracle — genuinely tests the byte-level format
+# handling, not a shared helper.
+# ---------------------------------------------------------------------------
+
+
+def build_bmp(width: int, height: int, r: int, g: int, b: int) -> bytes:
+    """Hand-packed 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up
+    rows, 4-byte row padding), filled with one RGB color."""
+    import struct
+
+    row = bytes((b, g, r)) * width
+    pad = (4 - (len(row) % 4)) % 4
+    pixels = (row + b"\x00" * pad) * height
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(pixels), 0, 0, 54,
+        40, width, height, 1, 24, 0, len(pixels), 0, 0, 0, 0,
+    )
+    return header + pixels
+
+
+def build_wav(sample_rate: int, samples: "list[int]") -> bytes:
+    """Hand-packed mono 16-bit PCM WAV."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def build_ppm(width: int, height: int, r: int, g: int, b: int) -> bytes:
+    """Binary PPM (P6), single fill color."""
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(
+        (r, g, b)
+    ) * (width * height)
+
+
+#: decoded-feature row: one struct per payload, nulls for the fields the
+#: modality doesn't have. Exactly the shape a feature store keeps per asset.
+DECODE_SCHEMA = (
+    "kind string, width int, height int, channels int, "
+    "sample_rate int, n_samples long, duration_s double, "
+    "mean_r double, mean_g double, mean_b double, rms double"
+)
+
+
+def decode_payload(raw: bytes) -> dict:
+    """Parse one payload's bytes into typed features.
+
+    Real parsing for PCM WAV / 24-bit BMP / binary PPM; compressed formats
+    return kind-only (sniffed) rows — their decode is the documented stub
+    boundary. Unknown bytes → kind='unknown', all-null features.
+    """
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    out = {
+        "kind": "unknown", "width": None, "height": None, "channels": None,
+        "sample_rate": None, "n_samples": None, "duration_s": None,
+        "mean_r": None, "mean_g": None, "mean_b": None, "rms": None,
+    }
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(raw)) as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(n)
+        if width != 2:
+            out["kind"] = "wav"
+            return out
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        out.update(
+            kind="wav", channels=ch, sample_rate=sr, n_samples=n,
+            duration_s=n / sr,
+            rms=float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+        )
+        return out
+    if raw[:2] == b"BM":
+        off, = struct.unpack_from("<I", raw, 10)
+        hdr, = struct.unpack_from("<I", raw, 14)
+        w, h = struct.unpack_from("<ii", raw, 18)
+        bpp, = struct.unpack_from("<H", raw, 28)
+        comp, = struct.unpack_from("<I", raw, 30)
+        out.update(kind="bmp", width=w, height=abs(h), channels=3)
+        if bpp != 24 or comp != 0 or hdr < 40:
+            return out
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            raw, dtype=np.uint8, count=stride * abs(h), offset=off
+        ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        px = rows.astype(np.float64)
+        out.update(
+            mean_b=float(px[..., 0].mean()),
+            mean_g=float(px[..., 1].mean()),
+            mean_r=float(px[..., 2].mean()),
+        )
+        return out
+    if raw[:2] == b"P6":
+        parts = raw.split(b"\n", 3)
+        if len(parts) == 4:
+            w, h = (int(v) for v in parts[1].split())
+            px = np.frombuffer(
+                parts[3], dtype=np.uint8, count=w * h * 3
+            ).reshape(h, w, 3).astype(np.float64)
+            out.update(
+                kind="ppm", width=w, height=h, channels=3,
+                mean_r=float(px[..., 0].mean()),
+                mean_g=float(px[..., 1].mean()),
+                mean_b=float(px[..., 2].mean()),
+            )
+        return out
+    for prefix, tag in MAGIC_PREFIXES:
+        if bytes(raw[: len(prefix)]) == prefix:
+            out["kind"] = tag  # sniffed; decode is the stub boundary
+            break
+    return out
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched real decode: (id, DECODE_SCHEMA fields) per payload.
+
+    Same execution shape as :func:`extract_features` (shuffle-free
+    ``mapInPandas`` over the scan) but the body actually parses bytes.
+    """
+    out_schema = f"{id_col} long, {DECODE_SCHEMA}"
+    cols = [f.split(" ")[0] for f in DECODE_SCHEMA.split(", ")]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [decode_payload(bytes(raw)) for raw in pdf[payload_col]]
+            out = pd.DataFrame(
+                {c: [r[c] for r in rows] for c in cols}
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
 

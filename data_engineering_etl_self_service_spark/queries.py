@@ -1662,6 +1662,69 @@ def multimodal_meta(spark, sf_dir):
     return out.select("doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "payload_sha")
 
 
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 13 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(3 + doc_id % 7 AS INT) END AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(8000 + (doc_id % 5) * 1000 AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(50 + doc_id % 100 AS BIGINT) END AS n_samples,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(50 + doc_id % 100 AS DOUBLE)
+                     / CAST(8000 + (doc_id % 5) * 1000 AS DOUBLE) END AS duration_s,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+           CASE WHEN doc_id % 2 = 0 THEN CAST((3 * doc_id) % 256 AS DOUBLE) END AS mean_g,
+           CASE WHEN doc_id % 2 = 0 THEN CAST((7 * doc_id) % 256 AS DOUBLE) END AS mean_b,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(1024 AS DOUBLE) END AS rms
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """REAL multimodal decode (north-star): deterministic payload bytes —
+    hand-packed 24-bit BMP for even doc_ids, PCM WAV square wave for odd —
+    are parsed back by the pure-stdlib/numpy decoders into typed features
+    (dims, channel means, sample rate, RMS, duration). The oracle
+    recomputes every feature symbolically from the generating parameters,
+    so a hash match proves the byte-level encode→decode round trip, not
+    just the plumbing. Compressed formats (jpeg/mp4/...) remain the
+    documented stub boundary; this is the no-codec-needed slice done for
+    real. Execution: two shuffle-free mapInPandas passes over the scan.
+    """
+    from .operators.multimodal import build_bmp, build_wav, decode_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    payloads.append(
+                        build_bmp(
+                            4 + i % 13, 3 + i % 7,
+                            i % 256, (3 * i) % 256, (7 * i) % 256,
+                        )
+                    )
+                else:
+                    n = 50 + i % 100
+                    samples = [1024 if j % 2 == 0 else -1024 for j in range(n)]
+                    payloads.append(build_wav(8000 + (i % 5) * 1000, samples))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return decode_features(payloads)
+
+
 # =========================================================================
 # DQ check engine (§2.2 P1-P4, entry point 3)
 # =========================================================================

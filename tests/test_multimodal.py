@@ -56,3 +56,59 @@ def test_frame_sample_fan_out(spark):
     assert len(frames) == 3  # 2500 // 1000 + 1
     assert [f.frame_idx for f in frames] == [0, 10, 20]
     assert len({f.frame_sha for f in frames}) == 3
+
+
+def test_real_decoders_roundtrip():
+    """Hand-packed BMP/WAV/PPM bytes parse back to their generating
+    parameters — including the 4-byte BMP row-padding edge (width*3 not a
+    multiple of 4) and exact channel means / RMS."""
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_bmp,
+        build_ppm,
+        build_wav,
+        decode_payload,
+    )
+
+    # width 5 → row = 15 bytes → 1 pad byte per row
+    d = decode_payload(build_bmp(5, 3, 200, 100, 50))
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == ("bmp", 5, 3, 3)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (200.0, 100.0, 50.0)
+    assert d["sample_rate"] is None
+
+    sq = [1024 if i % 2 == 0 else -1024 for i in range(75)]  # odd count
+    d = decode_payload(build_wav(11000, sq))
+    assert (d["kind"], d["channels"], d["sample_rate"], d["n_samples"]) == (
+        "wav", 1, 11000, 75,
+    )
+    assert d["rms"] == 1024.0
+    assert d["duration_s"] == 75 / 11000
+    assert d["width"] is None
+
+    d = decode_payload(build_ppm(7, 2, 9, 8, 7))
+    assert (d["kind"], d["width"], d["height"]) == ("ppm", 7, 2)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (9.0, 8.0, 7.0)
+
+    d = decode_payload(b"\x89PNG\r\n\x1a\nrest-of-a-png")
+    assert d["kind"] == "png" and d["width"] is None  # sniffed, stub boundary
+    assert decode_payload(b"just some text")["kind"] == "unknown"
+
+
+def test_decode_features_distributed(spark):
+    """The mapInPandas decode path returns one typed row per payload with
+    per-modality nulls."""
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_bmp,
+        build_wav,
+        decode_features,
+    )
+
+    rows = [
+        (1, build_bmp(4, 4, 10, 20, 30)),
+        (2, build_wav(8000, [512, -512] * 40)),
+        (3, b"not a media file"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_features(df).collect()}
+    assert got[1].kind == "bmp" and got[1].mean_b == 30.0 and got[1].rms is None
+    assert got[2].kind == "wav" and got[2].rms == 512.0 and got[2].width is None
+    assert got[3].kind == "unknown"
