@@ -1,0 +1,173 @@
+"""Iterative graph algorithms over edge DataFrames: weighted PageRank.
+
+North-star operator (no counterpart in the reference — the graph-centrality
+signal a training-data pipeline uses for source/domain quality weighting,
+in the spirit of the quality priors used by public web-corpus pipelines).
+Complements the connected-components operator in ``dedup.py`` (which finds
+equivalence classes) with an IMPORTANCE score over a weighted digraph.
+
+Why FIXED-POINT integer arithmetic: float PageRank sums are
+order-dependent, so ranks drift across partitionings and engines, making
+the operator untestable against a SQL oracle and non-reproducible. Here
+every quantity is an exact BIGINT:
+
+- ranks live on a 1e9 fixed-point scale (``SCALE``);
+- each edge contributes ``floor(rank_src * w / out_w_src)`` — computed as
+  ``(rank DIV outw) * w + ((rank MOD outw) * w) DIV outw`` so the
+  intermediate product stays under 2^63 whenever ``w * SCALE < 2^63``
+  (per-edge weights up to ~9e9 are safe);
+- the damping mix is ``base + (d_num * incoming) DIV d_den`` with
+  ``base = (SCALE * (d_den - d_num)) DIV (d_den * n_nodes)``.
+
+Integer division uses Spark's ``DIV`` / DuckDB's ``//``; all operands are
+non-negative so truncation == floor on both engines. Dangling-node mass
+(nodes with no out-edges) is dropped, not redistributed — documented,
+deterministic, and the standard simplification when ranks are only used
+as a relative ordering signal.
+
+Execution shape (designed for 100 TB):
+
+- The edge list is aggregated ONCE (``groupBy(src, dst).sum(w)``) — the
+  only data-sized shuffle. Everything after runs on the aggregated graph.
+- Out-degree weights are joined into the edge list once and cached.
+- Per iteration: one broadcast join (ranks are |V| rows — nations, domains,
+  hosts — orders of magnitude smaller than the edge list) + one
+  ``groupBy(dst)`` with map-side combine over |E| aggregated edges.
+- Ranks are checkpointed to driver-free storage only implicitly: the rank
+  DataFrame is re-materialized per iteration via ``localCheckpoint`` to
+  truncate lineage, exactly like the label-propagation loop in
+  ``dedup.py`` — iteration T does not recompute iterations 1..T-1.
+- ``n_nodes`` is the single driver-side scalar (one count), a bounded
+  artifact like the convergence sums in ``dedup.py:563``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000  # 1e-9 fixed point for ranks
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    n_iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, exact fixed-point.
+
+    ``edges`` may contain duplicate (src, dst) pairs; weights are summed.
+    Returns one row per node: ``node``, ``rank`` (BIGINT on the 1e9
+    scale; ranks of all nodes sum to <= SCALE, with dangling/rounding
+    mass dropped).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # One aggregated-edge table with the denominator attached; cached —
+    # every iteration reuses it without recomputing the first shuffle.
+    ew = e.join(outw, "src").persist()
+    nodes = nodes.persist()
+    n_nodes = nodes.count()  # bounded driver scalar
+    base = (SCALE * (damping_den - damping_num)) // (damping_den * n_nodes)
+    init = SCALE // n_nodes
+
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    for _ in range(n_iters):
+        contrib = (
+            ew.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
+            # overflow-safe exact floor((rank * w) / outw)
+            .select(
+                "dst",
+                (
+                    F.expr("rank DIV outw") * F.col("w")
+                    + F.expr("((rank % outw) * w) DIV outw")
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(incoming, 0L))"
+                        f" DIV {damping_den}"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ew.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    n_iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> str:
+    """Unrolled ANSI-SQL twin of :func:`pagerank_fixedpoint`.
+
+    ``edges_cte`` must define columns (src, dst, w) with w already
+    aggregated per (src, dst). Returns a query yielding (node, rank).
+    """
+    d = damping_den - damping_num
+    ctes = [
+        f"e AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "outw AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"""r0 AS (
+      SELECT node, CAST({SCALE} AS BIGINT) // nn.n AS rank
+      FROM nodes CROSS JOIN nn)""",
+    ]
+    for i in range(n_iters):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT e.dst,
+             SUM((r.rank // o.outw) * e.w
+                 + ((r.rank % o.outw) * e.w) // o.outw) AS incoming
+      FROM e JOIN r{i} r ON e.src = r.node JOIN outw o ON e.src = o.src
+      GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+      SELECT n.node,
+             CAST((CAST({SCALE} AS BIGINT) * {d})
+                    // ({damping_den} * nn.n)
+                  + ({damping_num} * COALESCE(c.incoming, 0))
+                    // {damping_den} AS BIGINT) AS rank
+      FROM nodes n CROSS JOIN nn LEFT JOIN c{i} c ON n.node = c.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, rank FROM r{n_iters}"
+    )

@@ -4535,3 +4535,75 @@ def dup_ngram_spans(spark, sf_dir):
         .orderBy(F.desc("n_occ"), "gram")
         .limit(25)
     )
+
+
+# =========================================================================
+# Batch 9: graph centrality, char-LM rarity signal, HLL sketches
+# =========================================================================
+
+_TRADE_EDGES_CTE = """
+      SELECT sn.n_name AS src, cn.n_name AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY sn.n_name, cn.n_name"""
+
+
+def _pagerank_oracle() -> str:
+    from .operators.graph import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(_TRADE_EDGES_CTE, n_iters=3)
+    return f"""
+    SELECT node AS n_name, rank FROM ({inner})
+    ORDER BY rank DESC, n_name
+    """
+
+
+@register("pagerank_nations", _pagerank_oracle())
+def pagerank_nations(spark, sf_dir):
+    """Weighted PageRank over the nation-level trade graph (supplier
+    nation -> customer nation, edge weight = lineitem count): which
+    nations sit at the center of the flow. The rare thing here — like
+    ``kmeans_clusters`` — is an ITERATIVE algorithm that hash-matches an
+    ANSI-SQL oracle, because every step is fixed-point BIGINT arithmetic
+    (operators/graph.py: 1e9-scale ranks, overflow-safe per-edge
+    floor(rank*w/outw), integer damping mix). The oracle unrolls the
+    three iterations as CTE pairs.
+
+    Scale: the 5-way join aggregates to a |V|^2-bounded edge list in ONE
+    shuffle (dimension sides broadcast); each PageRank iteration is a
+    broadcast join of |V| ranks against aggregated edges plus a map-side
+    combined groupBy — no data-sized shuffle ever repeats. Lineage is
+    truncated per iteration (localCheckpoint), MLlib-style.
+    """
+    from .operators.graph import pagerank_fixedpoint
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                 F.col("n_name").alias("src"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                                 F.col("n_name").alias("dst"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    ranks = pagerank_fixedpoint(edges, n_iters=3)
+    return ranks.select(
+        F.col("node").alias("n_name"), "rank"
+    ).orderBy(F.desc("rank"), "n_name")

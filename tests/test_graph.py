@@ -1,0 +1,74 @@
+"""Fixed-point PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+from data_engineering_etl_self_service_spark.operators.graph import (
+    SCALE,
+    pagerank_fixedpoint,
+)
+
+
+def _ref_pagerank(edges, n_iters=3, num=85, den=100):
+    """Driver-side integer re-implementation for tiny fixtures."""
+    agg = {}
+    for s, d, w in edges:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw = {}
+    for (s, _), w in agg.items():
+        outw[s] = outw.get(s, 0) + w
+    n = len(nodes)
+    base = (SCALE * (den - num)) // (den * n)
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(n_iters):
+        inc = {v: 0 for v in nodes}
+        for (s, d), w in agg.items():
+            r, o = rank[s], outw[s]
+            inc[d] += (r // o) * w + ((r % o) * w) // o
+        rank = {v: base + (num * inc[v]) // den for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference_model(spark):
+    # A->B (x2 dup), A->C, B->C weighted, C->A cycle, D dangling source.
+    edges = [
+        ("a", "b", 1),
+        ("a", "b", 1),
+        ("a", "c", 2),
+        ("b", "c", 5),
+        ("c", "a", 1),
+        ("d", "a", 3),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixedpoint(df, n_iters=3).collect()
+    }
+    assert got == _ref_pagerank(edges)
+
+
+def test_pagerank_sink_node_receives_only(spark):
+    # b is a pure sink (dangling): contributes nothing, still ranked.
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("c", "b", 1)], ["src", "dst", "weight"]
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixedpoint(df, n_iters=2).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    assert got == _ref_pagerank(
+        [("a", "b", 1), ("c", "b", 1)], n_iters=2
+    )
+    assert got["b"] > got["a"] == got["c"]
+
+
+def test_pagerank_total_mass_bounded(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        ["src", "dst", "weight"],
+    )
+    got = pagerank_fixedpoint(df, n_iters=4).collect()
+    total = sum(r["rank"] for r in got)
+    # cycle: no dangling mass, only floor rounding lost
+    assert SCALE - 100 <= total <= SCALE
