@@ -4607,3 +4607,98 @@ def pagerank_nations(spark, sf_dir):
     return ranks.select(
         F.col("node").alias("n_name"), "rank"
     ).orderBy(F.desc("rank"), "n_name")
+
+
+@register(
+    "trigram_rarity",
+    """
+    WITH tris AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS tri
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 2)) AS i
+            FROM documents)),
+    dfreq AS (SELECT tri, COUNT(*) AS dfreq FROM tris GROUP BY tri)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tris,
+           CAST(SUM(CASE WHEN d.dfreq <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rare_tris,
+           (1000000 * CAST(SUM(CASE WHEN d.dfreq <= 2 THEN 1 ELSE 0 END)
+                           AS BIGINT)) // COUNT(*) AS rare_ppm
+    FROM tris t JOIN dfreq d ON t.tri = d.tri
+    GROUP BY t.doc_id
+    """,
+)
+def trigram_rarity(spark, sf_dir):
+    """Character-trigram rarity signal (north-star text-quality operator):
+    the corpus-self-trained analogue of an LM familiarity score. Each
+    document's distinct char trigrams are scored against their corpus
+    document frequency; ``rare_ppm`` = parts-per-million of the doc's
+    trigrams that appear in <= 2 documents — high values flag OOD /
+    garbled / machine-mangled text without any external model. Integer
+    counts and DIV keep the oracle hash-exact (no log-prob floats).
+
+    Scale: the trigram universe is bounded by charset^3, so the document-
+    frequency table collapses map-side to a small broadcastable dict; the
+    only data-sized shuffles are the per-trigram combine and the final
+    per-doc groupBy. The trigram explode is expression-only (sequence +
+    substring inside codegen — no UDF, text never leaves the JVM).
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tri_arr = F.when(
+        F.length("text") >= 3,
+        F.expr(
+            "array_distinct(transform(sequence(1, length(text) - 2),"
+            " i -> substring(text, i, 3)))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    tris = d.select("doc_id", F.explode(tri_arr).alias("tri"))
+    dfreq = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("dfreq"))
+    rare = F.sum(F.when(F.col("dfreq") <= 2, 1).otherwise(0)).cast("long")
+    return (
+        tris.join(F.broadcast(dfreq), "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tris"),
+            rare.alias("rare_tris"),
+        )
+        .select(
+            "doc_id",
+            "n_tris",
+            "rare_tris",
+            F.expr("(1000000 * rare_tris) DIV n_tris").alias("rare_ppm"),
+        )
+    )
+
+
+@register("hll_sketch_union")  # sketch estimates — rows-only check
+def hll_sketch_union(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg``): per-event-type user sketches plus an ALL row
+    whose estimate comes from MERGING the per-type sketch states with
+    ``hll_union_agg`` — never rescanning the events. This is the 100 TB
+    incremental pattern the exact tier can't do: store a few-KB binary
+    sketch per partition/day, answer global distinct questions later by
+    sketch union alone. Deliberately un-oracled (estimates are
+    implementation-specific); the exact twin is ``distinct_counts`` and
+    the merge-consistency invariant (union-of-sketches == direct global
+    sketch, estimate within rsd of exact) is pinned in tests/test_text.py.
+
+    Scale: partial sketch states combine map-side (each is KB-sized
+    regardless of row count); the final union touches |groups| rows.
+    """
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    per_est = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("distinct_users_est"),
+    )
+    merged = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("sk").alias("distinct_users_est"),
+        )
+    )
+    return per_est.unionByName(merged).orderBy("event_type")

@@ -95,3 +95,53 @@ def test_repetition_signals_known_fractions(spark, tmp_path):
     assert abs(out[1].dup_bigram_frac - 1.0) < 1e-12
     assert abs(out[2].top_bigram_frac - 1 / 3) < 1e-12
     assert out[2].dup_bigram_frac == 0.0
+
+
+def test_hll_sketch_union_consistency(spark):
+    """Union-of-per-group-sketches must equal one direct global sketch,
+    and estimates must sit within the configured rsd of the exact count."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_self_service_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.event_type: r.distinct_users_est
+        for r in QUERIES["hll_sketch_union"](spark, sf).collect()
+    }
+    from data_engineering_etl_self_service_spark.catalog import load_table
+
+    e = load_table(spark, sf, "events")
+    exact = e.select("user_id").distinct().count()
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("n")
+    ).collect()[0]["n"]
+    assert out["ALL"] == direct  # merge == direct, deterministic
+    assert abs(out["ALL"] - exact) / exact < 0.05
+    assert all(v <= out["ALL"] * 1.05 for k, v in out.items() if k != "ALL")
+
+
+def test_trigram_rarity_flags_ood_doc(spark, tmp_path):
+    """A doc written in an alien alphabet must score ~1e6 ppm rare while
+    clones of a common doc score 0."""
+    from data_engineering_etl_self_service_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "the cat sat on the mat"),
+            (4, "zzqqxxjjvvkkwwzzqqxx"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in QUERIES["trigram_rarity"](spark, str(tmp_path)).collect()
+    }
+    assert out[1].rare_ppm == 0 and out[2].rare_ppm == 0
+    assert out[4].rare_ppm == 1000000
+    assert out[4].n_tris == len(
+        {"zzqqxxjjvvkkwwzzqqxx"[i : i + 3] for i in range(18)}
+    )
