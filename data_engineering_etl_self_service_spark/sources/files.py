@@ -66,10 +66,27 @@ def read_json(
     path: str,
     schema: StructType | str | None = None,
     multiline: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """JSON source (the reference's landed API payloads,
-    ref: operators/data_quality_operator.py:63-70)."""
-    reader = spark.read.option("multiLine", multiline)
+    ref: operators/data_quality_operator.py:63-70).
+
+    Same malformed-record policy surface as :func:`read_csv` — the
+    reference's ``pd.read_json`` simply crashes on a bad payload
+    (ref: operators/data_quality_operator.py:69); here a corrupt API drop
+    can be captured per-row (``corrupt_col``), dropped, or fail fast,
+    and the captured raw lines feed the quarantine path of the DQ branch.
+    """
+    reader = spark.read.option("multiLine", multiline).option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        if isinstance(schema, StructType):
+            from pyspark.sql.types import StringType, StructField
+
+            schema = schema.add(StructField(corrupt_col, StringType(), True))
+        elif isinstance(schema, str):
+            schema = f"{schema}, {corrupt_col} string"
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

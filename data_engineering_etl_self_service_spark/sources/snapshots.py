@@ -1,0 +1,163 @@
+"""Versioned snapshot tables: atomic publish + time travel over parquet.
+
+Engine extension (no counterpart in the reference — its S3 landing zone,
+ref: operators/api_to_s3.py:67-73, overwrites blobs in place, so a reader
+racing a writer sees half-written data and yesterday's file is gone the
+moment today's upload starts). This module gives the lake sink the two
+properties a 100 TB pipeline actually needs from its output tables:
+
+- **Atomic publish**: data files are written to a version directory that
+  no reader knows about, then a single manifest file is moved into place
+  (``os.replace`` — atomic on POSIX; on object stores the manifest PUT is
+  the commit point, the same protocol Iceberg/Delta use for their
+  metadata pointer). Readers either see the whole new version or the
+  whole old one, never a mix.
+- **Time travel**: every version's manifest lists the data directories
+  that make it up, so ``read_snapshot(..., version=N)`` reproduces any
+  historical state — the reproducibility contract training-data
+  pipelines need ("which exact corpus trained run 47?").
+
+Design notes for scale:
+
+- Manifests list DIRECTORIES, not files — manifest size is O(appends),
+  not O(data files), and stays KB-sized forever.
+- ``append`` reuses the parent's directory list by reference (no data
+  copy, no rewrite of old files) — an append to a 100 TB table writes
+  only the new rows plus one manifest.
+- Optimistic concurrency: the writer stakes its version with an
+  exclusive-create (``open(..., "x")``); a concurrent writer that lost
+  the race gets the next version number and retries — writers never
+  corrupt each other, matching the single-committer manifest protocol.
+- ``vacuum`` deletes data directories referenced by NO retained
+  manifest, never anything a live version can still read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_snapshots"
+_DATA_DIR = "data"
+
+
+def _manifest_path(base_dir: str, version: int) -> str:
+    return os.path.join(base_dir, _MANIFEST_DIR, f"v{version:012d}.json")
+
+
+def snapshot_versions(base_dir: str) -> list[int]:
+    """All committed versions, ascending (empty if no table yet)."""
+    mdir = os.path.join(base_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(base_dir: str, version: int) -> dict:
+    with open(_manifest_path(base_dir, version)) as f:
+        return json.load(f)
+
+
+def write_snapshot(
+    df: DataFrame,
+    base_dir: str,
+    mode: str = "append",
+    max_retries: int = 10,
+) -> int:
+    """Write ``df`` as a new committed version; returns the version number.
+
+    ``mode="append"`` stacks on the previous version's data (union
+    semantics — parquet, so later schema additions merge by name at
+    read time); ``mode="overwrite"`` starts the version from scratch.
+    Data lands under an unreferenced uuid directory first; the commit is
+    the exclusive create of the manifest file.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown snapshot mode: {mode!r}")
+    data_dir = os.path.join(base_dir, _DATA_DIR, uuid.uuid4().hex)
+    df.write.mode("error").parquet(data_dir)
+
+    os.makedirs(os.path.join(base_dir, _MANIFEST_DIR), exist_ok=True)
+    for _ in range(max_retries):
+        versions = snapshot_versions(base_dir)
+        version = (versions[-1] + 1) if versions else 1
+        dirs = [os.path.relpath(data_dir, base_dir)]
+        if mode == "append" and versions:
+            dirs = _read_manifest(base_dir, versions[-1])["data_dirs"] + dirs
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "created_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            "data_dirs": dirs,
+        }
+        tmp = _manifest_path(base_dir, version) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            # Exclusive claim of the version number: os.link fails with
+            # EEXIST if a concurrent writer committed this version first.
+            os.link(tmp, _manifest_path(base_dir, version))
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race — recompute against new head
+    raise RuntimeError(
+        f"snapshot commit contention: gave up after {max_retries} retries"
+    )
+
+
+def read_snapshot(
+    spark: SparkSession,
+    base_dir: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a committed version (latest by default) — time travel."""
+    versions = snapshot_versions(base_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {base_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"snapshot v{version} not found (have {versions})"
+        )
+    manifest = _read_manifest(base_dir, version)
+    paths = [os.path.join(base_dir, d) for d in manifest["data_dirs"]]
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*paths)
+    )
+
+
+def vacuum(base_dir: str, keep_last: int = 1) -> list[str]:
+    """Drop manifests older than the last ``keep_last`` versions and
+    delete data directories no retained version references. Returns the
+    deleted data dirs (relative paths)."""
+    import shutil
+
+    versions = snapshot_versions(base_dir)
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(base_dir, v)["data_dirs"])
+    deleted = []
+    droot = os.path.join(base_dir, _DATA_DIR)
+    if os.path.isdir(droot):
+        for name in os.listdir(droot):
+            rel = os.path.join(_DATA_DIR, name)
+            if rel not in live:
+                shutil.rmtree(os.path.join(droot, name))
+                deleted.append(rel)
+    for v in versions:
+        if v not in keep:
+            os.unlink(_manifest_path(base_dir, v))
+    return deleted

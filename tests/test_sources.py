@@ -314,3 +314,132 @@ def test_jdbc_sink_write_readback_parity(spark, tmp_path_factory):
         mode="append", driver=DERBY_DRIVER, max_connections=1,
     )
     assert read_jdbc(spark, url, "results", driver=DERBY_DRIVER).count() == 510
+
+
+# ---------------------------------------------------------------- snapshots
+
+
+def test_snapshot_append_and_time_travel(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    v1 = write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, s string"), base
+    )
+    v2 = write_snapshot(
+        spark.createDataFrame([(2, "b")], "id long, s string"), base
+    )
+    assert (v1, v2) == (1, 2)
+    assert snapshot_versions(base) == [1, 2]
+    assert read_snapshot(spark, base, version=1).count() == 1
+    latest = read_snapshot(spark, base)
+    assert sorted(r.id for r in latest.collect()) == [1, 2]
+
+
+def test_snapshot_overwrite_resets_lineage(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(spark.range(5), base)
+    write_snapshot(spark.range(100, 103), base, mode="overwrite")
+    assert read_snapshot(spark, base).count() == 3
+    assert read_snapshot(spark, base, version=1).count() == 5
+
+
+def test_snapshot_schema_evolution_merges_by_name(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1,)], "id long"), base)
+    write_snapshot(
+        spark.createDataFrame([(2, "x")], "id long, extra string"), base
+    )
+    df = read_snapshot(spark, base)
+    assert set(df.columns) == {"id", "extra"}
+    rows = {r.id: r.extra for r in df.collect()}
+    assert rows == {1: None, 2: "x"}
+
+
+def test_snapshot_commit_race_takes_next_version(spark, tmp_path):
+    """A manifest that appears between head-read and commit must not be
+    clobbered — the loser retries onto the next version number."""
+    import json
+    import os
+
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(spark.range(3), base)
+    # Simulate a concurrent committer claiming v2 out from under us.
+    winner = {"version": 2, "mode": "append", "data_dirs": []}
+    os.makedirs(f"{base}/_snapshots", exist_ok=True)
+    with open(f"{base}/_snapshots/v{2:012d}.json", "w") as f:
+        json.dump(winner, f)
+    v = write_snapshot(spark.range(4), base)
+    assert v == 3
+    # v3 appended onto v2's (empty) dir list plus its own write.
+    assert read_snapshot(spark, base, version=3).count() == 4
+
+
+def test_snapshot_vacuum_keeps_only_live_dirs(spark, tmp_path):
+    import os
+
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(spark.range(2), base)
+    write_snapshot(spark.range(10, 13), base, mode="overwrite")
+    deleted = vacuum(base, keep_last=1)
+    assert len(deleted) == 1  # v1's orphaned dir
+    assert snapshot_versions(base) == [2]
+    assert read_snapshot(spark, base).count() == 3
+    assert len(os.listdir(f"{base}/data")) == 1
+
+
+def test_read_json_corrupt_record_capture(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.files import (
+        read_json,
+    )
+
+    p = tmp_path / "drop.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{THIS IS NOT JSON}\n"
+        '{"id": 2, "name": "fine"}\n'
+    )
+    df = read_json(
+        spark,
+        str(p),
+        schema="id long, name string",
+        corrupt_col="_corrupt",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt"] is None]
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert {r.id for r in good} == {1, 2}
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt"]
+
+    import pytest
+
+    with pytest.raises(Exception):
+        read_json(
+            spark, str(p), schema="id long, name string", mode="FAILFAST"
+        ).collect()
