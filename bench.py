@@ -48,6 +48,8 @@ HEADLINE = [
     "chunk_documents",
     "pack_sequences",
     "zorder_layout",
+    "pagerank_nations",
+    "trigram_rarity",
 ]
 
 

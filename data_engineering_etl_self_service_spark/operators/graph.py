@@ -57,6 +57,8 @@ def pagerank_fixedpoint(
     n_iters: int = 3,
     damping_num: int = 85,
     damping_den: int = 100,
+    checkpoint_every: int = 5,
+    driver_edges_max: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list, exact fixed-point.
 
@@ -64,8 +66,29 @@ def pagerank_fixedpoint(
     Returns one row per node: ``node``, ``rank`` (BIGINT on the 1e9
     scale; ranks of all nodes sum to <= SCALE, with dangling/rounding
     mass dropped).
+
+    Two execution tiers, chosen by the AGGREGATED edge count (the
+    data-sized part — the raw fan-in — is distributed in both):
+
+    - **Driver tier** (|E_agg| <= ``driver_edges_max``): the aggregated
+      graph is collected once and all iterations run in exact Python
+      integers — zero Spark jobs per iteration. This is the k-means
+      centroids-on-the-driver pattern, and covers the common
+      quality-prior graphs (nation/source/domain level), where the
+      iterative state is thousands of rows distilled from terabytes.
+    - **Distributed tier**: ranks stay a DataFrame; each iteration is a
+      broadcast join of |V| ranks against the cached edge list plus a
+      map-side-combined groupBy. ``checkpoint_every`` bounds lineage
+      depth (eager ``localCheckpoint`` every k-th iteration) so long
+      convergence runs never build an O(iters)-deep plan, while short
+      runs skip the extra materialization jobs entirely.
+
+    Both tiers compute the identical integer recurrence.
     """
     spark = edges.sparkSession
+    # The aggregated edge list is the ONLY data-sized computation; persist
+    # it first so nodes/out-weights/iterations all reuse one materialization
+    # instead of replaying the upstream joins.
     e = (
         edges.select(
             F.col(src).alias("src"),
@@ -74,23 +97,34 @@ def pagerank_fixedpoint(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        .persist()
     )
+    n_edges = e.count()  # bounded driver scalar; materializes the cache
+    if n_edges <= driver_edges_max:
+        node_type = dict(e.dtypes)["src"]
+        out = _pagerank_driver(
+            [(r["src"], r["dst"], r["w"]) for r in e.collect()],
+            n_iters, damping_num, damping_den,
+        )
+        e.unpersist()
+        return spark.createDataFrame(
+            list(out.items()), schema=f"node {node_type}, rank long"
+        )
+
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    # One aggregated-edge table with the denominator attached; cached —
-    # every iteration reuses it without recomputing the first shuffle.
-    ew = e.join(outw, "src").persist()
-    nodes = nodes.persist()
-    n_nodes = nodes.count()  # bounded driver scalar
+    ew = e.join(outw, "src")
+    n_nodes = nodes.count()
     base = (SCALE * (damping_den - damping_num)) // (damping_den * n_nodes)
     init = SCALE // n_nodes
 
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
-    for _ in range(n_iters):
+    for it in range(n_iters):
         contrib = (
             ew.join(
                 F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
@@ -106,25 +140,53 @@ def pagerank_fixedpoint(
             .groupBy("dst")
             .agg(F.sum("c").alias("incoming"))
         )
-        ranks = (
-            nodes.join(
-                contrib.withColumnRenamed("dst", "node"), "node", "left"
-            )
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_num} * coalesce(incoming, 0L))"
-                        f" DIV {damping_den}"
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_num} * coalesce(incoming, 0L))"
+                    f" DIV {damping_den}"
+                )
+            ).alias("rank"),
         )
-    ew.unpersist()
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def _pagerank_driver(
+    edges: list[tuple],
+    n_iters: int,
+    damping_num: int,
+    damping_den: int,
+) -> dict:
+    """Driver tier: the identical integer recurrence over a collected
+    (already-aggregated, bounded) edge list — Python ints are arbitrary
+    precision, so the DIV/MOD overflow split holds trivially."""
+    agg: dict = {}
+    for s, d, w in edges:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw: dict = {}
+    for (s, _), w in agg.items():
+        outw[s] = outw.get(s, 0) + w
+    n = len(nodes)
+    base = (SCALE * (damping_den - damping_num)) // (damping_den * n)
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(n_iters):
+        inc = {v: 0 for v in nodes}
+        for (s, d), w in agg.items():
+            r, o = rank[s], outw[s]
+            inc[d] += (r // o) * w + ((r % o) * w) // o
+        rank = {
+            v: base + (damping_num * inc[v]) // damping_den for v in nodes
+        }
+    return rank
 
 
 def pagerank_oracle_sql(

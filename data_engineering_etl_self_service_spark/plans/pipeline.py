@@ -148,6 +148,16 @@ def _write_sink(df: DataFrame, spec: PipelineSpec, path: str) -> None:
     dst = spec.destination
     if dst.type == "none":
         return
+    if dst.type == "snapshot":
+        # Versioned table with atomic publish + time travel — a re-run of
+        # the same ds becomes a new inspectable version instead of an
+        # in-place overwrite (sources/snapshots.py).
+        from ..sources.snapshots import write_snapshot
+
+        write_snapshot(
+            df, path, mode=dst.options.get("snapshot_mode", "append")
+        )
+        return
     writer = df.write.mode("overwrite")
     if dst.partition_by:
         writer = writer.partitionBy(*dst.partition_by)

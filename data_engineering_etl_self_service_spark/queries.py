@@ -4651,7 +4651,9 @@ def trigram_rarity(spark, sf_dir):
             " i -> substring(text, i, 3)))"
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
-    tris = d.select("doc_id", F.explode(tri_arr).alias("tri"))
+    # persist: the exploded pairs feed BOTH the DF-count agg and the
+    # score join — without it the codegen'd explode runs twice.
+    tris = d.select("doc_id", F.explode(tri_arr).alias("tri")).persist()
     dfreq = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("dfreq"))
     rare = F.sum(F.when(F.col("dfreq") <= 2, 1).otherwise(0)).cast("long")
     return (

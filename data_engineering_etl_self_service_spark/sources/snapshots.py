@@ -71,6 +71,7 @@ def write_snapshot(
     base_dir: str,
     mode: str = "append",
     max_retries: int = 10,
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` as a new committed version; returns the version number.
 
@@ -99,6 +100,7 @@ def write_snapshot(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
             "data_dirs": dirs,
+            **(meta or {}),
         }
         tmp = _manifest_path(base_dir, version) + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
@@ -161,3 +163,42 @@ def vacuum(base_dir: str, keep_last: int = 1) -> list[str]:
         if v not in keep:
             os.unlink(_manifest_path(base_dir, v))
     return deleted
+
+
+def last_committed_batch(base_dir: str) -> int | None:
+    """Highest streaming ``batch_id`` recorded in any manifest (newest
+    first — stops at the first manifest that carries one)."""
+    for v in reversed(snapshot_versions(base_dir)):
+        m = _read_manifest(base_dir, v)
+        if "batch_id" in m:
+            return m["batch_id"]
+    return None
+
+
+def snapshot_batch_sink(base_dir: str, mode: str = "append"):
+    """``foreachBatch`` body writing each micro-batch as a snapshot
+    version, EXACTLY-ONCE across restarts.
+
+    Structured Streaming replays the last un-checkpointed batch after a
+    crash; a plain parquet append would duplicate those rows. Here the
+    manifest carries the epoch's ``batch_id``, so a replayed batch is
+    recognized (``batch_id <= last committed``) and skipped — the
+    idempotent-sink half of the exactly-once contract, with the
+    checkpoint providing replayed-input determinism. Readers still get
+    atomic versions and time travel per micro-batch.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(snapshot_batch_sink(dir))
+              .option("checkpointLocation", ckpt).start()
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch(base_dir)
+        if last is not None and batch_id <= last:
+            return  # replayed epoch — already durable, skip
+        write_snapshot(
+            batch_df, base_dir, mode=mode, meta={"batch_id": batch_id}
+        )
+
+    return _write

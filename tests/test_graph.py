@@ -29,7 +29,7 @@ def _ref_pagerank(edges, n_iters=3, num=85, den=100):
     return rank
 
 
-def test_pagerank_matches_reference_model(spark):
+def test_pagerank_matches_reference_model_both_tiers(spark):
     # A->B (x2 dup), A->C, B->C weighted, C->A cycle, D dangling source.
     edges = [
         ("a", "b", 1),
@@ -40,11 +40,35 @@ def test_pagerank_matches_reference_model(spark):
         ("d", "a", 3),
     ]
     df = spark.createDataFrame(edges, ["src", "dst", "weight"])
-    got = {
+    expected = _ref_pagerank(edges)
+    driver_tier = {
         r["node"]: r["rank"]
         for r in pagerank_fixedpoint(df, n_iters=3).collect()
     }
-    assert got == _ref_pagerank(edges)
+    # driver_edges_max=0 forces the distributed DataFrame iteration path;
+    # both tiers must produce bit-identical ranks.
+    dist_tier = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixedpoint(
+            df, n_iters=3, driver_edges_max=0
+        ).collect()
+    }
+    assert driver_tier == expected
+    assert dist_tier == expected
+
+
+def test_pagerank_distributed_tier_checkpoints_long_runs(spark):
+    """checkpoint_every=2 over 5 iterations on the distributed tier —
+    exercises the lineage-truncation branch; result must still match."""
+    edges = [("a", "b", 1), ("b", "c", 2), ("c", "a", 3), ("c", "b", 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixedpoint(
+            df, n_iters=5, driver_edges_max=0, checkpoint_every=2
+        ).collect()
+    }
+    assert got == _ref_pagerank(edges, n_iters=5)
 
 
 def test_pagerank_sink_node_receives_only(spark):

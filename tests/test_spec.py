@@ -190,3 +190,30 @@ def test_join_and_aggregate_transformations(spark, tmp_path):
     assert sum(r.n_orders for r in rows) == spark.read.parquet(
         "/root/testdata/sf0.001/orders.parquet"
     ).count()
+
+
+def test_pipeline_snapshot_destination_versions_reruns(spark, tmp_path):
+    """destination.type=snapshot: each pipeline run commits a new atomic
+    version; the published path reads as a time-travelable table."""
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    cfg = {
+        "pipeline_info": {"name": "snap"},
+        "source": {"type": "synthetic_events", "n": 50, "seed": 3},
+        "destination": {"type": "snapshot", "path": str(tmp_path / "tbl")},
+        "data_quality_checks": [
+            {"check_type": "min_row_count", "threshold": 10}
+        ],
+    }
+    spec = spec_from_dict(cfg)
+    assert not spec.warnings
+    r1 = run_pipeline(spark, spec, ds="2025-07-28")
+    r2 = run_pipeline(spark, spec, ds="2025-07-29")
+    assert r1.passed and r2.passed
+    base = str(tmp_path / "tbl")
+    assert snapshot_versions(base) == [1, 2]
+    assert read_snapshot(spark, base, version=1).count() == 50
+    assert read_snapshot(spark, base).count() == 100

@@ -515,3 +515,41 @@ def test_stream_stream_left_outer_join_matches_batch(spark, event_stream):
     ]
     assert len(late_unmatched) == withheld
     assert all(r.l_ts >= cutoff for r in late_unmatched)
+
+
+def test_snapshot_batch_sink_exactly_once(spark, event_stream, tmp_path_factory):
+    """foreachBatch → versioned snapshots: every micro-batch commits one
+    atomic version, a replayed batch_id is skipped, and the final table
+    equals the batch input exactly."""
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        last_committed_batch,
+        read_snapshot,
+        snapshot_batch_sink,
+        snapshot_versions,
+    )
+
+    base = str(tmp_path_factory.mktemp("snap_sink")) + "/tbl"
+    ckpt = str(tmp_path_factory.mktemp("snap_ckpt"))
+    sink = snapshot_batch_sink(base)
+    (
+        event_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    versions = snapshot_versions(base)
+    assert versions, "no snapshot committed"
+    total = read_snapshot(spark, base).count()
+    expected = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert total == expected
+
+    # Crash-replay simulation: re-deliver the last epoch — must be a no-op.
+    last = last_committed_batch(base)
+    replay = load_table(spark, "/root/testdata/sf0.001", "events").limit(7)
+    sink(replay, last)
+    assert snapshot_versions(base) == versions
+    assert read_snapshot(spark, base).count() == expected
+    # A genuinely new epoch commits.
+    sink(replay, last + 1)
+    assert read_snapshot(spark, base).count() == expected + 7
