@@ -4704,3 +4704,232 @@ def hll_sketch_union(spark, sf_dir):
         )
     )
     return per_est.unionByName(merged).orderBy("event_type")
+
+
+@register(
+    "filtered_ann",
+    f"""
+    WITH corpus AS (
+      SELECT e.vec_id, e.embedding, d.lang
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE d.lang = 'en'),
+    qs AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, c.vec_id, c.lang,
+             {_COS.format(a='c.embedding', b='q.qvec')} AS cos
+      FROM corpus c CROSS JOIN qs q
+      WHERE c.vec_id <> q.query_id)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, lang, cos FROM (
+      SELECT query_id, vec_id, lang, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def filtered_ann(spark, sf_dir):
+    """Metadata-filtered vector search (filtered ANN): exact cosine top-10
+    restricted to English documents — the retrieval shape every RAG /
+    curation pipeline actually runs (predicate + vector score together).
+    Strategy is PRE-FILTER: the metadata predicate joins/prunes the
+    corpus BEFORE any distance is computed, so selectivity directly cuts
+    scoring cost and top-k is never starved (post-filtering an
+    unfiltered top-k can return < k rows). The doc join is a broadcast
+    on the dimension side; the scored set carries only (vec_id, lang,
+    embedding).
+
+    Scale: at 100 TB the same shape holds with the IVF tier — the
+    predicate prunes cells' postings before ADC scoring; here the exact
+    scorer doubles as the recall oracle. Filter pushdown reaches the
+    documents parquet scan (lang = 'en').
+    """
+    from .operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    corpus = e.join(
+        F.broadcast(d.filter(F.col("lang") == "en")),
+        e.vec_id == F.col("doc_id"),
+    ).select("vec_id", "embedding", "lang")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    out = cosine_topk(corpus.select("vec_id", "embedding"), q, k=10)
+    return (
+        out.join(F.broadcast(d), out.vec_id == F.col("doc_id"))
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            "lang",
+            "cos",
+        )
+    )
+
+
+@register(
+    "vocab_encode",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    words AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS word
+      FROM toks),
+    vc AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+    vocab AS (
+      SELECT word, tid FROM (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS tid
+        FROM vc)
+      WHERE tid <= 16),
+    enc AS (
+      SELECT w.doc_id, w.pos, CAST(COALESCE(v.tid, 0) AS INT) AS tid
+      FROM words w LEFT JOIN vocab v ON w.word = v.word)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unk,
+           list(tid ORDER BY pos) AS token_ids
+    FROM enc GROUP BY doc_id
+    """,
+)
+def vocab_encode(spark, sf_dir):
+    """Vocabulary build + document encoding (the tokenize→ids step of a
+    training-data pipeline): the top-16 corpus words by frequency get ids
+    1..16 (count-desc, word-asc tie-break — deterministic), everything
+    else is UNK=0, and each document becomes its position-ordered id
+    array plus an OOV count. The id assignment is a rank, the encode is
+    a broadcast dictionary join, and every value is an integer, so the
+    whole thing hash-matches the SQL twin.
+
+    Scale: the word-count table collapses map-side (vocab universe <<
+    corpus); the dictionary broadcasts to the encode scan. The id-array
+    rebuild shuffles (doc_id, pos, tid) triples — the same footprint as
+    the chunking operator — and ``array_sort(struct(pos, id))`` restores
+    order without a per-group sort exchange. In production the vocab
+    would be top-50k; the cutoff here is 16 so the UNK path is actually
+    exercised by the fixture corpus.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    )
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        wc.select(
+            "word",
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), "word"))
+            .alias("tid"),
+        )
+        .filter(F.col("tid") <= 16)
+    )
+    enc = toks.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("tid"), F.lit(0)).cast("int").alias("tid"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unk"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda x: x["tid"],
+        ).alias("token_ids"),
+    )
+
+
+@register(
+    "winsorized_stats",
+    f"""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem),
+    bounds AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN rn = (n + 99) // 100 THEN l_extendedprice END)
+               AS lo,
+             MIN(CASE WHEN rn = (99 * (n + 1)) // 100 THEN l_extendedprice
+                 END) AS hi
+      FROM ranked GROUP BY l_returnflag),
+    clamped AS (
+      SELECT r.l_returnflag, b.lo, b.hi,
+             least(greatest(r.l_extendedprice, b.lo), b.hi) AS cp,
+             CASE WHEN r.l_extendedprice < b.lo
+                    OR r.l_extendedprice > b.hi THEN 1 ELSE 0 END AS clip
+      FROM ranked r JOIN bounds b ON r.l_returnflag = b.l_returnflag)
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           MIN(lo) AS p01, MIN(hi) AS p99,
+           CAST(SUM(clip) AS BIGINT) AS n_clipped,
+           {davg_expr('cp')} AS winsorized_avg
+    FROM clamped GROUP BY l_returnflag
+    """,
+)
+def winsorized_stats(spark, sf_dir):
+    """Robust statistics via winsorization: per return-flag, prices are
+    clamped to the exact discrete [p01, p99] quantiles before averaging —
+    the outlier-resistant mean a DQ dashboard should trend instead of the
+    raw AVG a single fat-finger price can drag. Quantile indices are pure
+    integer arithmetic (``ceil(n/100)`` as ``(n+99) DIV 100``) and the
+    clamped mean goes through the exact decimal transit, so the whole
+    query hash-matches the oracle despite double inputs.
+
+    Scale: one shuffle on the group key ranks each partition's prices;
+    bounds collapse to |groups| rows and broadcast back. The exact
+    per-group rank is the honest tier — the approximate twin
+    (``approx_tier``) covers the sketch path when a full sort per group
+    is too dear.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    wp = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number()
+        .over(wp.orderBy("l_extendedprice"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(n + 99) DIV 100"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(99 * (n + 1)) DIV 100"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("hi"),
+    )
+    clamped = ranked.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+        ).alias("cp"),
+        F.when(
+            (F.col("l_extendedprice") < F.col("lo"))
+            | (F.col("l_extendedprice") > F.col("hi")),
+            1,
+        )
+        .otherwise(0)
+        .alias("clip"),
+    )
+    return clamped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("lo").alias("p01"),
+        F.min("hi").alias("p99"),
+        F.sum("clip").cast("bigint").alias("n_clipped"),
+        davg("cp", "winsorized_avg"),
+    )
