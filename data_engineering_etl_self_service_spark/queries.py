@@ -4933,3 +4933,88 @@ def winsorized_stats(spark, sf_dir):
         F.sum("clip").cast("bigint").alias("n_clipped"),
         davg("cp", "winsorized_avg"),
     )
+
+
+@register(
+    "multimodal_transform",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(5 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(4 AS INT) END AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT)
+             AS channels,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST((8000 + (doc_id % 5) * 1000) // 2 AS INT)
+                END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST((50 + doc_id % 100 + 1) // 2 AS BIGINT)
+                END AS n_samples,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST((50 + doc_id % 100 + 1) // 2 AS DOUBLE)
+                     / CAST((8000 + (doc_id % 5) * 1000) // 2 AS DOUBLE)
+                END AS duration_s,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST((3 * doc_id) % 256 AS DOUBLE) END AS mean_g,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST((7 * doc_id) % 256 AS DOUBLE) END AS mean_b,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(1024 AS DOUBLE) END AS rms
+    FROM documents
+    """,
+)
+def multimodal_transform(spark, sf_dir):
+    """REAL multimodal transformation chain (north-star): the same
+    deterministic BMP/WAV payloads as ``multimodal_decode`` go through
+    ``transform_payloads`` — nearest-neighbor resize to 5x4 for images,
+    2x decimation for audio — and are then RE-DECODED. The oracle
+    derives every post-transform feature symbolically from the
+    generating parameters (solid-color means survive resize exactly; a
+    +/-1024 square wave decimated by 2 keeps only the +1024 phase, so
+    RMS is exactly 1024; the sample count halves as ceil(n/2)), so a
+    hash match proves resize/decimate operate correctly at the byte
+    level, not just that the plumbing runs.
+
+    Scale: two shuffle-free Arrow-batched map stages composed over one
+    scan — the payload column stays opaque binary between stages, the
+    pattern a 100 TB image/audio curation pass uses.
+    """
+    from .operators.multimodal import (
+        build_bmp,
+        build_wav,
+        decode_features,
+        transform_payloads,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    payloads.append(
+                        build_bmp(
+                            4 + i % 13, 3 + i % 7,
+                            i % 256, (3 * i) % 256, (7 * i) % 256,
+                        )
+                    )
+                else:
+                    n = 50 + i % 100
+                    samples = [
+                        1024 if j % 2 == 0 else -1024 for j in range(n)
+                    ]
+                    payloads.append(
+                        build_wav(8000 + (i % 5) * 1000, samples)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    out = transform_payloads(payloads, resize_to=(5, 4), audio_factor=2)
+    return decode_features(out)

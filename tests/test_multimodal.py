@@ -112,3 +112,94 @@ def test_decode_features_distributed(spark):
     assert got[1].kind == "bmp" and got[1].mean_b == 30.0 and got[1].rms is None
     assert got[2].kind == "wav" and got[2].rms == 512.0 and got[2].width is None
     assert got[3].kind == "unknown"
+
+
+def test_resize_image_nearest_neighbor_exact():
+    """A 2x2 quadrant PPM resized to 4x4 must replicate each source pixel
+    into its 2x2 block (floor index map), and to 1x1 must keep pixel
+    (0,0); the output re-decodes as the same container."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        _decode_pixels,
+        build_bmp,
+        decode_payload,
+        resize_image,
+    )
+
+    # hand-build a 2x2 PPM: TL red, TR green, BL blue, BR white
+    px = bytes((255, 0, 0)) + bytes((0, 255, 0)) + bytes(
+        (0, 0, 255)
+    ) + bytes((255, 255, 255))
+    raw = b"P6\n2 2\n255\n" + px
+    up = resize_image(raw, 4, 4)
+    kind, arr = _decode_pixels(up)
+    assert kind == "ppm" and arr.shape == (4, 4, 3)
+    assert (arr[0, 0] == (255, 0, 0)).all() and (arr[1, 1] == (255, 0, 0)).all()
+    assert (arr[0, 3] == (0, 255, 0)).all()
+    assert (arr[3, 0] == (0, 0, 255)).all()
+    assert (arr[2, 2] == (255, 255, 255)).all()
+    down = resize_image(raw, 1, 1)
+    _, arr1 = _decode_pixels(down)
+    assert (arr1[0, 0] == (255, 0, 0)).all()
+
+    # BMP survives the padded-stride round trip: 3x2 solid resize to 5x1
+    bmp = resize_image(build_bmp(3, 2, 7, 8, 9), 5, 1)
+    d = decode_payload(bmp)
+    assert (d["kind"], d["width"], d["height"]) == ("bmp", 5, 1)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (7.0, 8.0, 9.0)
+
+    assert resize_image(b"\x89PNG\r\n\x1a\nstub", 2, 2) is None
+
+
+def test_downsample_audio_decimation_exact():
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_wav,
+        decode_payload,
+        downsample_audio,
+    )
+
+    src = build_wav(9000, list(range(10)))  # samples 0..9
+    out = downsample_audio(src, 3)
+    d = decode_payload(out)
+    assert d["kind"] == "wav" and d["sample_rate"] == 3000
+    assert d["n_samples"] == 4  # 0,3,6,9
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(out)) as w:
+        import numpy as np
+
+        x = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    assert list(x) == [0, 3, 6, 9]
+    assert downsample_audio(b"not audio", 2) is None
+
+
+def test_transform_payloads_distributed(spark):
+    """Mixed-modality batch: images resized, audio decimated, stub formats
+    passed through untransformed; transformed payloads re-decode."""
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_bmp,
+        build_ppm,
+        build_wav,
+        decode_features,
+        transform_payloads,
+    )
+
+    rows = [
+        (1, build_bmp(8, 6, 1, 2, 3)),
+        (2, build_ppm(10, 10, 4, 5, 6)),
+        (3, build_wav(8000, [100, -100] * 50)),
+        (4, b"\x89PNG\r\n\x1a\nopaque"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = transform_payloads(df, resize_to=(4, 4), audio_factor=2)
+    flags = {r.doc_id: r.transformed for r in out.collect()}
+    assert flags == {1: True, 2: True, 3: True, 4: False}
+    # composed pipeline: transform → decode still yields typed features
+    d = {r.doc_id: r for r in decode_features(out).collect()}
+    assert (d[1].width, d[1].height) == (4, 4)
+    assert (d[2].width, d[2].height) == (4, 4)
+    assert d[2].mean_r == 4.0
+    assert d[3].sample_rate == 4000 and d[3].n_samples == 50
+    assert d[4].kind == "png"
