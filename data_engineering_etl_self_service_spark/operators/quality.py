@@ -78,6 +78,9 @@ class CheckResult:
 @dataclass
 class DQReport:
     results: list[CheckResult]
+    #: total input rows, populated when run_checks(count_rows=True) —
+    #: free observability: the count rides the same fused single-pass agg.
+    n_rows: int | None = None
 
     @property
     def passed(self) -> bool:
@@ -175,10 +178,16 @@ def compile_checks(
     return agg_cols, immediate
 
 
-def run_checks(df: DataFrame, checks: list[Check | dict]) -> DQReport:
+def run_checks(
+    df: DataFrame, checks: list[Check | dict], count_rows: bool = False
+) -> DQReport:
     """Evaluate all checks in at most ONE Spark job."""
     checks = [c if isinstance(c, Check) else Check.from_dict(c) for c in checks]
     agg_cols, immediate = compile_checks(df, checks)
+    if count_rows:
+        agg_cols = list(agg_cols) + [
+            F.count(F.lit(1)).alias("_dq_total_rows")
+        ]
     row = df.agg(*agg_cols).collect()[0].asDict() if agg_cols else {}
 
     results: list[CheckResult] = []
@@ -258,7 +267,7 @@ def run_checks(df: DataFrame, checks: list[Check | dict]) -> DQReport:
             results.append(
                 CheckResult(check, orphans == 0, f"orphan_keys={orphans}")
             )
-    return DQReport(results)
+    return DQReport(results, n_rows=row.get("_dq_total_rows"))
 
 
 def profile(df, cols: list[str] | None = None):

@@ -34,6 +34,12 @@ class PipelineResult:
     published_path: str | None
     quarantined_path: str | None
     n_rows: int | None = None
+    #: run observability: wall seconds per stage. ``checks_s`` covers the
+    #: fused DQ scan (the first action), ``write_s`` the sink job;
+    #: ``plan_s`` is driver-side plan construction (source+transforms are
+    #: lazy). The reference scattered this across Airflow task logs and
+    #: the XCom metadata DB; here it's a plain field on the result.
+    metrics: dict[str, float] | None = None
 
     @property
     def passed(self) -> bool:
@@ -160,6 +166,13 @@ def _write_sink(df: DataFrame, spec: PipelineSpec, path: str) -> None:
         return
     writer = df.write.mode("overwrite")
     if dst.partition_by:
+        # dynamic overwrite: a re-run of one ds replaces exactly that
+        # partition — without this a backfill's later day would clobber
+        # every earlier day's output (static overwrite truncates the
+        # whole table). Caught by the backfill idempotency test.
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         writer = writer.partitionBy(*dst.partition_by)
     if dst.type == "json":
         writer.json(path)
@@ -176,6 +189,9 @@ def compile_pipeline(
     reference's create_dag, ref: dag_factory.py:22-97)."""
 
     def run(spark: SparkSession, ds: str | None = None) -> PipelineResult:
+        import time
+
+        t0 = time.perf_counter()
         df = _read_source(spark, spec, ds)
         if ds is not None and "ds" not in df.columns and spec.destination.partition_by:
             from pyspark.sql import functions as F
@@ -184,7 +200,9 @@ def compile_pipeline(
         df = apply_transformations(df, spec)
         if transform is not None:
             df = transform(df)
-        report = run_checks(df, list(spec.checks))
+        t1 = time.perf_counter()
+        report = run_checks(df, list(spec.checks), count_rows=True)
+        t2 = time.perf_counter()
         base = spec.destination.path
         published = quarantined = None
         if base:
@@ -194,6 +212,7 @@ def compile_pipeline(
             else:
                 quarantined = f"{base}__quarantine"
                 _write_sink(df, spec, quarantined)
+        t3 = time.perf_counter()
         if not report.passed and alert is not None:
             # the reference's Slack alert hook (ref: dag_factory.py:80-87),
             # as a pluggable callback carrying the structured report.
@@ -203,6 +222,13 @@ def compile_pipeline(
             report=report,
             published_path=published,
             quarantined_path=quarantined,
+            n_rows=report.n_rows,
+            metrics={
+                "plan_s": round(t1 - t0, 3),
+                "checks_s": round(t2 - t1, 3),
+                "write_s": round(t3 - t2, 3),
+                "total_s": round(t3 - t0, 3),
+            },
         )
 
     return run
@@ -216,3 +242,25 @@ def run_pipeline(
     alert: AlertFn | None = None,
 ) -> PipelineResult:
     return compile_pipeline(spec, transform, alert)(spark, ds)
+
+
+def backfill(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    dates: list[str],
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    alert: AlertFn | None = None,
+) -> list[PipelineResult]:
+    """Run one pipeline over a list of ``ds`` partitions — the engine-side
+    analog of Airflow catchup (SURVEY §2.11 C6 keeps scheduling itself out
+    of scope; this is the idempotent re-run primitive a scheduler calls).
+
+    Idempotency comes from the sink semantics: parquet sinks use dynamic
+    partition overwrite (re-running a ds replaces exactly that partition),
+    snapshot sinks version each run. A DQ failure quarantines that ds and
+    CONTINUES the backfill — one bad day must not wedge a month's catchup;
+    the per-ds results carry who passed, who quarantined, and the stage
+    timings.
+    """
+    run = compile_pipeline(spec, transform, alert)
+    return [run(spark, ds) for ds in dates]

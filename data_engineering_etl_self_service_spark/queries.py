@@ -1801,12 +1801,31 @@ def _driver_checked() -> frozenset[str]:
     return frozenset(settled)
 
 
+#: newest operators — surfaced ahead of the older unchecked backlog so the
+#: driver's capped per-round check always covers the code that changed most
+#: recently (the backlog drains over the following rounds either way).
+_FRESH_FIRST = (
+    "pagerank_nations",
+    "trigram_rarity",
+    "filtered_ann",
+    "vocab_encode",
+    "winsorized_stats",
+    "multimodal_transform",
+    "hll_sketch_union",
+)
+
+
 def _priority_order(names):
-    """Never-settled queries first (registration order), settled last."""
+    """Never-settled queries first (newest operators, then registration
+    order), settled last."""
     settled = _driver_checked()
-    return [n for n in names if n not in settled] + [
-        n for n in names if n in settled
+    fresh = [
+        n for n in _FRESH_FIRST if n in names and n not in settled
     ]
+    rest = [
+        n for n in names if n not in settled and n not in _FRESH_FIRST
+    ]
+    return fresh + rest + [n for n in names if n in settled]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

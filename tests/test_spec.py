@@ -217,3 +217,63 @@ def test_pipeline_snapshot_destination_versions_reruns(spark, tmp_path):
     assert snapshot_versions(base) == [1, 2]
     assert read_snapshot(spark, base, version=1).count() == 50
     assert read_snapshot(spark, base).count() == 100
+
+
+def test_pipeline_metrics_and_row_count(spark, tmp_path):
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "obs"},
+            "source": {"type": "synthetic_events", "n": 40, "seed": 1},
+            "destination": {"type": "parquet", "path": str(tmp_path / "o")},
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 10}
+            ],
+        }
+    )
+    res = run_pipeline(spark, spec)
+    assert res.n_rows == 40 and res.report.n_rows == 40
+    m = res.metrics
+    assert set(m) == {"plan_s", "checks_s", "write_s", "total_s"}
+    assert m["total_s"] >= m["checks_s"] >= 0
+
+
+def test_backfill_continues_past_bad_partition(spark, tmp_path):
+    """3-day backfill where one ds fails DQ: that day quarantines, the
+    others publish, and re-running a ds only replaces its partition."""
+    from data_engineering_etl_self_service_spark.plans.pipeline import (
+        backfill,
+    )
+
+    seen = []
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "bf"},
+            "source": {"type": "synthetic_events", "n": 30, "seed": 5},
+            "destination": {
+                "type": "parquet",
+                "path": str(tmp_path / "lake"),
+                "partition_by": ["ds"],
+            },
+            "transformations": [
+                # make 2025-07-29 fail its row gate: filter everything out
+                {"op": "filter", "predicate": "ds <> '2025-07-29'"}
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+        }
+    )
+    days = ["2025-07-28", "2025-07-29", "2025-07-30"]
+    results = backfill(
+        spark, spec, days, alert=lambda dag, rep: seen.append(dag)
+    )
+    assert [r.passed for r in results] == [True, False, True]
+    assert results[1].quarantined_path and len(seen) == 1
+    out = spark.read.parquet(str(tmp_path / "lake"))
+    assert {str(r.ds) for r in out.select("ds").distinct().collect()} == {
+        "2025-07-28",
+        "2025-07-30",
+    }
+    # idempotent re-run of one good day: row count unchanged
+    backfill(spark, spec, ["2025-07-28"])
+    assert spark.read.parquet(str(tmp_path / "lake")).count() == 60
