@@ -553,3 +553,66 @@ def test_snapshot_batch_sink_exactly_once(spark, event_stream, tmp_path_factory)
     # A genuinely new epoch commits.
     sink(replay, last + 1)
     assert read_snapshot(spark, base).count() == expected + 7
+
+
+def test_streaming_dq_gate_routes_batches(spark, tmp_path_factory):
+    """Micro-batches that pass the fused checks publish; failing ones
+    quarantine whole, with the alert carrying the structured report; a
+    replayed epoch is skipped in both tables."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+    from data_engineering_etl_self_service_spark.streaming.dq_gate import (
+        dq_gated_batch_sink,
+    )
+
+    root = tmp_path_factory.mktemp("dqgate")
+    src = str(root / "in")
+    # two files → (with maxFilesPerTrigger=1) two micro-batches, the
+    # second poisoned with a null user_id so non_null fails.
+    load_table(spark, "/root/testdata/sf0.001", "events").limit(20).write.parquet(
+        f"{src}/a"
+    )
+    bad = load_table(spark, "/root/testdata/sf0.001", "events").limit(5).withColumn(
+        "user_id", F.lit(None).cast("long")
+    )
+    bad.write.parquet(f"{src}/b")
+    schema = spark.read.parquet(f"{src}/a").schema
+
+    alerts = []
+    sink = dq_gated_batch_sink(
+        str(root / "pub"),
+        str(root / "quar"),
+        checks=[
+            {"check_type": "min_row_count", "threshold": 1},
+            {"check_type": "non_null", "column": "user_id"},
+        ],
+        alert=lambda bid, rep: alerts.append((bid, rep.failures)),
+    )
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    pub = read_snapshot(spark, str(root / "pub"))
+    quar = read_snapshot(spark, str(root / "quar"))
+    assert pub.count() == 20 and pub.filter("user_id IS NULL").count() == 0
+    assert quar.count() == 5 and quar.filter("user_id IS NULL").count() == 5
+    assert len(alerts) == 1 and "non_null" in alerts[0][1][0]
+
+    # replay of an already-routed epoch: no new versions anywhere
+    vp, vq = (
+        snapshot_versions(str(root / "pub")),
+        snapshot_versions(str(root / "quar")),
+    )
+    sink(bad, max(a[0] for a in alerts))
+    assert snapshot_versions(str(root / "pub")) == vp
+    assert snapshot_versions(str(root / "quar")) == vq
