@@ -4,6 +4,7 @@ the directory becomes a scheduled DAG).
 
     python -m data_engineering_etl_self_service_spark run <spec.yaml> [--ds YYYY-MM-DD]
     python -m data_engineering_etl_self_service_spark run-dir <configs/> [--ds YYYY-MM-DD]
+    python -m data_engineering_etl_self_service_spark backfill <spec.yaml> --start A --end B
     python -m data_engineering_etl_self_service_spark query <name> [--sf-dir DIR]
 
 Exit code 0 = published, 2 = data-quality failure (quarantined) — the
@@ -27,6 +28,7 @@ def _report_json(result) -> str:
             "quarantined_path": result.quarantined_path,
             "n_rows": result.n_rows,
             "failures": result.report.failures,
+            "metrics": result.metrics,
         }
     )
 
@@ -42,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
     p_dir = sub.add_parser("run-dir", help="run every spec in a directory")
     p_dir.add_argument("config_dir")
     p_dir.add_argument("--ds", default=None)
+
+    p_bf = sub.add_parser(
+        "backfill", help="run one spec over an inclusive ds date range"
+    )
+    p_bf.add_argument("spec")
+    p_bf.add_argument("--start", required=True)
+    p_bf.add_argument("--end", required=True)
 
     p_q = sub.add_parser("query", help="run a named query and show it")
     p_q.add_argument("name")
@@ -64,8 +73,23 @@ def main(argv: list[str] | None = None) -> int:
         QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
         return 0
 
-    from .plans.pipeline import run_pipeline
+    from .plans.pipeline import backfill, run_pipeline
     from .plans.spec import load_spec, load_specs
+
+    if args.cmd == "backfill":
+        from datetime import date, timedelta
+
+        d0, d1 = date.fromisoformat(args.start), date.fromisoformat(args.end)
+        days = [
+            (d0 + timedelta(days=i)).isoformat()
+            for i in range((d1 - d0).days + 1)
+        ]
+        worst = 0
+        for result in backfill(spark, load_spec(args.spec), days):
+            print(_report_json(result))
+            if not result.passed:
+                worst = 2
+        return worst
 
     specs = (
         [load_spec(args.spec)]

@@ -64,3 +64,18 @@ def test_cli_unknown_query_lists_known(capsys):
     rc = main(["query", "definitely_not_a_query"])
     assert rc == 1
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_backfill_runs_range_and_reports_metrics(tmp_path, capsys):
+    spec = _write_spec(tmp_path, "bf_pipe", 1, str(tmp_path / "lake"))
+    rc = main(
+        ["backfill", spec, "--start", "2025-07-28", "--end", "2025-07-30"]
+    )
+    lines = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert rc == 0 and len(lines) == 3
+    assert all(l["passed"] and l["n_rows"] == 5 for l in lines)
+    assert all("total_s" in l["metrics"] for l in lines)
