@@ -5037,3 +5037,76 @@ def multimodal_transform(spark, sf_dir):
     payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
     out = transform_payloads(payloads, resize_to=(5, 4), audio_factor=2)
     return decode_features(out)
+
+
+@register(
+    "histogram_drift",
+    """
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / 20000), 9) AS BIGINT)
+               AS bucket,
+             o_orderkey % 2 AS slice
+      FROM orders),
+    h AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM b GROUP BY bucket),
+    t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                 CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM h)
+    SELECT bucket, n_ref, n_cur,
+           (1000000 * n_ref) // t.t_ref AS ref_ppm,
+           (1000000 * n_cur) // t.t_cur AS cur_ppm,
+           abs((1000000 * n_ref) // t.t_ref
+               - (1000000 * n_cur) // t.t_cur) AS drift_ppm
+    FROM h CROSS JOIN t
+    """,
+)
+def histogram_drift(spark, sf_dir):
+    """Distribution-drift monitor (DQ family): the order-value histogram
+    of a reference slice vs a current slice (hash-split here so both
+    sides exist at every sf; in production: yesterday's ds vs today's),
+    with per-bucket share drift in ppm. This is the integer-exact core
+    of a PSI/KS-style drift alarm — the log-weighting of PSI is a
+    monotone dressing over exactly these share deltas, and floats would
+    break the oracle hash for no monitoring value.
+
+    Scale: one scan, one groupBy on (bucket) with map-side combine into
+    <= 10 rows; the totals row is a broadcast scalar join. Pair with
+    ``volume_anomalies`` (row-count drift) for the full landing-gate
+    dashboard.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 20000), F.lit(9))
+        .cast("bigint")
+        .alias("bucket"),
+        (F.col("o_orderkey") % 2).alias("slice"),
+    )
+    h = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    t = h.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.expr("(1000000 * n_ref) DIV t_ref").alias("ref_ppm"),
+            F.expr("(1000000 * n_cur) DIV t_cur").alias("cur_ppm"),
+            F.expr(
+                "abs((1000000 * n_ref) DIV t_ref"
+                " - (1000000 * n_cur) DIV t_cur)"
+            ).alias("drift_ppm"),
+        )
+    )
