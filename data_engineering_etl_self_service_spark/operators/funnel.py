@@ -25,24 +25,34 @@ def funnel_user_times(
     user_col: str = "user_id",
     ts_col: str = "ts",
     event_type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Per-user earliest qualifying timestamp for each funnel step
-    (columns ``t_0 .. t_{k-1}``, NULL where the step was never reached)."""
+    (columns ``t_0 .. t_{k-1}``, NULL where the step was never reached).
+
+    ``within_seconds`` bounds each hop: step i must land within that many
+    seconds of step i-1's timestamp (the "converted within 30 minutes"
+    semantics) — same chained-window plan, one extra predicate, still one
+    shuffle for any depth and any bound.
+    """
     w = Window.partitionBy(user_col)
     df = events.withColumn(
         "t_0",
         F.min(F.when(F.col(event_type_col) == steps[0], F.col(ts_col))).over(w),
     )
     for i, step in enumerate(steps[1:], start=1):
+        cond = (F.col(event_type_col) == step) & (
+            F.col(ts_col) > F.col(f"t_{i-1}")
+        )
+        if within_seconds is not None:
+            cond = cond & (
+                F.col(ts_col)
+                <= F.col(f"t_{i-1}")
+                + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+            )
         df = df.withColumn(
             f"t_{i}",
-            F.min(
-                F.when(
-                    (F.col(event_type_col) == step)
-                    & (F.col(ts_col) > F.col(f"t_{i-1}")),
-                    F.col(ts_col),
-                )
-            ).over(w),
+            F.min(F.when(cond, F.col(ts_col))).over(w),
         )
     t_cols = [f"t_{i}" for i in range(len(steps))]
     # t_i is constant per user; reduce to one row per user (same partitioning).

@@ -1812,6 +1812,7 @@ _FRESH_FIRST = (
     "winsorized_stats",
     "multimodal_transform",
     "hll_sketch_union",
+    "histogram_drift",
 )
 
 
@@ -5109,4 +5110,60 @@ def histogram_drift(spark, sf_dir):
                 " - (1000000 * n_cur) DIV t_cur)"
             ).alias("drift_ppm"),
         )
+    )
+
+
+@register(
+    "funnel_within",
+    """
+    WITH t0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN t0 ON e.user_id = t0.user_id
+      WHERE e.event_type = 'click' AND e.ts > t0.t
+        AND e.ts <= t0.t + INTERVAL 30 MINUTE
+      GROUP BY e.user_id),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t1.t
+        AND e.ts <= t1.t + INTERVAL 30 MINUTE
+      GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM t0) AS n_view,
+           (SELECT COUNT(*) FROM t1) AS n_click_30m,
+           (SELECT COUNT(*) FROM t2) AS n_purchase_30m,
+           (1000000 * (SELECT COUNT(*) FROM t2))
+             // (SELECT COUNT(*) FROM t0) AS full_conv_ppm
+    """,
+)
+def funnel_within(spark, sf_dir):
+    """Time-bounded conversion funnel: view → click → purchase where each
+    hop must land within 30 minutes of the previous step's earliest
+    qualifying event — the "converted in-session" semantics the unbounded
+    ``funnel`` can't express (a purchase three weeks later is retention,
+    not conversion). Chained per-user window MINs with an interval
+    predicate: still ONE user_id shuffle for any funnel depth and any
+    bound (operators/funnel.py). The oracle chains per-step
+    join-group-bys — a different plan computing the same fixpoint, which
+    is exactly what makes the hash match meaningful.
+
+    Scale: identical footprint to ``funnel`` — no self-joins, no time-
+    range join explosion; the bound is a codegen'd predicate inside the
+    same window pass.
+    """
+    from .operators.funnel import funnel_user_times
+
+    e = _t(spark, sf_dir, "events")
+    t = funnel_user_times(
+        e, ("view", "click", "purchase"), within_seconds=1800
+    )
+    return t.agg(
+        F.count("t_0").alias("n_view"),
+        F.count("t_1").alias("n_click_30m"),
+        F.count("t_2").alias("n_purchase_30m"),
+        F.expr(
+            "(1000000 * count(t_2)) DIV count(t_0)"
+        ).alias("full_conv_ppm"),
     )
