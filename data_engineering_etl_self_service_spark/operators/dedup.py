@@ -24,7 +24,7 @@ Operators
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, tokens
@@ -668,3 +668,84 @@ def neardup_groups(
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("group_id"))
+
+
+def duplicate_span_extents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_gram_occ: int = 16,
+    top: int = 25,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans (span-level exact
+    dedup, the k-gram formulation of the suffix-array method): adjacent
+    matching k-grams between two documents merge into their maximal
+    shared span via gaps-and-islands on the match diagonal
+    (``pos_a - pos_b`` constant ⟺ the same substring extends).
+
+    Contract: spans are built from k-grams with total corpus occurrence
+    in [2, ``max_gram_occ``] — the lower bound drops unique text, the
+    upper bound is the skew guard that keeps boilerplate grams ("the the
+    the ...") from exploding the per-gram join (the ``max_bucket_size``
+    pattern from :func:`minhash_lsh_pairs`); a gram that common is
+    boilerplate, not a memorization span. Deterministic, so the SQL
+    oracle applies the identical cap.
+
+    Scale: positional grams are ~|tokens| rows; the eligible-gram filter
+    collapses map-side; the pair join fans out at most
+    ``max_gram_occ``² rows per gram; islands are one window over
+    (doc_a, doc_b, diag) — every stage bounded and salting-free.
+    """
+    from ..functions.text import word_shingles
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            word_shingles(F.col(text_col), k=k, distinct=False)
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+    eligible = (
+        sh.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(
+            (F.col("n_occ") >= 2) & (F.col("n_occ") <= max_gram_occ)
+        )
+        .select("gram")
+    )
+    m = sh.join(eligible, "gram")
+    a = m.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram"
+    )
+    b = m.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram"
+    )
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+    )
+    win = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    isl = pairs.select(
+        "doc_a",
+        "doc_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        "pos_a",
+        "pos_b",
+        (F.col("pos_a") - F.row_number().over(win)).alias("isl"),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            (F.count(F.lit(1)) + (k - 1)).alias("span_tokens"),
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+        )
+        .select("doc_a", "doc_b", "span_tokens", "start_a", "start_b")
+        .orderBy(
+            F.desc("span_tokens"), "doc_a", "doc_b", "start_a", "start_b"
+        )
+        .limit(top)
+    )

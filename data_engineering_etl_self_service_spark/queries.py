@@ -1813,6 +1813,8 @@ _FRESH_FIRST = (
     "multimodal_transform",
     "hll_sketch_union",
     "histogram_drift",
+    "funnel_within",
+    "dup_span_extents",
 )
 
 
@@ -5167,3 +5169,56 @@ def funnel_within(spark, sf_dir):
             "(1000000 * count(t_2)) DIV count(t_0)"
         ).alias("full_conv_ppm"),
     )
+
+
+@register(
+    "dup_span_extents",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, CAST(g AS BIGINT) AS pos,
+             array_to_string(t[g:g+4], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(g)),
+    elig AS (
+      SELECT gram FROM sh GROUP BY gram
+      HAVING COUNT(*) BETWEEN 2 AND 16),
+    m AS (SELECT s.doc_id, s.pos, s.gram
+          FROM sh s JOIN elig e ON s.gram = e.gram),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM m a JOIN m b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    i AS (
+      SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b
+               ORDER BY pos_a) AS isl
+      FROM p)
+    SELECT doc_a, doc_b, CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens,
+           MIN(pos_a) AS start_a, MIN(pos_b) AS start_b
+    FROM i GROUP BY doc_a, doc_b, diag, isl
+    ORDER BY span_tokens DESC, doc_a, doc_b, start_a, start_b LIMIT 25
+    """,
+)
+def dup_span_extents(spark, sf_dir):
+    """Maximal duplicated token spans between document pairs (span-level
+    exact dedup — the k-gram formulation of the suffix-array method from
+    the training-data dedup literature): adjacent matching 5-grams merge
+    into their maximal shared span via gaps-and-islands on the match
+    diagonal, so "these two docs share a 37-token run starting at
+    positions 12/408" becomes queryable. ``dup_ngram_spans`` catalogs
+    the duplicated grams; this query resolves them into extents — what
+    you actually cut when removing memorization-scale duplication.
+
+    Scale: per-gram fan-out is capped by the [2,16]-occurrence
+    eligibility band (boilerplate grams are excluded by contract — the
+    max_bucket_size pattern), islands are one window over
+    (pair, diagonal); no stage is quadratic in corpus size
+    (operators/dedup.py duplicate_span_extents).
+    """
+    from .operators.dedup import duplicate_span_extents
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_span_extents(d, k=5, max_gram_occ=16, top=25)

@@ -146,3 +146,30 @@ def test_minhash_incremental_equals_full_minus_corpus_pairs(spark, sf_dir):
     }
     assert got == expected
     assert expected, "fixture must actually contain cross/batch pairs"
+
+
+def test_duplicate_span_extents_exact_fixture(spark):
+    """Two docs sharing exactly an 8-token run: the 4 adjacent matching
+    5-grams must merge into ONE span of 8 tokens at the right 1-based
+    starts; boilerplate grams above the occurrence cap must not pair."""
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        duplicate_span_extents,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    boiler = " ".join(["b"] * 30)  # 'b b b b b' occurs 26x/doc -> capped out
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {shared} u3"),
+            (2, f"v1 {shared} v2 v3 v4"),
+            (3, boiler),
+            (4, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_span_extents(docs, k=5, max_gram_occ=16).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.span_tokens == 8
+    assert (r.start_a, r.start_b) == (3, 2)
