@@ -1815,6 +1815,8 @@ _FRESH_FIRST = (
     "histogram_drift",
     "funnel_within",
     "dup_span_extents",
+    "rolling_wau",
+    "cohort_matrix",
 )
 
 
@@ -5222,3 +5224,99 @@ def dup_span_extents(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return duplicate_span_extents(d, k=5, max_gram_occ=16, top=25)
+
+
+@register(
+    "rolling_wau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT days.d AS day,
+           COUNT(DISTINCT CASE WHEN ud.d = days.d THEN ud.user_id END)
+             AS dau,
+           COUNT(DISTINCT ud.user_id) AS wau
+    FROM days JOIN ud
+      ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def rolling_wau(spark, sf_dir):
+    """DAU + rolling 7-day active users per day — the engagement readout
+    of the reference's implied session-analysis product. Distinct counts
+    don't sum across days, so the rolling window is a range join of the
+    deduplicated (day, user) pairs onto the day spine, then one exact
+    COUNT DISTINCT per day.
+
+    Scale: the dedup to (day, user) collapses the raw event volume first
+    (map-side combine); the range join fans each user-day into <= 7 spine
+    rows — bounded, no self-join on raw events. At 100 TB the exact tier
+    stays viable precisely because of that pre-collapse; the sketch tier
+    (``hll_sketch_union``) answers the same question by merging 7 stored
+    daily sketches with no rescan at all.
+    """
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    j = days.join(
+        ud,
+        (F.col("d") >= F.date_sub(F.col("day"), 6))
+        & (F.col("d") <= F.col("day")),
+    )
+    return j.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("d") == F.col("day"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    )
+
+
+@register(
+    "cohort_matrix",
+    """
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events
+      GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id)
+    SELECT cohort, CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    WHERE day_offset <= 14
+    GROUP BY cohort, day_offset
+    """,
+)
+def cohort_matrix(spark, sf_dir):
+    """Full cohort-retention triangle (first-seen day × day offset →
+    active users, 2 weeks deep): the grid behind every retention chart,
+    generalizing the single-cell ``cohort_retention``. Deterministic
+    integers end to end.
+
+    Scale: first-seen days are one groupBy on user_id; the activity join
+    is broadcast-sized per user (one cohort row each) and the distinct
+    collapses repeat visits before the final count — the biggest table
+    shuffles exactly twice (first-seen, then cohort/day rollup).
+    """
+    e = _t(spark, sf_dir, "events")
+    fd = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort")
+    )
+    act = (
+        e.join(fd, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+        .filter(F.col("day_offset") <= 14)
+    )
+    return act.groupBy("cohort", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).withColumn("day_offset", F.col("day_offset").cast("bigint"))

@@ -79,3 +79,26 @@ def test_cli_backfill_runs_range_and_reports_metrics(tmp_path, capsys):
     assert rc == 0 and len(lines) == 3
     assert all(l["passed"] and l["n_rows"] == 5 for l in lines)
     assert all("total_s" in l["metrics"] for l in lines)
+
+
+def test_examples_directory_specs_parse_and_run(tmp_path, capsys, monkeypatch):
+    """Every shipped examples/*.yaml parses warning-free and runs green
+    (paths redirected under tmp so the repo tree stays clean)."""
+    import pathlib
+    import yaml as _yaml
+
+    from data_engineering_etl_self_service_spark.plans.spec import load_spec
+
+    ex = pathlib.Path(__file__).resolve().parents[1] / "examples"
+    specs = sorted(ex.glob("*.yaml"))
+    assert len(specs) >= 2
+    for p in specs:
+        cfg = _yaml.safe_load(p.read_text())
+        cfg["destination"]["path"] = str(
+            tmp_path / cfg["pipeline_info"]["name"]
+        )
+        q = tmp_path / p.name
+        q.write_text(_yaml.safe_dump(cfg))
+        assert not load_spec(str(q)).warnings
+        rc = main(["run", str(q), "--ds", "2025-08-13"])
+        assert rc == 0, p.name
