@@ -144,6 +144,20 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                 for alias, expr in t.get("aggs", {}).items()
             ]
             df = df.groupBy(*t.get("group_by", [])).agg(*aggs)
+        elif op == "sessionize":
+            # the reference's implied purpose (README.md:1 — user session
+            # analysis) as one YAML stanza: adds a per-user session
+            # sequence column, composable with aggregate/filter stages.
+            from ..operators.sessionize import sessionize
+
+            df = sessionize(
+                df,
+                user_col=t.get("user_col", "user_id"),
+                ts_col=t.get("ts_col", "ts"),
+                gap_minutes=float(t.get("gap_minutes", 30)),
+                tiebreak_cols=tuple(t.get("tiebreak_cols", ("event_id",))),
+                out_col=t.get("out_col", "session_seq"),
+            )
         # unknown ops were flagged at parse time (spec.warnings); skipping
         # here mirrors the reference's tolerant dispatch (ref:
         # operators/data_quality_operator.py:116-117).

@@ -39,6 +39,7 @@ TRANSFORM_OPS = (
     "repartition",
     "join",
     "aggregate",
+    "sessionize",
 )
 
 

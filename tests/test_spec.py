@@ -277,3 +277,44 @@ def test_backfill_continues_past_bad_partition(spark, tmp_path):
     # idempotent re-run of one good day: row count unchanged
     backfill(spark, spec, ["2025-07-28"])
     assert spark.read.parquet(str(tmp_path / "lake")).count() == 60
+
+
+def test_yaml_sessionize_transformation(spark, tmp_path):
+    """Session analysis straight from YAML: sessionize + aggregate stages
+    produce per-session event counts matching the operator directly."""
+    from data_engineering_etl_self_service_spark.catalog import load_table
+    from data_engineering_etl_self_service_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    src = str(tmp_path / "events.parquet")
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(src)
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "sess"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "sessionize", "gap_minutes": 30},
+                {
+                    "op": "aggregate",
+                    "group_by": ["user_id", "session_seq"],
+                    "aggs": {"n_events": "count(*)"},
+                },
+            ],
+            "destination": {"type": "parquet", "path": str(tmp_path / "out")},
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    got = spark.read.parquet(res.published_path)
+    direct = (
+        sessionize(spark.read.parquet(src))
+        .groupBy("user_id", "session_seq")
+        .count()
+    )
+    assert got.count() == direct.count()
+    assert res.n_rows == direct.count()
