@@ -50,6 +50,8 @@ HEADLINE = [
     "zorder_layout",
     "pagerank_nations",
     "trigram_rarity",
+    "dup_span_extents",
+    "rolling_wau",
 ]
 
 

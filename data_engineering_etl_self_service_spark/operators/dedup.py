@@ -699,12 +699,21 @@ def duplicate_span_extents(
     """
     from ..functions.text import word_shingles
 
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            word_shingles(F.col(text_col), k=k, distinct=False)
-        ).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+    # persist: the positional gram set feeds BOTH the eligibility count
+    # and the match join — without it the explode (the widest stage) runs
+    # twice, and both consumers shuffle it on gram anyway.
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                word_shingles(F.col(text_col), k=k, distinct=False)
+            ).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram"
+        )
+        .persist()
+    )
     eligible = (
         sh.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occ"))

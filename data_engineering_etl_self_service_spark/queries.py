@@ -5248,10 +5248,13 @@ def rolling_wau(spark, sf_dir):
     deduplicated (day, user) pairs onto the day spine, then one exact
     COUNT DISTINCT per day.
 
-    Scale: the dedup to (day, user) collapses the raw event volume first
-    (map-side combine); the range join fans each user-day into <= 7 spine
-    rows — bounded, no self-join on raw events. At 100 TB the exact tier
-    stays viable precisely because of that pre-collapse; the sketch tier
+    Scale: the dedup to (day, user) collapses the raw event volume
+    first (map-side combine); then each user-day EXPLODES into its <= 7
+    target days (``sequence(d, d+6)``) and equi-joins the broadcast day
+    spine — a codegen'd map-side fan-out, no nested-loop range join
+    anywhere in the plan (a BNLJ against the spine is what the naive
+    BETWEEN formulation produces). At 100 TB the exact tier stays viable
+    precisely because of that pre-collapse; the sketch tier
     (``hll_sketch_union``) answers the same question by merging 7 stored
     daily sketches with no rescan at all.
     """
@@ -5260,11 +5263,14 @@ def rolling_wau(spark, sf_dir):
         F.col("ts").cast("date").alias("d"), "user_id"
     ).distinct()
     days = ud.select(F.col("d").alias("day")).distinct()
-    j = days.join(
-        ud,
-        (F.col("d") >= F.date_sub(F.col("day"), 6))
-        & (F.col("d") <= F.col("day")),
+    fan = ud.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
     )
+    j = fan.join(F.broadcast(days), "day")
     return j.groupBy("day").agg(
         F.countDistinct(
             F.when(F.col("d") == F.col("day"), F.col("user_id"))
