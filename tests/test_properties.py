@@ -137,3 +137,118 @@ def test_sq8_quantization_error_bound(vecs):
             q = math.floor(x * s + 0.5)
             assert abs(q / s - x) <= (1.0 / s) * 0.5 + 1e-9
             assert -127 <= q <= 127
+
+
+graph_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),   # src node
+        st.integers(min_value=0, max_value=6),   # dst node
+        st.integers(min_value=1, max_value=9),   # weight
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(graph_strategy)
+def test_pagerank_matches_python_model_on_random_graphs(edges):
+    """Both execution tiers must reproduce the pure-Python integer
+    recurrence on arbitrary random weighted digraphs (self-loops,
+    dangling nodes, duplicate edges included)."""
+    from data_engineering_etl_self_service_spark.operators.graph import (
+        SCALE,
+        pagerank_fixedpoint,
+    )
+
+    def ref(edges, n_iters=2, num=85, den=100):
+        agg = {}
+        for s, d, w in edges:
+            agg[(s, d)] = agg.get((s, d), 0) + w
+        nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+        outw = {}
+        for (s, _), w in agg.items():
+            outw[s] = outw.get(s, 0) + w
+        n = len(nodes)
+        base = (SCALE * (den - num)) // (den * n)
+        rank = {v: SCALE // n for v in nodes}
+        for _ in range(n_iters):
+            inc = {v: 0 for v in nodes}
+            for (s, d), w in agg.items():
+                r, o = rank[s], outw[s]
+                inc[d] += (r // o) * w + ((r % o) * w) // o
+            rank = {v: base + (num * inc[v]) // den for v in nodes}
+        return rank
+
+    spark = _get_spark()
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    expected = ref(edges)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixedpoint(df, n_iters=2).collect()
+    }
+    assert got == expected
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=5,
+        max_size=14,
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_span_extents_match_bruteforce(token_docs):
+    """duplicate_span_extents (k=2, cap high enough to disable the skew
+    band's upper bound) must equal a brute-force python scan for the
+    maximal shared runs of every doc pair."""
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        duplicate_span_extents,
+    )
+
+    def brute(docs, k=2):
+        out = set()
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                ta, tb = docs[a], docs[b]
+                # all maximal common runs >= k, by diagonal
+                for d in range(-len(tb) + 1, len(ta)):
+                    run = 0
+                    for i in range(max(0, d), min(len(ta), len(tb) + d)):
+                        j = i - d
+                        if ta[i] == tb[j]:
+                            run += 1
+                        else:
+                            if run >= k:
+                                out.add(
+                                    (a + 1, b + 1, run,
+                                     i - run + 1, i - d - run + 1)
+                                )
+                            run = 0
+                    i = min(len(ta), len(tb) + d)
+                    if run >= k:
+                        out.add(
+                            (a + 1, b + 1, run, i - run + 1, i - d - run + 1)
+                        )
+        return out
+
+    # brute() counts runs of matching TOKENS; the operator counts runs of
+    # matching k-grams and reports run + k - 1 tokens — identical for
+    # spans built from grams every position of which matches. Gram-level
+    # eligibility ([2, cap]) must not bite: set cap huge.
+    spark = _get_spark()
+    docs = [(i + 1, " ".join(t)) for i, t in enumerate(token_docs)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.span_tokens, r.start_a, r.start_b)
+        for r in duplicate_span_extents(
+            df, k=2, max_gram_occ=10_000, top=1000
+        ).collect()
+    }
+    expected = brute([t for t in token_docs], k=2)
+    assert got == expected
