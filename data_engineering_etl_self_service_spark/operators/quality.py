@@ -321,3 +321,69 @@ def profile(df, cols: list[str] | None = None):
         )
     wide = df.agg(*aggs)
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+#: checks with a per-row meaning (a row either satisfies them or not);
+#: table-level checks (min_row_count, unique_column, ...) have no row form.
+ROW_CHECKS = ("non_null", "value_range", "accepted_values")
+
+
+def row_violation_expr(check: "Check | dict"):
+    """Boolean Column: does a ROW violate this check? (NULL-safe: an
+    absent comparison evaluates to a violation only where defined so —
+    SQL three-valued logic is collapsed explicitly.)"""
+    c = check if isinstance(check, Check) else Check.from_dict(check)
+    t, p = c.check_type, c.params
+    if t not in ROW_CHECKS:
+        raise ValueError(
+            f"'{t}' has no per-row form (row checks: {ROW_CHECKS})"
+        )
+    col = F.col(p["column"])
+    if t == "non_null":
+        return col.isNull()
+    if t == "value_range":
+        lo, hi = p.get("min"), p.get("max")
+        v = F.lit(False)
+        if lo is not None:
+            v = v | (col < F.lit(lo))
+        if hi is not None:
+            v = v | (col > F.lit(hi))
+        return F.coalesce(v, F.lit(False))  # NULLs are non_null's job
+    if t == "accepted_values":
+        return F.coalesce(
+            ~col.isin(*p["values"]), F.lit(False)
+        )
+    raise ValueError(f"'{t}' has no per-row form (row checks: {ROW_CHECKS})")
+
+
+def split_by_checks(
+    df: DataFrame, checks: list["Check | dict"]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level quarantine: (good_rows, bad_rows_with_violations).
+
+    The batch gate (run_checks + the pipeline branch) quarantines a
+    whole landing when ANY check fails; this is the complementary
+    self-service mode — keep the clean rows, divert only offenders, each
+    tagged with a ``_violations`` array naming the checks it broke.
+
+    One pass, pure expressions: every check compiles to a violation
+    Column, the array is built per row inside codegen, and the two
+    outputs are filters over the same plan (Spark shares the scan).
+    """
+    named = []
+    for c in checks:
+        cc = c if isinstance(c, Check) else Check.from_dict(c)
+        named.append(
+            F.when(row_violation_expr(cc), F.lit(cc.name)).otherwise(
+                F.lit(None)
+            )
+        )
+    tagged = df.withColumn(
+        "_violations",
+        F.array_compact(F.array(*named)) if named else F.array().cast(
+            "array<string>"
+        ),
+    )
+    good = tagged.filter(F.size("_violations") == 0).drop("_violations")
+    bad = tagged.filter(F.size("_violations") > 0)
+    return good, bad

@@ -202,3 +202,61 @@ def snapshot_batch_sink(base_dir: str, mode: str = "append"):
         )
 
     return _write
+
+
+def merge_into_snapshot(
+    spark: SparkSession,
+    base_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> int:
+    """Copy-on-write MERGE INTO: latest-wins upsert of ``updates`` into
+    the current version, committed as a new version (old versions stay
+    time-travelable). ``delete_col`` names an optional boolean column in
+    ``updates`` marking tombstones (matched rows removed, the CDC apply
+    contract).
+
+    This is the poor-engine's Delta/Iceberg MERGE: one anti-join-shaped
+    window fold (update beats base per key), one rewrite, one manifest
+    commit. At 100 TB you run it per lake partition so only partitions
+    containing updated keys rewrite; the snapshot protocol is what makes
+    the rewrite ATOMIC — readers never see a half-merged table.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = read_snapshot(spark, base_dir)
+    upd = updates
+    if delete_col is None:
+        upd = upd.withColumn("_del", F.lit(False))
+    else:
+        upd = upd.withColumn(
+            "_del", F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        ).drop(delete_col)
+    unioned = base.withColumn("_v", F.lit(0)).withColumn(
+        "_del", F.lit(False)
+    ).unionByName(upd.withColumn("_v", F.lit(1)), allowMissingColumns=True)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_v"))
+    merged = (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col("_del")))
+        .drop("_v", "_del", "_rn")
+    )
+    return write_snapshot(merged, base_dir, mode="overwrite")
+
+
+def compact_snapshot(
+    spark: SparkSession, base_dir: str, target_files: int | None = None
+) -> int:
+    """Rewrite the latest version's (possibly many, append-accumulated)
+    data directories as ONE fresh directory — same rows, new version.
+    The snapshot analog of small-file compaction: appends and streaming
+    micro-batch commits accumulate directories; readers of the new
+    version list one. Pair with :func:`vacuum` to reclaim the old dirs
+    once no retained version references them.
+    """
+    df = read_snapshot(spark, base_dir)
+    if target_files is not None:
+        df = df.coalesce(int(target_files))
+    return write_snapshot(df, base_dir, mode="overwrite")

@@ -210,3 +210,56 @@ def test_freshness_check(spark):
         df, [{"check_type": "freshness", "column": "nope", "as_of": "2025-07-29T00:00:00"}]
     )
     assert not absent.passed
+
+
+def test_split_by_checks_row_level_quarantine(spark):
+    """Row-level split: clean rows keep flowing, offenders divert with a
+    _violations array naming every check each row broke."""
+    from data_engineering_etl_self_service_spark.operators.quality import (
+        split_by_checks,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 50.0, "click"),
+            (2, None, "view"),          # non_null(value)
+            (3, -5.0, "purchase"),      # value_range
+            (4, 9.0, "teleport"),       # accepted_values
+            (5, -1.0, "warp"),          # both range and accepted
+        ],
+        "id long, value double, event_type string",
+    )
+    good, bad = split_by_checks(
+        df,
+        [
+            {"check_type": "non_null", "column": "value"},
+            {"check_type": "value_range", "column": "value", "min": 0},
+            {
+                "check_type": "accepted_values",
+                "column": "event_type",
+                "values": ["click", "view", "purchase"],
+            },
+        ],
+    )
+    assert [r.id for r in good.orderBy("id").collect()] == [1]
+    b = {r.id: set(r._violations) for r in bad.collect()}
+    assert b[2] == {"non_null(value)"}
+    assert b[3] == {"value_range(value)"}
+    assert b[4] == {"accepted_values(event_type)"}
+    assert b[5] == {
+        "value_range(value)",
+        "accepted_values(event_type)",
+    }
+    assert "_violations" not in good.columns
+
+
+def test_split_by_checks_rejects_table_level_check(spark):
+    import pytest
+
+    from data_engineering_etl_self_service_spark.operators.quality import (
+        split_by_checks,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="no per-row form"):
+        split_by_checks(df, [{"check_type": "min_row_count", "threshold": 1}])

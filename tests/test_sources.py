@@ -443,3 +443,63 @@ def test_read_json_corrupt_record_capture(spark, tmp_path):
         read_json(
             spark, str(p), schema="id long, name string", mode="FAILFAST"
         ).collect()
+
+
+def test_merge_into_snapshot_upsert_and_tombstones(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id long, s string, v long",
+        ),
+        base,
+    )
+    updates = spark.createDataFrame(
+        [(2, "B!", 99, False), (3, None, 0, True), (4, "d", 40, False)],
+        "id long, s string, v long, is_deleted boolean",
+    )
+    v = merge_into_snapshot(
+        spark, base, updates, key_cols=["id"], delete_col="is_deleted"
+    )
+    assert v == 2
+    rows = {
+        r.id: (r.s, r.v)
+        for r in read_snapshot(spark, base).collect()
+    }
+    assert rows == {1: ("a", 10), 2: ("B!", 99), 4: ("d", 40)}
+    # time travel to pre-merge state still works
+    old = {r.id for r in read_snapshot(spark, base, version=1).collect()}
+    assert old == {1, 2, 3}
+
+
+def test_compact_snapshot_collapses_append_dirs(spark, tmp_path):
+    import os
+
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        compact_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        vacuum,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    for i in range(4):
+        write_snapshot(spark.range(i * 10, i * 10 + 10), base)
+    import json
+
+    with open(f"{base}/_snapshots/v{4:012d}.json") as f:
+        assert len(json.load(f)["data_dirs"]) == 4
+    v = compact_snapshot(spark, base, target_files=1)
+    with open(f"{base}/_snapshots/v{v:012d}.json") as f:
+        assert len(json.load(f)["data_dirs"]) == 1
+    assert read_snapshot(spark, base).count() == 40
+    vacuum(base, keep_last=1)
+    assert snapshot_versions(base) == [v]
+    assert len(os.listdir(f"{base}/data")) == 1
