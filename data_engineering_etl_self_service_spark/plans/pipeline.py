@@ -215,14 +215,45 @@ def compile_pipeline(
         if transform is not None:
             df = transform(df)
         t1 = time.perf_counter()
-        report = run_checks(df, list(spec.checks), count_rows=True)
-        t2 = time.perf_counter()
         base = spec.destination.path
         published = quarantined = None
+        n_bad_rows = 0
+        if spec.quality_mode == "rows":
+            # Per-row checks divert only offending rows (tagged with the
+            # checks they broke); table-level checks then gate the clean
+            # remainder with the usual batch branch.
+            from ..operators.quality import ROW_CHECKS, split_by_checks
+
+            row_checks = [
+                c
+                for c in spec.checks
+                if c.get("check_type") in ROW_CHECKS
+            ]
+            table_checks = [
+                c
+                for c in spec.checks
+                if c.get("check_type") not in ROW_CHECKS
+            ]
+            good, bad = split_by_checks(df, row_checks)
+            n_bad_rows = bad.count()
+            if base and n_bad_rows:
+                quarantined = f"{base}__quarantine"
+                _write_sink(bad, spec, quarantined)
+            df = good
+            report = run_checks(df, table_checks, count_rows=True)
+        else:
+            report = run_checks(df, list(spec.checks), count_rows=True)
+        t2 = time.perf_counter()
         if base:
             if report.passed:
                 published = base
                 _write_sink(df, spec, published)
+            elif spec.quality_mode == "rows":
+                # the clean remainder failed a TABLE-level gate: park it
+                # separately from the row offenders (different schema —
+                # offenders carry _violations) and publish nothing.
+                quarantined = f"{base}__quarantine_batch"
+                _write_sink(df, spec, quarantined)
             else:
                 quarantined = f"{base}__quarantine"
                 _write_sink(df, spec, quarantined)
@@ -242,6 +273,7 @@ def compile_pipeline(
                 "checks_s": round(t2 - t1, 3),
                 "write_s": round(t3 - t2, 3),
                 "total_s": round(t3 - t0, 3),
+                "rows_quarantined": n_bad_rows,
             },
         )
 

@@ -67,6 +67,10 @@ class PipelineSpec:
     checks: list[dict[str, Any]]
     transformations: tuple[dict[str, Any], ...] = ()
     warnings: tuple[str, ...] = ()
+    #: "batch" (reference semantics: any failure quarantines the whole
+    #: landing) or "rows" (per-row checks divert only offending rows;
+    #: table-level checks then gate the clean remainder).
+    quality_mode: str = "batch"
 
     @property
     def dag_id(self) -> str:
@@ -106,6 +110,12 @@ def _parse(config: dict[str, Any], origin: str = "<dict>") -> PipelineSpec:
     for t in transformations:
         if t.get("op") not in TRANSFORM_OPS:
             warnings.append(f"{origin}: unknown transformation op '{t.get('op')}'")
+    quality_mode = config.get("data_quality_mode", "batch")
+    if quality_mode not in ("batch", "rows"):
+        warnings.append(
+            f"{origin}: unknown data_quality_mode '{quality_mode}'"
+        )
+        quality_mode = "batch"
 
     return PipelineSpec(
         name=info.get("name", Path(origin).stem),
@@ -116,6 +126,7 @@ def _parse(config: dict[str, Any], origin: str = "<dict>") -> PipelineSpec:
         checks=checks,
         transformations=transformations,
         warnings=tuple(warnings),
+        quality_mode=quality_mode,
     )
 
 

@@ -233,7 +233,7 @@ def test_pipeline_metrics_and_row_count(spark, tmp_path):
     res = run_pipeline(spark, spec)
     assert res.n_rows == 40 and res.report.n_rows == 40
     m = res.metrics
-    assert set(m) == {"plan_s", "checks_s", "write_s", "total_s"}
+    assert set(m) == {"plan_s", "checks_s", "write_s", "total_s", "rows_quarantined"}
     assert m["total_s"] >= m["checks_s"] >= 0
 
 
@@ -318,3 +318,68 @@ def test_yaml_sessionize_transformation(spark, tmp_path):
     )
     assert got.count() == direct.count()
     assert res.n_rows == direct.count()
+
+
+def test_rows_quality_mode_diverts_only_offenders(spark, tmp_path):
+    """data_quality_mode: rows — null-user rows quarantine with their
+    _violations tag, clean rows publish, and the table gate still runs
+    on the remainder."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0), (4, None)],
+        "user_id long, value double",
+    ).write.parquet(src)
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "rowsmode"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "data_quality_mode": "rows",
+            "destination": {"type": "parquet", "path": str(tmp_path / "out")},
+            "data_quality_checks": [
+                {"check_type": "non_null", "column": "value"},
+                {"check_type": "min_row_count", "threshold": 1},
+            ],
+        }
+    )
+    assert not spec.warnings and spec.quality_mode == "rows"
+    res = run_pipeline(spark, spec)
+    assert res.passed and res.published_path
+    assert res.metrics["rows_quarantined"] == 2
+    pub = spark.read.parquet(res.published_path)
+    assert {r.user_id for r in pub.collect()} == {1, 3}
+    quar = spark.read.parquet(str(tmp_path / "out") + "__quarantine")
+    assert quar.count() == 2
+    assert set(quar.columns) >= {"user_id", "value", "_violations"}
+
+    # table gate failing on the remainder parks it separately
+    spec2 = spec_from_dict(
+        {
+            "pipeline_info": {"name": "rowsmode2"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "data_quality_mode": "rows",
+            "destination": {"type": "parquet", "path": str(tmp_path / "o2")},
+            "data_quality_checks": [
+                {"check_type": "non_null", "column": "value"},
+                {"check_type": "min_row_count", "threshold": 100},
+            ],
+        }
+    )
+    res2 = run_pipeline(spark, spec2)
+    assert not res2.passed and res2.published_path is None
+    assert res2.quarantined_path.endswith("__quarantine_batch")
+
+
+def test_unknown_quality_mode_warns_and_defaults(spark):
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "x"},
+            "source": {"type": "synthetic_events", "n": 5},
+            "destination": {"type": "none"},
+            "data_quality_mode": "vibes",
+            "data_quality_checks": [],
+        }
+    )
+    assert spec.quality_mode == "batch"
+    assert any("data_quality_mode" in w for w in spec.warnings)
