@@ -57,20 +57,30 @@ def main(argv: list[str] | None = None) -> int:
     p_q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_q.add_argument("--limit", type=int, default=20)
 
+    p_e = sub.add_parser(
+        "explain", help="print a named query's formatted physical plan"
+    )
+    p_e.add_argument("name")
+    p_e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     args = ap.parse_args(argv)
 
     from . import get_spark
 
     spark = get_spark(app_name=f"cli-{args.cmd}")
 
-    if args.cmd == "query":
+    if args.cmd in ("query", "explain"):
         from .queries import QUERIES
 
         if args.name not in QUERIES:
             print(f"unknown query '{args.name}'; known: {sorted(QUERIES)}",
                   file=sys.stderr)
             return 1
-        QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        df = QUERIES[args.name](spark, args.sf_dir)
+        if args.cmd == "explain":
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
         return 0
 
     from .plans.pipeline import backfill, run_pipeline

@@ -260,3 +260,22 @@ def compact_snapshot(
     if target_files is not None:
         df = df.coalesce(int(target_files))
     return write_snapshot(df, base_dir, mode="overwrite")
+
+
+def snapshot_stats(base_dir: str) -> list[dict]:
+    """Per-version metadata summary (no Spark job): version, mode,
+    created_utc, number of data directories, and any streaming batch_id
+    — the `DESCRIBE HISTORY` analog for ops dashboards."""
+    out = []
+    for v in snapshot_versions(base_dir):
+        m = _read_manifest(base_dir, v)
+        out.append(
+            {
+                "version": v,
+                "mode": m.get("mode"),
+                "created_utc": m.get("created_utc"),
+                "n_data_dirs": len(m.get("data_dirs", [])),
+                "batch_id": m.get("batch_id"),
+            }
+        )
+    return out

@@ -102,3 +102,9 @@ def test_examples_directory_specs_parse_and_run(tmp_path, capsys, monkeypatch):
         assert not load_spec(str(q)).warnings
         rc = main(["run", str(q), "--ds", "2025-08-13"])
         assert rc == 0, p.name
+
+
+def test_cli_explain_prints_formatted_plan(capsys):
+    rc = main(["explain", "pricing_summary"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "== Physical Plan ==" in out

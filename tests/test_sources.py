@@ -503,3 +503,18 @@ def test_compact_snapshot_collapses_append_dirs(spark, tmp_path):
     vacuum(base, keep_last=1)
     assert snapshot_versions(base) == [v]
     assert len(os.listdir(f"{base}/data")) == 1
+
+
+def test_snapshot_stats_history(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        snapshot_stats,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(spark.range(3), base)
+    write_snapshot(spark.range(3), base, meta={"batch_id": 7})
+    hist = snapshot_stats(base)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[1]["batch_id"] == 7 and hist[1]["n_data_dirs"] == 2
+    assert hist[0]["mode"] == "append"
