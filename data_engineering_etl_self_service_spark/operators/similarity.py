@@ -612,3 +612,106 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "cos")
     )
+
+
+def build_ivf_index(
+    embs: DataFrame,
+    base_dir: str,
+    n_cells: int = 8,
+    trained: bool = False,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Persist an IVF index as versioned snapshot tables: posting lists
+    hive-partitioned BY CELL under ``<base_dir>/postings`` and the coarse
+    quantizer under ``<base_dir>/centroids``. Returns the postings
+    version.
+
+    This is the production ANN lifecycle the in-query ``ivf_topk`` only
+    simulates: pay the assignment scan ONCE at build time, then every
+    query reads exactly its probed cells off disk — Catalyst prunes the
+    non-probed partitions statically, so query cost scales with
+    nprobe/n_cells of the corpus, not the corpus. Rebuilds are atomic
+    (snapshot overwrite); old index versions stay time-travelable.
+    """
+    from ..sources.snapshots import write_snapshot
+
+    cents = (
+        kmeans_centroids(embs, n_cells, vec_col=vec_col, id_col=id_col)
+        if trained
+        else first_n_centroids(embs, n_cells, vec_col=vec_col, id_col=id_col)
+    )
+    assigned = assign_cells(embs, cents, vec_col=vec_col, id_col=id_col)
+    v = write_snapshot(
+        assigned.repartition("cell_id"),
+        f"{base_dir}/postings",
+        mode="overwrite",
+        partition_by=("cell_id",),
+    )
+    write_snapshot(cents, f"{base_dir}/centroids", mode="overwrite")
+    return v
+
+
+def query_ivf_index(
+    spark,
+    base_dir: str,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF index: (query_id, rank, vec_id, cos).
+
+    The probe set is resolved DRIVER-side (|queries| × |cells| rows — a
+    bounded artifact by the few-queries contract), so the posting-list
+    filter is a literal ``cell_id IN (...)`` predicate and partition
+    pruning happens at plan time — the scan reads only the probed cell
+    directories (asserted via inputFiles in tests). Rerank within the
+    probed cells is the same exact-cosine top-k as the online path.
+    """
+    from ..sources.snapshots import read_snapshot
+
+    cents = read_snapshot(spark, f"{base_dir}/centroids")
+    qcells = (
+        query.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", cosine(F.col("vec"), F.col("cvec")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cell_id")
+    )
+    probe = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "vec", F.col("cell_id").alias("probe_cell"))
+    )
+    probe_cells = sorted(
+        {r["probe_cell"] for r in probe.select("probe_cell").collect()}
+    )
+    postings = read_snapshot(spark, f"{base_dir}/postings").filter(
+        F.col("cell_id").isin(probe_cells)
+    )
+    cand = (
+        postings.withColumn("_anorm", norm(F.col(vec_col)))
+        .join(
+            F.broadcast(probe.withColumn("_qnorm", norm(F.col("vec")))),
+            F.col("cell_id") == F.col("probe_cell"),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = cand.withColumn(
+        "cos",
+        _cos_pre(
+            dot(F.col(vec_col), F.col("vec")),
+            F.col("_anorm"),
+            F.col("_qnorm"),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cos")
+    )

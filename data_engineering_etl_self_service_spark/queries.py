@@ -1817,6 +1817,7 @@ _FRESH_FIRST = (
     "dup_span_extents",
     "rolling_wau",
     "cohort_matrix",
+    "ivf_index_ann",
 )
 
 
@@ -5326,3 +5327,29 @@ def cohort_matrix(spark, sf_dir):
     return act.groupBy("cohort", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     ).withColumn("day_offset", F.col("day_offset").cast("bigint"))
+
+
+@register("ivf_index_ann", ORACLES["ivf_ann"])
+def ivf_index_ann(spark, sf_dir):
+    """The PERSISTED-index twin of ``ivf_ann``: build the IVF index as
+    partitioned snapshot tables (posting lists laid out by cell), then
+    answer the same 3 queries by probing the stored index — partition
+    pruning reads only the probed cells (pinned by plan assertion in
+    tests/test_similarity.py). Same parameters as ``ivf_ann`` (8 first-N
+    cells, nprobe=2), so it shares that query's oracle verbatim: the
+    on-disk lifecycle must not change a single result bit.
+    """
+    import shutil
+    import tempfile
+
+    from .operators.similarity import build_ivf_index, query_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    base = tempfile.mkdtemp(prefix="ivf_index_ann_")
+    shutil.rmtree(base, ignore_errors=True)
+    build_ivf_index(e, base, n_cells=8)
+    out = query_ivf_index(spark, base, q, k=10, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -72,6 +72,7 @@ def write_snapshot(
     mode: str = "append",
     max_retries: int = 10,
     meta: dict | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Write ``df`` as a new committed version; returns the version number.
 
@@ -80,11 +81,22 @@ def write_snapshot(
     read time); ``mode="overwrite"`` starts the version from scratch.
     Data lands under an unreferenced uuid directory first; the commit is
     the exclusive create of the manifest file.
+
+    ``partition_by`` lays the version out hive-partitioned so reads with
+    a partition predicate prune directories (the index/posting-list use
+    case). Partitioned snapshots require ``mode="overwrite"``: partition
+    discovery needs one root per read, so partitioned tables version by
+    full rewrite (rebuild-the-index semantics), not by append.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode: {mode!r}")
+    if partition_by and mode != "overwrite":
+        raise ValueError("partitioned snapshots require mode='overwrite'")
     data_dir = os.path.join(base_dir, _DATA_DIR, uuid.uuid4().hex)
-    df.write.mode("error").parquet(data_dir)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
 
     os.makedirs(os.path.join(base_dir, _MANIFEST_DIR), exist_ok=True)
     for _ in range(max_retries):

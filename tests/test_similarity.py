@@ -353,3 +353,84 @@ def test_pq_codebook_kmeans_mode_is_integer_and_trains(spark):
         for cw in cb_train[m]:
             assert all(isinstance(x, int) for x in cw)
     assert sq_err(cb_train) <= sq_err(cb_first)
+
+
+def test_persisted_ivf_index_full_probe_equals_bruteforce(spark, tmp_path):
+    """nprobe = n_cells ⇒ the persisted-index path must return exactly
+    the brute-force cosine top-k (no approximation left)."""
+    from data_engineering_etl_self_service_spark.catalog import load_table
+    from data_engineering_etl_self_service_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        query_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
+    )
+    base = str(tmp_path / "ivf")
+    v = build_ivf_index(e, base, n_cells=4)
+    assert v == 1
+    got = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in query_ivf_index(spark, base, q, k=5, nprobe=4).collect()
+    }
+    exact = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in cosine_topk(e, q, k=5).collect()
+    }
+    assert got == exact
+
+
+def test_persisted_ivf_index_prunes_partitions(spark, tmp_path):
+    """nprobe=1 must plan a scan over ONLY the probed cell directories."""
+    from data_engineering_etl_self_service_spark.catalog import load_table
+    from data_engineering_etl_self_service_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = str(tmp_path / "ivf")
+    build_ivf_index(e, base, n_cells=4)
+    postings = read_snapshot(spark, f"{base}/postings")
+    cells = [
+        r.cell_id
+        for r in postings.select("cell_id").distinct().collect()
+    ]
+    assert len(cells) >= 2
+    filtered = postings.filter(F.col("cell_id") == cells[0])
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = filtered._jdf.queryExecution().explainString(jmode)
+    # the predicate must land in PartitionFilters (plan-time pruning),
+    # NOT PushedFilters (row-group skipping after reading the partition)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(.*)\]", plan)
+    assert pf and re.search(
+        rf"cell_id#\d+ = {cells[0]}\b", pf.group(1)
+    ), plan
+    assert filtered.count() > 0
+
+
+def test_partitioned_snapshot_requires_overwrite(spark, tmp_path):
+    import pytest
+
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        write_snapshot,
+    )
+
+    with pytest.raises(ValueError, match="overwrite"):
+        df = spark.range(3)
+        write_snapshot(
+            df.withColumn("p", df.id % 2),
+            str(tmp_path / "t"),
+            partition_by=("p",),
+        )
