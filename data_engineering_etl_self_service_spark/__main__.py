@@ -63,11 +63,69 @@ def main(argv: list[str] | None = None) -> int:
     p_e.add_argument("name")
     p_e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    p_o = sub.add_parser(
+        "optimize",
+        help="lake maintenance: compact parquet (optionally z-ordered) "
+        "or collapse+vacuum a snapshot table",
+    )
+    p_o.add_argument("path")
+    p_o.add_argument("--out", default=None,
+                     help="output path for parquet compaction "
+                          "(default: <path>__compact)")
+    p_o.add_argument("--target-mb", type=int, default=128)
+    p_o.add_argument("--zorder", default=None,
+                     help="comma-separated columns to Z-order by")
+    p_o.add_argument("--snapshot", action="store_true",
+                     help="treat path as a snapshot table: compact the "
+                          "latest version and vacuum old ones")
+    p_o.add_argument("--keep-last", type=int, default=1)
+
     args = ap.parse_args(argv)
 
     from . import get_spark
 
     spark = get_spark(app_name=f"cli-{args.cmd}")
+
+    if args.cmd == "optimize":
+        if args.snapshot:
+            from .sources.snapshots import (
+                compact_snapshot,
+                snapshot_stats,
+                vacuum,
+            )
+
+            v = compact_snapshot(spark, args.path)
+            deleted = vacuum(args.path, keep_last=args.keep_last)
+            print(json.dumps(
+                {"compacted_version": v, "vacuumed_dirs": len(deleted),
+                 "history": snapshot_stats(args.path)}
+            ))
+            return 0
+        out = args.out or f"{args.path.rstrip('/')}__compact"
+        if args.zorder:
+            import math
+
+            from .operators.layout import _input_bytes, zorder_by
+
+            df = spark.read.parquet(args.path)
+            n = max(
+                1,
+                math.ceil(
+                    _input_bytes(spark, args.path)
+                    / (args.target_mb << 20)
+                ),
+            )
+            zorder_by(
+                df, args.zorder.split(","), n_files=n
+            ).write.mode("overwrite").parquet(out)
+            print(json.dumps({"out": out, "n_files": n,
+                              "zorder": args.zorder.split(",")}))
+        else:
+            from .operators.layout import compact
+
+            n = compact(spark, args.path, out, target_mb=args.target_mb)
+            print(json.dumps({"out": out, "n_files": n}))
+        return 0
 
     if args.cmd in ("query", "explain"):
         from .queries import QUERIES

@@ -144,6 +144,26 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                 for alias, expr in t.get("aggs", {}).items()
             ]
             df = df.groupBy(*t.get("group_by", [])).agg(*aggs)
+        elif op == "mask":
+            # pseudonymization: salted SHA-256 over identifier columns —
+            # stable within one salt (joins still line up across tables
+            # masked with the same salt), unlinkable across salts. NULLs
+            # stay NULL. Complements redact_pii (functions/text.py),
+            # which scrubs free text; this masks keyed identifiers.
+            salt = str(t.get("salt", ""))
+            for c in t["columns"]:
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.sha2(
+                            F.concat(
+                                F.lit(salt), F.col(c).cast("string")
+                            ),
+                            256,
+                        ),
+                    ),
+                )
         elif op == "sessionize":
             # the reference's implied purpose (README.md:1 — user session
             # analysis) as one YAML stanza: adds a per-user session

@@ -40,6 +40,7 @@ TRANSFORM_OPS = (
     "join",
     "aggregate",
     "sessionize",
+    "mask",
 )
 
 

@@ -108,3 +108,25 @@ def test_cli_explain_prints_formatted_plan(capsys):
     rc = main(["explain", "pricing_summary"])
     out = capsys.readouterr().out
     assert rc == 0 and "== Physical Plan ==" in out
+
+
+def test_cli_optimize_parquet_and_snapshot(spark, tmp_path, capsys):
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "raw")
+    spark.range(10_000).repartition(16).write.parquet(src)
+    rc = main(["optimize", src, "--target-mb", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["n_files"] >= 1
+    assert spark.read.parquet(out["out"]).count() == 10_000
+
+    snap = str(tmp_path / "snap")
+    for i in range(3):
+        write_snapshot(spark.range(5), snap)
+    rc = main(["optimize", snap, "--snapshot"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["vacuumed_dirs"] == 3
+    assert len(out["history"]) == 1
+    assert spark.read.parquet(f"{snap}/data/*").count() == 15

@@ -383,3 +383,99 @@ def test_unknown_quality_mode_warns_and_defaults(spark):
     )
     assert spec.quality_mode == "batch"
     assert any("data_quality_mode" in w for w in spec.warnings)
+
+
+def test_mask_transformation_pseudonymizes_stably(spark, tmp_path):
+    """mask: same salt → same digest (joins still line up), different
+    salt → unlinkable, NULLs stay NULL, plaintext gone."""
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [(1, "ada@example.com"), (2, None), (3, "ada@example.com")],
+        "id long, email string",
+    ).write.parquet(src)
+
+    def run_with_salt(salt, out):
+        spec = spec_from_dict(
+            {
+                "pipeline_info": {"name": f"mask{out}"},
+                "source": {"type": "file", "format": "parquet", "path": src},
+                "transformations": [
+                    {"op": "mask", "columns": ["email"], "salt": salt}
+                ],
+                "destination": {"type": "parquet", "path": str(tmp_path / out)},
+                "data_quality_checks": [],
+            }
+        )
+        assert not spec.warnings
+        return run_pipeline(spark, spec)
+
+    r1 = run_with_salt("s1", "o1")
+    r2 = run_with_salt("s2", "o2")
+    a = {r.id: r.email for r in spark.read.parquet(r1.published_path).collect()}
+    b = {r.id: r.email for r in spark.read.parquet(r2.published_path).collect()}
+    assert a[2] is None and b[2] is None
+    assert a[1] == a[3] and len(a[1]) == 64  # stable within salt, sha256 hex
+    assert "ada@example.com" not in (a[1], b[1])
+    assert a[1] != b[1]  # unlinkable across salts
+
+
+def test_full_product_story_end_to_end(spark, tmp_path):
+    """The whole engine in one flow: backfilled YAML pipeline with rows
+    DQ into a versioned snapshot table, then MERGE, compaction, vacuum —
+    with history intact at each step."""
+    from data_engineering_etl_self_service_spark.plans.pipeline import backfill
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        compact_snapshot,
+        merge_into_snapshot,
+        read_snapshot,
+        snapshot_stats,
+        vacuum,
+    )
+
+    tbl = str(tmp_path / "events_tbl")
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "story"},
+            "source": {"type": "synthetic_events", "n": 200, "seed": 11},
+            "data_quality_mode": "rows",
+            "transformations": [
+                {"op": "with_column", "name": "uid",
+                 "expr": "CAST(substring(user_id, 6, 10) AS INT)"},
+            ],
+            "destination": {"type": "snapshot", "path": tbl},
+            "data_quality_checks": [
+                {"check_type": "non_null", "column": "user_id"},
+                {"check_type": "min_row_count", "threshold": 10},
+            ],
+        }
+    )
+    results = backfill(spark, spec, ["2025-08-01", "2025-08-02"])
+    assert all(r.passed for r in results)
+    assert read_snapshot(spark, tbl).count() == 400
+    assert [h["version"] for h in snapshot_stats(tbl)] == [1, 2]
+
+    # MERGE a correction: bump one uid's rows via tombstone-free upsert
+    from pyspark.sql import functions as F
+
+    upd = read_snapshot(spark, tbl).limit(5).withColumn(
+        "utm_source", F.lit("corrected")
+    )
+    merge_into_snapshot(
+        spark, tbl, upd,
+        key_cols=["user_id", "event_type", "url", "timestamp", "uid"],
+    )
+    cur = read_snapshot(spark, tbl)
+    # both backfill days generated IDENTICAL rows (fixed seed), so the
+    # keyed merge collapses the double-ingest to one row per key —
+    # exactly what MERGE INTO must do to an accidentally re-landed day.
+    assert cur.count() == 200
+    assert cur.filter("utm_source = 'corrected'").count() == 5
+    # pre-merge state still readable, un-deduplicated and un-corrected
+    v2 = read_snapshot(spark, tbl, version=2)
+    assert v2.count() == 400
+    assert v2.filter("utm_source = 'corrected'").count() == 0
+
+    v = compact_snapshot(spark, tbl, target_files=2)
+    vacuum(tbl, keep_last=1)
+    assert [h["version"] for h in snapshot_stats(tbl)] == [v]
+    assert read_snapshot(spark, tbl).count() == 200
