@@ -758,3 +758,30 @@ def duplicate_span_extents(
         )
         .limit(top)
     )
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Remove near-duplicate documents, keeping the lowest-id
+    representative of each transitive near-dup cluster — the one-call
+    dedup step of a training-data pipeline, composing
+    :func:`minhash_lsh_pairs` (exact-verified candidates) with
+    :func:`neardup_groups` (connected components).
+
+    Docs in no pair are untouched; from every cluster exactly one
+    survivor (min id) remains. Scale: everything data-sized is the
+    bucketed LSH pipeline; the final drop is one broadcast anti-join of
+    the (small) loser list against the corpus.
+    """
+    groups = neardup_groups(
+        docs, text_col=text_col, id_col=id_col, k=k, threshold=threshold
+    )
+    losers = groups.filter(F.col(id_col) != F.col("group_id")).select(
+        id_col
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

@@ -164,6 +164,19 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                         ),
                     ),
                 )
+        elif op == "drop_near_duplicates":
+            # the training-corpus dedup step as one YAML stanza: MinHash-
+            # LSH candidates, exact verification, transitive clusters,
+            # lowest-id survivor per cluster (operators/dedup.py).
+            from ..operators.dedup import drop_near_duplicates
+
+            df = drop_near_duplicates(
+                df,
+                text_col=t.get("text_col", "text"),
+                id_col=t.get("id_col", "doc_id"),
+                k=int(t.get("k", 3)),
+                threshold=float(t.get("threshold", 0.8)),
+            )
         elif op == "sessionize":
             # the reference's implied purpose (README.md:1 — user session
             # analysis) as one YAML stanza: adds a per-user session

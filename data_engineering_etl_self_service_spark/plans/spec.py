@@ -41,6 +41,7 @@ TRANSFORM_OPS = (
     "aggregate",
     "sessionize",
     "mask",
+    "drop_near_duplicates",
 )
 
 

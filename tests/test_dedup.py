@@ -173,3 +173,23 @@ def test_duplicate_span_extents_exact_fixture(spark):
     assert (r.doc_a, r.doc_b) == (1, 2)
     assert r.span_tokens == 8
     assert (r.start_a, r.start_b) == (3, 2)
+
+
+def test_drop_near_duplicates_keeps_one_per_cluster(spark):
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        drop_near_duplicates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),           # near-dup of 1
+            (3, base + " extra words"),     # near-dup of 2 (and 1)
+            (10, "completely different content about spark and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    out = drop_near_duplicates(docs, k=3, threshold=0.6)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 10]
+    assert set(out.columns) == {"doc_id", "text"}

@@ -479,3 +479,34 @@ def test_full_product_story_end_to_end(spark, tmp_path):
     vacuum(tbl, keep_last=1)
     assert [h["version"] for h in snapshot_stats(tbl)] == [v]
     assert read_snapshot(spark, tbl).count() == 200
+
+
+def test_yaml_drop_near_duplicates_transformation(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    base = "one two three four five six seven eight nine ten"
+    spark.createDataFrame(
+        [(1, base), (2, base + " eleven"), (7, "unrelated text entirely "
+                                               "about other things here")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "ddup"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "drop_near_duplicates", "threshold": 0.6}
+            ],
+            "destination": {"type": "parquet", "path": str(tmp_path / "o")},
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(res.published_path).collect()
+    )
+    assert ids == [1, 7]
