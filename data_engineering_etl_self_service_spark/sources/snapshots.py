@@ -152,11 +152,23 @@ def read_snapshot(
     )
 
 
-def vacuum(base_dir: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    base_dir: str, keep_last: int = 1, min_age_s: float = 0.0
+) -> list[str]:
     """Drop manifests older than the last ``keep_last`` versions and
     delete data directories no retained version references. Returns the
-    deleted data dirs (relative paths)."""
+    deleted data dirs (relative paths).
+
+    ``min_age_s`` is the orphan grace period: a directory younger than
+    this is NEVER deleted even if unreferenced, because a concurrent
+    writer stages its data dir BEFORE committing the manifest — without
+    the grace period vacuum could destroy an in-flight commit (the same
+    reason Iceberg's remove-orphan-files defaults to a 3-day cutoff).
+    The 0 default suits single-writer maintenance windows and tests;
+    schedule concurrent-writer deployments with an hour or more.
+    """
     import shutil
+    import time as _time
 
     versions = snapshot_versions(base_dir)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
@@ -166,11 +178,16 @@ def vacuum(base_dir: str, keep_last: int = 1) -> list[str]:
     deleted = []
     droot = os.path.join(base_dir, _DATA_DIR)
     if os.path.isdir(droot):
+        now = _time.time()
         for name in os.listdir(droot):
             rel = os.path.join(_DATA_DIR, name)
-            if rel not in live:
-                shutil.rmtree(os.path.join(droot, name))
-                deleted.append(rel)
+            full = os.path.join(droot, name)
+            if rel in live:
+                continue
+            if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
+                continue  # possibly an in-flight commit — leave it
+            shutil.rmtree(full)
+            deleted.append(rel)
     for v in versions:
         if v not in keep:
             os.unlink(_manifest_path(base_dir, v))

@@ -518,3 +518,25 @@ def test_snapshot_stats_history(spark, tmp_path):
     assert [h["version"] for h in hist] == [1, 2]
     assert hist[1]["batch_id"] == 7 and hist[1]["n_data_dirs"] == 2
     assert hist[0]["mode"] == "append"
+
+
+def test_vacuum_grace_period_spares_inflight_dirs(spark, tmp_path):
+    """An unreferenced-but-fresh data dir (a concurrent writer's staged
+    commit) must survive vacuum when min_age_s is set."""
+    import os
+
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        vacuum,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(spark.range(3), base)
+    # stage an orphan dir the way a concurrent writer would
+    orphan = f"{base}/data/deadbeef00000000000000000000feed"
+    os.makedirs(orphan)
+    assert vacuum(base, keep_last=1, min_age_s=3600) == []
+    assert os.path.isdir(orphan)
+    # without the grace period it is reclaimed
+    deleted = vacuum(base, keep_last=1)
+    assert deleted and os.path.basename(deleted[0]).startswith("dead")
