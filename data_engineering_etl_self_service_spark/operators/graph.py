@@ -154,6 +154,9 @@ def pagerank_fixedpoint(
         )
         if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iters:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize BEFORE dropping the caches: the returned plan must not
+    # recompute the upstream edge aggregation at the caller's first action
+    ranks = ranks.localCheckpoint(eager=True)
     e.unpersist()
     nodes.unpersist()
     return ranks
