@@ -252,3 +252,50 @@ def test_span_extents_match_bruteforce(token_docs):
     }
     expected = brute([t for t in token_docs], k=2)
     assert got == expected
+
+
+ops_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "overwrite"]),
+        st.integers(min_value=0, max_value=4),   # which value-block to write
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops_strategy)
+def test_snapshot_versions_replay_a_python_model(ops):
+    """Model-based check of the snapshot table: after ANY sequence of
+    append/overwrite commits, every version v must read back exactly the
+    model's state after the first v ops (time travel is total history)."""
+    import tempfile
+
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    spark = _get_spark()
+    blocks = {i: list(range(i * 10, i * 10 + 3)) for i in range(5)}
+    with tempfile.TemporaryDirectory() as td:
+        base = f"{td}/tbl"
+        model: list[list[int]] = []
+        state: list[int] = []
+        for mode, blk in ops:
+            df = spark.createDataFrame(
+                [(v,) for v in blocks[blk]], "v long"
+            )
+            write_snapshot(df, base, mode=mode)
+            state = (state + blocks[blk]) if mode == "append" else list(
+                blocks[blk]
+            )
+            model.append(list(state))
+        assert snapshot_versions(base) == list(range(1, len(ops) + 1))
+        for v, expected in enumerate(model, start=1):
+            got = sorted(
+                r.v for r in read_snapshot(spark, base, version=v).collect()
+            )
+            assert got == sorted(expected), (v, ops)
