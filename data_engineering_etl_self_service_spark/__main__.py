@@ -63,6 +63,13 @@ def main(argv: list[str] | None = None) -> int:
     p_e.add_argument("name")
     p_e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    p_s = sub.add_parser(
+        "sql", help="run ANSI SQL over the lake tables (registered as views)"
+    )
+    p_s.add_argument("query")
+    p_s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_s.add_argument("--limit", type=int, default=20)
+
     p_o = sub.add_parser(
         "optimize",
         help="lake maintenance: compact parquet (optionally z-ordered) "
@@ -85,6 +92,16 @@ def main(argv: list[str] | None = None) -> int:
     from . import get_spark
 
     spark = get_spark(app_name=f"cli-{args.cmd}")
+
+    if args.cmd == "sql":
+        # ad-hoc SQL over the lake: every catalog table becomes a view,
+        # Catalyst does the rest — the self-service escape hatch when a
+        # question isn't one of the named queries.
+        from .catalog import register_views
+
+        register_views(spark, args.sf_dir)
+        spark.sql(args.query).show(args.limit, truncate=False)
+        return 0
 
     if args.cmd == "optimize":
         if args.snapshot:

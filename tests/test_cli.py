@@ -130,3 +130,14 @@ def test_cli_optimize_parquet_and_snapshot(spark, tmp_path, capsys):
     assert rc == 0 and out["vacuumed_dirs"] == 3
     assert len(out["history"]) == 1
     assert spark.read.parquet(f"{snap}/data/*").count() == 15
+
+
+def test_cli_sql_over_lake_views(capsys):
+    rc = main([
+        "sql",
+        "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name "
+        "ORDER BY r_name LIMIT 3",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "r_name" in out and "AFRICA" in out
