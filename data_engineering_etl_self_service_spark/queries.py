@@ -1818,6 +1818,7 @@ _FRESH_FIRST = (
     "rolling_wau",
     "cohort_matrix",
     "ivf_index_ann",
+    "fuzzy_name_pairs",
 )
 
 
@@ -5353,3 +5354,59 @@ def ivf_index_ann(spark, sf_dir):
     build_ivf_index(e, base, n_cells=8)
     out = query_ivf_index(spark, base, q, k=10, nprobe=2)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer),
+    p AS (
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+             a.c_name AS name_a, b.c_name AS name_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      FROM c a JOIN c b
+        ON substr(a.c_name, 1, 15) = substr(b.c_name, 1, 15)
+       AND a.c_custkey < b.c_custkey)
+    SELECT key_a, key_b, name_a, name_b, dist
+    FROM p WHERE dist = 1
+    ORDER BY key_a, key_b LIMIT 25
+    """,
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Entity resolution by blocked fuzzy matching: customer-name pairs
+    at edit distance exactly 1, the near-typo linkage step of a
+    dedup/mastering pipeline. The block key (first 15 chars) turns the
+    O(n²) all-pairs Levenshtein into an equi-join whose per-block
+    fan-out is bounded by block width; the exact distance then verifies
+    only candidates — the same block-then-verify discipline as
+    MinHash-LSH, applied to record linkage. Levenshtein is
+    integer-exact and identical in Spark and DuckDB, so the oracle
+    hash-matches.
+
+    Scale: blocking keys shuffle once; a production run picks keys with
+    bounded selectivity (name-prefix + length, phonetic codes) and caps
+    block width exactly like ``max_bucket_size`` in the LSH path.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 15).alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 15).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("bigint"),
+        )
+        .filter(F.col("dist") == 1)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+        .orderBy("key_a", "key_b")
+        .limit(25)
+    )
