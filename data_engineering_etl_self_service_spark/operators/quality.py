@@ -42,6 +42,7 @@ KNOWN_CHECKS = (
     "accepted_values",
     "foreign_key",
     "freshness",
+    "quantile_range",
 )
 
 
@@ -164,6 +165,22 @@ def compile_checks(
                 agg_cols.append(
                     F.max(F.col(col).cast("timestamp")).alias(f"_dq_{i}_maxts")
                 )
+        elif t == "quantile_range":
+            # statistical gate: an approximate quantile of the column must
+            # sit inside [min, max] — catches silent unit changes (cents
+            # vs dollars) and distribution collapse that value_range's
+            # hard bounds cannot see. approx_percentile fuses into the
+            # same single-pass agg (t-digest partials combine map-side).
+            col = p.get("column")
+            if col not in df.columns:
+                immediate.append((check, {"absent": True}))
+            else:
+                q = float(p.get("q", 0.5))
+                agg_cols.append(
+                    F.percentile_approx(
+                        F.col(col).cast("double"), q, 10000
+                    ).alias(f"_dq_{i}_quant")
+                )
         elif t == "foreign_key":
             # Referential integrity needs a second table — it cannot fuse
             # into the single-pass agg; compile_checks defers it and
@@ -201,7 +218,7 @@ def run_checks(
                 results.append(
                     CheckResult(check, not missing, f"missing columns: {missing}" if missing else "all present")
                 )
-            elif t in ("unique_column", "non_null", "value_range", "accepted_values", "foreign_key", "freshness"):
+            elif t in ("unique_column", "non_null", "value_range", "accepted_values", "foreign_key", "freshness", "quantile_range"):
                 results.append(CheckResult(check, False, f"column '{p.get('column')}' not found"))
             else:
                 results.append(CheckResult(check, False, f"unknown check_type '{t}'"))
@@ -222,6 +239,21 @@ def run_checks(
         elif t in ("value_range", "accepted_values"):
             viol = row[f"_dq_{i}_viol"] or 0
             results.append(CheckResult(check, viol == 0, f"violations={viol}"))
+        elif t == "quantile_range":
+            qv = row[f"_dq_{i}_quant"]
+            lo, hi = p.get("min"), p.get("max")
+            ok = qv is not None
+            if ok and lo is not None:
+                ok = qv >= float(lo)
+            if ok and hi is not None:
+                ok = qv <= float(hi)
+            results.append(
+                CheckResult(
+                    check,
+                    bool(ok),
+                    f"q{p.get('q', 0.5)}={qv} bounds=[{lo}, {hi}]",
+                )
+            )
         elif t == "freshness":
             import datetime as _dt
 

@@ -263,3 +263,37 @@ def test_split_by_checks_rejects_table_level_check(spark):
     df = spark.range(3)
     with pytest.raises(ValueError, match="no per-row form"):
         split_by_checks(df, [{"check_type": "min_row_count", "threshold": 1}])
+
+
+def test_quantile_range_check_gates_distribution(spark):
+    """The statistical DQ gate: median inside bounds passes, a silent
+    100x unit change fails, absent column fails cleanly — all riding
+    the same fused single-pass agg."""
+    from data_engineering_etl_self_service_spark.operators.quality import (
+        run_checks,
+    )
+
+    df = spark.range(1000).selectExpr("id", "CAST(id AS DOUBLE) / 10 AS price")
+    rep = run_checks(
+        df,
+        [
+            {"check_type": "quantile_range", "column": "price",
+             "q": 0.5, "min": 40, "max": 60},
+            {"check_type": "quantile_range", "column": "price",
+             "q": 0.99, "min": 90},
+        ],
+    )
+    assert rep.passed, rep.failures
+
+    cents = df.selectExpr("id", "price * 100 AS price")  # unit slip
+    rep2 = run_checks(
+        cents,
+        [{"check_type": "quantile_range", "column": "price",
+          "q": 0.5, "min": 40, "max": 60}],
+    )
+    assert not rep2.passed and "q0.5" in rep2.failures[0]
+
+    rep3 = run_checks(
+        df, [{"check_type": "quantile_range", "column": "nope", "min": 0}]
+    )
+    assert not rep3.passed and "not found" in rep3.failures[0]
