@@ -112,6 +112,10 @@ def write_snapshot(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
             "data_dirs": dirs,
+            # written schema, recorded per commit: schema drift between
+            # versions becomes an auditable fact instead of a read-time
+            # surprise (see schema_changes()).
+            "schema": df.schema.simpleString(),
             **(meta or {}),
         }
         tmp = _manifest_path(base_dir, version) + f".{uuid.uuid4().hex}.tmp"
@@ -307,4 +311,19 @@ def snapshot_stats(base_dir: str) -> list[dict]:
                 "batch_id": m.get("batch_id"),
             }
         )
+    return out
+
+
+def schema_changes(base_dir: str) -> list[dict]:
+    """Versions whose written schema differs from their predecessor's —
+    the drift audit for a table that evolved via appends. Reads only
+    manifests (no Spark job). Each entry: version, before, after."""
+    out = []
+    prev = None
+    for v in snapshot_versions(base_dir):
+        cur = _read_manifest(base_dir, v).get("schema")
+        if prev is not None and cur is not None and cur != prev:
+            out.append({"version": v, "before": prev, "after": cur})
+        if cur is not None:
+            prev = cur
     return out

@@ -540,3 +540,20 @@ def test_vacuum_grace_period_spares_inflight_dirs(spark, tmp_path):
     # without the grace period it is reclaimed
     deleted = vacuum(base, keep_last=1)
     assert deleted and os.path.basename(deleted[0]).startswith("dead")
+
+
+def test_snapshot_schema_changes_audit(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        schema_changes,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1,)], "id long"), base)
+    write_snapshot(spark.createDataFrame([(2,)], "id long"), base)
+    write_snapshot(
+        spark.createDataFrame([(3, "x")], "id long, extra string"), base
+    )
+    ch = schema_changes(base)
+    assert len(ch) == 1 and ch[0]["version"] == 3
+    assert "extra" in ch[0]["after"] and "extra" not in ch[0]["before"]
