@@ -1819,6 +1819,7 @@ _FRESH_FIRST = (
     "cohort_matrix",
     "ivf_index_ann",
     "fuzzy_name_pairs",
+    "key_gaps",
 )
 
 
@@ -5408,5 +5409,49 @@ def fuzzy_name_pairs(spark, sf_dir):
         .filter(F.col("dist") == 1)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
         .orderBy("key_a", "key_b")
+        .limit(25)
+    )
+
+
+@register(
+    "key_gaps",
+    """
+    WITH k AS (
+      SELECT o_orderkey AS key,
+             LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      FROM orders)
+    SELECT key + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - key - 1 AS BIGINT) AS n_missing
+    FROM k WHERE nxt - key > 1
+    ORDER BY gap_start LIMIT 25
+    """,
+)
+def key_gaps(spark, sf_dir):
+    """Sequence-completeness audit: missing runs in a key space that is
+    supposed to be dense (order ids, invoice numbers, kafka offsets per
+    partition) — the "did we silently drop a batch?" detector. One LEAD
+    over the sorted keys turns every hole into a (gap_start, gap_end,
+    n_missing) row.
+
+    Scale note (honest): a global LEAD needs a total order — a single
+    partition at the window stage. The 100 TB form runs the same LEAD
+    partitioned by shard (kafka partition, ds) and stitches shard
+    boundaries with a per-shard min/max pass; the global form here is
+    the semantic baseline the driver can hash-check.
+    """
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key"))
+    k = o.select(
+        "key", F.lead("key").over(W.orderBy("key")).alias("nxt")
+    )
+    return (
+        k.filter(F.col("nxt") - F.col("key") > 1)
+        .select(
+            (F.col("key") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("key") - 1).cast("bigint").alias(
+                "n_missing"
+            ),
+        )
+        .orderBy("gap_start")
         .limit(25)
     )
