@@ -1820,6 +1820,8 @@ _FRESH_FIRST = (
     "ivf_index_ann",
     "fuzzy_name_pairs",
     "key_gaps",
+    "basket_pairs",
+    "rfm_scores",
 )
 
 
@@ -5454,4 +5456,134 @@ def key_gaps(spark, sf_dir):
         )
         .orderBy("gap_start")
         .limit(25)
+    )
+
+
+@register(
+    "basket_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+    """,
+)
+def basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs bought together in >= 2
+    orders — the support-count core of association mining (Apriori's
+    first pass), and the "customers also bought" signal. The self-join
+    is keyed on the ORDER, so fan-out is bounded by basket size squared
+    (TPC-H baskets are <= 7 lines ⇒ <= 21 pairs/order) — never corpus-
+    quadratic; the distinct first collapses repeated part lines so a
+    quantity split can't double-count support.
+
+    Scale: one shuffle on orderkey for the join (both sides the same
+    table — the exchange is reused), map-side combine on the pair key.
+    Skew guard at 100 TB: cap basket width (a 10k-item B2B order would
+    contribute 50M pairs) exactly like max_bucket_size in the LSH path.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+@register(
+    "rfm_scores",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             CAST(datediff('day', MAX(o_orderdate),
+                           (SELECT mxd FROM mx)) AS BIGINT) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary,
+             NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS r,
+             NTILE(5) OVER (ORDER BY frequency, custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary, custkey) AS m
+      FROM base)
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           COUNT(*) AS n_customers,
+           CAST(MIN(custkey) AS BIGINT) AS example_custkey
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def rfm_scores(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quintiles) — the
+    classic customer-value grid, aggregated to segment sizes. Recency is
+    measured against the corpus max date (reproducible; never
+    wall-clock), monetary sums ride the exact decimal transit, and every
+    NTILE carries a custkey tie-break so quintile edges are total-ordered
+    and the oracle hash-matches.
+
+    Scale: one groupBy(custkey) collapses orders to one row per customer
+    BEFORE the ranking windows, so the NTILEs sort |customers| rows, not
+    |orders|; a 100 TB deployment would swap the global NTILE for
+    percent_rank over per-partition histograms if |customers| ever
+    outgrew a sort.
+    """
+    o = _t(spark, sf_dir, "orders")
+    mxd = o.agg(F.max("o_orderdate").alias("mxd"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+        .crossJoin(F.broadcast(mxd))
+        .select(
+            "custkey",
+            F.datediff(F.col("mxd"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy(F.desc("recency_days"), "custkey"))
+        .alias("r"),
+        F.ntile(5).over(W.orderBy("frequency", "custkey")).alias("f"),
+        F.ntile(5).over(W.orderBy("monetary", "custkey")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("custkey").cast("bigint").alias("example_custkey"),
+    ).select(
+        F.col("r").cast("bigint").alias("r"),
+        F.col("f").cast("bigint").alias("f"),
+        F.col("m").cast("bigint").alias("m"),
+        "n_customers",
+        "example_custkey",
     )
