@@ -1822,6 +1822,8 @@ _FRESH_FIRST = (
     "key_gaps",
     "basket_pairs",
     "rfm_scores",
+    "hourly_percentiles",
+    "table_diff",
 )
 
 
@@ -5586,4 +5588,144 @@ def rfm_scores(spark, sf_dir):
         F.col("m").cast("bigint").alias("m"),
         "n_customers",
         "example_custkey",
+    )
+
+
+@register(
+    "hourly_percentiles",
+    """
+    WITH v AS (
+      SELECT date_trunc('hour', ts) AS hour, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+      FROM events WHERE value IS NOT NULL)
+    SELECT hour, CAST(MAX(n) AS BIGINT) AS n_values,
+           MIN(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+           MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95
+    FROM v GROUP BY hour
+    """,
+)
+def hourly_percentiles(spark, sf_dir):
+    """Operational percentile bands: exact discrete p50/p95 of the event
+    value per hour — the latency-dashboard shape (SLO lines) computed
+    with pure integer rank indices (``(n+1) DIV 2``, ``(95n+99) DIV
+    100``) so the double values pass through untouched and the oracle
+    hash-matches. The approximate twin at 100 TB is one
+    ``percentile_approx`` per window (``approx_tier``); this exact form
+    is the calibration baseline.
+
+    Scale: one shuffle on the hour bucket; ranks sort within buckets
+    only (hours bound partition width). Same discrete-quantile discipline
+    as ``winsorized_stats``.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wp = W.partitionBy(F.date_trunc("hour", F.col("ts")))
+    v = e.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+        F.row_number().over(wp.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return v.groupBy("hour").agg(
+        F.max("n").cast("bigint").alias("n_values"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("value"))
+        ).alias("p50"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(95 * n + 99) DIV 100"),
+                F.col("value"),
+            )
+        ).alias("p95"),
+    )
+
+
+@register(
+    "table_diff",
+    """
+    WITH cur AS (
+      SELECT o_orderkey AS key,
+             md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                           CAST(CAST(o_totalprice AS DECIMAL(38,6))
+                                AS VARCHAR),
+                           CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                           o_orderpriority)) AS row_hash
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    nxt AS (
+      SELECT o_orderkey AS key,
+             md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                           CAST(CAST(CASE WHEN o_orderkey % 100 = 0
+                                 THEN CAST(o_totalprice AS DECIMAL(38,6))
+                                      * 2
+                                 ELSE CAST(o_totalprice AS DECIMAL(38,6))
+                                 END AS DECIMAL(38,6)) AS VARCHAR),
+                           CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                           o_orderpriority)) AS row_hash
+      FROM orders WHERE o_orderkey % 89 <> 0)
+    SELECT
+      CASE WHEN c.key IS NULL THEN 'added'
+           WHEN n.key IS NULL THEN 'removed'
+           WHEN c.row_hash <> n.row_hash THEN 'changed'
+           ELSE 'unchanged' END AS change_type,
+      COUNT(*) AS n_rows
+    FROM cur c FULL OUTER JOIN nxt n ON c.key = n.key
+    GROUP BY 1
+    """,
+)
+def table_diff(spark, sf_dir):
+    """Table regression diff (the pipeline-migration comparison tool):
+    added / removed / changed / unchanged row counts between a current
+    and a candidate table, via one full outer join on the key with an
+    md5 payload hash — never a column-by-column shuffle of both tables.
+    The fixture derives both sides from orders deterministically (drop
+    %97 keys on one side, %89 on the other, double every %100 price):
+    real usage points the two legs at yesterday's and today's build of
+    the same table. Doubles transit DECIMAL before hashing so both
+    engines stringify identically.
+
+    Scale: hashing collapses row payloads to 32 bytes before the only
+    shuffle; the join is key-partitioned and AQE-skew-safe. This is how
+    you regression-gate a 100 TB pipeline rewrite without eyeballing.
+    """
+    o = _t(spark, sf_dir, "orders")
+
+    def hashed(df, price_col):
+        return df.select(
+            F.col("o_orderkey").alias("key"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    price_col.cast("decimal(38,6)").cast("string"),
+                    F.col("o_orderdate").cast("date").cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ).alias("row_hash"),
+        )
+
+    cur = hashed(
+        o.filter(F.col("o_orderkey") % 97 != 0), F.col("o_totalprice")
+    )
+    nxt = hashed(
+        o.filter(F.col("o_orderkey") % 89 != 0),
+        F.when(
+            F.col("o_orderkey") % 100 == 0,
+            F.col("o_totalprice").cast("decimal(38,6)") * 2,
+        ).otherwise(F.col("o_totalprice").cast("decimal(38,6)")),
+    )
+    j = cur.alias("c").join(
+        nxt.alias("n"), F.col("c.key") == F.col("n.key"), "full_outer"
+    )
+    return (
+        j.select(
+            F.when(F.col("c.key").isNull(), "added")
+            .when(F.col("n.key").isNull(), "removed")
+            .when(F.col("c.row_hash") != F.col("n.row_hash"), "changed")
+            .otherwise("unchanged")
+            .alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )
