@@ -1824,6 +1824,7 @@ _FRESH_FIRST = (
     "rfm_scores",
     "hourly_percentiles",
     "table_diff",
+    "session_paths",
 )
 
 
@@ -5728,4 +5729,71 @@ def table_diff(spark, sf_dir):
         )
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "session_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, session_seq)
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 25
+    """,
+)
+def session_paths(spark, sf_dir):
+    """Top session flows: the ordered event-type path of every 30-min
+    session, counted — the Sankey/user-flow query behind "where do
+    sessions actually go", built on the same sessionizer as the flagship.
+    Path assembly is ``array_join(transform(array_sort(collect_list(
+    struct(ts, event_id, type)))))`` — the (ts, event_id) tie-break makes
+    the concatenation order total, which is what lets a path STRING
+    hash-match across engines.
+
+    Scale: everything happens inside the single user_id exchange the
+    sessionizer already pays; the path table is |sessions| rows and the
+    final count collapses map-side. Pathological sessions (bots with
+    100k events) would be length-capped in production — ``slice`` after
+    sort, same plan.
+    """
+    from .operators.sessionize import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e)
+    paths = (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(25)
     )
