@@ -1825,6 +1825,7 @@ _FRESH_FIRST = (
     "hourly_percentiles",
     "table_diff",
     "session_paths",
+    "bounce_rate",
 )
 
 
@@ -5796,4 +5797,59 @@ def session_paths(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy(F.desc("n_sessions"), "path")
         .limit(25)
+    )
+
+
+@register(
+    "bounce_rate",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    ), per AS (
+      SELECT user_id, session_seq,
+             CAST(MIN(ts) AS DATE) AS day, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_seq)
+    SELECT day, COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           (1000000 * CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT)) // COUNT(*) AS bounce_ppm
+    FROM per GROUP BY day
+    """,
+)
+def bounce_rate(spark, sf_dir):
+    """Daily bounce rate: share of sessions (keyed to their start day)
+    that contain exactly one event — the canonical engagement KPI of the
+    reference's user-session-analysis purpose, in integer ppm so the
+    oracle hash-matches. Rides the flagship sessionizer's single user_id
+    exchange; the per-day rollup is |sessions| rows with map-side
+    combine.
+    """
+    from .operators.sessionize import sessionize
+
+    s = sessionize(_t(spark, sf_dir, "events"))
+    per = s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").cast("date").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+    ).select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        F.expr("(1000000 * n_bounces) DIV n_sessions").alias("bounce_ppm"),
     )
