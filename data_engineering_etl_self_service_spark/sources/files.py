@@ -15,14 +15,27 @@ validation at ingestion replaces.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str, normalize_ntz: bool = True
+) -> DataFrame:
     # Accept INT64 TIMESTAMP(NANOS) parquet (Spark rejects it by default);
     # nanos arrive as long — see catalog.load_table for the conversion idiom.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if normalize_ntz:
+        # µs parquet written with isAdjustedToUTC=false reads back as
+        # TIMESTAMP_NTZ, which time functions (unix_micros, watermarks)
+        # reject. The engine pins the session zone to UTC, so casting
+        # re-labels the same instant as TIMESTAMP without shifting it —
+        # ingested tables behave uniformly regardless of writer quirks.
+        for name, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
 
 
 def read_csv(
