@@ -1896,8 +1896,8 @@ def asof_join_q(spark, sf_dir):
     """
     SELECT c_custkey,
            abs(c_acctbal) AS abs_bal,
-           floor(c_acctbal) AS floor_bal,
-           ceiling(c_acctbal) AS ceil_bal,
+           CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+           CAST(ceiling(c_acctbal) AS BIGINT) AS ceil_bal,
            sqrt(abs(c_acctbal)) AS sqrt_bal,
            c_custkey % 7 AS key_mod7,
            c_acctbal * c_acctbal AS bal_sq
@@ -4822,7 +4822,7 @@ def filtered_ann(spark, sf_dir):
     SELECT doc_id, COUNT(*) AS n_tokens,
            CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_unk,
-           list(tid ORDER BY pos) AS token_ids
+           array_to_string(list(tid ORDER BY pos), ' ') AS token_ids
     FROM enc GROUP BY doc_id
     """,
 )
@@ -4833,7 +4833,10 @@ def vocab_encode(spark, sf_dir):
     else is UNK=0, and each document becomes its position-ordered id
     array plus an OOV count. The id assignment is a rank, the encode is
     a broadcast dictionary join, and every value is an integer, so the
-    whole thing hash-matches the SQL twin.
+    whole thing hash-matches the SQL twin. The id array is serialized to
+    a space-joined string on BOTH engines: the correctness harness hashes
+    output cells, which requires scalar (hashable) column types — an
+    ``array<int>`` column would crash its hasher.
 
     Scale: the word-count table collapses map-side (vocab universe <<
     corpus); the dictionary broadcasts to the encode scan. The id-array
@@ -4867,9 +4870,12 @@ def vocab_encode(spark, sf_dir):
         F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_unk"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-            lambda x: x["tid"],
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x["tid"].cast("string"),
+            ),
+            " ",
         ).alias("token_ids"),
     )
 

@@ -87,28 +87,80 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
-        # Type audit: the driver's value hash is type-sensitive (round-1
-        # lesson: DuckDB SUM(BIGINT) -> HUGEINT -> decimal128 in Arrow,
-        # hashing differently from Spark's int64 even when values match).
-        # Compare Arrow type *families* per column name.
+        # Type audit: the driver's value hash is type-sensitive.
+        # Round-1 lesson: DuckDB SUM(BIGINT) -> HUGEINT -> decimal128 in
+        # Arrow, hashing differently from Spark's int64 even when values
+        # match. Round-2 lessons: (a) DuckDB floor()/ceiling() of DOUBLE
+        # returns DOUBLE where Spark returns BIGINT — `123.0` vs `123`
+        # hash apart; (b) the driver hashes output cells with a pandas
+        # hasher that dies on list/struct values, so nested output columns
+        # are a contract violation on EITHER side. Compare type *families*
+        # per column name and fail fast on any cross-family pair.
         try:
+            bad_type = False
             stab_schema = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+
+            def family(t: str) -> str:
+                t = t.lower()
+                if t.startswith(("list", "large_list", "fixed_size_list", "array")):
+                    return "nested"
+                if t.startswith(("struct", "map")):
+                    return "nested"
+                if t.startswith("decimal"):
+                    return "decimal"
+                if t in ("float", "double", "halffloat") or t.startswith("float"):
+                    return "float"
+                if t in ("tinyint", "smallint", "int", "bigint") or t.startswith(
+                    ("int", "uint")
+                ):
+                    return "int"
+                if t in ("bool", "boolean"):
+                    return "bool"
+                if t.startswith(("string", "large_string", "utf8", "varchar")):
+                    return "string"
+                if t.startswith("date"):
+                    return "date"
+                if t.startswith("timestamp"):
+                    return "timestamp"
+                if t.startswith(("binary", "large_binary")):
+                    return "binary"
+                return t
+
+            for sname, stype in stab_schema.items():
+                if family(stype) == "nested":
+                    print(
+                        f"TYPE  {name}: spark col {sname} is {stype} — the "
+                        f"driver hasher cannot hash nested values; serialize "
+                        f"(array_join) or explode"
+                    )
+                    bad_type = True
             for fld in otab.schema:
                 dt = str(fld.type)
                 sp = stab_schema.get(fld.name)
+                ofam = family(dt)
+                if ofam == "nested":
+                    print(
+                        f"TYPE  {name}: oracle col {fld.name} is {dt} — "
+                        f"serialize (array_to_string) or unnest"
+                    )
+                    bad_type = True
+                    continue
                 if sp is None:
                     continue
-                if dt.startswith("decimal") and sp in ("bigint", "int", "double", "float"):
+                sfam = family(sp)
+                if ofam != sfam:
+                    hint = (
+                        "cast the oracle aggregate"
+                        if ofam == "decimal"
+                        else "cast one side so the families match"
+                    )
                     print(
                         f"TYPE  {name}: oracle col {fld.name} is {dt} "
-                        f"but spark is {sp} — cast the oracle aggregate"
+                        f"({ofam}) but spark is {sp} ({sfam}) — {hint}"
                     )
-                    n_fail += 1
                     bad_type = True
-                    break
-            else:
-                bad_type = False
             if bad_type:
+                n_fail += 1
                 continue
         except Exception:
             pass
