@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .functions.numeric import davg_expr, dsum, davg, dsum_expr
 from .functions.vector import cosine as cosine_vec
+from .operators.ranking import distributed_rank, ntile_bucket, sharded_key_gaps
 from .functions.text import (
     LANG_STOPWORDS,
     fingerprint,
@@ -3284,14 +3285,16 @@ def product_type_profit(spark, sf_dir):
     SELECT l_partkey AS partkey, part_value
     FROM pv
     WHERE part_value > (
-      SELECT {dsum_expr('l_extendedprice * (1 - l_discount)')} * 0.008
+      SELECT {dsum_expr('l_extendedprice * (1 - l_discount)')} * 0.0008
       FROM lineitem)
     """,
 )
 def top_value_parts(spark, sf_dir):
     """TPC-H Q11 shape (adapted to lineitem value — no partsupp): parts whose
     total sales value exceeds a fixed fraction of GLOBAL sales — a grouped
-    aggregate filtered against a scalar-subquery aggregate.
+    aggregate filtered against a scalar-subquery aggregate. The 0.0008
+    share threshold is calibrated so the fixture corpus yields a
+    non-empty answer at sf0.01 — a 0-row green is weak evidence.
 
     Scale: the global scalar is one extra map-side-combined pass that
     reduces to a single row, broadcast into the HAVING filter — never a
@@ -3300,7 +3303,7 @@ def top_value_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(dsum(rev, "part_value"))
-    total = li.agg((dsum(rev) * F.lit(0.008)).alias("threshold"))
+    total = li.agg((dsum(rev) * F.lit(0.0008)).alias("threshold"))
     return (
         pv.join(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))
@@ -5431,7 +5434,7 @@ def fuzzy_name_pairs(spark, sf_dir):
     WITH k AS (
       SELECT o_orderkey AS key,
              LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
-      FROM orders)
+      FROM orders WHERE o_orderstatus <> 'P')
     SELECT key + 1 AS gap_start, nxt - 1 AS gap_end,
            CAST(nxt - key - 1 AS BIGINT) AS n_missing
     FROM k WHERE nxt - key > 1
@@ -5441,29 +5444,27 @@ def fuzzy_name_pairs(spark, sf_dir):
 def key_gaps(spark, sf_dir):
     """Sequence-completeness audit: missing runs in a key space that is
     supposed to be dense (order ids, invoice numbers, kafka offsets per
-    partition) — the "did we silently drop a batch?" detector. One LEAD
-    over the sorted keys turns every hole into a (gap_start, gap_end,
-    n_missing) row.
+    partition) — the "did we silently drop a batch?" detector.
 
-    Scale note (honest): a global LEAD needs a total order — a single
-    partition at the window stage. The 100 TB form runs the same LEAD
-    partitioned by shard (kafka partition, ds) and stitches shard
-    boundaries with a per-shard min/max pass; the global form here is
-    the semantic baseline the driver can hash-check.
+    Scale: the production form (``operators/ranking.sharded_key_gaps``) —
+    range-partition the keys, LEAD *within* each shard (window partitioned
+    by shard id, fully parallel), stitch the ``num_shards`` boundary
+    min/max pairs on the driver. No single-partition Exchange anywhere
+    (pinned in tests/test_plans.py); the SQL oracle is the global-LEAD
+    twin, which gives identical rows.
+
+    The audited slice excludes PENDING orders — the settled keyspace
+    should be dense, and every hole is a stuck upstream batch. (It also
+    keeps the fixture non-degenerate: the raw synthetic keyspace has no
+    holes, and a 0-row green is weak evidence.)
     """
-    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key"))
-    k = o.select(
-        "key", F.lead("key").over(W.orderBy("key")).alias("nxt")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "P")
+        .select(F.col("o_orderkey").alias("key"))
     )
     return (
-        k.filter(F.col("nxt") - F.col("key") > 1)
-        .select(
-            (F.col("key") + 1).alias("gap_start"),
-            (F.col("nxt") - 1).alias("gap_end"),
-            (F.col("nxt") - F.col("key") - 1).cast("bigint").alias(
-                "n_missing"
-            ),
-        )
+        sharded_key_gaps(o, "key", num_shards=32)
         .orderBy("gap_start")
         .limit(25)
     )
@@ -5552,10 +5553,14 @@ def rfm_scores(spark, sf_dir):
     and the oracle hash-matches.
 
     Scale: one groupBy(custkey) collapses orders to one row per customer
-    BEFORE the ranking windows, so the NTILEs sort |customers| rows, not
-    |orders|; a 100 TB deployment would swap the global NTILE for
-    percent_rank over per-partition histograms if |customers| ever
-    outgrew a sort.
+    BEFORE any ranking; then each quintile comes from
+    ``operators/ranking.distributed_rank`` — range-partition on the sort
+    key, row_number within each shard (window partitioned by shard id),
+    prefix offsets from a bounded per-shard count collect — followed by
+    the arithmetic ``ntile_bucket`` formula. NTILE semantics are
+    reproduced exactly (the oracle keeps its window-function form), but
+    no sort ever runs on a single partition (pinned in
+    tests/test_plans.py).
     """
     o = _t(spark, sf_dir, "orders")
     mxd = o.agg(F.max("o_orderdate").alias("mxd"))
@@ -5576,27 +5581,33 @@ def rfm_scores(spark, sf_dir):
             "monetary",
         )
     )
-    scored = base.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5)
-        .over(W.orderBy(F.desc("recency_days"), "custkey"))
-        .alias("r"),
-        F.ntile(5).over(W.orderBy("frequency", "custkey")).alias("f"),
-        F.ntile(5).over(W.orderBy("monetary", "custkey")).alias("m"),
+    # NTILE(5) ... ORDER BY recency_days DESC ≡ ascending on the negation
+    dims = [
+        ("r", [-F.col("recency_days"), F.col("custkey")]),
+        ("f", [F.col("frequency"), F.col("custkey")]),
+        ("m", [F.col("monetary"), F.col("custkey")]),
+    ]
+    scored = base
+    handles = []
+    for name, order_cols in dims:
+        scored, n, h = distributed_rank(
+            scored, order_cols, f"__{name}_rank", num_shards=32
+        )
+        handles.append(h)
+        scored = scored.withColumn(
+            name, ntile_bucket(F.col(f"__{name}_rank"), n, 5)
+        ).drop(f"__{name}_rank")
+    out = (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("custkey").cast("bigint").alias("example_custkey"),
+        )
+        .localCheckpoint(eager=True)  # ≤125 segment rows; frees the caches
     )
-    return scored.groupBy("r", "f", "m").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.min("custkey").cast("bigint").alias("example_custkey"),
-    ).select(
-        F.col("r").cast("bigint").alias("r"),
-        F.col("f").cast("bigint").alias("f"),
-        F.col("m").cast("bigint").alias("m"),
-        "n_customers",
-        "example_custkey",
-    )
+    for h in handles:
+        h.unpersist()
+    return out
 
 
 @register(
