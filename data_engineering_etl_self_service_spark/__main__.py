@@ -26,6 +26,7 @@ def _report_json(result) -> str:
             "passed": result.passed,
             "published_path": result.published_path,
             "quarantined_path": result.quarantined_path,
+            "quarantined_rows_path": result.quarantined_rows_path,
             "n_rows": result.n_rows,
             "failures": result.report.failures,
             "metrics": result.metrics,

@@ -677,6 +677,7 @@ def duplicate_span_extents(
     k: int = 5,
     max_gram_occ: int = 16,
     top: int = 25,
+    materialize: bool = True,
 ) -> DataFrame:
     """Maximal cross-document duplicated token spans (span-level exact
     dedup, the k-gram formulation of the suffix-array method): adjacent
@@ -696,6 +697,12 @@ def duplicate_span_extents(
     collapses map-side; the pair join fans out at most
     ``max_gram_occ``² rows per gram; islands are one window over
     (doc_a, doc_b, diag) — every stage bounded and salting-free.
+
+    ``materialize=True`` (default) eagerly computes the ≤``top``-row
+    result and unpersists the positional-gram cache, so repeated calls in
+    a long-lived session don't accumulate cached blocks.
+    ``materialize=False`` returns the lazy plan (and leaks the persist to
+    the caller) — for plan audits only.
     """
     from ..functions.text import word_shingles
 
@@ -745,7 +752,7 @@ def duplicate_span_extents(
         "pos_b",
         (F.col("pos_a") - F.row_number().over(win)).alias("isl"),
     )
-    return (
+    out = (
         isl.groupBy("doc_a", "doc_b", "diag", "isl")
         .agg(
             (F.count(F.lit(1)) + (k - 1)).alias("span_tokens"),
@@ -758,6 +765,11 @@ def duplicate_span_extents(
         )
         .limit(top)
     )
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def drop_near_duplicates(

@@ -34,6 +34,11 @@ class PipelineResult:
     published_path: str | None
     quarantined_path: str | None
     n_rows: int | None = None
+    #: rows-mode only: where the per-row offenders (with their _violations
+    #: tag) were parked. Distinct from ``quarantined_path`` so a run where
+    #: the table gate ALSO fails reports both locations instead of the
+    #: batch path silently shadowing the row path.
+    quarantined_rows_path: str | None = None
     #: run observability: wall seconds per stage. ``checks_s`` covers the
     #: fused DQ scan (the first action), ``write_s`` the sink job;
     #: ``plan_s`` is driver-side plan construction (source+transforms are
@@ -249,8 +254,9 @@ def compile_pipeline(
             df = transform(df)
         t1 = time.perf_counter()
         base = spec.destination.path
-        published = quarantined = None
+        published = quarantined = quarantined_rows = None
         n_bad_rows = 0
+        persisted = None
         if spec.quality_mode == "rows":
             # Per-row checks divert only offending rows (tagged with the
             # checks they broke); table-level checks then gate the clean
@@ -267,11 +273,16 @@ def compile_pipeline(
                 for c in spec.checks
                 if c.get("check_type") not in ROW_CHECKS
             ]
-            good, bad = split_by_checks(df, row_checks)
+            # Persist the source+transform result once: the split's two
+            # filters, the offender count/write, the fused table checks,
+            # and the publish write would otherwise each recompute the
+            # full lineage (up to 4 scans of the source).
+            persisted = df.persist()
+            good, bad = split_by_checks(persisted, row_checks)
             n_bad_rows = bad.count()
             if base and n_bad_rows:
-                quarantined = f"{base}__quarantine"
-                _write_sink(bad, spec, quarantined)
+                quarantined_rows = f"{base}__quarantine"
+                _write_sink(bad, spec, quarantined_rows)
             df = good
             report = run_checks(df, table_checks, count_rows=True)
         else:
@@ -290,6 +301,8 @@ def compile_pipeline(
             else:
                 quarantined = f"{base}__quarantine"
                 _write_sink(df, spec, quarantined)
+        if persisted is not None:
+            persisted.unpersist()
         t3 = time.perf_counter()
         if not report.passed and alert is not None:
             # the reference's Slack alert hook (ref: dag_factory.py:80-87),
@@ -300,6 +313,7 @@ def compile_pipeline(
             report=report,
             published_path=published,
             quarantined_path=quarantined,
+            quarantined_rows_path=quarantined_rows,
             n_rows=report.n_rows,
             metrics={
                 "plan_s": round(t1 - t0, 3),

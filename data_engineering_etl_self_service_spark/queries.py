@@ -43,6 +43,14 @@ from .session import ensure_session_defaults
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: Plan-transparent twins. A few queries eagerly materialize their (small)
+#: result via localCheckpoint so they can unpersist their intermediate
+#: caches before returning — correct for callers, but it hides the physical
+#: plan behind an ExistingRDD scan. For those, PLAN_VIEWS holds the SAME
+#: builder minus the final materialization; tools/plan_audit.py and plan
+#: tests read these, the driver/oracle gate reads QUERIES.
+PLAN_VIEWS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -1802,10 +1810,27 @@ def _driver_checked() -> frozenset[str]:
     return frozenset(settled)
 
 
+#: queries whose semantics or implementation changed in round 3 — their old
+#: green driver rows are stale evidence, so they rejoin the rotation ahead
+#: of the settled tail even though _driver_checked() lists them.
+_RECHECK = frozenset(
+    {
+        "math_funcs",  # oracle floor/ceiling now CAST to BIGINT
+        "vocab_encode",  # token_ids serialized to string on both sides
+        "key_gaps",  # sharded form + non-degenerate (non-PENDING) slice
+        "rfm_scores",  # distributed_rank/ntile_bucket instead of NTILE
+        "top_value_parts",  # threshold lowered so sf0.01 yields rows
+    }
+)
+
 #: newest operators — surfaced ahead of the older unchecked backlog so the
 #: driver's capped per-round check always covers the code that changed most
 #: recently (the backlog drains over the following rounds either way).
 _FRESH_FIRST = (
+    "math_funcs",
+    "key_gaps",
+    "rfm_scores",
+    "top_value_parts",
     "pagerank_nations",
     "trigram_rarity",
     "filtered_ann",
@@ -1832,8 +1857,9 @@ _FRESH_FIRST = (
 
 def _priority_order(names):
     """Never-settled queries first (newest operators, then registration
-    order), settled last."""
-    settled = _driver_checked()
+    order), settled last. Queries changed this round (_RECHECK) count as
+    unsettled regardless of old green rows."""
+    settled = _driver_checked() - _RECHECK
     fresh = [
         n for n in _FRESH_FIRST if n in names and n not in settled
     ]
@@ -4679,6 +4705,13 @@ def trigram_rarity(spark, sf_dir):
     per-doc groupBy. The trigram explode is expression-only (sequence +
     substring inside codegen — no UDF, text never leaves the JVM).
     """
+    out, tris = _trigram_rarity_build(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)  # |docs| small rows; frees cache
+    tris.unpersist()
+    return out
+
+
+def _trigram_rarity_build(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     tri_arr = F.when(
         F.length("text") >= 3,
@@ -4692,7 +4725,7 @@ def trigram_rarity(spark, sf_dir):
     tris = d.select("doc_id", F.explode(tri_arr).alias("tri")).persist()
     dfreq = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("dfreq"))
     rare = F.sum(F.when(F.col("dfreq") <= 2, 1).otherwise(0)).cast("long")
-    return (
+    out = (
         tris.join(F.broadcast(dfreq), "tri")
         .groupBy("doc_id")
         .agg(
@@ -4706,6 +4739,12 @@ def trigram_rarity(spark, sf_dir):
             F.expr("(1000000 * rare_tris) DIV n_tris").alias("rare_ppm"),
         )
     )
+    return out, tris
+
+
+PLAN_VIEWS["trigram_rarity"] = (
+    lambda spark, sf_dir: _trigram_rarity_build(spark, sf_dir)[0]
+)
 
 
 @register("hll_sketch_union")  # sketch estimates — rows-only check
@@ -5244,6 +5283,21 @@ def dup_span_extents(spark, sf_dir):
     return duplicate_span_extents(d, k=5, max_gram_occ=16, top=25)
 
 
+def _dup_span_extents_plan(spark, sf_dir):
+    from .operators.dedup import duplicate_span_extents
+
+    return duplicate_span_extents(
+        _t(spark, sf_dir, "documents"),
+        k=5,
+        max_gram_occ=16,
+        top=25,
+        materialize=False,
+    )
+
+
+PLAN_VIEWS["dup_span_extents"] = _dup_span_extents_plan
+
+
 @register(
     "rolling_wau",
     """
@@ -5470,6 +5524,21 @@ def key_gaps(spark, sf_dir):
     )
 
 
+def _key_gaps_plan_view(spark, sf_dir):
+    from .operators.ranking import _key_gaps_plan
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "P")
+        .select(F.col("o_orderkey").alias("key"))
+    )
+    gaps, _keyed = _key_gaps_plan(o, "key", 32)
+    return gaps.orderBy("gap_start").limit(25)
+
+
+PLAN_VIEWS["key_gaps"] = _key_gaps_plan_view
+
+
 @register(
     "basket_pairs",
     """
@@ -5562,6 +5631,14 @@ def rfm_scores(spark, sf_dir):
     no sort ever runs on a single partition (pinned in
     tests/test_plans.py).
     """
+    out, handles = _rfm_build(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)  # ≤125 segment rows; frees caches
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+def _rfm_build(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     mxd = o.agg(F.max("o_orderdate").alias("mxd"))
     base = (
@@ -5597,17 +5674,14 @@ def rfm_scores(spark, sf_dir):
         scored = scored.withColumn(
             name, ntile_bucket(F.col(f"__{name}_rank"), n, 5)
         ).drop(f"__{name}_rank")
-    out = (
-        scored.groupBy("r", "f", "m")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.min("custkey").cast("bigint").alias("example_custkey"),
-        )
-        .localCheckpoint(eager=True)  # ≤125 segment rows; frees the caches
+    out = scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("custkey").cast("bigint").alias("example_custkey"),
     )
-    for h in handles:
-        h.unpersist()
-    return out
+    return out, handles
+
+
+PLAN_VIEWS["rfm_scores"] = lambda spark, sf_dir: _rfm_build(spark, sf_dir)[0]
 
 
 @register(

@@ -255,9 +255,15 @@ def merge_into_snapshot(
     commit. At 100 TB you run it per lake partition so only partitions
     containing updated keys rewrite; the snapshot protocol is what makes
     the rewrite ATOMIC — readers never see a half-merged table.
+
+    Determinism: when ``updates`` itself carries several rows for one key
+    (tied ``_v``), the window breaks the tie over every atomic non-key
+    column (descending), so reruns pick the same survivor. Duplicate rows
+    that are bit-identical tie harmlessly.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql.types import AtomicType
 
     base = read_snapshot(spark, base_dir)
     upd = updates
@@ -270,13 +276,26 @@ def merge_into_snapshot(
     unioned = base.withColumn("_v", F.lit(0)).withColumn(
         "_del", F.lit(False)
     ).unionByName(upd.withColumn("_v", F.lit(1)), allowMissingColumns=True)
-    w = Window.partitionBy(*key_cols).orderBy(F.desc("_v"))
+    skip = set(key_cols) | {"_v", "_del"}
+    tiebreak = [
+        F.col(f.name).desc_nulls_last()
+        for f in sorted(unioned.schema.fields, key=lambda f: f.name)
+        if f.name not in skip and isinstance(f.dataType, AtomicType)
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_v"), *tiebreak)
     merged = (
         unioned.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (~F.col("_del")))
         .drop("_v", "_del", "_rn")
     )
-    return write_snapshot(merged, base_dir, mode="overwrite")
+    # Maintenance must not lose the streaming high watermark: carry the max
+    # committed batch_id into the new head manifest so a later
+    # vacuum(keep_last=1) can't break snapshot_batch_sink's replay guard.
+    meta = None
+    last = last_committed_batch(base_dir)
+    if last is not None:
+        meta = {"batch_id": last}
+    return write_snapshot(merged, base_dir, mode="overwrite", meta=meta)
 
 
 def compact_snapshot(
@@ -288,11 +307,20 @@ def compact_snapshot(
     micro-batch commits accumulate directories; readers of the new
     version list one. Pair with :func:`vacuum` to reclaim the old dirs
     once no retained version references them.
+
+    The new manifest carries forward the max streaming ``batch_id`` of the
+    table, so the compact→vacuum maintenance pair (the CLI's
+    ``optimize --snapshot``) preserves :func:`last_committed_batch` and
+    the exactly-once replay guard of :func:`snapshot_batch_sink`.
     """
     df = read_snapshot(spark, base_dir)
     if target_files is not None:
         df = df.coalesce(int(target_files))
-    return write_snapshot(df, base_dir, mode="overwrite")
+    meta = None
+    last = last_committed_batch(base_dir)
+    if last is not None:
+        meta = {"batch_id": last}
+    return write_snapshot(df, base_dir, mode="overwrite", meta=meta)
 
 
 def snapshot_stats(base_dir: str) -> list[dict]:

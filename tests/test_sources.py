@@ -505,6 +505,69 @@ def test_compact_snapshot_collapses_append_dirs(spark, tmp_path):
     assert len(os.listdir(f"{base}/data")) == 1
 
 
+def test_maintenance_preserves_streaming_watermark(spark, tmp_path):
+    """compact→vacuum (the CLI `optimize --snapshot` pair) must not lose
+    the streaming batch_id high watermark, or a crash-replayed micro-batch
+    would be re-appended after maintenance (exactly-once regression)."""
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        compact_snapshot,
+        last_committed_batch,
+        merge_into_snapshot,
+        read_snapshot,
+        snapshot_batch_sink,
+        vacuum,
+    )
+
+    base = str(tmp_path / "tbl")
+    sink = snapshot_batch_sink(base)
+    sink(spark.range(0, 5), 0)
+    sink(spark.range(5, 10), 1)
+    assert last_committed_batch(base) == 1
+
+    compact_snapshot(spark, base, target_files=1)
+    vacuum(base, keep_last=1)
+    assert last_committed_batch(base) == 1
+    sink(spark.range(5, 10), 1)  # crash replay of batch 1 — must be a no-op
+    assert read_snapshot(spark, base).count() == 10
+
+    # MERGE is maintenance too: it must carry the watermark forward
+    merge_into_snapshot(
+        spark,
+        base,
+        spark.range(9, 12),
+        key_cols=["id"],
+    )
+    vacuum(base, keep_last=1)
+    assert last_committed_batch(base) == 1
+    sink(spark.range(5, 10), 1)
+    assert read_snapshot(spark, base).count() == 12
+
+
+def test_merge_duplicate_update_keys_deterministic(spark, tmp_path):
+    """Duplicate keys inside `updates` pick the same survivor on rerun:
+    the window tie-breaks over atomic non-key columns."""
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a", 10)], "id long, s string, v long"),
+        base,
+    )
+    updates = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (1, "y", 1)], "id long, s string, v long"
+    )
+    got = set()
+    for _ in range(3):
+        merge_into_snapshot(spark, base, updates, key_cols=["id"])
+        got.add(tuple(read_snapshot(spark, base).collect()[0]))
+    # desc tie-break over (s, v) → ("y", 2) every time
+    assert got == {(1, "y", 2)}
+
+
 def test_snapshot_stats_history(spark, tmp_path):
     from data_engineering_etl_self_service_spark.sources.snapshots import (
         snapshot_stats,

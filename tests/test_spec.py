@@ -347,6 +347,8 @@ def test_rows_quality_mode_diverts_only_offenders(spark, tmp_path):
     res = run_pipeline(spark, spec)
     assert res.passed and res.published_path
     assert res.metrics["rows_quarantined"] == 2
+    assert res.quarantined_rows_path.endswith("__quarantine")
+    assert res.quarantined_path is None
     pub = spark.read.parquet(res.published_path)
     assert {r.user_id for r in pub.collect()} == {1, 3}
     quar = spark.read.parquet(str(tmp_path / "out") + "__quarantine")
@@ -368,7 +370,12 @@ def test_rows_quality_mode_diverts_only_offenders(spark, tmp_path):
     )
     res2 = run_pipeline(spark, spec2)
     assert not res2.passed and res2.published_path is None
+    # BOTH quarantine locations are reported: the row offenders' park and
+    # the table-gated remainder — neither shadows the other
     assert res2.quarantined_path.endswith("__quarantine_batch")
+    assert res2.quarantined_rows_path.endswith("__quarantine")
+    assert spark.read.parquet(res2.quarantined_rows_path).count() == 2
+    assert spark.read.parquet(res2.quarantined_path).count() == 2
 
 
 def test_unknown_quality_mode_warns_and_defaults(spark):
