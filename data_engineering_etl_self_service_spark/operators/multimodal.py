@@ -20,7 +20,14 @@ Design for image/audio/video at 100 TB:
   parses actual bytes into typed features (dims, channel means, sample
   rate, RMS) with no external codec, and the ``multimodal_decode`` query
   oracle pins the byte-level decode against features recomputed
-  symbolically in SQL.
+  symbolically in SQL;
+- PNG is decoded FOR REAL too (``png_decode`` query): the container is
+  zlib-deflated scanlines behind public chunk framing, so stdlib ``zlib``
+  + numpy cover it end-to-end — chunk parse with CRC verification,
+  inflate, and all five scanline unfilters (None/Sub/Up/Average/Paeth),
+  for bit-depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
+  non-interlaced. Interlaced/paletted/16-bit PNGs and the genuinely
+  lossy codecs (jpeg/mp4/ogg) remain the documented stub boundary.
 """
 
 from __future__ import annotations
@@ -155,6 +162,170 @@ def build_ppm(width: int, height: int, r: int, g: int, b: int) -> bytes:
     ) * (width * height)
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def build_png(
+    width: int,
+    height: int,
+    r: int,
+    g: int,
+    b: int,
+    filters: "list[int] | None" = None,
+) -> bytes:
+    """Hand-packed PNG: 8-bit RGB (color type 2), non-interlaced, solid
+    fill color, zlib-deflated scanlines. ``filters`` optionally gives each
+    row's filter type (0=None 1=Sub 2=Up 3=Average 4=Paeth; default cycles
+    through all five so decoders must really unfilter, not just inflate).
+    Pure ``struct`` + ``zlib`` — PNG is public chunk framing around
+    DEFLATE, no codec library involved.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.tile(
+        np.array([r, g, b], dtype=np.uint8), (height, width, 1)
+    )
+    if filters is None:
+        filters = [i % 5 for i in range(height)]
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(width * bpp, dtype=np.uint8)
+    for y in range(height):
+        line = px[y].reshape(-1)
+        ft = filters[y]
+        if ft == 0:
+            filt = line
+        elif ft == 1:  # Sub: subtract left neighbor
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            filt = (line.astype(np.int16) - left).astype(np.uint8)
+        elif ft == 2:  # Up
+            filt = (line.astype(np.int16) - prev).astype(np.uint8)
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            filt = (line.astype(np.int16) - avg).astype(np.uint8)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            filt = (
+                line.astype(np.int16)
+                - _paeth(left.astype(np.int16), prev.astype(np.int16), ul.astype(np.int16))
+            ).astype(np.uint8)
+        raw.append(ft)
+        raw.extend(filt.tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a, b, c):
+    """Paeth predictor, vectorized (a=left, b=up, c=upper-left)."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    )
+
+
+def decode_png(raw: bytes):
+    """Pure stdlib/numpy PNG decode → HxWxC uint8 array (C = 1, 3, or 4).
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
+    non-interlaced; chunk CRCs are verified. Anything else returns None —
+    that subset boundary is the module's documented stub line for PNG.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        if pos + 12 + ln > len(raw):
+            return None  # truncated / corrupt chunk framing
+        tag = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+        if zlib.crc32(tag + body) != crc:
+            return None
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or comp != 0 or interlace != 0:
+        return None
+    bpp = channels
+    stride = w * bpp
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(data) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft = data[y * (stride + 1)]
+        line = np.frombuffer(
+            data, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int16)
+        if ft == 0:
+            recon = line
+        elif ft == 2:  # Up (vectorized)
+            recon = (line + prev) & 0xFF
+        elif ft == 1:  # Sub: per-lane cumulative sum mod 256
+            recon = (
+                line.astype(np.int64).reshape(w, bpp).cumsum(axis=0) & 0xFF
+            ).astype(np.int16).reshape(-1)
+        else:  # Average / Paeth: sequential in x per pixel
+            recon = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b_ = prev[x]
+                if ft == 3:
+                    recon[x] = (line[x] + (a + b_) // 2) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                    recon[x] = (line[x] + pred) & 0xFF
+        out[y] = recon.astype(np.uint8)
+        prev = recon.astype(np.int16)
+    return out.reshape(h, w, bpp)
+
+
 #: decoded-feature row: one struct per payload, nulls for the fields the
 #: modality doesn't have. Exactly the shape a feature store keeps per asset.
 DECODE_SCHEMA = (
@@ -232,6 +403,24 @@ def decode_payload(raw: bytes) -> dict:
                 mean_g=float(px[..., 1].mean()),
                 mean_b=float(px[..., 2].mean()),
             )
+        return out
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        px = decode_png(bytes(raw))
+        out["kind"] = "png"
+        if px is None:
+            return out  # unsupported PNG subset — sniffed-only row
+        h, w, ch = px.shape
+        fx = px.astype(np.float64)
+        out.update(width=w, height=h, channels=ch)
+        if ch >= 3:
+            out.update(
+                mean_r=float(fx[..., 0].mean()),
+                mean_g=float(fx[..., 1].mean()),
+                mean_b=float(fx[..., 2].mean()),
+            )
+        else:  # gray (or gray+alpha): one luminance plane
+            m = float(fx[..., 0].mean())
+            out.update(mean_r=m, mean_g=m, mean_b=m)
         return out
     for prefix, tag in MAGIC_PREFIXES:
         if bytes(raw[: len(prefix)]) == prefix:
@@ -341,6 +530,19 @@ def _decode_pixels(raw: bytes):
 
         px = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
         return "ppm", px.reshape(h, w, 3).copy()
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        import numpy as np
+
+        px = decode_png(raw)
+        if px is None:
+            return "png", None
+        if px.shape[2] == 1:  # gray → RGB
+            px = np.repeat(px, 3, axis=2)
+        elif px.shape[2] == 2:  # gray+alpha → RGB (alpha dropped)
+            px = np.repeat(px[..., :1], 3, axis=2)
+        elif px.shape[2] == 4:  # RGBA → RGB (alpha dropped)
+            px = px[..., :3].copy()
+        return "png", px
     return "unknown", None
 
 
@@ -351,6 +553,21 @@ def _encode_image(kind: str, px) -> bytes:
     h, w = px.shape[:2]
     if kind == "ppm":
         return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    if kind == "png":
+        # 8-bit RGB, filter 0 per row; zlib.compress is deterministic for
+        # a fixed level, so re-encoded payloads are oracle-hashable
+        import zlib
+
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        import struct
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+            + _png_chunk(b"IEND", b"")
+        )
     # bmp: top-down RGB → bottom-up BGR with 4-byte row padding
     bgr = px[::-1, :, ::-1]
     stride = (w * 3 + 3) & ~3

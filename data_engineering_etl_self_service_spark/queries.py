@@ -1734,6 +1734,69 @@ def multimodal_decode(spark, sf_dir):
     return decode_features(payloads)
 
 
+@register(
+    "png_decode",
+    """
+    SELECT doc_id,
+           'png' AS kind,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((3 * doc_id) % 256 AS DOUBLE) AS mean_g,
+           CAST((7 * doc_id) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def png_decode(spark, sf_dir):
+    """REAL compressed-format decode: deterministic PNG payloads (8-bit
+    RGB, zlib-deflated scanlines, the row filters cycling through all five
+    PNG filter types) are built per doc_id, then parsed back by the pure
+    stdlib/numpy decoder (operators/multimodal.py ``decode_png`` — chunk
+    parse + CRC check + inflate + unfilter). Solid fills make every
+    channel mean an exact integer the oracle recomputes symbolically, so
+    a hash match proves the byte-level DEFLATE decode, not plumbing. This
+    closes the "compressed codecs are stubbed" boundary for PNG; lossy
+    codecs (jpeg/mp3/mp4) remain the documented stub line.
+
+    Scale: identical shape to ``multimodal_decode`` — two shuffle-free
+    Arrow-batched mapInPandas passes over the scan.
+    """
+    from .operators.multimodal import build_png, decode_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = [
+                build_png(
+                    4 + int(i) % 13,
+                    3 + int(i) % 7,
+                    int(i) % 256,
+                    (3 * int(i)) % 256,
+                    (7 * int(i)) % 256,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return decode_features(payloads).select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "channels",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
 # =========================================================================
 # DQ check engine (§2.2 P1-P4, entry point 3)
 # =========================================================================

@@ -203,3 +203,87 @@ def test_transform_payloads_distributed(spark):
     assert d[2].mean_r == 4.0
     assert d[3].sample_rate == 4000 and d[3].n_samples == 50
     assert d[4].kind == "png"
+
+
+def test_png_roundtrip_all_filters():
+    """build_png cycles all five PNG filter types; decode_png must really
+    unfilter (None/Sub/Up/Average/Paeth), not just inflate."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        _encode_image,
+        build_png,
+        decode_payload,
+        decode_png,
+    )
+
+    for w, h, rgb in [(7, 9, (10, 200, 33)), (1, 1, (0, 0, 255)), (16, 5, (255, 0, 7))]:
+        px = decode_png(build_png(w, h, *rgb))
+        assert px.shape == (h, w, 3)
+        assert (px == np.array(rgb, dtype=np.uint8)).all()
+        d = decode_payload(build_png(w, h, *rgb))
+        assert d["kind"] == "png" and (d["width"], d["height"]) == (w, h)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(float(v) for v in rgb)
+    # each filter type alone, on a non-solid image: filtered bytes differ
+    # per type but must all reconstruct the identical pixels
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    base = _encode_image("png", img)  # filter 0 reference
+    assert (decode_png(base) == img).all()
+    r, g, b = 9, 8, 7
+    encs = {ft: build_png(5, 6, r, g, b, filters=[ft] * 6) for ft in range(5)}
+    assert len({e for e in encs.values()}) == 5  # genuinely different bytes
+    for ft, e in encs.items():
+        assert (decode_png(e) == np.array([r, g, b], np.uint8)).all(), ft
+
+
+def test_png_unsupported_and_corrupt_are_sniffed_only():
+    import struct
+    import zlib
+
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        _png_chunk,
+        decode_payload,
+        decode_png,
+    )
+
+    def mk(ctype, ch, w, h, val, depth=8, interlace=0):
+        scan = b"".join(b"\x00" + bytes([val]) * (w * ch) for _ in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # gray and RGBA decode for real
+    g = decode_payload(mk(0, 1, 5, 4, 77))
+    assert g["channels"] == 1 and g["mean_r"] == 77.0 == g["mean_b"]
+    a = decode_payload(mk(6, 4, 5, 4, 90))
+    assert a["channels"] == 4 and a["mean_g"] == 90.0
+    # out-of-subset (16-bit) and corrupt payloads: kind-only rows, no raise
+    assert decode_png(mk(0, 1, 2, 2, 1, depth=16)) is None
+    assert decode_png(mk(0, 1, 2, 2, 1, interlace=1)) is None
+    assert decode_png(b"\x89PNG\r\n\x1a\nopaque") is None
+    d = decode_payload(b"\x89PNG\r\n\x1a\nopaque")
+    assert d["kind"] == "png" and d["width"] is None
+
+
+def test_png_resize_and_distributed_decode(spark):
+    """PNG participates in the transform → decode composition exactly like
+    the uncompressed containers."""
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_png,
+        decode_features,
+        transform_payloads,
+    )
+
+    rows = [(i, build_png(8 + i, 6, i * 10 % 256, 5, 250)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = transform_payloads(df, resize_to=(4, 3))
+    assert all(r.transformed for r in out.collect())
+    d = {r.doc_id: r for r in decode_features(out).collect()}
+    for i in range(4):
+        assert d[i].kind == "png" and (d[i].width, d[i].height) == (4, 3)
+        assert (d[i].mean_r, d[i].mean_g, d[i].mean_b) == (float(i * 10 % 256), 5.0, 250.0)
