@@ -52,6 +52,11 @@ HEADLINE = [
     "trigram_rarity",
     "dup_span_extents",
     "rolling_wau",
+    # round 3: sharded-window forms + vocab/codec paths
+    "key_gaps",
+    "rfm_scores",
+    "vocab_encode",
+    "png_decode",
 ]
 
 

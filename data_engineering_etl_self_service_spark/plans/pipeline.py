@@ -182,6 +182,38 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                 k=int(t.get("k", 3)),
                 threshold=float(t.get("threshold", 0.8)),
             )
+        elif op == "langid":
+            # heuristic language-ID column (functions/text.py): pure
+            # expressions, no UDF — the corpus-pipeline language gate
+            from ..functions.text import langid
+
+            df = df.withColumn(
+                t.get("out_col", "lang"),
+                langid(F.col(t.get("text_col", "text"))),
+            )
+        elif op == "quality_score":
+            # document-quality signal columns (token count, mean token
+            # length, stopword ratio, composite score) — filter on them
+            # with a plain `filter` stanza downstream
+            from ..functions.text import quality_score_cols
+
+            for name, col in quality_score_cols(
+                F.col(t.get("text_col", "text"))
+            ).items():
+                df = df.withColumn(name, col)
+        elif op == "chunk":
+            # overlapping token-window chunks; NOTE: projects to
+            # (id, chunk_id, chunk_text, n_tok) — a terminal reshape that
+            # turns documents into training units (operators/chunking.py)
+            from ..operators.chunking import chunk_documents
+
+            df = chunk_documents(
+                df,
+                text_col=t.get("text_col", "text"),
+                id_col=t.get("id_col", "doc_id"),
+                chunk_tokens=int(t.get("chunk_tokens", 64)),
+                overlap=int(t.get("overlap", 16)),
+            )
         elif op == "sessionize":
             # the reference's implied purpose (README.md:1 — user session
             # analysis) as one YAML stanza: adds a per-user session

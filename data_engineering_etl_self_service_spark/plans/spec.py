@@ -42,6 +42,9 @@ TRANSFORM_OPS = (
     "sessionize",
     "mask",
     "drop_near_duplicates",
+    "langid",
+    "quality_score",
+    "chunk",
 )
 
 

@@ -517,3 +517,87 @@ def test_yaml_drop_near_duplicates_transformation(spark, tmp_path):
         for r in spark.read.parquet(res.published_path).collect()
     )
     assert ids == [1, 7]
+
+
+def test_training_corpus_story_end_to_end(spark, tmp_path):
+    """The LLM-data product story as ONE spec (examples/
+    training_corpus_pipeline.yaml shape): near-dup removal -> language
+    gate -> quality gate -> chunking -> DQ -> atomic snapshot publish."""
+    src = str(tmp_path / "raw.parquet")
+    en = (
+        "the quick brown fox jumps over the lazy dog and runs to the "
+        "river of gold where the morning light settles on a quiet field"
+    )
+    rows = [
+        (1, en),
+        (2, en + " extra"),  # near-dup of 1 → dropped (survivor = min id)
+        (3, "el rio y la montana los pajaros y el cielo es grande y es azul"),
+        (4, "x"),  # too short / low quality → filtered
+        (
+            5,
+            "a long and winding road of stories and the songs of the old "
+            "town carried to the sea by the wind and the tide every night",
+        ),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "training_corpus"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {
+                    "op": "drop_near_duplicates",
+                    "text_col": "text",
+                    "id_col": "doc_id",
+                    "k": 3,
+                    "threshold": 0.6,
+                },
+                {"op": "langid", "text_col": "text"},
+                {"op": "filter", "predicate": "lang = 'en'"},
+                {"op": "quality_score", "text_col": "text"},
+                {
+                    "op": "filter",
+                    "predicate": "quality_score >= 0.5 AND n_tokens >= 8",
+                },
+                {
+                    "op": "chunk",
+                    "text_col": "text",
+                    "id_col": "doc_id",
+                    "chunk_tokens": 16,
+                    "overlap": 4,
+                },
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1},
+                {
+                    "check_type": "required_columns",
+                    "columns": ["doc_id", "chunk_id", "chunk_text", "n_tok"],
+                },
+            ],
+            "destination": {
+                "type": "snapshot",
+                "path": str(tmp_path / "chunks"),
+            },
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed and res.published_path
+
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    out = read_snapshot(spark, res.published_path)
+    assert set(out.columns) == {"doc_id", "chunk_id", "chunk_text", "n_tok"}
+    surviving = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    # doc 2 deduped away, doc 3 not English, doc 4 low quality
+    assert surviving == {1, 5}
+    chunks = sorted(
+        (r.doc_id, r.chunk_id, r.n_tok) for r in out.collect()
+    )
+    # 24-token docs, window 16 stride 12 → 2 chunks each, last one short
+    assert [c[1] for c in chunks if c[0] == 1] == [0, 1]
+    assert all(c[2] <= 16 for c in chunks)
+    # every token covered: first chunk full-width
+    assert {c[2] for c in chunks if c[1] == 0} == {16}
