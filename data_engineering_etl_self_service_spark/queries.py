@@ -2752,19 +2752,22 @@ def pack_sequences_q(spark, sf_dir):
                   AS BIGINT) AS xf
       FROM embeddings),
     agg AS (
-      SELECT label, pos,
+      SELECT label, CAST(pos AS BIGINT) AS pos,
              CAST(SUM(xf) AS DOUBLE) / 1000000000.0 / COUNT(*) AS m
       FROM comp GROUP BY label, pos)
-    SELECT label, list(m ORDER BY pos) AS centroid, CAST(n AS BIGINT) AS n_vecs
+    SELECT label, pos, m, CAST(n AS BIGINT) AS n_vecs
     FROM agg
     JOIN (SELECT label AS l2, COUNT(*) AS n FROM embeddings GROUP BY label)
       ON label = l2
-    GROUP BY label, n
     """,
 )
 def label_centroids(spark, sf_dir):
     """Per-label embedding centroids (north-star vector aggregation):
-    elementwise mean over array<float> columns.
+    elementwise mean over array<float> columns, emitted as exploded
+    (label, pos, component) rows. The exploded shape is deliberate: the
+    correctness harness hashes scalar cells (an ``array<double>`` output
+    column would crash its hasher), and cross-engine double→string array
+    serialization is not bit-stable — scalar doubles are.
 
     Float SUM is order-dependent, so each component is quantized to 1e-9
     fixed point (floor(x*1e9) — float32 inputs carry < 8 significant decimal
@@ -2773,34 +2776,33 @@ def label_centroids(spark, sf_dir):
     NOT enough here — double→decimal rounding of full-mantissa values hits
     engine rounding-mode differences at the last digit.
 
-    Scale: posexplode → (label, pos) partial aggregation → sort_array
-    reassembly. The shuffle carries one row per (label, pos) pair after
-    map-side combine — dimensions × labels, independent of corpus size.
+    Scale: posexplode → (label, pos) partial aggregation. The shuffle
+    carries one row per (label, pos) pair after map-side combine —
+    dimensions × labels, independent of corpus size.
     """
+    e = _t(spark, sf_dir, "embeddings")
+    agg = _centroid_components(spark, sf_dir)
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return agg.join(counts, "label").select("label", "pos", "m", "n_vecs")
+
+
+def _centroid_components(spark, sf_dir):
+    """(label, pos, m): the 1e-9-fixed-point-exact per-component centroid
+    means shared by label_centroids (exploded report) and
+    centroid_outliers (array reassembly for scoring)."""
     e = _t(spark, sf_dir, "embeddings")
     comp = e.select(
         "label", F.posexplode("embedding").alias("pos", "x")
     ).select(
         "label",
-        (F.col("pos") + 1).alias("pos"),
+        (F.col("pos") + 1).cast("bigint").alias("pos"),
         F.floor(F.col("x").cast("double") * 1e9).alias("xf"),
     )
-    agg = comp.groupBy("label", "pos").agg(
+    return comp.groupBy("label", "pos").agg(
         (
             F.sum("xf").cast("double") / F.lit(1e9) / F.count(F.lit(1))
         ).alias("m")
     )
-    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
-    cent = (
-        agg.groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "m"))
-            ).alias("pm")
-        )
-        .select("label", F.col("pm.m").alias("centroid"))
-    )
-    return cent.join(counts, "label").select("label", "centroid", "n_vecs")
 
 
 @register(
@@ -2840,7 +2842,16 @@ def centroid_outliers(spark, sf_dir):
     shuffles only (label, vec_id, cos) triples.
     """
     e = _t(spark, sf_dir, "embeddings")
-    cent = label_centroids(spark, sf_dir).select("label", "centroid")
+    cent = (
+        _centroid_components(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
     scored = e.join(F.broadcast(cent), "label").select(
         "label",
         "vec_id",
