@@ -2688,6 +2688,46 @@ def large_orders(spark, sf_dir):
 
 
 @register(
+    "bloom_semi_revenue",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_revenue(spark, sf_dir):
+    """Runtime-filter pattern as an explicit operator
+    (operators/bloom.py): revenue of line items belonging to high-value
+    orders, executed as bloom-pre-filter → exact-verify semi-join.
+    Blooms have no false negatives, so the answer is IDENTICAL to the
+    plain IN-subquery the oracle runs — false positives only cost a
+    wasted row through the verify join.
+
+    Scale: the few-hundred-KB (word, bits) filter broadcasts and the
+    membership test evaluates INSIDE the fact scan stage (k broadcast
+    word lookups + bitmask tests — no exchange before it), so at 100 TB
+    non-matching rows die before any shuffle; the exact verify join sees
+    only survivors. Spark's optimizer injects this shape itself in
+    narrow cases; the operator covers pre-computed dims and cross-stage
+    reuse it can't infer, built from public expressions only
+    (``bloom_filter_agg`` is internal).
+    """
+    from .operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    matched = bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum(rev, "revenue")
+    )
+
+
+@register(
     "chunk_documents",
     """
     WITH toks AS (

@@ -299,3 +299,72 @@ def test_snapshot_versions_replay_a_python_model(ops):
                 r.v for r in read_snapshot(spark, base, version=v).collect()
             )
             assert got == sorted(expected), (v, ops)
+
+
+ranks_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # sort value (ties likely)
+        st.integers(min_value=0, max_value=10_000),  # unique-ish tiebreak
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],  # tiebreak column is unique → total order
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ranks_strategy, st.integers(min_value=1, max_value=7))
+def test_distributed_rank_and_ntile_match_global_window(rows, k):
+    """distributed_rank == global row_number and ntile_bucket == NTILE(k)
+    on random data with ties, any shard count, any k."""
+    from data_engineering_etl_self_service_spark.operators.ranking import (
+        distributed_rank,
+        ntile_bucket,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, "v long, tb long")
+    ranked, n, h = distributed_rank(
+        df, [F.col("v"), F.col("tb")], "rnk", num_shards=5
+    )
+    got = {
+        r["tb"]: (r["rnk"], r["b"])
+        for r in ranked.withColumn("b", ntile_bucket(F.col("rnk"), n, k)).collect()
+    }
+    h.unpersist()
+    want = {
+        r["tb"]: (r["rnk"], r["b"])
+        for r in df.select(
+            "tb",
+            F.row_number().over(W.orderBy("v", "tb")).alias("rnk"),
+            F.ntile(k).over(W.orderBy("v", "tb")).alias("b"),
+        ).collect()
+    }
+    assert n == len(rows)
+    assert got == want
+
+
+keys_strategy = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=1, max_size=80, unique=True
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys_strategy)
+def test_sharded_key_gaps_match_python_model(keys):
+    """sharded_key_gaps == the obvious sorted-scan gap model, any shard
+    count vs key distribution."""
+    from data_engineering_etl_self_service_spark.operators.ranking import (
+        sharded_key_gaps,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    got = sorted(tuple(r) for r in sharded_key_gaps(df, "key", 5).collect())
+    s = sorted(keys)
+    want = sorted(
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(s, s[1:])
+        if b - a > 1
+    )
+    assert got == want
