@@ -1,0 +1,192 @@
+"""Incremental rollups (continuous aggregates): answer coarse-grain
+queries from fine-grain partials without ever rescanning raw data.
+
+The 100 TB pattern behind every "hypertable continuous aggregate" /
+"materialized rollup": raw events are aggregated ONCE, at ingest, into a
+small partial-aggregate table at a fine grain (e.g. hour × event_type);
+dashboards then aggregate the partials up to day/week/total — touching
+kilobytes, not the 100 TB of raw history. Only MERGEABLE aggregates
+qualify (count, sum, min, max): their partials combine associatively, so
+ingest order cannot change the result.
+
+Exactness: sums are stored in the partial table as DECIMAL(38,6)
+(functions/numeric.py transit) and only cast to DOUBLE at read time —
+merging double partials would re-introduce float-order nondeterminism.
+
+Storage is a snapshot table (sources/snapshots.py): each upsert commits
+an atomic new version (readers never see a half-merged rollup, old
+versions stay time-travelable), the agg spec is recorded in the manifest
+so reads are self-describing, and the streaming sink reuses the
+snapshot ``batch_id`` replay guard for exactly-once maintenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DECIMAL_TYPE
+from ..sources.snapshots import (
+    last_committed_batch,
+    read_snapshot,
+    snapshot_versions,
+    write_snapshot,
+)
+
+#: agg kinds → (partial expression over raw rows, merge function over partials)
+_KINDS = ("count", "sum", "min", "max")
+
+
+def _partial(kind: str, col: str | None) -> Column:
+    if kind == "count":
+        return F.count(F.lit(1))
+    if kind == "sum":
+        return F.sum(F.col(col).cast(DECIMAL_TYPE))
+    if kind == "min":
+        return F.min(col)
+    if kind == "max":
+        return F.max(col)
+    raise ValueError(f"unmergeable agg kind: {kind!r} (want one of {_KINDS})")
+
+
+def _merge(kind: str, col: str) -> Column:
+    # count partials re-combine by summing; sums stay in exact decimal
+    return F.sum(col) if kind in ("count", "sum") else _partial(kind, col)
+
+
+def upsert_rollup(
+    spark: SparkSession,
+    base_dir: str,
+    batch: DataFrame,
+    grains: "dict[str, Column]",
+    aggs: "dict[str, tuple[str, str | None]]",
+    batch_id: int | None = None,
+) -> int:
+    """Fold ``batch`` into the rollup at ``base_dir``; returns the new
+    snapshot version.
+
+    ``grains`` maps output grain column names to expressions over the
+    raw batch (e.g. ``{"hour": F.date_trunc("hour", F.col("ts"))}``);
+    ``aggs`` maps output columns to ``(kind, source_col)`` with kind in
+    count/sum/min/max. One shuffle on the grain key for the batch
+    partials; the merge then groups |existing ∪ new| grain rows — the
+    (small) rollup itself, never raw history.
+    """
+    gcols = [expr.alias(name) for name, expr in grains.items()]
+    gnames = list(grains)
+    part = batch.groupBy(*gcols).agg(
+        *[_partial(kind, col).alias(out) for out, (kind, col) in aggs.items()]
+    )
+    if snapshot_versions(base_dir):
+        cur = read_snapshot(spark, base_dir)
+        part = (
+            cur.unionByName(part)
+            .groupBy(*gnames)
+            .agg(
+                *[
+                    _merge(kind, out).alias(out)
+                    for out, (kind, _) in aggs.items()
+                ]
+            )
+        )
+    kinds = {out: kind for out, (kind, _) in aggs.items()}
+    meta: dict = {"rollup_aggs": kinds}
+    if batch_id is not None:
+        meta["batch_id"] = batch_id
+    v = write_snapshot(part, base_dir, mode="overwrite", meta=meta)
+    # durable spec sidecar: vacuum drops old manifests and maintenance
+    # commits don't restate the spec, so reads resolve kinds from here
+    # when the head manifest lacks them
+    import json
+    import os
+
+    os.makedirs(os.path.join(base_dir, "_snapshots"), exist_ok=True)
+    with open(os.path.join(base_dir, "_snapshots", "rollup_spec.json"), "w") as f:
+        json.dump({"rollup_aggs": kinds}, f)
+    return v
+
+
+def read_rollup(
+    spark: SparkSession,
+    base_dir: str,
+    group_exprs: "dict[str, Column] | None" = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Aggregate the stored partials up to a coarser grain.
+
+    ``group_exprs`` maps output names to expressions over the PARTIAL
+    table's grain columns (e.g. ``{"day": F.to_date(F.col("hour"))}``);
+    None returns the grand total. Agg kinds come from the manifest, so
+    callers never restate them. Sums surface as DOUBLE, counts as LONG.
+    """
+    import json
+    import os
+
+    part = read_snapshot(spark, base_dir, version=version)
+    # agg kinds: newest manifest at-or-before the read version carrying
+    # them, else the durable spec sidecar (maintenance commits don't
+    # restate the spec and vacuum drops old manifests)
+    kinds: dict[str, str] | None = None
+    versions = snapshot_versions(base_dir)
+    upto = [v for v in versions if version is None or v <= version]
+    for v in reversed(upto):
+        with open(
+            os.path.join(base_dir, "_snapshots", f"v{v:012d}.json")
+        ) as f:
+            m = json.load(f)
+        if "rollup_aggs" in m:
+            kinds = m["rollup_aggs"]
+            break
+    if kinds is None:
+        spec_path = os.path.join(base_dir, "_snapshots", "rollup_spec.json")
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                kinds = json.load(f)["rollup_aggs"]
+    if kinds is None:
+        raise ValueError(f"no rollup spec found at {base_dir}")
+
+    def final(out: str, kind: str) -> Column:
+        m = _merge(kind, out)
+        if kind == "sum":
+            return m.cast("double").alias(out)
+        if kind == "count":
+            return m.cast("long").alias(out)
+        return m.alias(out)
+
+    gcols = (
+        [expr.alias(name) for name, expr in group_exprs.items()]
+        if group_exprs
+        else []
+    )
+    aggs = [final(out, kind) for out, kind in kinds.items()]
+    if gcols:
+        return part.groupBy(*gcols).agg(*aggs)
+    return part.agg(*aggs)
+
+
+def rollup_batch_sink(
+    base_dir: str,
+    grains: "dict[str, Column]",
+    aggs: "dict[str, tuple[str, str | None]]",
+):
+    """``foreachBatch`` body maintaining the rollup EXACTLY-ONCE across
+    restarts: a crash-replayed micro-batch (``batch_id`` at or below the
+    committed watermark) is skipped instead of double-counted — the same
+    manifest-carried guard as ``snapshot_batch_sink``, which maintenance
+    (compact/vacuum) preserves.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch(base_dir)
+        if last is not None and batch_id <= last:
+            return
+        upsert_rollup(
+            batch_df.sparkSession,
+            base_dir,
+            batch_df,
+            grains,
+            aggs,
+            batch_id=batch_id,
+        )
+
+    return _write

@@ -1,0 +1,90 @@
+"""Incremental rollup: exact maintenance, self-describing reads,
+exactly-once streaming sink, maintenance-safe watermark."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_etl_self_service_spark.operators.rollup import (
+    read_rollup,
+    rollup_batch_sink,
+    upsert_rollup,
+)
+
+def _grains():
+    # built lazily: Column construction needs an active SparkContext
+    return {"k": F.pmod(F.col("id"), F.lit(4))}
+
+
+AGGS = {
+    "n": ("count", None),
+    "s": ("sum", "v"),
+    "mn": ("min", "v"),
+    "mx": ("max", "v"),
+}
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id", (F.col("id") * 1.5).alias("v")
+    )
+
+
+def test_incremental_equals_direct(spark, tmp_path):
+    base = str(tmp_path / "r")
+    for lo, hi in ((0, 40), (40, 70), (70, 100)):
+        upsert_rollup(spark, base, _mk(spark, lo, hi), _grains(), AGGS)
+    got = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in read_rollup(spark, base, {"k": F.col("k")}).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in _mk(spark, 0, 100)
+        .groupBy(F.pmod(F.col("id"), F.lit(4)).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+    # grand total (no group): one row, kinds from the manifest
+    tot = read_rollup(spark, base).collect()[0]
+    assert tot["n"] == 100 and tot["mx"] == 99 * 1.5
+
+
+def test_rollup_sink_exactly_once_and_maintenance_safe(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        compact_snapshot,
+        last_committed_batch,
+        vacuum,
+    )
+
+    base = str(tmp_path / "r")
+    sink = rollup_batch_sink(base, _grains(), AGGS)
+    sink(_mk(spark, 0, 50), 0)
+    sink(_mk(spark, 50, 100), 1)
+    sink(_mk(spark, 50, 100), 1)  # crash replay — must not double-count
+    assert read_rollup(spark, base).collect()[0]["n"] == 100
+
+    compact_snapshot(spark, base)
+    vacuum(base, keep_last=1)
+    assert last_committed_batch(base) == 1
+    sink(_mk(spark, 50, 100), 1)  # replay after maintenance — still a no-op
+    assert read_rollup(spark, base).collect()[0]["n"] == 100
+
+
+def test_rollup_time_travel_and_unmergeable_kind(spark, tmp_path):
+    base = str(tmp_path / "r")
+    v1 = upsert_rollup(spark, base, _mk(spark, 0, 10), _grains(), AGGS)
+    v2 = upsert_rollup(spark, base, _mk(spark, 10, 30), _grains(), AGGS)
+    assert read_rollup(spark, base, version=v1).collect()[0]["n"] == 10
+    assert read_rollup(spark, base, version=v2).collect()[0]["n"] == 30
+    with pytest.raises(ValueError, match="unmergeable"):
+        upsert_rollup(
+            spark, base, _mk(spark, 0, 5), _grains(), {"p50": ("median", "v")}
+        )
