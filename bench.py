@@ -52,11 +52,13 @@ HEADLINE = [
     "trigram_rarity",
     "dup_span_extents",
     "rolling_wau",
-    # round 3: sharded-window forms + vocab/codec paths
+    # round 3: sharded-window forms + vocab/codec paths + scale patterns
     "key_gaps",
     "rfm_scores",
     "vocab_encode",
     "png_decode",
+    "bloom_semi_revenue",
+    "incremental_rollup",
 ]
 
 

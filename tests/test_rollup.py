@@ -88,3 +88,45 @@ def test_rollup_time_travel_and_unmergeable_kind(spark, tmp_path):
         upsert_rollup(
             spark, base, _mk(spark, 0, 5), _grains(), {"p50": ("median", "v")}
         )
+
+
+def test_rollup_sink_from_real_stream(spark, tmp_path):
+    """End-to-end Structured Streaming maintenance: file stream with
+    maxFilesPerTrigger=1 (one micro-batch per file) → rollup_batch_sink →
+    partials equal the direct aggregate of everything streamed."""
+    src = str(tmp_path / "in")
+    _mk(spark, 0, 60).coalesce(1).write.mode("append").parquet(src)
+    _mk(spark, 60, 100).coalesce(1).write.mode("append").parquet(src)
+
+    base = str(tmp_path / "r")
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            rollup_batch_sink(base, _grains(), AGGS)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    tot = read_rollup(spark, base).collect()[0]
+    assert tot["n"] == 100
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in read_rollup(spark, base, {"k": F.col("k")}).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in _mk(spark, 0, 100)
+        .groupBy(F.pmod(F.col("id"), F.lit(4)).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
