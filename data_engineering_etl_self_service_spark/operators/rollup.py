@@ -61,6 +61,7 @@ def upsert_rollup(
     grains: "dict[str, Column]",
     aggs: "dict[str, tuple[str, str | None]]",
     batch_id: int | None = None,
+    run_key: str | None = None,
 ) -> int:
     """Fold ``batch`` into the rollup at ``base_dir``; returns the new
     snapshot version.
@@ -71,7 +72,16 @@ def upsert_rollup(
     count/sum/min/max. One shuffle on the grain key for the batch
     partials; the merge then groups |existing ∪ new| grain rows — the
     (small) rollup itself, never raw history.
+
+    Folding is NOT naturally idempotent (re-ingesting a batch
+    double-counts), so callers with replayable inputs pass an identity:
+    ``batch_id`` (monotonic — the streaming guard) or ``run_key`` (any
+    string, e.g. the ``ds`` partition — the batch/backfill guard; seen
+    keys are recorded in the vacuum-proof sidecar and re-runs become
+    no-ops).
     """
+    if run_key is not None and run_key in _sidecar(base_dir).get("runs", []):
+        return snapshot_versions(base_dir)[-1]
     gcols = [expr.alias(name) for name, expr in grains.items()]
     gnames = list(grains)
     part = batch.groupBy(*gcols).agg(
@@ -94,16 +104,37 @@ def upsert_rollup(
     if batch_id is not None:
         meta["batch_id"] = batch_id
     v = write_snapshot(part, base_dir, mode="overwrite", meta=meta)
-    # durable spec sidecar: vacuum drops old manifests and maintenance
-    # commits don't restate the spec, so reads resolve kinds from here
-    # when the head manifest lacks them
+    # durable sidecar: vacuum drops old manifests and maintenance commits
+    # don't restate the spec, so the agg kinds and the seen run keys
+    # resolve from here when the head manifest lacks them
+    side = _sidecar(base_dir)
+    side["rollup_aggs"] = kinds
+    if run_key is not None:
+        side.setdefault("runs", []).append(run_key)
+    _write_sidecar(base_dir, side)
+    return v
+
+
+def _sidecar(base_dir: str) -> dict:
+    import json
+    import os
+
+    p = os.path.join(base_dir, "_snapshots", "rollup_spec.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+def _write_sidecar(base_dir: str, side: dict) -> None:
     import json
     import os
 
     os.makedirs(os.path.join(base_dir, "_snapshots"), exist_ok=True)
-    with open(os.path.join(base_dir, "_snapshots", "rollup_spec.json"), "w") as f:
-        json.dump({"rollup_aggs": kinds}, f)
-    return v
+    tmp = os.path.join(base_dir, "_snapshots", ".rollup_spec.tmp")
+    with open(tmp, "w") as f:
+        json.dump(side, f)
+    os.replace(tmp, os.path.join(base_dir, "_snapshots", "rollup_spec.json"))
 
 
 def read_rollup(

@@ -234,7 +234,9 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
     return df
 
 
-def _write_sink(df: DataFrame, spec: PipelineSpec, path: str) -> None:
+def _write_sink(
+    df: DataFrame, spec: PipelineSpec, path: str, ds: str | None = None
+) -> None:
     dst = spec.destination
     if dst.type == "none":
         return
@@ -246,6 +248,33 @@ def _write_sink(df: DataFrame, spec: PipelineSpec, path: str) -> None:
 
         write_snapshot(
             df, path, mode=dst.options.get("snapshot_mode", "append")
+        )
+        return
+    if dst.type == "rollup":
+        # Continuous aggregate: fold this run's rows into a fine-grain
+        # partial-aggregate snapshot (operators/rollup.py). YAML shape:
+        #   destination:
+        #     type: rollup
+        #     path: /lake/events_hourly
+        #     grains: {hour: "date_trunc('hour', ts)", event_type: event_type}
+        #     aggs:   {n_events: [count], value_sum: [sum, value]}
+        from pyspark.sql import functions as F
+
+        from ..operators.rollup import upsert_rollup
+
+        grains = {
+            name: F.expr(expr)
+            for name, expr in (dst.options.get("grains") or {}).items()
+        }
+        aggs = {
+            out: (spec[0], spec[1] if len(spec) > 1 else None)
+            for out, spec in (dst.options.get("aggs") or {}).items()
+        }
+        # run_key=ds makes backfills/re-runs idempotent: re-ingesting a
+        # already-folded partition is a no-op, matching the dynamic-
+        # partition-overwrite contract of the parquet sink
+        upsert_rollup(
+            df.sparkSession, path, df, grains, aggs, run_key=ds
         )
         return
     writer = df.write.mode("overwrite")
@@ -314,7 +343,7 @@ def compile_pipeline(
             n_bad_rows = bad.count()
             if base and n_bad_rows:
                 quarantined_rows = f"{base}__quarantine"
-                _write_sink(bad, spec, quarantined_rows)
+                _write_sink(bad, spec, quarantined_rows, ds)
             df = good
             report = run_checks(df, table_checks, count_rows=True)
         else:
@@ -323,16 +352,16 @@ def compile_pipeline(
         if base:
             if report.passed:
                 published = base
-                _write_sink(df, spec, published)
+                _write_sink(df, spec, published, ds)
             elif spec.quality_mode == "rows":
                 # the clean remainder failed a TABLE-level gate: park it
                 # separately from the row offenders (different schema —
                 # offenders carry _violations) and publish nothing.
                 quarantined = f"{base}__quarantine_batch"
-                _write_sink(df, spec, quarantined)
+                _write_sink(df, spec, quarantined, ds)
             else:
                 quarantined = f"{base}__quarantine"
-                _write_sink(df, spec, quarantined)
+                _write_sink(df, spec, quarantined, ds)
         if persisted is not None:
             persisted.unpersist()
         t3 = time.perf_counter()

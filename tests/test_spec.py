@@ -601,3 +601,65 @@ def test_training_corpus_story_end_to_end(spark, tmp_path):
     assert all(c[2] <= 16 for c in chunks)
     # every token covered: first chunk full-width
     assert {c[2] for c in chunks if c[1] == 0} == {16}
+
+
+def test_rollup_destination_idempotent_per_ds(spark, tmp_path):
+    """destination.type=rollup: each ds folds once into the continuous
+    aggregate; re-running a ds is a no-op (run_key guard), matching the
+    parquet sink's dynamic-overwrite idempotency contract."""
+    import pyspark.sql.functions as F
+
+    from data_engineering_etl_self_service_spark.operators.rollup import (
+        read_rollup,
+    )
+
+    srcs = {}
+    for ds, (lo, hi) in {
+        "2025-08-01": (0, 60),
+        "2025-08-02": (60, 100),
+    }.items():
+        p = str(tmp_path / f"in_{ds}.parquet")
+        spark.range(lo, hi).select(
+            "id", (F.col("id") * 2.0).alias("v")
+        ).write.parquet(p)
+        srcs[ds] = p
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "hourly_rollup"},
+            "source": {
+                "type": "file",
+                "format": "parquet",
+                "path": str(tmp_path / "in_{ds}.parquet"),
+            },
+            "destination": {
+                "type": "rollup",
+                "path": str(tmp_path / "agg"),
+                "grains": {"k": "pmod(id, 4)"},
+                "aggs": {"n": ["count"], "s": ["sum", "v"]},
+            },
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+        }
+    )
+    assert not spec.warnings
+    for ds in srcs:
+        res = run_pipeline(spark, spec, ds=ds)
+        assert res.passed
+    run_pipeline(spark, spec, ds="2025-08-01")  # re-run: must not double-count
+    tot = read_rollup(spark, str(tmp_path / "agg")).collect()[0]
+    assert tot["n"] == 100
+    got = {
+        r["k"]: r["s"]
+        for r in read_rollup(
+            spark, str(tmp_path / "agg"), {"k": F.col("k")}
+        ).collect()
+    }
+    assert got == {
+        r["k"]: r["s"]
+        for r in spark.range(100)
+        .select("id", (F.col("id") * 2.0).alias("v"))
+        .groupBy(F.pmod(F.col("id"), F.lit(4)).alias("k"))
+        .agg(F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("s"))
+        .collect()
+    }
