@@ -39,7 +39,10 @@ _KINDS = ("count", "sum", "min", "max")
 
 def _partial(kind: str, col: str | None) -> Column:
     if kind == "count":
-        return F.count(F.lit(1))
+        # count(*) without a column; count(col) (non-null) with one —
+        # both merge by summing. COUNT(DISTINCT) is deliberately absent:
+        # it is not mergeable (use the HLL sketch tier for that).
+        return F.count(F.lit(1)) if col is None else F.count(col)
     if kind == "sum":
         return F.sum(F.col(col).cast(DECIMAL_TYPE))
     if kind == "min":
