@@ -34,14 +34,14 @@ from ..sources.snapshots import (
 )
 
 #: agg kinds → (partial expression over raw rows, merge function over partials)
-_KINDS = ("count", "sum", "min", "max")
+_KINDS = ("count", "sum", "min", "max", "hll")
 
 
 def _partial(kind: str, col: str | None) -> Column:
     if kind == "count":
         # count(*) without a column; count(col) (non-null) with one —
-        # both merge by summing. COUNT(DISTINCT) is deliberately absent:
-        # it is not mergeable (use the HLL sketch tier for that).
+        # both merge by summing. Exact COUNT(DISTINCT) is deliberately
+        # absent: it is not mergeable — use kind "hll" instead.
         return F.count(F.lit(1)) if col is None else F.count(col)
     if kind == "sum":
         return F.sum(F.col(col).cast(DECIMAL_TYPE))
@@ -49,12 +49,25 @@ def _partial(kind: str, col: str | None) -> Column:
         return F.min(col)
     if kind == "max":
         return F.max(col)
+    if kind == "hll":
+        # approximate distinct as a MERGEABLE few-KB sketch state (Apache
+        # DataSketches HLL): the partial table stores the binary sketch,
+        # merges union it, and the read estimates — distinct-per-grain
+        # dashboards without ever rescanning raw history. Estimates are
+        # approximate by contract (rows-only tier; exact twin:
+        # distinct_counts / the raw COUNT(DISTINCT)).
+        return F.hll_sketch_agg(col, 12)
     raise ValueError(f"unmergeable agg kind: {kind!r} (want one of {_KINDS})")
 
 
 def _merge(kind: str, col: str) -> Column:
-    # count partials re-combine by summing; sums stay in exact decimal
-    return F.sum(col) if kind in ("count", "sum") else _partial(kind, col)
+    # count partials re-combine by summing; sums stay in exact decimal;
+    # hll sketch states union
+    if kind in ("count", "sum"):
+        return F.sum(col)
+    if kind == "hll":
+        return F.hll_union_agg(col)
+    return _partial(kind, col)
 
 
 def upsert_rollup(
@@ -185,6 +198,8 @@ def read_rollup(
             return m.cast("double").alias(out)
         if kind == "count":
             return m.cast("long").alias(out)
+        if kind == "hll":
+            return F.hll_sketch_estimate(m).cast("long").alias(out)
         return m.alias(out)
 
     gcols = (

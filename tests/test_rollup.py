@@ -130,3 +130,49 @@ def test_rollup_sink_from_real_stream(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_rollup_hll_distinct_merges_like_direct_sketch(spark, tmp_path):
+    """kind 'hll': distinct-per-grain via mergeable sketch states — the
+    union of per-batch partials must estimate exactly like one direct
+    sketch over everything (merge-consistency), and close to truth."""
+    base = str(tmp_path / "r")
+    aggs = {"n": ("count", None), "du": ("hll", "u")}
+
+    def mk(lo, hi):
+        # overlapping user ids across batches → dedup across batches matters
+        return spark.range(lo, hi).select(
+            "id", F.pmod(F.col("id"), F.lit(37)).cast("string").alias("u")
+        )
+
+    for lo, hi in ((0, 40), (20, 80), (60, 120)):
+        upsert_rollup(spark, base, mk(lo, hi), _grains(), aggs)
+    got = {
+        r["k"]: r["du"]
+        for r in read_rollup(spark, base, {"k": F.col("k")}).collect()
+    }
+    direct = {
+        r["k"]: r["du"]
+        for r in mk(0, 40)
+        .unionByName(mk(20, 80))
+        .unionByName(mk(60, 120))
+        .groupBy(F.pmod(F.col("id"), F.lit(4)).alias("k"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("u", 12))
+            .cast("long")
+            .alias("du")
+        )
+        .collect()
+    }
+    assert got == direct  # merged partials ≡ one direct sketch
+    truth = {
+        r["k"]: r["du"]
+        for r in mk(0, 40)
+        .unionByName(mk(20, 80))
+        .unionByName(mk(60, 120))
+        .groupBy(F.pmod(F.col("id"), F.lit(4)).alias("k"))
+        .agg(F.countDistinct("u").alias("du"))
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - truth[k]) <= max(2, 0.05 * truth[k])
