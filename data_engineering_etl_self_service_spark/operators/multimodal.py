@@ -21,13 +21,15 @@ Design for image/audio/video at 100 TB:
   rate, RMS) with no external codec, and the ``multimodal_decode`` query
   oracle pins the byte-level decode against features recomputed
   symbolically in SQL;
-- PNG is decoded FOR REAL too (``png_decode`` query): the container is
-  zlib-deflated scanlines behind public chunk framing, so stdlib ``zlib``
-  + numpy cover it end-to-end — chunk parse with CRC verification,
-  inflate, and all five scanline unfilters (None/Sub/Up/Average/Paeth),
-  for bit-depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
-  non-interlaced. Interlaced/paletted/16-bit PNGs and the genuinely
-  lossy codecs (jpeg/mp4/ogg) remain the documented stub boundary.
+- COMPRESSED LOSSLESS formats are decoded FOR REAL too:
+  PNG (``png_decode`` query) — chunk parse with CRC verification, zlib
+  inflate, all five scanline unfilters (None/Sub/Up/Average/Paeth) for
+  bit-depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA), non-interlaced;
+  GIF 87a/89a — a pure-Python LZW decoder/encoder pair (variable-width
+  codes, clear/end, 12-bit cap), global/local color tables, 4-pass
+  deinterlacing. Interlaced/paletted/16-bit PNGs, animated GIFs beyond
+  the first frame, and the genuinely LOSSY codecs (jpeg/mp3/mp4/ogg)
+  remain the documented stub boundary.
 """
 
 from __future__ import annotations
@@ -235,6 +237,221 @@ def build_png(
     )
 
 
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(height: int, interlace: bool) -> "list[int]":
+    if not interlace:
+        return list(range(height))
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, height, step))
+    return order
+
+
+def _lzw_encode(indices: "list[int]", min_code: int) -> bytes:
+    """GIF-variant LZW (public spec, Appendix F): variable-width codes,
+    LSB-first packing, clear/end codes, 12-bit cap."""
+    clear = 1 << min_code
+    end = clear + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    size = min_code + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w: tuple = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << size) + 1 and size < 12:
+                size += 1
+        w = (int(k),)
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int) -> "list[int] | None":
+    clear = 1 << min_code
+    end = clear + 1
+    table: "list[list[int]]" = [[i] for i in range(clear)] + [[], []]
+    size = min_code + 1
+    acc = 0
+    nbits = 0
+    out: "list[int]" = []
+    prev: "list[int] | None" = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= size:
+            code = acc & ((1 << size) - 1)
+            acc >>= size
+            nbits -= size
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                size = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + [prev[0]]  # the KwKwK case
+            else:
+                return None
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + [entry[0]])
+                if len(table) == (1 << size) and size < 12:
+                    size += 1
+            prev = entry
+    return out  # missing end code: tolerate, data was complete
+
+
+def build_gif(
+    width: int,
+    height: int,
+    palette: "list[tuple[int, int, int]]",
+    indices: "list[int] | None" = None,
+    interlace: bool = False,
+) -> bytes:
+    """Hand-packed GIF89a: one image, global color table, real LZW.
+
+    ``indices`` are row-major palette indices (default: all zeros — a
+    solid fill of ``palette[0]``). ``interlace`` writes rows in the
+    4-pass interlaced order so decoders must really deinterlace.
+    """
+    import struct
+
+    n = len(palette)
+    depth = max(2, (n - 1).bit_length())  # GIF min code size ≥ 2
+    table_n = 1 << depth
+    if indices is None:
+        indices = [0] * (width * height)
+    rows = [indices[y * width : (y + 1) * width] for y in range(height)]
+    ordered: "list[int]" = []
+    for y in _gif_row_order(height, interlace):
+        ordered.extend(rows[y])
+    lzw = _lzw_encode(ordered, depth)
+    gct = b"".join(
+        bytes(palette[i]) if i < n else b"\x00\x00\x00"
+        for i in range(table_n)
+    )
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += gct
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
+    )
+    out.append(depth)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(raw: bytes):
+    """Pure-Python GIF decode → HxWx3 uint8 RGB (first image frame).
+
+    Handles 87a/89a, global/local color tables, interlacing, extension
+    blocks, real LZW with clear codes and the 12-bit cap. Returns None
+    for corrupt/out-of-subset payloads (no raise — the decode pass
+    degrades to a sniffed kind-only row).
+    """
+    import struct
+
+    import numpy as np
+
+    try:
+        if raw[:4] != b"GIF8" or raw[4:6] not in (b"7a", b"9a"):
+            return None
+        w0, h0, packed, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            size = 2 << (packed & 0x07)
+            gct = np.frombuffer(
+                raw, dtype=np.uint8, count=size * 3, offset=pos
+            ).reshape(size, 3)
+            pos += size * 3
+        while pos < len(raw):
+            block = raw[pos]
+            pos += 1
+            if block == 0x3B:  # trailer before any image
+                return None
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while raw[pos] != 0:
+                    pos += 1 + raw[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                return None
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", raw, pos)
+            pos += 9
+            ct = gct
+            if ipacked & 0x80:
+                size = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(
+                    raw, dtype=np.uint8, count=size * 3, offset=pos
+                ).reshape(size, 3)
+                pos += size * 3
+            if ct is None:
+                return None
+            min_code = raw[pos]
+            pos += 1
+            data = bytearray()
+            while raw[pos] != 0:
+                ln = raw[pos]
+                data += raw[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code)
+            if idx is None or len(idx) < w * h:
+                return None
+            arr = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if ipacked & 0x40:  # deinterlace
+                out_rows = np.empty_like(arr)
+                for dst, src in enumerate(_gif_row_order(h, True)):
+                    out_rows[src] = arr[dst]
+                arr = out_rows
+            if (arr >= len(ct)).any():
+                return None
+            return ct[arr]
+    except (IndexError, struct.error):
+        return None
+    return None
+
+
 def _paeth(a, b, c):
     """Paeth predictor, vectorized (a=left, b=up, c=upper-left)."""
     import numpy as np
@@ -422,6 +639,20 @@ def decode_payload(raw: bytes) -> dict:
             m = float(fx[..., 0].mean())
             out.update(mean_r=m, mean_g=m, mean_b=m)
         return out
+    if raw[:4] == b"GIF8":
+        px = decode_gif(bytes(raw))
+        out["kind"] = "gif"
+        if px is None:
+            return out  # corrupt / out-of-subset — sniffed-only row
+        h, w = px.shape[:2]
+        fx = px.astype(np.float64)
+        out.update(
+            kind="gif", width=w, height=h, channels=3,
+            mean_r=float(fx[..., 0].mean()),
+            mean_g=float(fx[..., 1].mean()),
+            mean_b=float(fx[..., 2].mean()),
+        )
+        return out
     for prefix, tag in MAGIC_PREFIXES:
         if bytes(raw[: len(prefix)]) == prefix:
             out["kind"] = tag  # sniffed; decode is the stub boundary
@@ -543,6 +774,8 @@ def _decode_pixels(raw: bytes):
         elif px.shape[2] == 4:  # RGBA → RGB (alpha dropped)
             px = px[..., :3].copy()
         return "png", px
+    if raw[:4] == b"GIF8":
+        return "gif", decode_gif(raw)
     return "unknown", None
 
 
@@ -553,6 +786,18 @@ def _encode_image(kind: str, px) -> bytes:
     h, w = px.shape[:2]
     if kind == "ppm":
         return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    if kind == "gif":
+        # palette from the image's unique colors — a nearest-neighbor
+        # resize never invents colors, so a decoded GIF always re-encodes
+        # (palette ⊆ the original's ≤256 entries)
+        import numpy as np
+
+        uniq = np.unique(px.reshape(-1, 3), axis=0)
+        if len(uniq) > 256:
+            raise ValueError("gif re-encode needs ≤256 unique colors")
+        lut = {tuple(c): i for i, c in enumerate(uniq)}
+        idx = [lut[tuple(p)] for p in px.reshape(-1, 3)]
+        return build_gif(w, h, [tuple(c) for c in uniq], idx)
     if kind == "png":
         # 8-bit RGB, filter 0 per row; zlib.compress is deterministic for
         # a fixed level, so re-encoded payloads are oracle-hashable

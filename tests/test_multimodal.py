@@ -287,3 +287,79 @@ def test_png_resize_and_distributed_decode(spark):
     for i in range(4):
         assert d[i].kind == "png" and (d[i].width, d[i].height) == (4, 3)
         assert (d[i].mean_r, d[i].mean_g, d[i].mean_b) == (float(i * 10 % 256), 5.0, 250.0)
+
+
+def test_gif_roundtrip_lzw_and_interlace():
+    """Real LZW both ways (dictionary growth, code-size bumps, clear/end
+    codes) plus 4-pass deinterlacing; lossless, so pixels round-trip
+    exactly."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_gif,
+        decode_gif,
+        decode_payload,
+    )
+
+    for w, h, rgb in [(7, 9, (10, 200, 33)), (1, 1, (255, 0, 0))]:
+        px = decode_gif(build_gif(w, h, [rgb]))
+        assert px.shape == (h, w, 3) and (px == np.array(rgb, np.uint8)).all()
+        d = decode_payload(build_gif(w, h, [rgb]))
+        assert d["kind"] == "gif" and (d["width"], d["height"]) == (w, h)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(
+            float(v) for v in rgb
+        )
+
+    rng = np.random.default_rng(3)
+    pal = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(16)]
+    idx = list(rng.integers(0, 16, 13 * 11))
+    want = np.array(pal, np.uint8)[np.array(idx).reshape(11, 13)]
+    for interlace in (False, True):
+        got = decode_gif(build_gif(13, 11, pal, idx, interlace=interlace))
+        assert (got == want).all(), f"interlace={interlace}"
+
+    # code-size growth past 6 bits: 64 colors, 4000 pixels
+    pal64 = [(i * 3 % 256, i * 5 % 256, i * 7 % 256) for i in range(64)]
+    idx = list(rng.integers(0, 64, 80 * 50))
+    got = decode_gif(build_gif(80, 50, pal64, idx))
+    assert (got == np.array(pal64, np.uint8)[np.array(idx).reshape(50, 80)]).all()
+
+    # corrupt payloads degrade to sniffed kind-only rows, never raise
+    assert decode_gif(b"GIF89aXX") is None
+    d = decode_payload(b"GIF89aXX")
+    assert d["kind"] == "gif" and d["width"] is None
+
+
+def test_gif_resize_and_distributed_decode(spark):
+    """GIF composes through transform → decode like the other real
+    containers; nearest-neighbor keeps the palette subset so the resized
+    payload re-encodes as a GIF."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_gif,
+        decode_features,
+        decode_gif,
+        transform_payloads,
+    )
+
+    rng = np.random.default_rng(7)
+    pal = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(8)]
+    rows = [
+        (i, build_gif(8, 8, pal, list(rng.integers(0, 8, 64))))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = transform_payloads(df, resize_to=(4, 4))
+    collected = {r.doc_id: r for r in out.collect()}
+    assert all(r.transformed for r in collected.values())
+    for i, raw in rows:
+        orig = decode_gif(bytes(raw))
+        small = decode_gif(bytes(collected[i].payload))
+        sel = (np.arange(4) * 8) // 4
+        assert (small == orig[np.ix_(sel, sel)]).all()
+    d = {r.doc_id: r for r in decode_features(out).collect()}
+    assert all(
+        d[i].kind == "gif" and (d[i].width, d[i].height) == (4, 4)
+        for i, _ in rows
+    )
