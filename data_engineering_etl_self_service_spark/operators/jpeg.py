@@ -1,0 +1,403 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81 public spec subset).
+
+Closes the last named image-format stub in the multimodal module. Scope:
+baseline sequential DCT, 8-bit, grayscale or 4:4:4 YCbCr (no chroma
+subsampling), no restart markers, no progressive/arithmetic modes —
+anything else returns None from :func:`decode_jpeg` (the decode pass
+degrades to a sniffed kind-only row, never raises).
+
+Design notes:
+
+- JPEG is the one LOSSY format here, so unlike PNG/GIF there is no
+  bit-exact pixel round-trip to pin. What IS pinned by tests: solid-color
+  images round-trip within ±1 (a constant block's DCT is DC-only, and the
+  all-ones quant tables this encoder writes preserve it exactly), random
+  images round-trip within a small bounded error, and decoding is
+  deterministic byte-for-byte.
+- Huffman tables are NOT the Annex K defaults: the encoder emits its own
+  fixed-length canonical tables (12 four-bit DC category codes, 162
+  eight-bit AC run/size codes) in DHT segments, and the decoder builds
+  whatever tables the DHT declares — so the decoder handles arbitrary
+  canonical tables, including Annex K files from other encoders.
+- DCT/IDCT are exact float matrix products (``A @ block @ A.T`` with the
+  orthonormal DCT-II basis); entropy coding is DC-differential +
+  run/size AC with 0xFF byte stuffing, per the spec.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+
+def _dct_basis() -> np.ndarray:
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return a
+
+
+_A = _dct_basis()
+
+#: encoder Huffman tables: canonical, fixed code lengths (see module doc).
+#: DC: 12 category symbols, 4 bits each. AC: EOB, ZRL and every (run 0-15,
+#: size 1-10) pair — 162 symbols, 8 bits each.
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_SYMBOLS = sorted(set(_AC_SYMBOLS))
+
+
+def _canonical_codes(symbols: "list[int]", length: int) -> dict:
+    return {sym: (i, length) for i, sym in enumerate(symbols)}
+
+_DC_CODES = _canonical_codes(_DC_SYMBOLS, 4)
+_AC_CODES = _canonical_codes(_AC_SYMBOLS, 8)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # marker-emulation guard
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _encode_block(
+    w: _BitWriter, block: np.ndarray, pred: int
+) -> int:
+    """Level-shifted 8x8 spatial block → DCT → quant(1) → entropy bits.
+    Returns the new DC predictor."""
+    coef = _A @ (block - 128.0) @ _A.T
+    q = np.rint(coef).astype(np.int64)
+    zz = q.reshape(-1)[_ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    size = _category(diff)
+    code, ln = _DC_CODES[size]
+    w.write(code, ln)
+    if size:
+        w.write(_amplitude(diff, size), size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _AC_CODES[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = _AC_CODES[(run << 4) | size]
+        w.write(code, ln)
+        w.write(_amplitude(v, size), size)
+        run = 0
+    if last_nz != 63:
+        code, ln = _AC_CODES[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _dht_segment(tc_th: int, symbols: "list[int]", length: int) -> bytes:
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    body = bytes([tc_th]) + bytes(bits) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def build_jpeg(px: np.ndarray) -> bytes:
+    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as baseline
+    JPEG with all-ones quant tables (minimal loss) and this module's
+    canonical Huffman tables."""
+    px = np.asarray(px, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        comps = [px.astype(np.float64)]
+    else:
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y, cb, cr]
+    # pad each component to multiples of 8 by edge replication
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = []
+    for c in comps:
+        p = np.empty((ph, pw))
+        p[:h, :w] = c
+        p[h:, :w] = c[h - 1 : h, :]
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(np.clip(p, 0.0, 255.0))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    one = bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + one  # DQT 0
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([1]) + one
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])  # 1x1 sampling
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0x00, _DC_SYMBOLS, 4)  # DC table 0
+    out += _dht_segment(0x10, _AC_SYMBOLS, 8)  # AC table 0
+    if not gray:
+        out += _dht_segment(0x01, _DC_SYMBOLS, 4)
+        out += _dht_segment(0x11, _AC_SYMBOLS, 8)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(nc):
+                block = padded[ci][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ]
+                preds[ci] = _encode_block(wtr, block, preds[ci])
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, length: int) -> int:
+        while self.n < length:
+            if self.pos >= len(self.data):
+                raise EOFError
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise EOFError  # a real marker — entropy data over
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _build_huffman(bits: "list[int]", vals: bytes) -> dict:
+    """(length, code) -> symbol, canonical per T.81 C.2."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(r: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read(1)
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise EOFError
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(raw: bytes):
+    """Baseline JPEG → HxW (grayscale) or HxWx3 (RGB) uint8, or None for
+    corrupt / out-of-subset payloads."""
+    try:
+        return _decode_jpeg(raw)
+    except (EOFError, IndexError, KeyError, struct.error, ValueError):
+        return None
+
+
+def _decode_jpeg(raw: bytes):
+    if raw[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}
+    frame = None
+    scan = None
+    while pos < len(raw):
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack_from(">H", raw, pos)
+        body = raw[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    return None  # 16-bit tables out of subset
+                qt[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=b + 1
+                ).astype(np.float64)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = body[b + 17 : b + 17 + n]
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc not in (1, 3):
+                return None
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    return None  # subsampling out of subset
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDD:
+            return None  # restart intervals out of subset
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scomp = []
+            for i in range(ns):
+                cs, tables = body[1 + 2 * i : 3 + 2 * i]
+                scomp.append((cs, tables >> 4, tables & 0x0F))
+            scan = (scomp, raw[pos:])
+            break
+    if frame is None or scan is None:
+        return None
+    h, w, comps = frame
+    scomp, data = scan
+    if len(scomp) != len(comps):
+        return None
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [np.zeros((ph, pw)) for _ in comps]
+    r = _BitReader(data)
+    preds = [0] * len(comps)
+    tqs = {cid: tq for cid, tq in comps}
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, (cs, td, ta) in enumerate(scomp):
+                dct = huff[(0, td)]
+                act = huff[(1, ta)]
+                q = qt[tqs[cs]]
+                zz = np.zeros(64)
+                size = _read_symbol(r, dct)
+                diff = _extend(r.read(size), size) if size else 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(r, act)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63 or size == 0:
+                        return None
+                    zz[k] = _extend(r.read(size), size)
+                    k += 1
+                # DQT tables and the zz vector are both zigzag-ordered;
+                # scatter the dequantized values to natural order
+                coef = np.zeros(64)
+                coef[_ZIGZAG] = zz * q
+                blk = _A.T @ coef.reshape(8, 8) @ _A + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

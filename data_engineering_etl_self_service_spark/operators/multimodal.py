@@ -8,13 +8,13 @@ Design for image/audio/video at 100 TB:
 - decode / feature-extract runs as Arrow-batched ``mapInPandas`` so the
   Python worker sees whole batches, not rows, and the schema is declared up
   front (the plan stays exact for Catalyst);
-- codec calls for COMPRESSED formats (jpeg/png/mp4/ogg) are stubbed (no
-  image/audio libs in this container): ``decode_stub=True`` produces a
-  deterministic fake feature vector from the payload bytes;
+- codec calls for the remaining out-of-subset formats (mp3/mp4/ogg,
+  progressive/subsampled JPEG) are stubbed: ``decode_stub=True`` produces
+  a deterministic fake feature vector from the payload bytes;
   ``decode_stub=False`` raises ``NotImplementedError`` at the exact
-  integration point a real codec (Pillow/torchaudio/decord) would plug
-  into. The Spark-side plumbing — schema, batching, partition flow — is
-  real and tested;
+  integration point a real codec (torchaudio/decord) would plug into.
+  The Spark-side plumbing — schema, batching, partition flow — is real
+  and tested;
 - UNCOMPRESSED containers are decoded FOR REAL: PCM WAV (stdlib ``wave``),
   24-bit BMP and binary PPM (``struct``/numpy) — :func:`decode_features`
   parses actual bytes into typed features (dims, channel means, sample
@@ -27,9 +27,13 @@ Design for image/audio/video at 100 TB:
   bit-depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA), non-interlaced;
   GIF 87a/89a — a pure-Python LZW decoder/encoder pair (variable-width
   codes, clear/end, 12-bit cap), global/local color tables, 4-pass
-  deinterlacing. Interlaced/paletted/16-bit PNGs, animated GIFs beyond
-  the first frame, and the genuinely LOSSY codecs (jpeg/mp3/mp4/ogg)
-  remain the documented stub boundary.
+  deinterlacing;
+- baseline JPEG is decoded (and encoded) FOR REAL as well — see
+  ``operators/jpeg.py`` (sequential DCT, 8-bit, grayscale/4:4:4;
+  lossy by nature, so tests pin bounded round-trip error and
+  determinism instead of bit-exactness). Interlaced/paletted/16-bit
+  PNGs, animated GIFs, progressive/subsampled JPEG, and the audio/video
+  codecs (mp3/mp4/ogg) remain the documented stub boundary.
 """
 
 from __future__ import annotations
@@ -653,6 +657,29 @@ def decode_payload(raw: bytes) -> dict:
             mean_b=float(fx[..., 2].mean()),
         )
         return out
+    if raw[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        px = decode_jpeg(bytes(raw))
+        out["kind"] = "jpeg"
+        if px is None:
+            return out  # corrupt / out-of-subset — sniffed-only row
+        h, w = px.shape[:2]
+        fx = px.astype(np.float64)
+        if px.ndim == 2:
+            m = float(fx.mean())
+            out.update(
+                width=w, height=h, channels=1,
+                mean_r=m, mean_g=m, mean_b=m,
+            )
+        else:
+            out.update(
+                width=w, height=h, channels=3,
+                mean_r=float(fx[..., 0].mean()),
+                mean_g=float(fx[..., 1].mean()),
+                mean_b=float(fx[..., 2].mean()),
+            )
+        return out
     for prefix, tag in MAGIC_PREFIXES:
         if bytes(raw[: len(prefix)]) == prefix:
             out["kind"] = tag  # sniffed; decode is the stub boundary
@@ -776,6 +803,14 @@ def _decode_pixels(raw: bytes):
         return "png", px
     if raw[:4] == b"GIF8":
         return "gif", decode_gif(raw)
+    if raw[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+        import numpy as np
+
+        px = decode_jpeg(raw)
+        if px is not None and px.ndim == 2:  # grayscale → RGB
+            px = np.repeat(px[..., None], 3, axis=2)
+        return "jpeg", px
     return "unknown", None
 
 
@@ -786,6 +821,10 @@ def _encode_image(kind: str, px) -> bytes:
     h, w = px.shape[:2]
     if kind == "ppm":
         return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    if kind == "jpeg":
+        from .jpeg import build_jpeg
+
+        return build_jpeg(px)
     if kind == "gif":
         # palette from the image's unique colors — a nearest-neighbor
         # resize never invents colors, so a decoded GIF always re-encodes

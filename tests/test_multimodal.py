@@ -363,3 +363,73 @@ def test_gif_resize_and_distributed_decode(spark):
         d[i].kind == "gif" and (d[i].width, d[i].height) == (4, 4)
         for i, _ in rows
     )
+
+
+def test_jpeg_roundtrip_bounded_error_and_determinism():
+    """Baseline JPEG (operators/jpeg.py): lossy, so the pins are bounded
+    round-trip error (±1 solid fills — a constant block's DCT is DC-only
+    and the all-ones quant preserves it — small bounded error on random
+    content) and byte-for-byte determinism."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.jpeg import (
+        build_jpeg,
+        decode_jpeg,
+    )
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        decode_payload,
+    )
+
+    for w, h, rgb in [(8, 8, (10, 200, 33)), (5, 7, (255, 0, 0))]:
+        img = np.tile(np.array(rgb, np.uint8), (h, w, 1))
+        out = decode_jpeg(build_jpeg(img))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+        d = decode_payload(build_jpeg(img))
+        assert d["kind"] == "jpeg" and (d["width"], d["height"]) == (w, h)
+        assert abs(d["mean_r"] - rgb[0]) <= 1
+
+    gray = np.full((10, 13), 77, np.uint8)
+    out = decode_jpeg(build_jpeg(gray))
+    assert out.shape == (10, 13)
+    assert np.abs(out.astype(int) - 77).max() <= 1
+    d = decode_payload(build_jpeg(gray))
+    assert d["channels"] == 1 and abs(d["mean_r"] - 77) <= 1
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    raw = build_jpeg(img)
+    out = decode_jpeg(raw)
+    diff = np.abs(out.astype(int) - img.astype(int))
+    assert diff.max() <= 6 and diff.mean() <= 1.5
+    assert build_jpeg(img) == raw  # deterministic encode
+    assert (decode_jpeg(raw) == out).all()  # deterministic decode
+
+    # corrupt / out-of-subset payloads degrade to sniffed rows, no raise
+    assert decode_jpeg(b"\xff\xd8\xff\xe0junk") is None
+    d = decode_payload(b"\xff\xd8\xff\xe0junk")
+    assert d["kind"] == "jpeg" and d["width"] is None
+
+
+def test_jpeg_resize_and_distributed_decode(spark):
+    """JPEG composes through transform → decode: resized payloads
+    re-encode as JPEG and their decoded means stay near the original's."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.jpeg import build_jpeg
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        decode_features,
+        transform_payloads,
+    )
+
+    rows = [
+        (i, build_jpeg(np.tile(np.array([i * 40, 80, 160], np.uint8), (8, 8, 1))))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = transform_payloads(df, resize_to=(4, 4))
+    assert all(r.transformed for r in out.collect())
+    d = {r.doc_id: r for r in decode_features(out).collect()}
+    for i in range(4):
+        assert d[i].kind == "jpeg" and (d[i].width, d[i].height) == (4, 4)
+        assert abs(d[i].mean_r - i * 40) <= 2 and abs(d[i].mean_b - 160) <= 2
