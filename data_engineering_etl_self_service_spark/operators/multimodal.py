@@ -27,13 +27,17 @@ Design for image/audio/video at 100 TB:
   bit-depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA), non-interlaced;
   GIF 87a/89a — a pure-Python LZW decoder/encoder pair (variable-width
   codes, clear/end, 12-bit cap), global/local color tables, 4-pass
-  deinterlacing;
+  deinterlacing; FLAC (``operators/flac.py``) — STREAMINFO, fixed-
+  blocksize frames, CONSTANT/VERBATIM/FIXED subframes with
+  partitioned-Rice residuals, CRC-8/16 framing (mono subset; LPC and
+  stereo decorrelation return sniffed-only rows);
 - baseline JPEG is decoded (and encoded) FOR REAL as well — see
   ``operators/jpeg.py`` (sequential DCT, 8-bit, grayscale/4:4:4;
   lossy by nature, so tests pin bounded round-trip error and
   determinism instead of bit-exactness). Interlaced/paletted/16-bit
-  PNGs, animated GIFs, progressive/subsampled JPEG, and the audio/video
-  codecs (mp3/mp4/ogg) remain the documented stub boundary.
+  PNGs, animated GIFs, progressive/subsampled JPEG, FLAC's LPC/stereo
+  modes, and the lossy audio/video codecs (mp3/mp4/ogg) remain the
+  documented stub boundary.
 """
 
 from __future__ import annotations
@@ -657,6 +661,21 @@ def decode_payload(raw: bytes) -> dict:
             mean_b=float(fx[..., 2].mean()),
         )
         return out
+    if raw[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        out["kind"] = "flac"
+        dec = decode_flac(bytes(raw))
+        if dec is None:
+            return out  # LPC/stereo/corrupt — sniffed-only row
+        rate, _bits, samples = dec
+        x = np.asarray(samples, dtype=np.float64)
+        out.update(
+            channels=1, sample_rate=rate, n_samples=len(samples),
+            duration_s=len(samples) / rate,
+            rms=float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+        )
+        return out
     if raw[:3] == b"\xff\xd8\xff":
         from .jpeg import decode_jpeg
 
@@ -888,11 +907,22 @@ def downsample_audio(raw: bytes, factor: int) -> bytes | None:
     ``factor``-th sample, sample_rate becomes ``sr // factor`` (an
     anti-aliasing filter is a real-DSP concern documented out of scope —
     decimation semantics are exact and oracle-checkable). Returns None
-    for non-PCM payloads."""
+    for out-of-subset payloads. FLAC payloads decimate too — decoded,
+    sliced, re-encoded as FLAC (FIXED(1)+Rice)."""
     import io
     import struct
     import wave
 
+    if raw[:4] == b"fLaC":
+        from .flac import build_flac, decode_flac
+
+        dec = decode_flac(bytes(raw))
+        if dec is None or factor < 1:
+            return None
+        rate, bits, samples = dec
+        return build_flac(
+            rate // factor, samples[::factor], bits=bits, mode="fixed1"
+        )
     if not (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"):
         return None
     with wave.open(io.BytesIO(raw)) as wv:

@@ -433,3 +433,55 @@ def test_jpeg_resize_and_distributed_decode(spark):
     for i in range(4):
         assert d[i].kind == "jpeg" and (d[i].width, d[i].height) == (4, 4)
         assert abs(d[i].mean_r - i * 40) <= 2 and abs(d[i].mean_b - 160) <= 2
+
+
+def test_flac_roundtrip_all_modes_and_distributed_pipeline(spark):
+    """FLAC (operators/flac.py) is lossless: exact sample round-trips
+    through verbatim / constant / fixed-predictor+Rice encoder modes
+    (which drive the decoder's unary, Rice, warmup and multibyte
+    frame-number paths), plus the distributed decimate → decode
+    composition alongside WAV."""
+    import math
+    import random
+
+    from data_engineering_etl_self_service_spark.operators.flac import (
+        build_flac,
+        decode_flac,
+    )
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_wav,
+        decode_features,
+        decode_payload,
+        transform_payloads,
+    )
+
+    rng = random.Random(9)
+    noisy = [rng.randint(-32768, 32767) for _ in range(1000)]
+    smooth = [int(1000 * math.sin(i / 20)) for i in range(1000)]
+    for mode in ("verbatim", "fixed0", "fixed1", "fixed2"):
+        for sig in (noisy, smooth):
+            rate, bits, got = decode_flac(
+                build_flac(16000, sig, block_size=256, mode=mode)
+            )
+            assert (rate, bits) == (16000, 16) and got == sig, mode
+    const = [1234] * 900
+    assert decode_flac(build_flac(8000, const, block_size=300, mode="constant"))[2] == const
+
+    d = decode_payload(build_flac(8000, [2000, -2000] * 400, mode="fixed1"))
+    assert d["kind"] == "flac" and d["sample_rate"] == 8000
+    assert d["n_samples"] == 800 and d["rms"] == 2000.0
+    d = decode_payload(b"fLaCcorrupt")
+    assert d["kind"] == "flac" and d["sample_rate"] is None
+
+    # distributed: FLAC and WAV decimate side by side, re-decode typed
+    rows = [
+        (1, build_flac(8000, [1000, -1000] * 200, mode="fixed1")),
+        (2, build_wav(8000, [100, -100] * 200)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = transform_payloads(df, audio_factor=2)
+    assert all(r.transformed for r in out.collect())
+    got = {r.doc_id: r for r in decode_features(out).collect()}
+    assert got[1].kind == "flac" and got[1].sample_rate == 4000
+    assert got[1].n_samples == 200 and got[1].rms == 1000.0
+    assert got[2].kind == "wav" and got[2].sample_rate == 4000
