@@ -348,25 +348,23 @@ def build_gif(
     palette: "list[tuple[int, int, int]]",
     indices: "list[int] | None" = None,
     interlace: bool = False,
+    frames: "list[list[int]] | None" = None,
+    delay_cs: int = 10,
 ) -> bytes:
-    """Hand-packed GIF89a: one image, global color table, real LZW.
-
-    ``indices`` are row-major palette indices (default: all zeros — a
-    solid fill of ``palette[0]``). ``interlace`` writes rows in the
-    4-pass interlaced order so decoders must really deinterlace.
+    """Hand-packed GIF89a with real LZW: one image (``indices``,
+    row-major palette indices; default solid ``palette[0]``) or an
+    ANIMATED stream (``frames`` — one full-size index list per frame,
+    each preceded by a Graphic Control Extension carrying ``delay_cs``).
+    ``interlace`` writes rows in the 4-pass interlaced order so decoders
+    must really deinterlace.
     """
     import struct
 
     n = len(palette)
     depth = max(2, (n - 1).bit_length())  # GIF min code size ≥ 2
     table_n = 1 << depth
-    if indices is None:
-        indices = [0] * (width * height)
-    rows = [indices[y * width : (y + 1) * width] for y in range(height)]
-    ordered: "list[int]" = []
-    for y in _gif_row_order(height, interlace):
-        ordered.extend(rows[y])
-    lzw = _lzw_encode(ordered, depth)
+    if frames is None:
+        frames = [indices if indices is not None else [0] * (width * height)]
     gct = b"".join(
         bytes(palette[i]) if i < n else b"\x00\x00\x00"
         for i in range(table_n)
@@ -375,26 +373,37 @@ def build_gif(
     out += b"GIF89a"
     out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
     out += gct
-    out += struct.pack(
-        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
-    )
-    out.append(depth)
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out.append(0)  # block terminator
+    animated = len(frames) > 1
+    for fr in frames:
+        if animated:
+            # Graphic Control Extension: no disposal, no transparency
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0)
+        rows = [fr[y * width : (y + 1) * width] for y in range(height)]
+        ordered: "list[int]" = []
+        for y in _gif_row_order(height, interlace):
+            ordered.extend(rows[y])
+        lzw = _lzw_encode(ordered, depth)
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
+        )
+        out.append(depth)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
     out.append(0x3B)  # trailer
     return bytes(out)
 
 
-def decode_gif(raw: bytes):
-    """Pure-Python GIF decode → HxWx3 uint8 RGB (first image frame).
+def decode_gif_frames(raw: bytes, max_frames: int | None = None):
+    """Pure-Python GIF decode → list of HxWx3 uint8 RGB frames (or None).
 
     Handles 87a/89a, global/local color tables, interlacing, extension
-    blocks, real LZW with clear codes and the 12-bit cap. Returns None
-    for corrupt/out-of-subset payloads (no raise — the decode pass
-    degrades to a sniffed kind-only row).
+    blocks (incl. Graphic Control), real LZW with clear codes and the
+    12-bit cap. Subset: every frame must be full-size at (0,0) — partial
+    frames with disposal compositing are out of subset. Returns None for
+    corrupt/out-of-subset payloads (no raise).
     """
     import struct
 
@@ -412,11 +421,12 @@ def decode_gif(raw: bytes):
                 raw, dtype=np.uint8, count=size * 3, offset=pos
             ).reshape(size, 3)
             pos += size * 3
+        frames = []
         while pos < len(raw):
             block = raw[pos]
             pos += 1
-            if block == 0x3B:  # trailer before any image
-                return None
+            if block == 0x3B:  # trailer
+                break
             if block == 0x21:  # extension: label + sub-blocks
                 pos += 1
                 while raw[pos] != 0:
@@ -427,6 +437,8 @@ def decode_gif(raw: bytes):
                 return None
             left, top, w, h, ipacked = struct.unpack_from("<HHHHB", raw, pos)
             pos += 9
+            if (left, top) != (0, 0) or (w, h) != (w0, h0):
+                return None  # partial-frame compositing out of subset
             ct = gct
             if ipacked & 0x80:
                 size = 2 << (ipacked & 0x07)
@@ -443,6 +455,9 @@ def decode_gif(raw: bytes):
                 ln = raw[pos]
                 data += raw[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # block terminator
+            if max_frames is not None and len(frames) >= max_frames:
+                continue  # count frames but skip decoding extras
             idx = _lzw_decode(bytes(data), min_code)
             if idx is None or len(idx) < w * h:
                 return None
@@ -454,10 +469,16 @@ def decode_gif(raw: bytes):
                 arr = out_rows
             if (arr >= len(ct)).any():
                 return None
-            return ct[arr]
+            frames.append(ct[arr])
+        return frames or None
     except (IndexError, struct.error):
         return None
-    return None
+
+
+def decode_gif(raw: bytes):
+    """First frame of :func:`decode_gif_frames` (single-image decode)."""
+    frames = decode_gif_frames(raw, max_frames=1)
+    return frames[0] if frames else None
 
 
 def _paeth(a, b, c):
@@ -738,25 +759,42 @@ def frame_sample_plan(
     every_n: int = 10,
     decode_stub: bool = True,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame.
+    """Frame sampling: one output row per sampled frame.
 
-    The stub emits ``n_bytes // (every_n * 100) + 1`` fake frames per
-    payload with deterministic frame hashes; a real build swaps the body for
-    a decord/pyav loop. Schema and fan-out shape (1 row in → N rows out via
-    ``mapInPandas``) are the production contract.
+    REAL path: animated GIF payloads (the one public multi-frame
+    container this module decodes end-to-end) are demuxed and every
+    ``every_n``-th frame's decoded RGB pixels are hashed — actual frame
+    extraction, not plumbing. Other containers: with ``decode_stub``
+    (default) a deterministic fake fan-out stands in for the codec; with
+    ``decode_stub=False`` they raise at the documented integration point
+    a decord/pyav loop would fill (mp4 et al. need real codec libs).
+    Schema and fan-out shape (1 row in → N rows out via ``mapInPandas``)
+    are the production contract either way.
     """
     out_schema = f"{id_col} long, frame_idx int, frame_sha string"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real codec integration point: demux container, decode "
-                    "every_n-th frame"
-                )
             ids, idxs, shas = [], [], []
             for _id, raw in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(raw)
+                if raw[:4] == b"GIF8":
+                    frames = decode_gif_frames(raw)
+                    if frames is not None:
+                        for i in range(0, len(frames), every_n):
+                            ids.append(_id)
+                            idxs.append(i)
+                            shas.append(
+                                hashlib.sha256(
+                                    frames[i].tobytes()
+                                ).hexdigest()
+                            )
+                        continue
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real codec integration point: demux container, "
+                        "decode every_n-th frame"
+                    )
                 n_frames = len(raw) // (every_n * 100) + 1
                 for i in range(n_frames):
                     ids.append(_id)

@@ -485,3 +485,40 @@ def test_flac_roundtrip_all_modes_and_distributed_pipeline(spark):
     assert got[1].kind == "flac" and got[1].sample_rate == 4000
     assert got[1].n_samples == 200 and got[1].rms == 1000.0
     assert got[2].kind == "wav" and got[2].sample_rate == 4000
+
+
+def test_animated_gif_real_frame_sampling(spark):
+    """frame_sample_plan's REAL path: an animated GIF is demuxed and
+    every Nth frame's DECODED pixels are hashed — verified against a
+    local decode of the same payload."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_gif,
+        decode_gif,
+        decode_gif_frames,
+        frame_sample_plan,
+    )
+
+    rng = np.random.default_rng(13)
+    pal = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(8)]
+    frames = [list(rng.integers(0, 8, 6 * 5)) for _ in range(12)]
+    raw = build_gif(6, 5, pal, frames=frames)
+
+    dec = decode_gif_frames(raw)
+    assert len(dec) == 12
+    for f, idx in zip(dec, frames):
+        assert (f == np.array(pal, np.uint8)[np.array(idx).reshape(5, 6)]).all()
+    # single-frame decode = first frame
+    assert (decode_gif(raw) == dec[0]).all()
+
+    df = spark.createDataFrame([(1, raw)], "doc_id long, payload binary")
+    rows = sorted(
+        (r.frame_idx, r.frame_sha)
+        for r in frame_sample_plan(df, every_n=3).collect()
+    )
+    assert [i for i, _ in rows] == [0, 3, 6, 9]
+    for i, sha in rows:
+        assert sha == _hl.sha256(dec[i].tobytes()).hexdigest()
