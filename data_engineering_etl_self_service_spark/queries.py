@@ -940,6 +940,24 @@ def minhash_incremental_dedup(spark, sf_dir):
     )
 
 
+@register("jaccard_prefix_filter", _JACCARD_ORACLE)
+def jaccard_prefix_filter(spark, sf_dir):
+    """AllPairs/PPJoin prefix-filtered exact Jaccard pairs ≥ 0.8.
+
+    Same oracle as ``jaccard_pairs`` because prefix filtering is
+    *lossless*: candidates are provably complete (prefix pigeonhole) and
+    the verify pass is exact — so this IS the exact answer, computed with
+    ~20% of the inverted-index postings and with hot-shingle skew pruned
+    structurally (high-frequency shingles sort out of every prefix).
+    The third, index-pruned route to the same pinned result
+    (all-pairs / MinHash-LSH / prefix-filter).
+    """
+    from .operators.dedup import jaccard_prefix_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(d, k=3, threshold_num=4, threshold_den=5)
+
+
 @register("simhash_neardup")  # approximate — no SQL oracle (rows-only check)
 def simhash_neardup(spark, sf_dir):
     """SimHash(64-bit) near-dup candidate pairs, Hamming ≤ 3 (approximate;

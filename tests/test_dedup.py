@@ -193,3 +193,41 @@ def test_drop_near_duplicates_keeps_one_per_cluster(spark):
     out = drop_near_duplicates(docs, k=3, threshold=0.6)
     assert sorted(r.doc_id for r in out.collect()) == [1, 10]
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_prefix_filter_equals_exact_on_corpus(spark, sf_dir):
+    """AllPairs/PPJoin prefix filtering is lossless: candidate generation
+    from frequency-ordered prefixes + exact verify must reproduce the
+    all-pairs exact-Jaccard result on the real corpus."""
+    from data_engineering_etl_self_service_spark.operators.dedup import jaccard_prefix_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(d, threshold=0.8).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_prefix_pairs(d, threshold_num=4, threshold_den=5).collect()
+    }
+    assert exact == pf
+    assert len(exact) > 0
+
+
+def test_prefix_filter_borderline_threshold(spark):
+    """Docs sharing exactly tau of their shingles sit ON the threshold:
+    the integer prefix length must not round them out."""
+    from data_engineering_etl_self_service_spark.operators.dedup import jaccard_prefix_pairs
+
+    # 10 tokens -> 8 distinct 3-shingles each; overlap engineered high.
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"  # differs in last token only
+    df = _docs(spark, [a, b])
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_prefix_pairs(df, threshold_num=3, threshold_den=4).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.75).collect()
+    }
+    assert out == exact and len(out) == 1
