@@ -4854,6 +4854,56 @@ def pagerank_nations(spark, sf_dir):
 
 
 @register(
+    "triangle_parts",
+    """
+    WITH ii AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM ii a JOIN ii b ON a.o = b.o AND a.p < b.p),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    x AS (SELECT unnest([a, b, c]) AS p_partkey FROM tri)
+    SELECT p_partkey, COUNT(*) AS n_tri
+    FROM x GROUP BY p_partkey
+    ORDER BY n_tri DESC, p_partkey LIMIT 20
+    """,
+)
+def triangle_parts(spark, sf_dir):
+    """Top-20 parts by co-purchase triangle participation.
+
+    Graph: parts are nodes, an edge = the two parts appear in the same
+    order (basket-width-bounded pair fan-out, same discipline as
+    ``market_basket``). Triangle counting uses the degree-ordered
+    orientation of operators/graph.py:triangle_counts (Suri &
+    Vassilvitskii WWW'11): wedges are enumerated only at each edge's
+    low-(degree,id) endpoint, so wedge volume is O(|E|^1.5) globally and
+    the hub part's triangles are counted at its low-degree neighbors —
+    the naive 3-way self-join the oracle runs would blow up quadratically
+    on a hub at 100 TB, while this plan's per-task fan-out stays
+    O(sqrt(|E|)). Each triangle enumerated exactly once on both sides.
+    """
+    from .operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    per_node = triangle_counts(edges)
+    return (
+        per_node.select(F.col("node").alias("p_partkey"), "n_tri")
+        .orderBy(F.desc("n_tri"), "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
     "trigram_rarity",
     """
     WITH tris AS (

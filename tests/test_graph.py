@@ -96,3 +96,50 @@ def test_pagerank_total_mass_bounded(spark):
     total = sum(r["rank"] for r in got)
     # cycle: no dangling mass, only floor rounding lost
     assert SCALE - 100 <= total <= SCALE
+
+
+def _brute_triangles(edges):
+    """Per-node triangle counts by brute-force enumeration."""
+    import itertools
+    from collections import Counter
+
+    es = set()
+    nodes = set()
+    for u, v in edges:
+        if u != v:
+            es.add((min(u, v), max(u, v)))
+            nodes.update((u, v))
+    cnt = Counter()
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            cnt[a] += 1
+            cnt[b] += 1
+            cnt[c] += 1
+    return dict(cnt)
+
+
+def test_triangle_counts_vs_brute_force_with_hub(spark):
+    """Random graph plus a deliberate hub node: degree-ordered counting
+    must agree with brute force exactly (each triangle once)."""
+    import random
+
+    from data_engineering_etl_self_service_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(40)]
+    edges += [(99, i) for i in range(12)]  # hub connected to everyone
+    edges += [(3, 3), (5, 4)]  # self-loop ignored; reversed dup collapses
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+    assert len(got) > 0
+
+
+def test_triangle_counts_single_triangle_plus_chain(spark):
+    from data_engineering_etl_self_service_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
