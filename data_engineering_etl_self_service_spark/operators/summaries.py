@@ -1,0 +1,98 @@
+"""Bounded-memory mergeable summaries: Misra-Gries heavy hitters.
+
+North-star operator (no counterpart in the reference): find every item
+whose frequency exceeds n/k in a stream of n items, WITHOUT a full
+groupBy over the long tail. A training-corpus vocabulary has hundreds of
+millions of distinct tokens; a full token-frequency aggregation shuffles
+all of them, yet a heavy-hitter question ("which tokens exceed 0.5% of
+the corpus?") has at most k answers. The classical answer is the
+Misra-Gries summary (Misra & Gries, Sci. Comp. Prog. 1982; the
+"space-saving"/"frequent" family): k counters per partition, decrement-all
+when full — undercount per item is bounded by n_p/(k+1).
+
+Exactness contract (why this is oracle-checkable): the summary alone is
+approximate, but a SECOND exact pass over only the candidate set makes
+the final answer exact —
+
+1. per-partition MG with capacity m >= k emits every item whose
+   partition count exceeds n_p/(m+1) (survival bound);
+2. any item with GLOBAL count > n/k must exceed n_p/k >= n_p/(m+1) in at
+   least one partition (pigeonhole), so the union of partition summaries
+   is a provably complete candidate superset;
+3. one broadcast semi-join of the (tiny, <= m * n_partitions rows)
+   candidate set against the stream + one exact count + the exact
+   ``cnt * k > n`` filter removes all false positives.
+
+Scale shape: pass 1 is a single ``mapInPandas`` scan with O(m) state per
+task and no shuffle at all; pass 2 shuffles only rows matching ~k
+distinct keys (the heavy keys themselves — skewed by definition, but the
+partial aggregation collapses them map-side before the exchange, so the
+shuffle moves one row per (task, key)). The full-vocabulary shuffle of
+the naive plan never happens.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_partition(
+    batches: Iterator[pd.DataFrame], col: str, capacity: int
+) -> Iterator[pd.DataFrame]:
+    """Misra-Gries over one partition, in its MERGEABLE formulation
+    (Agarwal et al., PODS'12 "Mergeable Summaries"): each Arrow batch is
+    counted exactly (vectorized ``value_counts``), merged into the
+    running summary by addition, and pruned back to ``capacity`` by
+    subtracting the (capacity+1)-th largest count from everything — the
+    batched equivalent of decrement-all, with the same total-undercount
+    bound n_p/(capacity+1) and no per-token Python loop."""
+    counters: pd.Series = pd.Series(dtype="int64")
+    for pdf in batches:
+        merged = counters.add(pdf[col].value_counts(), fill_value=0)
+        if len(merged) > capacity:
+            # Subtracting (not just thresholding on) the cut is what makes
+            # the undercount bound hold: every prune removes >= cut *
+            # (capacity+1) mass, so the cuts sum to <= n_p/(capacity+1)
+            # and a surviving counter underestimates by at most that.
+            cut = merged.nlargest(capacity + 1).iloc[-1]
+            merged = merged - cut
+            merged = merged[merged > 0]
+        counters = merged
+    yield pd.DataFrame({col: counters.index})
+
+
+def heavy_hitters(
+    items: DataFrame, col: str, k: int, capacity: int | None = None
+) -> DataFrame:
+    """Exact items with frequency > n/k via MG summary + exact verify.
+
+    ``items``: single-column-of-interest DataFrame (extra columns are
+    pruned). ``capacity`` (default 2k) is the per-partition counter
+    budget; any value >= k preserves the completeness proof above —
+    larger values only shrink the candidate set's false-positive tail.
+
+    Output: (``col``, cnt, n_total) for every item with cnt*k > n_total.
+    Deterministic and exact — the MG pass affects only WHICH candidates
+    are verified, never the verified answer.
+    """
+    if capacity is None:
+        capacity = 2 * k
+    assert capacity >= k, "capacity < k breaks the completeness guarantee"
+    stream = items.select(F.col(col).alias("item"))
+    cands = stream.mapInPandas(
+        lambda it: _mg_partition(it, "item", capacity),
+        schema="item " + dict(stream.dtypes)["item"],
+    ).distinct()
+    n_total = stream.count()
+    exact = (
+        stream.join(F.broadcast(cands), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > n_total)
+        .withColumn("n_total", F.lit(n_total).cast("long"))
+    )
+    return exact.withColumnRenamed("item", col)

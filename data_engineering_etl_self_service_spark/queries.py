@@ -4904,6 +4904,38 @@ def triangle_parts(spark, sf_dir):
 
 
 @register(
+    "heavy_hitter_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT tok, COUNT(*) AS cnt, MAX(n) AS n_total
+    FROM toks, tot
+    GROUP BY tok
+    HAVING COUNT(*) * 200 > MAX(n)
+    """,
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """Every token exceeding 1/200 of the corpus token stream — exact,
+    but computed WITHOUT the full-vocabulary shuffle the oracle runs.
+
+    Pass 1 is a shuffle-free mapInPandas Misra-Gries summary per
+    partition (O(capacity) state; mergeable-summaries prune); pass 2
+    exact-counts only the provably-complete candidate superset via a
+    broadcast semi-join. At 100 TB the naive plan shuffles hundreds of
+    millions of distinct tail tokens to answer a <=k-row question; this
+    plan's only exchange carries ~k keys pre-collapsed map-side
+    (operators/summaries.py).
+    """
+    from .operators.summaries import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    stream = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(stream, "tok", k=200)
+
+
+@register(
     "trigram_rarity",
     """
     WITH tris AS (
