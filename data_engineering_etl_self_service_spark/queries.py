@@ -4936,6 +4936,117 @@ def heavy_hitter_tokens(spark, sf_dir):
 
 
 @register(
+    "stratified_sample",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (CAST(o_orderkey AS BIGINT) * 2654435761) % 1000 <
+          CASE o_orderpriority
+            WHEN '1-URGENT' THEN 500
+            WHEN '2-HIGH' THEN 250
+            ELSE 50 END
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Quota sampling: 50% of urgent orders, 25% of high, 5% of the rest
+    — reproducibly, in one shuffle-free scan.
+
+    ``rand(seed)`` would change with partition layout and be
+    irreproducible on any other engine; hashing the stable key with the
+    Knuth multiplicative constant (operators/sampling.py) makes the
+    sample a pure function of the data — which is also exactly why it
+    can hash-match a DuckDB oracle. The CASE predicate pushes into the
+    scan; at 100 TB this is a 0-shuffle operator.
+    """
+    from .operators.sampling import stratified_hash_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return stratified_hash_sample(
+        o,
+        key_col="o_orderkey",
+        stratum_col="o_orderpriority",
+        rates_permille={"1-URGENT": 500, "2-HIGH": 250},
+        default_permille=50,
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events GROUP BY user_id),
+    d AS (SELECT date_trunc('hour', fts) AS hour, COUNT(*) AS new_users
+          FROM f GROUP BY 1)
+    SELECT hour, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM d
+    """,
+)
+def cumulative_distinct_users(spark, sf_dir):
+    """Hourly new + cumulative distinct users — the audience-growth curve.
+
+    COUNT(DISTINCT) over a growing window is quadratic and unshardable;
+    the scalable identity is first-seen decomposition: a cumulative
+    distinct count is the running SUM of first-appearance counts. One
+    groupBy(user) min(ts) (map-side combined), one tiny hourly agg; the
+    only window runs over the hours-sized aggregate, not the data.
+    """
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("fts"))
+    hourly = first.groupBy(F.date_trunc("hour", "fts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("hour").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return hourly.withColumn("cum_users", F.sum("new_users").over(w))
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (SELECT event_type, next_type, COUNT(*) AS cnt
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type),
+    t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total
+          FROM c GROUP BY event_type)
+    SELECT c.event_type, c.next_type, c.cnt,
+           (c.cnt * 1000000) // t.total AS prob_ppm
+    FROM c JOIN t ON c.event_type = t.event_type
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user journeys: for each
+    event type, where users go next (counts + integer-exact ppm
+    probabilities — floats would drift between engines).
+
+    The sequence window partitions by user (bounded, parallel); the
+    transition matrix itself is |event_types|² rows, so the totals join
+    is broadcast-sized. The standard next-step model behind
+    session-flow and funnel features.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = c.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "next_type",
+        "cnt",
+        F.expr("(cnt * 1000000) div total").alias("prob_ppm"),
+    )
+
+
+@register(
     "trigram_rarity",
     """
     WITH tris AS (
