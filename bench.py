@@ -59,6 +59,11 @@ HEADLINE = [
     "png_decode",
     "bloom_semi_revenue",
     "incremental_rollup",
+    # round 3 cont.: index-pruned set-similarity, degree-ordered triangles,
+    # bounded-memory heavy hitters
+    "jaccard_prefix_filter",
+    "triangle_parts",
+    "heavy_hitter_tokens",
 ]
 
 
