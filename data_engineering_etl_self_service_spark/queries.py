@@ -4895,7 +4895,7 @@ def triangle_parts(spark, sf_dir):
         .select("u", "v")
         .distinct()
     )
-    per_node = triangle_counts(edges)
+    per_node = triangle_counts(edges, normalized=True)
     return (
         per_node.select(F.col("node").alias("p_partkey"), "n_tri")
         .orderBy(F.desc("n_tri"), "p_partkey")

@@ -130,9 +130,14 @@ def test_triangle_counts_vs_brute_force_with_hub(spark):
     edges += [(99, i) for i in range(12)]  # hub connected to everyone
     edges += [(3, 3), (5, 4)]  # self-loop ignored; reversed dup collapses
     df = spark.createDataFrame(edges, "u long, v long")
-    got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
-    assert got == _brute_triangles(edges)
-    assert len(got) > 0
+    want = _brute_triangles(edges)
+    for tier in (True, False):  # adjacency-broadcast and wedge-join tiers
+        got = {
+            r.node: r.n_tri
+            for r in triangle_counts(df, broadcast_adjacency=tier).collect()
+        }
+        assert got == want
+    assert len(want) > 0
 
 
 def test_triangle_counts_single_triangle_plus_chain(spark):
