@@ -809,8 +809,12 @@ def jaccard_prefix_pairs(
     k: int = 3,
     threshold_num: int = 4,
     threshold_den: int = 5,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact Jaccard pairs >= tau via AllPairs/PPJoin prefix filtering.
+
+    ``eager=False`` skips the persist/localCheckpoint materialization and
+    returns the bare plan — for plan inspection (PLAN_VIEWS) only.
 
     Same answer as :func:`jaccard_pairs`, computed the index-pruned way
     (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity Search";
@@ -846,6 +850,9 @@ def jaccard_prefix_pairs(
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b — identical to
     ``jaccard_pairs`` (shingle hashing collides with p ~ n^2/2^65).
     """
+    # the persist stays even for eager=False (plan view): it is lazy and
+    # the plan-view DataFrame is never executed, while the explain output
+    # then shows the true runtime InMemoryTableScan reuse.
     sh = _hashed_shingle_table(docs, text_col, id_col, k, distinct=True)
     sh = sh.persist()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -905,6 +912,8 @@ def jaccard_prefix_pairs(
         )
         .filter(den * F.col("n_inter") >= num * (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
     )
+    if not eager:
+        return verified.select("doc_a", "doc_b", "jaccard")
     out = verified.select("doc_a", "doc_b", "jaccard").localCheckpoint()
     sh.unpersist()
     return out

@@ -242,7 +242,10 @@ def pagerank_oracle_sql(
 
 
 def _oriented_edges(
-    edges: DataFrame, node_a: str, node_b: str, normalized: bool = False
+    edges: DataFrame,
+    node_a: str,
+    node_b: str,
+    normalized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(src, dst, kdst) edges oriented low-(degree, id) -> high, plus the
     persisted normalized edge table (caller must unpersist it once the
@@ -265,7 +268,7 @@ def _oriented_edges(
     if normalized:
         e = edges.select(
             F.col(node_a).alias("u"), F.col(node_b).alias("v")
-        ).persist()
+        )
     else:
         e = (
             edges.select(F.col(node_a).alias("x"), F.col(node_b).alias("y"))
@@ -274,8 +277,8 @@ def _oriented_edges(
                 F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
             )
             .distinct()
-            .persist()
         )
+    e = e.persist()
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -303,6 +306,7 @@ def triangle_counts(
     node_b: str = "v",
     broadcast_adjacency: bool = True,
     normalized: bool = False,
+    eager: bool = True,
 ) -> DataFrame:
     """Per-node triangle participation counts, degree-ordered, two tiers.
 
@@ -340,6 +344,11 @@ def triangle_counts(
     direction/duplicates normalized away). Output: (node, n_tri) for
     nodes in >= 1 triangle. Both tiers return identical results.
     """
+    # eager=False (plan inspection) keeps the persists — they are lazy and
+    # the plan-view DataFrame is never executed, so nothing materializes —
+    # but skips the localCheckpoint/unpersist lifecycle: the explain then
+    # shows the true runtime shape (InMemoryTableScan reuse), not a
+    # misleading cache-free re-derivation.
     oe, e = _oriented_edges(edges, node_a, node_b, normalized=normalized)
     oe = oe.persist()
     if broadcast_adjacency:
@@ -372,11 +381,10 @@ def triangle_counts(
                 )
             )
         )
-        out = (
-            credits.groupBy("node")
-            .agg(F.sum("c").alias("n_tri"))
-            .localCheckpoint()
-        )
+        agg = credits.groupBy("node").agg(F.sum("c").alias("n_tri"))
+        if not eager:
+            return agg
+        out = agg.localCheckpoint()
         oe.unpersist()
         e.unpersist()
         return out
@@ -393,12 +401,14 @@ def triangle_counts(
     # The closing edge (b, c) is oriented b -> c because kdst_b < kdst_c.
     closing = oe.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = wedges.join(closing, ["b", "c"])
-    out = (
+    agg = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
-        .localCheckpoint()  # materialize so the persist can be released
     )
+    if not eager:
+        return agg
+    out = agg.localCheckpoint()  # materialize so the persist can be released
     oe.unpersist()
     e.unpersist()
     return out

@@ -958,6 +958,18 @@ def jaccard_prefix_filter(spark, sf_dir):
     return jaccard_prefix_pairs(d, k=3, threshold_num=4, threshold_den=5)
 
 
+def _jaccard_prefix_plan_view(spark, sf_dir):
+    from .operators.dedup import jaccard_prefix_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(
+        d, k=3, threshold_num=4, threshold_den=5, eager=False
+    )
+
+
+PLAN_VIEWS["jaccard_prefix_filter"] = _jaccard_prefix_plan_view
+
+
 @register("simhash_neardup")  # approximate — no SQL oracle (rows-only check)
 def simhash_neardup(spark, sf_dir):
     """SimHash(64-bit) near-dup candidate pairs, Hamming ≤ 3 (approximate;
@@ -4883,6 +4895,10 @@ def triangle_parts(spark, sf_dir):
     on a hub at 100 TB, while this plan's per-task fan-out stays
     O(sqrt(|E|)). Each triangle enumerated exactly once on both sides.
     """
+    return _triangle_parts_build(spark, sf_dir, eager=True)
+
+
+def _triangle_parts_build(spark, sf_dir, eager=True):
     from .operators.graph import triangle_counts
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -4895,12 +4911,17 @@ def triangle_parts(spark, sf_dir):
         .select("u", "v")
         .distinct()
     )
-    per_node = triangle_counts(edges, normalized=True)
+    per_node = triangle_counts(edges, normalized=True, eager=eager)
     return (
         per_node.select(F.col("node").alias("p_partkey"), "n_tri")
         .orderBy(F.desc("n_tri"), "p_partkey")
         .limit(20)
     )
+
+
+PLAN_VIEWS["triangle_parts"] = (
+    lambda spark, sf_dir: _triangle_parts_build(spark, sf_dir, eager=False)
+)
 
 
 @register(
