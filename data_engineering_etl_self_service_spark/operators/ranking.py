@@ -172,3 +172,83 @@ def sharded_key_gaps(
     out = out.localCheckpoint(eager=True)
     keyed.unpersist()
     return out
+
+
+def sharded_running_agg(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    agg: str = "sum",
+    out_col: str = "running",
+    num_shards: int = 32,
+    inclusive: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact global running SUM or MAX over a total order, with per-shard
+    windows only — the prefix-scan primitive behind sweep-line operators
+    (concurrency counting, skyline frontiers, cumulative inventories).
+
+    A global ``sum(x) OVER (ORDER BY ...)`` serializes on one task; this
+    range-partitions on the order, runs the running agg *within* each
+    shard (parallel), collects one per-shard total (``num_shards``
+    scalars — the bounded-driver-artifact budget of
+    :func:`distributed_rank`), prefix-combines them on the driver, and
+    folds each shard's prefix carry into its local running values
+    (`+` for sum, ``greatest`` for max). Associativity of the combine is
+    exactly what makes the scan shardable (Blelloch's prefix-sum
+    decomposition).
+
+    ``order_cols`` must be a TOTAL order (unique tiebreak). Returns
+    ``(result, persisted_handle)``; the caller unpersists the handle
+    after materializing downstream. NULL carries are treated as the
+    identity (0 / -inf respectively) — shards can be empty of values.
+    ``inclusive=False`` uses the strict-predecessor frame
+    (UNBOUNDED PRECEDING .. 1 PRECEDING): NULL on each shard's first row
+    unless a prior shard carries — the skyline/dominance frame.
+    """
+    assert agg in ("sum", "max")
+    sharded = (
+        df.repartitionByRange(num_shards, *order_cols)
+        .withColumn(_SHARD, F.spark_partition_id())
+        .persist()
+    )
+    agg_fn = F.sum if agg == "sum" else F.max
+    totals = (
+        sharded.groupBy(_SHARD).agg(agg_fn(value_col).alias("t")).collect()
+    )
+    carry: dict[int, int | None] = {}
+    acc: int | None = None
+    for sid, t in sorted((r[_SHARD], r["t"]) for r in totals):
+        carry[sid] = acc  # EXCLUSIVE prefix: combined total of prior shards
+        if t is not None:
+            if acc is None:
+                acc = t
+            elif agg == "sum":
+                acc = acc + t
+            else:
+                acc = max(acc, t)
+    if carry:
+        pairs: list[Column] = []
+        for sid, c in carry.items():
+            pairs.extend([F.lit(sid), F.lit(c)])
+        carry_expr = F.create_map(*pairs)[F.col(_SHARD)]
+    else:
+        carry_expr = F.lit(None)
+    upper = W.currentRow if inclusive else -1
+    w = (
+        W.partitionBy(_SHARD)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, upper)
+    )
+    local = agg_fn(value_col).over(w)
+    if agg == "sum":
+        combined = local + F.coalesce(carry_expr, F.lit(0))
+        if not inclusive:
+            # local is NULL on each shard's first row; the carry alone is
+            # the exclusive prefix there (NULL only for the global first).
+            combined = F.when(
+                local.isNull(), carry_expr.cast("long")
+            ).otherwise(local + F.coalesce(carry_expr, F.lit(0)))
+    else:
+        combined = F.greatest(local, carry_expr)
+    out = sharded.withColumn(out_col, combined.cast("long")).drop(_SHARD)
+    return out, sharded

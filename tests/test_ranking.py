@@ -115,3 +115,79 @@ def test_sharded_key_gaps_plan_has_no_single_partition(spark, sf_dir):
     keyed.unpersist()
     assert "Exchange SinglePartition" not in plan, plan
     assert "hashpartitioning(__shard" in plan, plan
+
+
+def _random_deltas(spark, n=5000, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(100), i, rng.choice([-1, 1]), rng.randrange(50))
+        for i in range(n)
+    ]
+    # duplicate keys on purpose: (k, i) is the total order, k alone ties
+    return spark.createDataFrame(rows, "k long, i long, delta int, v long")
+
+
+def test_sharded_running_sum_equals_global_window(spark):
+    from data_engineering_etl_self_service_spark.operators.ranking import (
+        sharded_running_agg,
+    )
+
+    df = _random_deltas(spark)
+    out, h = sharded_running_agg(
+        df, ["k", "i"], "delta", agg="sum", out_col="run", num_shards=8
+    )
+    got = {(r.k, r.i): r.run for r in out.collect()}
+    h.unpersist()
+    w = W.orderBy("k", "i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        (r.k, r.i): r.run
+        for r in df.select(
+            "k", "i", F.sum("delta").over(w).cast("long").alias("run")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sharded_running_max_exclusive_equals_global_window(spark):
+    from data_engineering_etl_self_service_spark.operators.ranking import (
+        sharded_running_agg,
+    )
+
+    df = _random_deltas(spark, n=3000, seed=5)
+    out, h = sharded_running_agg(
+        df,
+        ["k", "i"],
+        "v",
+        agg="max",
+        out_col="pre",
+        num_shards=8,
+        inclusive=False,
+    )
+    got = {(r.k, r.i): r.pre for r in out.collect()}
+    h.unpersist()
+    w = W.orderBy("k", "i").rowsBetween(W.unboundedPreceding, -1)
+    want = {
+        (r.k, r.i): r.pre
+        for r in df.select(
+            "k", "i", F.max("v").over(w).cast("long").alias("pre")
+        ).collect()
+    }
+    assert got == want
+    assert any(v is None for v in want.values())  # global first row
+
+
+def test_sharded_running_agg_plan_has_no_single_partition(spark):
+    from data_engineering_etl_self_service_spark.operators.ranking import (
+        sharded_running_agg,
+    )
+
+    df = _random_deltas(spark, n=1000)
+    out, h = sharded_running_agg(
+        df, ["k", "i"], "delta", agg="sum", out_col="run", num_shards=8
+    )
+    plan = _plan_of(out)
+    h.unpersist()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(__shard" in plan, plan
