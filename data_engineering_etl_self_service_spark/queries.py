@@ -5238,6 +5238,51 @@ def attribution_last_touch(spark, sf_dir):
 
 
 @register(
+    "snapshot_changes",
+    """
+    SELECT 'delete' AS change_type, o_orderkey FROM orders
+    WHERE o_orderkey % 17 = 0
+    UNION ALL
+    SELECT 'update', o_orderkey FROM orders
+    WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 0
+    UNION ALL
+    SELECT 'insert', o_orderkey + 2000000 FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def snapshot_changes(spark, sf_dir):
+    """Change-data-feed READ over a real versioned snapshot table: commit
+    v1 = orders, commit v2 = orders with every 17th key deleted, every
+    10th repriced, and synthetic inserts — then ask the table what
+    changed between the two versions (sources/snapshots.py
+    snapshot_diff: one full-outer join on the key, null-safe column
+    compare, inserts/deletes/updates classified in a single pass).
+    The consumer-side half of CDC; `apply_cdc`/`merge_upsert` are the
+    producer side. The oracle states the expected change set directly.
+    """
+    import tempfile
+
+    from .sources.snapshots import snapshot_diff, write_snapshot
+
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 17 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 2000000
+    )
+    base = tempfile.mkdtemp(prefix="snapdiff_")
+    write_snapshot(o, base, mode="overwrite")
+    write_snapshot(v1.unionByName(inserts), base, mode="overwrite")
+    return snapshot_diff(spark, base, 1, 2, ["o_orderkey"]).select(
+        "change_type", "o_orderkey"
+    )
+
+
+@register(
     "trigram_rarity",
     """
     WITH tris AS (

@@ -355,3 +355,63 @@ def schema_changes(base_dir: str) -> list[dict]:
         if cur is not None:
             prev = cur
     return out
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    base_dir: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two committed versions — the READ
+    side of CDC (the WRITE side is ``merge_into_snapshot``/`apply_cdc`):
+    what would a consumer have to apply to get from v_old to v_new?
+
+    Returns the new-side row (old-side for deletes) plus ``change_type``
+    in {'insert', 'delete', 'update'}; unchanged rows are dropped.
+
+    Plan: ONE full outer join on the key columns; change classification
+    is null-safe column comparison (``eqNullSafe``) in the join output —
+    no row hashing round trip, no second pass. At 100 TB both sides
+    shuffle once on the key; a date-partitioned table diffs partition by
+    partition with static pruning on both reads (manifests list
+    directories, so version reads prune like any parquet scan).
+    """
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, base_dir, version=v_old)
+    new = read_snapshot(spark, base_dir, version=v_new)
+    data_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in old.columns]
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_o_{k}") == F.col(k)
+        cond = c if cond is None else (cond & c)
+    joined = new.join(o, cond, "full_outer")
+    some_new_key = F.col(key_cols[0]).isNotNull()
+    some_old_key = F.col(f"_o_{key_cols[0]}").isNotNull()
+    changed = None
+    for c in data_cols:
+        d = ~F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+        changed = d if changed is None else (changed | d)
+    change = (
+        F.when(some_new_key & ~some_old_key, F.lit("insert"))
+        .when(~some_new_key & some_old_key, F.lit("delete"))
+        .when(changed if changed is not None else F.lit(False), F.lit("update"))
+    )
+    out_cols = [
+        F.coalesce(F.col(c), F.col(f"_o_{c}")).alias(c)
+        if c in key_cols
+        else F.when(some_new_key, F.col(c))
+        .otherwise(F.col(f"_o_{c}"))
+        .alias(c)
+        for c in new.columns
+    ]
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select("change_type", *out_cols)
+    )

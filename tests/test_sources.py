@@ -620,3 +620,36 @@ def test_snapshot_schema_changes_audit(spark, tmp_path):
     ch = schema_changes(base)
     assert len(ch) == 1 and ch[0]["version"] == 3
     assert "extra" in ch[0]["after"] and "extra" not in ch[0]["before"]
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "difftab")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "k long, s string, x int",
+    )
+    v2 = spark.createDataFrame(
+        [
+            (1, "a", 10),      # unchanged -> dropped
+            (2, "b", 20),      # NULL -> 20: update (null-safe compare)
+            (4, None, 40),     # unchanged incl. NULL column -> dropped
+            (5, "e", 50),      # insert
+        ],
+        "k long, s string, x int",
+    )
+    write_snapshot(v1, base, mode="overwrite")
+    write_snapshot(v2, base, mode="overwrite")
+    rows = {
+        (r.change_type, r.k, r.s, r.x)
+        for r in snapshot_diff(spark, base, 1, 2, ["k"]).collect()
+    }
+    assert rows == {
+        ("update", 2, "b", 20),
+        ("delete", 3, "c", 30),
+        ("insert", 5, "e", 50),
+    }
