@@ -1,0 +1,119 @@
+"""Distributed BPE vocabulary training (byte-pair-encoding merges).
+
+North-star tokenizer-training operator (no counterpart in the reference):
+learn the first N BPE merge rules from a corpus — the algorithm behind
+GPT/LLaMA-family tokenizers (Sennrich et al., ACL'16 "Neural Machine
+Translation of Rare Words with Subword Units"). Complements the
+frequency-vocab `vocab_build`/`vocab_encode` queries with the real
+subword-merge procedure.
+
+Why this distributes cleanly despite being iterative:
+
+- The corpus collapses ONCE to the word-type table (word, count) — the
+  only data-sized shuffle. Classic BPE operates on exactly this table
+  (a word's merges don't depend on its neighbors), so every later round
+  touches |vocab| rows, not |corpus| tokens.
+- Per round: adjacent symbol pairs explode per word (bounded by word
+  length), weighted by word count, partially aggregated map-side; the
+  argmax pair is ONE collected row (the bounded-driver-artifact budget
+  of pagerank's n_nodes / k-means' centroids).
+- The merge applies as a per-word left-to-right greedy fold
+  (``F.aggregate`` over the symbol array) — embarrassingly parallel,
+  no shuffle at all.
+- Lineage is truncated per round (localCheckpoint), MLlib-style, so
+  round T does not replan rounds 1..T-1.
+
+Determinism contract: the argmax tiebreak is (count DESC, left ASC,
+right ASC) and the fold is greedy left-to-right non-overlapping — both
+reproduced token-for-token by a DuckDB ``list_reduce`` oracle
+(queries.py `bpe_merges`), so the trained rules hash-match across
+engines. Symbols never contain the '|' sentinel (tokens() strips
+whitespace only; '|' appearing in text is fine — symbols are DELIMITED
+by '|' in the fold accumulator, and a literal '|' symbol would still
+fold correctly since comparisons anchor on the delimiter prefix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _merge_fold(x: str, y: str, merged: str):
+    """Column fn: greedy left-to-right merge of adjacent (x, y) -> merged
+    over a symbol array, via a string-accumulator fold (mirrors the
+    DuckDB list_reduce oracle exactly)."""
+
+    def fold(sym_col):
+        tagged = F.transform(sym_col, lambda s: F.concat(F.lit("|"), s))
+        acc0 = F.lit("")
+        step = lambda acc, s: (  # noqa: E731
+            F.when(
+                acc.endswith("|" + x) & (s == F.lit("|" + y)),
+                F.concat(
+                    acc.substr(
+                        F.lit(1), F.length(acc) - F.lit(len(x) + 1)
+                    ),
+                    F.lit("|" + x + y),
+                ),
+            ).otherwise(F.concat(acc, s))
+        )
+        folded = F.aggregate(tagged, acc0, step)
+        return F.split(F.substring(folded, 2, 1 << 30), r"\|")
+
+    return fold
+
+
+def bpe_train(
+    words: DataFrame,
+    n_merges: int,
+    word_col: str = "w",
+    count_col: str = "c",
+) -> list[tuple[int, str, str, str]]:
+    """Learn ``n_merges`` BPE merge rules from a (word, count) table.
+
+    Returns [(rank, left, right, merged)] with rank starting at 1, in
+    merge order. Stops early if no adjacent pair remains. The input is
+    the word-TYPE table (one row per distinct word with its corpus
+    frequency) — collapse the corpus first; that is the only
+    corpus-sized step of the whole algorithm.
+    """
+    syms = words.select(
+        F.col(word_col).alias("w"),
+        F.col(count_col).alias("c"),
+        F.split(F.col(word_col), "(?!$)").alias("sym"),
+    )
+    # split with the empty-ish lookahead pattern yields chars without a
+    # trailing '' element (Spark's split(w, '') appends one; '(?!$)' splits
+    # at every position except end-of-string)
+    syms = syms.persist()
+    syms.count()
+    rules: list[tuple[int, str, str, str]] = []
+    for rank in range(1, n_merges + 1):
+        idx = F.explode(F.sequence(F.lit(0), F.size("sym") - 2)).alias("i")
+        best = (
+            syms.filter(F.size("sym") >= 2)
+            .select("c", "sym", idx)
+            .select(
+                "c",
+                F.col("sym")[F.col("i")].alias("x"),
+                F.col("sym")[F.col("i") + 1].alias("y"),
+            )
+            .groupBy("x", "y")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        x, y = best[0]["x"], best[0]["y"]
+        merged = x + y
+        rules.append((rank, x, y, merged))
+        nxt = syms.select(
+            "w", "c", _merge_fold(x, y, merged)("sym").alias("sym")
+        ).localCheckpoint()
+        syms.unpersist()
+        syms = nxt
+    syms.unpersist()
+    return rules

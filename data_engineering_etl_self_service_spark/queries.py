@@ -5282,6 +5282,73 @@ def snapshot_changes(spark, sf_dir):
     )
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.py:bpe_train — each round is
+    a (argmax-pair CTE, list_reduce merge CTE) pair, exactly mirroring
+    the Spark fold's greedy left-to-right non-overlapping semantics."""
+    ctes = [
+        """w AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents)
+      GROUP BY w)""",
+        "s0 AS (SELECT w, c, string_split(w, '') AS sym FROM w)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+      SELECT sym[i] AS x, sym[i+1] AS y, SUM(c) AS cnt
+      FROM {prev}, unnest(range(1, len(sym))) t(i)
+      GROUP BY 1, 2 ORDER BY cnt DESC, x, y LIMIT 1)"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+      SELECT w, c,
+             string_split(substr(list_reduce(list_transform(sym, s -> '|' || s),
+               (acc, s) -> CASE WHEN ends_with(acc, '|' || p{r}.x)
+                                     AND s = '|' || p{r}.y
+                                THEN substr(acc, 1,
+                                            len(acc) - len(p{r}.x) - 1)
+                                     || '|' || p{r}.x || p{r}.y
+                                ELSE acc || s END), 2), '|') AS sym
+      FROM {prev} CROSS JOIN p{r})"""
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, x AS left_sym, y AS right_sym, "
+        f"x || y AS merged FROM p{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+@register("bpe_merges", _bpe_oracle(8))
+def bpe_merges(spark, sf_dir):
+    """Train the first 8 BPE merge rules on the document corpus
+    (Sennrich et al., ACL'16) — real subword-tokenizer training as a
+    distributed job, hash-matched against a DuckDB list_reduce oracle.
+
+    The corpus collapses once to the word-type table (the only
+    corpus-sized shuffle); every merge round then runs on |vocab| rows:
+    one map-side-combined pair count, a 1-row argmax collect (bounded
+    driver artifact), and a shuffle-free per-word greedy fold. At 100 TB
+    the rounds cost |vocab|, not |corpus| — which is why classic BPE
+    trainers work from the word-frequency dict, here kept distributed.
+    """
+    from .operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rules = bpe_train(words, n_merges=8)
+    return spark.createDataFrame(
+        rules, "merge_rank long, left_sym string, right_sym string, merged string"
+    )
+
+
 @register(
     "trigram_rarity",
     """

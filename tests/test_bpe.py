@@ -1,0 +1,59 @@
+"""BPE training: parity with a pure-Python reference implementation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from data_engineering_etl_self_service_spark.operators.bpe import bpe_train
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Classic dictionary BPE (Sennrich et al.): greedy left-to-right
+    merge, argmax by (count desc, left asc, right asc)."""
+    vocab = {w: list(w) for w in word_counts}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, sym in vocab.items():
+            c = word_counts[w]
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (x, y), _ = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((rank, x, y, x + y))
+        for w, sym in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == x and sym[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            vocab[w] = out
+    return rules
+
+
+def test_bpe_train_matches_reference(spark):
+    wc = {
+        "low": 5,
+        "lower": 2,
+        "newest": 6,
+        "widest": 3,
+        "aaa": 4,  # overlap: greedy must give [aa, a]
+        "x": 1,  # single symbol, never merges
+    }
+    df = spark.createDataFrame(list(wc.items()), "w string, c long")
+    got = bpe_train(df, n_merges=10)
+    assert got == _ref_bpe(wc, 10)
+    assert len(got) == 10
+
+
+def test_bpe_train_stops_when_exhausted(spark):
+    df = spark.createDataFrame([("ab", 1), ("c", 9)], "w string, c long")
+    got = bpe_train(df, n_merges=5)
+    # one possible merge (a,b); afterwards every word is one symbol
+    assert got == [(1, "a", "b", "ab")]
