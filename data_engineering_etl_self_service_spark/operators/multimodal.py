@@ -1024,3 +1024,68 @@ def transform_payloads(
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema=out_schema
     )
+
+
+def audio_frame_features(
+    payloads: DataFrame,
+    frame: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-level audio features over mono 16-bit PCM WAV payloads — the
+    feature-extraction step of an audio training pipeline (VAD gating,
+    silence trimming, loudness bucketing), computed integer-exact so the
+    whole decode+DSP path is oracle-checkable.
+
+    Per non-overlapping ``frame``-sample window (last frame may be
+    short): sample count, energy = Σv² (BIGINT), peak = max|v|, and
+    zero_crossings = #{j : v_{j-1}·v_j < 0} counted WITHIN the frame.
+    All int64 arithmetic on the raw int16 samples — no floats anywhere,
+    so results are bit-stable across engines and partitionings.
+
+    Execution: one Arrow-batched mapInPandas over the payload scan —
+    shuffle-free; at 100 TB this is scan parallelism, and each task's
+    state is one payload's samples. Non-WAV payloads yield no rows.
+    Output: (id, frame_id, n_samples, energy, peak, zero_crossings).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in it:
+            ids, fids, ns, es, pks, zcs = [], [], [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw)
+                if not (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"):
+                    continue
+                with wave.open(io.BytesIO(raw)) as wv:
+                    if wv.getsampwidth() != 2 or wv.getnchannels() != 1:
+                        continue
+                    data = wv.readframes(wv.getnframes())
+                x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                for f0 in range(0, len(x), frame):
+                    seg = x[f0 : f0 + frame]
+                    ids.append(int(i))
+                    fids.append(f0 // frame)
+                    ns.append(len(seg))
+                    es.append(int((seg * seg).sum()))
+                    pks.append(int(np.abs(seg).max()) if len(seg) else 0)
+                    zcs.append(int(((seg[:-1] * seg[1:]) < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_id": pd.Series(fids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(es, dtype="int64"),
+                    "peak": pd.Series(pks, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    schema = (
+        f"{id_col} long, frame_id long, n_samples long, energy long, "
+        "peak long, zero_crossings long"
+    )
+    return payloads.mapInPandas(batches, schema)

@@ -1765,6 +1765,58 @@ def multimodal_decode(spark, sf_dir):
 
 
 @register(
+    "audio_features",
+    """
+    WITH base AS (SELECT doc_id, 50 + doc_id % 100 AS n FROM documents),
+    s AS (SELECT doc_id, j, ((j * (doc_id + 3)) % 2048) - 1024 AS v
+          FROM base, unnest(range(0, n)) t(j)),
+    f AS (SELECT doc_id, j // 64 AS frame_id, j, v,
+                 LAG(v) OVER (PARTITION BY doc_id, j // 64 ORDER BY j)
+                   AS prev
+          FROM s)
+    SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+           COUNT(*) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * v < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM f GROUP BY doc_id, frame_id
+    """,
+)
+def audio_features(spark, sf_dir):
+    """REAL audio feature extraction (north-star multimodal DSP):
+    deterministic PCM WAV payloads (a pseudo-waveform
+    v_j = ((j·(doc_id+3)) mod 2048) − 1024) are decoded from bytes and
+    framed into 64-sample windows; per frame: Σv² energy, peak |v|, and
+    zero-crossing count — all int64, no floats, so the oracle recomputes
+    every feature symbolically from the generating formula and a hash
+    match proves the byte decode + framing DSP end-to-end. The pipeline
+    step behind VAD gates and silence trimming in audio corpus curation.
+    Execution: two shuffle-free mapInPandas passes over the scan.
+    """
+    from .operators.multimodal import audio_frame_features, build_wav
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 50 + i % 100
+                samples = [((j * (i + 3)) % 2048) - 1024 for j in range(n)]
+                payloads.append(build_wav(8000, samples))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return audio_frame_features(payloads, frame=64)
+
+
+@register(
     "png_decode",
     """
     SELECT doc_id,

@@ -522,3 +522,34 @@ def test_animated_gif_real_frame_sampling(spark):
     assert [i for i, _ in rows] == [0, 3, 6, 9]
     for i, sha in rows:
         assert sha == _hl.sha256(dec[i].tobytes()).hexdigest()
+
+
+def test_audio_frame_features_exact(spark):
+    """Known waveform -> hand-computable frame features, incl. a short
+    final frame and in-frame-only zero-crossing counting."""
+    import pandas as pd
+
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        audio_frame_features,
+        build_wav,
+    )
+
+    samples = [100, -100, 100, -100, 50, 0, -50, 25, 30, -30]  # n=10
+    raw = build_wav(8000, samples)
+    df = spark.createDataFrame([(1, bytearray(raw))], "doc_id long, payload binary")
+    rows = {
+        r.frame_id: (r.n_samples, r.energy, r.peak, r.zero_crossings)
+        for r in audio_frame_features(df, frame=4).collect()
+    }
+    def feats(seg):
+        e = sum(v * v for v in seg)
+        p = max(abs(v) for v in seg)
+        zc = sum(1 for a, b in zip(seg, seg[1:]) if a * b < 0)
+        return (len(seg), e, p, zc)
+    assert rows == {
+        0: feats(samples[0:4]),
+        1: feats(samples[4:8]),
+        2: feats(samples[8:10]),
+    }
+    # 0 values: sign products with 0 are not crossings (0*-50 == 0, not < 0)
+    assert rows[1][3] == 1
