@@ -64,6 +64,8 @@ HEADLINE = [
     "jaccard_prefix_filter",
     "triangle_parts",
     "heavy_hitter_tokens",
+    "peak_concurrency",
+    "bpe_merges",
 ]
 
 

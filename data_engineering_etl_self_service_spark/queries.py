@@ -5402,6 +5402,42 @@ def bpe_merges(spark, sf_dir):
 
 
 @register(
+    "group_sample_topk",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             (CAST(doc_id AS BIGINT) * 2654435761) % 1000000007 AS hk
+      FROM documents),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY hk, doc_id) AS rn
+          FROM h)
+    SELECT lang, doc_id FROM r WHERE rn <= 5
+    """,
+)
+def group_sample_topk(spark, sf_dir):
+    """Exactly-k-per-group deterministic sample (5 docs per language) —
+    the eval-set / human-review draw. Ordering by a hash of the key
+    (Knuth constant mod a prime) instead of rand() makes the draw
+    uniform-ish, reproducible across engines AND stable under corpus
+    growth for retained ids. The per-group window is WindowGroupLimit-
+    pruned on Spark 4 (rank<=k filters inside each map partition before
+    the final per-group exchange), so the shuffle carries at most
+    k·n_partitions rows per group, not the corpus.
+    """
+    from .operators.sampling import KNUTH
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    hk = F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(1000000007))
+    w = W.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
     "trigram_rarity",
     """
     WITH tris AS (
