@@ -4797,6 +4797,96 @@ def bm25_search(spark, sf_dir):
     )
 
 
+def _bm25_index_search(spark, sf_dir):
+    """See registration below — split out so the oracle can alias
+    bm25_search's (the probe must reproduce the ad-hoc result)."""
+    import tempfile
+
+    from .sources.snapshots import read_snapshot, write_snapshot
+
+    n_buckets = 64
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    # --- build (once per corpus version; amortized across queries) ---
+    postings = (
+        d.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("dl"),
+            F.explode("t").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+        )
+    )
+    base = tempfile.mkdtemp(prefix="bm25idx_")
+    write_snapshot(
+        postings, f"{base}/postings", mode="overwrite",
+        partition_by=("bucket",),
+    )
+    stats = d.select(F.size("t").cast("bigint").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tot")
+    )
+    write_snapshot(stats, f"{base}/stats", mode="overwrite")
+
+    # --- probe: reads ONLY the query terms' bucket partitions ---
+    probe_terms = list(_BM25_TERMS)
+    idx = read_snapshot(spark, f"{base}/postings")
+    bucket_ids = (
+        idx.sparkSession.createDataFrame(
+            [(t,) for t in probe_terms], "term string"
+        )
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    wanted = sorted(r["b"] for r in bucket_ids)
+    tf = (
+        idx.filter(F.col("bucket").isin(wanted))
+        .filter(F.col("term").isin(probe_terms))
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    )
+    st = read_snapshot(spark, f"{base}/stats")
+    n, df, tfc, tot, dlc = (
+        F.col("n"), F.col("df"), F.col("tf"), F.col("tot"), F.col("dl")
+    )
+    num = ((2 * n - 2 * df + 1) * 22 * tfc * tot).cast("double")
+    den = ((2 * df + 1) * (10 * tfc * tot + 3 * tot + 9 * dlc * n)).cast(
+        "double"
+    )
+    return (
+        tf.crossJoin(F.broadcast(st))
+        .withColumn("score", num / den)
+        .groupBy("doc_id")
+        .agg(
+            dsum("score", "bm25"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
+
+
+@register("bm25_index_search", None)
+def bm25_index_search(spark, sf_dir):
+    """BM25 over a PERSISTED inverted index (the production lifecycle of
+    `bm25_search`, the way `ivf_index_ann` persists `ivf_ann`'s index):
+    postings (term, doc, tf, dl) land ONCE in a snapshot table
+    hive-partitioned by a 64-way term-hash bucket; a query then reads
+    only its terms' bucket directories — parquet partition pruning does
+    the index lookup, so probe I/O follows the query's posting lists,
+    not the corpus. Stats (N, total length) are a 1-row snapshot beside
+    it. Scoring is the same log-free integer-exact BM25; the oracle IS
+    bm25_search's — the index must reproduce the ad-hoc answer exactly.
+    """
+    return _bm25_index_search(spark, sf_dir)
+
+
+ORACLES["bm25_index_search"] = ORACLES["bm25_search"]
+
+
 @register(
     "dup_ngram_spans",
     """

@@ -653,3 +653,25 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
         ("delete", 3, "c", 30),
         ("insert", 5, "e", 50),
     }
+
+
+def test_bm25_index_probe_prunes_partitions(spark, sf_dir):
+    """The persisted-postings probe must (a) reproduce the ad-hoc BM25
+    ranking exactly and (b) read only the query terms' bucket partitions
+    (parquet partition pruning does the index lookup)."""
+    from data_engineering_etl_self_service_spark.queries import QUERIES
+
+    adhoc = [
+        (r.doc_id, r.bm25, r.n_hit_terms)
+        for r in QUERIES["bm25_search"](spark, sf_dir).collect()
+    ]
+    probe_df = QUERIES["bm25_index_search"](spark, sf_dir)
+    probe = [
+        (r.doc_id, r.bm25, r.n_hit_terms) for r in probe_df.collect()
+    ]
+    assert probe == adhoc and len(probe) > 0
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
