@@ -412,3 +412,55 @@ def triangle_counts(
     oe.unpersist()
     e.unpersist()
     return out
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    node_a: str = "u",
+    node_b: str = "v",
+) -> DataFrame:
+    """``rounds`` iterations of k-core peeling (Seidman 1983; the
+    Batagelj-Zaversnik peel, truncated): repeatedly drop nodes with
+    degree < k and the edges touching them. Converged = the k-core; a
+    fixed round count keeps the operator deterministic AND lets a SQL
+    oracle unroll the rounds as CTE pairs (the pagerank_fixedpoint
+    pattern) — peeling converges in a handful of rounds on real graphs
+    because each round removes whole frontier layers.
+
+    Per round: one degree agg (map-side combined) + two semi-joins of
+    the edge list against the surviving-node set — everything keyed on
+    node ids, no driver-side state; lineage truncated per round
+    (localCheckpoint) so round T never replans rounds 1..T-1.
+
+    Returns (node, deg): the nodes still present after ``rounds`` peels
+    with their degrees in the surviving subgraph.
+    """
+    e = (
+        edges.select(F.col(node_a).alias("x"), F.col(node_b).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("n"))
+            .unionAll(ed.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(rounds):
+        keep = degrees(e).filter(F.col("deg") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return degrees(e).select(F.col("n").alias("node"), "deg")

@@ -5527,6 +5527,73 @@ def group_sample_topk(spark, sf_dir):
     )
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled DuckDB twin of operators/graph.py:kcore_peel over the
+    support->=2 co-purchase graph — one (degree, keep, filter) CTE
+    triple per peel round (the pagerank unrolling pattern)."""
+    ctes = [
+        """items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)""",
+        """e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r} AS (
+      SELECT n, COUNT(*) AS deg
+      FROM (SELECT u AS n FROM e{r} UNION ALL SELECT v FROM e{r})
+      GROUP BY n)"""
+        )
+        ctes.append(f"k{r} AS (SELECT n FROM d{r} WHERE deg >= {k})")
+        ctes.append(
+            f"""e{r + 1} AS (
+      SELECT u, v FROM e{r}
+      WHERE u IN (SELECT n FROM k{r}) AND v IN (SELECT n FROM k{r}))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT n AS node, deg
+    FROM (SELECT n, COUNT(*) AS deg
+          FROM (SELECT u AS n FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+          GROUP BY n)"""
+    )
+
+
+@register("kcore_parts", _kcore_oracle(k=2, rounds=4))
+def kcore_parts(spark, sf_dir):
+    """4 rounds of 2-core peeling on the support-≥2 co-purchase graph
+    (Seidman's k-core; Batagelj-Zaversnik peel, truncated): strip
+    incidentally-paired parts layer by layer until only the densely
+    co-bought cohesive subgraph remains — the graph-cleanup step before
+    community/affinity mining, completing the graph suite (PageRank,
+    connected components, triangles, k-core).
+
+    Per round: one map-side-combined degree agg + two semi-joins keyed
+    on node ids; lineage truncated per round. The oracle unrolls the
+    rounds as CTE triples. Fixed round count keeps the operator
+    deterministic whether or not the peel has converged.
+    """
+    from .operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    return kcore_peel(edges, k=2, rounds=4)
+
+
 @register(
     "trigram_rarity",
     """

@@ -148,3 +148,41 @@ def test_triangle_counts_single_triangle_plus_chain(spark):
     )
     got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def _ref_kcore(edges, k, rounds):
+    from collections import Counter
+
+    es = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    for _ in range(rounds):
+        deg = Counter()
+        for u, v in es:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        es = {(u, v) for u, v in es if u in keep and v in keep}
+    deg = Counter()
+    for u, v in es:
+        deg[u] += 1
+        deg[v] += 1
+    return dict(deg)
+
+
+def test_kcore_peel_vs_brute_force(spark):
+    """Chain + clique + pendant nodes: 2-core peeling must strip the
+    chain layer by layer and keep the clique, matching brute force."""
+    import random
+
+    from data_engineering_etl_self_service_spark.operators.graph import kcore_peel
+
+    rng = random.Random(3)
+    edges = [(i, i + 1) for i in range(6)]  # chain: fully peeled at k=2
+    edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]  # K4
+    edges += [(13, 20), (20, 21)]  # pendant tail off the clique
+    edges += [(rng.randrange(8), rng.randrange(8)) for _ in range(15)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.deg for r in kcore_peel(df, k=2, rounds=4).collect()}
+    assert got == _ref_kcore(edges, 2, 4)
+    for n in (10, 11, 12, 13):
+        assert got[n] >= 3  # the K4 survives
+    assert 20 not in got and 21 not in got  # the tail is peeled
