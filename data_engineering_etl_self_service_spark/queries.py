@@ -5595,6 +5595,64 @@ def kcore_parts(spark, sf_dir):
 
 
 @register(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderpriority AS p,
+             quantile_disc(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY p),
+    j AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice, med.med
+      FROM orders JOIN med ON o_orderpriority = med.p),
+    mad AS (
+      SELECT o_orderpriority AS p,
+             quantile_disc(abs(o_totalprice - med), 0.5) AS mad
+      FROM j GROUP BY p)
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM j JOIN mad ON o_orderpriority = mad.p
+    WHERE abs(o_totalprice - med) > 2 * mad
+    """,
+)
+def mad_outliers(spark, sf_dir):
+    """Robust outlier detection: orders whose total deviates more than
+    2 MADs from their priority group's median (the synthetic totals are
+    compact, so 2 is the non-degenerate gate at fixture scale) — the
+    median-absolute-deviation gate that, unlike the 3-sigma rule
+    (`volume_anomalies`), is not itself dragged by the outliers it
+    hunts. Exact and engine-portable because percentile_disc SELECTS an
+    element (no interpolation): both medians are real data values, so
+    the deviation arithmetic is the same IEEE ops on both engines.
+
+    Two grouped percentile aggs + two broadcast joins of
+    |groups|-sized stats — the fact table never shuffles.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("med")
+    )
+    j = o.join(F.broadcast(med), "o_orderpriority")
+    dev = F.abs(F.col("o_totalprice") - F.col("med"))
+    mad = (
+        j.select("o_orderpriority", dev.alias("d"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias(
+                "mad"
+            )
+        )
+    )
+    return (
+        j.join(F.broadcast(mad), "o_orderpriority")
+        .filter(dev > 2 * F.col("mad"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@register(
     "trigram_rarity",
     """
     WITH tris AS (
