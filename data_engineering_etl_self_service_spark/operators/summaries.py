@@ -96,3 +96,71 @@ def heavy_hitters(
         .withColumn("n_total", F.lit(n_total).cast("long"))
     )
     return exact.withColumnRenamed("item", col)
+
+
+def mg_summary(
+    items: DataFrame, col: str, capacity: int
+) -> DataFrame:
+    """A GLOBAL bounded Misra-Gries summary (item, lb) with at most
+    ``capacity`` rows — the storable/mergeable artifact form of
+    :func:`heavy_hitters`'s pass 1.
+
+    Per-partition MG summaries (with counters) merge by summed counts,
+    then one prune subtracts the (capacity+1)-th largest so the invariant
+    "total undercount <= n/(capacity+1)" survives (Agarwal et al.,
+    PODS'12: MG summaries are mergeable with no error inflation). The
+    global merge runs over <= capacity x n_partitions rows — KBs.
+    """
+    stream = items.select(F.col(col).alias("item"))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: pd.Series = pd.Series(dtype="int64")
+        for pdf in batches:
+            merged = counters.add(pdf["item"].value_counts(), fill_value=0)
+            if len(merged) > capacity:
+                cut = merged.nlargest(capacity + 1).iloc[-1]
+                merged = merged - cut
+                merged = merged[merged > 0]
+            counters = merged
+        yield pd.DataFrame(
+            {
+                "item": counters.index,
+                "lb": counters.to_numpy(dtype="int64"),
+            }
+        )
+
+    partials = stream.mapInPandas(
+        part, schema=f"item {dict(stream.dtypes)['item']}, lb long"
+    )
+    summed = partials.groupBy("item").agg(F.sum("lb").alias("lb"))
+    return _mg_prune(summed, capacity)
+
+
+def _mg_prune(summary: DataFrame, capacity: int) -> DataFrame:
+    """Prune a summed (item, lb) frame back to ``capacity`` rows by
+    subtracting the (capacity+1)-th largest lb (decrement-all, batched).
+    The frame is summary-sized — the sort/limit is over KBs."""
+    top = (
+        summary.orderBy(F.desc("lb"), "item")
+        .limit(capacity + 1)
+        .collect()
+    )
+    if len(top) <= capacity:
+        return summary
+    cut = top[-1]["lb"]
+    return summary.select(
+        "item", (F.col("lb") - F.lit(cut)).alias("lb")
+    ).filter(F.col("lb") > 0)
+
+
+def mg_merge(a: DataFrame, b: DataFrame, capacity: int) -> DataFrame:
+    """Merge two stored MG summaries — the continuous-ingest step: the
+    standing summary absorbs each batch's summary without ever touching
+    historical raw data. Outer-join sum + one prune."""
+    summed = (
+        a.select("item", "lb")
+        .unionByName(b.select("item", "lb"))
+        .groupBy("item")
+        .agg(F.sum("lb").alias("lb"))
+    )
+    return _mg_prune(summed, capacity)

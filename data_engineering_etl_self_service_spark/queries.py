@@ -5652,6 +5652,57 @@ def mad_outliers(spark, sf_dir):
     )
 
 
+@register("incremental_heavy_hitters", None)
+def incremental_heavy_hitters(spark, sf_dir):
+    """Continuous-ingest heavy hitters: the corpus arrives in 3 batches;
+    each batch's bounded MG summary merges into a summary STORED in a
+    versioned snapshot table (operators/summaries.py mg_summary/mg_merge
+    — mergeable per Agarwal et al. PODS'12, so the undercount bound
+    survives arbitrary merge trees), and historical raw batches are
+    never rescanned at ingest time. The final exact-verify pass then
+    recounts only the standing candidate set. Because merged-summary
+    completeness is provable (capacity >= k), the answer is EXACTLY the
+    one-shot `heavy_hitter_tokens` result — the shared oracle pins it.
+    """
+    import tempfile
+
+    from .operators.summaries import mg_merge, mg_summary
+    from .sources.snapshots import read_snapshot, write_snapshot
+
+    cap, k = 400, 200
+    d = _t(spark, sf_dir, "documents")
+    full = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    base = tempfile.mkdtemp(prefix="mgstate_")
+
+    def batch(i: int):
+        return d.filter(F.col("doc_id") % 3 == i).select(
+            F.explode(tokens(F.col("text"))).alias("tok")
+        )
+
+    state = mg_summary(batch(0), "tok", cap)
+    write_snapshot(state, base, mode="overwrite")
+    for i in (1, 2):
+        merged = mg_merge(
+            read_snapshot(spark, base), mg_summary(batch(i), "tok", cap), cap
+        )
+        write_snapshot(merged, base, mode="overwrite")
+
+    cands = read_snapshot(spark, base).select(
+        F.col("item").alias("tok")
+    )
+    n_total = full.count()
+    return (
+        full.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > n_total)
+        .withColumn("n_total", F.lit(n_total).cast("long"))
+    )
+
+
+ORACLES["incremental_heavy_hitters"] = ORACLES["heavy_hitter_tokens"]
+
+
 @register(
     "trigram_rarity",
     """

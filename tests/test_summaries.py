@@ -45,3 +45,29 @@ def test_heavy_hitters_no_false_positives(spark):
     df = _stream_df(spark, values)
     rows = heavy_hitters(df, "item", k=4).collect()
     assert {(r.item, r.cnt, r.n_total) for r in rows} == {("a", 50, 100)}
+
+
+def test_mg_summary_merge_preserves_completeness(spark):
+    """Fold a stream through per-batch summaries + merges with the
+    TIGHTEST capacity; every true heavy hitter must survive the merge
+    tree (mergeable-summaries invariant)."""
+    from data_engineering_etl_self_service_spark.operators.summaries import (
+        mg_merge,
+        mg_summary,
+    )
+
+    b0 = ["a"] * 30 + [f"x{i}" for i in range(40)]
+    b1 = ["b"] * 35 + [f"y{i}" for i in range(40)]
+    b2 = ["a"] * 25 + ["late"] * 80 + [f"z{i}" for i in range(20)]
+    dfs = [_stream_df(spark, b) for b in (b0, b1, b2)]
+    cap = 4
+    s = mg_summary(dfs[0], "item", cap)
+    for d in dfs[1:]:
+        s = mg_merge(s, mg_summary(d, "item", cap), cap)
+    surv = {r.item for r in s.collect()}
+    assert len(surv) <= cap
+    n = len(b0) + len(b1) + len(b2)
+    full = Counter(b0 + b1 + b2)
+    for item, c in full.items():
+        if c * (cap + 1) > n:  # count > n/(cap+1): guaranteed survivor
+            assert item in surv, (item, c, n, surv)
