@@ -611,9 +611,33 @@ def neardup_groups(
       instead of a join of old vs new labels.
     """
     pairs = minhash_lsh_pairs(docs, text_col, id_col, k, threshold)
-    # Materialize the (small) pair graph, cut the LSH plan out of the loop's
-    # lineage, then drop the caches the LSH pass left behind. The count is
-    # free (the checkpoint just materialized the rows) and drives the
+    return components_from_pairs(
+        pairs,
+        a_col="doc_a",
+        b_col="doc_b",
+        out_id_col=id_col,
+        max_iter=max_iter,
+        small_graph_pairs=small_graph_pairs,
+    )
+
+
+def components_from_pairs(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    out_id_col: str = "doc_id",
+    max_iter: int = 20,
+    small_graph_pairs: int = 2_000_000,
+) -> DataFrame:
+    """Connected components over an arbitrary pair graph → (id, group_id)
+    via iterative min-label propagation — the loop behind
+    :func:`neardup_groups`, exposed so ANY candidate-pair producer (text
+    LSH, embedding cosine, fuzzy entity matching) composes into
+    transitive clusters. Semantics and cost discipline documented there.
+    """
+    # Materialize the (small) pair graph, cut the producer's plan out of
+    # the loop's lineage, then drop the caches it left behind. The count
+    # is free (the checkpoint just materialized the rows) and drives the
     # parallelism decision below.
     pairs = pairs.localCheckpoint(eager=True)
     n_pairs = pairs.count()
@@ -623,13 +647,13 @@ def neardup_groups(
         pairs.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
-                    F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+                    F.struct(F.col(a_col).alias("a"), F.col(b_col).alias("b")),
+                    F.struct(F.col(b_col).alias("a"), F.col(a_col).alias("b")),
                 )
             ).alias("e")
         )
         .select("e.a", "e.b")
-        # pairs are distinct with doc_a < doc_b → edges distinct
+        # pairs are distinct with a_col < b_col → edges distinct
     )
     # Size-adaptive parallelism: the pair graph is usually orders of
     # magnitude smaller than the corpus (it IS the near-dup slice). Below
@@ -667,7 +691,9 @@ def neardup_groups(
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(F.col("v").alias(id_col), F.col("lbl").alias("group_id"))
+    return labels.select(
+        F.col("v").alias(out_id_col), F.col("lbl").alias("group_id")
+    )
 
 
 def duplicate_span_extents(

@@ -1004,6 +1004,50 @@ def embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(e, threshold=0.4)
 
 
+@register(
+    "embedding_dedup_groups",
+    """
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS da, b.vec_id AS db
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                       a.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[])))
+            >= 0.4),
+    bidir AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+    nodes AS (SELECT DISTINCT a AS v FROM bidir),
+    labels(v, lbl) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT b.b, l.lbl FROM labels l JOIN bidir b ON b.a = l.v
+      WHERE l.lbl < b.b
+    )
+    SELECT v AS vec_id, MIN(lbl) AS group_id FROM labels GROUP BY v
+    """,
+)
+def embedding_dedup_groups(spark, sf_dir):
+    """Transitive near-dup clusters in EMBEDDING space: cosine-≥0.4
+    pairs → connected components → (vec_id, group_id) — the semantic
+    dedup counterpart of the text-shingle `neardup_groups`, now a pure
+    composition: any pair producer plugs into the extracted
+    operators/dedup.py:components_from_pairs label-propagation loop (at
+    100 TB the pair producer is the IVF/LSH-blocked path, same loop).
+    Oracle walks the identical graph with a recursive CTE.
+    """
+    from .operators.dedup import (
+        components_from_pairs,
+        embedding_neardup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, threshold=0.4)
+    return components_from_pairs(
+        pairs, a_col="id_a", b_col="id_b", out_id_col="vec_id"
+    )
+
+
 # =========================================================================
 # North-star: similarity search (embeddings)
 # =========================================================================
