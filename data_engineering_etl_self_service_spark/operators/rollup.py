@@ -34,7 +34,7 @@ from ..sources.snapshots import (
 )
 
 #: agg kinds → (partial expression over raw rows, merge function over partials)
-_KINDS = ("count", "sum", "min", "max", "hll")
+_KINDS = ("count", "sum", "min", "max", "hll", "hist:<lo>:<hi>:<bins>")
 
 
 def _partial(kind: str, col: str | None) -> Column:
@@ -57,7 +57,37 @@ def _partial(kind: str, col: str | None) -> Column:
         # approximate by contract (rows-only tier; exact twin:
         # distinct_counts / the raw COUNT(DISTINCT)).
         return F.hll_sketch_agg(col, 12)
+    if kind.startswith("hist:"):
+        # fixed-bin histogram partial: "hist:<lo>:<hi>:<bins>" stores an
+        # array<long> of bin counts per grain — EXACT-mergeable (unlike a
+        # t-digest) because element-wise array addition is associative,
+        # and enough for percentile-at-read dashboards with bin-width
+        # resolution. Out-of-range values clamp to the edge bins so the
+        # total is always the row count (per-grain percentile SLAs stay
+        # denominator-honest).
+        lo, hi, bins = _hist_spec(kind)
+        width = (hi - lo) / bins
+        idx = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        return F.array(
+            *[
+                F.sum(F.when(idx == i, 1).otherwise(0)).cast("long")
+                for i in range(bins)
+            ]
+        )
     raise ValueError(f"unmergeable agg kind: {kind!r} (want one of {_KINDS})")
+
+
+def _hist_spec(kind: str) -> "tuple[float, float, int]":
+    _, lo, hi, bins = kind.split(":")
+    lo, hi, bins = float(lo), float(hi), int(bins)
+    assert hi > lo and bins >= 2, f"bad hist spec {kind!r}"
+    return lo, hi, bins
 
 
 def _merge(kind: str, col: str) -> Column:
@@ -67,6 +97,14 @@ def _merge(kind: str, col: str) -> Column:
         return F.sum(col)
     if kind == "hll":
         return F.hll_union_agg(col)
+    if kind.startswith("hist:"):
+        _, _, bins = _hist_spec(kind)
+        zero = F.array_repeat(F.lit(0).cast("long"), bins)
+        return F.aggregate(
+            F.collect_list(col),
+            zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        )
     return _partial(kind, col)
 
 
@@ -200,7 +238,7 @@ def read_rollup(
             return m.cast("long").alias(out)
         if kind == "hll":
             return F.hll_sketch_estimate(m).cast("long").alias(out)
-        return m.alias(out)
+        return m.alias(out)  # hist surfaces the merged array<long>
 
     gcols = (
         [expr.alias(name) for name, expr in group_exprs.items()]
@@ -239,3 +277,35 @@ def rollup_batch_sink(
         )
 
     return _write
+
+
+def hist_percentile(
+    hist: Column, p_num: int, p_den: int, kind: str
+) -> Column:
+    """Approximate percentile from a merged ``hist:`` rollup array: the
+    upper edge of the smallest bin whose cumulative count reaches
+    ``p_num/p_den`` of the total. Bin choice is integer arithmetic
+    (``cum * p_den >= p_num * total``) so the answer is deterministic
+    and engine-portable; resolution is one bin width by construction.
+    Expression-only (no UDF) — a chain of ``bins`` comparisons over the
+    rollup-sized row.
+    """
+    lo, hi, bins = _hist_spec(kind)
+    width = (hi - lo) / bins
+    elems = [F.element_at(hist, i + 1) for i in range(bins)]
+    total = elems[0]
+    for e in elems[1:]:
+        total = total + e
+    cums = []
+    c = elems[0]
+    for e in elems[1:]:
+        cums.append(c)
+        c = c + e
+    cums.append(c)
+    expr: Column = F.lit(float(hi))
+    for i in reversed(range(bins)):
+        expr = F.when(
+            cums[i] * p_den >= p_num * total,
+            F.lit(float(lo + (i + 1) * width)),
+        ).otherwise(expr)
+    return expr

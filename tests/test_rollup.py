@@ -176,3 +176,50 @@ def test_rollup_hll_distinct_merges_like_direct_sketch(spark, tmp_path):
     }
     for k, est in got.items():
         assert abs(est - truth[k]) <= max(2, 0.05 * truth[k])
+
+
+def test_rollup_hist_merges_exactly_and_serves_percentiles(spark, tmp_path):
+    """hist: kind — 3-batch incremental histograms must EQUAL the
+    one-shot direct histogram (exact mergeability), and percentile-at-
+    read must land within one bin width of the exact percentile."""
+    from data_engineering_etl_self_service_spark.operators.rollup import (
+        hist_percentile,
+    )
+
+    kind = "hist:0:300:30"  # v = id*1.5 over id<200 -> v in [0, 300)
+    aggs = {"h": (kind, "v"), "n": ("count", None)}
+    base = str(tmp_path / "hist_roll")
+    for lo, hi in ((0, 70), (70, 150), (150, 200)):
+        upsert_rollup(spark, base, _mk(spark, lo, hi), _grains(), aggs)
+    inc = {
+        r["k"]: (list(r["h"]), r["n"])
+        for r in read_rollup(spark, base, {"k": F.col("k")}).collect()
+    }
+    direct_base = str(tmp_path / "hist_direct")
+    upsert_rollup(spark, direct_base, _mk(spark, 0, 200), _grains(), aggs)
+    direct = {
+        r["k"]: (list(r["h"]), r["n"])
+        for r in read_rollup(spark, direct_base, {"k": F.col("k")}).collect()
+    }
+    assert inc == direct and len(inc) == 4
+    for k, (h, n) in inc.items():
+        assert sum(h) == n  # clamp keeps the denominator honest
+
+    # percentile-at-read: median of each group's v within one bin (10)
+    med = {
+        r["k"]: r["p50"]
+        for r in read_rollup(spark, base, {"k": F.col("k")})
+        .select("k", hist_percentile(F.col("h"), 1, 2, kind).alias("p50"))
+        .collect()
+    }
+    exact = {
+        r["k"]: r["m"]
+        for r in _mk(spark, 0, 200)
+        .groupBy(F.pmod(F.col("id"), F.lit(4)).alias("k"))
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("m")
+        )
+        .collect()
+    }
+    for k in exact:
+        assert abs(med[k] - exact[k]) <= 10.0, (k, med[k], exact[k])
