@@ -663,3 +663,56 @@ def test_rollup_destination_idempotent_per_ds(spark, tmp_path):
         .agg(F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("s"))
         .collect()
     }
+
+
+def test_rollup_destination_hist_kind_from_yaml(spark, tmp_path):
+    """Sketch/histogram agg kinds ride through the YAML rollup sink
+    unchanged: a quoted 'hist:<lo>:<hi>:<bins>' kind maintains an
+    exact-mergeable histogram across per-ds folds, and
+    hist_percentile reads percentiles off the stored array."""
+    import pyspark.sql.functions as F
+
+    from data_engineering_etl_self_service_spark.operators.rollup import (
+        hist_percentile,
+        read_rollup,
+    )
+
+    for ds, (lo, hi) in {
+        "2025-08-01": (0, 60),
+        "2025-08-02": (60, 100),
+    }.items():
+        p = str(tmp_path / f"in_{ds}.parquet")
+        spark.range(lo, hi).select(
+            "id", (F.col("id") * 2.0).alias("v")
+        ).write.parquet(p)
+    kind = "hist:0:200:20"
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "hist_rollup"},
+            "source": {
+                "type": "file",
+                "format": "parquet",
+                "path": str(tmp_path / "in_{ds}.parquet"),
+            },
+            "destination": {
+                "type": "rollup",
+                "path": str(tmp_path / "agg"),
+                "grains": {"k": "pmod(id, 2)"},
+                "aggs": {"h": [kind, "v"], "n": ["count"]},
+            },
+            "data_quality_checks": [],
+        }
+    )
+    assert not spec.warnings
+    for ds in ("2025-08-01", "2025-08-02"):
+        assert run_pipeline(spark, spec, ds=ds).passed
+    rows = read_rollup(
+        spark, str(tmp_path / "agg"), {"k": F.col("k")}
+    ).select(
+        "k", "n", hist_percentile(F.col("h"), 1, 2, kind).alias("p50")
+    ).collect()
+    got = {r["k"]: (r["n"], r["p50"]) for r in rows}
+    # v = 2*id, id in [0,100): per-parity medians ~98/100; bin width 10
+    assert got[0][0] == 50 and got[1][0] == 50
+    for k in (0, 1):
+        assert abs(got[k][1] - 100.0) <= 10.0
