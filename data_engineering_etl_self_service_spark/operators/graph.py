@@ -464,3 +464,59 @@ def kcore_peel(
             .localCheckpoint()
         )
     return degrees(e).select(F.col("n").alias("node"), "deg")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """``rounds`` iterations of BFS distance relaxation over a directed
+    edge list: min hops from ``source`` to every reachable node (within
+    the round budget). The Bellman-Ford-style frontier pattern of
+    Pregel/GraphX, kept as plain DataFrame ops: per round, reached nodes
+    push ``d+1`` along their out-edges and every node keeps its MIN —
+    one broadcast join of the |V|-sized distance table against the edge
+    list plus one map-side-combined groupBy per round (the
+    pagerank_fixedpoint iteration shape), lineage truncated per round.
+    A fixed round budget = the graph-diameter bound the caller asserts;
+    it also keeps the operator unrollable as a SQL oracle.
+
+    Returns (node, hops) for nodes reached within ``rounds``.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == F.lit(source), F.lit(0))
+        .cast("long")
+        .alias("d"),
+    )
+    for _ in range(rounds):
+        reached = dist.filter(F.col("d").isNotNull())
+        pushed = e.join(
+            F.broadcast(reached.withColumnRenamed("node", "src")), "src"
+        ).select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        dist = (
+            reached.select("node", "d")
+            .unionByName(pushed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .join(nodes, "node", "right")
+            .select("node", "d")
+            .localCheckpoint()
+        )
+    return dist.filter(F.col("d").isNotNull()).select(
+        "node", F.col("d").alias("hops")
+    )

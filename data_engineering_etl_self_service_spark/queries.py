@@ -4994,6 +4994,88 @@ _TRADE_EDGES_CTE = """
       GROUP BY sn.n_name, cn.n_name"""
 
 
+def _bfs_oracle(source: str, threshold: int, rounds: int) -> str:
+    """Unrolled DuckDB twin of operators/graph.py:bfs_hops over the
+    weight-thresholded trade graph: per round, reached nodes push d+1
+    along out-edges and every node keeps its MIN."""
+    ctes = [
+        f"e AS ({_TRADE_EDGES_CTE} HAVING COUNT(*) >= {threshold})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"""d0 AS (
+      SELECT node, CASE WHEN node = '{source}' THEN CAST(0 AS BIGINT) END
+             AS d FROM nodes)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""c{r} AS (
+      SELECT node, d FROM d{r} WHERE d IS NOT NULL
+      UNION ALL
+      SELECT e.dst, d{r}.d + 1 FROM e JOIN d{r} ON e.src = d{r}.node
+      WHERE d{r}.d IS NOT NULL)"""
+        )
+        ctes.append(
+            f"""d{r + 1} AS (
+      SELECT n.node, MIN(c.d) AS d
+      FROM nodes n LEFT JOIN c{r} c ON n.node = c.node
+      GROUP BY n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS n_name, d AS hops FROM d{rounds} WHERE d IS NOT NULL"""
+    )
+
+
+@register("trade_hops", _bfs_oracle("NATION_18", 150, 4))
+def trade_hops(spark, sf_dir):
+    """Minimum trade hops from NATION_18 over the thresholded nation trade
+    graph (edges = supplier-nation -> customer-nation pairs with >= 150
+    lineitems): the reachability/supply-distance question, as 4 rounds
+    of Pregel-style BFS relaxation (operators/graph.py bfs_hops — one
+    broadcast join + map-side-combined min per round, lineage truncated;
+    the same iteration shape as pagerank_fixedpoint). Thresholding makes
+    the graph sparse enough that the hop structure is non-trivial. The
+    oracle unrolls the rounds as frontier/min CTE pairs.
+    """
+    from .operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("snk"),
+                    F.col("n_name").alias("src"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("cnk"),
+                    F.col("n_name").alias("dst"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 150)
+        .select("src", "dst")
+    )
+    out = bfs_hops(edges, "NATION_18", rounds=4)
+    return out.select(F.col("node").alias("n_name"), "hops")
+
+
 def _pagerank_oracle() -> str:
     from .operators.graph import pagerank_oracle_sql
 

@@ -186,3 +186,33 @@ def test_kcore_peel_vs_brute_force(spark):
     for n in (10, 11, 12, 13):
         assert got[n] >= 3  # the K4 survives
     assert 20 not in got and 21 not in got  # the tail is peeled
+
+
+def test_bfs_hops_vs_reference(spark):
+    """Diamond + chain + unreachable island; round budget must cap depth."""
+    from data_engineering_etl_self_service_spark.operators.graph import bfs_hops
+
+    edges = [
+        ("s", "a"), ("s", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+        ("d", "e"), ("e", "f"), ("x", "y"),  # island: never reached
+        ("f", "s"),  # back edge: must not lower existing distances
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def ref(rounds):
+        dist = {"s": 0}
+        for _ in range(rounds):
+            new = dict(dist)
+            for u, v in edges:
+                if u in dist:
+                    new[v] = min(new.get(v, 1 << 30), dist[u] + 1)
+            dist = new
+        return dist
+
+    for rounds in (1, 2, 3, 6):
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(df, "s", rounds=rounds).collect()
+        }
+        assert got == ref(rounds), rounds
+    assert "x" not in got and "y" not in got
