@@ -2009,6 +2009,36 @@ _RECHECK = frozenset(
         "key_gaps",  # sharded form + non-degenerate (non-PENDING) slice
         "rfm_scores",  # distributed_rank/ntile_bucket instead of NTILE
         "top_value_parts",  # threshold lowered so sf0.01 yields rows
+        "neardup_groups",  # components loop extracted to a shared op
+    }
+)
+
+#: queries ADDED in round 3 after the r2 snapshot: ordered AFTER the
+#: older never-checked backlog so the driver's capped per-round check
+#: drains the round-1/2 evidence debt first ("every oracled query green
+#: across r01-r03"); these then surface at the front of round 4. All of
+#: them pass the local gate at sf0.001 AND sf0.01.
+_ROUND3_NEW = frozenset(
+    {
+        "jaccard_prefix_filter",
+        "triangle_parts",
+        "heavy_hitter_tokens",
+        "stratified_sample",
+        "cumulative_distinct_users",
+        "event_transitions",
+        "peak_concurrency",
+        "skyline_parts",
+        "attribution_last_touch",
+        "snapshot_changes",
+        "bpe_merges",
+        "audio_features",
+        "group_sample_topk",
+        "kcore_parts",
+        "mad_outliers",
+        "incremental_heavy_hitters",
+        "bm25_index_search",
+        "embedding_dedup_groups",
+        "trade_hops",
     }
 )
 
@@ -2047,15 +2077,22 @@ _FRESH_FIRST = (
 def _priority_order(names):
     """Never-settled queries first (newest operators, then registration
     order), settled last. Queries changed this round (_RECHECK) count as
-    unsettled regardless of old green rows."""
+    unsettled regardless of old green rows; queries ADDED this round
+    (_ROUND3_NEW) queue behind the older backlog so the capped driver
+    check finishes draining rounds 1-2's evidence debt first."""
     settled = _driver_checked() - _RECHECK
     fresh = [
         n for n in _FRESH_FIRST if n in names and n not in settled
     ]
     rest = [
-        n for n in names if n not in settled and n not in _FRESH_FIRST
+        n
+        for n in names
+        if n not in settled
+        and n not in _FRESH_FIRST
+        and n not in _ROUND3_NEW
     ]
-    return fresh + rest + [n for n in names if n in settled]
+    new = [n for n in names if n in _ROUND3_NEW and n not in settled]
+    return fresh + rest + new + [n for n in names if n in settled]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
