@@ -2039,6 +2039,8 @@ _ROUND3_NEW = frozenset(
         "bm25_index_search",
         "embedding_dedup_groups",
         "trade_hops",
+        "negative_samples",
+        "sentence_stats",
     }
 )
 
@@ -5864,6 +5866,108 @@ def incremental_heavy_hitters(spark, sf_dir):
 
 
 ORACLES["incremental_heavy_hitters"] = ORACLES["heavy_hitter_tokens"]
+
+
+@register(
+    "negative_samples",
+    """
+    WITH pos AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    cand AS (
+      SELECT c, p, j,
+             (c * 2654435761 + p * 40503 + j * 97) % 2000 AS neg
+      FROM pos, unnest([0, 1]) AS t(j))
+    SELECT c AS custkey, p AS pos_part, j AS neg_idx, neg AS neg_part
+    FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM pos q WHERE q.c = cand.c AND q.p = cand.neg)
+    """,
+)
+def negative_samples(spark, sf_dir):
+    """Contrastive training pairs: for every observed (customer, part)
+    positive, draw 2 deterministic negative parts the customer has NOT
+    bought — the negative-sampling step of recsys / embedding training,
+    reproducible across engines and partition layouts because the draw
+    is the Knuth multiplicative hash of (customer, positive, draw index)
+    over the part keyspace (the operators/sampling.py discipline), not
+    rand(). Colliding draws (a sampled "negative" the customer actually
+    bought) are DROPPED, not redrawn — the standard in-batch convention;
+    the filter is one anti-join against the positives, keyed on
+    customer. One shuffle for the distinct, one for the anti-join.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    cand = pos.select(
+        "c",
+        "p",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+    ).withColumn(
+        "neg",
+        F.pmod(
+            F.col("c") * F.lit(2654435761)
+            + F.col("p") * F.lit(40503)
+            + F.col("j") * F.lit(97),
+            F.lit(2000),
+        ),
+    )
+    bought = pos.select(
+        F.col("c"), F.col("p").alias("neg")
+    )
+    return cand.join(bought, ["c", "neg"], "left_anti").select(
+        F.col("c").alias("custkey"),
+        F.col("p").alias("pos_part"),
+        F.col("j").alias("neg_idx"),
+        F.col("neg").alias("neg_part"),
+    )
+
+
+@register(
+    "sentence_stats",
+    """
+    WITH s AS (
+      SELECT doc_id, trim(u.s) AS sent
+      FROM documents,
+           unnest(string_split_regex(text, '[.!?]+')) AS u(s)
+      WHERE trim(u.s) <> '')
+    SELECT doc_id,
+           COUNT(*) AS n_sentences,
+           CAST(SUM(len(sent)) AS BIGINT) AS total_chars,
+           CAST((SUM(len(sent)) * 1000) // COUNT(*) AS BIGINT)
+             AS avg_chars_permille
+    FROM s GROUP BY doc_id
+    """,
+)
+def sentence_stats(spark, sf_dir):
+    """Sentence segmentation + per-doc sentence statistics (count, total
+    chars, integer-exact average length) — the doc-structure signal
+    quality filters use (wall-of-text vs fragmented docs). Regex split
+    on terminal punctuation runs in both engines with identical
+    semantics; empties from trailing punctuation are trimmed out on
+    both sides. Pure expressions — explode + one grouped agg.
+    """
+    d = _t(spark, sf_dir, "documents")
+    s = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("raw"),
+        )
+        .select("doc_id", F.trim(F.col("raw")).alias("sent"))
+        .filter(F.col("sent") != "")
+    )
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum(F.length("sent")).alias("total_chars"),
+        F.expr("(sum(length(sent)) * 1000) div count(*)").alias(
+            "avg_chars_permille"
+        ),
+    )
 
 
 @register(
