@@ -2041,6 +2041,7 @@ _ROUND3_NEW = frozenset(
         "trade_hops",
         "negative_samples",
         "sentence_stats",
+        "event_pattern_match",
     }
 )
 
@@ -5966,6 +5967,54 @@ def sentence_stats(spark, sf_dir):
         F.sum(F.length("sent")).alias("total_chars"),
         F.expr("(sum(length(sent)) * 1000) div count(*)").alias(
             "avg_chars_permille"
+        ),
+    )
+
+
+@register(
+    "event_pattern_match",
+    """
+    WITH j AS (
+      SELECT user_id,
+             string_agg(event_type, ' ' ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(regexp_matches(journey, 'view( view)* click purchase')
+                AS BOOLEAN) AS converted
+    FROM j
+    """,
+)
+def event_pattern_match(spark, sf_dir):
+    """Complex-event-processing pattern over user journeys: does the
+    user's ordered event sequence contain `view+ click purchase` —
+    the MATCH_RECOGNIZE-style browse-then-convert motif, expressed as a
+    regex over the space-joined per-user event string (both engines run
+    the identical pattern; the construct sticks to syntax Java regex and
+    RE2 agree on, the decontaminate/PII discipline). The per-user
+    sequence is one groupBy with an ordered collect — state bounded by a
+    user's history, the sessionization skew bound.
+    """
+    ev = _t(spark, sf_dir, "events")
+    j = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("journey")
+        )
+    )
+    return j.select(
+        "user_id",
+        F.col("journey").rlike("view( view)* click purchase").alias(
+            "converted"
         ),
     )
 
