@@ -164,3 +164,41 @@ def mg_merge(a: DataFrame, b: DataFrame, capacity: int) -> DataFrame:
         .agg(F.sum("lb").alias("lb"))
     )
     return _mg_prune(summed, capacity)
+
+
+def mg_batch_sink(base_dir: str, col: str, capacity: int):
+    """``foreachBatch`` body maintaining a STREAMING standing MG summary
+    — continuous "trending items" over an unbounded stream with O(capacity)
+    stored state and exactly-once folding across restarts (the snapshot
+    ``batch_id`` replay guard of rollup_batch_sink): each micro-batch's
+    bounded summary merges into the snapshot-stored summary; historical
+    micro-batches are never rescanned. Read the current summary with
+    ``read_snapshot`` — it is the provably-complete candidate set for any
+    k <= capacity (verify against the raw stream when exactness is
+    needed, as `incremental_heavy_hitters` does).
+    """
+    from ..sources.snapshots import (
+        last_committed_batch,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch(base_dir)
+        if last is not None and batch_id <= last:
+            return
+        batch_sum = mg_summary(batch_df, col, capacity)
+        if snapshot_versions(base_dir):
+            merged = mg_merge(
+                read_snapshot(batch_df.sparkSession, base_dir),
+                batch_sum,
+                capacity,
+            )
+        else:
+            merged = batch_sum
+        write_snapshot(
+            merged, base_dir, mode="overwrite", meta={"batch_id": batch_id}
+        )
+
+    return _write

@@ -71,3 +71,49 @@ def test_mg_summary_merge_preserves_completeness(spark):
     for item, c in full.items():
         if c * (cap + 1) > n:  # count > n/(cap+1): guaranteed survivor
             assert item in surv, (item, c, n, surv)
+
+
+def test_mg_streaming_sink_tracks_heavy_hitters(spark, tmp_path):
+    """Structured Streaming trending-items: file stream (one micro-batch
+    per file) -> mg_batch_sink folds each batch's summary into the
+    snapshot-stored standing summary; every true heavy hitter of the
+    full stream must be in the stored candidate set, exactly-once across
+    a replayed batch."""
+    from data_engineering_etl_self_service_spark.operators.summaries import (
+        mg_batch_sink,
+    )
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    src = str(tmp_path / "in")
+    b0 = ["a"] * 40 + [f"x{i}" for i in range(30)]
+    b1 = ["late"] * 60 + [f"y{i}" for i in range(30)]
+    for b in (b0, b1):
+        spark.createDataFrame([(v,) for v in b], "item string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    base = str(tmp_path / "mg")
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = mg_batch_sink(base, "item", capacity=8)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    surv = {r.item for r in read_snapshot(spark, base).collect()}
+    assert len(surv) <= 8
+    n = len(b0) + len(b1)
+    for item, c in Counter(b0 + b1).items():
+        if c * 9 > n:  # > n/(capacity+1): guaranteed in the summary
+            assert item in surv, (item, c, surv)
+    # replayed micro-batch is a no-op (exactly-once)
+    batch_df = spark.createDataFrame([("a",)] * 100, "item string")
+    sink(batch_df, 0)
+    assert {r.item for r in read_snapshot(spark, base).collect()} == surv
