@@ -27,16 +27,22 @@ Determinism contract: the argmax tiebreak is (count DESC, left ASC,
 right ASC) and the fold is greedy left-to-right non-overlapping — both
 reproduced token-for-token by a DuckDB ``list_reduce`` oracle
 (queries.py `bpe_merges`), so the trained rules hash-match across
-engines. Symbols never contain the '|' sentinel (tokens() strips
-whitespace only; '|' appearing in text is fine — symbols are DELIMITED
-by '|' in the fold accumulator, and a literal '|' symbol would still
-fold correctly since comparisons anchor on the delimiter prefix).
+engines. The fold accumulator delimits symbols with the ASCII unit
+separator (0x1f); a symbol CONTAINING the delimiter would corrupt the
+endswith/strip anchoring, so words containing 0x1f are deterministically
+EXCLUDED from training on both engines (an explicit, mirrored filter —
+0x1f never occurs in natural text, and silently-wrong merges would be
+far worse than a dropped pathological word).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: fold-accumulator symbol delimiter: ASCII unit separator. Words
+#: containing it are excluded from training (see module docstring).
+DELIM = "\x1f"
 
 
 def _merge_fold(x: str, y: str, merged: str):
@@ -45,21 +51,21 @@ def _merge_fold(x: str, y: str, merged: str):
     DuckDB list_reduce oracle exactly)."""
 
     def fold(sym_col):
-        tagged = F.transform(sym_col, lambda s: F.concat(F.lit("|"), s))
+        tagged = F.transform(sym_col, lambda s: F.concat(F.lit(DELIM), s))
         acc0 = F.lit("")
         step = lambda acc, s: (  # noqa: E731
             F.when(
-                acc.endswith("|" + x) & (s == F.lit("|" + y)),
+                acc.endswith(DELIM + x) & (s == F.lit(DELIM + y)),
                 F.concat(
                     acc.substr(
                         F.lit(1), F.length(acc) - F.lit(len(x) + 1)
                     ),
-                    F.lit("|" + x + y),
+                    F.lit(DELIM + x + y),
                 ),
             ).otherwise(F.concat(acc, s))
         )
         folded = F.aggregate(tagged, acc0, step)
-        return F.split(F.substring(folded, 2, 1 << 30), r"\|")
+        return F.split(F.substring(folded, 2, 1 << 30), DELIM)
 
     return fold
 
@@ -78,7 +84,7 @@ def bpe_train(
     frequency) — collapse the corpus first; that is the only
     corpus-sized step of the whole algorithm.
     """
-    syms = words.select(
+    syms = words.filter(~F.col(word_col).contains(DELIM)).select(
         F.col(word_col).alias("w"),
         F.col(count_col).alias("c"),
         F.split(F.col(word_col), "(?!$)").alias("sym"),
@@ -110,6 +116,8 @@ def bpe_train(
         x, y = best[0]["x"], best[0]["y"]
         merged = x + y
         rules.append((rank, x, y, merged))
+        if rank == n_merges:
+            break  # the final round's fold result would never be read
         nxt = syms.select(
             "w", "c", _merge_fold(x, y, merged)("sym").alias("sym")
         ).localCheckpoint()

@@ -1060,10 +1060,16 @@ def audio_frame_features(
                 raw = bytes(raw)
                 if not (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"):
                     continue
-                with wave.open(io.BytesIO(raw)) as wv:
-                    if wv.getsampwidth() != 2 or wv.getnchannels() != 1:
-                        continue
-                    data = wv.readframes(wv.getnframes())
+                # corrupt/truncated chunk structure past the magic must
+                # skip the payload, not kill the task — one bad blob in a
+                # 100 TB scan is routine, an aborted job is not
+                try:
+                    with wave.open(io.BytesIO(raw)) as wv:
+                        if wv.getsampwidth() != 2 or wv.getnchannels() != 1:
+                            continue
+                        data = wv.readframes(wv.getnframes())
+                except (wave.Error, EOFError):
+                    continue
                 x = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 for f0 in range(0, len(x), frame):
                     seg = x[f0 : f0 + frame]

@@ -49,9 +49,18 @@ def _mg_partition(
     running summary by addition, and pruned back to ``capacity`` by
     subtracting the (capacity+1)-th largest count from everything — the
     batched equivalent of decrement-all, with the same total-undercount
-    bound n_p/(capacity+1) and no per-token Python loop."""
+    bound n_p/(capacity+1) and no per-token Python loop.
+
+    Yields the (item, lb) counters PLUS one sentinel row
+    (item=NULL, lb=partition row count): the single pass thus also
+    carries the n_total every caller needs, so no second counting scan
+    of the stream ever runs. Shared by :func:`heavy_hitters` (which
+    only needs the candidate items + n) and :func:`mg_summary` (which
+    keeps the lower bounds) — one implementation of the prune rule."""
     counters: pd.Series = pd.Series(dtype="int64")
+    n_rows = 0
     for pdf in batches:
+        n_rows += len(pdf)
         merged = counters.add(pdf[col].value_counts(), fill_value=0)
         if len(merged) > capacity:
             # Subtracting (not just thresholding on) the cut is what makes
@@ -62,7 +71,12 @@ def _mg_partition(
             merged = merged - cut
             merged = merged[merged > 0]
         counters = merged
-    yield pd.DataFrame({col: counters.index})
+    yield pd.DataFrame(
+        {
+            col: list(counters.index) + [None],
+            "lb": list(counters.to_numpy(dtype="int64")) + [n_rows],
+        }
+    )
 
 
 def heavy_hitters(
@@ -83,19 +97,32 @@ def heavy_hitters(
         capacity = 2 * k
     assert capacity >= k, "capacity < k breaks the completeness guarantee"
     stream = items.select(F.col(col).alias("item"))
-    cands = stream.mapInPandas(
+    # One scan produces candidates AND per-partition row counts (NULL-item
+    # sentinels); the partials frame is capacity x n_partitions rows, so
+    # persisting it is free and keeps total full-stream scans at two
+    # (this pass + the verify join).
+    partials = stream.mapInPandas(
         lambda it: _mg_partition(it, "item", capacity),
-        schema="item " + dict(stream.dtypes)["item"],
-    ).distinct()
-    n_total = stream.count()
+        schema=f"item {dict(stream.dtypes)['item']}, lb long",
+    ).persist()
+    n_total = (
+        partials.filter(F.col("item").isNull())
+        .agg(F.sum("lb"))
+        .collect()[0][0]
+        or 0
+    )
+    cands = partials.filter(F.col("item").isNotNull()).select("item").distinct()
     exact = (
         stream.join(F.broadcast(cands), "item")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") * k > n_total)
         .withColumn("n_total", F.lit(n_total).cast("long"))
+        .withColumnRenamed("item", col)
+        .localCheckpoint()
     )
-    return exact.withColumnRenamed("item", col)
+    partials.unpersist()
+    return exact
 
 
 def mg_summary(
@@ -112,26 +139,10 @@ def mg_summary(
     global merge runs over <= capacity x n_partitions rows — KBs.
     """
     stream = items.select(F.col(col).alias("item"))
-
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: pd.Series = pd.Series(dtype="int64")
-        for pdf in batches:
-            merged = counters.add(pdf["item"].value_counts(), fill_value=0)
-            if len(merged) > capacity:
-                cut = merged.nlargest(capacity + 1).iloc[-1]
-                merged = merged - cut
-                merged = merged[merged > 0]
-            counters = merged
-        yield pd.DataFrame(
-            {
-                "item": counters.index,
-                "lb": counters.to_numpy(dtype="int64"),
-            }
-        )
-
     partials = stream.mapInPandas(
-        part, schema=f"item {dict(stream.dtypes)['item']}, lb long"
-    )
+        lambda it: _mg_partition(it, "item", capacity),
+        schema=f"item {dict(stream.dtypes)['item']}, lb long",
+    ).filter(F.col("item").isNotNull())  # drop the row-count sentinels
     summed = partials.groupBy("item").agg(F.sum("lb").alias("lb"))
     return _mg_prune(summed, capacity)
 

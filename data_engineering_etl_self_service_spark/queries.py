@@ -54,6 +54,10 @@ PLAN_VIEWS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        # last-wins dict assignment would silently shadow an earlier
+        # query AND leave its stale driver evidence pointing at dead
+        # code — fail at import instead (caught live in round 3).
+        assert name not in QUERIES, f"duplicate query registration: {name}"
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_session_defaults(spark)
             return fn(spark, sf_dir)
@@ -2025,7 +2029,6 @@ _ROUND3_NEW = frozenset(
         "heavy_hitter_tokens",
         "stratified_sample",
         "cumulative_distinct_users",
-        "event_transitions",
         "peak_concurrency",
         "skyline_parts",
         "attribution_last_touch",
@@ -4861,6 +4864,16 @@ def bm25_search(spark, sf_dir):
             "df", F.count(F.lit(1)).over(W.partitionBy("term"))
         )
     )
+    return _bm25_rank(tf, stats)
+
+
+def _bm25_rank(tf: DataFrame, stats: DataFrame) -> DataFrame:
+    """Shared log-free BM25 scorer: score a (doc_id, dl, term, tf, df)
+    postings slice against the 1-row (n, tot) corpus stats and return
+    the deterministic top-15 — used by BOTH the ad-hoc `bm25_search` and
+    the persisted-index probe `bm25_index_search`, so the two paths
+    cannot drift (the index's whole contract is reproducing the ad-hoc
+    ranking exactly)."""
     n, df, tfc, tot, dlc = (
         F.col("n"), F.col("df"), F.col("tf"), F.col("tot"), F.col("dl")
     )
@@ -4933,24 +4946,7 @@ def _bm25_index_search(spark, sf_dir):
         .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
     )
     st = read_snapshot(spark, f"{base}/stats")
-    n, df, tfc, tot, dlc = (
-        F.col("n"), F.col("df"), F.col("tf"), F.col("tot"), F.col("dl")
-    )
-    num = ((2 * n - 2 * df + 1) * 22 * tfc * tot).cast("double")
-    den = ((2 * df + 1) * (10 * tfc * tot + 3 * tot + 9 * dlc * n)).cast(
-        "double"
-    )
-    return (
-        tf.crossJoin(F.broadcast(st))
-        .withColumn("score", num / den)
-        .groupBy("doc_id")
-        .agg(
-            dsum("score", "bm25"),
-            F.count(F.lit(1)).alias("n_hit_terms"),
-        )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(15)
-    )
+    return _bm25_rank(tf, st)
 
 
 @register("bm25_index_search", None)
@@ -5331,51 +5327,6 @@ def cumulative_distinct_users(spark, sf_dir):
 
 
 @register(
-    "event_transitions",
-    """
-    WITH seq AS (
-      SELECT event_type,
-             LEAD(event_type) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS next_type
-      FROM events),
-    c AS (SELECT event_type, next_type, COUNT(*) AS cnt
-          FROM seq WHERE next_type IS NOT NULL
-          GROUP BY event_type, next_type),
-    t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total
-          FROM c GROUP BY event_type)
-    SELECT c.event_type, c.next_type, c.cnt,
-           (c.cnt * 1000000) // t.total AS prob_ppm
-    FROM c JOIN t ON c.event_type = t.event_type
-    """,
-)
-def event_transitions(spark, sf_dir):
-    """First-order Markov transition matrix of user journeys: for each
-    event type, where users go next (counts + integer-exact ppm
-    probabilities — floats would drift between engines).
-
-    The sequence window partitions by user (bounded, parallel); the
-    transition matrix itself is |event_types|² rows, so the totals join
-    is broadcast-sized. The standard next-step model behind
-    session-flow and funnel features.
-    """
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
-    ).filter(F.col("next_type").isNotNull())
-    c = seq.groupBy("event_type", "next_type").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    t = c.groupBy("event_type").agg(F.sum("cnt").alias("total"))
-    return c.join(F.broadcast(t), "event_type").select(
-        "event_type",
-        "next_type",
-        "cnt",
-        F.expr("(cnt * 1000000) div total").alias("prob_ppm"),
-    )
-
-
-@register(
     "peak_concurrency",
     """
     WITH b AS (
@@ -5599,6 +5550,7 @@ def _bpe_oracle(n_merges: int) -> str:
       SELECT w, COUNT(*) AS c
       FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
             FROM documents)
+      WHERE strpos(w, chr(31)) = 0
       GROUP BY w)""",
         "s0 AS (SELECT w, c, string_split(w, '') AS sym FROM w)",
     ]
@@ -5613,13 +5565,13 @@ def _bpe_oracle(n_merges: int) -> str:
         ctes.append(
             f"""s{r} AS (
       SELECT w, c,
-             string_split(substr(list_reduce(list_transform(sym, s -> '|' || s),
-               (acc, s) -> CASE WHEN ends_with(acc, '|' || p{r}.x)
-                                     AND s = '|' || p{r}.y
+             string_split(substr(list_reduce(list_transform(sym, s -> chr(31) || s),
+               (acc, s) -> CASE WHEN ends_with(acc, chr(31) || p{r}.x)
+                                     AND s = chr(31) || p{r}.y
                                 THEN substr(acc, 1,
                                             len(acc) - len(p{r}.x) - 1)
-                                     || '|' || p{r}.x || p{r}.y
-                                ELSE acc || s END), 2), '|') AS sym
+                                     || chr(31) || p{r}.x || p{r}.y
+                                ELSE acc || s END), 2), chr(31)) AS sym
       FROM {prev} CROSS JOIN p{r})"""
         )
     sel = "\n    UNION ALL ".join(

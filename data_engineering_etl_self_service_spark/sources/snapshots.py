@@ -383,16 +383,23 @@ def snapshot_diff(
     old = read_snapshot(spark, base_dir, version=v_old)
     new = read_snapshot(spark, base_dir, version=v_new)
     data_cols = [c for c in new.columns if c not in key_cols]
+    # Presence is detected via explicit marker columns, NOT key nullness:
+    # a row with a NULL (first) key column would otherwise read as
+    # "absent" on both sides and fall through to a bogus update. NULL
+    # keys never satisfy the equality join (SQL semantics), so such rows
+    # surface as one delete + one insert — documented behavior.
     o = old.select(
-        *[F.col(c).alias(f"_o_{c}") for c in old.columns]
+        F.lit(1).alias("_o_present"),
+        *[F.col(c).alias(f"_o_{c}") for c in old.columns],
     )
+    n = new.select(F.lit(1).alias("_n_present"), *new.columns)
     cond = None
     for k in key_cols:
         c = F.col(f"_o_{k}") == F.col(k)
         cond = c if cond is None else (cond & c)
-    joined = new.join(o, cond, "full_outer")
-    some_new_key = F.col(key_cols[0]).isNotNull()
-    some_old_key = F.col(f"_o_{key_cols[0]}").isNotNull()
+    joined = n.join(o, cond, "full_outer")
+    some_new_key = F.col("_n_present").isNotNull()
+    some_old_key = F.col("_o_present").isNotNull()
     changed = None
     for c in data_cols:
         d = ~F.col(c).eqNullSafe(F.col(f"_o_{c}"))

@@ -57,3 +57,21 @@ def test_bpe_train_stops_when_exhausted(spark):
     got = bpe_train(df, n_merges=5)
     # one possible merge (a,b); afterwards every word is one symbol
     assert got == [(1, "a", "b", "ab")]
+
+
+def test_bpe_pipe_symbols_fold_correctly(spark):
+    """'|' is an ordinary character (the fold delimiter is 0x1f): words
+    containing pipes must train the same rules as the reference."""
+    wc = {"a|b": 5, "a|c": 4, "||": 3}
+    df = spark.createDataFrame(list(wc.items()), "w string, c long")
+    got = bpe_train(df, n_merges=4)
+    assert got == _ref_bpe(wc, 4)
+
+
+def test_bpe_delimiter_words_excluded(spark):
+    """Words containing the 0x1f delimiter are deterministically dropped
+    from training (documented contract) instead of corrupting folds."""
+    wc = {"ab": 3, "a\x1fb": 100}
+    df = spark.createDataFrame(list(wc.items()), "w string, c long")
+    got = bpe_train(df, n_merges=2)
+    assert got == _ref_bpe({"ab": 3}, 2)

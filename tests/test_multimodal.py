@@ -553,3 +553,21 @@ def test_audio_frame_features_exact(spark):
     }
     # 0 values: sign products with 0 are not crossings (0*-50 == 0, not < 0)
     assert rows[1][3] == 1
+
+
+def test_audio_frame_features_skips_corrupt_wav(spark):
+    """A payload with valid RIFF/WAVE magic but a truncated body must
+    yield no rows (skip), not abort the task."""
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        audio_frame_features,
+        build_wav,
+    )
+
+    good = build_wav(8000, [10, -10, 20, -20])
+    corrupt = good[:16]  # magic intact, chunks truncated
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    )
+    rows = audio_frame_features(df, frame=4).collect()
+    assert {r.doc_id for r in rows} == {1}

@@ -675,3 +675,24 @@ def test_bm25_index_probe_prunes_partitions(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1), plan[:2000]
+
+
+def test_snapshot_diff_null_keys_become_delete_plus_insert(spark, tmp_path):
+    """NULL join keys never match (SQL semantics): the row surfaces as
+    one delete + one insert, never a bogus update (presence markers, not
+    key nullness, drive the classification)."""
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "nulltab")
+    v1 = spark.createDataFrame([(None, 1), (7, 2)], "k int, x int")
+    v2 = spark.createDataFrame([(None, 9), (7, 2)], "k int, x int")
+    write_snapshot(v1, base, mode="overwrite")
+    write_snapshot(v2, base, mode="overwrite")
+    rows = {
+        (r.change_type, r.k, r.x)
+        for r in snapshot_diff(spark, base, 1, 2, ["k"]).collect()
+    }
+    assert rows == {("delete", None, 1), ("insert", None, 9)}
