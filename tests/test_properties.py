@@ -368,3 +368,70 @@ def test_sharded_key_gaps_match_python_model(keys):
         if b - a > 1
     )
     assert got == want
+
+
+_words = st.lists(
+    st.sampled_from(["red", "blue", "fox", "dog", "run", "hop", "sky"]),
+    min_size=3,
+    max_size=12,
+)
+_docs_strategy = st.lists(
+    _words.map(" ".join), min_size=2, max_size=10
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_docs_strategy)
+def test_prefix_filter_lossless_on_random_corpora(texts):
+    """AllPairs/PPJoin prefix filtering must equal the all-pairs exact
+    Jaccard join on arbitrary small corpora — heavy shingle repetition
+    from the tiny vocabulary stresses the frequency-ordered prefixes."""
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_prefix_pairs,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, k=3, threshold=0.5).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_prefix_pairs(
+            df, k=3, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert pf == exact
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=60),
+    st.integers(min_value=2, max_value=6),
+)
+def test_sharded_running_sum_property(vals, shards):
+    """Sharded prefix scan equals the sequential running sum for any
+    input and shard count."""
+    from data_engineering_etl_self_service_spark.operators.ranking import (
+        sharded_running_agg,
+    )
+    from pyspark.sql import functions as F
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v long"
+    )
+    out, h = sharded_running_agg(
+        df, ["i"], "v", agg="sum", out_col="run", num_shards=shards
+    )
+    got = {r.i: r.run for r in out.collect()}
+    h.unpersist()
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert got == want
