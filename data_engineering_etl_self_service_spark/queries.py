@@ -2045,6 +2045,7 @@ _ROUND3_NEW = frozenset(
         "negative_samples",
         "sentence_stats",
         "event_pattern_match",
+        "weighted_median_price",
     }
 )
 
@@ -5969,6 +5970,63 @@ def event_pattern_match(spark, sf_dir):
             "converted"
         ),
     )
+
+
+@register(
+    "weighted_median_price",
+    """
+    WITH li AS (
+      SELECT l_extendedprice AS price, CAST(l_quantity AS BIGINT) AS qty,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    w AS (SELECT CAST(SUM(qty) AS BIGINT) AS total FROM li),
+    c AS (
+      SELECT price,
+             CAST(SUM(qty) OVER (ORDER BY price, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumw
+      FROM li)
+    SELECT MIN(price) AS weighted_median
+    FROM c CROSS JOIN w
+    WHERE 2 * cumw >= total
+    """,
+)
+def weighted_median_price(spark, sf_dir):
+    """GLOBAL quantity-weighted median line price — the inventory-
+    weighted "typical price" statistic. The textbook form is a
+    cumulative-weight window over one global sort (single-partition);
+    here the cumulative weight comes from
+    operators/ranking.py:sharded_running_agg (range-shard on the total
+    price order, per-shard running sums, num_shards-scalar prefix
+    combine), then ONE tiny filtered min — the weighted-quantile pattern
+    at 100 TB. Quantities are integral so the threshold comparison
+    ``2*cumw >= total`` is exact; the selected price is a real data
+    value (no interpolation) so both engines return the identical
+    double.
+    """
+    from .operators.ranking import sharded_running_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    total = li.agg(F.sum("qty")).collect()[0][0]
+    run, handle = sharded_running_agg(
+        li,
+        ["price", "l_orderkey", "l_linenumber"],
+        "qty",
+        agg="sum",
+        out_col="cumw",
+    )
+    out = (
+        run.filter(2 * F.col("cumw") >= F.lit(total))
+        .agg(F.min("price").alias("weighted_median"))
+        .localCheckpoint()
+    )
+    handle.unpersist()
+    return out
 
 
 @register(
