@@ -2046,6 +2046,7 @@ _ROUND3_NEW = frozenset(
         "sentence_stats",
         "event_pattern_match",
         "weighted_median_price",
+        "bitmap_distinct_users",
     }
 )
 
@@ -6027,6 +6028,43 @@ def weighted_median_price(spark, sf_dir):
     )
     handle.unpersist()
     return out
+
+
+@register(
+    "bitmap_distinct_users",
+    """
+    WITH b AS (
+      SELECT event_type, user_id // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+      FROM events GROUP BY event_type, word_idx)
+    SELECT event_type,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users
+    FROM b GROUP BY event_type
+    """,
+)
+def bitmap_distinct_users(spark, sf_dir):
+    """EXACT distinct users per event type via 64-bit bitmap words — the
+    roaring-bitmap pattern for bounded integer key domains. COUNT
+    (DISTINCT) is not mergeable (it shuffles every distinct value);
+    OR-ing fixed bitmap words IS: partials collapse map-side to at most
+    |group| x |domain|/32 words (32-bit words inside BIGINTs — DuckDB's
+    << raises on a sign-bit shift, Spark's wraps; staying below bit 62
+    keeps both engines exact), merge associatively across partitions/
+    batches/days, and popcount at read. The exact counterpart of the HLL tier whenever
+    the key domain is dense integers — and the whole thing is three
+    built-in expressions (shiftleft/bit_or/bit_count), no UDF.
+    """
+    ev = _t(spark, sf_dir, "events")
+    words = ev.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word_idx")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))"
+        ).alias("bits")
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users")
+    )
 
 
 @register(
