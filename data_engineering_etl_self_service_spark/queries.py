@@ -1986,11 +1986,14 @@ def _driver_checked() -> frozenset[str]:
     stays unsettled and keeps re-surfacing until fixed."""
     import glob as _glob
     import json as _json
+    import re as _re
     from pathlib import Path
 
     settled: set[str] = set()
     root = Path(__file__).resolve().parents[1]
     for path in sorted(_glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        mround = _re.search(r"_r(\d+)", Path(path).name)
+        rnd = int(mround.group(1)) if mround else 0
         try:
             rows = _json.loads(Path(path).read_text())
         except (OSError, ValueError):
@@ -1999,6 +2002,12 @@ def _driver_checked() -> frozenset[str]:
             if not isinstance(r, dict):
                 continue
             if r.get("hash_match") is True or r.get("err") == "no_oracle":
+                # _RECHECK names changed in round 3: pre-round-3 green
+                # rows are stale evidence for them, a round>=3 green row
+                # settles them again (otherwise they would re-surface
+                # forever and permanently eat rotation capacity).
+                if name in _RECHECK and rnd < 3:
+                    continue
                 settled.add(name)
     return frozenset(settled)
 
@@ -2087,8 +2096,10 @@ def _priority_order(names):
     order), settled last. Queries changed this round (_RECHECK) count as
     unsettled regardless of old green rows; queries ADDED this round
     (_ROUND3_NEW) queue behind the older backlog so the capped driver
-    check finishes draining rounds 1-2's evidence debt first."""
-    settled = _driver_checked() - _RECHECK
+    check finishes draining rounds 1-2's evidence debt first.
+    (_RECHECK handling lives inside _driver_checked: pre-round-3 green
+    rows don't settle those names, round>=3 rows do.)"""
+    settled = _driver_checked()
     fresh = [
         n for n in _FRESH_FIRST if n in names and n not in settled
     ]
