@@ -2056,6 +2056,7 @@ _ROUND3_NEW = frozenset(
         "event_pattern_match",
         "weighted_median_price",
         "bitmap_distinct_users",
+        "dow_seasonality",
     }
 )
 
@@ -2081,9 +2082,7 @@ _FRESH_FIRST = (
     "cohort_matrix",
     "ivf_index_ann",
     "fuzzy_name_pairs",
-    "key_gaps",
     "basket_pairs",
-    "rfm_scores",
     "hourly_percentiles",
     "table_diff",
     "session_paths",
@@ -6075,6 +6074,40 @@ def bitmap_distinct_users(spark, sf_dir):
     )
     return words.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).alias("n_users")
+    )
+
+
+@register(
+    "dow_seasonality",
+    """
+    WITH d AS (
+      SELECT dayofweek(ts) AS dow, COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY dow),
+    t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM d)
+    SELECT dow, n_events, n_users,
+           (n_events * 1000000) // total AS share_ppm
+    FROM d CROSS JOIN t
+    """,
+)
+def dow_seasonality(spark, sf_dir):
+    """Day-of-week activity profile with integer-exact traffic shares —
+    the seasonality readout behind capacity planning and anomaly
+    baselines. Engine note: DuckDB's dayofweek is 0-6 (Sunday=0) while
+    Spark's is 1-7 (Sunday=1), so the Spark side subtracts 1 — exactly
+    the dialect-drift class SURVEY §7 flags for oracles. One grouped agg
+    over 7 groups plus a broadcast scalar."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy((F.dayofweek("ts") - 1).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    t = d.agg(F.sum("n_events").alias("total"))
+    return d.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "n_events",
+        "n_users",
+        F.expr("(n_events * 1000000) div total").alias("share_ppm"),
     )
 
 
