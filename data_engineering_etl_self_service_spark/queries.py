@@ -2057,6 +2057,8 @@ _ROUND3_NEW = frozenset(
         "weighted_median_price",
         "bitmap_distinct_users",
         "dow_seasonality",
+        "supplier_concentration",
+        "repeat_purchase_interval",
     }
 )
 
@@ -6108,6 +6110,99 @@ def dow_seasonality(spark, sf_dir):
         "n_events",
         "n_users",
         F.expr("(n_events * 1000000) div total").alias("share_ppm"),
+    )
+
+
+@register(
+    "supplier_concentration",
+    """
+    WITH q AS (
+      SELECT p_type, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type, l_suppkey),
+    t AS (SELECT p_type, CAST(SUM(qty) AS BIGINT) AS total
+          FROM q GROUP BY p_type),
+    s AS (SELECT q.p_type, (q.qty * 1000000) // t.total AS share_ppm
+          FROM q JOIN t ON q.p_type = t.p_type)
+    SELECT p_type,
+           CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_pptrillion,
+           COUNT(*) AS n_suppliers
+    FROM s GROUP BY p_type
+    """,
+)
+def supplier_concentration(spark, sf_dir):
+    """Supply-chain concentration per part type: the Herfindahl-
+    Hirschman index over supplier quantity shares — the single-source-
+    risk metric. Shares are integer ppm (floor division) and the HHI is
+    their summed squares, so the whole statistic is BIGINT-exact on both
+    engines (a float HHI would drift in the squaring). Two grouped aggs
+    + one broadcast totals join; the supplier dimension per type is
+    bounded, the fact table shuffles once.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    q = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("qty").alias("qty"))
+    )
+    t = q.groupBy("p_type").agg(F.sum("qty").alias("total"))
+    s = q.join(F.broadcast(t), "p_type").select(
+        "p_type", F.expr("(qty * 1000000) div total").alias("share_ppm")
+    )
+    return s.groupBy("p_type").agg(
+        F.sum(F.col("share_ppm") * F.col("share_ppm")).alias(
+            "hhi_pptrillion"
+        ),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "repeat_purchase_interval",
+    """
+    WITH p AS (
+      SELECT o_custkey,
+             datediff('day',
+                      LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate,
+                                                      o_orderkey),
+                      o_orderdate) AS gap_days
+      FROM orders),
+    g AS (SELECT o_custkey, gap_days FROM p WHERE gap_days IS NOT NULL)
+    SELECT CAST(quantile_disc(gap_days, 0.5) AS BIGINT) AS median_gap_days,
+           CAST(quantile_disc(gap_days, 0.9) AS BIGINT) AS p90_gap_days,
+           COUNT(*) AS n_repeat_orders
+    FROM g
+    """,
+)
+def repeat_purchase_interval(spark, sf_dir):
+    """Repeat-purchase cadence: median and p90 days between a customer's
+    consecutive orders — the re-engagement clock behind retention and
+    replenishment campaigns. The lag window partitions per customer
+    (bounded, parallel); percentile_disc selects real data values so
+    both engines agree exactly. Ties on order date break on order key.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return g.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)"
+        ).cast("long").alias("median_gap_days"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_days)"
+        ).cast("long").alias("p90_gap_days"),
+        F.count(F.lit(1)).alias("n_repeat_orders"),
     )
 
 
