@@ -2059,6 +2059,7 @@ _ROUND3_NEW = frozenset(
         "dow_seasonality",
         "supplier_concentration",
         "repeat_purchase_interval",
+        "clustering_coefficient",
     }
 )
 
@@ -6204,6 +6205,79 @@ def repeat_purchase_interval(spark, sf_dir):
         ).cast("long").alias("p90_gap_days"),
         F.count(F.lit(1)).alias("n_repeat_orders"),
     )
+
+
+@register(
+    "clustering_coefficient",
+    """
+    WITH ii AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM ii a JOIN ii b ON a.o = b.o AND a.p < b.p),
+    deg AS (SELECT n, COUNT(*) AS deg
+            FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+            GROUP BY n),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    x AS (SELECT unnest([a, b, c]) AS n FROM tri),
+    tc AS (SELECT n, COUNT(*) AS n_tri FROM x GROUP BY n)
+    SELECT d.n AS p_partkey, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+           (COALESCE(tc.n_tri, 0) * 2000000) // (d.deg * (d.deg - 1))
+             AS cc_ppm
+    FROM deg d LEFT JOIN tc ON d.n = tc.n
+    WHERE d.deg >= 2
+    ORDER BY cc_ppm DESC, p_partkey LIMIT 25
+    """,
+)
+def clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient of the co-purchase graph: per part,
+    what fraction of its neighbor pairs also co-occur — triangles over
+    wedge capacity, ``2*tri/(deg*(deg-1))`` as integer ppm (floor
+    division — a float ratio would drift). The cohesion metric behind
+    community quality and recommendation confidence; composes the
+    degree-ordered triangle_counts with one degree agg and a broadcast
+    join, so the expensive piece stays the hub-safe triangle plan while
+    the naive-3-way-join oracle pins the values. Top-25 by coefficient
+    with a total tiebreak.
+    """
+    from .operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges, normalized=True)
+    out = (
+        deg.filter(F.col("deg") >= 2)
+        .join(F.broadcast(tri), deg.n == tri.node, "left")
+        .select(
+            F.col("n").alias("p_partkey"),
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.expr(
+                "(coalesce(n_tri, 0L) * 2000000) div (deg * (deg - 1))"
+            ).alias("cc_ppm"),
+        )
+        .orderBy(F.desc("cc_ppm"), "p_partkey")
+        .limit(25)
+        .localCheckpoint()
+    )
+    edges.unpersist()
+    return out
 
 
 @register(
