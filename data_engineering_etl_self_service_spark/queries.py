@@ -2060,6 +2060,7 @@ _ROUND3_NEW = frozenset(
         "supplier_concentration",
         "repeat_purchase_interval",
         "clustering_coefficient",
+        "active_days_distribution",
     }
 )
 
@@ -6278,6 +6279,35 @@ def clustering_coefficient(spark, sf_dir):
     )
     edges.unpersist()
     return out
+
+
+@register(
+    "active_days_distribution",
+    """
+    WITH u AS (
+      SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM events GROUP BY user_id)
+    SELECT active_days, COUNT(*) AS n_users
+    FROM u GROUP BY active_days
+    """,
+)
+def active_days_distribution(spark, sf_dir):
+    """Engagement depth: how many users were active on exactly N
+    distinct days — the habit-formation histogram behind DAU/MAU-style
+    stickiness analysis. Per-user distinct-day counting collapses to
+    (user, day) pairs first (two map-side-combined aggs), then the tiny
+    distribution agg; nothing user-level ever sits on one task.
+    """
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("active_days"))
+    )
+    return u.groupBy("active_days").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
 
 
 @register(
