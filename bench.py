@@ -66,6 +66,9 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "peak_concurrency",
     "bpe_merges",
+    "bitmap_distinct_users",
+    "weighted_median_price",
+    "stratified_sample",
 ]
 
 
