@@ -2061,6 +2061,7 @@ _ROUND3_NEW = frozenset(
         "repeat_purchase_interval",
         "clustering_coefficient",
         "active_days_distribution",
+        "corpus_dedup_report",
     }
 )
 
@@ -6307,6 +6308,67 @@ def active_days_distribution(spark, sf_dir):
     )
     return u.groupBy("active_days").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "corpus_dedup_report",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[g:g+2], ' ') AS s
+           FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(g)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pair AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    edges AS (
+      SELECT da, db FROM pair
+      JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+      WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8),
+    paired AS (SELECT da AS d FROM edges UNION SELECT db FROM edges),
+    fp AS (SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+             AS f FROM documents)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM fp)
+             - (SELECT COUNT(DISTINCT f) FROM fp) AS n_exact_copies,
+           (SELECT COUNT(*) FROM paired) AS n_in_neardup_clusters,
+           (SELECT COUNT(*) FROM edges) AS n_neardup_pairs
+    """,
+)
+def corpus_dedup_report(spark, sf_dir):
+    """One-row corpus dedup funnel: total docs, exact copies (normalized
+    md5 collisions), docs in >=1 near-dup cluster, and verified near-dup
+    pairs — the before/after report a curation run publishes next to its
+    output. Composes the exact-fingerprint agg (16-byte shuffle) with
+    the LSH-verified pair pipeline; the oracle recomputes the pair graph
+    with the exact all-pairs Jaccard (same pinned equivalence as
+    `minhash_lsh_dedup`).
+    """
+    from .operators.dedup import minhash_lsh_pairs
+    from .functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(fingerprint(F.col("text")).alias("f"))
+    exact = fp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("f").alias("nd"),
+    )
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", 3, 0.8).persist()
+    n_pairs = pairs.count()
+    n_paired = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionAll(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .count()
+    )
+    pairs.unpersist()
+    return exact.select(
+        F.col("n").alias("n_docs"),
+        (F.col("n") - F.col("nd")).alias("n_exact_copies"),
+        F.lit(n_paired).cast("long").alias("n_in_neardup_clusters"),
+        F.lit(n_pairs).cast("long").alias("n_neardup_pairs"),
     )
 
 
