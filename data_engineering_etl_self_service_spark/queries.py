@@ -2062,6 +2062,7 @@ _ROUND3_NEW = frozenset(
         "clustering_coefficient",
         "active_days_distribution",
         "corpus_dedup_report",
+        "monthly_demand_growth",
     }
 )
 
@@ -6369,6 +6370,62 @@ def corpus_dedup_report(spark, sf_dir):
         (F.col("n") - F.col("nd")).alias("n_exact_copies"),
         F.lit(n_paired).cast("long").alias("n_in_neardup_clusters"),
         F.lit(n_pairs).cast("long").alias("n_neardup_pairs"),
+    )
+
+
+@register(
+    "monthly_demand_growth",
+    """
+    WITH m AS (
+      SELECT p.p_type, date_trunc('month', o.o_orderdate) AS month,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, month),
+    g AS (
+      SELECT p_type, month, qty,
+             LAG(qty) OVER (PARTITION BY p_type ORDER BY month) AS prev
+      FROM m)
+    SELECT p_type, month, qty,
+           CASE WHEN prev IS NOT NULL
+                THEN (qty * 1000000) // prev - 1000000 END AS growth_ppm
+    FROM g
+    """,
+)
+def monthly_demand_growth(spark, sf_dir):
+    """Month-over-month demand growth per part type in integer ppm — the
+    trend feed behind forecasting and stock planning. Growth is computed
+    as ``(cur*1e6) div prev - 1e6``: both operands of the division are
+    positive, side-stepping the one integer-division corner where the
+    engines genuinely disagree (Spark's ``div`` truncates toward zero,
+    DuckDB's ``//`` floors — opposite answers for negative ratios). The
+    lag window partitions per part type (parallel, ~months rows each).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    m = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_type",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.sum("qty").alias("qty"))
+    )
+    w = W.partitionBy("p_type").orderBy("month")
+    g = m.withColumn("prev", F.lag("qty").over(w))
+    return g.select(
+        "p_type",
+        "month",
+        "qty",
+        F.when(
+            F.col("prev").isNotNull(),
+            F.expr("(qty * 1000000) div prev - 1000000"),
+        ).alias("growth_ppm"),
     )
 
 
