@@ -2063,6 +2063,8 @@ _ROUND3_NEW = frozenset(
         "active_days_distribution",
         "corpus_dedup_report",
         "monthly_demand_growth",
+        "fulfillment_latency",
+        "basket_lift",
     }
 )
 
@@ -6427,6 +6429,124 @@ def monthly_demand_growth(spark, sf_dir):
             F.expr("(qty * 1000000) div prev - 1000000"),
         ).alias("growth_ppm"),
     )
+
+
+@register(
+    "fulfillment_latency",
+    """
+    WITH d AS (
+      SELECT s.s_nationkey,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS days
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+    SELECT n.n_name,
+           CAST(quantile_disc(d.days, 0.5) AS BIGINT) AS median_days,
+           CAST(quantile_disc(d.days, 0.9) AS BIGINT) AS p90_days,
+           COUNT(*) AS n_lines
+    FROM d JOIN nation n ON d.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def fulfillment_latency(spark, sf_dir):
+    """Order-to-ship latency per supplier nation (median + p90 days) —
+    the fulfillment SLA scoreboard. percentile_disc selects real data
+    values, so grouped percentiles agree across engines exactly; the
+    supplier/nation dimensions broadcast and the fact table shuffles
+    once on the group key.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.datediff("l_shipdate", "o_orderdate").alias("days"),
+        )
+    )
+    return d.groupBy("n_name").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY days)")
+        .cast("long")
+        .alias("median_days"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY days)")
+        .cast("long")
+        .alias("p90_days"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "basket_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    no AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+    pc AS (SELECT p, COUNT(*) AS n FROM items GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT part_a, part_b, n_ab,
+           (n_ab * no.n_orders * 1000000) // (x.n * y.n) AS lift_ppm
+    FROM pairs
+    JOIN pc x ON part_a = x.p JOIN pc y ON part_b = y.p
+    CROSS JOIN no
+    ORDER BY lift_ppm DESC, part_a, part_b LIMIT 20
+    """,
+)
+def basket_lift(spark, sf_dir):
+    """Association-rule LIFT for co-purchased part pairs (support >= 3):
+    ``P(A,B) / (P(A)·P(B))`` as integer ppm — completes the basket
+    mining story (`basket_pairs` gives support; lift is the signal that
+    separates genuinely-associated pairs from merely-popular ones). All
+    operands positive, so the integer division matches across engines;
+    the per-part counts broadcast against the (support-filtered, tiny)
+    pair table. Top-20 with a total tiebreak.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct().persist()
+    n_orders = items.select("l_orderkey").distinct().count()
+    pc = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(pc.select(F.col("p").alias("part_a"), F.col("n").alias("na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("p").alias("part_b"), F.col("n").alias("nb"))),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr(f"(n_ab * {n_orders}L * 1000000) div (na * nb)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), "part_a", "part_b")
+        .limit(20)
+        .localCheckpoint()
+    )
+    items.unpersist()
+    return out
 
 
 @register(
