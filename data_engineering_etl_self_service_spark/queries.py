@@ -2065,6 +2065,8 @@ _ROUND3_NEW = frozenset(
         "monthly_demand_growth",
         "fulfillment_latency",
         "basket_lift",
+        "returns_analysis",
+        "discount_effectiveness",
     }
 )
 
@@ -6547,6 +6549,85 @@ def basket_lift(spark, sf_dir):
     )
     items.unpersist()
     return out
+
+
+@register(
+    "returns_analysis",
+    """
+    WITH r AS (
+      SELECT p.p_type,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_returned
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type)
+    SELECT p_type, n_lines, n_returned,
+           (n_returned * 1000000) // n_lines AS return_ppm
+    FROM r
+    """,
+)
+def returns_analysis(spark, sf_dir):
+    """Return rate per part type in integer ppm — the product-quality
+    readout behind assortment decisions. One conditional agg per group
+    (map-side combined) with the part dimension broadcast; the rate is
+    a positive integer division, exact on both engines.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    r = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returned"),
+        )
+    )
+    return r.select(
+        "p_type",
+        "n_lines",
+        "n_returned",
+        F.expr("(n_returned * 1000000) div n_lines").alias("return_ppm"),
+    )
+
+
+@register(
+    "discount_effectiveness",
+    """
+    SELECT CAST(floor(l_discount * 100) AS BIGINT) AS discount_pct,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue
+    FROM lineitem
+    GROUP BY discount_pct
+    """,
+)
+def discount_effectiveness(spark, sf_dir):
+    """Volume and net revenue by discount band — does discounting move
+    quantity? Bands come from ``floor(discount*100)``: the float
+    multiply is the SAME IEEE op on both engines, so band assignment is
+    identical even at representation edges; revenue rides the decimal
+    transit so the double result is order-independent. One grouped agg,
+    ~11 groups.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_discount") * 100).cast("long").alias(
+                "discount_pct"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "net_revenue",
+            ),
+        )
+    )
 
 
 @register(
