@@ -39,3 +39,28 @@ def test_duplicate_query_registration_fails_fast():
         @register("pricing_summary")
         def pricing_summary(spark, sf_dir):  # pragma: no cover
             return None
+
+
+def test_registry_hygiene():
+    """Registry-wide invariants that have each caught a real bug class:
+    every query documented, oracle coverage complete except the four
+    deliberate rows-only operators, and rotation lists containing only
+    real query names (a typo there silently breaks the driver-check
+    ordering)."""
+    from data_engineering_etl_self_service_spark.queries import (
+        ORACLES,
+        QUERIES,
+        _FRESH_FIRST,
+        _RECHECK,
+        _ROUND3_NEW,
+    )
+
+    rows_only = {
+        "approx_tier", "hll_sketch_union", "knn_join_fast", "simhash_neardup"
+    }
+    assert set(QUERIES) - set(ORACLES) == rows_only
+    for name, fn in QUERIES.items():
+        assert fn.__doc__, f"{name} has no docstring"
+    for lst in (_FRESH_FIRST, _RECHECK, _ROUND3_NEW):
+        for n in lst:
+            assert n in QUERIES, f"rotation list references unknown query {n}"
