@@ -2067,6 +2067,7 @@ _ROUND3_NEW = frozenset(
         "basket_lift",
         "returns_analysis",
         "discount_effectiveness",
+        "corpus_cover_picks",
     }
 )
 
@@ -6627,6 +6628,59 @@ def discount_effectiveness(spark, sf_dir):
                 "net_revenue",
             ),
         )
+    )
+
+
+def _set_cover_oracle(n_picks: int) -> str:
+    """Unrolled DuckDB twin of operators/selection.py:greedy_set_cover —
+    per pick: an anti-joined gain count, a (gain DESC, doc_id) argmax,
+    and the covered-set union."""
+    ctes = [
+        """sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents)""",
+        "c0 AS (SELECT CAST(NULL AS VARCHAR) AS tok WHERE 1 = 0)",
+    ]
+    for r in range(1, n_picks + 1):
+        ctes.append(
+            f"""p{r} AS (
+      SELECT doc_id, COUNT(*) AS gain
+      FROM sh WHERE tok NOT IN (SELECT tok FROM c{r - 1})
+      GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)"""
+        )
+        ctes.append(
+            f"""c{r} AS (
+      SELECT tok FROM c{r - 1}
+      UNION
+      SELECT sh.tok FROM sh JOIN p{r} USING (doc_id))"""
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS pick_rank, doc_id, gain FROM p{r}"
+        for r in range(1, n_picks + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+@register("corpus_cover_picks", _set_cover_oracle(5))
+def corpus_cover_picks(spark, sf_dir):
+    """Greedy maximum-coverage selection: the 5 documents that together
+    cover the most vocabulary, picked one at a time by marginal gain —
+    the (1-1/e)-approximate submodular selection (Nemhauser et al. 1978)
+    behind diversity-maximizing corpus pruning and eval-set picking.
+    Per pick: one broadcast anti-join + one map-side gain count + a
+    1-row argmax collect (operators/selection.py); the oracle unrolls
+    the picks as CTE pairs, so the greedy trajectory hash-matches.
+    """
+    from .operators.selection import greedy_set_cover
+
+    d = _t(spark, sf_dir, "documents")
+    inc = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    picks = greedy_set_cover(inc, n_picks=5, id_col="doc_id", item_col="tok")
+    return spark.createDataFrame(
+        picks, "pick_rank long, doc_id long, gain long"
     )
 
 
