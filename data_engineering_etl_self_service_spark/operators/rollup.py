@@ -62,16 +62,24 @@ def _partial(kind: str, col: str | None) -> Column:
         # array<long> of bin counts per grain — EXACT-mergeable (unlike a
         # t-digest) because element-wise array addition is associative,
         # and enough for percentile-at-read dashboards with bin-width
-        # resolution. Out-of-range values clamp to the edge bins so the
-        # total is always the row count (per-grain percentile SLAs stay
-        # denominator-honest).
+        # resolution. Out-of-range values clamp to the edge bins, and
+        # NULLs are EXCLUDED (explicitly, below — without the guard,
+        # Spark's null-skipping greatest() would silently clamp NULL to
+        # bin 0), so the total is always the NON-NULL row count; hist
+        # percentile denominators therefore also exclude NULLs, while
+        # the "count" kind counts per its own column argument.
         lo, hi, bins = _hist_spec(kind)
         width = (hi - lo) / bins
-        idx = F.least(
-            F.lit(bins - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        idx = F.when(
+            F.col(col).isNotNull(),
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(col) - F.lit(lo)) / F.lit(width)
+                    ).cast("int"),
+                ),
             ),
         )
         return F.array(

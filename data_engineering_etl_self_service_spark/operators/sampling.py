@@ -13,8 +13,13 @@ Hashing a stable key is the standard fix (the train_test_split /
 corpus_mix queries use the same discipline): here the hash is the Knuth
 multiplicative constant 2654435761 (= floor(2^32/phi), Fibonacci
 hashing) mod a permille scale — plain int64 arithmetic that any engine,
-including the DuckDB oracle, reproduces bit-for-bit. Keys up to ~3.4e9
-stay under 2^63 in the product.
+including the DuckDB oracle, reproduces bit-for-bit. The key is first
+folded into 31 bits (``key % 2^31``) so the product is at most
+(2^31-1) * 2654435761 ~= 5.7e18 < 2^63: without the fold, keys past
+~3.49e9 would overflow int64 — Spark (non-ANSI) silently wraps while
+DuckDB raises, breaking engine portability exactly when the corpus gets
+big. The fold is a no-op for keys below 2^31, so existing samples are
+unchanged; oracles apply the identical ``% 2147483648`` fold.
 
 Per-stratum rates make quota sampling declarative: pass
 ``{stratum: permille}`` and each group is Bernoulli-sampled at its own
@@ -28,11 +33,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761  # floor(2^32 / golden ratio): Fibonacci hashing
+KEY_FOLD = 2**31  # fold keys to 31 bits: (2^31-1)*KNUTH < 2^63 (no overflow)
 
 
 def hash_bucket(key: Column, buckets: int = 1000) -> Column:
-    """Deterministic bucket in [0, buckets) from an integer key column."""
-    return F.pmod(key.cast("long") * F.lit(KNUTH), F.lit(buckets))
+    """Deterministic bucket in [0, buckets) from an integer key column.
+
+    The key is folded to 31 bits before the multiply so the int64
+    product cannot overflow for ANY key value (identical result for
+    keys < 2^31; the DuckDB oracle twin applies the same fold)."""
+    folded = F.pmod(key.cast("long"), F.lit(KEY_FOLD))
+    return F.pmod(folded * F.lit(KNUTH), F.lit(buckets))
 
 
 def hash_sample(

@@ -76,6 +76,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _scratch_dir(name: str) -> str:
+    """Process-scoped scratch directory for queries that persist an index
+    or snapshot table as part of their job (bm25_index_search,
+    snapshot_changes, incremental_heavy_hitters, incremental_rollup,
+    ivf_index_ann).
+
+    One fixed path per (process, query) — wiped and recreated at each
+    invocation — instead of a fresh ``tempfile.mkdtemp`` per call, which
+    leaked a directory per bench/driver run (ADVICE r3). The dir must
+    outlive the returned DataFrame (callers collect lazily), so removal
+    happens on the NEXT invocation and finally via atexit, not at return.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"data_engineering_etl_self_service_spark-scratch-{os.getpid()}"
+    )
+    if not getattr(_scratch_dir, "_registered", False):
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _scratch_dir._registered = True
+    path = os.path.join(root, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
 # =========================================================================
 # §2.4 / §2.6 — scans, filters, aggregations, sort/limit
 # =========================================================================
@@ -2002,29 +2031,32 @@ def _driver_checked() -> frozenset[str]:
             if not isinstance(r, dict):
                 continue
             if r.get("hash_match") is True or r.get("err") == "no_oracle":
-                # _RECHECK names changed in round 3: pre-round-3 green
-                # rows are stale evidence for them, a round>=3 green row
-                # settles them again (otherwise they would re-surface
-                # forever and permanently eat rotation capacity).
-                if name in _RECHECK and rnd < 3:
+                # _RECHECK maps names whose semantics changed in round N
+                # to that N: pre-change green rows are stale evidence, a
+                # round>=N green row settles them again (otherwise they
+                # would re-surface forever and permanently eat rotation
+                # capacity).
+                if rnd < _RECHECK.get(name, 0):
                     continue
                 settled.add(name)
     return frozenset(settled)
 
 
-#: queries whose semantics or implementation changed in round 3 — their old
-#: green driver rows are stale evidence, so they rejoin the rotation ahead
-#: of the settled tail even though _driver_checked() lists them.
-_RECHECK = frozenset(
-    {
-        "math_funcs",  # oracle floor/ceiling now CAST to BIGINT
-        "vocab_encode",  # token_ids serialized to string on both sides
-        "key_gaps",  # sharded form + non-degenerate (non-PENDING) slice
-        "rfm_scores",  # distributed_rank/ntile_bucket instead of NTILE
-        "top_value_parts",  # threshold lowered so sf0.01 yields rows
-        "neardup_groups",  # components loop extracted to a shared op
-    }
-)
+#: queries whose semantics or implementation changed in round N — driver
+#: rows from BEFORE that round are stale evidence, so they rejoin the
+#: rotation ahead of the settled tail until a round>=N green row lands.
+#: (Round-4 note: this round's edited queries — trade_hops,
+#: snapshot_changes, stratified_sample, group_sample_topk,
+#: negative_samples — had NO prior driver row, so they need no entry;
+#: they are still unsettled and already fronted.)
+_RECHECK: dict[str, int] = {
+    "math_funcs": 3,  # oracle floor/ceiling now CAST to BIGINT
+    "vocab_encode": 3,  # token_ids serialized to string on both sides
+    "key_gaps": 3,  # sharded form + non-degenerate (non-PENDING) slice
+    "rfm_scores": 3,  # distributed_rank/ntile_bucket instead of NTILE
+    "top_value_parts": 3,  # threshold lowered so sf0.01 yields rows
+    "neardup_groups": 3,  # components loop extracted to a shared op
+}
 
 #: queries ADDED in round 3 after the r2 snapshot: ordered AFTER the
 #: older never-checked backlog so the driver's capped per-round check
@@ -2071,6 +2103,13 @@ _ROUND3_NEW = frozenset(
     }
 )
 
+#: queries ADDED in round 4: ordered AFTER the round-3 backlog (which the
+#: driver's ~50-row budget must drain first — 38 names at round start) but
+#: BEFORE the settled tail. Keep this list small enough that
+#: |round-3 backlog| + |_ROUND4_NEW| <= ~48, so the ENTIRE registry is
+#: driver-evidenced by round-4 end.
+_ROUND4_NEW: frozenset[str] = frozenset()
+
 #: newest operators — surfaced ahead of the older unchecked backlog so the
 #: driver's capped per-round check always covers the code that changed most
 #: recently (the backlog drains over the following rounds either way).
@@ -2103,12 +2142,11 @@ _FRESH_FIRST = (
 
 def _priority_order(names):
     """Never-settled queries first (newest operators, then registration
-    order), settled last. Queries changed this round (_RECHECK) count as
-    unsettled regardless of old green rows; queries ADDED this round
-    (_ROUND3_NEW) queue behind the older backlog so the capped driver
-    check finishes draining rounds 1-2's evidence debt first.
-    (_RECHECK handling lives inside _driver_checked: pre-round-3 green
-    rows don't settle those names, round>=3 rows do.)"""
+    order), settled last. Queries changed in a round (_RECHECK) count as
+    unsettled until a green row from that round or later lands; queries
+    ADDED in round N (_ROUND3_NEW / _ROUND4_NEW) queue behind the older
+    backlog so the capped driver check drains the oldest evidence debt
+    first. (_RECHECK handling lives inside _driver_checked.)"""
     settled = _driver_checked()
     fresh = [
         n for n in _FRESH_FIRST if n in names and n not in settled
@@ -2119,9 +2157,13 @@ def _priority_order(names):
         if n not in settled
         and n not in _FRESH_FIRST
         and n not in _ROUND3_NEW
+        and n not in _ROUND4_NEW
     ]
-    new = [n for n in names if n in _ROUND3_NEW and n not in settled]
-    return fresh + rest + new + [n for n in names if n in settled]
+    new3 = [n for n in names if n in _ROUND3_NEW and n not in settled]
+    new4 = [n for n in names if n in _ROUND4_NEW and n not in settled]
+    return (
+        fresh + rest + new3 + new4 + [n for n in names if n in settled]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2945,12 +2987,10 @@ def incremental_rollup(spark, sf_dir):
     rollup table is |hours × types| rows; each ingest shuffles only its
     batch once on the grain key, each read touches only the rollup.
     """
-    import tempfile
-
     from .operators.rollup import read_rollup, upsert_rollup
 
     e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    base = tempfile.mkdtemp(prefix="rollup_")
+    base = _scratch_dir("rollup")
     grains = {
         "hour": F.date_trunc("hour", F.col("ts")),
         "event_type": F.col("event_type"),
@@ -4920,8 +4960,6 @@ def _bm25_rank(tf: DataFrame, stats: DataFrame) -> DataFrame:
 def _bm25_index_search(spark, sf_dir):
     """See registration below — split out so the oracle can alias
     bm25_search's (the probe must reproduce the ad-hoc result)."""
-    import tempfile
-
     from .sources.snapshots import read_snapshot, write_snapshot
 
     n_buckets = 64
@@ -4941,7 +4979,7 @@ def _bm25_index_search(spark, sf_dir):
             "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
         )
     )
-    base = tempfile.mkdtemp(prefix="bm25idx_")
+    base = _scratch_dir("bm25idx")
     write_snapshot(
         postings, f"{base}/postings", mode="overwrite",
         partition_by=("bucket",),
@@ -5053,12 +5091,22 @@ _TRADE_EDGES_CTE = """
       GROUP BY sn.n_name, cn.n_name"""
 
 
-def _bfs_oracle(source: str, threshold: int, rounds: int) -> str:
+#: trade_hops edge threshold: lineitem_count // divisor (floored, min 2),
+#: so the thresholded graph stays comparably sparse at EVERY fixture scale
+#: — a fixed 150 pruned all edges at sf0.001, leaving the oracle parity
+#: check vacuous there (ADVICE r3). 60000 // 400 = 150 keeps sf0.01
+#: results identical to the round-3 pinned values.
+_TRADE_HOPS_DIVISOR = 400
+
+
+def _bfs_oracle(source: str, threshold_sql: str, rounds: int) -> str:
     """Unrolled DuckDB twin of operators/graph.py:bfs_hops over the
     weight-thresholded trade graph: per round, reached nodes push d+1
-    along out-edges and every node keeps its MIN."""
+    along out-edges and every node keeps its MIN. ``threshold_sql`` is a
+    scalar SQL expression (e.g. a subquery) so the threshold can scale
+    with the fixture."""
     ctes = [
-        f"e AS ({_TRADE_EDGES_CTE} HAVING COUNT(*) >= {threshold})",
+        f"e AS ({_TRADE_EDGES_CTE} HAVING COUNT(*) >= {threshold_sql})",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         f"""d0 AS (
       SELECT node, CASE WHEN node = '{source}' THEN CAST(0 AS BIGINT) END
@@ -5086,11 +5134,21 @@ def _bfs_oracle(source: str, threshold: int, rounds: int) -> str:
     )
 
 
-@register("trade_hops", _bfs_oracle("NATION_18", 150, 4))
+@register(
+    "trade_hops",
+    _bfs_oracle(
+        "NATION_18",
+        f"(SELECT GREATEST(COUNT(*) // {_TRADE_HOPS_DIVISOR}, 2)"
+        " FROM lineitem)",
+        4,
+    ),
+)
 def trade_hops(spark, sf_dir):
     """Minimum trade hops from NATION_18 over the thresholded nation trade
-    graph (edges = supplier-nation -> customer-nation pairs with >= 150
-    lineitems): the reachability/supply-distance question, as 4 rounds
+    graph (edges = supplier-nation -> customer-nation pairs with >=
+    lineitem_count/400 lineitems — scale-relative so the graph is
+    non-trivial at every fixture size): the reachability/supply-distance
+    question, as 4 rounds
     of Pregel-style BFS relaxation (operators/graph.py bfs_hops — one
     broadcast join + map-side-combined min per round, lineage truncated;
     the same iteration shape as pagerank_fixedpoint). Thresholding makes
@@ -5100,6 +5158,9 @@ def trade_hops(spark, sf_dir):
     from .operators.graph import bfs_hops
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # scale-relative threshold: one bounded count (metadata-cheap on
+    # parquet), mirrored by the oracle's scalar subquery
+    threshold = max(li.count() // _TRADE_HOPS_DIVISOR, 2)
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -5128,7 +5189,7 @@ def trade_hops(spark, sf_dir):
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 150)
+        .filter(F.col("w") >= F.lit(threshold))
         .select("src", "dst")
     )
     out = bfs_hops(edges, "NATION_18", rounds=4)
@@ -5288,7 +5349,7 @@ def heavy_hitter_tokens(spark, sf_dir):
     """
     SELECT o_orderkey, o_orderpriority, o_totalprice
     FROM orders
-    WHERE (CAST(o_orderkey AS BIGINT) * 2654435761) % 1000 <
+    WHERE ((CAST(o_orderkey AS BIGINT) % 2147483648) * 2654435761) % 1000 <
           CASE o_orderpriority
             WHEN '1-URGENT' THEN 500
             WHEN '2-HIGH' THEN 250
@@ -5528,7 +5589,8 @@ def attribution_last_touch(spark, sf_dir):
     SELECT 'update', o_orderkey FROM orders
     WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 0
     UNION ALL
-    SELECT 'insert', o_orderkey + 2000000 FROM orders
+    SELECT 'insert', o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders)
+    FROM orders
     WHERE o_orderkey % 100 = 0
     """,
 )
@@ -5541,12 +5603,16 @@ def snapshot_changes(spark, sf_dir):
     compare, inserts/deletes/updates classified in a single pass).
     The consumer-side half of CDC; `apply_cdc`/`merge_upsert` are the
     producer side. The oracle states the expected change set directly.
-    """
-    import tempfile
 
+    Synthetic insert keys are shifted by max(o_orderkey)+1 (a bounded
+    1-value collect, mirrored by a scalar subquery in the oracle) so
+    they can NEVER collide with a real order at any scale factor — a
+    fixed offset would collide once orderkeys outgrow it (6M x SF).
+    """
     from .sources.snapshots import snapshot_diff, write_snapshot
 
     o = _t(spark, sf_dir, "orders")
+    shift = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
     v1 = o.filter(F.col("o_orderkey") % 17 != 0).withColumn(
         "o_totalprice",
         F.when(
@@ -5554,9 +5620,9 @@ def snapshot_changes(spark, sf_dir):
         ).otherwise(F.col("o_totalprice")),
     )
     inserts = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 2000000
+        "o_orderkey", F.col("o_orderkey") + F.lit(shift)
     )
-    base = tempfile.mkdtemp(prefix="snapdiff_")
+    base = _scratch_dir("snapdiff")
     write_snapshot(o, base, mode="overwrite")
     write_snapshot(v1.unionByName(inserts), base, mode="overwrite")
     return snapshot_diff(spark, base, 1, 2, ["o_orderkey"]).select(
@@ -5637,7 +5703,8 @@ def bpe_merges(spark, sf_dir):
     """
     WITH h AS (
       SELECT doc_id, lang,
-             (CAST(doc_id AS BIGINT) * 2654435761) % 1000000007 AS hk
+             ((CAST(doc_id AS BIGINT) % 2147483648) * 2654435761)
+               % 1000000007 AS hk
       FROM documents),
     r AS (SELECT doc_id, lang,
                  ROW_NUMBER() OVER (PARTITION BY lang
@@ -5659,7 +5726,8 @@ def group_sample_topk(spark, sf_dir):
     from .operators.sampling import KNUTH
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    hk = F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(1000000007))
+    folded = F.pmod(F.col("doc_id").cast("long"), F.lit(2**31))
+    hk = F.pmod(folded * F.lit(KNUTH), F.lit(1000000007))
     w = W.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
     return (
         d.withColumn("rn", F.row_number().over(w))
@@ -5805,15 +5873,13 @@ def incremental_heavy_hitters(spark, sf_dir):
     completeness is provable (capacity >= k), the answer is EXACTLY the
     one-shot `heavy_hitter_tokens` result — the shared oracle pins it.
     """
-    import tempfile
-
     from .operators.summaries import mg_merge, mg_summary
     from .sources.snapshots import read_snapshot, write_snapshot
 
     cap, k = 400, 200
     d = _t(spark, sf_dir, "documents")
     full = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    base = tempfile.mkdtemp(prefix="mgstate_")
+    base = _scratch_dir("mgstate")
 
     def batch(i: int):
         return d.filter(F.col("doc_id") % 3 == i).select(
@@ -5852,7 +5918,8 @@ ORACLES["incremental_heavy_hitters"] = ORACLES["heavy_hitter_tokens"]
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
     cand AS (
       SELECT c, p, j,
-             (c * 2654435761 + p * 40503 + j * 97) % 2000 AS neg
+             ((c % 2147483648) * 2654435761 + p * 40503 + j * 97) % 2000
+               AS neg
       FROM pos, unnest([0, 1]) AS t(j))
     SELECT c AS custkey, p AS pos_part, j AS neg_idx, neg AS neg_part
     FROM cand
@@ -5887,7 +5954,7 @@ def negative_samples(spark, sf_dir):
     ).withColumn(
         "neg",
         F.pmod(
-            F.col("c") * F.lit(2654435761)
+            F.pmod(F.col("c").cast("long"), F.lit(2**31)) * F.lit(2654435761)
             + F.col("p") * F.lit(40503)
             + F.col("j") * F.lit(97),
             F.lit(2000),
@@ -7423,17 +7490,13 @@ def ivf_index_ann(spark, sf_dir):
     cells, nprobe=2), so it shares that query's oracle verbatim: the
     on-disk lifecycle must not change a single result bit.
     """
-    import shutil
-    import tempfile
-
     from .operators.similarity import build_ivf_index, query_ivf_index
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
     )
-    base = tempfile.mkdtemp(prefix="ivf_index_ann_")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch_dir("ivf_index_ann")
     build_ivf_index(e, base, n_cells=8)
     out = query_ivf_index(spark, base, q, k=10, nprobe=2)
     return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -53,6 +53,7 @@ def test_registry_hygiene():
         _FRESH_FIRST,
         _RECHECK,
         _ROUND3_NEW,
+        _ROUND4_NEW,
     )
 
     rows_only = {
@@ -61,6 +62,6 @@ def test_registry_hygiene():
     assert set(QUERIES) - set(ORACLES) == rows_only
     for name, fn in QUERIES.items():
         assert fn.__doc__, f"{name} has no docstring"
-    for lst in (_FRESH_FIRST, _RECHECK, _ROUND3_NEW):
+    for lst in (_FRESH_FIRST, _RECHECK, _ROUND3_NEW, _ROUND4_NEW):
         for n in lst:
             assert n in QUERIES, f"rotation list references unknown query {n}"

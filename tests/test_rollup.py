@@ -223,3 +223,27 @@ def test_rollup_hist_merges_exactly_and_serves_percentiles(spark, tmp_path):
     }
     for k in exact:
         assert abs(med[k] - exact[k]) <= 10.0, (k, med[k], exact[k])
+
+
+def test_rollup_hist_excludes_nulls(spark, tmp_path):
+    """hist: NULL values must be EXCLUDED from every bin (documented
+    contract) — not silently clamped into bin 0 by Spark's
+    null-skipping greatest(). Bin totals equal the NON-null count."""
+    df = spark.range(0, 100).select(
+        "id",
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id") * 1.5)
+        .alias("v"),
+    )
+    aggs = {"h": ("hist:0:150:15", "v"), "n": ("count", None)}
+    base = str(tmp_path / "hist_null")
+    upsert_rollup(spark, base, df, _grains(), aggs)
+    rows = read_rollup(spark, base, {"k": F.col("k")}).collect()
+    assert len(rows) == 4
+    for r in rows:
+        non_null = df.filter(
+            (F.pmod(F.col("id"), F.lit(4)) == r["k"])
+            & F.col("v").isNotNull()
+        ).count()
+        assert sum(r["h"]) == non_null  # NULLs out of the histogram
+        assert r["n"] == 25  # count(*) kind still counts every row

@@ -6,7 +6,12 @@ values (rows sorted by all columns; exact equality for non-floats, exact
 equality for floats too — our determinism contract says they must match
 bit-for-bit; a tolerance flag exists for diagnosis only).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--driver-sim] [sf_dir] [query ...]
+
+``--driver-sim`` checks exactly the first 50 names ``queries()`` yields —
+i.e. precisely the set the next driver round will check (the driver runs
+queries in dict order with a ~50-row cap) — so rotation surprises surface
+locally before the round lands.
 """
 
 from __future__ import annotations
@@ -21,7 +26,9 @@ sys.path.insert(0, "/root/repo")
 
 from data_engineering_etl_self_service_spark import get_spark
 from data_engineering_etl_self_service_spark.catalog import TABLES
-from data_engineering_etl_self_service_spark.queries import ORACLES, QUERIES
+from data_engineering_etl_self_service_spark.queries import ORACLES, QUERIES, queries
+
+DRIVER_CAP = 50  # the driver checks this many queries() entries per round
 
 
 def canon(rows, cols):
@@ -48,8 +55,18 @@ def values_equal(a, b):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(QUERIES)
+    argv = list(sys.argv[1:])
+    driver_sim = "--driver-sim" in argv
+    if driver_sim:
+        argv.remove("--driver-sim")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    if driver_sim:
+        names = list(queries())[:DRIVER_CAP]
+        print(f"driver-sim: first {len(names)} rotation names:")
+        for n in names:
+            print(f"  {n}")
+    else:
+        names = argv[1:] or list(QUERIES)
 
     spark = get_spark()
     con = duckdb.connect()
