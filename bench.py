@@ -7,6 +7,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Headline set: one per operator family — scan/agg, multi-join, window,
 sessionization, funnel, dedup (exact + LSH), similarity, text analysis —
 so regressions in any family move the number.
+
+The suite grew each round (24 -> 30 -> 44), which makes the top-line
+total incomparable round over round. The JSON line therefore reports
+TWO totals: ``core_queries_total_wall`` over the FROZEN core-30 set
+(the round-2 headline list — never append here) for round-over-round
+comparison, and ``value`` (= ``headline_queries_total_wall``) over the
+full growing suite for coverage. New headline queries go in
+``EXTENDED`` only.
 """
 
 from __future__ import annotations
@@ -21,7 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from data_engineering_etl_self_service_spark import get_spark
 from data_engineering_etl_self_service_spark.queries import QUERIES
 
-HEADLINE = [
+# FROZEN round-over-round comparison set (the round-2 headline list).
+# Do NOT add or remove names: the whole point is comparability of
+# core_queries_total_wall across BENCH_r{N}.json files.
+CORE = [
     "pricing_summary",
     "regional_revenue",
     "running_total",
@@ -52,6 +63,11 @@ HEADLINE = [
     "trigram_rarity",
     "dup_span_extents",
     "rolling_wau",
+]
+
+# Growing suite: new operator families land here (coverage, not
+# comparability).
+EXTENDED = [
     # round 3: sharded-window forms + vocab/codec paths + scale patterns
     "key_gaps",
     "rfm_scores",
@@ -70,6 +86,8 @@ HEADLINE = [
     "weighted_median_price",
     "stratified_sample",
 ]
+
+HEADLINE = CORE + EXTENDED
 
 
 def main() -> None:
@@ -106,12 +124,16 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    core_total = round(sum(timings[n] for n in CORE), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "core_metric": "core_queries_total_wall",
+                "core_value": core_total,
+                "core_n": len(CORE),
                 "queries": timings,
                 "sf": sf,
             }
