@@ -1,10 +1,16 @@
 """Pure-Python baseline JPEG codec (ITU-T T.81 public spec subset).
 
 Closes the last named image-format stub in the multimodal module. Scope:
-baseline sequential DCT, 8-bit, grayscale or 4:4:4 YCbCr (no chroma
-subsampling), no restart markers, no progressive/arithmetic modes —
-anything else returns None from :func:`decode_jpeg` (the decode pass
-degrades to a sniffed kind-only row, never raises).
+baseline sequential DCT, 8-bit, grayscale or YCbCr with ARBITRARY
+sampling factors on decode (4:4:4, 4:2:0, 4:2:2, 4:4:0, ... — the
+interleaved-MCU loop is the general T.81 A.2.3 one, chroma upsampled by
+sample replication), no restart markers, no progressive/arithmetic modes
+— anything else returns None from :func:`decode_jpeg` (the decode pass
+degrades to a sniffed kind-only row, never raises). The encoder emits
+4:4:4 (default) or 4:2:0 (``subsampling="420"`` — 2x2-mean chroma
+downsample, the layout real cameras overwhelmingly produce), which is
+how the decoder's subsampled path gets exercised without third-party
+fixtures.
 
 Design notes:
 
@@ -157,12 +163,27 @@ def _dht_segment(tc_th: int, symbols: "list[int]", length: int) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
 
-def build_jpeg(px: np.ndarray) -> bytes:
+def _pad_edge(c: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = c.shape
+    p = np.empty((ph, pw))
+    p[:h, :w] = c
+    p[h:, :w] = c[h - 1 : h, :]
+    p[:, w:] = p[:, w - 1 : w]
+    return np.clip(p, 0.0, 255.0)
+
+
+def build_jpeg(px: np.ndarray, subsampling: str = "444") -> bytes:
     """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as baseline
     JPEG with all-ones quant tables (minimal loss) and this module's
-    canonical Huffman tables."""
+    canonical Huffman tables. ``subsampling``: "444" (every component at
+    full resolution, 1x1 MCUs) or "420" (Y at 2x2 sampling inside a
+    16x16-pixel MCU, Cb/Cr downsampled by a 2x2 mean — the real-world
+    camera layout); ignored for grayscale input."""
     px = np.asarray(px, dtype=np.uint8)
     gray = px.ndim == 2
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub420 = subsampling == "420" and not gray
     h, w = px.shape[:2]
     if gray:
         comps = [px.astype(np.float64)]
@@ -174,15 +195,28 @@ def build_jpeg(px: np.ndarray) -> bytes:
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         comps = [y, cb, cr]
-    # pad each component to multiples of 8 by edge replication
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = []
-    for c in comps:
-        p = np.empty((ph, pw))
-        p[:h, :w] = c
-        p[h:, :w] = c[h - 1 : h, :]
-        p[:, w:] = p[:, w - 1 : w]
-        padded.append(np.clip(p, 0.0, 255.0))
+    if sub420:
+        # luma padded to 16 (the MCU covers 2x2 luma blocks); chroma is
+        # the 2x2 mean of the padded luma grid, itself then a multiple
+        # of 8 — exactly one chroma block per MCU
+        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+        ypad = _pad_edge(comps[0], ph, pw)
+        padded = [ypad]
+        for c in comps[1:]:
+            full = _pad_edge(c, ph, pw)
+            half = (
+                full[0::2, 0::2]
+                + full[1::2, 0::2]
+                + full[0::2, 1::2]
+                + full[1::2, 1::2]
+            ) / 4.0
+            padded.append(half)
+        sampling = [0x22, 0x11, 0x11]
+    else:
+        # pad each component to multiples of 8 by edge replication
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        padded = [_pad_edge(c, ph, pw) for c in comps]
+        sampling = [0x11] * len(comps)
 
     out = bytearray(b"\xff\xd8")  # SOI
     one = bytes([1] * 64)
@@ -192,7 +226,7 @@ def build_jpeg(px: np.ndarray) -> bytes:
     nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])  # 1x1 sampling
+        sof += bytes([i + 1, sampling[i], 0 if i == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     out += _dht_segment(0x00, _DC_SYMBOLS, 4)  # DC table 0
     out += _dht_segment(0x10, _AC_SYMBOLS, 8)  # AC table 0
@@ -207,13 +241,30 @@ def build_jpeg(px: np.ndarray) -> bytes:
 
     wtr = _BitWriter()
     preds = [0] * nc
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci in range(nc):
-                block = padded[ci][
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ]
-                preds[ci] = _encode_block(wtr, block, preds[ci])
+    if sub420:
+        # interleaved MCU order per T.81 A.2.3: Y00 Y01 Y10 Y11 Cb Cr
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for vy in range(2):
+                    for vx in range(2):
+                        by, bx = my * 2 + vy, mx * 2 + vx
+                        block = padded[0][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ]
+                        preds[0] = _encode_block(wtr, block, preds[0])
+                for ci in (1, 2):
+                    block = padded[ci][
+                        my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                    ]
+                    preds[ci] = _encode_block(wtr, block, preds[ci])
+    else:
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for ci in range(nc):
+                    block = padded[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ]
+                    preds[ci] = _encode_block(wtr, block, preds[ci])
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -333,9 +384,10 @@ def _decode_jpeg(raw: bytes):
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    return None  # subsampling out of subset
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    return None
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -356,43 +408,75 @@ def _decode_jpeg(raw: bytes):
     scomp, data = scan
     if len(scomp) != len(comps):
         return None
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [np.zeros((ph, pw)) for _ in comps]
+    if len(comps) == 1:
+        # single-component scans are NON-interleaved (T.81 A.2.2):
+        # sampling factors don't apply, data units are raster 8x8 blocks
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(hi for _, hi, vi, _ in comps)
+    vmax = max(vi for _, hi, vi, _ in comps)
+    if any(hmax % hi or vmax % vi for _, hi, vi, _ in comps):
+        return None  # replication upsampling needs integer ratios
+    # MCU grid per T.81 A.2.3/A.1.1: ceil over 8*hmax x 8*vmax pixels;
+    # component ci contributes hi x vi blocks per MCU
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    meta = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    order = []  # (plane index, hi, vi, q, dc table, ac table)
+    planes = []
+    for ci, (cs, td, ta) in enumerate(scomp):
+        if cs not in meta:
+            return None
+        hi, vi, tq = meta[cs]
+        planes.append(np.zeros((mcuy * vi * 8, mcux * hi * 8)))
+        order.append((ci, hi, vi, qt[tq], huff[(0, td)], huff[(1, ta)]))
     r = _BitReader(data)
     preds = [0] * len(comps)
-    tqs = {cid: tq for cid, tq in comps}
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci, (cs, td, ta) in enumerate(scomp):
-                dct = huff[(0, td)]
-                act = huff[(1, ta)]
-                q = qt[tqs[cs]]
-                zz = np.zeros(64)
-                size = _read_symbol(r, dct)
-                diff = _extend(r.read(size), size) if size else 0
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(r, act)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63 or size == 0:
-                        return None
-                    zz[k] = _extend(r.read(size), size)
-                    k += 1
-                # DQT tables and the zz vector are both zigzag-ordered;
-                # scatter the dequantized values to natural order
-                coef = np.zeros(64)
-                coef[_ZIGZAG] = zz * q
-                blk = _A.T @ coef.reshape(8, 8) @ _A + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-    planes = [p[:h, :w] for p in planes]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, hi, vi, q, dct, act in order:
+                for vy in range(vi):
+                    for vx in range(hi):
+                        zz = np.zeros(64)
+                        size = _read_symbol(r, dct)
+                        diff = (
+                            _extend(r.read(size), size) if size else 0
+                        )
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(r, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63 or size == 0:
+                                return None
+                            zz[k] = _extend(r.read(size), size)
+                            k += 1
+                        # DQT tables and the zz vector are both zigzag-
+                        # ordered; scatter dequantized to natural order
+                        coef = np.zeros(64)
+                        coef[_ZIGZAG] = zz * q
+                        blk = _A.T @ coef.reshape(8, 8) @ _A + 128.0
+                        by, bx = my * vi + vy, mx * hi + vx
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = blk
+    # upsample subsampled components by sample replication, crop to h x w
+    up = []
+    for ci, (cs, _, _) in enumerate(scomp):
+        hi, vi, _ = meta[cs]
+        p = planes[ci]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        up.append(p[:h, :w])
+    planes = up
     if len(planes) == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

@@ -1956,6 +1956,77 @@ def png_decode(spark, sf_dir):
     )
 
 
+@register(
+    "jpeg420_decode",
+    """
+    SELECT doc_id,
+           'jpeg' AS kind,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((3 * doc_id) % 256 AS DOUBLE) AS mean_g,
+           CAST((7 * doc_id) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def jpeg420_decode(spark, sf_dir):
+    """REAL lossy-format decode through the 4:2:0 chroma-subsampled path
+    — the layout real cameras overwhelmingly emit (round-2/3 JPEG
+    covered 4:4:4 only). Per doc_id, a solid-color JPEG is encoded with
+    2x2-subsampled chroma (operators/jpeg.py ``build_jpeg(...,"420")``:
+    16x16 interleaved MCUs, 2x2-mean chroma downsample) and decoded back
+    by the general T.81 A.2.3 MCU loop + replication upsampling.
+
+    Why an EXACT oracle is possible for a lossy codec: a solid image's
+    DCT is DC-only, the all-ones quant tables preserve the DC within the
+    rint half-ulp, the 2x2 chroma mean of a constant plane is itself,
+    and the YCbCr round-trip error stays under 0.5 — so every decoded
+    pixel equals the source color bit-for-bit. The pytest sweep pins
+    exactness for the whole 256-color palette this query generates; the
+    oracle then states the source colors symbolically. A hash match
+    therefore proves Huffman decode, MCU walk, dequant, IDCT, upsample
+    and color convert — not plumbing.
+
+    Scale: identical to ``png_decode`` — two shuffle-free Arrow-batched
+    mapInPandas passes over the scan; at 100 TB decode parallelism is
+    row-partitioned with zero exchanges.
+    """
+    from .operators.jpeg import build_jpeg
+    from .operators.multimodal import decode_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                col = np.array(
+                    [i % 256, (3 * i) % 256, (7 * i) % 256], np.uint8
+                )
+                img = np.tile(col, (3 + i % 7, 4 + i % 13, 1))
+                payloads.append(build_jpeg(img, subsampling="420"))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return decode_features(payloads).select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "channels",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
 # =========================================================================
 # DQ check engine (§2.2 P1-P4, entry point 3)
 # =========================================================================
@@ -2108,7 +2179,11 @@ _ROUND3_NEW = frozenset(
 #: BEFORE the settled tail. Keep this list small enough that
 #: |round-3 backlog| + |_ROUND4_NEW| <= ~48, so the ENTIRE registry is
 #: driver-evidenced by round-4 end.
-_ROUND4_NEW: frozenset[str] = frozenset()
+_ROUND4_NEW = frozenset(
+    {
+        "jpeg420_decode",
+    }
+)
 
 #: newest operators — surfaced ahead of the older unchecked backlog so the
 #: driver's capped per-round check always covers the code that changed most

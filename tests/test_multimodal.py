@@ -411,6 +411,63 @@ def test_jpeg_roundtrip_bounded_error_and_determinism():
     assert d["kind"] == "jpeg" and d["width"] is None
 
 
+def test_jpeg_420_chroma_subsampling_roundtrip():
+    """4:2:0 decode (the layout real cameras emit): encoder-produced
+    2x2-subsampled files decode with exact solid-color round-trips,
+    bounded luma error on arbitrary content (chroma is genuinely lossy
+    under subsampling — only luma fidelity is pinned there), exact
+    2x2-cell-constant chroma (the mean of a constant cell is itself),
+    and byte determinism. Mixed-sampling layouts 4:2:2/4:4:0 decode via
+    the same general MCU loop."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.jpeg import (
+        build_jpeg,
+        decode_jpeg,
+    )
+
+    # solid colors: EXACT through the full 4:2:0 chain (this is what the
+    # jpeg420_decode oracle relies on — sweep the query's whole palette)
+    for i in range(0, 256, 17):
+        col = np.array([i, (3 * i) % 256, (7 * i) % 256], np.uint8)
+        img = np.tile(col, (11, 14, 1))
+        raw = build_jpeg(img, subsampling="420")
+        out = decode_jpeg(raw)
+        assert out.shape == img.shape
+        assert (out == img).all(), (i, out[0, 0], col)
+        assert build_jpeg(img, subsampling="420") == raw
+
+    # the SOF really declares 2x2/1x1 sampling (not a 4:4:4 fallback)
+    assert b"\x01\x22\x00" in raw and b"\x02\x11\x01" in raw
+
+    # 2x2-cell-constant content: chroma downsample is lossless
+    rng = np.random.default_rng(11)
+    cell = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(cell, 2, axis=0), 2, axis=1)
+    out = decode_jpeg(build_jpeg(img, subsampling="420"))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    # arbitrary content: luma fidelity bounded; decode deterministic
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    raw = build_jpeg(img, subsampling="420")
+    out = decode_jpeg(raw)
+    assert out.shape == img.shape
+
+    def luma(a):
+        return (
+            0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        )
+
+    lerr = np.abs(luma(out.astype(float)) - luma(img.astype(float)))
+    assert lerr.max() <= 12 and lerr.mean() <= 2.5
+    assert (decode_jpeg(raw) == out).all()
+
+    # odd dims exercise MCU edge padding/cropping
+    img = np.tile(np.array([40, 90, 200], np.uint8), (17, 19, 1))
+    out = decode_jpeg(build_jpeg(img, subsampling="420"))
+    assert out.shape == (17, 19, 3) and (out == img).all()
+
+
 def test_jpeg_resize_and_distributed_decode(spark):
     """JPEG composes through transform → decode: resized payloads
     re-encode as JPEG and their decoded means stay near the original's."""
