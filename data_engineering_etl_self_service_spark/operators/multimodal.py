@@ -683,18 +683,19 @@ def decode_payload(raw: bytes) -> dict:
         )
         return out
     if raw[:4] == b"fLaC":
-        from .flac import decode_flac
+        from .flac import decode_flac_channels
 
         out["kind"] = "flac"
-        dec = decode_flac(bytes(raw))
+        dec = decode_flac_channels(bytes(raw))
         if dec is None:
-            return out  # LPC/stereo/corrupt — sniffed-only row
-        rate, _bits, samples = dec
-        x = np.asarray(samples, dtype=np.float64)
+            return out  # corrupt / out-of-subset — sniffed-only row
+        rate, _bits, chans = dec
+        n = len(chans[0]) if chans else 0
+        x = np.asarray(chans, dtype=np.float64)
         out.update(
-            channels=1, sample_rate=rate, n_samples=len(samples),
-            duration_s=len(samples) / rate,
-            rms=float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+            channels=len(chans), sample_rate=rate, n_samples=n,
+            duration_s=n / rate,
+            rms=float(np.sqrt((x * x).mean())) if n else 0.0,
         )
         return out
     if raw[:3] == b"\xff\xd8\xff":

@@ -1894,6 +1894,94 @@ def audio_features(spark, sf_dir):
 
 
 @register(
+    "flac_stereo_features",
+    """
+    WITH s AS (
+      SELECT doc_id, i,
+             ((doc_id * 31 + i * 7) % 4001) - 2000 AS l,
+             ((doc_id * 17 + i * 5) % 3001) - 1500 AS r
+      FROM documents, unnest(range(0, 96)) t(i))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(l * l) AS BIGINT) AS energy_left,
+           CAST(SUM(r * r) AS BIGINT) AS energy_right,
+           CAST(MAX(abs(l)) AS BIGINT) AS peak_left,
+           CAST(MAX(abs(r)) AS BIGINT) AS peak_right,
+           CAST(SUM(l - r) AS BIGINT) AS side_sum
+    FROM s GROUP BY doc_id
+    """,
+)
+def flac_stereo_features(spark, sf_dir):
+    """REAL stereo FLAC decode through LPC subframes and ALL FOUR
+    channel assignments (operators/flac.py — round 3 covered
+    mono/FIXED only; real encoders emit LPC + left/right/mid-side
+    almost exclusively). Per doc_id a deterministic stereo signal is
+    encoded with (doc_id % 3)-chosen subframe mode (lpc4 / fixed2 /
+    lpc8) and (doc_id % 4)-chosen channel assignment (mid_side /
+    left_side / right_side / independent), then decoded back and
+    reduced to integer-exact per-channel stats. FLAC is lossless, so
+    the oracle recomputes the stats symbolically from the generating
+    formula — a hash match proves warmup, quantized-LPC prediction,
+    Rice residuals, and inter-channel decorrelation reconstruct every
+    sample bit-for-bit across all 12 mode combinations.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass (encode +
+    decode + reduce per row inside the task); at 100 TB the codec work
+    is scan parallelism with zero exchanges.
+    """
+    from .operators.flac import build_flac, decode_flac_channels
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    modes = ["lpc4", "fixed2", "lpc8"]
+    assigns = ["mid_side", "left_side", "right_side", "independent"]
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                left = [
+                    ((i * 31 + j * 7) % 4001) - 2000 for j in range(96)
+                ]
+                right = [
+                    ((i * 17 + j * 5) % 3001) - 1500 for j in range(96)
+                ]
+                raw = build_flac(
+                    16000,
+                    (left, right),
+                    bits=16,
+                    block_size=32,
+                    mode=modes[i % 3],
+                    stereo_mode=assigns[i % 4],
+                )
+                dec = decode_flac_channels(raw)
+                dl, dr = dec[2]
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_samples": len(dl),
+                        "energy_left": sum(v * v for v in dl),
+                        "energy_right": sum(v * v for v in dr),
+                        "peak_left": max(abs(v) for v in dl),
+                        "peak_right": max(abs(v) for v in dr),
+                        "side_sum": sum(
+                            a - b for a, b in zip(dl, dr)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, n_samples long, energy_left long, "
+        "energy_right long, peak_left long, peak_right long, "
+        "side_sum long",
+    )
+
+
+@register(
     "png_decode",
     """
     SELECT doc_id,
@@ -2182,6 +2270,7 @@ _ROUND3_NEW = frozenset(
 _ROUND4_NEW = frozenset(
     {
         "jpeg420_decode",
+        "flac_stereo_features",
     }
 )
 

@@ -544,6 +544,91 @@ def test_flac_roundtrip_all_modes_and_distributed_pipeline(spark):
     assert got[2].kind == "wav" and got[2].sample_rate == 4000
 
 
+def test_flac_lpc_and_stereo_decorrelation_roundtrip():
+    """LPC subframes (arbitrary order, quantized Levinson-Durbin
+    coefficients) and all four stereo channel assignments round-trip
+    EXACTLY — the layouts real FLAC encoders actually emit. Covers
+    lpc orders 1-12 x {independent, left_side, right_side, mid_side}
+    x bit depths 8-24, degenerate-block verbatim fallback, and the
+    mono-API contract (decode_flac returns None for stereo)."""
+    import math
+    import random
+
+    from data_engineering_etl_self_service_spark.operators.flac import (
+        build_flac,
+        decode_flac,
+        decode_flac_channels,
+    )
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        decode_payload,
+    )
+
+    rng = random.Random(3)
+    n = 700
+    left = [
+        int(2000 * math.sin(i / 9)) + rng.randint(-50, 50)
+        for i in range(n)
+    ]
+    right = [
+        int(1500 * math.sin(i / 11 + 1)) + rng.randint(-50, 50)
+        for i in range(n)
+    ]
+
+    for mode in ("lpc1", "lpc2", "lpc4", "lpc8", "lpc12"):
+        rate, bits, got = decode_flac(
+            build_flac(16000, left, block_size=256, mode=mode)
+        )
+        assert got == left, ("mono", mode)
+    for mode in ("lpc4", "fixed2", "verbatim"):
+        for sm in ("independent", "left_side", "right_side", "mid_side"):
+            raw = build_flac(
+                16000,
+                (left, right),
+                block_size=256,
+                mode=mode,
+                stereo_mode=sm,
+            )
+            dec = decode_flac_channels(raw)
+            assert dec is not None, (mode, sm)
+            assert dec[2] == [left, right], (mode, sm)
+            assert decode_flac(raw) is None  # mono API: stereo → None
+            # deterministic encode
+            assert raw == build_flac(
+                16000,
+                (left, right),
+                block_size=256,
+                mode=mode,
+                stereo_mode=sm,
+            )
+
+    # every bit depth through the side channel's +1-bit path
+    for bits in (8, 12, 16, 20, 24):
+        lim = (1 << (bits - 1)) - 1
+        a = [rng.randint(-lim - 1, lim) for _ in range(300)]
+        b = [rng.randint(-lim - 1, lim) for _ in range(300)]
+        for sm in ("left_side", "right_side", "mid_side"):
+            dec = decode_flac_channels(
+                build_flac(
+                    8000, (a, b), bits=bits, block_size=128,
+                    mode="lpc4", stereo_mode=sm,
+                )
+            )
+            assert dec is not None and dec[2] == [a, b], (bits, sm)
+
+    # degenerate (all-zero) blocks: LPC falls back to verbatim, still exact
+    zeros = [0] * 200
+    assert decode_flac(build_flac(8000, zeros, mode="lpc8"))[2] == zeros
+
+    # decode_payload reports stereo streams as real typed rows now
+    d = decode_payload(
+        build_flac(
+            8000, (left, right), mode="lpc4", stereo_mode="mid_side"
+        )
+    )
+    assert d["kind"] == "flac" and d["channels"] == 2
+    assert d["n_samples"] == n and d["duration_s"] == n / 8000
+
+
 def test_animated_gif_real_frame_sampling(spark):
     """frame_sample_plan's REAL path: an animated GIF is demuxed and
     every Nth frame's DECODED pixels are hashed — verified against a
