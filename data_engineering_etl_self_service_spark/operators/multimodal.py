@@ -58,6 +58,10 @@ MAGIC_PREFIXES: tuple[tuple[bytes, str], ...] = (
     (b"OggS", "ogg"),
     (b"fLaC", "flac"),
     (b"\x00\x00\x00\x18ftyp", "mp4"),
+    (b"ID3", "mp3"),
+    (b"\xff\xfb", "mp3"),  # bare MPEG-1 L3 sync (no ID3 tag)
+    (b"\xff\xf3", "mp3"),  # MPEG-2 L3 sync
+    (b"\xff\xe3", "mp3"),  # MPEG-2.5 L3 sync
 )
 
 
@@ -720,6 +724,28 @@ def decode_payload(raw: bytes) -> dict:
                 mean_g=float(fx[..., 1].mean()),
                 mean_b=float(fx[..., 2].mean()),
             )
+        return out
+    if bytes(raw[:3]) == b"ID3" or (
+        len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+    ):
+        from .mp3 import _SPF, parse_mp3
+
+        meta = parse_mp3(bytes(raw))
+        out["kind"] = "mp3"
+        if meta is None:
+            return out  # sniffed-only: bad frames / non-L3
+        frames = (
+            meta["xing_frames"]
+            if meta["xing_frames"] is not None
+            else meta["n_frames"]
+        )
+        n = frames * _SPF[meta["version"]]
+        out.update(
+            channels=meta["channels"],
+            sample_rate=meta["sample_rate"],
+            n_samples=n,
+            duration_s=n / meta["sample_rate"],
+        )
         return out
     for prefix, tag in MAGIC_PREFIXES:
         if bytes(raw[: len(prefix)]) == prefix:

@@ -1982,6 +1982,101 @@ def flac_stereo_features(spark, sf_dir):
 
 
 @register(
+    "mp3_metadata",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 2 = 0 AS v1,
+             1 + doc_id % 14 AS bidx,
+             1 + doc_id % 3 AS ridx,
+             doc_id % 3 = 0 AS mono,
+             4 + doc_id % 13 AS nf,
+             doc_id % 4 = 0 AS has_xing
+      FROM documents),
+    m AS (
+      SELECT doc_id, nf, has_xing,
+             CASE WHEN v1 THEN '1' ELSE '2' END AS version,
+             CASE WHEN v1
+               THEN list_extract([32,40,48,56,64,80,96,112,128,160,192,
+                                  224,256,320], bidx)
+               ELSE list_extract([8,16,24,32,40,48,56,64,80,96,112,128,
+                                  144,160], bidx) END AS kbps,
+             CASE WHEN v1
+               THEN list_extract([44100,48000,32000], ridx)
+               ELSE list_extract([22050,24000,16000], ridx) END AS rate,
+             CASE WHEN mono THEN 1 ELSE 2 END AS ch,
+             CASE WHEN v1 THEN 1152 ELSE 576 END AS spf
+      FROM p)
+    SELECT doc_id,
+           version,
+           CAST(kbps AS BIGINT) AS bitrate_kbps,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(CASE WHEN has_xing THEN nf END AS BIGINT) AS xing_frames,
+           CAST(nf * spf * 1000 // rate AS BIGINT) AS duration_ms
+    FROM m
+    """,
+)
+def mp3_metadata(spark, sf_dir):
+    """MP3 container metadata extraction (operators/mp3.py — the one
+    major audio container previously opaque to the sniff table): per
+    doc_id a deterministic Layer-III stream is built (MPEG-1/2 x 14
+    bitrates x 3 sample rates x mono/stereo x optional Xing VBR tag),
+    then parsed back by walking every frame header — exact frame
+    count, codec params, Xing total, integer-exact duration. No MDCT
+    decode (documented scope line): curation needs the metadata —
+    filter by duration/bitrate, bill audio seconds — not the samples.
+    The oracle recomputes every field symbolically from the parameter
+    formulas, so a hash match proves sync parse, bitrate/rate table
+    lookup, frame-length arithmetic, the Xing side-info offset, and
+    the frame walk.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.mp3 import build_mp3, parse_mp3
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def metas(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                raw = build_mp3(
+                    version="1" if i % 2 == 0 else "2",
+                    bitrate_idx=1 + i % 14,
+                    rate_idx=i % 3,
+                    mono=i % 3 == 0,
+                    n_frames=4 + i % 13,
+                    xing=i % 4 == 0,
+                )
+                m = parse_mp3(raw)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "version": m["version"],
+                        "bitrate_kbps": m["bitrate_kbps"],
+                        "sample_rate": m["sample_rate"],
+                        "channels": m["channels"],
+                        "n_frames": m["n_frames"],
+                        "xing_frames": m["xing_frames"],
+                        "duration_ms": m["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        metas,
+        "doc_id long, version string, bitrate_kbps long, "
+        "sample_rate long, channels long, n_frames long, "
+        "xing_frames long, duration_ms long",
+    )
+
+
+@register(
     "png_decode",
     """
     SELECT doc_id,
@@ -2271,6 +2366,7 @@ _ROUND4_NEW = frozenset(
     {
         "jpeg420_decode",
         "flac_stereo_features",
+        "mp3_metadata",
     }
 )
 

@@ -629,6 +629,65 @@ def test_flac_lpc_and_stereo_decorrelation_roundtrip():
     assert d["n_samples"] == n and d["duration_s"] == n / 8000
 
 
+def test_mp3_header_and_xing_parse():
+    """MP3 metadata parse (operators/mp3.py): exact frame walk, bitrate/
+    rate table lookup, Xing VBR totals, ID3v2 skip, truncation
+    robustness, and the sniff-table integration (typed decode_payload
+    rows, no MDCT decode by scope)."""
+    import struct
+
+    from data_engineering_etl_self_service_spark.operators.mp3 import (
+        build_mp3,
+        parse_mp3,
+    )
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        decode_payload,
+    )
+
+    # CBR stereo MPEG-1: 128 kbps @ 44100
+    m = parse_mp3(build_mp3("1", 9, 0, False, 8))
+    assert m == {
+        "version": "1", "bitrate_kbps": 128, "sample_rate": 44100,
+        "channels": 2, "n_frames": 8, "xing_frames": None,
+        "vbr": False, "duration_ms": 8 * 1152 * 1000 // 44100,
+    }
+
+    # MPEG-2 mono with a Xing tag: duration prefers the tag total
+    m = parse_mp3(build_mp3("2", 5, 1, True, 12, xing=True))
+    assert m["version"] == "2" and m["sample_rate"] == 24000
+    assert m["channels"] == 1 and m["xing_frames"] == 12
+    assert m["duration_ms"] == 12 * 576 * 1000 // 24000
+
+    # ID3v2 prefix is skipped (syncsafe size)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    m = parse_mp3(id3 + build_mp3("1", 3, 2, True, 5))
+    assert m["bitrate_kbps"] == 48 and m["n_frames"] == 5
+
+    # truncated final frame: exact count of COMPLETE frames
+    raw = build_mp3("1", 9, 0, False, 6)
+    m = parse_mp3(raw[: len(raw) - 50])
+    assert m["n_frames"] == 5
+
+    # VBR detection: frames at differing bitrates
+    vbr = build_mp3("1", 9, 0, False, 3) + build_mp3("1", 11, 0, False, 2)
+    m = parse_mp3(vbr)
+    assert m["vbr"] is True and m["n_frames"] == 5
+
+    # not-MP3 / corrupt → None; Layer I/II out of scope
+    assert parse_mp3(b"junk") is None and parse_mp3(b"") is None
+    bad_layer = bytearray(build_mp3("1", 9, 0, False, 1))
+    bad_layer[1] = (bad_layer[1] & ~0x06) | 0x06  # layer I bits
+    assert parse_mp3(bytes(bad_layer)) is None
+
+    # sniff integration: typed row via decode_payload
+    d = decode_payload(build_mp3("1", 9, 0, False, 8, xing=True))
+    assert d["kind"] == "mp3" and d["sample_rate"] == 44100
+    assert d["channels"] == 2 and d["n_samples"] == 8 * 1152
+    assert abs(d["duration_s"] - 8 * 1152 / 44100) < 1e-12
+    d = decode_payload(b"\xff\xfbgarbage-not-a-frame")
+    assert d["kind"] == "mp3" and d["sample_rate"] is None
+
+
 def test_animated_gif_real_frame_sampling(spark):
     """frame_sample_plan's REAL path: an animated GIF is demuxed and
     every Nth frame's DECODED pixels are hashed — verified against a
