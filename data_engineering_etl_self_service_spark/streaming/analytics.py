@@ -1,0 +1,133 @@
+"""Streaming twins of the batch analytics operators (round-3 additions
+`cumulative_distinct_users`, `peak_concurrency`, `heavy_hitter_tokens`)
+— the continuous-ingest shapes of the same computations, pinned to
+their batch answers by availableNow parity tests
+(tests/test_streaming.py), the same harness the session operators use.
+
+Design notes per twin:
+
+- first-seen (→ cumulative distinct): the streaming phase is ONLY the
+  data-sized stateful part — a per-user running MIN(ts) aggregate
+  (mergeable state, update-per-batch). The hours-sized rollup + prefix
+  sum runs batch-side over the sink, exactly like the batch query runs
+  its only window over the hourly aggregate, not the data. Streaming
+  multi-aggregates are unsupported anyway; splitting at the aggregate
+  boundary is the correct scale seam, not a workaround.
+- daily peak concurrency: boundaries (+1 at ts, −1 at ts+presence) are
+  emitted TOGETHER from each event row (one explode — never a stream
+  union, which could split an interval's endpoints across
+  micro-batches and transiently overcount), keyed by the event's START
+  day, with an applyInPandasWithState sweep per day. Peak over a set
+  of complete intervals is monotone under set inclusion, so each
+  batch's emitted peak is a lower bound that reaches the exact answer
+  at stream end — max-over-emissions IS the final value. Semantics are
+  day-local (an interval counts toward its start day only); the batch
+  query's global sweep additionally carries windows across midnight —
+  the parity test pins the twin to the identical day-local batch
+  sweep. State per day is that day's boundary list; a production
+  deployment would bound it with a per-day boundary digest + daily
+  state timeout (days close after watermark passes midnight).
+- heavy hitters: no new code — :func:`operators.summaries.mg_batch_sink`
+  already maintains the standing mergeable Misra-Gries summary with
+  exactly-once folds; the summary is a provably complete candidate set
+  for any k <= capacity, and the parity test exact-verifies candidates
+  against the corpus, matching the batch operator's answer bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_PEAK_OUT_SCHEMA = "day date, peak long, n_boundaries long"
+_PEAK_STATE_SCHEMA = (
+    "ts array<long>, delta array<int>, eid array<long>"
+)
+
+
+def streaming_first_seen(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-user first-seen timestamp as a streaming aggregate (running
+    MIN state per user) — the data-sized half of the cumulative-
+    distinct-users decomposition; drive with complete mode and roll up
+    hourly batch-side."""
+    return events.groupBy(user_col).agg(
+        F.min(ts_col).alias("first_ts")
+    )
+
+
+def streaming_daily_peak_concurrency(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    presence_minutes: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Peak concurrent presence windows per start-day, as stateful
+    sweep-line state per day (see module docstring for the exactness
+    argument and the day-local semantics)."""
+    boundaries = events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(ts_col).alias("event_time"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.lit(1).alias("delta"),
+                    F.col(id_col).cast("long").alias("eid"),
+                ),
+                F.struct(
+                    (
+                        F.col(ts_col)
+                        + F.expr(
+                            f"INTERVAL {presence_minutes} MINUTES"
+                        )
+                    ).alias("t"),
+                    F.lit(-1).alias("delta"),
+                    F.col(id_col).cast("long").alias("eid"),
+                ),
+            )
+        ).alias("b"),
+    ).select("day", "event_time", "b.t", "b.delta", "b.eid")
+
+    def sweep(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        ts, delta, eid = (
+            state.get if state.exists else ([], [], [])
+        )
+        ts, delta, eid = list(ts), list(delta), list(eid)
+        for pdf in pdf_iter:
+            ts.extend(
+                (pdf["t"].astype("int64") // 1000).tolist()
+            )  # ns → µs
+            delta.extend(int(d) for d in pdf["delta"])
+            eid.extend(int(e) for e in pdf["eid"])
+        state.update((ts, delta, eid))
+        # full re-sweep of the day's boundaries: ends (−1) sort before
+        # starts at the same instant — the batch query's total order
+        run = peak = 0
+        for _, d, _ in sorted(zip(ts, delta, eid)):
+            run += d
+            peak = max(peak, run)
+        yield pd.DataFrame(
+            {
+                "day": [key[0]],
+                "peak": [peak],
+                "n_boundaries": [len(ts)],
+            }
+        )
+
+    return (
+        boundaries.withWatermark("event_time", watermark)
+        .groupBy("day")
+        .applyInPandasWithState(
+            sweep,
+            outputStructType=_PEAK_OUT_SCHEMA,
+            stateStructType=_PEAK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

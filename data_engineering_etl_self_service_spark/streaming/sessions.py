@@ -66,11 +66,16 @@ def streaming_tumbling_counts(
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, query_name: str) -> None:
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str = "complete"
+) -> None:
     """Drive a streaming aggregate to completion against bounded input
-    (availableNow trigger + memory sink) — the testable-parity harness."""
+    (availableNow trigger + memory sink) — the testable-parity harness.
+    ``mode``: "complete" for plain aggregates; "update" for
+    applyInPandasWithState operators (the sink then holds one appended
+    row per key per micro-batch — readers reduce to the final row)."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -616,3 +616,154 @@ def test_streaming_dq_gate_routes_batches(spark, tmp_path_factory):
     sink(bad, max(a[0] for a in alerts))
     assert snapshot_versions(str(root / "pub")) == vp
     assert snapshot_versions(str(root / "quar")) == vq
+
+
+def test_stream_first_seen_cumulative_matches_batch_query(spark, event_stream):
+    """Streaming twin of cumulative_distinct_users: the data-sized phase
+    (per-user running MIN(ts) state) streams; the hours-sized rollup +
+    prefix sum runs batch-side over the sink — and the result must equal
+    the registered batch query row-for-row."""
+    from data_engineering_etl_self_service_spark.queries import QUERIES
+    from data_engineering_etl_self_service_spark.streaming.analytics import (
+        streaming_first_seen,
+    )
+
+    run_stream_to_memory(
+        streaming_first_seen(event_stream), "stream_first_seen"
+    )
+    got = sorted(
+        spark.sql(
+            """
+            SELECT hour, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_users
+            FROM (SELECT date_trunc('hour', first_ts) AS hour,
+                         COUNT(*) AS new_users
+                  FROM stream_first_seen GROUP BY 1)
+            """
+        ).collect()
+    )
+    want = sorted(
+        QUERIES["cumulative_distinct_users"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+
+
+def test_stream_daily_peak_concurrency_matches_batch_sweep(spark, event_stream):
+    """Streaming stateful sweep-line (applyInPandasWithState per day)
+    must equal the identical day-local batch sweep exactly. The sink is
+    update-mode (one row per day per micro-batch); peak over complete
+    intervals is monotone under set inclusion, so MAX over emissions is
+    the final answer."""
+    from pyspark.sql import Window as W
+    from data_engineering_etl_self_service_spark.streaming.analytics import (
+        streaming_daily_peak_concurrency,
+    )
+
+    run_stream_to_memory(
+        streaming_daily_peak_concurrency(event_stream, presence_minutes=10),
+        "stream_daily_peak",
+        mode="update",
+    )
+    got = {
+        r.day: r.peak
+        for r in spark.sql(
+            "SELECT day, MAX(peak) AS peak FROM stream_daily_peak GROUP BY day"
+        ).collect()
+    }
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts"
+    )
+    b = ev.select(
+        F.to_date("ts").alias("day"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    ).unionAll(
+        ev.select(
+            F.to_date("ts").alias("day"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = W.partitionBy("day").orderBy("t", "delta", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    want = {
+        r.day: r.peak
+        for r in b.withColumn("conc", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("conc").alias("peak"))
+        .collect()
+    }
+    assert got == want and len(got) >= 25
+
+
+def test_stream_heavy_hitters_standing_summary_matches_batch(
+    spark, tmp_path_factory
+):
+    """Streaming heavy hitters: token stream → mg_batch_sink standing
+    Misra-Gries summary (several micro-batches, exactly-once folds) →
+    candidates exact-verified against the corpus — must reproduce the
+    batch heavy_hitters operator's answer bit-for-bit (the summary is a
+    provably complete candidate superset for k <= capacity)."""
+    from data_engineering_etl_self_service_spark.functions.text import tokens
+    from data_engineering_etl_self_service_spark.operators.summaries import (
+        heavy_hitters,
+        mg_batch_sink,
+    )
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    root = tmp_path_factory.mktemp("stream_hh")
+    docs_dir = str(root / "docs")
+    load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).repartition(8).write.mode("overwrite").parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+
+    k, capacity = 200, 400
+    base = str(root / "mg")
+    tok_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(docs_dir)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    (
+        tok_stream.writeStream.foreachBatch(
+            mg_batch_sink(base, "tok", capacity)
+        )
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+
+    cands = read_snapshot(spark, base).select(
+        F.col("item").alias("tok")
+    )
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    n_total = corpus.count()
+    got = sorted(
+        tuple(r)
+        for r in corpus.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(n_total))
+        .withColumn("n_total", F.lit(n_total).cast("long"))
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in heavy_hitters(corpus, "tok", k=k).collect()
+    )
+    assert got == want and len(got) > 0
