@@ -2367,6 +2367,8 @@ _ROUND4_NEW = frozenset(
         "jpeg420_decode",
         "flac_stereo_features",
         "mp3_metadata",
+        "bpe_segment",
+        "bigram_collocations",
     }
 )
 
@@ -5890,10 +5892,12 @@ def snapshot_changes(spark, sf_dir):
     )
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled DuckDB twin of operators/bpe.py:bpe_train — each round is
-    a (argmax-pair CTE, list_reduce merge CTE) pair, exactly mirroring
-    the Spark fold's greedy left-to-right non-overlapping semantics."""
+def _bpe_ctes(n_merges: int) -> "list[str]":
+    """Shared CTE chain for the BPE oracles (train + segment): word-type
+    table, then per round a (argmax-pair, list_reduce merge) CTE pair,
+    exactly mirroring the Spark fold's greedy left-to-right
+    non-overlapping semantics. ``s{n_merges}`` holds the final
+    symbolization of every word type."""
     ctes = [
         """w AS (
       SELECT w, COUNT(*) AS c
@@ -5923,12 +5927,35 @@ def _bpe_oracle(n_merges: int) -> str:
                                 ELSE acc || s END), 2), chr(31)) AS sym
       FROM {prev} CROSS JOIN p{r})"""
         )
+    return ctes
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Train oracle: the merge rules themselves, one row per round."""
+    ctes = _bpe_ctes(n_merges)
     sel = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_rank, x AS left_sym, y AS right_sym, "
         f"x || y AS merged FROM p{r}"
         for r in range(1, n_merges + 1)
     )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+def _bpe_segment_oracle(n_merges: int, top: int) -> str:
+    """Segment oracle: the final symbolization s{n} applied to the
+    word-type table — top word types with subword counts and the
+    segmentation itself."""
+    ctes = _bpe_ctes(n_merges)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT w AS word, CAST(c AS BIGINT) AS cnt,
+           CAST(len(sym) AS BIGINT) AS n_subwords,
+           array_to_string(sym, '+') AS segmented
+    FROM s{n_merges}
+    ORDER BY cnt DESC, word LIMIT {top}"""
+    )
 
 
 @register("bpe_merges", _bpe_oracle(8))
@@ -5955,6 +5982,48 @@ def bpe_merges(spark, sf_dir):
     rules = bpe_train(words, n_merges=8)
     return spark.createDataFrame(
         rules, "merge_rank long, left_sym string, right_sym string, merged string"
+    )
+
+
+@register("bpe_segment", _bpe_segment_oracle(8, 80))
+def bpe_segment(spark, sf_dir):
+    """APPLY the trained BPE merges — the other half of the tokenizer
+    lifecycle (`bpe_merges` trains; this segments): every word type is
+    re-tokenized by folding the 8 learned rules in rank order, and the
+    top-80 word types come back with their subword count and the
+    segmentation itself. The oracle replays the identical unrolled
+    list_reduce chain, so a hash match proves the trained rules AND
+    their greedy left-to-right application agree token-for-token across
+    engines.
+
+    Scale: training cost is `bpe_merges`'s (one corpus-sized word-type
+    agg, then vocab-bound rounds); application is a shuffle-free
+    per-word column fold — encoding a 100 TB corpus with a trained
+    tokenizer is pure scan parallelism, which is the whole point of the
+    word-type decomposition.
+    """
+    from .operators.bpe import DELIM, _merge_fold, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rules = bpe_train(words, n_merges=8)
+    sym = F.split(F.col("w"), "(?!$)")
+    for _rank, x, y, merged in rules:
+        sym = _merge_fold(x, y, merged)(sym)
+    return (
+        words.filter(~F.col("w").contains(DELIM))
+        .select(
+            F.col("w").alias("word"),
+            F.col("c").cast("bigint").alias("cnt"),
+            F.size(sym).cast("bigint").alias("n_subwords"),
+            F.array_join(sym, "+").alias("segmented"),
+        )
+        .orderBy(F.desc("cnt"), "word")
+        .limit(80)
     )
 
 
@@ -6271,6 +6340,85 @@ def sentence_stats(spark, sf_dir):
             "avg_chars_permille"
         ),
     )
+
+
+@register(
+    "bigram_collocations",
+    """
+    WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents),
+    u AS (SELECT x AS tok, COUNT(*) AS n
+          FROM (SELECT unnest(w) AS x FROM t) GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM (SELECT unnest(w) FROM t)),
+    bc AS (SELECT w[i] AS x, w[i+1] AS y, COUNT(*) AS nxy
+           FROM t, unnest(range(1, len(w))) v(i)
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+    SELECT bc.x, bc.y, CAST(nxy AS BIGINT) AS n_xy,
+           CAST(nxy * 1000000 * (SELECT n FROM tot)
+                // (ux.n * uy.n) AS BIGINT) AS lift_ppm
+    FROM bc JOIN u ux ON bc.x = ux.tok JOIN u uy ON bc.y = uy.tok
+    ORDER BY lift_ppm DESC, bc.x, bc.y LIMIT 40
+    """,
+)
+def bigram_collocations(spark, sf_dir):
+    """Collocation mining: the top-40 adjacent word pairs by integer
+    lift = P(xy)/(P(x)P(y)) scaled to ppm — the classic PMI-style
+    phrase detector (minus the log, which changes no ordering for fixed
+    sign) used to promote multi-word units ("new york") into tokenizer
+    vocabularies and to spot boilerplate n-grams in corpus QA. Floors
+    and a >= 5 support cut keep everything int64-exact (ppm factor
+    ordered nxy*1e6*N to stay far below 2^63 at fixture scales; a
+    production run over ~1e12-token corpora moves the product through
+    the decimal transit, same as the revenue sums).
+
+    Scale: bigrams explode via slice+arrays_zip (codegen'd built-ins,
+    no higher-order lambdas — functions/text.py measured those ~5x
+    slower); two map-side-combined counts (unigram, bigram) and two
+    shuffles on token keys; the corpus-total is ONE collected scalar.
+    The unigram join is key-partitioned, not broadcast, because a real
+    vocabulary outgrows a broadcast at 100 TB.
+    """
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(tokens(F.col("text")).alias("w"))
+    z = (
+        t.withColumn("l", F.slice(F.col("w"), 1, F.size("w") - 1))
+        .withColumn("r", F.slice(F.col("w"), 2, F.size("w") - 1))
+        .select(F.explode(F.arrays_zip("l", "r")).alias("b"))
+        .select(F.col("b.l").alias("x"), F.col("b.r").alias("y"))
+    )
+    uni = (
+        t.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    n_total = uni.agg(F.sum("n")).collect()[0][0]
+    bc = (
+        z.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .filter(F.col("nxy") >= 5)
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("n").alias("nx"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("n").alias("ny"))
+    out = (
+        bc.join(ux, "x")
+        .join(uy, "y")
+        .select(
+            "x",
+            "y",
+            F.col("nxy").cast("bigint").alias("n_xy"),
+            F.expr(
+                f"(nxy * 1000000L * {n_total}L) div (nx * ny)"
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "x", "y")
+        .limit(40)
+        .localCheckpoint()
+    )
+    uni.unpersist()
+    return out
 
 
 @register(
