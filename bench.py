@@ -85,6 +85,13 @@ EXTENDED = [
     "bitmap_distinct_users",
     "weighted_median_price",
     "stratified_sample",
+    # round 4: subsampled/LPC/MP3 codec paths + tokenizer lifecycle +
+    # collocations
+    "jpeg420_decode",
+    "flac_stereo_features",
+    "mp3_metadata",
+    "bpe_segment",
+    "bigram_collocations",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -4,13 +4,15 @@ Closes the last named image-format stub in the multimodal module. Scope:
 baseline sequential DCT, 8-bit, grayscale or YCbCr with ARBITRARY
 sampling factors on decode (4:4:4, 4:2:0, 4:2:2, 4:4:0, ... — the
 interleaved-MCU loop is the general T.81 A.2.3 one, chroma upsampled by
-sample replication), no restart markers, no progressive/arithmetic modes
-— anything else returns None from :func:`decode_jpeg` (the decode pass
-degrades to a sniffed kind-only row, never raises). The encoder emits
-4:4:4 (default) or 4:2:0 (``subsampling="420"`` — 2x2-mean chroma
-downsample, the layout real cameras overwhelmingly produce), which is
-how the decoder's subsampled path gets exercised without third-party
-fixtures.
+sample replication), restart intervals (DRI + RST0-7: DC-predictor
+reset and byte realignment every R MCUs — cameras emit these routinely
+for error resilience), no progressive/arithmetic modes — anything else
+returns None from :func:`decode_jpeg` (the decode pass degrades to a
+sniffed kind-only row, never raises). The encoder emits 4:4:4 (default)
+or 4:2:0 (``subsampling="420"`` — 2x2-mean chroma downsample, the
+layout real cameras overwhelmingly produce) and an optional
+``restart_interval``, which is how the decoder's subsampled and restart
+paths get exercised without third-party fixtures.
 
 Design notes:
 
@@ -172,13 +174,20 @@ def _pad_edge(c: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return np.clip(p, 0.0, 255.0)
 
 
-def build_jpeg(px: np.ndarray, subsampling: str = "444") -> bytes:
+def build_jpeg(
+    px: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as baseline
     JPEG with all-ones quant tables (minimal loss) and this module's
     canonical Huffman tables. ``subsampling``: "444" (every component at
     full resolution, 1x1 MCUs) or "420" (Y at 2x2 sampling inside a
     16x16-pixel MCU, Cb/Cr downsampled by a 2x2 mean — the real-world
-    camera layout); ignored for grayscale input."""
+    camera layout); ignored for grayscale input. ``restart_interval``
+    R > 0 emits a DRI segment and an RSTn marker (byte-aligned, DC
+    predictors reset) after every R MCUs, per T.81 — the
+    error-resilience layout cameras produce."""
     px = np.asarray(px, dtype=np.uint8)
     gray = px.ndim == 2
     if subsampling not in ("444", "420"):
@@ -233,38 +242,71 @@ def build_jpeg(px: np.ndarray, subsampling: str = "444") -> bytes:
     if not gray:
         out += _dht_segment(0x01, _DC_SYMBOLS, 4)
         out += _dht_segment(0x11, _AC_SYMBOLS, 8)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    wtr = _BitWriter()
-    preds = [0] * nc
+    # gather MCUs as (component, block) lists so restart handling is
+    # uniform across sampling layouts
+    mcus = []
     if sub420:
         # interleaved MCU order per T.81 A.2.3: Y00 Y01 Y10 Y11 Cb Cr
         for my in range(ph // 16):
             for mx in range(pw // 16):
+                blocks = []
                 for vy in range(2):
                     for vx in range(2):
                         by, bx = my * 2 + vy, mx * 2 + vx
-                        block = padded[0][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ]
-                        preds[0] = _encode_block(wtr, block, preds[0])
+                        blocks.append(
+                            (
+                                0,
+                                padded[0][
+                                    by * 8 : by * 8 + 8,
+                                    bx * 8 : bx * 8 + 8,
+                                ],
+                            )
+                        )
                 for ci in (1, 2):
-                    block = padded[ci][
-                        my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
-                    ]
-                    preds[ci] = _encode_block(wtr, block, preds[ci])
+                    blocks.append(
+                        (
+                            ci,
+                            padded[ci][
+                                my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                            ],
+                        )
+                    )
+                mcus.append(blocks)
     else:
         for by in range(ph // 8):
             for bx in range(pw // 8):
-                for ci in range(nc):
-                    block = padded[ci][
-                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                mcus.append(
+                    [
+                        (
+                            ci,
+                            padded[ci][
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ],
+                        )
+                        for ci in range(nc)
                     ]
-                    preds[ci] = _encode_block(wtr, block, preds[ci])
+                )
+
+    wtr = _BitWriter()
+    preds = [0] * nc
+    rst = 0
+    for mi, blocks in enumerate(mcus):
+        if restart_interval and mi and mi % restart_interval == 0:
+            out += wtr.flush()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            wtr = _BitWriter()
+            preds = [0] * nc
+        for ci, block in blocks:
+            preds[ci] = _encode_block(wtr, block, preds[ci])
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -300,6 +342,19 @@ class _BitReader:
         self.n -= length
         self.acc &= (1 << self.n) - 1
         return v
+
+    def marker(self) -> "tuple[int, int]":
+        """Discard any partial-byte padding bits and read a 2-byte
+        marker directly from the stream (for RSTn between restart
+        intervals). Between reads n < 8, so dropped bits are only the
+        current byte's 1-padding."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise EOFError
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        self.pos += 2
+        return b0, b1
 
 
 def _build_huffman(bits: "list[int]", vals: bytes) -> dict:
@@ -346,6 +401,7 @@ def _decode_jpeg(raw: bytes):
     huff: dict[tuple, dict] = {}
     frame = None
     scan = None
+    restart = 0
     while pos < len(raw):
         if raw[pos] != 0xFF:
             return None
@@ -392,8 +448,8 @@ def _decode_jpeg(raw: bytes):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline frame types
-        elif marker == 0xDD:
-            return None  # restart intervals out of subset
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scomp = []
@@ -431,8 +487,15 @@ def _decode_jpeg(raw: bytes):
         order.append((ci, hi, vi, qt[tq], huff[(0, td)], huff[(1, ta)]))
     r = _BitReader(data)
     preds = [0] * len(comps)
+    mcu_index = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart and mcu_index and mcu_index % restart == 0:
+                b0, b1 = r.marker()
+                if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+                    return None
+                preds = [0] * len(comps)
+            mcu_index += 1
             for ci, hi, vi, q, dct, act in order:
                 for vy in range(vi):
                     for vx in range(hi):

@@ -468,6 +468,49 @@ def test_jpeg_420_chroma_subsampling_roundtrip():
     assert out.shape == (17, 19, 3) and (out == img).all()
 
 
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI + RSTn markers (the error-resilience layout cameras emit):
+    restart intervals must not change a single decoded pixel vs the
+    continuous-scan encode, across 4:4:4 / 4:2:0 / grayscale and
+    interval lengths that land mid-row and mid-image."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.jpeg import (
+        build_jpeg,
+        decode_jpeg,
+    )
+
+    rng = np.random.default_rng(4)
+    solid = np.tile(np.array([55, 180, 99], np.uint8), (19, 27, 1))
+    rand = rng.integers(0, 256, (24, 33, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (17, 21), dtype=np.uint8)
+    for ri in (1, 2, 3, 7):
+        for sub in ("444", "420"):
+            raw = build_jpeg(solid, subsampling=sub, restart_interval=ri)
+            assert b"\xff\xdd" in raw  # DRI present
+            out = decode_jpeg(raw)
+            assert out.shape == solid.shape
+            if sub == "420":
+                assert (out == solid).all()
+            else:
+                assert np.abs(out.astype(int) - solid.astype(int)).max() <= 1
+            base = decode_jpeg(build_jpeg(rand, subsampling=sub))
+            got = decode_jpeg(
+                build_jpeg(rand, subsampling=sub, restart_interval=ri)
+            )
+            assert (got == base).all(), (ri, sub)
+        assert (
+            decode_jpeg(build_jpeg(gray, restart_interval=ri))
+            == decode_jpeg(build_jpeg(gray))
+        ).all()
+
+    # a corrupted RST marker degrades to None, not garbage
+    raw = bytearray(build_jpeg(solid, restart_interval=1))
+    i = raw.index(b"\xff\xd0")
+    raw[i + 1] = 0xC5  # not an RSTn
+    assert decode_jpeg(bytes(raw)) is None
+
+
 def test_jpeg_resize_and_distributed_decode(spark):
     """JPEG composes through transform → decode: resized payloads
     re-encode as JPEG and their decoded means stay near the original's."""
