@@ -6378,6 +6378,10 @@ def bigram_collocations(spark, sf_dir):
     The unigram join is key-partitioned, not broadcast, because a real
     vocabulary outgrows a broadcast at 100 TB.
     """
+    return _bigram_collocations_build(spark, sf_dir, eager=True)
+
+
+def _bigram_collocations_build(spark, sf_dir, eager=True):
     d = _t(spark, sf_dir, "documents")
     t = d.select(tokens(F.col("text")).alias("w"))
     z = (
@@ -6386,12 +6390,11 @@ def bigram_collocations(spark, sf_dir):
         .select(F.explode(F.arrays_zip("l", "r")).alias("b"))
         .select(F.col("b.l").alias("x"), F.col("b.r").alias("y"))
     )
-    uni = (
-        t.select(F.explode("w").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+    uni = t.select(F.explode("w").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")
     )
+    if eager:
+        uni = uni.persist()
     n_total = uni.agg(F.sum("n")).collect()[0][0]
     bc = (
         z.groupBy("x", "y")
@@ -6415,10 +6418,19 @@ def bigram_collocations(spark, sf_dir):
         )
         .orderBy(F.desc("lift_ppm"), "x", "y")
         .limit(40)
-        .localCheckpoint()
     )
+    if not eager:
+        return out
+    out = out.localCheckpoint()
     uni.unpersist()
     return out
+
+
+PLAN_VIEWS["bigram_collocations"] = (
+    lambda spark, sf_dir: _bigram_collocations_build(
+        spark, sf_dir, eager=False
+    )
+)
 
 
 @register(
