@@ -174,10 +174,187 @@ def _pad_edge(c: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return np.clip(p, 0.0, 255.0)
 
 
+def _quant_coef_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane → (H/8, W/8, 64) int64 quantized (q=1) DCT
+    coefficients in zigzag order."""
+    by_n, bx_n = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+    for by in range(by_n):
+        for bx in range(bx_n):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            q = np.rint(_A @ (blk - 128.0) @ _A.T).astype(np.int64)
+            out[by, bx] = q.reshape(-1)[_ZIGZAG]
+    return out
+
+
+def _sos_segment(scomp: "list[tuple[int, int]]", ss: int, se: int,
+                 ah: int, al: int) -> bytes:
+    body = bytes([len(scomp)])
+    for cs, tables in scomp:
+        body += bytes([cs, tables])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _emit_ac_first(
+    wtr: _BitWriter, zz, al: int, ss: int = 1, se: int = 63
+) -> None:
+    """First AC scan of one block over band [ss, se], point transform
+    ``al`` (magnitudes truncated toward zero per T.81 G.1.2.2)."""
+    t = [0] * 64
+    last = ss - 1
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = (v if v >= 0 else -v) >> al
+        t[k] = a if v >= 0 else -a
+        if t[k]:
+            last = k
+    run = 0
+    for k in range(ss, last + 1):
+        v = t[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _AC_CODES[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = _AC_CODES[(run << 4) | size]
+        wtr.write(code, ln)
+        wtr.write(_amplitude(v, size), size)
+        run = 0
+    if last != se:
+        code, ln = _AC_CODES[0x00]  # EOB (run length 1)
+        wtr.write(code, ln)
+
+
+def _emit_ac_refine(
+    wtr: _BitWriter, zz, al: int, ss: int = 1, se: int = 63
+) -> None:
+    """AC refinement scan of one block over band [ss, se] (T.81
+    G.1.2.3): newly-nonzero coefficients as (run, 1)+sign symbols,
+    correction bits for history-nonzero coefficients interleaved in
+    position order exactly where the decoder's advance loop consumes
+    them, per-block EOB."""
+    absv = [0] * 64
+    for k in range(ss, se + 1):
+        absv[k] = (abs(int(zz[k]))) >> al
+    k = ss
+    while k <= se:
+        pnew = None
+        for j in range(k, se + 1):
+            if absv[j] == 1:
+                pnew = j
+                break
+        if pnew is None:
+            break
+        run = sum(1 for j in range(k, pnew) if absv[j] == 0)
+        while run > 15:
+            code, ln = _AC_CODES[0xF0]
+            wtr.write(code, ln)
+            zcount = 0
+            while zcount < 16:
+                if absv[k] == 0:
+                    zcount += 1
+                elif absv[k] >= 2:
+                    wtr.write(absv[k] & 1, 1)
+                k += 1
+            run -= 16
+        code, ln = _AC_CODES[(run << 4) | 1]
+        wtr.write(code, ln)
+        wtr.write(1 if zz[pnew] >= 0 else 0, 1)
+        for j in range(k, pnew):
+            if absv[j] >= 2:
+                wtr.write(absv[j] & 1, 1)
+        k = pnew + 1
+    if k <= se:
+        code, ln = _AC_CODES[0x00]  # EOB; then the band-tail corrections
+        wtr.write(code, ln)
+        for j in range(k, se + 1):
+            if absv[j] >= 2:
+                wtr.write(absv[j] & 1, 1)
+
+
+def _emit_progressive_scans(
+    padded, sampling, h: int, w: int, nc: int, sub420: bool,
+    bands=((1, 63),),
+) -> bytes:
+    """The progressive scan script: DC first (interleaved, Al=1), DC
+    refine, then per component AC 1-63 first (Al=1) and AC refine —
+    all four T.81 G.2 scan kinds. Tables were emitted with the
+    headers; each scan is its own SOS + entropy segment."""
+    coefs = [_quant_coef_blocks(p) for p in padded]
+    hmax = max(s >> 4 for s in sampling[:nc])
+    vmax = max(s & 0x0F for s in sampling[:nc])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    out = bytearray()
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    hi, vi = sampling[ci] >> 4, sampling[ci] & 0x0F
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            yield ci, my * vi + vy, mx * hi + vx
+
+    # scan 1: DC first, all components interleaved, point transform 1
+    out += _sos_segment(
+        [(i + 1, (0 if i == 0 else 1) << 4) for i in range(nc)],
+        0, 0, 0, 1,
+    )
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for ci, by, bx in mcu_blocks():
+        dc = int(coefs[ci][by, bx, 0]) >> 1  # arithmetic: T.81 DC PT
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        size = _category(diff)
+        code, ln = _DC_CODES[size]
+        wtr.write(code, ln)
+        if size:
+            wtr.write(_amplitude(diff, size), size)
+    out += wtr.flush()
+
+    # scan 2: DC refinement — one raw bit (bit 0 of the true DC) per block
+    out += _sos_segment([(i + 1, 0) for i in range(nc)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for ci, by, bx in mcu_blocks():
+        wtr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+    out += wtr.flush()
+
+    # per component and spectral band: AC first scan at Al=1, then
+    # refinement (spectral selection x successive approximation)
+    for ah, al in ((0, 1), (1, 0)):
+        for ci in range(nc):
+            hi, vi = sampling[ci] >> 4, sampling[ci] & 0x0F
+            ch, cw = _comp_block_grid(h, w, hi, vi, hmax, vmax)
+            ta = 0 if ci == 0 else 1
+            for ss, se in bands:
+                out += _sos_segment([(ci + 1, ta)], ss, se, ah, al)
+                wtr = _BitWriter()
+                for by in range(ch):
+                    for bx in range(cw):
+                        if ah == 0:
+                            _emit_ac_first(
+                                wtr, coefs[ci][by, bx], al, ss, se
+                            )
+                        else:
+                            _emit_ac_refine(
+                                wtr, coefs[ci][by, bx], al, ss, se
+                            )
+                out += wtr.flush()
+    return bytes(out)
+
+
 def build_jpeg(
     px: np.ndarray,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
+    progressive_bands: "tuple[tuple[int, int], ...]" = ((1, 63),),
 ) -> bytes:
     """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as baseline
     JPEG with all-ones quant tables (minimal loss) and this module's
@@ -187,7 +364,13 @@ def build_jpeg(
     camera layout); ignored for grayscale input. ``restart_interval``
     R > 0 emits a DRI segment and an RSTn marker (byte-aligned, DC
     predictors reset) after every R MCUs, per T.81 — the
-    error-resilience layout cameras produce."""
+    error-resilience layout cameras produce (baseline mode only).
+    ``progressive`` emits SOF2 with a 2(1+nc)-scan successive-
+    approximation script — DC first (Al=1), DC refine, per-component
+    AC 1-63 first (Al=1), per-component AC refine — exercising every
+    T.81 G.2 scan kind; final Al=0 everywhere, so the transported
+    coefficients (and therefore the decoded pixels) are IDENTICAL to
+    the baseline encoding's."""
     px = np.asarray(px, dtype=np.uint8)
     gray = px.ndim == 2
     if subsampling not in ("444", "420"):
@@ -236,12 +419,21 @@ def build_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
         sof += bytes([i + 1, sampling[i], 0 if i == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
     out += _dht_segment(0x00, _DC_SYMBOLS, 4)  # DC table 0
     out += _dht_segment(0x10, _AC_SYMBOLS, 8)  # AC table 0
     if not gray:
         out += _dht_segment(0x01, _DC_SYMBOLS, 4)
         out += _dht_segment(0x11, _AC_SYMBOLS, 8)
+    if progressive:
+        out += _emit_progressive_scans(
+            padded, sampling, h, w, nc, sub420,
+            bands=progressive_bands,
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc])
@@ -393,6 +585,22 @@ def decode_jpeg(raw: bytes):
         return None
 
 
+def _find_entropy_end(raw: bytes, pos: int) -> int:
+    """Index of the first real marker (not a stuffed 0x00 or RSTn)
+    after ``pos`` — the end of a scan's entropy-coded segment."""
+    i = pos
+    n = len(raw)
+    while i + 1 < n:
+        if raw[i] == 0xFF:
+            nxt = raw[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
 def _decode_jpeg(raw: bytes):
     if raw[:2] != b"\xff\xd8":
         return None
@@ -400,7 +608,8 @@ def _decode_jpeg(raw: bytes):
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple, dict] = {}
     frame = None
-    scan = None
+    progressive = False
+    scans = []  # (scomp, ss, se, ah, al, entropy, restart, huff snapshot)
     restart = 0
     while pos < len(raw):
         if raw[pos] != 0xFF:
@@ -433,7 +642,8 @@ def _decode_jpeg(raw: bytes):
                 vals = body[b + 17 : b + 17 + n]
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 b += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc not in (1, 3):
                 return None
@@ -445,9 +655,9 @@ def _decode_jpeg(raw: bytes):
                     return None
                 comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            return None  # non-baseline/-progressive frame types
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -456,12 +666,23 @@ def _decode_jpeg(raw: bytes):
             for i in range(ns):
                 cs, tables = body[1 + 2 * i : 3 + 2 * i]
                 scomp.append((cs, tables >> 4, tables & 0x0F))
-            scan = (scomp, raw[pos:])
-            break
-    if frame is None or scan is None:
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            end = _find_entropy_end(raw, pos)
+            scans.append(
+                (
+                    scomp, ss, se, ahal >> 4, ahal & 0x0F,
+                    raw[pos:end], restart, dict(huff),
+                )
+            )
+            pos = end
+            if not progressive:
+                break  # baseline: single scan
+    if frame is None or not scans:
         return None
     h, w, comps = frame
-    scomp, data = scan
+    if progressive:
+        return _decode_progressive(h, w, comps, scans, qt)
+    scomp, _ss, _se, _ah, _al, data, restart, huff = scans[0]
     if len(scomp) != len(comps):
         return None
     if len(comps) == 1:
@@ -529,11 +750,218 @@ def _decode_jpeg(raw: bytes):
                         planes[ci][
                             by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                         ] = blk
-    # upsample subsampled components by sample replication, crop to h x w
+    factors = [meta[cs][:2] for cs, _, _ in scomp]
+    return _finish_image(planes, factors, h, w)
+
+
+def _comp_block_grid(h, w, hi, vi, hmax, vmax):
+    """Non-interleaved block grid of a component (T.81 A.1.1: component
+    sample dims are ceil(image_dim * fi / fmax), then ceil/8 blocks) —
+    note this can be SMALLER than the MCU-padded grid; padding blocks
+    are simply never coded in non-interleaved scans."""
+    cw = ((w * hi + hmax - 1) // hmax + 7) // 8
+    ch = ((h * vi + vmax - 1) // vmax + 7) // 8
+    return ch, cw
+
+
+def _refine_nonzero(r: _BitReader, zz, k: int, p1: int, m1: int) -> None:
+    """One AC-refinement correction bit for a nonzero-history coefficient
+    (T.81 G.2 / libjpeg decode_mcu_AC_refine semantics)."""
+    if r.read(1):
+        if (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+
+def _decode_progressive(h, w, comps, scans, qt):
+    """Progressive JPEG (SOF2): accumulate quantized coefficients across
+    spectral-selection / successive-approximation scans (T.81 G.2 —
+    DC first/refine, AC first/refine with EOB runs), then dequantize +
+    IDCT once at the end. Restart markers reset DC predictors and the
+    EOB run."""
+    if len(comps) == 1:
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(hi for _, hi, vi, _ in comps)
+    vmax = max(vi for _, hi, vi, _ in comps)
+    if any(hmax % hi or vmax % vi for _, hi, vi, _ in comps):
+        return None
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    idx_of = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    coefs = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for _, hi, vi, _ in comps
+    ]
+
+    for scomp, ss, se, ah, al, data, restart, huff in scans:
+        r = _BitReader(data)
+        if ss == 0:  # ---- DC scan (interleaved or single-component)
+            if se != 0:
+                return None
+            members = []  # (comp index, hi, vi, dc table)
+            for cs, td, _ta in scomp:
+                if cs not in idx_of:
+                    return None
+                ci = idx_of[cs]
+                _, hi, vi, _ = comps[ci]
+                table = huff.get((0, td)) if ah == 0 else None
+                if ah == 0 and table is None:
+                    return None
+                members.append((ci, hi, vi, table))
+            preds = {ci: 0 for ci, *_ in members}
+
+            def dc_unit(ci, by, bx, table):
+                zz = coefs[ci][by, bx]
+                if ah == 0:
+                    size = _read_symbol(r, table)
+                    diff = _extend(r.read(size), size) if size else 0
+                    preds[ci] += diff
+                    zz[0] = preds[ci] << al
+                else:  # refinement: one bit appends bit ``al``
+                    if r.read(1):
+                        zz[0] = int(zz[0]) | (1 << al)
+
+            unit = 0
+            if len(members) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart and unit and unit % restart == 0:
+                            b0, b1 = r.marker()
+                            if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+                                return None
+                            preds = {k: 0 for k in preds}
+                        unit += 1
+                        for ci, hi, vi, table in members:
+                            for vy in range(vi):
+                                for vx in range(hi):
+                                    dc_unit(
+                                        ci, my * vi + vy, mx * hi + vx,
+                                        table,
+                                    )
+            else:
+                ci, hi, vi, table = members[0]
+                ch, cw = _comp_block_grid(h, w, hi, vi, hmax, vmax)
+                for by in range(ch):
+                    for bx in range(cw):
+                        if restart and unit and unit % restart == 0:
+                            b0, b1 = r.marker()
+                            if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+                                return None
+                            preds = {k: 0 for k in preds}
+                        unit += 1
+                        dc_unit(ci, by, bx, table)
+        else:  # ---- AC scan: always single-component, non-interleaved
+            if len(scomp) != 1 or not (1 <= ss <= se <= 63):
+                return None
+            cs, _td, ta = scomp[0]
+            if cs not in idx_of:
+                return None
+            ci = idx_of[cs]
+            _, hi, vi, _ = comps[ci]
+            table = huff.get((1, ta))
+            if table is None:
+                return None
+            ch, cw = _comp_block_grid(h, w, hi, vi, hmax, vmax)
+            p1, m1 = 1 << al, -(1 << al)
+            eobrun = 0
+            unit = 0
+            for by in range(ch):
+                for bx in range(cw):
+                    if restart and unit and unit % restart == 0:
+                        b0, b1 = r.marker()
+                        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+                            return None
+                        eobrun = 0
+                    unit += 1
+                    zz = coefs[ci][by, bx]
+                    if ah == 0:  # ---- first AC scan
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _read_symbol(r, table)
+                            rr, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if rr == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << rr) - 1
+                                if rr:
+                                    eobrun += r.read(rr)
+                                break
+                            k += rr
+                            if k > se:
+                                return None
+                            zz[k] = _extend(r.read(s), s) << al
+                            k += 1
+                    else:  # ---- AC refinement scan
+                        k = ss
+                        if eobrun:
+                            eobrun -= 1
+                        else:
+                            while k <= se:
+                                rs = _read_symbol(r, table)
+                                rr, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if rr < 15:  # EOB run
+                                        eobrun = (1 << rr) - 1
+                                        if rr:
+                                            eobrun += r.read(rr)
+                                        break
+                                    val = 0  # ZRL: 16 zero-history
+                                else:
+                                    if s != 1:
+                                        return None
+                                    val = p1 if r.read(1) else m1
+                                # advance to the rr-th zero-history slot,
+                                # correcting nonzero-history coeffs passed
+                                while k <= se:
+                                    if zz[k] != 0:
+                                        _refine_nonzero(r, zz, k, p1, m1)
+                                    else:
+                                        if rr == 0:
+                                            break
+                                        rr -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    zz[k] = val
+                                k += 1
+                        # band tail: correction bits only
+                        while k <= se:
+                            if zz[k] != 0:
+                                _refine_nonzero(r, zz, k, p1, m1)
+                            k += 1
+
+    # ---- reconstruction: dequantize + IDCT every block, then the
+    # shared upsample/crop/color tail (planes in frame order)
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        q = qt.get(tq)
+        if q is None:
+            return None
+        arr = coefs[ci]
+        by_n, bx_n = arr.shape[:2]
+        plane = np.empty((by_n * 8, bx_n * 8))
+        for by in range(by_n):
+            for bx in range(bx_n):
+                coef = np.zeros(64)
+                coef[_ZIGZAG] = arr[by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ coef.reshape(8, 8) @ _A + 128.0
+                )
+        planes.append(plane)
+    return _finish_image(
+        planes, [(hi, vi) for _, hi, vi, _ in comps], h, w
+    )
+
+
+def _finish_image(planes, factors, h: int, w: int):
+    """Upsample subsampled components by sample replication, crop to
+    h x w, and color-convert (planes in Y[,Cb,Cr] order)."""
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     up = []
-    for ci, (cs, _, _) in enumerate(scomp):
-        hi, vi, _ = meta[cs]
-        p = planes[ci]
+    for p, (hi, vi) in zip(planes, factors):
         if hi != hmax or vi != vmax:
             p = np.repeat(
                 np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1

@@ -511,6 +511,67 @@ def test_jpeg_restart_intervals_roundtrip():
     assert decode_jpeg(bytes(raw)) is None
 
 
+def test_jpeg_progressive_decode_matches_baseline():
+    """Progressive JPEG (SOF2, T.81 G.2): the encoder's successive-
+    approximation script (DC first Al=1, DC refine, per-component AC
+    first Al=1, AC refine — optionally split into spectral bands)
+    transports EXACTLY the coefficients of the baseline encoding, so
+    the decoded pixels must be bit-identical to the baseline decode.
+    Covers gray / 4:4:4 / 4:2:0, odd dims down to 1x1, multi-band
+    spectral selection, EOB-run + ZRL refinement paths, and
+    determinism."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.jpeg import (
+        build_jpeg,
+        decode_jpeg,
+    )
+
+    rng = np.random.default_rng(8)
+    cases = [
+        (rng.integers(0, 256, (21, 29), dtype=np.uint8), "444"),
+        (rng.integers(0, 256, (24, 17, 3), dtype=np.uint8), "444"),
+        (rng.integers(0, 256, (23, 34, 3), dtype=np.uint8), "420"),
+        (np.tile(np.array([13, 200, 77], np.uint8), (11, 14, 1)), "420"),
+        (rng.integers(0, 256, (1, 1, 3), dtype=np.uint8), "444"),
+        (np.full((16, 16, 3), 128, np.uint8), "420"),
+    ]
+    for img, sub in cases:
+        base = decode_jpeg(build_jpeg(img, subsampling=sub))
+        raw = build_jpeg(img, subsampling=sub, progressive=True)
+        assert b"\xff\xc2" in raw  # really SOF2
+        prog = decode_jpeg(raw)
+        assert prog is not None and (prog == base).all()
+        assert raw == build_jpeg(img, subsampling=sub, progressive=True)
+        # spectral-selection split into three AC bands: same pixels
+        split = decode_jpeg(
+            build_jpeg(
+                img,
+                subsampling=sub,
+                progressive=True,
+                progressive_bands=((1, 5), (6, 20), (21, 63)),
+            )
+        )
+        assert (split == base).all()
+
+    # randomized shapes keep the refinement EOB/ZRL paths honest
+    for _ in range(10):
+        hh, ww = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        base = decode_jpeg(build_jpeg(img))
+        prog = decode_jpeg(build_jpeg(img, progressive=True))
+        assert (prog == base).all(), (hh, ww)
+
+    # truncated progressive payloads never raise: either None (cut
+    # mid-scan) or a coarse-but-valid partial image (cut between scans
+    # — progressive's whole point)
+    img = cases[1][0]
+    raw = build_jpeg(img, progressive=True)
+    for cut in (len(raw) // 3, len(raw) // 2, len(raw) - 20):
+        got = decode_jpeg(raw[:cut])
+        assert got is None or got.shape == img.shape
+
+
 def test_jpeg_resize_and_distributed_decode(spark):
     """JPEG composes through transform → decode: resized payloads
     re-encode as JPEG and their decoded means stay near the original's."""
