@@ -9,8 +9,9 @@ decode path. Scope:
   order, arbitrary quantized coefficients + shift) with
   partitioned-Rice residuals; mono, independent multichannel, and ALL
   THREE stereo decorrelation modes (left/side, right/side, mid/side —
-  what real FLAC encoders emit almost exclusively); 8/12/16/20/24-bit
-  samples. Variable blocksize and wasted-bits return None (out of
+  what real FLAC encoders emit almost exclusively); wasted-bits
+  subframes (low-bit-silent material coded at reduced width);
+  8/12/16/20/24-bit samples. Variable blocksize returns None (out of
   subset — the decode pass degrades to a sniffed kind-only row).
 - encoder: VERBATIM / CONSTANT / FIXED(0-2) / LPC(n) (Levinson-Durbin
   coefficients quantized to 15-bit precision, shift 12 — the filter
@@ -228,24 +229,47 @@ def _write_residual(body: _BW, resid: "list[int]") -> None:
     _rice_write(body, resid, k)
 
 
+def _subframe_header(body: _BW, stype: int, wasted: int) -> None:
+    body.w(0, 1)
+    body.w(stype, 6)
+    if wasted:
+        body.w(1, 1)  # wasted-bits flag
+        body.w(1, wasted)  # unary: (k-1) zero bits then a one
+    else:
+        body.w(0, 1)
+
+
 def _write_subframe(
-    body: _BW, blk: "list[int]", sbits: int, mode: str
+    body: _BW, blk: "list[int]", sbits: int, mode: str, wasted: int = 0
 ) -> None:
     """One subframe at ``sbits`` sample width in the given mode
     ('constant' requires constant input; 'lpcN' falls back to verbatim
-    on degenerate blocks)."""
+    on degenerate blocks). ``wasted`` > 0 requests wasted-bits coding:
+    like real encoders, the count is clamped PER SUBFRAME to the
+    block's actual common trailing-zero bits (a derived mid channel,
+    for example, can lose one factor of two), then samples are coded
+    >> wasted at reduced width under a wasted-bits header."""
+    if wasted:
+        actual = wasted
+        for s in blk:
+            if s:
+                tz = (s & -s).bit_length() - 1
+                if tz < actual:
+                    actual = tz
+                if actual == 0:
+                    break
+        wasted = min(wasted, actual, sbits - 1)
+    if wasted:
+        blk = [s >> wasted for s in blk]
+        sbits -= wasted
     if mode == "constant" and len(set(blk)) == 1:
-        body.w(0, 1)
-        body.w(0b000000, 6)
-        body.w(0, 1)
+        _subframe_header(body, 0b000000, wasted)
         body.w(blk[0] & ((1 << sbits) - 1), sbits)
         return
     if mode.startswith("fixed"):
         order = int(mode[5:])
         coefs = _FIXED_COEFS[order]
-        body.w(0, 1)
-        body.w(0b001000 | order, 6)
-        body.w(0, 1)
+        _subframe_header(body, 0b001000 | order, wasted)
         for s in blk[:order]:
             body.w(s & ((1 << sbits) - 1), sbits)
         resid = [
@@ -260,9 +284,7 @@ def _write_subframe(
             raise ValueError(f"lpc order out of range: {mode!r}")
         q = _lpc_coefs(blk, order)
         if q is not None:
-            body.w(0, 1)
-            body.w(0b100000 | (order - 1), 6)
-            body.w(0, 1)
+            _subframe_header(body, 0b100000 | (order - 1), wasted)
             for s in blk[:order]:
                 body.w(s & ((1 << sbits) - 1), sbits)
             body.w(_LPC_PRECISION - 1, 4)
@@ -280,9 +302,7 @@ def _write_subframe(
             _write_residual(body, resid)
             return
         # degenerate block → verbatim fallback
-    body.w(0, 1)
-    body.w(0b000001, 6)
-    body.w(0, 1)
+    _subframe_header(body, 0b000001, wasted)
     for s in blk:
         body.w(s & ((1 << sbits) - 1), sbits)
 
@@ -305,6 +325,7 @@ def build_flac(
     block_size: int = 4096,
     mode: str = "verbatim",
     stereo_mode: str = "independent",
+    wasted_bits: int = 0,
 ) -> bytes:
     """Encode integer samples as a FLAC stream.
 
@@ -316,7 +337,10 @@ def build_flac(
     ``stereo_mode`` picks the channel assignment: 'independent',
     'left_side', 'right_side' or 'mid_side' (inter-channel
     decorrelation per the spec: side = left - right, mid =
-    (left + right) >> 1)."""
+    (left + right) >> 1). ``wasted_bits`` k > 0 writes wasted-bits
+    subframe headers and codes samples at reduced width (every sample
+    must be a multiple of 2**k — the low-bit-silent material real
+    encoders exploit)."""
     stereo = (
         isinstance(samples, (tuple, list))
         and len(samples) == 2
@@ -384,7 +408,9 @@ def build_flac(
 
         body = _BW()
         for ci, blk in enumerate(chans):
-            _write_subframe(body, blk, bits + extra[ci], mode)
+            _write_subframe(
+                body, blk, bits + extra[ci], mode, wasted_bits
+            )
         body.align()
         frame = hbytes + bytes(body.out)
         out += frame + struct.pack(">H", _crc16(frame))
@@ -418,8 +444,21 @@ def _read_subframe(br: _BR, sbits: int, bs: int):
     if br.r(1) != 0:
         return None
     stype = br.r(6)
-    if br.r(1) != 0:
-        return None  # wasted bits out of subset
+    wasted = 0
+    if br.r(1):  # wasted-bits-per-sample: unary k-1, samples << k
+        wasted = 1
+        while br.r(1) == 0:
+            wasted += 1
+        if wasted >= sbits:
+            return None
+        sbits -= wasted
+    blk = _read_subframe_body(br, stype, sbits, bs)
+    if blk is None or not wasted:
+        return blk
+    return [s << wasted for s in blk]
+
+
+def _read_subframe_body(br: _BR, stype: int, sbits: int, bs: int):
     if stype == 0b000000:  # CONSTANT
         return [br.signed(sbits)] * bs
     if stype == 0b000001:  # VERBATIM

@@ -1982,6 +1982,84 @@ def flac_stereo_features(spark, sf_dir):
 
 
 @register(
+    "jpeg_progressive_decode",
+    """
+    SELECT doc_id,
+           'jpeg' AS kind,
+           CAST(5 + doc_id % 11 AS INT) AS width,
+           CAST(4 + doc_id % 6 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((5 * doc_id) % 256 AS DOUBLE) AS mean_g,
+           CAST((11 * doc_id) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def jpeg_progressive_decode(spark, sf_dir):
+    """PROGRESSIVE JPEG decode (SOF2 — most JPEGs on the web): per
+    doc_id a solid-color image is encoded through the full T.81 G.2
+    successive-approximation scan script (DC first/refine, AC
+    first/refine; even doc_ids additionally split the AC band into
+    three spectral-selection scans) at 4:2:0 chroma subsampling, then
+    decoded back by the multi-scan coefficient-accumulation path of
+    operators/jpeg.py. Solid colors survive the whole chain
+    bit-exactly (same argument as `jpeg420_decode`; the progressive
+    script transports identical coefficients to baseline by
+    construction), so the oracle states the source palette
+    symbolically — a hash match proves scan segmentation, per-scan
+    Huffman state, DC bit-appending, AC EOB-run handling, and the
+    final dequant/IDCT/upsample across 500 files per gate scale.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.jpeg import build_jpeg
+    from .operators.multimodal import decode_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                col = np.array(
+                    [i % 256, (5 * i) % 256, (11 * i) % 256], np.uint8
+                )
+                img = np.tile(col, (4 + i % 6, 5 + i % 11, 1))
+                bands = (
+                    ((1, 5), (6, 20), (21, 63))
+                    if i % 2 == 0
+                    else ((1, 63),)
+                )
+                payloads.append(
+                    build_jpeg(
+                        img,
+                        subsampling="420",
+                        progressive=True,
+                        progressive_bands=bands,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return decode_features(payloads).select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "channels",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
+@register(
     "mp3_metadata",
     """
     WITH p AS (
@@ -2365,6 +2443,7 @@ _ROUND3_NEW = frozenset(
 _ROUND4_NEW = frozenset(
     {
         "jpeg420_decode",
+        "jpeg_progressive_decode",
         "flac_stereo_features",
         "mp3_metadata",
         "bpe_segment",

@@ -732,6 +732,27 @@ def test_flac_lpc_and_stereo_decorrelation_roundtrip():
     assert d["kind"] == "flac" and d["channels"] == 2
     assert d["n_samples"] == n and d["duration_s"] == n / 8000
 
+    # wasted-bits subframes: multiples of 2^k code at reduced width
+    # (smaller stream), clamped per subframe (mid can lose a factor of
+    # two; odd material clamps to zero) — always byte-exact
+    mul4 = [v * 4 for v in left[:300]]
+    raw_w = build_flac(8000, mul4, block_size=100, mode="lpc4",
+                       wasted_bits=2)
+    raw_p = build_flac(8000, mul4, block_size=100, mode="lpc4")
+    assert decode_flac(raw_w)[2] == mul4 and len(raw_w) < len(raw_p)
+    a8 = [v * 8 for v in left[:200]]
+    b8 = [v * 8 for v in right[:200]]
+    for sm in ("mid_side", "left_side", "right_side"):
+        dec = decode_flac_channels(
+            build_flac(8000, (a8, b8), block_size=64, mode="fixed2",
+                       stereo_mode=sm, wasted_bits=3)
+        )
+        assert dec is not None and dec[2] == [a8, b8], sm
+    odd = [v * 2 + 1 for v in right[:150]]
+    assert decode_flac(
+        build_flac(8000, odd, mode="fixed1", wasted_bits=3)
+    )[2] == odd
+
 
 def test_mp3_header_and_xing_parse():
     """MP3 metadata parse (operators/mp3.py): exact frame walk, bitrate/
