@@ -23,8 +23,9 @@ Design for image/audio/video at 100 TB:
   symbolically in SQL;
 - COMPRESSED LOSSLESS formats are decoded FOR REAL too:
   PNG (``png_decode`` query) — chunk parse with CRC verification, zlib
-  inflate, all five scanline unfilters (None/Sub/Up/Average/Paeth) for
-  bit-depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA), non-interlaced;
+  inflate, all five scanline unfilters (None/Sub/Up/Average/Paeth),
+  color types 0 (gray, depths 1/2/4/8), 2 (RGB), 4 (gray+alpha),
+  6 (RGBA), 3 (indexed PLTE, depths 1/2/4/8), and Adam7 interlacing;
   GIF 87a/89a — a pure-Python LZW decoder/encoder pair (variable-width
   codes, clear/end, 12-bit cap), global/local color tables, 4-pass
   deinterlacing; FLAC (``operators/flac.py``) — STREAMINFO, fixed-
@@ -244,6 +245,97 @@ def build_png(
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_rows(rows, bpp: int, filters=None) -> bytes:
+    """Filter a (ph, stride) uint8 byte matrix into PNG scanlines
+    (filter-type prefix + filtered bytes per row); ``filters`` gives
+    each row's type, default cycling 0-4."""
+    import numpy as np
+
+    ph, stride = rows.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(ph):
+        line = rows[y].astype(np.int16)
+        ft = (y % 5) if filters is None else filters[y % len(filters)]
+        left = np.concatenate(
+            [np.zeros(bpp, np.int16), line[:-bpp]]
+        ) if stride >= bpp else np.zeros(stride, np.int16)
+        if ft == 0:
+            filt = line
+        elif ft == 1:
+            filt = line - left
+        elif ft == 2:
+            filt = line - prev
+        elif ft == 3:
+            filt = line - (left + prev) // 2
+        else:
+            ul = np.concatenate(
+                [np.zeros(bpp, np.int16), prev[:-bpp]]
+            ) if stride >= bpp else np.zeros(stride, np.int16)
+            filt = line - _paeth(left, prev, ul)
+        out.append(ft)
+        out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    return bytes(out)
+
+
+def build_png_ex(
+    px,
+    ctype: int = 2,
+    depth: int = 8,
+    palette=None,
+    interlace: bool = False,
+    filters=None,
+) -> bytes:
+    """General PNG writer for exercising the full decode subset:
+    ``px`` is (h, w) gray values / palette indices or (h, w, C)
+    samples; ``ctype`` 0/2/3/4/6; ``depth`` 1/2/4/8 for ctype 0/3
+    (sub-byte rows bit-packed per spec), 8 otherwise; ``palette`` an
+    (n, 3) array for ctype 3; ``interlace`` writes Adam7 passes (each
+    filtered independently). Same chunk framing as :func:`build_png`.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    px3 = px.reshape(h, w, channels)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    raw = bytearray()
+    for xoff, yoff, xstep, ystep in passes:
+        sub = px3[yoff::ystep, xoff::xstep]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        if depth == 8:
+            rows = sub.reshape(ph, pw * channels)
+        else:
+            vals = sub.reshape(ph, pw)
+            shifts = np.arange(depth - 1, -1, -1)
+            bits = ((vals[..., None] >> shifts) & 1).reshape(
+                ph, pw * depth
+            )
+            rows = np.packbits(bits, axis=1)
+        bpp = max(1, (depth * channels) // 8)
+        raw.extend(_png_filter_rows(rows, bpp, filters))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        out += _png_chunk(
+            b"PLTE", np.asarray(palette, np.uint8).tobytes()
+        )
+    return (
+        out
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
         + _png_chunk(b"IEND", b"")
     )
@@ -499,9 +591,11 @@ def _paeth(a, b, c):
 def decode_png(raw: bytes):
     """Pure stdlib/numpy PNG decode → HxWxC uint8 array (C = 1, 3, or 4).
 
-    Supports bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
-    non-interlaced; chunk CRCs are verified. Anything else returns None —
-    that subset boundary is the module's documented stub line for PNG.
+    Supports color types 0 (gray, bit depths 1/2/4/8), 2 (RGB), 4
+    (gray+alpha), 6 (RGBA) at depth 8, 3 (indexed palette, depths
+    1/2/4/8 — resolved through PLTE to RGB), interlace 0 and 1 (Adam7,
+    each pass unfiltered independently); chunk CRCs are verified.
+    Anything else (16-bit) returns None — the documented subset line.
     """
     import struct
     import zlib
@@ -512,6 +606,7 @@ def decode_png(raw: bytes):
         return None
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(raw):
         (ln,) = struct.unpack_from(">I", raw, pos)
@@ -524,6 +619,10 @@ def decode_png(raw: bytes):
             return None
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if len(body) % 3:
+                return None
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -532,33 +631,94 @@ def decode_png(raw: bytes):
     if ihdr is None:
         return None
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or channels is None or comp != 0 or interlace != 0:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None or comp != 0 or interlace not in (0, 1):
         return None
-    bpp = channels
-    stride = w * bpp
+    if ctype in (0, 3):
+        if depth not in (1, 2, 4, 8):
+            return None
+    elif depth != 8:
+        return None
     try:
         data = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    if len(data) != h * (stride + 1):
+    passes = (
+        _ADAM7 if interlace else ((0, 0, 1, 1),)
+    )
+    img = np.zeros((h, w, channels), dtype=np.uint8)
+    offset = 0
+    for xoff, yoff, xstep, ystep in passes:
+        pw = (w - xoff + xstep - 1) // xstep
+        ph = (h - yoff + ystep - 1) // ystep
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = _png_unfilter(data, offset, ph, pw, channels, depth)
+        if sub is None:
+            return None
+        rows, offset = sub
+        img[yoff::ystep, xoff::xstep] = rows
+    if offset != len(data):
+        return None
+    if ctype == 0 and depth < 8:
+        img = (img.astype(np.int32) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    if ctype == 3:
+        if plte is None or int(img.max(initial=0)) >= len(plte):
+            return None
+        img = plte[img[..., 0]]
+    return img
+
+
+#: Adam7 interlace passes: (x offset, y offset, x step, y step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(data, offset, h, w, channels, depth):
+    """Unfilter ``h`` scanlines of a (sub-)image starting at ``offset``
+    in the decompressed stream; returns ((h, w, channels) uint8 array of
+    samples — palette/gray indices for sub-byte depths — and the new
+    offset), or None on framing errors. Filters operate on BYTES with
+    bpp = max(1, channels*depth//8) per the spec, so sub-byte rows
+    unfilter packed and unpack after."""
+    import numpy as np
+
+    bits_pp = depth * channels
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    need = h * (stride + 1)
+    if offset + need > len(data):
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)
     for y in range(h):
-        ft = data[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        ft = data[base]
         line = np.frombuffer(
-            data, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            data, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int16)
         if ft == 0:
             recon = line
         elif ft == 2:  # Up (vectorized)
             recon = (line + prev) & 0xFF
         elif ft == 1:  # Sub: per-lane cumulative sum mod 256
+            if stride % bpp:  # cannot happen for supported layouts
+                return None
             recon = (
-                line.astype(np.int64).reshape(w, bpp).cumsum(axis=0) & 0xFF
-            ).astype(np.int16).reshape(-1)
-        else:  # Average / Paeth: sequential in x per pixel
+                (
+                    line.astype(np.int64)
+                    .reshape(stride // bpp, bpp)
+                    .cumsum(axis=0)
+                    & 0xFF
+                )
+                .astype(np.int16)
+                .reshape(-1)
+            )
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
             recon = np.zeros(stride, dtype=np.int16)
             for x in range(stride):
                 a = recon[x - bpp] if x >= bpp else 0
@@ -569,11 +729,25 @@ def decode_png(raw: bytes):
                     c = prev[x - bpp] if x >= bpp else 0
                     p = a + b_ - c
                     pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b_ if pb <= pc else c)
+                    )
                     recon[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
         out[y] = recon.astype(np.uint8)
         prev = recon.astype(np.int16)
-    return out.reshape(h, w, bpp)
+    if depth == 8:
+        rows = out.reshape(h, stride // channels, channels)[:, :w, :]
+    else:
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        rows = (
+            (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        ).astype(np.uint8)[..., None]
+    return rows, offset + need
 
 
 #: decoded-feature row: one struct per payload, nulls for the fields the

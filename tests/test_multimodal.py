@@ -511,6 +511,65 @@ def test_jpeg_restart_intervals_roundtrip():
     assert decode_jpeg(bytes(raw)) is None
 
 
+def test_png_palette_subbyte_and_adam7():
+    """PNG indexed-palette (depths 1/2/4/8, PLTE lookup), sub-byte
+    grayscale, and Adam7 interlace (each pass filtered independently)
+    round-trip exactly through build_png_ex → decode_png — the web-
+    graphics layouts the 8-bit-truecolor-only subset used to reject."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_png_ex,
+        decode_payload,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(2)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        for il in (False, True):
+            for hh, ww in ((13, 17), (1, 1), (8, 8), (23, 5)):
+                idx = rng.integers(0, n, (hh, ww), dtype=np.uint8)
+                out = decode_png(
+                    build_png_ex(
+                        idx, ctype=3, depth=depth, palette=pal,
+                        interlace=il,
+                    )
+                )
+                assert out is not None and (out == pal[idx]).all(), (
+                    depth, il, hh, ww,
+                )
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        g = rng.integers(0, mx + 1, (11, 19), dtype=np.uint8)
+        out = decode_png(build_png_ex(g, ctype=0, depth=depth))
+        assert (
+            out == (g.astype(int) * (255 // mx)).astype(np.uint8)[..., None]
+        ).all()
+    for ctype, ch in ((2, 3), (6, 4), (0, 1), (4, 2)):
+        img = rng.integers(0, 256, (21, 14, ch), dtype=np.uint8)
+        for il in (False, True):
+            out = decode_png(build_png_ex(img, ctype=ctype, interlace=il))
+            assert (out == img.reshape(21, 14, ch)).all(), (ctype, il)
+
+    # typed decode_payload row for a palette png
+    d = decode_payload(
+        build_png_ex(
+            np.zeros((4, 5), np.uint8), ctype=3, depth=2,
+            palette=[[9, 8, 7], [0, 0, 0], [1, 1, 1], [2, 2, 2]],
+        )
+    )
+    assert d["kind"] == "png" and d["channels"] == 3 and d["mean_r"] == 9.0
+
+    # out-of-range palette index degrades to None, never garbage
+    bad = build_png_ex(
+        np.full((3, 3), 3, np.uint8), ctype=3, depth=2,
+        palette=[[1, 2, 3], [4, 5, 6]],
+    )
+    assert decode_png(bad) is None
+
+
 def test_jpeg_progressive_decode_matches_baseline():
     """Progressive JPEG (SOF2, T.81 G.2): the encoder's successive-
     approximation script (DC first Al=1, DC refine, per-component AC
