@@ -435,3 +435,120 @@ def test_sharded_running_sum_property(vals, shards):
         acc += v
         want[i] = acc
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# codec properties (no Spark): arbitrary content through the pure-Python
+# codecs — FLAC is lossless everywhere; progressive JPEG must transport
+# exactly the baseline coefficients; PNG round-trips bit-exactly.
+# ---------------------------------------------------------------------------
+
+_flac_strategy = st.tuples(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=400,
+    ),
+    st.sampled_from(
+        ["verbatim", "fixed0", "fixed1", "fixed2", "lpc2", "lpc6"]
+    ),
+    st.sampled_from(
+        ["mono", "independent", "left_side", "right_side", "mid_side"]
+    ),
+    st.sampled_from([0, 2]),  # requested wasted bits (clamped per block)
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_flac_strategy)
+def test_flac_roundtrip_is_lossless_on_arbitrary_signals(case):
+    """FLAC invariant: ANY int16 signal round-trips exactly through any
+    mode x channel assignment x wasted-bits request — the predictor fit
+    quality may vary, correctness may not."""
+    from data_engineering_etl_self_service_spark.operators.flac import (
+        build_flac,
+        decode_flac,
+        decode_flac_channels,
+    )
+
+    samples, mode, assign, wasted = case
+    if assign == "mono":
+        raw = build_flac(
+            8000, samples, block_size=64, mode=mode, wasted_bits=wasted
+        )
+        assert decode_flac(raw)[2] == samples
+    else:
+        other = [(-v) // 2 for v in samples]
+        raw = build_flac(
+            8000,
+            (samples, other),
+            block_size=64,
+            mode=mode,
+            stereo_mode=assign,
+            wasted_bits=wasted,
+        )
+        assert decode_flac_channels(raw)[2] == [samples, other]
+
+
+_img_strategy = st.tuples(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from(["444", "420"]),
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_img_strategy)
+def test_jpeg_progressive_equals_baseline_on_arbitrary_images(case):
+    """Progressive invariant: for ANY image the SOF2 scan script decodes
+    to pixels bit-identical to the baseline encoding (same quantized
+    coefficients by construction)."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.jpeg import (
+        build_jpeg,
+        decode_jpeg,
+    )
+
+    h, w, seed, sub = case
+    img = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    base = decode_jpeg(build_jpeg(img, subsampling=sub))
+    prog = decode_jpeg(build_jpeg(img, subsampling=sub, progressive=True))
+    assert prog is not None and (prog == base).all()
+
+
+_png_strategy = st.tuples(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([1, 2, 4, 8]),
+    st.booleans(),
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_png_strategy)
+def test_png_palette_roundtrip_on_arbitrary_indices(case):
+    """PNG invariant: arbitrary palette images at every depth, with and
+    without Adam7, decode to exactly palette[index]."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_png_ex,
+        decode_png,
+    )
+
+    h, w, seed, depth, interlace = case
+    rng = np.random.default_rng(seed)
+    n = 1 << depth
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    out = decode_png(
+        build_png_ex(
+            idx, ctype=3, depth=depth, palette=pal, interlace=interlace
+        )
+    )
+    assert out is not None and (out == pal[idx]).all()
