@@ -899,6 +899,24 @@ def decode_payload(raw: bytes) -> dict:
                 mean_b=float(fx[..., 2].mean()),
             )
         return out
+    if len(raw) >= 12 and bytes(raw[4:8]) == b"ftyp":
+        from .mp4 import parse_mp4
+
+        meta = parse_mp4(bytes(raw))
+        out["kind"] = "mp4"
+        if meta is None:
+            return out  # sniffed-only: corrupt / moov-less fragment
+        out.update(
+            width=meta["video_width"],
+            height=meta["video_height"],
+            channels=meta["n_tracks"],
+            duration_s=(
+                meta["duration_ms"] / 1000.0
+                if meta["duration_ms"] is not None
+                else None
+            ),
+        )
+        return out
     if bytes(raw[:3]) == b"ID3" or (
         len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
     ):

@@ -2060,6 +2060,93 @@ def jpeg_progressive_decode(spark, sf_dir):
 
 
 @register(
+    "mp4_metadata",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'isom'
+                WHEN doc_id % 3 = 1 THEN 'mp42' ELSE 'avc1' END AS brand,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS BIGINT)
+             AS n_tracks,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN NULL
+                     ELSE 320 + 16 * (doc_id % 20) END AS BIGINT)
+             AS video_width,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN NULL
+                     ELSE 180 + 9 * (doc_id % 20) END AS BIGINT)
+             AS video_height,
+           CAST((1000 + doc_id % 9000) * 1000
+                // (CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 90000 END)
+                AS BIGINT) AS duration_ms,
+           CASE WHEN doc_id % 4 = 0 THEN 'soun'
+                ELSE 'soun:vide' END AS handlers
+    FROM documents
+    """,
+)
+def mp4_metadata(spark, sf_dir):
+    """MP4 / ISO-BMFF container metadata extraction (operators/mp4.py —
+    the last opaque container in the sniff table after MP3 landed):
+    per doc_id a deterministic box tree is built (brand x mvhd
+    version-0/1 timestamp layouts x timescale x audio-only vs
+    audio+video track sets x varying dimensions) and parsed back by
+    walking the size+fourcc framing into moov/mvhd/trak/tkhd/hdlr.
+    No codec decode by scope — curation filters on duration, dims,
+    and track types, all of which live in the box tree. The oracle
+    recomputes every field symbolically, so a hash match proves box
+    framing (incl. 64-bit mvhd), fixed-point dimension parse, handler
+    discovery, and integer duration math.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.mp4 import build_mp4, parse_mp4
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def metas(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                brand = [b"isom", b"mp42", b"avc1"][i % 3]
+                ts = 1000 if i % 2 == 0 else 90000
+                dur = 1000 + i % 9000
+                if i % 4 == 0:
+                    tracks = ((b"soun", 0, 0),)
+                else:
+                    tracks = (
+                        (b"soun", 0, 0),
+                        (b"vide", 320 + 16 * (i % 20), 180 + 9 * (i % 20)),
+                    )
+                m = parse_mp4(
+                    build_mp4(
+                        brand=brand,
+                        timescale=ts,
+                        duration=dur,
+                        tracks=tracks,
+                        mvhd_version=i % 2,
+                    )
+                )
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "brand": m["brand"],
+                        "n_tracks": m["n_tracks"],
+                        "video_width": m["video_width"],
+                        "video_height": m["video_height"],
+                        "duration_ms": m["duration_ms"],
+                        "handlers": m["handlers"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        metas,
+        "doc_id long, brand string, n_tracks long, video_width long, "
+        "video_height long, duration_ms long, handlers string",
+    )
+
+
+@register(
     "mp3_metadata",
     """
     WITH p AS (
@@ -2446,6 +2533,7 @@ _ROUND4_NEW = frozenset(
         "jpeg_progressive_decode",
         "flac_stereo_features",
         "mp3_metadata",
+        "mp4_metadata",
         "bpe_segment",
         "bigram_collocations",
     }

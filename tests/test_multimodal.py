@@ -872,6 +872,63 @@ def test_mp3_header_and_xing_parse():
     assert d["kind"] == "mp3" and d["sample_rate"] is None
 
 
+def test_mp4_box_structure_parse():
+    """MP4 / ISO-BMFF metadata parse (operators/mp4.py): box framing
+    (incl. 64-bit mvhd and to-end sizes), fixed-point track
+    dimensions, handler discovery, integer duration, corrupt-framing
+    degradation, and the sniff-table integration."""
+    import struct
+
+    from data_engineering_etl_self_service_spark.operators.mp4 import (
+        build_mp4,
+        parse_mp4,
+    )
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        decode_payload,
+    )
+
+    m = parse_mp4(build_mp4())
+    assert m["brand"] == "isom" and m["n_tracks"] == 2
+    assert (m["video_width"], m["video_height"]) == (640, 360)
+    assert m["duration_ms"] == 5000 and m["handlers"] == "soun:vide"
+
+    # version-1 mvhd (64-bit timestamps), multiple tracks
+    m = parse_mp4(
+        build_mp4(
+            brand=b"mp42", timescale=90000, duration=270000,
+            tracks=((b"vide", 1920, 1080), (b"soun", 0, 0),
+                    (b"text", 0, 0)),
+            mvhd_version=1,
+        )
+    )
+    assert m["duration_ms"] == 3000 and m["n_tracks"] == 3
+    assert m["video_width"] == 1920 and m["handlers"] == "soun:text:vide"
+
+    # audio-only: no video dims
+    m = parse_mp4(build_mp4(tracks=((b"soun", 0, 0),)))
+    assert m["video_width"] is None and m["handlers"] == "soun"
+
+    # size=0 (to end of file) on the final box parses
+    raw = bytearray(build_mp4(mdat_size=16))
+    mdat_off = len(raw) - 24
+    assert raw[mdat_off + 4 : mdat_off + 8] == b"mdat"
+    struct.pack_into(">I", raw, mdat_off, 0)
+    assert parse_mp4(bytes(raw))["n_boxes"] == 3
+
+    # corrupt / truncated / non-BMFF degrade to None
+    assert parse_mp4(b"junk") is None and parse_mp4(b"") is None
+    good = build_mp4()
+    assert parse_mp4(good[:20]) is None  # cut before moov
+
+    # sniff integration
+    d = decode_payload(build_mp4())
+    assert d["kind"] == "mp4" and d["channels"] == 2
+    assert (d["width"], d["height"]) == (640, 360)
+    assert d["duration_s"] == 5.0
+    d = decode_payload(b"\x00\x00\x00\x18ftypisomgarbage")
+    assert d["kind"] == "mp4" and d["duration_s"] is None
+
+
 def test_animated_gif_real_frame_sampling(spark):
     """frame_sample_plan's REAL path: an animated GIF is demuxed and
     every Nth frame's DECODED pixels are hashed — verified against a
