@@ -899,6 +899,24 @@ def decode_payload(raw: bytes) -> dict:
                 mean_b=float(fx[..., 2].mean()),
             )
         return out
+    if bytes(raw[:4]) == b"OggS":
+        from .ogg import parse_ogg
+
+        meta = parse_ogg(bytes(raw))
+        out["kind"] = "ogg"
+        if meta is None:
+            return out  # sniffed-only: corrupt first page
+        out.update(
+            channels=meta["channels"],
+            sample_rate=meta["sample_rate"],
+            n_samples=meta["last_granule"],
+            duration_s=(
+                meta["duration_ms"] / 1000.0
+                if meta["duration_ms"] is not None
+                else None
+            ),
+        )
+        return out
     if len(raw) >= 12 and bytes(raw[4:8]) == b"ftyp":
         from .mp4 import parse_mp4
 

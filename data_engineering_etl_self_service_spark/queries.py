@@ -2060,6 +2060,83 @@ def jpeg_progressive_decode(spark, sf_dir):
 
 
 @register(
+    "ogg_metadata",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+             AS codec,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END
+                AS BIGINT) AS sample_rate,
+           CAST(2 + doc_id % 6 AS BIGINT) AS n_pages,
+           CAST((10000 + doc_id % 90000) *
+                CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 1 END AS BIGINT)
+             AS last_granule,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN (10000 + doc_id % 90000) * 10 * 1000 // 44100
+                     ELSE GREATEST(10000 + doc_id % 90000 - 312, 0)
+                          * 1000 // 48000 END AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def ogg_metadata(spark, sf_dir):
+    """Ogg container metadata extraction (operators/ogg.py — with this,
+    EVERY container in the multimodal sniff table yields typed rows):
+    per doc_id a deterministic page sequence is built (Vorbis or Opus
+    id header, varying channels/rates/page counts/final granule, real
+    Ogg CRC-32 per page) and parsed back by walking RFC 3533 page
+    framing with CRC verification. Duration derives from the last
+    granule position — PCM samples for Vorbis, 48 kHz ticks minus
+    pre-skip for Opus per RFC 7845 §4. The oracle recomputes every
+    field symbolically, so a hash match proves page framing, lacing
+    sums, CRC math, id-header layout, and the two granule clocks.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.ogg import build_ogg, parse_ogg
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def metas(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                vorbis = i % 2 == 0
+                granule = (10000 + i % 90000) * (10 if vorbis else 1)
+                m = parse_ogg(
+                    build_ogg(
+                        codec="vorbis" if vorbis else "opus",
+                        channels=1 + i % 2,
+                        sample_rate=44100 if vorbis else 48000,
+                        final_granule=granule,
+                        n_audio_pages=1 + i % 6,
+                        serial=7 + i,
+                    )
+                )
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "codec": m["codec"],
+                        "channels": m["channels"],
+                        "sample_rate": m["sample_rate"],
+                        "n_pages": m["n_pages"],
+                        "last_granule": m["last_granule"],
+                        "duration_ms": m["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        metas,
+        "doc_id long, codec string, channels long, sample_rate long, "
+        "n_pages long, last_granule long, duration_ms long",
+    )
+
+
+@register(
     "mp4_metadata",
     """
     SELECT doc_id,
@@ -2534,6 +2611,7 @@ _ROUND4_NEW = frozenset(
         "flac_stereo_features",
         "mp3_metadata",
         "mp4_metadata",
+        "ogg_metadata",
         "bpe_segment",
         "bigram_collocations",
     }

@@ -929,6 +929,52 @@ def test_mp4_box_structure_parse():
     assert d["kind"] == "mp4" and d["duration_s"] is None
 
 
+def test_ogg_page_and_id_header_parse():
+    """Ogg metadata parse (operators/ogg.py): RFC 3533 page framing with
+    real CRC-32 verification, Vorbis/Opus id headers, the two granule
+    clocks (PCM samples vs 48 kHz ticks minus pre-skip), truncation
+    (complete pages only), and sniff-table integration."""
+    from data_engineering_etl_self_service_spark.operators.ogg import (
+        build_ogg,
+        parse_ogg,
+    )
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        decode_payload,
+    )
+
+    m = parse_ogg(build_ogg())
+    assert m["codec"] == "vorbis" and m["channels"] == 2
+    assert m["sample_rate"] == 44100 and m["n_pages"] == 4
+    assert m["duration_ms"] == 441000 * 1000 // 44100
+
+    m = parse_ogg(
+        build_ogg(
+            codec="opus", channels=1, sample_rate=48000,
+            final_granule=96312, pre_skip=312, n_audio_pages=5,
+        )
+    )
+    assert m["codec"] == "opus" and m["channels"] == 1
+    assert m["duration_ms"] == (96312 - 312) * 1000 // 48000
+
+    # truncation: only complete CRC-valid pages count
+    raw = build_ogg()
+    t = parse_ogg(raw[: len(raw) - 3])
+    assert t["n_pages"] == 3 and t["last_granule"] == 294000
+
+    # corrupt body byte → CRC mismatch on the first page → None
+    bad = bytearray(raw)
+    bad[40] ^= 0xFF
+    assert parse_ogg(bytes(bad)) is None
+    assert parse_ogg(b"junk") is None and parse_ogg(b"") is None
+
+    # sniff integration
+    d = decode_payload(build_ogg())
+    assert d["kind"] == "ogg" and d["sample_rate"] == 44100
+    assert d["channels"] == 2 and d["n_samples"] == 441000
+    d = decode_payload(b"OggSgarbage-not-a-page")
+    assert d["kind"] == "ogg" and d["sample_rate"] is None
+
+
 def test_animated_gif_real_frame_sampling(spark):
     """frame_sample_plan's REAL path: an animated GIF is demuxed and
     every Nth frame's DECODED pixels are hashed — verified against a
