@@ -88,8 +88,11 @@ EXTENDED = [
     # round 4: subsampled/LPC/MP3 codec paths + tokenizer lifecycle +
     # collocations
     "jpeg420_decode",
+    "jpeg_progressive_decode",
     "flac_stereo_features",
     "mp3_metadata",
+    "mp4_metadata",
+    "ogg_metadata",
     "bpe_segment",
     "bigram_collocations",
 ]

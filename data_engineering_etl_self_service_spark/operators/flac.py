@@ -266,7 +266,10 @@ def _write_subframe(
         _subframe_header(body, 0b000000, wasted)
         body.w(blk[0] & ((1 << sbits) - 1), sbits)
         return
-    if mode.startswith("fixed"):
+    if mode.startswith("fixed") and len(blk) >= int(mode[5:]):
+        # blocks shorter than the predictor order (a short final block)
+        # cannot carry enough warmup samples — verbatim fallback below,
+        # the same discipline as degenerate LPC blocks
         order = int(mode[5:])
         coefs = _FIXED_COEFS[order]
         _subframe_header(body, 0b001000 | order, wasted)
