@@ -101,6 +101,11 @@ def build_mp3(
 def parse_mp3(raw: bytes):
     """Parse MP3 metadata → dict or None (not an MP3 / corrupt).
 
+    Never raises on arbitrary bytes — this runs inside mapInPandas
+    tasks where an escaped exception kills the whole job (an adversarial
+    corpus WILL contain a file that trips any unguarded read; e.g. a
+    final minimum-size frame whose Xing frames field crosses EOF).
+
     Keys: version ('1'/'2'/'2.5'), bitrate_kbps (first frame's),
     sample_rate, channels (1/2), n_frames (exact, from walking),
     xing_frames (Xing/Info tag total, or None), vbr (bool: any frame's
@@ -108,6 +113,13 @@ def parse_mp3(raw: bytes):
     frames * samples_per_frame * 1000 // sample_rate, preferring the
     Xing total when present).
     """
+    try:
+        return _parse_mp3(raw)
+    except (struct.error, IndexError, ValueError, OverflowError):
+        return None
+
+
+def _parse_mp3(raw: bytes):
     pos = 0
     if raw[:3] == b"ID3" and len(raw) >= 10:
         # syncsafe 28-bit size, then the tag body
@@ -138,7 +150,9 @@ def parse_mp3(raw: bytes):
         if n_frames == 0:
             off = pos + 4 + _xing_offset(version, mono)
             tag = raw[off : off + 4]
-            if tag in (b"Xing", b"Info"):
+            # bounds: a minimum-size frame can place the tag fields past
+            # EOF — that's "no usable tag", not a corrupt file
+            if tag in (b"Xing", b"Info") and off + 12 <= len(raw):
                 flags = struct.unpack_from(">I", raw, off + 4)[0]
                 if flags & 0x1:
                     xing_frames = struct.unpack_from(">I", raw, off + 8)[0]

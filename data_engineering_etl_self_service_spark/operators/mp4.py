@@ -107,7 +107,18 @@ def parse_mp4(raw: bytes):
     Keys: brand, timescale, duration_units, duration_ms, n_tracks,
     video_width, video_height (first video track, None if no video),
     handlers (sorted ':'-joined handler fourccs), n_boxes (top-level).
+
+    Never raises on arbitrary bytes (mapInPandas safety — an escaped
+    exception on one malformed file would kill the whole task).
     """
+    try:
+        return _parse_mp4(raw)
+    except (struct.error, IndexError, ValueError, OverflowError,
+            UnicodeDecodeError):
+        return None
+
+
+def _parse_mp4(raw: bytes):
     raw = bytes(raw)
     if len(raw) < 12 or raw[4:8] != b"ftyp":
         return None

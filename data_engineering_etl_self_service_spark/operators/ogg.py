@@ -124,7 +124,17 @@ def parse_ogg(raw: bytes):
     n_pages, n_streams, last_granule, duration_ms (Vorbis: granule /
     rate; Opus: (granule - pre_skip) / 48000 per RFC 7845; None when
     the codec or rate is unknown).
+
+    Never raises on arbitrary bytes (mapInPandas safety — an escaped
+    exception on one malformed file would kill the whole task).
     """
+    try:
+        return _parse_ogg(raw)
+    except (struct.error, IndexError, ValueError, OverflowError):
+        return None
+
+
+def _parse_ogg(raw: bytes):
     raw = bytes(raw)
     if raw[:4] != b"OggS":
         return None

@@ -975,6 +975,59 @@ def test_ogg_page_and_id_header_parse():
     assert d["kind"] == "ogg" and d["sample_rate"] is None
 
 
+def test_container_parsers_never_raise_on_malformed_bytes():
+    """Scale-safety net: the container parsers run inside mapInPandas
+    tasks, where ONE escaped exception on ONE malformed file kills the
+    whole task — so parse_mp3/parse_mp4/parse_ogg and decode_payload
+    must degrade (None / sniffed row), never raise, on arbitrary
+    mutations and truncations of valid payloads. Includes the regression
+    that motivated the guard: a minimum-size final MP3 frame whose Xing
+    frames field crosses EOF parses as 'frame without a usable tag',
+    not as a corrupt file."""
+    import random
+    import struct
+
+    from data_engineering_etl_self_service_spark.operators.mp3 import (
+        build_mp3,
+        parse_mp3,
+    )
+    from data_engineering_etl_self_service_spark.operators.mp4 import (
+        build_mp4,
+        parse_mp4,
+    )
+    from data_engineering_etl_self_service_spark.operators.ogg import (
+        build_ogg,
+        parse_ogg,
+    )
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        decode_payload,
+    )
+
+    # regression: tail-truncated Xing fields in a minimum-size frame
+    raw = build_mp3("2", 1, 1, True, 1)  # single 24-byte mono frame
+    b = bytearray(raw)
+    b[13:17] = b"Xing"
+    struct.pack_into(">I", b, 17, 1)  # frames flag; value would cross EOF
+    m = parse_mp3(bytes(b))
+    assert m is not None and m["n_frames"] == 1
+    assert m["xing_frames"] is None  # unusable tag, NOT a corrupt file
+
+    rng = random.Random(9)
+    seeds = [
+        build_mp3("1", 9, 0, False, 4, xing=True),
+        build_mp4(mvhd_version=1),
+        build_ogg(codec="opus"),
+        raw,
+    ]
+    for _ in range(1500):
+        base = bytearray(rng.choice(seeds))
+        for _ in range(rng.randrange(1, 10)):
+            base[rng.randrange(len(base))] = rng.randrange(256)
+        payload = bytes(base[: rng.randrange(1, len(base) + 1)])
+        for fn in (parse_mp3, parse_mp4, parse_ogg, decode_payload):
+            fn(payload)  # must not raise; return value unconstrained
+
+
 def test_animated_gif_real_frame_sampling(spark):
     """frame_sample_plan's REAL path: an animated GIF is demuxed and
     every Nth frame's DECODED pixels are hashed — verified against a
