@@ -567,7 +567,7 @@ def decode_gif_frames(raw: bytes, max_frames: int | None = None):
                 return None
             frames.append(ct[arr])
         return frames or None
-    except (IndexError, struct.error):
+    except (IndexError, struct.error, ValueError, OverflowError):
         return None
 
 
@@ -762,10 +762,31 @@ DECODE_SCHEMA = (
 def decode_payload(raw: bytes) -> dict:
     """Parse one payload's bytes into typed features.
 
-    Real parsing for PCM WAV / 24-bit BMP / binary PPM; compressed formats
-    return kind-only (sniffed) rows — their decode is the documented stub
-    boundary. Unknown bytes → kind='unknown', all-null features.
+    Real parsing for every sniff-table format; corrupt payloads return
+    kind-only (sniffed) rows. Unknown bytes → kind='unknown', all-null
+    features. NEVER raises: this is the per-row entry of the
+    mapInPandas decode pass, where one escaped exception on one
+    adversarial file kills the whole task — any residual parse error
+    (e.g. wave.Error / EOFError from a truncated RIFF) degrades to the
+    magic-sniffed row instead.
     """
+    try:
+        return _decode_payload(raw)
+    except Exception:
+        out = {
+            "kind": "unknown", "width": None, "height": None,
+            "channels": None, "sample_rate": None, "n_samples": None,
+            "duration_s": None, "mean_r": None, "mean_g": None,
+            "mean_b": None, "rms": None,
+        }
+        for prefix, tag in MAGIC_PREFIXES:
+            if bytes(raw[: len(prefix)]) == prefix:
+                out["kind"] = tag
+                break
+        return out
+
+
+def _decode_payload(raw: bytes) -> dict:
     import io
     import struct
     import wave

@@ -1012,19 +1012,62 @@ def test_container_parsers_never_raise_on_malformed_bytes():
     assert m is not None and m["n_frames"] == 1
     assert m["xing_frames"] is None  # unusable tag, NOT a corrupt file
 
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.flac import (
+        build_flac,
+        decode_flac_channels,
+    )
+    from data_engineering_etl_self_service_spark.operators.jpeg import (
+        build_jpeg,
+        decode_jpeg,
+    )
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_gif,
+        build_png,
+        build_png_ex,
+        build_wav,
+        decode_gif,
+        decode_png,
+    )
+
     rng = random.Random(9)
+    img = np.random.default_rng(1).integers(
+        0, 256, (12, 9, 3), dtype=np.uint8
+    )
+    pal16 = np.random.default_rng(2).integers(
+        0, 256, (16, 3), dtype=np.uint8
+    )
+    idx = np.random.default_rng(3).integers(
+        0, 16, (10, 11), dtype=np.uint8
+    )
     seeds = [
         build_mp3("1", 9, 0, False, 4, xing=True),
         build_mp4(mvhd_version=1),
         build_ogg(codec="opus"),
         raw,
+        build_png(9, 7, 1, 2, 3),
+        build_png_ex(
+            idx, ctype=3, depth=4, palette=pal16, interlace=True
+        ),
+        build_gif(
+            6, 5, [(10, 20, 30), (0, 0, 0)], [0, 1] * 15
+        ),
+        build_jpeg(img, subsampling="420", progressive=True),
+        build_jpeg(img, restart_interval=2),
+        build_flac(8000, [100, -100] * 50, mode="lpc4"),
+        build_wav(8000, [5, -5] * 40),
     ]
-    for _ in range(1500):
+    decoders = (
+        parse_mp3, parse_mp4, parse_ogg, decode_payload,
+        decode_png, decode_gif, decode_jpeg, decode_flac_channels,
+    )
+    for _ in range(1200):
         base = bytearray(rng.choice(seeds))
         for _ in range(rng.randrange(1, 10)):
             base[rng.randrange(len(base))] = rng.randrange(256)
         payload = bytes(base[: rng.randrange(1, len(base) + 1)])
-        for fn in (parse_mp3, parse_mp4, parse_ogg, decode_payload):
+        for fn in decoders:
             fn(payload)  # must not raise; return value unconstrained
 
 
