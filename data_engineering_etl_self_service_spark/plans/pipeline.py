@@ -214,6 +214,33 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                 chunk_tokens=int(t.get("chunk_tokens", 64)),
                 overlap=int(t.get("overlap", 16)),
             )
+        elif op == "decode_media":
+            # multimodal payloads from YAML: mode "metadata" attaches the
+            # cheap no-decode columns (n_bytes / payload_sha / format —
+            # what dedup and filtering run on BEFORE any decode); mode
+            # "features" runs the real Arrow-batched decode
+            # (operators/multimodal.py: wav/bmp/ppm/png/gif/jpeg/flac
+            # decode + mp3/mp4/ogg container metadata) and replaces the
+            # frame with (id, typed feature columns) — a terminal
+            # reshape like `chunk`. Corrupt payloads degrade to sniffed
+            # rows, never failures (decode_payload's contract).
+            from ..operators.multimodal import (
+                attach_binary_metadata,
+                decode_features,
+            )
+
+            mode = t.get("mode", "metadata")
+            payload_col = t.get("payload_col", "payload")
+            if mode == "metadata":
+                df = attach_binary_metadata(df, payload_col=payload_col)
+            elif mode == "features":
+                df = decode_features(
+                    df,
+                    payload_col=payload_col,
+                    id_col=t.get("id_col", "doc_id"),
+                )
+            # unknown modes fall through untouched (tolerant dispatch,
+            # flagged at parse time like unknown ops)
         elif op == "sessionize":
             # the reference's implied purpose (README.md:1 — user session
             # analysis) as one YAML stanza: adds a per-user session

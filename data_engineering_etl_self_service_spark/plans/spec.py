@@ -45,6 +45,7 @@ TRANSFORM_OPS = (
     "langid",
     "quality_score",
     "chunk",
+    "decode_media",
 )
 
 

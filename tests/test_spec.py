@@ -716,3 +716,80 @@ def test_rollup_destination_hist_kind_from_yaml(spark, tmp_path):
     assert got[0][0] == 50 and got[1][0] == 50
     for k in (0, 1):
         assert abs(got[k][1] - 100.0) <= 10.0
+
+
+def test_multimodal_pipeline_story_end_to_end(spark, tmp_path):
+    """The multimodal-curation product story as ONE spec: binary
+    payloads → cheap no-decode metadata (size/sha/format sniff) →
+    format gate → REAL typed decode (decode_media mode=features) →
+    quality gate on decoded fields → DQ → snapshot publish. Corrupt
+    payloads survive as sniffed rows and are filtered declaratively,
+    never by task failure."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.jpeg import build_jpeg
+    from data_engineering_etl_self_service_spark.operators.mp3 import build_mp3
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_png,
+    )
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    src = str(tmp_path / "assets.parquet")
+    img = np.tile(np.array([10, 200, 33], np.uint8), (9, 12, 1))
+    rows = [
+        (1, bytearray(build_png(8, 6, 50, 60, 70))),
+        (2, bytearray(build_jpeg(img, subsampling="420", progressive=True))),
+        (3, bytearray(build_mp3("1", 9, 0, False, 8, xing=True))),
+        (4, bytearray(b"\xff\xd8\xff\xe0corrupt-jpeg")),  # sniffed only
+        (5, bytearray(b"not media at all")),  # unknown
+    ]
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "multimodal_curation"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "decode_media", "mode": "metadata"},
+                {"op": "filter", "predicate": "format <> 'unknown'"},
+                {"op": "decode_media", "mode": "features"},
+                # decoded-field gate: images need dims, audio needs a rate
+                {
+                    "op": "filter",
+                    "predicate": "width IS NOT NULL OR sample_rate IS NOT NULL",
+                },
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1},
+                {"check_type": "non_null", "column": "kind"},
+            ],
+            "destination": {
+                "type": "snapshot",
+                "path": str(tmp_path / "curated"),
+            },
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed and res.published_path
+    out = {r.doc_id: r for r in read_snapshot(spark, res.published_path).collect()}
+    # doc 4 (corrupt jpeg: sniffed, no dims) and doc 5 (unknown) gated out
+    assert set(out) == {1, 2, 3}
+    assert out[1].kind == "png" and (out[1].width, out[1].height) == (8, 6)
+    assert out[2].kind == "jpeg" and (out[2].width, out[2].height) == (12, 9)
+    assert round(out[2].mean_g) == 200  # progressive 4:2:0 really decoded
+    assert out[3].kind == "mp3" and out[3].sample_rate == 44100
+
+    # unknown mode: tolerated (dispatch skips), flagged nowhere fatal
+    spec2 = spec_from_dict(
+        {
+            "pipeline_info": {"name": "noop"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [{"op": "decode_media", "mode": "nope"}],
+            "data_quality_checks": [],
+            "destination": {"type": "none"},
+        }
+    )
+    res2 = run_pipeline(spark, spec2)
+    assert res2.passed
