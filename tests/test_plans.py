@@ -104,3 +104,40 @@ def test_sq_ann_broadcasts_queries_no_shuffle_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the only exchange should be the top-k window's, on query_id
     assert _op_count(plan, "Exchange") <= 1, plan
+
+
+def test_bigram_collocations_bounded_exchanges_no_python_rows(spark, sf_dir):
+    """Collocation mining: bigram explode + both counts stay in
+    whole-stage codegen (no row-at-a-time Python), no cartesian
+    product, and the exchange count is the two count aggs + the join
+    keys — not data-sized beyond the token columns."""
+    from data_engineering_etl_self_service_spark.queries import PLAN_VIEWS
+
+    df = PLAN_VIEWS["bigram_collocations"](spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-40, never a global sort
+    assert _op_count(plan, "Exchange") <= 6, plan
+
+
+def test_codec_queries_are_single_scan_shuffle_free(spark, sf_dir):
+    """Every codec/container query is ONE Arrow-batched pass over the
+    scan: exactly one parquet scan, zero exchanges (scan parallelism at
+    any scale), and the Python stage is Arrow (ArrowEvalPython /
+    MapInPandas), never row-at-a-time BatchEvalPython."""
+    for name in (
+        "jpeg420_decode",
+        "jpeg_progressive_decode",
+        "flac_stereo_features",
+        "mp3_metadata",
+        "mp4_metadata",
+        "ogg_metadata",
+    ):
+        plan = _plan(spark, name, sf_dir)
+        assert _op_count(plan, "Exchange") == 0, (name, plan)
+        assert "BatchEvalPython" not in plan, name
+        assert _op_count(plan, "Scan parquet") == 1, name
