@@ -11,8 +11,11 @@ decode path. Scope:
   THREE stereo decorrelation modes (left/side, right/side, mid/side —
   what real FLAC encoders emit almost exclusively); wasted-bits
   subframes (low-bit-silent material coded at reduced width);
-  8/12/16/20/24-bit samples. Variable blocksize returns None (out of
-  subset — the decode pass degrades to a sniffed kind-only row).
+  8/12/16/20/24-bit samples; BOTH blocksize strategies (the block size
+  is read per frame either way — the variable-blocksize strategy bit
+  only changes frame-number semantics, which this decoder does not
+  rely on; pinned by test). Corrupt frames degrade to a sniffed
+  kind-only row (None), never raise.
 - encoder: VERBATIM / CONSTANT / FIXED(0-2) / LPC(n) (Levinson-Durbin
   coefficients quantized to 15-bit precision, shift 12 — the filter
   quality only affects compression, never correctness, because the

@@ -812,6 +812,25 @@ def test_flac_lpc_and_stereo_decorrelation_roundtrip():
         build_flac(8000, odd, mode="fixed1", wasted_bits=3)
     )[2] == odd
 
+    # variable-blocksize STRATEGY streams decode too: the block size is
+    # read per frame either way; the strategy bit only changes
+    # frame-number semantics, which the decoder doesn't rely on
+    from data_engineering_etl_self_service_spark.operators.flac import _crc8
+
+    sig = list(range(-200, 300))
+    vraw = bytearray(build_flac(8000, sig, block_size=128, mode="fixed1"))
+    i = patched = 0
+    while i < len(vraw) - 1:
+        if vraw[i] == 0xFF and (vraw[i + 1] & 0xFC) == 0xF8:
+            vraw[i + 1] |= 0x01  # strategy = variable
+            vraw[i + 7] = _crc8(bytes(vraw[i : i + 7]))
+            patched += 1
+            i += 16
+        else:
+            i += 1
+    assert patched == 4
+    assert decode_flac(bytes(vraw))[2] == sig
+
 
 def test_mp3_header_and_xing_parse():
     """MP3 metadata parse (operators/mp3.py): exact frame walk, bitrate/
