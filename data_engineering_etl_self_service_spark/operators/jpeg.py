@@ -79,6 +79,77 @@ def _canonical_codes(symbols: "list[int]", length: int) -> dict:
 _DC_CODES = _canonical_codes(_DC_SYMBOLS, 4)
 _AC_CODES = _canonical_codes(_AC_SYMBOLS, 8)
 
+#: the ITU-T T.81 Annex K "typical" Huffman tables (the ones libjpeg
+#: ships and virtually every real-world encoder emits) as (bits, vals)
+#: DHT payloads — encoding with these exercises the decoder's
+#: variable-length canonical-table path the way third-party files do.
+_K_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_K_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_K_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_K_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _codes_from_dht(bits: "list[int]", vals: "list[int]") -> dict:
+    """symbol → (code, length) for a canonical (bits, vals) DHT spec."""
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
 
 # ---------------------------------------------------------------------------
 # encoder
@@ -118,17 +189,22 @@ def _amplitude(v: int, size: int) -> int:
 
 
 def _encode_block(
-    w: _BitWriter, block: np.ndarray, pred: int
+    w: _BitWriter,
+    block: np.ndarray,
+    pred: int,
+    dc_codes: dict = _DC_CODES,
+    ac_codes: dict = _AC_CODES,
 ) -> int:
-    """Level-shifted 8x8 spatial block → DCT → quant(1) → entropy bits.
-    Returns the new DC predictor."""
+    """Level-shifted 8x8 spatial block → DCT → quant(1) → entropy bits
+    with the given canonical code tables. Returns the new DC
+    predictor."""
     coef = _A @ (block - 128.0) @ _A.T
     q = np.rint(coef).astype(np.int64)
     zz = q.reshape(-1)[_ZIGZAG]
     dc = int(zz[0])
     diff = dc - pred
     size = _category(diff)
-    code, ln = _DC_CODES[size]
+    code, ln = dc_codes[size]
     w.write(code, ln)
     if size:
         w.write(_amplitude(diff, size), size)
@@ -144,18 +220,25 @@ def _encode_block(
             run += 1
             continue
         while run >= 16:
-            code, ln = _AC_CODES[0xF0]  # ZRL
+            code, ln = ac_codes[0xF0]  # ZRL
             w.write(code, ln)
             run -= 16
         size = _category(v)
-        code, ln = _AC_CODES[(run << 4) | size]
+        code, ln = ac_codes[(run << 4) | size]
         w.write(code, ln)
         w.write(_amplitude(v, size), size)
         run = 0
     if last_nz != 63:
-        code, ln = _AC_CODES[0x00]  # EOB
+        code, ln = ac_codes[0x00]  # EOB
         w.write(code, ln)
     return dc
+
+
+def _dht_segment_spec(
+    tc_th: int, bits: "list[int]", vals: "list[int]"
+) -> bytes:
+    body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
 
 def _dht_segment(tc_th: int, symbols: "list[int]", length: int) -> bytes:
@@ -355,6 +438,7 @@ def build_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     progressive_bands: "tuple[tuple[int, int], ...]" = ((1, 63),),
+    tables: str = "canonical",
 ) -> bytes:
     """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as baseline
     JPEG with all-ones quant tables (minimal loss) and this module's
@@ -370,7 +454,15 @@ def build_jpeg(
     AC 1-63 first (Al=1), per-component AC refine — exercising every
     T.81 G.2 scan kind; final Al=0 everywhere, so the transported
     coefficients (and therefore the decoded pixels) are IDENTICAL to
-    the baseline encoding's."""
+    the baseline encoding's. ``tables``: "canonical" (this module's
+    fixed-length tables) or "annexk" (the ITU-T T.81 Annex K typical
+    variable-length tables virtually every real encoder emits —
+    baseline mode only), which exercises the decoder's general-DHT
+    path the way third-party files do."""
+    if tables not in ("canonical", "annexk"):
+        raise ValueError(f"unknown tables {tables!r}")
+    if tables == "annexk" and progressive:
+        raise ValueError("annexk tables: baseline mode only")
     px = np.asarray(px, dtype=np.uint8)
     gray = px.ndim == 2
     if subsampling not in ("444", "420"):
@@ -422,11 +514,27 @@ def build_jpeg(
     out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
         ">H", 2 + len(sof)
     ) + sof
-    out += _dht_segment(0x00, _DC_SYMBOLS, 4)  # DC table 0
-    out += _dht_segment(0x10, _AC_SYMBOLS, 8)  # AC table 0
-    if not gray:
-        out += _dht_segment(0x01, _DC_SYMBOLS, 4)
-        out += _dht_segment(0x11, _AC_SYMBOLS, 8)
+    if tables == "annexk":
+        out += _dht_segment_spec(0x00, *_K_DC_LUMA)
+        out += _dht_segment_spec(0x10, *_K_AC_LUMA)
+        if not gray:
+            out += _dht_segment_spec(0x01, *_K_DC_CHROMA)
+            out += _dht_segment_spec(0x11, *_K_AC_CHROMA)
+        comp_codes = [
+            (_codes_from_dht(*_K_DC_LUMA), _codes_from_dht(*_K_AC_LUMA))
+        ] + [
+            (
+                _codes_from_dht(*_K_DC_CHROMA),
+                _codes_from_dht(*_K_AC_CHROMA),
+            )
+        ] * 2
+    else:
+        out += _dht_segment(0x00, _DC_SYMBOLS, 4)  # DC table 0
+        out += _dht_segment(0x10, _AC_SYMBOLS, 8)  # AC table 0
+        if not gray:
+            out += _dht_segment(0x01, _DC_SYMBOLS, 4)
+            out += _dht_segment(0x11, _AC_SYMBOLS, 8)
+        comp_codes = [(_DC_CODES, _AC_CODES)] * 3
     if progressive:
         out += _emit_progressive_scans(
             padded, sampling, h, w, nc, sub420,
@@ -498,7 +606,10 @@ def build_jpeg(
             wtr = _BitWriter()
             preds = [0] * nc
         for ci, block in blocks:
-            preds[ci] = _encode_block(wtr, block, preds[ci])
+            dc_codes, ac_codes = comp_codes[ci]
+            preds[ci] = _encode_block(
+                wtr, block, preds[ci], dc_codes, ac_codes
+            )
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

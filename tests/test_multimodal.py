@@ -570,6 +570,44 @@ def test_png_palette_subbyte_and_adam7():
     assert decode_png(bad) is None
 
 
+def test_jpeg_annexk_tables_decode_identically():
+    """Encoding with the T.81 Annex K typical Huffman tables (what
+    virtually every real-world encoder emits) must decode to pixels
+    bit-identical to the fixed-length-canonical encoding — this is the
+    decoder's general variable-length DHT path exercised the way
+    third-party files exercise it. The Annex K stream is also smaller
+    (the entire point of the typical tables)."""
+    import numpy as np
+
+    from data_engineering_etl_self_service_spark.operators.jpeg import (
+        build_jpeg,
+        decode_jpeg,
+    )
+
+    rng = np.random.default_rng(6)
+    for trial in range(8):
+        hh, ww = int(rng.integers(1, 36)), int(rng.integers(1, 36))
+        gray = trial % 4 == 0
+        img = (
+            rng.integers(0, 256, (hh, ww), dtype=np.uint8)
+            if gray
+            else rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        )
+        sub = "420" if (trial % 2 and not gray) else "444"
+        base = decode_jpeg(build_jpeg(img, subsampling=sub))
+        ak = decode_jpeg(build_jpeg(img, subsampling=sub, tables="annexk"))
+        assert ak is not None and (ak == base).all(), (trial, hh, ww)
+
+    img = rng.integers(0, 256, (20, 25, 3), dtype=np.uint8)
+    a = decode_jpeg(
+        build_jpeg(
+            img, subsampling="420", restart_interval=2, tables="annexk"
+        )
+    )
+    assert (a == decode_jpeg(build_jpeg(img, subsampling="420"))).all()
+    assert len(build_jpeg(img, tables="annexk")) < len(build_jpeg(img))
+
+
 def test_jpeg_progressive_decode_matches_baseline():
     """Progressive JPEG (SOF2, T.81 G.2): the encoder's successive-
     approximation script (DC first Al=1, DC refine, per-component AC
