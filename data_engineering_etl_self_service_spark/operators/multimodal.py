@@ -24,8 +24,9 @@ Design for image/audio/video at 100 TB:
 - COMPRESSED LOSSLESS formats are decoded FOR REAL too:
   PNG (``png_decode`` query) — chunk parse with CRC verification, zlib
   inflate, all five scanline unfilters (None/Sub/Up/Average/Paeth),
-  color types 0 (gray, depths 1/2/4/8), 2 (RGB), 4 (gray+alpha),
-  6 (RGBA), 3 (indexed PLTE, depths 1/2/4/8), and Adam7 interlacing;
+  color types 0 (gray, depths 1/2/4/8/16), 2/4/6 (RGB, gray+alpha,
+  RGBA at depths 8/16), 3 (indexed PLTE, depths 1/2/4/8), and Adam7
+  interlacing;
   GIF 87a/89a — a pure-Python LZW decoder/encoder pair (variable-width
   codes, clear/end, 12-bit cap), global/local color tables, 4-pass
   deinterlacing; FLAC (``operators/flac.py``) — STREAMINFO, fixed-
@@ -317,6 +318,17 @@ def build_png_ex(
             continue
         if depth == 8:
             rows = sub.reshape(ph, pw * channels)
+        elif depth == 16:
+            # widen 8-bit samples to v*257 (the exact 16-bit expansion
+            # whose high byte round-trips to v), packed big-endian
+            v16 = (sub.astype(np.uint16) * 257).reshape(
+                ph, pw * channels
+            )
+            rows = (
+                v16.astype(">u2").view(np.uint8).reshape(
+                    ph, pw * channels * 2
+                )
+            )
         else:
             vals = sub.reshape(ph, pw)
             shifts = np.arange(depth - 1, -1, -1)
@@ -591,11 +603,12 @@ def _paeth(a, b, c):
 def decode_png(raw: bytes):
     """Pure stdlib/numpy PNG decode → HxWxC uint8 array (C = 1, 3, or 4).
 
-    Supports color types 0 (gray, bit depths 1/2/4/8), 2 (RGB), 4
-    (gray+alpha), 6 (RGBA) at depth 8, 3 (indexed palette, depths
-    1/2/4/8 — resolved through PLTE to RGB), interlace 0 and 1 (Adam7,
-    each pass unfiltered independently); chunk CRCs are verified.
-    Anything else (16-bit) returns None — the documented subset line.
+    Supports color types 0 (gray, bit depths 1/2/4/8/16), 2 (RGB), 4
+    (gray+alpha), 6 (RGBA) at depths 8 and 16 (16-bit samples reduced
+    via the high byte, the standard 8-bit downconversion), 3 (indexed
+    palette, depths 1/2/4/8 — resolved through PLTE to RGB), interlace
+    0 and 1 (Adam7, each pass unfiltered independently); chunk CRCs
+    are verified. Corrupt framing returns None.
     """
     import struct
     import zlib
@@ -634,10 +647,13 @@ def decode_png(raw: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None or comp != 0 or interlace not in (0, 1):
         return None
-    if ctype in (0, 3):
+    if ctype == 3:
         if depth not in (1, 2, 4, 8):
             return None
-    elif depth != 8:
+    elif ctype == 0:
+        if depth not in (1, 2, 4, 8, 16):
+            return None
+    elif depth not in (8, 16):
         return None
     try:
         data = zlib.decompress(bytes(idat))
@@ -741,6 +757,11 @@ def _png_unfilter(data, offset, h, w, channels, depth):
         prev = recon.astype(np.int16)
     if depth == 8:
         rows = out.reshape(h, stride // channels, channels)[:, :w, :]
+    elif depth == 16:
+        # 16-bit samples: big-endian pairs; downconvert via the high
+        # byte (the standard 8-bit reduction — hi*257 ≈ the 16-bit
+        # value, so the high byte IS round(v16/257))
+        rows = out.reshape(h, w, channels, 2)[..., 0]
     else:
         bits = np.unpackbits(out, axis=1)[:, : w * depth]
         weights = 1 << np.arange(depth - 1, -1, -1)

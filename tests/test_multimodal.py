@@ -569,6 +569,16 @@ def test_png_palette_subbyte_and_adam7():
     )
     assert decode_png(bad) is None
 
+    # 16-bit samples (scientific/print PNGs): decoded via the standard
+    # high-byte reduction, which round-trips v*257 expansions exactly
+    for ctype, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for il in (False, True):
+            img = rng.integers(0, 256, (15, 11, ch), dtype=np.uint8)
+            out = decode_png(
+                build_png_ex(img, ctype=ctype, depth=16, interlace=il)
+            )
+            assert (out == img.reshape(15, 11, ch)).all(), (ctype, il)
+
 
 def test_jpeg_annexk_tables_decode_identically():
     """Encoding with the T.81 Annex K typical Huffman tables (what
