@@ -8,11 +8,11 @@ Design for image/audio/video at 100 TB:
 - decode / feature-extract runs as Arrow-batched ``mapInPandas`` so the
   Python worker sees whole batches, not rows, and the schema is declared up
   front (the plan stays exact for Catalyst);
-- codec calls for the remaining out-of-subset formats (mp3/mp4/ogg,
-  progressive/subsampled JPEG) are stubbed: ``decode_stub=True`` produces
-  a deterministic fake feature vector from the payload bytes;
+- :func:`extract_features`'s ``decode_stub=True`` mode produces a
+  deterministic fake feature vector from the payload bytes (the
+  embedding-model integration point stays pluggable);
   ``decode_stub=False`` raises ``NotImplementedError`` at the exact
-  integration point a real codec (torchaudio/decord) would plug into.
+  point a real model (CLIP/torchaudio embeddings) would plug into.
   The Spark-side plumbing — schema, batching, partition flow — is real
   and tested;
 - UNCOMPRESSED containers are decoded FOR REAL: PCM WAV (stdlib ``wave``),
@@ -29,17 +29,21 @@ Design for image/audio/video at 100 TB:
   interlacing;
   GIF 87a/89a — a pure-Python LZW decoder/encoder pair (variable-width
   codes, clear/end, 12-bit cap), global/local color tables, 4-pass
-  deinterlacing; FLAC (``operators/flac.py``) — STREAMINFO, fixed-
-  blocksize frames, CONSTANT/VERBATIM/FIXED subframes with
-  partitioned-Rice residuals, CRC-8/16 framing (mono subset; LPC and
-  stereo decorrelation return sniffed-only rows);
-- baseline JPEG is decoded (and encoded) FOR REAL as well — see
-  ``operators/jpeg.py`` (sequential DCT, 8-bit, grayscale/4:4:4;
-  lossy by nature, so tests pin bounded round-trip error and
-  determinism instead of bit-exactness). Interlaced/paletted/16-bit
-  PNGs, animated GIFs, progressive/subsampled JPEG, FLAC's LPC/stereo
-  modes, and the lossy audio/video codecs (mp3/mp4/ogg) remain the
-  documented stub boundary.
+  deinterlacing, animated frame demux; FLAC (``operators/flac.py``) —
+  STREAMINFO, CONSTANT/VERBATIM/FIXED/LPC subframes with
+  partitioned-Rice residuals, all four stereo channel assignments,
+  wasted bits, CRC-8/16 framing;
+- JPEG is decoded (and encoded) FOR REAL as well — ``operators/jpeg.py``:
+  baseline sequential + full progressive (SOF2), grayscale/4:4:4/4:2:0,
+  restart intervals, canonical and Annex K tables (lossy by nature, so
+  tests pin bounded round-trip error, progressive==baseline pixel
+  identity, and determinism instead of bit-exactness);
+- the lossy AUDIO/VIDEO containers yield typed METADATA rows without
+  bitstream decode (the curation-relevant scope): MP3 frame-header/Xing
+  walk (``operators/mp3.py``), MP4/ISO-BMFF box tree
+  (``operators/mp4.py``), Ogg pages + Vorbis/Opus id headers
+  (``operators/ogg.py``). Every sniff-table container is typed; only
+  lossy A/V bitstream decode itself stays out of scope.
 """
 
 from __future__ import annotations
