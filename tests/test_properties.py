@@ -552,3 +552,85 @@ def test_png_palette_roundtrip_on_arbitrary_indices(case):
         )
     )
     assert out is not None and (out == pal[idx]).all()
+
+
+_container_strategy = st.tuples(
+    st.sampled_from(["mp3", "mp4", "ogg"]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_container_strategy)
+def test_container_builders_parse_back_exactly(case):
+    """Container invariant: every parameter combination the builders can
+    emit parses back to exactly the declared metadata (MP3 frame walk,
+    MP4 box tree incl. both mvhd layouts, Ogg pages under both granule
+    clocks)."""
+    kind, seed = case
+    if kind == "mp3":
+        from data_engineering_etl_self_service_spark.operators.mp3 import (
+            _SPF, build_mp3, parse_mp3,
+        )
+
+        version = "1" if seed % 2 == 0 else "2"
+        bidx = 1 + seed % 14
+        ridx = (seed // 2) % 3
+        mono = seed % 3 == 0
+        nf = 1 + seed % 20
+        xing = seed % 5 == 0
+        m = parse_mp3(
+            build_mp3(version, bidx, ridx, mono, nf, xing=xing)
+        )
+        assert m is not None and m["version"] == version
+        assert m["n_frames"] == nf and m["channels"] == (1 if mono else 2)
+        assert m["xing_frames"] == (nf if xing else None)
+        frames = nf
+        assert m["duration_ms"] == (
+            frames * _SPF[version] * 1000 // m["sample_rate"]
+        )
+    elif kind == "mp4":
+        from data_engineering_etl_self_service_spark.operators.mp4 import (
+            build_mp4, parse_mp4,
+        )
+
+        ts = 1 + seed % 100000
+        dur = seed % 10**7
+        ver = seed % 2
+        tracks = tuple(
+            (b"vide" if i % 2 == 0 else b"soun", 16 * (i + 1), 9 * (i + 1))
+            for i in range(1 + seed % 4)
+        )
+        m = parse_mp4(
+            build_mp4(
+                timescale=ts, duration=dur, tracks=tracks,
+                mvhd_version=ver,
+            )
+        )
+        assert m is not None and m["timescale"] == ts
+        assert m["duration_ms"] == dur * 1000 // ts
+        assert m["n_tracks"] == len(tracks)
+        assert m["video_width"] == 16  # first video track
+    else:
+        from data_engineering_etl_self_service_spark.operators.ogg import (
+            build_ogg, parse_ogg,
+        )
+
+        codec = "vorbis" if seed % 2 == 0 else "opus"
+        ch = 1 + seed % 2
+        rate = 44100 if codec == "vorbis" else 48000
+        granule = 1000 + seed % 10**6
+        pages = 1 + seed % 8
+        m = parse_ogg(
+            build_ogg(
+                codec=codec, channels=ch, sample_rate=rate,
+                final_granule=granule, n_audio_pages=pages,
+            )
+        )
+        assert m is not None and m["codec"] == codec
+        assert m["channels"] == ch and m["n_pages"] == pages + 1
+        assert m["last_granule"] == granule
+        if codec == "vorbis":
+            assert m["duration_ms"] == granule * 1000 // rate
+        else:
+            assert m["duration_ms"] == max(0, granule - 312) * 1000 // 48000
