@@ -58,17 +58,10 @@ def streaming_first_seen(
     )
 
 
-def streaming_daily_peak_concurrency(
-    events: DataFrame,
-    ts_col: str = "ts",
-    id_col: str = "event_id",
-    presence_minutes: int = 10,
-    watermark: str = "1 hour",
+def _peak_boundaries(
+    events: DataFrame, ts_col: str, id_col: str, presence_minutes: int
 ) -> DataFrame:
-    """Peak concurrent presence windows per start-day, as stateful
-    sweep-line state per day (see module docstring for the exactness
-    argument and the day-local semantics)."""
-    boundaries = events.select(
+    return events.select(
         F.to_date(F.col(ts_col)).alias("day"),
         F.col(ts_col).alias("event_time"),
         F.explode(
@@ -91,6 +84,21 @@ def streaming_daily_peak_concurrency(
             )
         ).alias("b"),
     ).select("day", "event_time", "b.t", "b.delta", "b.eid")
+
+
+def streaming_daily_peak_concurrency(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    presence_minutes: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Peak concurrent presence windows per start-day, as stateful
+    sweep-line state per day (see module docstring for the exactness
+    argument and the day-local semantics)."""
+    boundaries = _peak_boundaries(
+        events, ts_col, id_col, presence_minutes
+    )
 
     def sweep(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -129,5 +137,75 @@ def streaming_daily_peak_concurrency(
             stateStructType=_PEAK_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_daily_peak_concurrency_tws(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    presence_minutes: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """:func:`streaming_daily_peak_concurrency` re-expressed on Spark 4's
+    ``transformWithStateInPandas`` (the successor stateful API) — the
+    same dual-API discipline as streaming/stateful.py's user profiles.
+    The day's boundary list lives in a typed ListState (appended, never
+    re-serialized whole, unlike GroupState's single-tuple state); the
+    emitted peak is identical by the monotone-peak argument. Requires
+    the protobuf-speaking transformWithState runner (parity test skips
+    where absent)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    boundaries = _peak_boundaries(
+        events, ts_col, id_col, presence_minutes
+    )
+
+    class _Sweep(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._bounds = handle.getListState(
+                "bounds", "t long, delta int, eid long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            new = []
+            for pdf in rows:
+                ts = (pdf["t"].astype("int64") // 1000).tolist()
+                new.extend(
+                    (int(t), int(d), int(e))
+                    for t, d, e in zip(ts, pdf["delta"], pdf["eid"])
+                )
+            if new:
+                self._bounds.appendList(new)
+            bounds = [tuple(r) for r in self._bounds.get()]
+            run = peak = 0
+            for _, d, _ in sorted(bounds):
+                run += d
+                peak = max(peak, run)
+            yield pd.DataFrame(
+                {
+                    "day": [key[0]],
+                    "peak": [peak],
+                    "n_boundaries": [len(bounds)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        boundaries.withWatermark("event_time", watermark)
+        .groupBy("day")
+        .transformWithStateInPandas(
+            statefulProcessor=_Sweep(),
+            outputStructType=_PEAK_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )

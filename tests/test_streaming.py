@@ -654,27 +654,42 @@ def test_stream_first_seen_cumulative_matches_batch_query(spark, event_stream):
 
 
 def test_stream_daily_peak_concurrency_matches_batch_sweep(spark, event_stream):
-    """Streaming stateful sweep-line (applyInPandasWithState per day)
-    must equal the identical day-local batch sweep exactly. The sink is
-    update-mode (one row per day per micro-batch); peak over complete
-    intervals is monotone under set inclusion, so MAX over emissions is
-    the final answer."""
+    """Streaming stateful sweep-line per day must equal the identical
+    day-local batch sweep exactly. Two implementations share the
+    contract — transformWithStateInPandas (typed ListState; preferred,
+    needs the protobuf runner) and the applyInPandasWithState twin —
+    and the test drives the GroupState twin always, plus the typed-state
+    one where protobuf is importable. The sink is update-mode (one row
+    per day per micro-batch); peak over complete intervals is monotone
+    under set inclusion, so MAX over emissions is the final answer."""
     from pyspark.sql import Window as W
     from data_engineering_etl_self_service_spark.streaming.analytics import (
         streaming_daily_peak_concurrency,
+        streaming_daily_peak_concurrency_tws,
     )
 
-    run_stream_to_memory(
-        streaming_daily_peak_concurrency(event_stream, presence_minutes=10),
-        "stream_daily_peak",
-        mode="update",
-    )
-    got = {
-        r.day: r.peak
-        for r in spark.sql(
-            "SELECT day, MAX(peak) AS peak FROM stream_daily_peak GROUP BY day"
-        ).collect()
-    }
+    ops = [("gs", streaming_daily_peak_concurrency)]
+    try:
+        import google.protobuf  # noqa: F401
+
+        ops.append(("tws", streaming_daily_peak_concurrency_tws))
+    except ImportError:
+        pass
+
+    results = {}
+    for tag, peak_op in ops:
+        sink = f"stream_daily_peak_{tag}"
+        run_stream_to_memory(
+            peak_op(event_stream, presence_minutes=10),
+            sink,
+            mode="update",
+        )
+        results[tag] = {
+            r.day: r.peak
+            for r in spark.sql(
+                f"SELECT day, MAX(peak) AS peak FROM {sink} GROUP BY day"
+            ).collect()
+        }
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
         "event_id", "ts"
@@ -702,7 +717,8 @@ def test_stream_daily_peak_concurrency_matches_batch_sweep(spark, event_stream):
         .agg(F.max("conc").alias("peak"))
         .collect()
     }
-    assert got == want and len(got) >= 25
+    for tag, got in results.items():
+        assert got == want and len(got) >= 25, tag
 
 
 def test_stream_heavy_hitters_standing_summary_matches_batch(
