@@ -153,9 +153,11 @@ def streaming_daily_peak_concurrency_tws(
     same dual-API discipline as streaming/stateful.py's user profiles.
     The day's boundary list lives in a typed ListState (appended, never
     re-serialized whole, unlike GroupState's single-tuple state); the
-    emitted peak is identical by the monotone-peak argument. Requires
-    the protobuf-speaking transformWithState runner (parity test skips
-    where absent)."""
+    emitted peak is identical by the monotone-peak argument. Running it
+    requires the protobuf-speaking transformWithState runner (same
+    caveat as stateful.py's user_event_profile); the parity test drives
+    this path where protobuf is importable and the GroupState twin
+    always, and a plan-construction smoke is environment-independent."""
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (

@@ -783,3 +783,19 @@ def test_stream_heavy_hitters_standing_summary_matches_batch(
         tuple(r) for r in heavy_hitters(corpus, "tok", k=k).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_daily_peak_tws_plan_constructs(spark, event_stream):
+    """Environment-independent coverage for the typed-state twin: plan
+    construction (ListState wiring, output schema, streaming-ness) must
+    succeed even where the protobuf runner needed to EXECUTE
+    transformWithStateInPandas is unavailable."""
+    from data_engineering_etl_self_service_spark.streaming.analytics import (
+        streaming_daily_peak_concurrency_tws,
+    )
+
+    df = streaming_daily_peak_concurrency_tws(event_stream)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "day", "peak", "n_boundaries",
+    ]
