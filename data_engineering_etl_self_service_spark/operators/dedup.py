@@ -836,6 +836,7 @@ def jaccard_prefix_pairs(
     threshold_num: int = 4,
     threshold_den: int = 5,
     eager: bool = True,
+    verify_chunk_pairs: int = 2_000_000,
 ) -> DataFrame:
     """Exact Jaccard pairs >= tau via AllPairs/PPJoin prefix filtering.
 
@@ -869,12 +870,29 @@ def jaccard_prefix_pairs(
     arithmetic — a float ``ceil(0.8*n)`` can round up on exact multiples
     and silently *shrink* the prefix, losing pairs.
 
-    Verification materializes each candidate doc's (distinct-hashed)
-    shingle array once and intersects with ``array_intersect`` — per-doc
-    state bounded by document length, never corpus size.
+    Verification is *content-signature deduplicated* and *chunked*
+    (round-5 scale hardening — SCALE.md recorded a local-JVM OOM at ~20M
+    verified pairs of full-length docs, in verify-stage result
+    materialization, not candidate generation):
+
+    - Each doc's sorted shingle array gets a 64-bit ``xxhash64``
+      signature; docs with identical shingle SETS share a signature, so
+      a near-dup-dense corpus (the exact regime this operator exists
+      for) verifies each distinct content pair ONCE, and equal-signature
+      candidate pairs short-circuit to jaccard = 1.0 with no array join
+      at all.  Candidate *generation* is untouched, so completeness is
+      unchanged; identical sets have identical Jaccard, so the answer is
+      unchanged.
+    - When the distinct signature-pair count exceeds
+      ``verify_chunk_pairs``, verification runs in hash-partitioned
+      chunks written through to a process-scoped scratch parquet —
+      peak memory is one chunk's array-carrying join, never the full
+      pair set.  The returned DataFrame reads the written files (valid
+      until the next-next invocation; see ``scratch.scratch_dir``).
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b — identical to
-    ``jaccard_pairs`` (shingle hashing collides with p ~ n^2/2^65).
+    ``jaccard_pairs`` (shingle hashing collides with p ~ n^2/2^65;
+    the set-signature hash adds the same negligible collision odds).
     """
     # the persist stays even for eager=False (plan view): it is lazy and
     # the plan-view DataFrame is never executed, while the explain output
@@ -918,28 +936,107 @@ def jaccard_prefix_pairs(
         .distinct()
     )
 
-    arrays = sh.groupBy("_id").agg(F.collect_set("hs").alias("shs"))
-    verified = (
-        cands.join(arrays.withColumnRenamed("_id", "doc_a"), "doc_a")
-        .withColumnRenamed("shs", "shs_a")
-        .join(arrays.withColumnRenamed("_id", "doc_b"), "doc_b")
-        .withColumnRenamed("shs", "shs_b")
+    # ---- verification: content-signature deduplicated + chunked -------
+    arrays = sh.groupBy("_id").agg(
+        F.array_sort(F.collect_set("hs")).alias("shs")
+    )
+    sig_of = arrays.select("_id", F.xxhash64("shs").alias("sig"))
+    reps = arrays.select(F.xxhash64("shs").alias("sig"), "shs").dropDuplicates(
+        ["sig"]
+    )
+
+    # Skinny doc-level candidate table annotated with canonical sig pair
+    # — fixed-width longs only, never carries a shingle array per pair.
+    sig_cands = (
+        cands.join(sig_of.withColumnRenamed("_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sig", "sig_a")
+        .join(sig_of.withColumnRenamed("_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sig", "sig_b")
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("shs_a", "shs_b")).alias("n_inter"),
-            F.size("shs_a").alias("n_a"),
-            F.size("shs_b").alias("n_b"),
+            F.least("sig_a", "sig_b").alias("sig_lo"),
+            F.greatest("sig_a", "sig_b").alias("sig_hi"),
         )
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
-        .filter(den * F.col("n_inter") >= num * (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
     )
+    # Identical shingle sets: jaccard is exactly 1.0, no array join.
+    same = sig_cands.filter(F.col("sig_lo") == F.col("sig_hi")).select(
+        "doc_a", "doc_b", F.lit(1.0).alias("jaccard")
+    )
+    sig_pairs = (
+        sig_cands.filter(F.col("sig_lo") != F.col("sig_hi"))
+        .select("sig_lo", "sig_hi")
+        .distinct()
+    )
+
+    def _verify(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(reps.withColumnRenamed("sig", "sig_lo"), "sig_lo")
+            .withColumnRenamed("shs", "shs_a")
+            .join(reps.withColumnRenamed("sig", "sig_hi"), "sig_hi")
+            .withColumnRenamed("shs", "shs_b")
+            .select(
+                "sig_lo",
+                "sig_hi",
+                F.size(F.array_intersect("shs_a", "shs_b")).alias("n_inter"),
+                F.size("shs_a").alias("n_a"),
+                F.size("shs_b").alias("n_b"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            )
+            .filter(
+                den * F.col("n_inter")
+                >= num * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            )
+            .select("sig_lo", "sig_hi", "jaccard")
+        )
+
     if not eager:
-        return verified.select("doc_a", "doc_b", "jaccard")
-    out = verified.select("doc_a", "doc_b", "jaccard").localCheckpoint()
+        # Pure plan for inspection — no actions, no chunking.
+        diff = sig_cands.join(_verify(sig_pairs), ["sig_lo", "sig_hi"])
+        return same.unionByName(
+            diff.select("doc_a", "doc_b", "jaccard")
+        )
+
+    sig_cands = sig_cands.persist()
+    n_sig_pairs = sig_pairs.count()
+    if n_sig_pairs <= verify_chunk_pairs:
+        diff = sig_cands.join(_verify(sig_pairs), ["sig_lo", "sig_hi"])
+        out = (
+            same.unionByName(diff.select("doc_a", "doc_b", "jaccard"))
+            .localCheckpoint()
+        )
+        sig_cands.unpersist()
+        sh.unpersist()
+        return out
+
+    # Chunked write-through: peak memory = one chunk's array-carrying
+    # join; verified sig-pairs land in scratch parquet, the doc-level
+    # fan-back join is skinny-longs only and is also written through.
+    from ..scratch import scratch_dir
+
+    spark = docs.sparkSession
+    n_chunks = -(-n_sig_pairs // verify_chunk_pairs)
+    outdir = scratch_dir("jaccard_prefix_pairs")
+    reps = reps.persist()
+    chunked = sig_pairs.withColumn(
+        "_chunk", F.pmod(F.xxhash64("sig_lo", "sig_hi"), F.lit(n_chunks))
+    ).persist()
+    for i in range(n_chunks):
+        _verify(chunked.filter(F.col("_chunk") == i).drop("_chunk")).write.parquet(
+            f"{outdir}/verdict/c{i}"
+        )
+    verdicts = spark.read.parquet(f"{outdir}/verdict/c*")
+    diff = sig_cands.join(verdicts, ["sig_lo", "sig_hi"])
+    same.unionByName(diff.select("doc_a", "doc_b", "jaccard")).write.parquet(
+        f"{outdir}/pairs"
+    )
+    out = spark.read.parquet(f"{outdir}/pairs")
+    chunked.unpersist()
+    reps.unpersist()
+    sig_cands.unpersist()
     sh.unpersist()
     return out

@@ -8,11 +8,12 @@ sample replication), restart intervals (DRI + RST0-7: DC-predictor
 reset and byte realignment every R MCUs — cameras emit these routinely
 for error resilience), no progressive/arithmetic modes — anything else
 returns None from :func:`decode_jpeg` (the decode pass degrades to a
-sniffed kind-only row, never raises). The encoder emits 4:4:4 (default)
-or 4:2:0 (``subsampling="420"`` — 2x2-mean chroma downsample, the
-layout real cameras overwhelmingly produce) and an optional
-``restart_interval``, which is how the decoder's subsampled and restart
-paths get exercised without third-party fixtures.
+sniffed kind-only row, never raises). The encoder emits 4:4:4
+(default), 4:2:0 (2x2-mean chroma downsample, the layout real cameras
+overwhelmingly produce), 4:2:2 (2x1 — broadcast/video), or 4:4:0 (1x2)
+via ``subsampling=``, plus an optional ``restart_interval`` — which is
+how every sampling layout the decoder's general MCU loop claims, and
+its restart path, get exercised without third-party fixtures.
 
 Design notes:
 
@@ -360,7 +361,7 @@ def _emit_ac_refine(
 
 
 def _emit_progressive_scans(
-    padded, sampling, h: int, w: int, nc: int, sub420: bool,
+    padded, sampling, h: int, w: int, nc: int,
     bands=((1, 63),),
 ) -> bytes:
     """The progressive scan script: DC first (interleaved, Al=1), DC
@@ -443,9 +444,12 @@ def build_jpeg(
     """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as baseline
     JPEG with all-ones quant tables (minimal loss) and this module's
     canonical Huffman tables. ``subsampling``: "444" (every component at
-    full resolution, 1x1 MCUs) or "420" (Y at 2x2 sampling inside a
+    full resolution, 1x1 MCUs), "420" (Y at 2x2 sampling inside a
     16x16-pixel MCU, Cb/Cr downsampled by a 2x2 mean — the real-world
-    camera layout); ignored for grayscale input. ``restart_interval``
+    camera layout), "422" (Y at 2x1 inside an 8x16 MCU, chroma halved
+    horizontally — the broadcast/video layout), or "440" (Y at 1x2
+    inside a 16x8 MCU, chroma halved vertically — 422's transpose);
+    ignored for grayscale input. ``restart_interval``
     R > 0 emits a DRI segment and an RSTn marker (byte-aligned, DC
     predictors reset) after every R MCUs, per T.81 — the
     error-resilience layout cameras produce (baseline mode only).
@@ -465,9 +469,12 @@ def build_jpeg(
         raise ValueError("annexk tables: baseline mode only")
     px = np.asarray(px, dtype=np.uint8)
     gray = px.ndim == 2
-    if subsampling not in ("444", "420"):
+    # (H, V) luma sampling factors per T.81's Hi/Vi nibbles.
+    _FACTORS = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsampling not in _FACTORS:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-    sub420 = subsampling == "420" and not gray
+    hs, vs = (1, 1) if gray else _FACTORS[subsampling]
+    subsampled = (hs, vs) != (1, 1)
     h, w = px.shape[:2]
     if gray:
         comps = [px.astype(np.float64)]
@@ -479,23 +486,23 @@ def build_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         comps = [y, cb, cr]
-    if sub420:
-        # luma padded to 16 (the MCU covers 2x2 luma blocks); chroma is
-        # the 2x2 mean of the padded luma grid, itself then a multiple
-        # of 8 — exactly one chroma block per MCU
-        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    if subsampled:
+        # luma padded to the MCU grid (8*V rows x 8*H cols — the MCU
+        # covers VxH luma blocks); chroma is the VxH mean of the padded
+        # luma grid, itself then a multiple of 8 — exactly one chroma
+        # block per MCU
+        ph = (h + 8 * vs - 1) // (8 * vs) * (8 * vs)
+        pw = (w + 8 * hs - 1) // (8 * hs) * (8 * hs)
         ypad = _pad_edge(comps[0], ph, pw)
         padded = [ypad]
         for c in comps[1:]:
             full = _pad_edge(c, ph, pw)
-            half = (
-                full[0::2, 0::2]
-                + full[1::2, 0::2]
-                + full[0::2, 1::2]
-                + full[1::2, 1::2]
-            ) / 4.0
-            padded.append(half)
-        sampling = [0x22, 0x11, 0x11]
+            acc = np.zeros((ph // vs, pw // hs), dtype=np.float64)
+            for dy in range(vs):
+                for dx in range(hs):
+                    acc += full[dy::vs, dx::hs]
+            padded.append(acc / float(vs * hs))
+        sampling = [(hs << 4) | vs, 0x11, 0x11]
     else:
         # pad each component to multiples of 8 by edge replication
         ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
@@ -537,7 +544,7 @@ def build_jpeg(
         comp_codes = [(_DC_CODES, _AC_CODES)] * 3
     if progressive:
         out += _emit_progressive_scans(
-            padded, sampling, h, w, nc, sub420,
+            padded, sampling, h, w, nc,
             bands=progressive_bands,
         )
         out += b"\xff\xd9"  # EOI
@@ -553,14 +560,15 @@ def build_jpeg(
     # gather MCUs as (component, block) lists so restart handling is
     # uniform across sampling layouts
     mcus = []
-    if sub420:
-        # interleaved MCU order per T.81 A.2.3: Y00 Y01 Y10 Y11 Cb Cr
-        for my in range(ph // 16):
-            for mx in range(pw // 16):
+    if subsampled:
+        # interleaved MCU order per T.81 A.2.3: luma blocks raster-order
+        # within the MCU (e.g. Y00 Y01 Y10 Y11 for 420), then Cb, Cr
+        for my in range(ph // (8 * vs)):
+            for mx in range(pw // (8 * hs)):
                 blocks = []
-                for vy in range(2):
-                    for vx in range(2):
-                        by, bx = my * 2 + vy, mx * 2 + vx
+                for vy in range(vs):
+                    for vx in range(hs):
+                        by, bx = my * vs + vy, mx * hs + vx
                         blocks.append(
                             (
                                 0,

@@ -82,27 +82,15 @@ def _scratch_dir(name: str) -> str:
     snapshot_changes, incremental_heavy_hitters, incremental_rollup,
     ivf_index_ann).
 
-    One fixed path per (process, query) — wiped and recreated at each
-    invocation — instead of a fresh ``tempfile.mkdtemp`` per call, which
-    leaked a directory per bench/driver run (ADVICE r3). The dir must
-    outlive the returned DataFrame (callers collect lazily), so removal
-    happens on the NEXT invocation and finally via atexit, not at return.
+    Delegates to :func:`data_engineering_etl_self_service_spark.scratch.scratch_dir`,
+    which suffixes the path with a per-call generation counter so a
+    still-lazy DataFrame returned by the PREVIOUS invocation of the same
+    query keeps reading valid files (ADVICE r4); older generations are
+    cleaned eagerly and the root via atexit.
     """
-    import atexit
-    import os
-    import shutil
-    import tempfile
+    from .scratch import scratch_dir
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"data_engineering_etl_self_service_spark-scratch-{os.getpid()}"
-    )
-    if not getattr(_scratch_dir, "_registered", False):
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _scratch_dir._registered = True
-    path = os.path.join(root, name)
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
-    return path
+    return scratch_dir(name)
 
 
 # =========================================================================
@@ -2452,6 +2440,77 @@ def jpeg420_decode(spark, sf_dir):
     )
 
 
+@register(
+    "jpeg422_decode",
+    """
+    SELECT doc_id,
+           'jpeg' AS kind,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(3 + doc_id % 7 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((3 * doc_id) % 256 AS DOUBLE) AS mean_g,
+           CAST((7 * doc_id) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def jpeg422_decode(spark, sf_dir):
+    """4:2:2 / 4:4:0 mixed-sampling decode (round 5 — VERDICT r4
+    What's-wrong #1: the general MCU loop claimed these layouts but only
+    444/420 were test-reachable). Per doc_id, a solid-color JPEG is
+    encoded 4:2:2 (even doc_id: 2x1 luma, 8x16 MCUs — the
+    broadcast/video layout) or 4:4:0 (odd: 1x2, 16x8 MCUs) and decoded
+    by the same T.81 A.2.3 interleaved loop + replication upsampling.
+
+    The exact-oracle argument is `jpeg420_decode`'s: solid DCT is
+    DC-only, all-ones quant preserves it, the directional chroma mean of
+    a constant plane is itself, so decoded pixels equal the source color
+    bit-for-bit (pinned across the palette by
+    tests/test_multimodal.py::test_jpeg_422_440_mixed_sampling_roundtrip).
+    A hash match proves the rectangular-MCU walk both ways.
+
+    Scale: two shuffle-free Arrow-batched mapInPandas passes; decode
+    parallelism is row-partitioned with zero exchanges.
+    """
+    from .operators.jpeg import build_jpeg
+    from .operators.multimodal import decode_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_payloads(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                col = np.array(
+                    [i % 256, (3 * i) % 256, (7 * i) % 256], np.uint8
+                )
+                img = np.tile(col, (3 + i % 7, 4 + i % 13, 1))
+                payloads.append(
+                    build_jpeg(
+                        img, subsampling="422" if i % 2 == 0 else "440"
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
+    return decode_features(payloads).select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        "channels",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
 # =========================================================================
 # DQ check engine (§2.2 P1-P4, entry point 3)
 # =========================================================================
@@ -2538,6 +2597,50 @@ def _driver_checked() -> frozenset[str]:
     return frozenset(settled)
 
 
+def _current_round() -> int:
+    """The round about to be driver-checked: 1 + the highest N among the
+    ``CORRECTNESS_r{N}.json`` files already on disk (the driver writes
+    round N's file at round-N end, so while round N runs the newest file
+    is N-1's). Drives the settled-tail rotation in
+    :func:`_priority_order`."""
+    import glob as _glob
+    import re as _re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    rounds = [0]
+    for path in _glob.glob(str(root / "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)", Path(path).name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def _latest_checked() -> frozenset[str]:
+    """Names with a row in the HIGHEST-round CORRECTNESS file — i.e. the
+    set the driver checked last round. The settled-tail rotation pushes
+    these to the very back so consecutive rounds verify disjoint slices
+    even where the stride lands near just-settled names."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    best, best_round = None, -1
+    for path in _glob.glob(str(root / "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)", Path(path).name)
+        if m and int(m.group(1)) > best_round:
+            best, best_round = path, int(m.group(1))
+    if best is None:
+        return frozenset()
+    try:
+        rows = _json.loads(Path(best).read_text())
+    except (OSError, ValueError):
+        return frozenset()
+    return frozenset(n for n, r in rows.items() if isinstance(r, dict))
+
+
 #: queries whose semantics or implementation changed in round N — driver
 #: rows from BEFORE that round are stale evidence, so they rejoin the
 #: rotation ahead of the settled tail until a round>=N green row lands.
@@ -2617,6 +2720,17 @@ _ROUND4_NEW = frozenset(
     }
 )
 
+#: queries ADDED in round 5 (the registry was FULLY settled at round-4
+#: end, so there is no older backlog): these front the driver's check,
+#: and the remaining ~45-row budget re-verifies a rotated slice of the
+#: settled tail (see _priority_order).
+_ROUND5_NEW = frozenset(
+    {
+        "html_extract_stats",
+        "jpeg422_decode",
+    }
+)
+
 #: newest operators — surfaced ahead of the older unchecked backlog so the
 #: driver's capped per-round check always covers the code that changed most
 #: recently (the backlog drains over the following rounds either way).
@@ -2651,9 +2765,18 @@ def _priority_order(names):
     """Never-settled queries first (newest operators, then registration
     order), settled last. Queries changed in a round (_RECHECK) count as
     unsettled until a green row from that round or later lands; queries
-    ADDED in round N (_ROUND3_NEW / _ROUND4_NEW) queue behind the older
-    backlog so the capped driver check drains the oldest evidence debt
-    first. (_RECHECK handling lives inside _driver_checked.)"""
+    ADDED in round N (_ROUND3_NEW / _ROUND4_NEW / _ROUND5_NEW) queue
+    behind the older backlog so the capped driver check drains the
+    oldest evidence debt first. (_RECHECK handling lives inside
+    _driver_checked.)
+
+    Settled-tail rotation (round 5+): with the whole registry settled,
+    the driver's capped check would re-verify the identical first-~50
+    prefix every round forever. The settled tail is therefore rotated by
+    a round-derived offset (stride 48 ≈ the driver budget net of new
+    names), so every settled query re-earns a fresh driver row every
+    ~ceil(N/48) ≈ 4 rounds — continuous staleness re-verification
+    instead of a frozen prefix."""
     settled = _driver_checked()
     fresh = [
         n for n in _FRESH_FIRST if n in names and n not in settled
@@ -2665,12 +2788,18 @@ def _priority_order(names):
         and n not in _FRESH_FIRST
         and n not in _ROUND3_NEW
         and n not in _ROUND4_NEW
+        and n not in _ROUND5_NEW
     ]
     new3 = [n for n in names if n in _ROUND3_NEW and n not in settled]
     new4 = [n for n in names if n in _ROUND4_NEW and n not in settled]
-    return (
-        fresh + rest + new3 + new4 + [n for n in names if n in settled]
-    )
+    new5 = [n for n in names if n in _ROUND5_NEW and n not in settled]
+    latest = _latest_checked()
+    tail = [n for n in names if n in settled and n not in latest]
+    if tail:
+        rot = (_current_round() * 48) % len(tail)
+        tail = tail[rot:] + tail[:rot]
+    tail += [n for n in names if n in settled and n in latest]
+    return fresh + rest + new3 + new4 + new5 + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -8684,4 +8813,84 @@ def bounce_rate(spark, sf_dir):
         "n_sessions",
         "n_bounces",
         F.expr("(1000000 * n_bounces) DIV n_sessions").alias("bounce_ppm"),
+    )
+
+
+# =========================================================================
+# Round 5 — HTML/markup extraction (the missing LLM-curation stage)
+# =========================================================================
+
+
+@register(
+    "html_extract_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS main_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS main_tokens,
+           CAST(length(text) + 104 AS BIGINT) AS full_chars,
+           CAST(len(string_split(text, ' ')) + 17 AS BIGINT) AS full_tokens,
+           TRUE AS roundtrip_exact
+    FROM documents
+    """,
+)
+def html_extract_stats(spark, sf_dir):
+    """HTML -> text extraction round-trip (operators/html.py — the
+    curation stage every real pretraining corpus needs before any text
+    operator; the reference corpus arrives pre-extracted so the
+    reference has no equivalent).
+
+    Builder-exercises-parser, like mp3_metadata: every document is
+    wrapped in a deterministic full HTML page (head/title/style/script,
+    link-dense nav + aside, header/footer with entities, doc_id-variant
+    malformations — unclosed <p>, 2-deep nested tables, UPPERCASE tags),
+    then BOTH extraction tiers run:
+
+    - ``extract_main_text`` (Arrow-batched HTMLParser, Readability-style
+      chrome-element + link-density pruning) must recover the original
+      text EXACTLY (``roundtrip_exact``);
+    - ``strip_html`` (pure JVM regexp_replace chain — the zero-Python
+      100 TB bulk path) must recover it plus the pinned 17-token /
+      104-char boilerplate.
+
+    The oracle states both symbolically from the plain fixture text, so
+    a hash match proves comment/script/style/head removal, tag
+    stripping, entity decoding, whitespace collapse, malformed-markup
+    tolerance, and boilerplate-block pruning in one row per document.
+
+    Scale: build + extract are projections in the scan stage (no
+    exchange); strip_html is whole-stage codegen.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.html import build_html, extract_main_text, strip_html
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @pandas_udf("string")
+    def _build(doc_id, text):
+        import pandas as pd
+
+        return pd.Series(
+            [build_html(t, int(i)) for i, t in zip(doc_id, text)]
+        )
+
+    @pandas_udf("string")
+    def _main(html):
+        return html.map(extract_main_text)
+
+    h = d.select(
+        "doc_id", "text", _build("doc_id", "text").alias("html")
+    ).select(
+        "doc_id",
+        "text",
+        _main("html").alias("main_text"),
+        strip_html("html").alias("full_text"),
+    )
+    return h.select(
+        "doc_id",
+        F.length("main_text").cast("bigint").alias("main_chars"),
+        F.size(F.split("main_text", " ")).cast("bigint").alias("main_tokens"),
+        F.length("full_text").cast("bigint").alias("full_chars"),
+        F.size(F.split("full_text", " ")).cast("bigint").alias("full_tokens"),
+        (F.col("main_text") == F.col("text")).alias("roundtrip_exact"),
     )

@@ -231,3 +231,39 @@ def test_prefix_filter_borderline_threshold(spark):
         for r in jaccard_pairs(df, threshold=0.75).collect()
     }
     assert out == exact and len(out) == 1
+
+
+def test_prefix_filter_chunked_verify_equals_direct(spark, sf_dir):
+    """Forcing verify_chunk_pairs=1 drives the chunked write-through
+    verification path (one scratch-parquet chunk per distinct signature
+    pair) — the round-5 fix for the ~20M-pair result-materialization
+    OOM.  Output must be identical to the direct path."""
+    from data_engineering_etl_self_service_spark.operators.dedup import jaccard_prefix_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    direct = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_prefix_pairs(d, threshold_num=4, threshold_den=5).collect()
+    }
+    chunked = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_prefix_pairs(
+            d, threshold_num=4, threshold_den=5, verify_chunk_pairs=1
+        ).collect()
+    }
+    assert chunked == direct and len(direct) > 0
+
+
+def test_prefix_filter_signature_shortcut_identical_sets(spark):
+    """Docs whose shingle SETS are identical (same tokens, any order of
+    repeated shingles) short-circuit through the content-signature path
+    to jaccard exactly 1.0 without an array join."""
+    from data_engineering_etl_self_service_spark.operators.dedup import jaccard_prefix_pairs
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(spark, [t, t, t + " alpha beta gamma"])  # 3rd: same 3-shingle set? no
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_prefix_pairs(df, threshold_num=4, threshold_den=5).collect()
+    }
+    assert out[(0, 1)] == 1.0

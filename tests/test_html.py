@@ -1,0 +1,87 @@
+"""HTML/markup extraction (operators/html.py): builder round-trips,
+boilerplate accounting, malformed-markup tolerance, Spark wiring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_etl_self_service_spark.catalog import load_table
+from data_engineering_etl_self_service_spark.operators.html import (
+    build_html,
+    extract_main_text,
+    html_extract,
+    strip_html,
+)
+
+MALFORMED = [
+    "<p>unclosed paragraph <p>another <div>nested <b>bold",
+    "<table><tr><td><table><tr><td>deep cell</td></table>",
+    "text with stray < bracket and &notanentity; and &amp; amp",
+    "<a href='x'>only a link</a>",
+    "<<>><p class='a\"b'>attr soup</p><!-- unterminated comment",
+    "",
+    "<script>while(1){}</script>visible",
+    "<P>UPPER <EM>case</EM> tags</P>",
+]
+
+
+def test_extract_never_raises_on_malformed():
+    for h in MALFORMED:
+        out = extract_main_text(h)
+        assert isinstance(out, str)
+
+
+def test_extract_malformed_keeps_content_text():
+    assert extract_main_text(MALFORMED[0]) == (
+        "unclosed paragraph another nested bold"
+    )
+    assert extract_main_text(MALFORMED[1]) == "deep cell"
+    assert extract_main_text(MALFORMED[6]) == "visible"
+    assert extract_main_text(MALFORMED[7]) == "UPPER case tags"
+    # a block that is 100% anchor text is boilerplate, not content
+    assert extract_main_text(MALFORMED[3]) == ""
+
+
+def test_builder_roundtrip_all_malformation_variants(spark, sf_dir):
+    """All doc_id malformation variants (unclosed <p>, nested tables,
+    uppercase tags — ids 0..104 cover every residue combination of
+    %3/%5/%7) must round-trip exactly through extract_main_text."""
+    docs = load_table(spark, sf_dir, "documents").limit(105).collect()
+    for r in docs:
+        h = build_html(r.text, r.doc_id)
+        assert extract_main_text(h) == r.text
+
+
+def test_strip_html_boilerplate_constants(spark):
+    """strip_html (JVM expression tier) recovers article text + the
+    pinned 17-token / 104-char page chrome."""
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(i, build_html(text, i)) for i in range(8)], "doc_id long, html string"
+    )
+    out = df.select(
+        F.length(strip_html("html")).alias("n"),
+        F.size(F.split(strip_html("html"), " ")).alias("t"),
+    ).collect()
+    for r in out:
+        assert r.n == len(text) + 104
+        assert r.t == 6 + 17
+
+
+def test_strip_html_decodes_entities(spark):
+    df = spark.createDataFrame(
+        [(0, "a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f")],
+        "doc_id long, html string",
+    )
+    assert df.select(strip_html("html").alias("s")).first().s == (
+        "a & b <c> \"d\" 'e' f"
+    )
+
+
+def test_html_extract_dataframe_form(spark):
+    rows = [(i, build_html(f"word{i} common text body", i)) for i in range(6)]
+    rows.append((99, MALFORMED[0]))
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r.main_text for r in html_extract(df).collect()}
+    assert out[3] == "word3 common text body"
+    assert out[99] == "unclosed paragraph another nested bold"
