@@ -118,6 +118,65 @@ def read_orc(
     return reader.orc(path)
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """Whether the ``spark-avro`` DATASOURCE module is on the classpath.
+
+    Spark ships the core Avro runtime jars (avro/avro-mapred) in every
+    distribution, but the ``avro`` DataFrame format lives in the
+    external ``org.apache.spark:spark-avro_2.13`` module (external since
+    Spark 2.4) — absent from this container and not fetchable offline,
+    the same jar-gate as the Kafka connector (sources/kafka.py). The
+    probe is Spark's own ``DataSource.lookupDataSource`` — a bare
+    Class.forName is NOT sufficient (Spark 4 bundles stray
+    ``org.apache.spark.sql.avro`` classes even without the registered
+    DSv2 datasource)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — classpath probe needs the JVM
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Avro source (common in Kafka-adjacent lakes) — jar-gated.
+
+    Works verbatim wherever ``spark-avro`` is deployed (cluster images
+    routinely include it; same pushdown/pruning story as ORC). In this
+    container the module is absent, so the gate raises ONE clear
+    environmental error up front instead of Spark's opaque
+    failed-to-find-data-source mid-plan."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro datasource module not on the classpath "
+            "(external since Spark 2.4; jar-gated in this environment "
+            "like the Kafka connector). Deploy with --packages "
+            "org.apache.spark:spark-avro_2.13:<spark version>."
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink — jar-gated like :func:`read_avro`."""
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro datasource module not on the classpath "
+            "(external since Spark 2.4; jar-gated in this environment "
+            "like the Kafka connector). Deploy with --packages "
+            "org.apache.spark:spark-avro_2.13:<spark version>."
+        )
+    df.write.format("avro").mode(mode).save(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

@@ -261,6 +261,34 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path_factory):
     assert "Scan orc" in plan and "PushedFilters" in plan
 
 
+def test_avro_gate_probes_classpath_and_roundtrips_when_present(
+    spark, tmp_path_factory
+):
+    """Avro is jar-gated like Kafka: the datasource module is external
+    since Spark 2.4 and absent from this container. The gate must probe
+    the classpath honestly — when the module IS deployed the reader
+    round-trips with pushdown; when absent both entry points raise ONE
+    clear environmental error up front (not Spark's opaque
+    failed-to-find-data-source mid-plan)."""
+    from data_engineering_etl_self_service_spark.sources.files import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    out = str(tmp_path_factory.mktemp("avro_lake"))
+    df = spark.range(0, 100).selectExpr("id", "id % 7 AS g")
+    if avro_available(spark):
+        write_avro(df, out)
+        back = read_avro(spark, out).filter("g = 3")
+        assert back.count() == sum(1 for i in range(100) if i % 7 == 3)
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            write_avro(df, out)
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_avro(spark, out)
+
+
 def test_partitioned_writer_uses_zstd(spark, tmp_path_factory):
     import glob as _glob
 

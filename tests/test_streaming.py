@@ -653,6 +653,63 @@ def test_stream_first_seen_cumulative_matches_batch_query(spark, event_stream):
     assert len(got) > 0
 
 
+def test_stream_first_seen_update_mode_matches_complete(
+    spark, tmp_path_factory
+):
+    """Update-mode streaming_first_seen (the 100x-scale mode: each
+    micro-batch emits only users whose running MIN changed) + the
+    merge_first_seen batch-side fold must equal the complete-mode
+    answer and the registered batch query. Driven over one-file
+    micro-batches so several triggers genuinely fire and the sink
+    really holds per-batch partial emissions, not one final state."""
+    from data_engineering_etl_self_service_spark.queries import QUERIES
+    from data_engineering_etl_self_service_spark.streaming.analytics import (
+        merge_first_seen,
+        streaming_first_seen,
+    )
+
+    src = str(tmp_path_factory.mktemp("events_fs_upd"))
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_memory(
+        streaming_first_seen(stream), "first_seen_upd", mode="update"
+    )
+    sink = spark.table("first_seen_upd")
+    # several micro-batches fired, and update mode really emitted
+    # per-batch partials (more rows than final users)
+    n_users = events.select("user_id").distinct().count()
+    assert sink.count() > n_users
+    merged = merge_first_seen(sink)
+    assert merged.count() == n_users
+    merged.createOrReplaceTempView("first_seen_merged")
+    got = sorted(
+        spark.sql(
+            """
+            SELECT hour, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_users
+            FROM (SELECT date_trunc('hour', first_ts) AS hour,
+                         COUNT(*) AS new_users
+                  FROM first_seen_merged GROUP BY 1)
+            """
+        ).collect()
+    )
+    want = sorted(
+        QUERIES["cumulative_distinct_users"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+
+
 def test_stream_daily_peak_concurrency_matches_batch_sweep(spark, event_stream):
     """Streaming stateful sweep-line per day must equal the identical
     day-local batch sweep exactly. Two implementations share the
