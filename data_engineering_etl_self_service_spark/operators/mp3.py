@@ -9,15 +9,19 @@ multimodal sniff table (VERDICT r3 #8): MP3 payloads now yield typed
 rows (sample_rate, channels, n_frames, duration) instead of
 kind-only.
 
-- :func:`parse_mp3` skips an ID3v2 tag if present, validates the first
-  frame header (sync, MPEG version, layer III, bitrate/samplerate
-  indices), walks EVERY frame (exact frame count — robust against
-  truncation; walking is O(file) with O(1) state), and reads a
-  Xing/Info tag from the first frame's side-info offset when present
-  (VBR frame totals). Returns None for non-MP3 / corrupt bytes.
+- :func:`parse_mp3` reads ID3v2.3/2.4 text frames (title/artist/album —
+  the id3.org de-facto spec; round 5, previously the tag was only
+  skipped), validates the first frame header (sync, MPEG version,
+  layer III, bitrate/samplerate indices), walks EVERY frame (exact
+  frame count — robust against truncation; walking is O(file) with
+  O(1) state), and reads a Xing/Info tag from the first frame's
+  side-info offset when present (VBR frame totals). Returns None for
+  non-MP3 / corrupt bytes; a malformed ID3 tag degrades to
+  None-valued text fields, never to a rejected file.
 - :func:`build_mp3` emits deterministic frame sequences (zero payload,
-  valid headers, optional Xing tag) so the parser is testable without a
-  real encoder in the container — the same encoder-exercises-decoder
+  valid headers, optional Xing tag, optional ID3v2.3/2.4 tag via
+  :func:`build_id3v2`) so the parser is testable without a real
+  encoder in the container — the same encoder-exercises-decoder
   strategy as operators/jpeg.py / flac.py.
 """
 
@@ -65,6 +69,53 @@ def _xing_offset(version: str, mono: bool) -> int:
     return 9 if mono else 17
 
 
+#: ID3v2 text-frame ids surfaced as typed fields (id3.org v2.3/v2.4).
+_ID3_TEXT_FRAMES = {"TIT2": "title", "TPE1": "artist", "TALB": "album"}
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def build_id3v2(
+    tags: dict, id3_version: int = 3, encoding: int | None = None
+) -> bytes:
+    """An ID3v2.3 or v2.4 tag carrying text frames (``{"TIT2": "...",
+    ...}``). ``encoding``: 0 latin-1, 1 UTF-16+BOM, 3 UTF-8
+    (v2.4 only); default picks 1 for v2.3 and 3 for v2.4 so both
+    multibyte paths are exercised. Frame sizes are plain big-endian in
+    v2.3 and syncsafe in v2.4, per the spec split parsers routinely get
+    wrong — the builder emits each version's correct layout."""
+    if id3_version not in (3, 4):
+        raise ValueError("id3_version must be 3 or 4")
+    if encoding is None:
+        encoding = 1 if id3_version == 3 else 3
+    body = bytearray()
+    for fid, text in tags.items():
+        if encoding == 0:
+            payload = bytes([0]) + text.encode("latin-1")
+        elif encoding == 1:
+            payload = bytes([1]) + text.encode("utf-16")  # BOM included
+        elif encoding == 3 and id3_version == 4:
+            payload = bytes([3]) + text.encode("utf-8")
+        else:
+            raise ValueError(f"encoding {encoding} invalid for v2.{id3_version}")
+        size = (
+            _syncsafe(len(payload))
+            if id3_version == 4
+            else struct.pack(">I", len(payload))
+        )
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    return (
+        b"ID3"
+        + bytes([id3_version, 0, 0])
+        + _syncsafe(len(body))
+        + bytes(body)
+    )
+
+
 def build_mp3(
     version: str = "1",
     bitrate_idx: int = 9,
@@ -72,16 +123,21 @@ def build_mp3(
     mono: bool = False,
     n_frames: int = 8,
     xing: bool = False,
+    tags: dict | None = None,
+    id3_version: int = 3,
 ) -> bytes:
     """Deterministic MP3 byte stream: ``n_frames`` Layer-III frames with
     valid headers and zeroed payloads; when ``xing`` is set, frame 0
     carries a Xing tag declaring the total frame count (the VBR
-    convention — players then ignore frame 0's own bitrate)."""
+    convention — players then ignore frame 0's own bitrate); ``tags``
+    prepends an ID3v2 tag (:func:`build_id3v2`)."""
     version = str(version)
     table = _BITRATES_V1L3 if version == "1" else _BITRATES_V2L3
     kbps = table[bitrate_idx]
     rate = _RATES[version][rate_idx]
     out = bytearray()
+    if tags:
+        out += build_id3v2(tags, id3_version)
     for fi in range(n_frames):
         hdr = _header(version, bitrate_idx, rate_idx, 0, mono)
         ln = _frame_len(version, kbps, rate, 0)
@@ -111,7 +167,8 @@ def parse_mp3(raw: bytes):
     xing_frames (Xing/Info tag total, or None), vbr (bool: any frame's
     bitrate differs from the first), duration_ms (integer:
     frames * samples_per_frame * 1000 // sample_rate, preferring the
-    Xing total when present).
+    Xing total when present), title/artist/album (ID3v2.3/2.4 TIT2/
+    TPE1/TALB text frames, None when absent or malformed).
     """
     try:
         return _parse_mp3(raw)
@@ -119,14 +176,58 @@ def parse_mp3(raw: bytes):
         return None
 
 
+def _id3_text_frames(raw: bytes, major: int, end: int) -> dict:
+    """title/artist/album from an ID3v2.3/2.4 frame walk over
+    raw[10:end]. Best-effort: anything malformed stops the walk with
+    whatever decoded so far (a broken tag must not reject the audio)."""
+    fields: dict = {}
+    if major not in (3, 4) or (raw[5] & 0x80):  # unsynchronised: skip
+        return fields
+    pos = 10
+    while pos + 10 <= end:
+        fid = raw[pos : pos + 4]
+        if not fid.strip(b"\x00"):
+            break  # zero padding reached
+        if major == 4:
+            size = 0
+            for b in raw[pos + 4 : pos + 8]:
+                if b & 0x80:
+                    return fields  # not syncsafe: malformed
+                size = (size << 7) | b
+        else:
+            size = struct.unpack_from(">I", raw, pos + 4)[0]
+        frame_end = pos + 10 + size
+        if size <= 0 or frame_end > end:
+            break
+        name = _ID3_TEXT_FRAMES.get(fid.decode("ascii", "replace"))
+        if name is not None and name not in fields:
+            enc = raw[pos + 10]
+            body = raw[pos + 11 : frame_end]
+            codec = {
+                0: "latin-1",
+                1: "utf-16",
+                2: "utf-16-be",
+                3: "utf-8",
+            }.get(enc)
+            if codec is not None:
+                try:
+                    fields[name] = body.decode(codec).rstrip("\x00")
+                except UnicodeDecodeError:
+                    pass
+        pos = frame_end
+    return fields
+
+
 def _parse_mp3(raw: bytes):
     pos = 0
+    id3_fields: dict = {}
     if raw[:3] == b"ID3" and len(raw) >= 10:
         # syncsafe 28-bit size, then the tag body
         size = 0
         for b in raw[6:10]:
             size = (size << 7) | (b & 0x7F)
         pos = 10 + size
+        id3_fields = _id3_text_frames(raw, raw[3], min(pos, len(raw)))
     if pos + 4 > len(raw):
         return None
     first = _parse_header(raw, pos)
@@ -173,6 +274,9 @@ def _parse_mp3(raw: bytes):
         "xing_frames": xing_frames,
         "vbr": vbr,
         "duration_ms": frames_for_duration * spf * 1000 // rate,
+        "title": id3_fields.get("title"),
+        "artist": id3_fields.get("artist"),
+        "album": id3_fields.get("album"),
     }
 
 

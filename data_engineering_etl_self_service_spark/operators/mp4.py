@@ -60,10 +60,14 @@ def build_mp4(
         )
     traks = b""
     for tid, (handler, w, h) in enumerate(tracks, start=1):
+        # version-0 tkhd body is exactly 80 bytes (ISO 14496-12 8.3.2):
+        # creation/modification/track_ID/reserved (16) + duration(4) +
+        # reserved(8) + layer/alternate_group/volume/reserved(8) +
+        # matrix(36) + width/height(8)
         tkhd = _full(
             b"tkhd", 0, 7,
             struct.pack(">IIII", 0, 0, tid, 0)
-            + b"\x00" * 52
+            + b"\x00" * 56
             + struct.pack(">II", w << 16, h << 16),
         )
         mdhd = _full(

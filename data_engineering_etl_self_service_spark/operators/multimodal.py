@@ -952,10 +952,23 @@ def _decode_payload(raw: bytes) -> dict:
         out["kind"] = "ogg"
         if meta is None:
             return out  # sniffed-only: corrupt first page
+        if meta["codec"] == "opus":
+            # RFC 7845: granules are 48 kHz ticks including pre-skip and
+            # decoder output is always 48 kHz (the id-header rate is only
+            # the original-input hint) — report the 48 kHz clock and
+            # pre-skip-trimmed samples so n_samples/sample_rate agrees
+            # with duration_s.
+            rate, n_samples = 48000, (
+                max(0, meta["last_granule"] - meta["pre_skip"])
+                if meta["last_granule"] is not None
+                else None
+            )
+        else:
+            rate, n_samples = meta["sample_rate"], meta["last_granule"]
         out.update(
             channels=meta["channels"],
-            sample_rate=meta["sample_rate"],
-            n_samples=meta["last_granule"],
+            sample_rate=rate,
+            n_samples=n_samples,
             duration_s=(
                 meta["duration_ms"] / 1000.0
                 if meta["duration_ms"] is not None

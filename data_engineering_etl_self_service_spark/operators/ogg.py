@@ -192,6 +192,7 @@ def _parse_ogg(raw: bytes):
         "codec": codec,
         "channels": channels,
         "sample_rate": rate,
+        "pre_skip": pre_skip,
         "n_pages": n_pages,
         "n_streams": len(serials),
         "last_granule": last_granule,

@@ -2244,7 +2244,13 @@ def mp4_metadata(spark, sf_dir):
            CAST(ch AS BIGINT) AS channels,
            CAST(nf AS BIGINT) AS n_frames,
            CAST(CASE WHEN has_xing THEN nf END AS BIGINT) AS xing_frames,
-           CAST(nf * spf * 1000 // rate AS BIGINT) AS duration_ms
+           CAST(nf * spf * 1000 // rate AS BIGINT) AS duration_ms,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE 'track ' || doc_id END AS title,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE 'artist ' || (doc_id % 7) END AS artist,
+           CASE WHEN doc_id % 5 = 0 OR doc_id % 3 <> 0 THEN NULL
+                ELSE 'album ' || (doc_id % 4) END AS album
     FROM m
     """,
 )
@@ -2257,10 +2263,15 @@ def mp3_metadata(spark, sf_dir):
     count, codec params, Xing total, integer-exact duration. No MDCT
     decode (documented scope line): curation needs the metadata —
     filter by duration/bitrate, bill audio seconds — not the samples.
-    The oracle recomputes every field symbolically from the parameter
-    formulas, so a hash match proves sync parse, bitrate/rate table
-    lookup, frame-length arithmetic, the Xing side-info offset, and
-    the frame walk.
+    Round 5 widens the row with ID3v2 text frames (title/artist/album):
+    4 of 5 docs carry a tag — even doc_id v2.3 (plain big-endian frame
+    sizes, UTF-16 text), odd v2.4 (syncsafe sizes, UTF-8) — and
+    doc_id % 5 == 0 has no tag at all (NULL fields), so both spec
+    layouts AND the absent path hash into the oracle. The oracle
+    recomputes every field symbolically from the parameter formulas,
+    so a hash match proves sync parse, bitrate/rate table lookup,
+    frame-length arithmetic, the Xing side-info offset, the ID3 frame
+    walk with both size encodings, and the frame walk.
 
     Scale: one shuffle-free Arrow-batched mapInPandas pass.
     """
@@ -2275,6 +2286,19 @@ def mp3_metadata(spark, sf_dir):
             rows = []
             for i in pdf["doc_id"]:
                 i = int(i)
+                tags = (
+                    None
+                    if i % 5 == 0
+                    else {
+                        "TIT2": f"track {i}",
+                        "TPE1": f"artist {i % 7}",
+                        **(
+                            {"TALB": f"album {i % 4}"}
+                            if i % 3 == 0
+                            else {}
+                        ),
+                    }
+                )
                 raw = build_mp3(
                     version="1" if i % 2 == 0 else "2",
                     bitrate_idx=1 + i % 14,
@@ -2282,6 +2306,8 @@ def mp3_metadata(spark, sf_dir):
                     mono=i % 3 == 0,
                     n_frames=4 + i % 13,
                     xing=i % 4 == 0,
+                    tags=tags,
+                    id3_version=3 if i % 2 == 0 else 4,
                 )
                 m = parse_mp3(raw)
                 rows.append(
@@ -2294,6 +2320,9 @@ def mp3_metadata(spark, sf_dir):
                         "n_frames": m["n_frames"],
                         "xing_frames": m["xing_frames"],
                         "duration_ms": m["duration_ms"],
+                        "title": m["title"],
+                        "artist": m["artist"],
+                        "album": m["album"],
                     }
                 )
             yield pd.DataFrame(rows)
@@ -2302,7 +2331,8 @@ def mp3_metadata(spark, sf_dir):
         metas,
         "doc_id long, version string, bitrate_kbps long, "
         "sample_rate long, channels long, n_frames long, "
-        "xing_frames long, duration_ms long",
+        "xing_frames long, duration_ms long, "
+        "title string, artist string, album string",
     )
 
 
@@ -2649,6 +2679,7 @@ def _latest_checked() -> frozenset[str]:
 #: negative_samples — had NO prior driver row, so they need no entry;
 #: they are still unsettled and already fronted.)
 _RECHECK: dict[str, int] = {
+    "mp3_metadata": 5,  # row widened with ID3v2 title/artist/album
     "math_funcs": 3,  # oracle floor/ceiling now CAST to BIGINT
     "vocab_encode": 3,  # token_ids serialized to string on both sides
     "key_gaps": 3,  # sharded form + non-degenerate (non-PENDING) slice

@@ -965,6 +965,7 @@ def test_mp3_header_and_xing_parse():
         "version": "1", "bitrate_kbps": 128, "sample_rate": 44100,
         "channels": 2, "n_frames": 8, "xing_frames": None,
         "vbr": False, "duration_ms": 8 * 1152 * 1000 // 44100,
+        "title": None, "artist": None, "album": None,
     }
 
     # MPEG-2 mono with a Xing tag: duration prefers the tag total
@@ -1001,6 +1002,60 @@ def test_mp3_header_and_xing_parse():
     assert abs(d["duration_s"] - 8 * 1152 / 44100) < 1e-12
     d = decode_payload(b"\xff\xfbgarbage-not-a-frame")
     assert d["kind"] == "mp3" and d["sample_rate"] is None
+
+
+def test_mp3_id3v2_text_frames():
+    """ID3v2.3/2.4 title/artist/album extraction (round 5 — the tag was
+    previously only skipped): both frame-size encodings (v2.3 plain
+    big-endian vs v2.4 syncsafe — the spec split parsers routinely get
+    wrong), all three text encodings, missing frames → None, and
+    malformed tags degrading to None fields without rejecting the
+    audio."""
+    from data_engineering_etl_self_service_spark.operators.mp3 import (
+        build_id3v2,
+        build_mp3,
+        parse_mp3,
+    )
+
+    tags = {"TIT2": "Café Tête", "TPE1": "artist-x", "TALB": "album y"}
+    for ver in (3, 4):  # v2.3 UTF-16+BOM default, v2.4 UTF-8 default
+        m = parse_mp3(build_mp3(tags=tags, id3_version=ver))
+        assert (m["title"], m["artist"], m["album"]) == (
+            "Café Tête", "artist-x", "album y",
+        ), ver
+        assert m["n_frames"] == 8  # audio walk unaffected by the tag
+
+    # latin-1 encoding byte 0 in both versions; absent TALB → None
+    for ver in (3, 4):
+        raw = build_id3v2({"TIT2": "plain"}, ver, encoding=0) + build_mp3()
+        m = parse_mp3(raw)
+        assert m["title"] == "plain" and m["album"] is None
+
+    # a v2.3-sized frame inside a v2.4 tag header (the classic layout
+    # confusion): the non-syncsafe size byte stops the walk — fields
+    # become None, the audio still parses
+    v23_frames = build_id3v2({"TIT2": "x" * 200}, 3)[10:]
+    confused = (
+        b"ID3\x04\x00\x00"
+        + bytes(
+            [
+                (len(v23_frames) >> 21) & 0x7F,
+                (len(v23_frames) >> 14) & 0x7F,
+                (len(v23_frames) >> 7) & 0x7F,
+                len(v23_frames) & 0x7F,
+            ]
+        )
+        + v23_frames
+        + build_mp3()
+    )
+    m = parse_mp3(confused)
+    assert m is not None and m["title"] is None and m["n_frames"] == 8
+
+    # truncated tag body / garbage frames: never raises, audio intact
+    bad = bytearray(build_mp3(tags={"TIT2": "t"}, id3_version=3))
+    bad[14] = 0xFF  # blow up the declared frame size
+    m = parse_mp3(bytes(bad))
+    assert m is not None and m["title"] is None and m["n_frames"] == 8
 
 
 def test_mp4_box_structure_parse():
@@ -1104,6 +1159,19 @@ def test_ogg_page_and_id_header_parse():
     assert d["channels"] == 2 and d["n_samples"] == 441000
     d = decode_payload(b"OggSgarbage-not-a-page")
     assert d["kind"] == "ogg" and d["sample_rate"] is None
+
+    # Opus audio fields are mutually consistent (RFC 7845: output clock
+    # is 48 kHz, granules include pre-skip): sample_rate is the 48 kHz
+    # output clock, n_samples is pre-skip-trimmed, and
+    # n_samples/sample_rate agrees with duration_s
+    d = decode_payload(
+        build_ogg(
+            codec="opus", channels=1, sample_rate=16000,
+            final_granule=96312, pre_skip=312, n_audio_pages=5,
+        )
+    )
+    assert d["sample_rate"] == 48000 and d["n_samples"] == 96000
+    assert abs(d["n_samples"] / d["sample_rate"] - d["duration_s"]) < 1e-3
 
 
 def test_container_parsers_never_raise_on_malformed_bytes():
