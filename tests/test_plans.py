@@ -131,11 +131,13 @@ def test_codec_queries_are_single_scan_shuffle_free(spark, sf_dir):
     MapInPandas), never row-at-a-time BatchEvalPython."""
     for name in (
         "jpeg420_decode",
+        "jpeg422_decode",
         "jpeg_progressive_decode",
         "flac_stereo_features",
         "mp3_metadata",
         "mp4_metadata",
         "ogg_metadata",
+        "html_extract_stats",
     ):
         plan = _plan(spark, name, sf_dir)
         assert _op_count(plan, "Exchange") == 0, (name, plan)
