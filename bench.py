@@ -95,9 +95,10 @@ EXTENDED = [
     "ogg_metadata",
     "bpe_segment",
     "bigram_collocations",
-    # round 5: markup extraction + mixed-sampling JPEG
+    # round 5: markup/document extraction + mixed-sampling JPEG
     "html_extract_stats",
     "jpeg422_decode",
+    "pdf_extract_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -68,6 +68,7 @@ MAGIC_PREFIXES: tuple[tuple[bytes, str], ...] = (
     (b"\xff\xfb", "mp3"),  # bare MPEG-1 L3 sync (no ID3 tag)
     (b"\xff\xf3", "mp3"),  # MPEG-2 L3 sync
     (b"\xff\xe3", "mp3"),  # MPEG-2.5 L3 sync
+    (b"%PDF-", "pdf"),  # document, not media: text via operators/pdf.py
 )
 
 
@@ -993,6 +994,12 @@ def _decode_payload(raw: bytes) -> dict:
                 else None
             ),
         )
+        return out
+    if bytes(raw[:5]) == b"%PDF-":
+        # document format — typed as its kind here; page counts and text
+        # come from operators/pdf.py (parse_pdf / extract_pdf_text),
+        # which carry document-shaped fields this media row does not
+        out["kind"] = "pdf"
         return out
     if bytes(raw[:3]) == b"ID3" or (
         len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0

@@ -2759,6 +2759,7 @@ _ROUND5_NEW = frozenset(
     {
         "html_extract_stats",
         "jpeg422_decode",
+        "pdf_extract_stats",
     }
 )
 
@@ -8924,4 +8925,80 @@ def html_extract_stats(spark, sf_dir):
         F.length("full_text").cast("bigint").alias("full_chars"),
         F.size(F.split("full_text", " ")).cast("bigint").alias("full_tokens"),
         (F.col("main_text") == F.col("text")).alias("roundtrip_exact"),
+    )
+
+
+@register(
+    "pdf_extract_stats",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents)
+    SELECT doc_id,
+           CAST((n_words + 119) // 120 AS BIGINT) AS n_pages,
+           CAST((n_words + 119) // 120 AS BIGINT) AS n_streams,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN (n_words + 119) // 120 ELSE 0 END AS BIGINT)
+             AS flate_streams,
+           n_chars AS extracted_chars,
+           n_words AS extracted_tokens,
+           TRUE AS roundtrip_exact
+    FROM w
+    """,
+)
+def pdf_extract_stats(spark, sf_dir):
+    """PDF text extraction round-trip (operators/pdf.py — with HTML the
+    other major arrival format of real pretraining corpora; the
+    reference corpus arrives pre-extracted so the reference has no
+    equivalent).
+
+    Builder-exercises-parser: every document is laid out as a
+    multi-page text PDF (120 words/page in 12-word lines; even doc_id
+    FlateDecode-compresses the content streams — REAL zlib inflate on
+    the read side; doc_id % 3 alternates Tj literals, kerned TJ arrays
+    whose word gaps the extractor must re-space, and hex strings), then
+    BOTH operators run: ``extract_pdf_text`` must recover the original
+    text EXACTLY (``roundtrip_exact``), and ``parse_pdf`` reports page/
+    stream/filter counts the oracle recomputes symbolically from the
+    word count. A hash match therefore proves object framing, stream
+    inflation, content-stream tokenization, escape/hex decoding, and
+    kern-to-space handling in one row per document.
+
+    Scale: build + extract are projections in the scan stage (zero
+    exchanges) — row-partitioned CPU at any corpus size.
+    """
+    from .operators.pdf import build_pdf, extract_pdf_text, parse_pdf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                raw = build_pdf(t, i)
+                m = parse_pdf(raw)
+                got = extract_pdf_text(raw)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_pages": m["n_pages"],
+                        "n_streams": m["n_streams"],
+                        "flate_streams": m["flate_streams"],
+                        "extracted_chars": len(got),
+                        "extracted_tokens": len(got.split(" ")),
+                        "roundtrip_exact": got == t,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, n_pages long, n_streams long, flate_streams long, "
+        "extracted_chars long, extracted_tokens long, "
+        "roundtrip_exact boolean",
     )
