@@ -241,6 +241,39 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                 )
             # unknown modes fall through untouched (tolerant dispatch,
             # flagged at parse time like unknown ops)
+        elif op == "extract_text":
+            # markup/document → plain text ahead of the text ops (round
+            # 5): format "html_main" runs the Readability-style block
+            # extractor, "html_all" the pure-JVM regexp tag strip,
+            # "pdf" the ISO 32000 content-stream extractor. All are
+            # scan-stage projections (no exchange); malformed input
+            # degrades to best-effort text, never a failure.
+            fmt = t.get("format", "html_main")
+            in_col = t.get("input_col", "raw")
+            out_col = t.get("output_col", "text")
+            if fmt == "html_all":
+                from ..operators.html import strip_html
+
+                df = df.withColumn(out_col, strip_html(in_col))
+            elif fmt == "html_main":
+                from ..operators.html import html_extract
+
+                df = html_extract(df, html_col=in_col, out_col=out_col)
+            elif fmt == "pdf":
+                from pyspark.sql.functions import pandas_udf
+
+                from ..operators.pdf import extract_pdf_text
+
+                @pandas_udf("string")
+                def _pdf_text(s):
+                    return s.map(
+                        lambda b: extract_pdf_text(
+                            bytes(b) if b is not None else b""
+                        )
+                    )
+
+                df = df.withColumn(out_col, _pdf_text(F.col(in_col)))
+            # unknown formats fall through untouched (tolerant dispatch)
         elif op == "sessionize":
             # the reference's implied purpose (README.md:1 — user session
             # analysis) as one YAML stanza: adds a per-user session

@@ -46,6 +46,7 @@ TRANSFORM_OPS = (
     "quality_score",
     "chunk",
     "decode_media",
+    "extract_text",
 )
 
 

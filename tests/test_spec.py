@@ -793,3 +793,71 @@ def test_multimodal_pipeline_story_end_to_end(spark, tmp_path):
     )
     res2 = run_pipeline(spark, spec2)
     assert res2.passed
+
+
+def test_extract_text_pipeline_op(spark, tmp_path):
+    """The round-5 extract_text op: HTML (main-text and all-text tiers)
+    and PDF arrival formats become a plain-text column inside one YAML
+    pipeline, composable with the text ops downstream; malformed
+    payloads degrade to empty text, never failures."""
+    from data_engineering_etl_self_service_spark.operators.html import build_html
+    from data_engineering_etl_self_service_spark.operators.pdf import build_pdf
+
+    text = "spark engines like declarative plans and pushed filters"
+    src = str(tmp_path / "raw_docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, build_html(text, 1), bytearray(build_pdf(text, 1))),
+            (2, "<p>broken <table><td>markup", bytearray(b"%PDF-1.4 junk")),
+        ],
+        "doc_id long, html string, pdf binary",
+    ).write.parquet(src)
+
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "extract"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {
+                    "op": "extract_text",
+                    "format": "html_main",
+                    "input_col": "html",
+                    "output_col": "main_text",
+                },
+                {
+                    "op": "extract_text",
+                    "format": "html_all",
+                    "input_col": "html",
+                    "output_col": "all_text",
+                },
+                {
+                    "op": "extract_text",
+                    "format": "pdf",
+                    "input_col": "pdf",
+                    "output_col": "pdf_text",
+                },
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+            "destination": {
+                "type": "snapshot",
+                "path": str(tmp_path / "extracted"),
+            },
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed and res.published_path
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in read_snapshot(spark, res.published_path).collect()
+    }
+    assert out[1].main_text == text and out[1].pdf_text == text
+    assert text in out[1].all_text  # tag-strip keeps chrome text too
+    assert out[2].main_text == "broken markup"  # malformed html tolerated
+    assert out[2].pdf_text == ""  # malformed pdf degrades, no failure
