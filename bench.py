@@ -99,6 +99,7 @@ EXTENDED = [
     "html_extract_stats",
     "jpeg422_decode",
     "pdf_extract_stats",
+    "warc_extract_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

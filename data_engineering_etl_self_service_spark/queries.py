@@ -2760,6 +2760,7 @@ _ROUND5_NEW = frozenset(
         "html_extract_stats",
         "jpeg422_decode",
         "pdf_extract_stats",
+        "warc_extract_stats",
     }
 )
 
@@ -8925,6 +8926,100 @@ def html_extract_stats(spark, sf_dir):
         F.length("full_text").cast("bigint").alias("full_chars"),
         F.size(F.split("full_text", " ")).cast("bigint").alias("full_tokens"),
         (F.col("main_text") == F.col("text")).alias("roundtrip_exact"),
+    )
+
+
+@register(
+    "warc_extract_stats",
+    """
+    SELECT doc_id,
+           'http://corpus.example/doc/' || doc_id AS uri,
+           CAST(3 AS BIGINT) AS n_records,
+           CAST(1 AS BIGINT) AS n_responses,
+           doc_id % 2 = 0 AS gzipped,
+           CAST(length(text) AS BIGINT) AS extracted_chars,
+           TRUE AS roundtrip_exact
+    FROM documents
+    """,
+)
+def warc_extract_stats(spark, sf_dir):
+    """The complete web-crawl ingestion chain (round 5): WARC container
+    (ISO 28500, operators/warc.py) -> gzip-member inflate -> HTTP
+    response split -> HTML main-text extraction (operators/html.py) —
+    i.e. Common Crawl bytes to curated text in one plan.
+
+    Builder-exercises-parser: each document's text is wrapped as a full
+    HTML page, packed into a 3-record WARC (warcinfo + request +
+    response; even doc_id uses the per-record-gzip .warc.gz layout,
+    odd plain) and pushed through ``warc_html_payloads`` +
+    ``extract_main_text``. The oracle states the URI, record counts,
+    and the recovered text length symbolically — a hash match proves
+    member inflation, record framing, Content-Length honoring, the
+    HTTP header split, AND the HTML extraction, end to end.
+
+    Scale: pack, member inflation, record explode, and extraction are
+    ONE fused Arrow-batched scan-stage pass (a first draft split pack /
+    explode into branches of a self-join, and the plan re-ran the
+    gzip-heavy pack stage four times — fusing removed every exchange
+    but the final per-doc rollup); crawl shards are row-partitioned and
+    added executors divide the whole chain directly.
+    """
+    from .operators.html import build_html, extract_main_text
+    from .operators.warc import build_warc, http_body, iter_warc_records
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def chain(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                blob = build_warc(
+                    [
+                        (
+                            f"http://corpus.example/doc/{i}",
+                            build_html(t, i),
+                        )
+                    ],
+                    gzip_members=i % 2 == 0,
+                    record_id_base=i,
+                )
+                n_records = 0
+                for rec in iter_warc_records(blob):
+                    n_records += 1
+                    if rec["type"] != "response":
+                        continue
+                    main = extract_main_text(
+                        http_body(rec["payload"]).decode(
+                            "utf-8", "replace"
+                        )
+                    )
+                    rows.append(
+                        {
+                            "doc_id": i,
+                            "uri": rec["uri"] or "",
+                            "gzipped": i % 2 == 0,
+                            "extracted_chars": len(main),
+                            "roundtrip_exact": main == t,
+                        }
+                    )
+                rows[-1]["n_records"] = n_records
+            yield pd.DataFrame(rows)
+
+    pages = d.mapInPandas(
+        chain,
+        "doc_id long, uri string, gzipped boolean, "
+        "extracted_chars long, roundtrip_exact boolean, n_records long",
+    )
+    return pages.groupBy("doc_id").agg(
+        F.first("uri").alias("uri"),
+        F.max("n_records").alias("n_records"),
+        F.count("*").alias("n_responses"),
+        F.first("gzipped").alias("gzipped"),
+        F.first("extracted_chars").alias("extracted_chars"),
+        F.min("roundtrip_exact").alias("roundtrip_exact"),
     )
 
 

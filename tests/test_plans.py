@@ -144,3 +144,16 @@ def test_codec_queries_are_single_scan_shuffle_free(spark, sf_dir):
         assert _op_count(plan, "Exchange") == 0, (name, plan)
         assert "BatchEvalPython" not in plan, name
         assert _op_count(plan, "Scan parquet") == 1, name
+
+
+def test_warc_chain_is_one_fused_pass(spark, sf_dir):
+    """warc_extract_stats fuses pack + member inflate + record explode
+    + HTML extraction into ONE Arrow pass over ONE scan; the only
+    exchange is the final per-doc rollup. (A draft self-joined the
+    packed frame and the plan re-ran the gzip-heavy pack stage 4x —
+    this pin keeps that from regressing.)"""
+    plan = _plan(spark, "warc_extract_stats", sf_dir)
+    assert _op_count(plan, "Scan parquet") == 1, plan
+    assert _op_count(plan, "Exchange") <= 1, plan
+    assert _op_count(plan, "MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan
