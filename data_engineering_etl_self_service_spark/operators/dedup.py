@@ -887,8 +887,9 @@ def jaccard_prefix_pairs(
       ``verify_chunk_pairs``, verification runs in hash-partitioned
       chunks written through to a process-scoped scratch parquet —
       peak memory is one chunk's array-carrying join, never the full
-      pair set.  The returned DataFrame reads the written files (valid
-      until the next-next invocation; see ``scratch.scratch_dir``).
+      pair set.  The returned DataFrame is localCheckpoint-ed off the
+      scratch files (skinny fixed-width rows), so it stays valid for
+      the caller's whole session regardless of scratch rotation.
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b — identical to
     ``jaccard_pairs`` (shingle hashing collides with p ~ n^2/2^65;
@@ -960,9 +961,12 @@ def jaccard_prefix_pairs(
         )
     )
     # Identical shingle sets: jaccard is exactly 1.0, no array join.
+    # The lit() guard keeps the short-circuit honest for a degenerate
+    # threshold > 1 (where even jaccard = 1.0 must NOT pass); Catalyst
+    # constant-folds it away in the normal tau <= 1 case.
     same = sig_cands.filter(F.col("sig_lo") == F.col("sig_hi")).select(
         "doc_a", "doc_b", F.lit(1.0).alias("jaccard")
-    )
+    ).filter(F.lit(threshold_num <= threshold_den))
     sig_pairs = (
         sig_cands.filter(F.col("sig_lo") != F.col("sig_hi"))
         .select("sig_lo", "sig_hi")
@@ -1034,7 +1038,12 @@ def jaccard_prefix_pairs(
     same.unionByName(diff.select("doc_a", "doc_b", "jaccard")).write.parquet(
         f"{outdir}/pairs"
     )
-    out = spark.read.parquet(f"{outdir}/pairs")
+    # localCheckpoint decouples the result from the scratch files (which
+    # the generation rotation deletes two invocations later): the rows
+    # are skinny fixed-width (doc_a, doc_b, jaccard), so block-manager
+    # residency is cheap even at tens of millions of pairs, and the
+    # returned DataFrame stays valid for the caller's whole session.
+    out = spark.read.parquet(f"{outdir}/pairs").localCheckpoint()
     chunked.unpersist()
     reps.unpersist()
     sig_cands.unpersist()

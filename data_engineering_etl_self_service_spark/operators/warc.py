@@ -59,6 +59,7 @@ def build_warc(
     pages: "list[tuple[str, str]]",
     gzip_members: bool = True,
     record_id_base: int = 0,
+    chunked: bool = False,
 ) -> bytes:
     """A WARC file of (uri, html) response records.
 
@@ -66,7 +67,11 @@ def build_warc(
     page a ``request`` record (headers only) and a ``response`` record
     whose payload is a full HTTP/1.1 message carrying the HTML. With
     ``gzip_members`` each record is its own gzip member (the splittable
-    .warc.gz layout); otherwise the records are plain concatenated."""
+    .warc.gz layout); otherwise the records are plain concatenated.
+    With ``chunked`` the HTTP responses use ``Transfer-Encoding:
+    chunked`` (64-byte chunks + a trailer header) instead of
+    Content-Length — the other framing real crawl records carry, so
+    :func:`http_body`'s de-chunking is builder-exercised."""
     records = [
         _record(
             "warcinfo",
@@ -86,12 +91,26 @@ def build_warc(
             )
         )
         body = html.encode("utf-8")
-        http = (
-            b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/html; charset=utf-8\r\n"
-            + f"Content-Length: {len(body)}\r\n\r\n".encode()
-            + body
-        )
+        if chunked:
+            framed = bytearray()
+            for off in range(0, len(body), 64):
+                piece = body[off : off + 64]
+                framed += f"{len(piece):x}".encode() + _CRLF
+                framed += piece + _CRLF
+            framed += b"0" + _CRLF
+            framed += b"X-Trailer: end" + _CRLF + _CRLF
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\n" + bytes(framed)
+            )
+        else:
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body
+            )
         records.append(
             _record(
                 "response",
@@ -175,12 +194,52 @@ def iter_warc_records(raw: bytes):
 
 
 def http_body(payload: bytes) -> bytes:
-    """Entity body of an HTTP/1.1 message payload (status line + headers
-    split off); the payload unchanged when it isn't an HTTP message."""
+    """Entity body of an HTTP/1.1 message payload: status line + headers
+    split off and, when the headers declare ``Transfer-Encoding:
+    chunked`` (which real Common Crawl response records do use), the
+    chunked framing removed — hex size lines (with optional ;ext),
+    per-chunk CRLFs, the 0-chunk terminator, and any trailer headers
+    all stripped so only entity bytes reach the extractor. Returns the
+    payload unchanged when it isn't an HTTP message, and falls back to
+    the raw (framed) body on malformed chunk framing rather than
+    raising — tolerant-parse like the rest of this module."""
     if not payload.startswith(b"HTTP/"):
         return payload
     sep = payload.find(_CRLF + _CRLF)
-    return payload if sep < 0 else payload[sep + 4 :]
+    if sep < 0:
+        return payload
+    head, body = payload[:sep], payload[sep + 4 :]
+    chunked = False
+    for line in head.split(_CRLF)[1:]:
+        k, s, v = line.partition(b":")
+        if s and k.strip().lower() == b"transfer-encoding":
+            # value may be a list, e.g. "gzip, chunked"
+            encs = [e.strip().lower() for e in v.split(b",")]
+            chunked = b"chunked" in encs
+    if not chunked:
+        return body
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            return body  # malformed framing: surface the raw body
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return body
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) intentionally dropped
+        if pos + size > len(body):
+            return body  # truncated chunk
+        out += body[pos : pos + size]
+        pos += size
+        if body[pos : pos + 2] == _CRLF:
+            pos += 2
+        else:
+            return body
 
 
 def parse_warc(raw: bytes):

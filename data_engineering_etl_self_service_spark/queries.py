@@ -2679,6 +2679,7 @@ def _latest_checked() -> frozenset[str]:
 #: negative_samples — had NO prior driver row, so they need no entry;
 #: they are still unsettled and already fronted.)
 _RECHECK: dict[str, int] = {
+    "warc_extract_stats": 6,  # row widened with chunked-framing column
     "mp3_metadata": 5,  # row widened with ID3v2 title/artist/album
     "math_funcs": 3,  # oracle floor/ceiling now CAST to BIGINT
     "vocab_encode": 3,  # token_ids serialized to string on both sides
@@ -8890,6 +8891,14 @@ def html_extract_stats(spark, sf_dir):
     stripping, entity decoding, whitespace collapse, malformed-markup
     tolerance, and boilerplate-block pruning in one row per document.
 
+    Oracle precondition (asserted by
+    tests/test_html.py::test_fixture_invariant_for_symbolic_oracle):
+    every fixture document is non-empty with already-normalized
+    single-space whitespace. An empty text yields 103 full_chars (one
+    fewer joining space than length+104), and non-normalized whitespace
+    would be collapsed by extraction and break roundtrip_exact — the
+    +104/+17 constants are exact ONLY under this invariant.
+
     Scale: build + extract are projections in the scan stage (no
     exchange); strip_html is whole-stage codegen.
     """
@@ -8937,6 +8946,7 @@ def html_extract_stats(spark, sf_dir):
            CAST(3 AS BIGINT) AS n_records,
            CAST(1 AS BIGINT) AS n_responses,
            doc_id % 2 = 0 AS gzipped,
+           doc_id % 3 = 0 AS chunked,
            CAST(length(text) AS BIGINT) AS extracted_chars,
            TRUE AS roundtrip_exact
     FROM documents
@@ -8951,10 +8961,13 @@ def warc_extract_stats(spark, sf_dir):
     Builder-exercises-parser: each document's text is wrapped as a full
     HTML page, packed into a 3-record WARC (warcinfo + request +
     response; even doc_id uses the per-record-gzip .warc.gz layout,
-    odd plain) and pushed through ``warc_html_payloads`` +
-    ``extract_main_text``. The oracle states the URI, record counts,
-    and the recovered text length symbolically — a hash match proves
-    member inflation, record framing, Content-Length honoring, the
+    odd plain; doc_id % 3 == 0 frames the HTTP response with
+    ``Transfer-Encoding: chunked`` + a trailer instead of
+    Content-Length — round 6, exercising http_body's de-chunker) and
+    pushed through ``warc_html_payloads`` + ``extract_main_text``. The
+    oracle states the URI, record counts, and the recovered text length
+    symbolically — a hash match proves member inflation, record
+    framing, Content-Length honoring, chunked-framing removal, the
     HTTP header split, AND the HTML extraction, end to end.
 
     Scale: pack, member inflation, record explode, and extraction are
@@ -8985,8 +8998,10 @@ def warc_extract_stats(spark, sf_dir):
                     ],
                     gzip_members=i % 2 == 0,
                     record_id_base=i,
+                    chunked=i % 3 == 0,
                 )
                 n_records = 0
+                doc_rows = []
                 for rec in iter_warc_records(blob):
                     n_records += 1
                     if rec["type"] != "response":
@@ -8996,21 +9011,50 @@ def warc_extract_stats(spark, sf_dir):
                             "utf-8", "replace"
                         )
                     )
-                    rows.append(
+                    doc_rows.append(
                         {
                             "doc_id": i,
                             "uri": rec["uri"] or "",
                             "gzipped": i % 2 == 0,
+                            "chunked": i % 3 == 0,
                             "extracted_chars": len(main),
                             "roundtrip_exact": main == t,
                         }
                     )
-                rows[-1]["n_records"] = n_records
-            yield pd.DataFrame(rows)
+                if not doc_rows:
+                    # Tolerant parsing can bail before the response
+                    # record on a damaged member; emit a sentinel row so
+                    # the doc still surfaces (and never stamp a
+                    # NEIGHBORING doc's row by indexing rows[-1]).
+                    doc_rows.append(
+                        {
+                            "doc_id": i,
+                            "uri": "",
+                            "gzipped": i % 2 == 0,
+                            "chunked": i % 3 == 0,
+                            "extracted_chars": 0,
+                            "roundtrip_exact": False,
+                        }
+                    )
+                for r in doc_rows:
+                    r["n_records"] = n_records
+                rows.extend(doc_rows)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "uri",
+                    "gzipped",
+                    "chunked",
+                    "extracted_chars",
+                    "roundtrip_exact",
+                    "n_records",
+                ],
+            )
 
     pages = d.mapInPandas(
         chain,
-        "doc_id long, uri string, gzipped boolean, "
+        "doc_id long, uri string, gzipped boolean, chunked boolean, "
         "extracted_chars long, roundtrip_exact boolean, n_records long",
     )
     return pages.groupBy("doc_id").agg(
@@ -9018,6 +9062,7 @@ def warc_extract_stats(spark, sf_dir):
         F.max("n_records").alias("n_records"),
         F.count("*").alias("n_responses"),
         F.first("gzipped").alias("gzipped"),
+        F.first("chunked").alias("chunked"),
         F.first("extracted_chars").alias("extracted_chars"),
         F.min("roundtrip_exact").alias("roundtrip_exact"),
     )

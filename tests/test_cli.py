@@ -81,22 +81,54 @@ def test_cli_backfill_runs_range_and_reports_metrics(tmp_path, capsys):
     assert all("total_s" in l["metrics"] for l in lines)
 
 
-def test_examples_directory_specs_parse_and_run(tmp_path, capsys, monkeypatch):
+def test_examples_directory_specs_parse_and_run(
+    spark, sf_dir, tmp_path, capsys, monkeypatch
+):
     """Every shipped examples/*.yaml parses warning-free and runs green
-    (paths redirected under tmp so the repo tree stays clean)."""
+    (paths redirected under tmp so the repo tree stays clean). Specs
+    whose production source path doesn't exist in this sandbox (e.g.
+    web_corpus_extraction's crawled-pages lake) get a schema-faithful
+    source materialized under tmp: fixture documents wrapped as HTML
+    pages, exactly what the extract_text stage expects."""
     import pathlib
     import yaml as _yaml
 
+    from pyspark.sql import functions as F
+    from data_engineering_etl_self_service_spark.catalog import load_table
     from data_engineering_etl_self_service_spark.plans.spec import load_spec
 
     ex = pathlib.Path(__file__).resolve().parents[1] / "examples"
     specs = sorted(ex.glob("*.yaml"))
     assert len(specs) >= 2
+    pages_src = None
     for p in specs:
         cfg = _yaml.safe_load(p.read_text())
         cfg["destination"]["path"] = str(
             tmp_path / cfg["pipeline_info"]["name"]
         )
+        src = cfg.get("source", {})
+        src_path = str(src.get("path", ""))
+        if src.get("type") == "file" and not pathlib.Path(
+            src_path.split("{", 1)[0]
+        ).exists():
+            if pages_src is None:
+                from data_engineering_etl_self_service_spark.operators.html import (
+                    build_html,
+                )
+
+                pages_src = str(tmp_path / "raw_pages")
+                docs = (
+                    load_table(spark, sf_dir, "documents")
+                    .filter(F.col("lang") == "en")
+                    .limit(50)
+                    .select("doc_id", "text")
+                    .collect()
+                )
+                spark.createDataFrame(
+                    [(r.doc_id, build_html(r.text, r.doc_id)) for r in docs],
+                    "doc_id long, html string",
+                ).write.mode("overwrite").parquet(pages_src)
+            cfg["source"]["path"] = pages_src
         q = tmp_path / p.name
         q.write_text(_yaml.safe_dump(cfg))
         assert not load_spec(str(q)).warnings

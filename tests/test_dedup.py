@@ -267,3 +267,37 @@ def test_prefix_filter_signature_shortcut_identical_sets(spark):
         for r in jaccard_prefix_pairs(df, threshold_num=4, threshold_den=5).collect()
     }
     assert out[(0, 1)] == 1.0
+
+
+def test_prefix_filter_degenerate_threshold_above_one(spark):
+    """A threshold > 1 is unsatisfiable — even identical shingle sets
+    (jaccard exactly 1.0) must NOT pass; the signature short-circuit
+    honors the filter (round-6 ADVICE fix)."""
+    from data_engineering_etl_self_service_spark.operators.dedup import jaccard_prefix_pairs
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(spark, [t, t])
+    assert (
+        jaccard_prefix_pairs(df, threshold_num=6, threshold_den=5).count() == 0
+    )
+
+
+def test_prefix_filter_chunked_result_survives_scratch_rotation(spark, sf_dir):
+    """The chunked write-through result is localCheckpoint-ed off its
+    scratch parquet, so it stays readable after later invocations of the
+    same operator rotate (delete) the scratch generation that produced
+    it (round-6 ADVICE fix)."""
+    from data_engineering_etl_self_service_spark.operators.dedup import jaccard_prefix_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    held = jaccard_prefix_pairs(
+        d, threshold_num=4, threshold_den=5, verify_chunk_pairs=1
+    )
+    n0 = held.count()
+    # two more chunked invocations advance the scratch generation twice,
+    # deleting the generation backing `held` were it still parquet-backed
+    for _ in range(2):
+        jaccard_prefix_pairs(
+            d.limit(40), threshold_num=4, threshold_den=5, verify_chunk_pairs=1
+        ).count()
+    assert held.count() == n0 > 0

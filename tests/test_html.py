@@ -85,3 +85,30 @@ def test_html_extract_dataframe_form(spark):
     out = {r.doc_id: r.main_text for r in html_extract(df).collect()}
     assert out[3] == "word3 common text body"
     assert out[99] == "unclosed paragraph another nested bold"
+
+
+def test_fixture_invariant_for_symbolic_oracle(spark, sf_dir):
+    """The html_extract_stats oracle states full_chars = length(text)+104
+    and roundtrip_exact = TRUE symbolically; both hold ONLY when every
+    fixture document is non-empty with single-space-normalized
+    whitespace (empty text joins with one fewer space -> 103 chars, and
+    any run of whitespace would be collapsed by extraction). Pin the
+    invariant so a fixture change fails HERE, not as a driver hash
+    mismatch."""
+    import re
+
+    bad = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(
+            (F.length("text") == 0)
+            | F.col("text").rlike(r"\s\s|\t|\n|\r")
+            | F.col("text").startswith(" ")
+            | F.col("text").endswith(" ")
+        )
+        .count()
+    )
+    assert bad == 0
+    # spot-check the constant on one real fixture row
+    r = load_table(spark, sf_dir, "documents").select("doc_id", "text").first()
+    assert len(re.sub(r"\s+", " ", r.text).strip()) == len(r.text)

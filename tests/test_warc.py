@@ -119,3 +119,52 @@ def test_warc_explode_to_pages(spark):
         (1, "http://m/2", "<p>b</p>"),
         (2, "http://m/3", "<p>c</p>"),
     ]
+
+
+def test_http_body_dechunks_transfer_encoding():
+    """Real Common Crawl response records can carry Transfer-Encoding:
+    chunked; http_body must strip the hex size lines, per-chunk CRLFs,
+    the 0-terminator, and trailer headers so only entity bytes reach
+    the extractor."""
+    body = ("lorem ipsum " * 40).encode()  # > 64 bytes -> many chunks
+    for blob_chunked in (True, False):
+        blob = build_warc(
+            [("http://x/a", body.decode())], chunked=blob_chunked
+        )
+        recs = [r for r in iter_warc_records(blob) if r["type"] == "response"]
+        assert len(recs) == 1
+        assert http_body(recs[0]["payload"]) == body
+    # chunk extension after ';' is ignored; list-valued TE handled
+    framed = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Transfer-Encoding: gzip, chunked\r\n\r\n"
+        b"5;name=v\r\nhello\r\n"
+        b"1\r\n \r\n"
+        b"5\r\nworld\r\n"
+        b"0\r\n"
+        b"X-Trailer: t\r\n\r\n"
+    )
+    assert http_body(framed) == b"hello world"
+
+
+def test_http_body_malformed_chunked_falls_back_raw():
+    """Malformed chunk framing (bad hex, truncated chunk, missing CRLF)
+    surfaces the raw body instead of raising — tolerant-parse contract."""
+    cases = [
+        b"zz\r\nhello\r\n0\r\n\r\n",  # non-hex size
+        b"ff\r\nshort\r\n0\r\n\r\n",  # declared > available
+        b"5\r\nhelloX0\r\n\r\n",  # missing chunk-terminating CRLF
+        b"5\r\nhello",  # truncated after data
+    ]
+    for raw_body in cases:
+        payload = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + raw_body
+        )
+        assert http_body(payload) == raw_body
+
+
+def test_http_body_content_length_unaffected():
+    payload = b"HTTP/1.1 200 OK\r\nContent-Length: 5\r\n\r\nhello"
+    assert http_body(payload) == b"hello"
+    assert http_body(b"not http at all") == b"not http at all"
