@@ -100,6 +100,12 @@ EXTENDED = [
     "jpeg422_decode",
     "pdf_extract_stats",
     "warc_extract_stats",
+    # round 6: LM fluency filter, duplicate-substring scrub, SemDeDup,
+    # training-shard layout
+    "lm_fluency_scores",
+    "exact_substr_scrub",
+    "semantic_dedup",
+    "shard_manifest",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -166,3 +166,86 @@ def kmeans_summary(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("d2").alias("inertia"),
     )
+
+
+def semantic_dedup(
+    embs: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    tau_num: int = 2,
+    tau_den: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> DataFrame:
+    """Cluster-pruned semantic deduplication (the SemDeDup recipe from
+    the LLM-curation literature): k-means the embedding space, then
+    compare cosine similarity ONLY within a cluster, dropping any
+    vector that has a lower-id same-cluster neighbor with
+    cos >= tau_num/tau_den. The cluster restriction is the entire
+    scale story — candidate pairs are sum over clusters of |c|^2, not
+    corpus^2, and k grows with corpus size to hold |c| bounded
+    (production SemDeDup runs used tens of thousands of clusters), so
+    the pair stage stays linear per cluster-partition. The keep-the-
+    lowest-id rule makes the output order-independent and exactly
+    restatable in SQL.
+
+    Exactness: vectors are quantized to ``1/quant`` fixed point and the
+    cosine test evaluated as den^2 * dot^2 >= num^2 * |a|^2 * |b|^2 with
+    dot > 0 — all BIGINT, no sqrt, no float comparisons, so the oracle
+    hash-matches. (At quant=1e3, dim 64, unit-ish inputs: dot <= ~2e7,
+    every product <= ~3e16 — far inside int64.)
+
+    Output: one row per vector — (vec_id, cluster_id, kept).
+    """
+    cents = kmeans_fit(embs, k, n_iters, vec_col, id_col)
+    yq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * quant)
+    )
+    q = kmeans_assign(embs, cents, vec_col, id_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        yq.alias("y"),
+    )
+
+    def _dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    q = q.withColumn("n2", _dot(F.col("y"), F.col("y")))
+    hi = q.select(
+        F.col("vec_id").alias("v"),
+        "cluster_id",
+        F.col("y").alias("ya"),
+        F.col("n2").alias("na"),
+    )
+    lo = q.select(
+        F.col("vec_id").alias("u"),
+        "cluster_id",
+        F.col("y").alias("yb"),
+        F.col("n2").alias("nb"),
+    )
+    dot = _dot(F.col("ya"), F.col("yb"))
+    dups = (
+        hi.join(lo, "cluster_id")
+        .filter(F.col("u") < F.col("v"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(tau_den * tau_den) * F.col("dot") * F.col("dot")
+                >= F.lit(tau_num * tau_num) * F.col("na") * F.col("nb")
+            )
+        )
+        .select(F.col("v").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return q.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+    )

@@ -798,6 +798,120 @@ def duplicate_span_extents(
     return out
 
 
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_gram_occ: int = 16,
+    materialize: bool = True,
+) -> DataFrame:
+    """Duplicate-substring REMOVAL — the scrub half of span-level exact
+    dedup (the detection half is :func:`duplicate_span_extents`): a
+    token is cut when any k-gram window containing it has total corpus
+    occurrence in [2, ``max_gram_occ``], and the surviving tokens are
+    rejoined into the scrubbed text. This is the remove-the-substring
+    policy of the training-data dedup literature (cut only the repeated
+    span, keep the rest of the document) rather than doc-level drop.
+
+    Contract notes, all deterministic so a SQL oracle can restate them:
+    tokens are case-folded whitespace tokens (the gram table's own
+    tokenization); the occurrence band's upper bound is the same
+    boilerplate skew guard as in :func:`duplicate_span_extents` (a gram
+    more frequent than the cap is chrome, handled by the boilerplate
+    ops, and would otherwise explode the per-gram fan-out); coverage
+    counts within-doc repeats too (total occurrence, not doc
+    frequency).
+
+    Scale: no pair join anywhere — grams aggregate map-side to an
+    eligibility set, covered positions fan out exactly k rows per
+    eligible gram occurrence, and the rebuild is one per-doc grouped
+    agg (collect_list of (pos, tok) structs, array_sort for
+    deterministic order — bounded by document length, the same bound
+    every per-doc window in this module relies on). Three shuffles
+    total (gram agg, coverage distinct, doc rollup), each on keys that
+    scale with corpus size, never with corpus².
+
+    Output: one row per doc — (doc_id, n_tokens, n_dup_tokens,
+    n_kept_tokens, scrubbed_chars, scrub_md5).
+
+    ``materialize=False`` returns the lazy plan (leaking the persist)
+    for plan audits, like :func:`duplicate_span_extents`.
+    """
+    from ..functions.text import tokens as _tokens
+
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens(F.col(text_col)).alias("t"),
+    ).persist()
+    tok = w.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+    )
+    idx = F.when(
+        F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)))
+    sh = w.select("doc_id", F.posexplode(grams).alias("pos0", "gram")).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram"
+    )
+    elig = (
+        sh.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter((F.col("n_occ") >= 2) & (F.col("n_occ") <= max_gram_occ))
+        .select("gram")
+    )
+    covered = (
+        sh.join(elig, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    keptagg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("scrub"),
+    )
+    covn = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_tokens")
+    )
+    stats = w.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    out = (
+        stats.join(covn, "doc_id", "left")
+        .join(keptagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint").alias(
+                "n_dup_tokens"
+            ),
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("bigint").alias(
+                "n_kept_tokens"
+            ),
+            F.length(F.coalesce("scrub", F.lit(""))).cast("bigint").alias(
+                "scrubbed_chars"
+            ),
+            F.md5(F.coalesce("scrub", F.lit(""))).alias("scrub_md5"),
+        )
+    )
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    w.unpersist()
+    return out
+
+
 def drop_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",

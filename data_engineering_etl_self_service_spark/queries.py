@@ -1426,10 +1426,11 @@ def variant_extract(spark, sf_dir):
     )
 
 
-def _kmeans_oracle(k: int = 8, n_iters: int = 3) -> str:
-    """Unrolled fixed-point Lloyd in ANSI SQL: every iteration is one
-    assign CTE (argmin by exact BIGINT d2) + one centroid-update CTE
-    (elementwise integer floor-division mean, empty clusters carried)."""
+def _kmeans_ctes(k: int = 8, n_iters: int = 3) -> list[str]:
+    """Shared CTE prefix of the unrolled fixed-point Lloyd oracle —
+    ends with ``final_assign(vec_id, cid, d2)``. ``_kmeans_oracle``
+    appends the cluster rollup; ``_semantic_dedup_oracle`` appends the
+    within-cluster cosine dedup (round 6)."""
     ctes = [
         """xq AS (
       SELECT vec_id,
@@ -1476,13 +1477,64 @@ def _kmeans_oracle(k: int = 8, n_iters: int = 3) -> str:
               FROM xq v CROSS JOIN cents_{n_iters} c))
       WHERE rn = 1)"""
     )
+    return ctes
+
+
+def _kmeans_oracle(k: int = 8, n_iters: int = 3) -> str:
+    """Unrolled fixed-point Lloyd in ANSI SQL: every iteration is one
+    assign CTE (argmin by exact BIGINT d2) + one centroid-update CTE
+    (elementwise integer floor-division mean, empty clusters carried)."""
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_kmeans_ctes(k, n_iters))
         + """
     SELECT cid AS cluster_id, COUNT(*) AS n_vecs,
            CAST(SUM(d2) AS BIGINT) AS inertia
     FROM final_assign GROUP BY cid"""
+    )
+
+
+def _semantic_dedup_oracle(
+    k: int = 8,
+    n_iters: int = 3,
+    tau_num: int = 2,
+    tau_den: int = 5,
+    quant: int = 1000,
+) -> str:
+    """SemDeDup on top of the unrolled Lloyd CTEs: within each final
+    cluster, a vector is a duplicate when a lower-id member has
+    cos >= tau, evaluated all-BIGINT (den^2*dot^2 >= num^2*|a|^2*|b|^2
+    with dot > 0) on 1/quant fixed-point vectors — hash-exact against
+    the Spark side."""
+    dot_ab = "CAST(list_dot_product(a.y, b.y) AS BIGINT)"
+    ctes = _kmeans_ctes(k, n_iters)
+    ctes.append(
+        f"""yq AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {quant}.0) AS BIGINT)) AS y
+      FROM embeddings)"""
+    )
+    ctes.append(
+        f"""dups AS (
+      SELECT DISTINCT hi.vec_id
+      FROM final_assign hi
+      JOIN final_assign lo ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+      JOIN yq a ON a.vec_id = hi.vec_id
+      JOIN yq b ON b.vec_id = lo.vec_id
+      WHERE {dot_ab} > 0
+        AND {tau_den * tau_den} * ({dot_ab} * {dot_ab})
+            >= {tau_num * tau_num}
+               * (CAST(list_dot_product(a.y, a.y) AS BIGINT)
+                  * CAST(list_dot_product(b.y, b.y) AS BIGINT)))"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster_id,
+           d.vec_id IS NULL AS kept
+    FROM final_assign f LEFT JOIN dups d ON f.vec_id = d.vec_id"""
     )
 
 
@@ -9141,4 +9193,228 @@ def pdf_extract_stats(spark, sf_dir):
         "doc_id long, n_pages long, n_streams long, flate_streams long, "
         "extracted_chars long, extracted_tokens long, "
         "roundtrip_exact boolean",
+    )
+
+
+# =========================================================================
+# Round 6 — corpus-curation depth: LM fluency filtering, duplicate-
+# substring removal, semantic dedup, training-shard layout
+# =========================================================================
+
+
+@register(
+    "lm_fluency_scores",
+    """
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents),
+    u AS (SELECT x AS tok, COUNT(*) AS n
+          FROM (SELECT unnest(w) AS x FROM t) GROUP BY 1),
+    b AS (SELECT doc_id, w[i] AS x, w[i+1] AS y
+          FROM t, unnest(range(1, len(w))) v(i)),
+    bc AS (SELECT x, y, COUNT(*) AS nxy FROM b GROUP BY 1, 2),
+    sc AS (SELECT b.doc_id,
+                  CAST(bc.nxy * 1000000 // u.n AS BIGINT) AS cond_ppm
+           FROM b JOIN bc ON b.x = bc.x AND b.y = bc.y
+                  JOIN u ON b.x = u.tok)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(cond_ppm) AS BIGINT) AS sum_cond_ppm,
+           CAST(SUM(cond_ppm) // COUNT(*) AS BIGINT) AS avg_cond_ppm,
+           CAST(MIN(cond_ppm) AS BIGINT) AS min_cond_ppm
+    FROM sc GROUP BY doc_id
+    """,
+)
+def lm_fluency_scores(spark, sf_dir):
+    """Corpus-trained bigram language-model fluency scoring — the
+    perplexity-style quality filter of the CCNet lineage (score every
+    document by how predictable its token transitions are under a model
+    trained on the corpus itself; low scores flag gibberish, OCR noise,
+    and keyword-stuffed spam), made integer-exact: each adjacent token
+    pair contributes its conditional probability P(y|x) = n_xy / n_x in
+    floored ppm, and a document reports the sum, the floored mean, and
+    the minimum (the single least-predictable transition — the sharpest
+    junk detector of the three).
+
+    Scale: the "model" is two corpus-sized aggregations (unigram and
+    bigram counts, both map-side combined); scoring joins the per-doc
+    bigram stream to those tables on token keys — key-partitioned, NOT
+    broadcast, because a real vocabulary outgrows a broadcast at 100 TB
+    (same posture as bigram_collocations); the per-doc rollup combines
+    map-side. Bigrams explode via slice+arrays_zip (codegen'd built-ins,
+    no interpreted lambdas in the corpus-sized path).
+    """
+    from .functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens(F.col("text")).alias("w"))
+    b = (
+        tk.withColumn("l", F.slice(F.col("w"), 1, F.size("w") - 1))
+        .withColumn("r", F.slice(F.col("w"), 2, F.size("w") - 1))
+        .select("doc_id", F.explode(F.arrays_zip("l", "r")).alias("p"))
+        .select("doc_id", F.col("p.l").alias("x"), F.col("p.r").alias("y"))
+    )
+    uni = (
+        tk.select(F.explode("w").alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bc = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    sc = (
+        b.join(bc, ["x", "y"])
+        .join(uni, "x")
+        .select(
+            "doc_id",
+            F.expr("(nxy * 1000000L) div n").cast("bigint").alias("cond_ppm"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("cond_ppm").cast("bigint").alias("sum_cond_ppm"),
+        F.expr("sum(cond_ppm) div count(*)").cast("bigint").alias(
+            "avg_cond_ppm"
+        ),
+        F.min("cond_ppm").cast("bigint").alias("min_cond_ppm"),
+    )
+
+
+@register(
+    "exact_substr_scrub",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+    sh AS (
+      SELECT doc_id, CAST(g AS BIGINT) AS pos,
+             array_to_string(t[g:g+4], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) u(g)),
+    elig AS (
+      SELECT gram FROM sh GROUP BY gram
+      HAVING COUNT(*) BETWEEN 2 AND 16),
+    cov AS (
+      SELECT DISTINCT s.doc_id, s.pos + o.o AS pos
+      FROM sh s JOIN elig e ON s.gram = e.gram,
+           unnest(range(0, 5)) o(o)),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM tok t
+      WHERE NOT EXISTS (SELECT 1 FROM cov c
+                        WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+    stats AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+    covn AS (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id),
+    ka AS (SELECT doc_id, COUNT(*) AS n,
+                  string_agg(tok, ' ' ORDER BY pos) AS scrub
+           FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, s.n_tokens,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(COALESCE(k.n, 0) AS BIGINT) AS n_kept_tokens,
+           CAST(length(COALESCE(k.scrub, '')) AS BIGINT) AS scrubbed_chars,
+           md5(COALESCE(k.scrub, '')) AS scrub_md5
+    FROM stats s
+    LEFT JOIN covn c ON s.doc_id = c.doc_id
+    LEFT JOIN ka k ON s.doc_id = k.doc_id
+    """,
+)
+def exact_substr_scrub(spark, sf_dir):
+    """Duplicate-substring removal (span-level exact dedup, the
+    remove-the-substring policy from the training-data dedup
+    literature): every token covered by a 5-gram whose corpus
+    occurrence lies in [2, 16] is cut and the survivors rejoined —
+    ``dup_span_extents`` REPORTS the shared spans, this op actually
+    SCRUBS them, returning per-doc removal stats plus the md5 of the
+    scrubbed text (so the oracle hash certifies the exact reconstructed
+    string, not just counts). Upper band = the boilerplate skew guard;
+    chrome beyond it belongs to the boilerplate ops
+    (operators/dedup.py scrub_duplicate_spans).
+
+    Scale: no pair join — eligibility is one gram agg, coverage fans
+    out exactly k rows per eligible occurrence, the rebuild is one
+    per-doc grouped agg bounded by document length. Three shuffles,
+    all on corpus-linear keys.
+    """
+    from .operators.dedup import scrub_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub_duplicate_spans(d, k=5, max_gram_occ=16)
+
+
+def _exact_substr_scrub_plan(spark, sf_dir):
+    from .operators.dedup import scrub_duplicate_spans
+
+    return scrub_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=5, max_gram_occ=16,
+        materialize=False,
+    )
+
+
+PLAN_VIEWS["exact_substr_scrub"] = _exact_substr_scrub_plan
+
+
+@register("semantic_dedup", _semantic_dedup_oracle(k=8, n_iters=3, tau_num=2, tau_den=5))
+def semantic_dedup(spark, sf_dir):
+    """Cluster-pruned semantic dedup (the SemDeDup recipe): k-means the
+    embedding space (the same deterministic fixed-point Lloyd as
+    ``kmeans_clusters``), then drop any vector with a lower-id
+    SAME-CLUSTER neighbor at cosine >= 0.4 — semantic near-duplicate
+    pruning whose candidate space is per-cluster, never corpus². The
+    global-graph counterpart is ``embedding_dedup_groups``; this one is
+    what actually runs at 100 TB, where k scales with corpus size to
+    hold cluster populations bounded and the pair stage shuffles once
+    on cluster_id (operators/clustering.py semantic_dedup).
+
+    Iterative k-means AND the cosine test both hash-match an ANSI-SQL
+    oracle because every step is fixed-point integer arithmetic — the
+    cosine threshold is evaluated as den²·dot² >= num²·|a|²·|b|² in
+    BIGINT (no sqrt, no float compare).
+    """
+    from .operators.clustering import semantic_dedup as _sd
+
+    e = _t(spark, sf_dir, "embeddings")
+    return _sd(e, k=8, n_iters=3, tau_num=2, tau_den=5)
+
+
+@register(
+    "shard_manifest",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             (doc_id * 1103515245 + 12345) % 2147483648 AS h
+      FROM documents)
+    SELECT CAST(h % 16 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(h) AS BIGINT) AS min_h,
+           CAST(MAX(h) AS BIGINT) AS max_h,
+           CAST(SUM(h) AS BIGINT) AS h_checksum
+    FROM h GROUP BY 1
+    """,
+)
+def shard_manifest(spark, sf_dir):
+    """Deterministic training-shard layout (operators/sharding.py): mix
+    each doc_id through a portable 31-bit LCG step — a reproducible
+    global shuffle, unlike engine-dependent rand(seed) — fold into 16
+    shards, and report the per-shard manifest (row count, char volume,
+    key range, checksum) a training data loader consumes. Balanced
+    without skew handling because the mixed key is uniform even over
+    dense-sequential ids; the h_checksum column certifies the exact key
+    assignment, not just the counts.
+
+    Scale: assignment is map-side arithmetic; this rollup is one
+    map-side-combined agg on a 16-value key. The writer variant
+    (write_training_shards) adds exactly one repartition +
+    sortWithinPartitions to fix on-disk order — pytest-verified since
+    file layout isn't SQL-oracle-able.
+    """
+    from .operators.sharding import shard_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = shard_assign(d, id_col="doc_id", n_shards=16)
+    return a.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("h").cast("bigint").alias("min_h"),
+        F.max("h").cast("bigint").alias("max_h"),
+        F.sum("h").cast("bigint").alias("h_checksum"),
     )

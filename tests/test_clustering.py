@@ -89,3 +89,44 @@ def test_kmeans_partitions_all_vectors(spark, sf_dir):
     assert sum(r.n_vecs for r in out) == e.count()
     assert all(0 <= r.cluster_id < 8 for r in out)
     assert all(r.inertia >= 0 for r in out)
+
+
+def test_semantic_dedup_drops_within_cluster_near_dups(spark):
+    """A vector nearly parallel to a lower-id vector lands in the same
+    cluster and is dropped; the lowest id of a duplicate set is kept;
+    an orthogonal vector survives."""
+    from data_engineering_etl_self_service_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]  # cos ~ 0.99995
+    ortho = [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, base, 0), (1, near, 0), (2, ortho, 0), (3, near, 0)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = {r.vec_id: r.kept for r in semantic_dedup(
+        e, k=2, n_iters=2, tau_num=9, tau_den=10
+    ).collect()}
+    assert out[0] is True          # lowest id of the duplicate set
+    assert out[1] is False and out[3] is False
+    assert out[2] is True          # orthogonal: cos 0 < 0.9
+
+
+def test_semantic_dedup_matches_queries_row_shape(spark, sf_dir):
+    from data_engineering_etl_self_service_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(e, k=8, n_iters=3, tau_num=2, tau_den=5)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    assert out.columns == ["vec_id", "cluster_id", "kept"]
+    assert any(not r.kept for r in rows)  # non-degenerate at fixture scale
+    # dropping is monotone in tau: a looser threshold drops at least as many
+    loose = semantic_dedup(e, k=8, n_iters=3, tau_num=1, tau_den=5)
+    n_tight = sum(not r.kept for r in rows)
+    n_loose = sum(not r.kept for r in loose.collect())
+    assert n_loose >= n_tight

@@ -301,3 +301,62 @@ def test_prefix_filter_chunked_result_survives_scratch_rotation(spark, sf_dir):
             d.limit(40), threshold_num=4, threshold_den=5, verify_chunk_pairs=1
         ).count()
     assert held.count() == n0 > 0
+
+
+def test_scrub_removes_planted_cross_doc_span(spark):
+    """A 7-token run planted in two docs is covered by duplicated
+    5-grams in both; every covered token is cut, the unique remainder
+    survives, and the scrubbed text is the kept tokens in order."""
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    span = "the quick brown fox jumps over fences"
+    docs = _docs(
+        spark,
+        [
+            f"alpha bravo {span} charlie delta",
+            f"echo foxtrot golf {span} hotel",
+            "india juliet kilo lima mike november oscar",
+        ],
+    )
+    out = {r.doc_id: r for r in scrub_duplicate_spans(docs).collect()}
+    assert out[0].n_dup_tokens == 7 and out[1].n_dup_tokens == 7
+    assert out[2].n_dup_tokens == 0
+    assert out[0].n_kept_tokens == 4 and out[1].n_kept_tokens == 4
+    assert out[2].n_kept_tokens == 7
+    # md5 certifies the exact reconstruction
+    import hashlib
+
+    assert out[0].scrub_md5 == hashlib.md5(
+        b"alpha bravo charlie delta"
+    ).hexdigest()
+
+
+def test_scrub_counts_within_doc_repeats(spark):
+    """Occurrence is TOTAL corpus count, so a 5-gram repeated twice
+    within ONE doc is eligible and both occurrences are scrubbed."""
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    g = "one two three four five"
+    docs = _docs(spark, [f"{g} unique middle words {g}"])
+    r = scrub_duplicate_spans(docs).collect()[0]
+    assert r.n_dup_tokens == 10 and r.n_kept_tokens == 3
+
+
+def test_scrub_short_docs_and_band_cap(spark):
+    """Docs shorter than k have no grams (fully kept); a gram above the
+    occurrence cap is boilerplate by contract and NOT scrubbed."""
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    docs = _docs(spark, ["tiny doc here"] + ["common words repeat here now"] * 5)
+    out = {r.doc_id: r for r in scrub_duplicate_spans(
+        docs, max_gram_occ=4
+    ).collect()}
+    assert out[0].n_dup_tokens == 0  # < k tokens, no grams
+    for i in range(1, 6):  # 5 occurrences > cap 4 -> band-excluded
+        assert out[i].n_dup_tokens == 0

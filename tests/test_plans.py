@@ -157,3 +157,55 @@ def test_warc_chain_is_one_fused_pass(spark, sf_dir):
     assert _op_count(plan, "Exchange") <= 1, plan
     assert _op_count(plan, "MapInPandas") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lm_fluency_bounded_exchanges_all_codegen(spark, sf_dir):
+    """LM fluency scoring: unigram agg + bigram agg + doc rollup are
+    the only exchanges (the scoring joins reuse the token-key
+    partitioning); bigram explode stays in codegen — no Python rows,
+    no cartesian."""
+    plan = _plan(spark, "lm_fluency_scores", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert _op_count(plan, "Exchange") <= 3, plan
+    assert _op_count(plan, "Scan parquet") <= 3, plan
+
+
+def test_exact_substr_scrub_single_scan_no_pair_join(spark, sf_dir):
+    """Duplicate-substring scrub: the tokenized corpus is cached and
+    read ONCE from parquet; eligibility/coverage/rebuild are bounded
+    grouped stages — never a doc-pair join, never a cartesian."""
+    from data_engineering_etl_self_service_spark.queries import PLAN_VIEWS
+
+    df = PLAN_VIEWS["exact_substr_scrub"](spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert _op_count(plan, "Scan parquet") == 1, plan
+    assert _op_count(plan, "Exchange") <= 6, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_cluster_join_not_cartesian(spark, sf_dir):
+    """SemDeDup: the pair stage is a keyed join on cluster_id (the
+    cluster restriction IS the scale story) — a cartesian/BNL here
+    would be the corpus² plan this operator exists to avoid. Centroid
+    assignment is a pure expression, so exchanges stay at the pair
+    join + output join."""
+    plan = _plan(spark, "semantic_dedup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _op_count(plan, "Exchange") <= 2, plan
+
+
+def test_shard_manifest_single_scan_single_exchange(spark, sf_dir):
+    """Shard layout manifest: map-side LCG arithmetic + partial agg,
+    ONE exchange on the 16-value shard key, one pruned scan."""
+    plan = _plan(spark, "shard_manifest", sf_dir)
+    assert _op_count(plan, "Scan parquet") == 1, plan
+    assert _op_count(plan, "Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
