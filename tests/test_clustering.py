@@ -130,3 +130,35 @@ def test_semantic_dedup_matches_queries_row_shape(spark, sf_dir):
     n_tight = sum(not r.kept for r in rows)
     n_loose = sum(not r.kept for r in loose.collect())
     assert n_loose >= n_tight
+
+
+def test_assignment_expression_and_numpy_paths_bit_equal(spark, sf_dir):
+    """The two nearest-centroid paths (inlined-literal expression for
+    small k, Arrow+numpy matmul for large k) must produce bit-identical
+    (d2, cid) — same fixed-point ints, same lowest-cid tie-break — so
+    crossing _EXPR_K_MAX can never change a result, only the plan."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_self_service_spark.operators.clustering import (
+        _best_cluster,
+        _best_cluster_np,
+        _fixed,
+        _init_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(200)
+    cents = _init_centroids(e, 20, "embedding", "vec_id")
+    df = e.select("vec_id", _fixed("embedding").alias("xf"))
+    expr = {
+        r.vec_id: (r.d2, r.cid)
+        for r in df.withColumn("b", _best_cluster(F.col("xf"), cents))
+        .select("vec_id", "b.d2", "b.cid")
+        .collect()
+    }
+    nump = {
+        r.vec_id: (r.d2, r.cid)
+        for r in df.withColumn("b", _best_cluster_np(F.col("xf"), cents))
+        .select("vec_id", "b.d2", "b.cid")
+        .collect()
+    }
+    assert expr == nump and len(expr) == 200

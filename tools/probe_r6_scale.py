@@ -1,0 +1,146 @@
+"""Round-6 scale probes: duplicate-substring scrub, LM fluency scoring,
+and SemDeDup at 10× corpus size on local[32].
+
+Two replication modes, because they stress different costs:
+
+- **fresh** (tokens tagged per replica): corpus grows 10× with no new
+  cross-replica duplication — the realistic growth case; wall should
+  track the corpus-linear stages (explode, aggs, joins).
+- **clique** (verbatim copies): every gram/vector gains 10× occurrence —
+  the adversarial case. For the scrub this pushes shared grams through
+  the [2,16] band (some leave it — the skew guard working); for
+  SemDeDup identical copies maximize dup volume, and the probe runs it
+  at BOTH k=8 (fixed k, cluster size 10× ⇒ pair stage 100×: the
+  anti-pattern) and k=80 (k grown with corpus, the SemDeDup discipline)
+  to measure exactly what the operator docstring claims.
+
+Usage: python tools/probe_r6_scale.py [sf_dir] [replicas]
+Prints one JSON line per measurement.
+"""
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from data_engineering_etl_self_service_spark.catalog import load_table  # noqa: E402
+
+
+def timed(label, fn):
+    t0 = time.perf_counter()
+    n = fn()
+    wall = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"probe": label, "wall_s": wall, "rows": n}))
+    return wall
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        # the replicated corpora are localCheckpoint-ed into the block
+        # manager; size the single-JVM heap for the 10x sf0.1 run
+        .config("spark.driver.memory", "64g")
+        .appName("probe-r6-scale")
+        .getOrCreate()
+    )
+    from data_engineering_etl_self_service_spark.operators.clustering import (
+        semantic_dedup,
+    )
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+    from data_engineering_etl_self_service_spark.queries import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    r = spark.range(replicas).withColumnRenamed("id", "r")
+    fresh = (
+        docs.crossJoin(r)
+        .select(
+            (F.col("doc_id") * replicas + F.col("r")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(F.lit("r"), F.col("r").cast("string"), F.lit("_"), t),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    clique = (
+        docs.crossJoin(r)
+        .select(
+            (F.col("doc_id") * replicas + F.col("r")).alias("doc_id"),
+            "text",
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+
+    timed("scrub_1x", lambda: scrub_duplicate_spans(docs).count())
+    timed(
+        f"scrub_{replicas}x_fresh",
+        lambda: scrub_duplicate_spans(fresh).count(),
+    )
+    timed(
+        f"scrub_{replicas}x_clique",
+        lambda: scrub_duplicate_spans(clique).count(),
+    )
+
+    def lm(d):
+        # inline twin of the lm_fluency_scores body over an arbitrary frame
+        from data_engineering_etl_self_service_spark.functions.text import tokens
+
+        tk = d.select("doc_id", tokens(F.col("text")).alias("w"))
+        b = (
+            tk.withColumn("l", F.slice(F.col("w"), 1, F.size("w") - 1))
+            .withColumn("r2", F.slice(F.col("w"), 2, F.size("w") - 1))
+            .select("doc_id", F.explode(F.arrays_zip("l", "r2")).alias("p"))
+            .select("doc_id", F.col("p.l").alias("x"), F.col("p.r2").alias("y"))
+        )
+        uni = b.groupBy("x").agg(F.count(F.lit(1)).alias("n"))
+        bc = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+        sc = b.join(bc, ["x", "y"]).join(uni, "x").select(
+            "doc_id", F.expr("(nxy * 1000000L) div n").alias("cond_ppm")
+        )
+        return sc.groupBy("doc_id").agg(F.count(F.lit(1))).count()
+
+    timed("lm_fluency_1x", lambda: lm(docs))
+    timed(f"lm_fluency_{replicas}x_fresh", lambda: lm(fresh))
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    blown_e = (
+        embs.crossJoin(r)
+        .select(
+            (F.col("vec_id") * replicas + F.col("r")).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    timed("semdedup_1x_k8", lambda: semantic_dedup(embs, k=8).count())
+    timed(
+        f"semdedup_{replicas}x_k8_fixedk",
+        lambda: semantic_dedup(blown_e, k=8).count(),
+    )
+    timed(
+        f"semdedup_{replicas}x_k80_grownk",
+        lambda: semantic_dedup(blown_e, k=80).count(),
+    )
+
+    timed(
+        "shard_manifest_1x",
+        lambda: QUERIES["shard_manifest"](spark, sf_dir).count(),
+    )
+
+
+if __name__ == "__main__":
+    main()
