@@ -805,6 +805,7 @@ def scrub_duplicate_spans(
     k: int = 5,
     max_gram_occ: int = 16,
     materialize: bool = True,
+    return_text: bool = False,
 ) -> DataFrame:
     """Duplicate-substring REMOVAL — the scrub half of span-level exact
     dedup (the detection half is :func:`duplicate_span_extents`): a
@@ -833,7 +834,10 @@ def scrub_duplicate_spans(
     scale with corpus size, never with corpus².
 
     Output: one row per doc — (doc_id, n_tokens, n_dup_tokens,
-    n_kept_tokens, scrubbed_chars, scrub_md5).
+    n_kept_tokens, scrubbed_chars, scrub_md5); with ``return_text``
+    also ``scrubbed_text`` (the case-folded surviving tokens rejoined —
+    the column the YAML ``scrub_duplicates`` pipeline op substitutes
+    back for the text column).
 
     ``materialize=False`` returns the lazy plan (leaking the persist)
     for plan audits, like :func:`duplicate_span_extents`.
@@ -903,6 +907,11 @@ def scrub_duplicate_spans(
                 "scrubbed_chars"
             ),
             F.md5(F.coalesce("scrub", F.lit(""))).alias("scrub_md5"),
+            *(
+                [F.coalesce("scrub", F.lit("")).alias("scrubbed_text")]
+                if return_text
+                else []
+            ),
         )
     )
     if not materialize:

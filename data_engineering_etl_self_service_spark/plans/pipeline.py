@@ -274,6 +274,64 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
 
                 df = df.withColumn(out_col, _pdf_text(F.col(in_col)))
             # unknown formats fall through untouched (tolerant dispatch)
+        elif op == "scrub_duplicates":
+            # duplicate-substring REMOVAL (round 6): tokens covered by a
+            # cross-corpus duplicated k-gram are cut and the text column
+            # replaced by the scrubbed rejoin (case-folded tokens — the
+            # dedup tokenization; operators/dedup.py
+            # scrub_duplicate_spans). Stats columns ride along for
+            # downstream filter stanzas.
+            from ..operators.dedup import scrub_duplicate_spans
+
+            id_col = t.get("id_col", "doc_id")
+            text_col = t.get("text_col", "text")
+            s = scrub_duplicate_spans(
+                df,
+                text_col=text_col,
+                id_col=id_col,
+                k=int(t.get("k", 5)),
+                max_gram_occ=int(t.get("max_gram_occ", 16)),
+                return_text=True,
+            ).select(
+                F.col("doc_id").alias(id_col),
+                F.col("scrubbed_text").alias(text_col),
+                "n_dup_tokens",
+                "n_kept_tokens",
+            )
+            df = df.drop(text_col).join(s, id_col)
+        elif op == "lm_fluency":
+            # corpus-trained bigram-LM fluency columns (round 6,
+            # operators/lm.py): integer-ppm conditional-probability
+            # scores to gate on with a downstream `filter` stanza —
+            # the CCNet-style perplexity filter as one YAML line.
+            from ..operators.lm import lm_fluency
+
+            id_col = t.get("id_col", "doc_id")
+            scores = lm_fluency(
+                df, text_col=t.get("text_col", "text"), id_col=id_col
+            )
+            df = df.join(scores, id_col, "left")
+        elif op == "semantic_dedup":
+            # cluster-pruned embedding dedup (round 6, the SemDeDup
+            # recipe; operators/clustering.py): drops rows with a
+            # lower-id same-cluster neighbor above the cosine
+            # threshold. keep_column retains the flag instead of
+            # filtering (for audit pipelines).
+            from ..operators.clustering import semantic_dedup
+
+            id_col = t.get("id_col", "vec_id")
+            s = semantic_dedup(
+                df,
+                k=int(t.get("k", 8)),
+                n_iters=int(t.get("n_iters", 3)),
+                tau_num=int(t.get("tau_num", 2)),
+                tau_den=int(t.get("tau_den", 5)),
+                vec_col=t.get("vec_col", "embedding"),
+                id_col=id_col,
+            ).select(F.col("vec_id").alias(id_col), "kept")
+            df = df.join(s, id_col, "left")
+            if bool(t.get("drop", True)):
+                df = df.filter(F.col("kept")).drop("kept")
         elif op == "sessionize":
             # the reference's implied purpose (README.md:1 — user session
             # analysis) as one YAML stanza: adds a per-user session
@@ -335,6 +393,24 @@ def _write_sink(
         # partition-overwrite contract of the parquet sink
         upsert_rollup(
             df.sparkSession, path, df, grains, aggs, run_key=ds
+        )
+        return
+    if dst.type == "shards":
+        # Training-shard export (round 6, operators/sharding.py):
+        # deterministic LCG-shuffled layout as path/shard=N/ parquet.
+        # YAML shape:
+        #   destination:
+        #     type: shards
+        #     path: /lake/train_shards/{ds}
+        #     n_shards: 64
+        #     id_col: doc_id
+        from ..operators.sharding import write_training_shards
+
+        write_training_shards(
+            df,
+            path,
+            id_col=dst.options.get("id_col", "doc_id"),
+            n_shards=int(dst.options.get("n_shards", 16)),
         )
         return
     writer = df.write.mode("overwrite")

@@ -25,7 +25,7 @@ from ..operators.quality import KNOWN_CHECKS
 
 #: source kinds the compiler accepts (reference surface + engine extensions)
 SOURCE_TYPES = ("http_api", "file", "table", "synthetic_events", "kafka")
-SINK_TYPES = ("parquet", "json", "snapshot", "rollup", "none")
+SINK_TYPES = ("parquet", "json", "snapshot", "rollup", "shards", "none")
 #: declarative transformation ops (compiled to DataFrame expressions —
 #: the reference has no transform stage at all; SURVEY §2.2 requires the
 #: engine to expose select/filter in the self-service contract)
@@ -47,6 +47,9 @@ TRANSFORM_OPS = (
     "chunk",
     "decode_media",
     "extract_text",
+    "scrub_duplicates",
+    "lm_fluency",
+    "semantic_dedup",
 )
 
 

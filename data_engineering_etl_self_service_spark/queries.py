@@ -9242,40 +9242,13 @@ def lm_fluency_scores(spark, sf_dir):
     broadcast, because a real vocabulary outgrows a broadcast at 100 TB
     (same posture as bigram_collocations); the per-doc rollup combines
     map-side. Bigrams explode via slice+arrays_zip (codegen'd built-ins,
-    no interpreted lambdas in the corpus-sized path).
+    no interpreted lambdas in the corpus-sized path). Implementation in
+    operators/lm.py (also exposed as the ``lm_fluency`` YAML pipeline
+    op).
     """
-    from .functions.text import tokens
+    from .operators.lm import lm_fluency
 
-    d = _t(spark, sf_dir, "documents")
-    tk = d.select("doc_id", tokens(F.col("text")).alias("w"))
-    b = (
-        tk.withColumn("l", F.slice(F.col("w"), 1, F.size("w") - 1))
-        .withColumn("r", F.slice(F.col("w"), 2, F.size("w") - 1))
-        .select("doc_id", F.explode(F.arrays_zip("l", "r")).alias("p"))
-        .select("doc_id", F.col("p.l").alias("x"), F.col("p.r").alias("y"))
-    )
-    uni = (
-        tk.select(F.explode("w").alias("x"))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    bc = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
-    sc = (
-        b.join(bc, ["x", "y"])
-        .join(uni, "x")
-        .select(
-            "doc_id",
-            F.expr("(nxy * 1000000L) div n").cast("bigint").alias("cond_ppm"),
-        )
-    )
-    return sc.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("cond_ppm").cast("bigint").alias("sum_cond_ppm"),
-        F.expr("sum(cond_ppm) div count(*)").cast("bigint").alias(
-            "avg_cond_ppm"
-        ),
-        F.min("cond_ppm").cast("bigint").alias("min_cond_ppm"),
-    )
+    return lm_fluency(_t(spark, sf_dir, "documents"))
 
 
 @register(

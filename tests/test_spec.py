@@ -861,3 +861,89 @@ def test_extract_text_pipeline_op(spark, tmp_path):
     assert text in out[1].all_text  # tag-strip keeps chrome text too
     assert out[2].main_text == "broken markup"  # malformed html tolerated
     assert out[2].pdf_text == ""  # malformed pdf degrades, no failure
+
+
+def test_round6_curation_ops_in_yaml(spark, tmp_path):
+    """The round-6 curation ops as YAML stanzas: scrub_duplicates
+    replaces the text column with the duplicate-span-scrubbed rejoin,
+    lm_fluency attaches integer fluency scores to gate on, and the
+    shards destination writes the deterministic shard layout."""
+    span = "the quick brown fox jumps over fences"
+    rows = [
+        (0, f"alpha bravo {span} charlie delta"),
+        (1, f"echo foxtrot golf {span} hotel"),
+        (2, "india juliet kilo lima mike november oscar"),
+        (3, "papa quebec romeo sierra tango uniform victor"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "out")
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "curate"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "scrub_duplicates", "k": 5, "max_gram_occ": 16},
+                {"op": "lm_fluency"},
+                {"op": "filter", "predicate": "n_kept_tokens >= 1"},
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+            "destination": {"type": "shards", "path": out, "n_shards": 2},
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    back = spark.read.parquet(out)
+    got = {r.doc_id: r for r in back.collect()}
+    assert len(got) == 4
+    assert got[0].text == "alpha bravo charlie delta"  # span scrubbed
+    assert got[2].text == "india juliet kilo lima mike november oscar"
+    assert got[0].n_dup_tokens == 7 and got[2].n_dup_tokens == 0
+    assert all(r.avg_cond_ppm is not None for r in got.values())
+    # shard layout on disk
+    import pathlib
+
+    assert sorted(
+        p.name for p in pathlib.Path(out).iterdir() if p.name.startswith("shard=")
+    ) == ["shard=0", "shard=1"]
+
+
+def test_yaml_semantic_dedup_drops_near_parallel_vectors(spark, tmp_path):
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    ortho = [0.0, 1.0, 0.0, 0.0]
+    src = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(
+        [(0, base), (1, near), (2, ortho)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    out = str(tmp_path / "kept")
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "semdedup"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {
+                    "op": "semantic_dedup",
+                    "k": 2,
+                    "n_iters": 2,
+                    "tau_num": 9,
+                    "tau_den": 10,
+                }
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+            "destination": {"type": "parquet", "path": out},
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    kept_ids = sorted(
+        r.vec_id for r in spark.read.parquet(out).collect()
+    )
+    assert kept_ids == [0, 2]  # near-parallel 1 dropped, lowest id kept
