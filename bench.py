@@ -106,6 +106,7 @@ EXTENDED = [
     "exact_substr_scrub",
     "semantic_dedup",
     "shard_manifest",
+    "wordpiece_merges",
 ]
 
 HEADLINE = CORE + EXTENDED

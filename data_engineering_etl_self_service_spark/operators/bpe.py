@@ -125,3 +125,99 @@ def bpe_train(
         syms = nxt
     syms.unpersist()
     return rules
+
+
+#: WordPiece likelihood scores are floored rationals at this resolution
+#: (score = cnt_xy * WP_SCALE div (cnt_x * cnt_y)); 1e12 keeps the
+#: numerator inside int64 for corpora up to ~9e6 tokens — beyond that,
+#: route the product through decimal transit like the revenue sums.
+WP_SCALE = 1_000_000_000_000
+
+
+def wordpiece_train(
+    words: DataFrame,
+    n_merges: int,
+    word_col: str = "w",
+    count_col: str = "c",
+) -> "list[tuple[int, str, str, str, int, int]]":
+    """Learn ``n_merges`` WordPiece merge rules from a (word, count)
+    table — the OTHER major subword-tokenizer family (Schuster &
+    Nakajima, ICASSP'12; the BERT tokenizer): instead of BPE's raw pair
+    frequency, each round merges the pair maximizing the likelihood
+    ratio count(xy) / (count(x)·count(y)) — promoting pairs that
+    co-occur far more than their parts' popularity predicts ("##ing"
+    beats "e"+"space-common" pairs).
+
+    Determinism contract (mirrored exactly by the SQL oracle): the
+    score is the FLOORED integer ratio at 1e-12 resolution
+    (``WP_SCALE``), ties break by (raw pair count DESC, left ASC,
+    right ASC), and the merge applies with the same greedy
+    left-to-right fold as :func:`bpe_train`.
+
+    Scale shape is identical to BPE — the corpus collapses once to the
+    word-type table; each round adds ONE |symbols|-sized unigram agg
+    (map-side combined) to BPE's pair agg, the argmax is still a 1-row
+    collect, and the fold is shuffle-free.
+
+    Returns [(rank, left, right, merged, score_scaled, pair_count)].
+    """
+    syms = words.filter(~F.col(word_col).contains(DELIM)).select(
+        F.col(word_col).alias("w"),
+        F.col(count_col).alias("c"),
+        F.split(F.col(word_col), "(?!$)").alias("sym"),
+    )
+    syms = syms.persist()
+    syms.count()
+    rules: list[tuple[int, str, str, str, int, int]] = []
+    for rank in range(1, n_merges + 1):
+        uni = (
+            syms.select("c", F.explode("sym").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("c").alias("cnt_s"))
+        )
+        idx = F.explode(F.sequence(F.lit(0), F.size("sym") - 2)).alias("i")
+        pairs = (
+            syms.filter(F.size("sym") >= 2)
+            .select("c", "sym", idx)
+            .select(
+                "c",
+                F.col("sym")[F.col("i")].alias("x"),
+                F.col("sym")[F.col("i") + 1].alias("y"),
+            )
+            .groupBy("x", "y")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        best = (
+            pairs.join(
+                uni.select(F.col("s").alias("x"), F.col("cnt_s").alias("nx")),
+                "x",
+            )
+            .join(
+                uni.select(F.col("s").alias("y"), F.col("cnt_s").alias("ny")),
+                "y",
+            )
+            .select(
+                "x",
+                "y",
+                "cnt",
+                F.expr(f"(cnt * {WP_SCALE}L) div (nx * ny)").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.desc("cnt"), "x", "y")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        x, y = best[0]["x"], best[0]["y"]
+        rules.append(
+            (rank, x, y, x + y, int(best[0]["score"]), int(best[0]["cnt"]))
+        )
+        if rank == n_merges:
+            break
+        nxt = syms.select(
+            "w", "c", _merge_fold(x, y, x + y)("sym").alias("sym")
+        ).localCheckpoint()
+        syms.unpersist()
+        syms = nxt
+    syms.unpersist()
+    return rules

@@ -9391,3 +9391,99 @@ def shard_manifest(spark, sf_dir):
         F.max("h").cast("bigint").alias("max_h"),
         F.sum("h").cast("bigint").alias("h_checksum"),
     )
+
+
+def _wp_fold_cte(r: int) -> str:
+    """The greedy left-to-right merge CTE (identical fold semantics to
+    _bpe_ctes' s{r}, parameterized on the wp{r} argmax pair)."""
+    prev = f"ws{r - 1}"
+    return f"""ws{r} AS MATERIALIZED (
+      SELECT w, c,
+             string_split(substr(list_reduce(list_transform(sym, s -> chr(31) || s),
+               (acc, s) -> CASE WHEN ends_with(acc, chr(31) || wp{r}.x)
+                                     AND s = chr(31) || wp{r}.y
+                                THEN substr(acc, 1,
+                                            len(acc) - len(wp{r}.x) - 1)
+                                     || chr(31) || wp{r}.x || wp{r}.y
+                                ELSE acc || s END), 2), chr(31)) AS sym
+      FROM {prev} CROSS JOIN wp{r})"""
+
+
+def _wordpiece_oracle(n_merges: int) -> str:
+    """Unrolled WordPiece training (likelihood-ratio argmax per round):
+    per round one symbol-unigram CTE, one scored-pair argmax CTE
+    (floored integer ratio at 1e-12, ties by raw count DESC then
+    lexicographic), and the same list_reduce greedy fold as the BPE
+    oracle."""
+    ctes = [
+        """ww AS MATERIALIZED (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents)
+      WHERE strpos(w, chr(31)) = 0
+      GROUP BY w)""",
+        "ws0 AS MATERIALIZED (SELECT w, c, string_split(w, '') AS sym FROM ww)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"ws{r - 1}"
+        ctes.append(
+            f"""wu{r} AS MATERIALIZED (
+      SELECT s, SUM(c) AS cnt_s
+      FROM (SELECT c, unnest(sym) AS s FROM {prev}) GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""wp{r} AS MATERIALIZED (
+      SELECT x, y, cnt, score FROM (
+        SELECT pc.x, pc.y, pc.cnt,
+               (pc.cnt * 1000000000000) // (ux.cnt_s * uy.cnt_s) AS score
+        FROM (SELECT sym[i] AS x, sym[i+1] AS y, SUM(c) AS cnt
+              FROM {prev}, unnest(range(1, len(sym))) t(i)
+              GROUP BY 1, 2) pc
+        JOIN wu{r} ux ON pc.x = ux.s
+        JOIN wu{r} uy ON pc.y = uy.s)
+      ORDER BY score DESC, cnt DESC, x, y LIMIT 1)"""
+        )
+        if r < n_merges:
+            ctes.append(_wp_fold_cte(r))
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, x AS left_sym, y AS right_sym, "
+        f"x || y AS merged, CAST(score AS BIGINT) AS score_scaled, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM wp{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+@register("wordpiece_merges", _wordpiece_oracle(8))
+def wordpiece_merges(spark, sf_dir):
+    """Train the first 8 WordPiece merge rules on the document corpus —
+    the likelihood-ratio tokenizer family (Schuster & Nakajima,
+    ICASSP'12; BERT's tokenizer) beside ``bpe_merges``' raw-frequency
+    family: each round merges the pair maximizing
+    count(xy)/(count(x)·count(y)) as a FLOORED integer ratio at 1e-12
+    resolution, ties by raw count then lexicographic — fully
+    deterministic, so 8 rounds of argmax + greedy fold hash-match the
+    unrolled DuckDB oracle (operators/bpe.py wordpiece_train).
+
+    Scale: identical shape to BPE training — the corpus collapses once
+    to the word-type table; per round ONE extra |symbols|-sized
+    map-side-combined unigram agg joins the pair counts on symbol keys,
+    the argmax is a 1-row collect, the fold is shuffle-free. At 100 TB
+    rounds cost |vocab|, never |corpus|; the 1e12 score numerator rides
+    int64 to ~9e6-token fixtures and moves through decimal transit
+    beyond (documented at operators/bpe.py WP_SCALE).
+    """
+    from .operators.bpe import wordpiece_train
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rules = wordpiece_train(words, n_merges=8)
+    return spark.createDataFrame(
+        rules,
+        "merge_rank long, left_sym string, right_sym string, "
+        "merged string, score_scaled long, pair_count long",
+    )

@@ -75,3 +75,72 @@ def test_bpe_delimiter_words_excluded(spark):
     df = spark.createDataFrame(list(wc.items()), "w string, c long")
     got = bpe_train(df, n_merges=2)
     assert got == _ref_bpe({"ab": 3}, 2)
+
+
+def _ref_wordpiece(word_counts: dict[str, int], n_merges: int):
+    """Pure-Python WordPiece reference: floored integer likelihood ratio
+    at 1e-12, ties by (count desc, left asc, right asc), same greedy
+    left-to-right fold as BPE."""
+    vocab = {w: list(w) for w in word_counts}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        uni: Counter = Counter()
+        for w, sym in vocab.items():
+            c = word_counts[w]
+            for s in sym:
+                uni[s] += c
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        scored = {
+            (a, b): (cnt * 10**12) // (uni[a] * uni[b])
+            for (a, b), cnt in pairs.items()
+        }
+        (x, y) = min(
+            scored,
+            key=lambda k: (-scored[k], -pairs[k], k[0], k[1]),
+        )
+        rules.append(
+            (rank, x, y, x + y, scored[(x, y)], pairs[(x, y)])
+        )
+        for w, sym in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == x and sym[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            vocab[w] = out
+    return rules
+
+
+def test_wordpiece_matches_reference_and_differs_from_bpe(spark):
+    """wordpiece_train matches the pure-Python likelihood-ratio
+    reference exactly — and on a corpus where a rare-but-exclusive pair
+    coexists with a frequent-but-promiscuous one, WordPiece and BPE
+    pick DIFFERENT first merges (the point of the other family)."""
+    from data_engineering_etl_self_service_spark.operators.bpe import (
+        wordpiece_train,
+    )
+
+    # 'qu' is rare but q NEVER occurs without u (likelihood winner);
+    # 'th' is frequent but t and h are everywhere (frequency winner).
+    wc = {
+        "queen": 3,
+        "quit": 2,
+        "the": 30,
+        "then": 20,
+        "tin": 15,
+        "hat": 15,
+        "net": 10,
+    }
+    df = spark.createDataFrame(list(wc.items()), "w string, c long")
+    got = wordpiece_train(df, n_merges=4)
+    assert got == _ref_wordpiece(wc, 4)
+    assert got[0][1:3] == ("q", "u")  # likelihood picks qu first
+    bpe = bpe_train(df, n_merges=1)
+    assert bpe[0][1:3] != ("q", "u")  # frequency does not
