@@ -107,6 +107,8 @@ EXTENDED = [
     "semantic_dedup",
     "shard_manifest",
     "wordpiece_merges",
+    "point_in_time_join",
+    "srp_neardup",
 ]
 
 HEADLINE = CORE + EXTENDED

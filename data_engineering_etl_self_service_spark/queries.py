@@ -9487,3 +9487,180 @@ def wordpiece_merges(spark, sf_dir):
         "merge_rank long, left_sym string, right_sym string, "
         "merged string, score_scaled long, pair_count long",
     )
+
+
+@register(
+    "point_in_time_join",
+    """
+    WITH numbered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)
+           - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS island
+      FROM orders),
+    dim0 AS (
+      SELECT o_custkey, o_orderpriority,
+             MIN(o_orderdate) AS valid_from,
+             MIN(o_orderkey) AS first_orderkey
+      FROM numbered GROUP BY o_custkey, o_orderpriority, island),
+    dim AS (
+      SELECT o_custkey, o_orderpriority, valid_from FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_custkey, valid_from
+          ORDER BY first_orderkey DESC) AS rn
+        FROM dim0) WHERE rn = 1),
+    f AS (
+      SELECT DISTINCT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+                      o.o_custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT f.l_orderkey, f.l_linenumber, f.l_shipdate, f.o_custkey,
+           d.o_orderpriority AS priority_asof,
+           d.valid_from AS priority_from
+    FROM f JOIN dim d
+      ON f.o_custkey = d.o_custkey AND d.valid_from <= f.l_shipdate
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY f.l_orderkey, f.l_linenumber,
+                                            f.l_shipdate
+                               ORDER BY d.valid_from DESC) = 1
+    """,
+)
+def point_in_time_join(spark, sf_dir):
+    """Point-in-time (temporal) join — the feature-store staple that
+    keeps training data leakage-free: each fact row (a lineitem at its
+    ship date) is joined to the dimension attribute that was valid AT
+    THAT TIME (the customer's SCD2 priority regime from
+    ``scd2_history``'s island build), never to the current value.
+    Intervals sharing a valid_from date dedupe to the latest island
+    (max first_orderkey) on BOTH engines, so the as-of pick is fully
+    deterministic.
+
+    Scale: the dimension lookup is the window-based as-of operator
+    (operators/asof.py) — union + ONE key-partitioned window carry, no
+    inequality join, immune to the row explosion a range join would
+    cause when a hot customer has thousands of facts × dozens of
+    intervals. The oracle states the same semantics AS the range join +
+    QUALIFY — equivalence of the two formulations is exactly what the
+    hash match proves. Fact assembly is the standard orderkey
+    equi-join.
+    """
+    from .operators.asof import asof_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    w_all = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_attr = W.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    island = F.row_number().over(w_all) - F.row_number().over(w_attr)
+    dim0 = (
+        o.withColumn("island", island)
+        .groupBy("o_custkey", "o_orderpriority", "island")
+        .agg(
+            F.min("o_orderdate").alias("t"),
+            F.min("o_orderkey").alias("first_orderkey"),
+        )
+    )
+    w_tie = W.partitionBy("o_custkey", "t").orderBy(
+        F.desc("first_orderkey")
+    )
+    dim = (
+        dim0.withColumn("rn", F.row_number().over(w_tie))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "t", "o_orderpriority")
+    )
+    # fact grain: the synthetic fixture does NOT keep (orderkey,
+    # linenumber) unique, so the fact key is the distinct
+    # (orderkey, linenumber, shipdate) triple on both engines
+    facts = (
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "o_custkey")
+        .distinct()
+        .withColumn("t", F.col("l_shipdate"))
+    )
+    out = asof_join(
+        facts, dim, on="o_custkey", ts_col="t",
+        right_cols=("o_orderpriority",),
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "o_custkey",
+        F.col("o_orderpriority_right").alias("priority_asof"),
+        F.col("t_right").alias("priority_from"),
+    )
+
+
+@register(
+    "srp_neardup",
+    """
+    WITH yq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000.0) AS BIGINT)) AS y
+      FROM embeddings),
+    comp AS (
+      SELECT vec_id, CAST(d AS BIGINT) AS d, y[d + 1] AS v
+      FROM yq, range(0, 64) dd(d)),
+    planes AS (
+      SELECT t, j, d,
+             bit_count(((t * 2 + j) * 64 + d + 1) * 2654435761
+                       % 2147483648 % 4096) - 6 AS s
+      FROM range(0, 18) tt(t), range(0, 2) jj(j), range(0, 64) dd(d)),
+    dots AS (
+      SELECT c.vec_id, p.t, p.j, SUM(c.v * p.s) AS dot
+      FROM comp c JOIN planes p ON c.d = p.d GROUP BY 1, 2, 3),
+    bits AS (
+      SELECT vec_id, t,
+             SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS bucket
+      FROM dots GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bits a JOIN bits b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    n2 AS (
+      SELECT vec_id, CAST(list_dot_product(y, y) AS BIGINT) AS nn
+      FROM yq),
+    ver AS (
+      SELECT c.id_a, c.id_b,
+             CAST(list_dot_product(ya.y, yb.y) AS BIGINT) AS dot,
+             na.nn AS na, nb.nn AS nb
+      FROM cand c
+      JOIN yq ya ON ya.vec_id = c.id_a
+      JOIN yq yb ON yb.vec_id = c.id_b
+      JOIN n2 na ON na.vec_id = c.id_a
+      JOIN n2 nb ON nb.vec_id = c.id_b)
+    SELECT id_a, id_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+    FROM ver
+    WHERE dot > 0 AND 25 * (dot * dot) >= 4 * (na * nb)
+    """,
+)
+def srp_neardup(spark, sf_dir):
+    """Signed-random-projection LSH near-dup pairs over embeddings
+    (Charikar STOC'02) — the banded-LSH candidate path for EMBEDDING
+    space, completing the family: MinHash-LSH covers shingle space,
+    SimHash covers token space, SRP covers vector space. 18 tables × 2
+    sign bits of hash-derived integer hyperplanes (binomial-weight
+    discretized Gaussians, no RNG — Spark and the
+    oracle build bit-identical tables), same-(table,bucket) candidate
+    pairs, exact integer-cosine verification at tau = 2/5. The banding
+    IS the contract (98.5% recall measured on the fixture; the exact
+    `embedding_neardup_pairs`/`embedding_dedup_groups` twins remain the
+    100%-recall baseline, and the recall is pinned by test).
+
+    Scale: bucket assignment is map-side literal-expression arithmetic
+    (n_tables×planes integer dots/row); candidates shuffle once on (table, bucket);
+    only candidate pairs carry vectors into the verify join
+    (operators/dedup.py srp_lsh_pairs).
+    """
+    from .operators.dedup import srp_lsh_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return srp_lsh_pairs(
+        e, n_tables=18, planes_per_table=2, tau_num=2, tau_den=5
+    )

@@ -360,3 +360,64 @@ def test_scrub_short_docs_and_band_cap(spark):
     assert out[0].n_dup_tokens == 0  # < k tokens, no grams
     for i in range(1, 6):  # 5 occurrences > cap 4 -> band-excluded
         assert out[i].n_dup_tokens == 0
+
+
+def test_srp_lsh_subset_of_exact_with_pinned_recall(spark, sf_dir):
+    """SRP-LSH pairs are a SUBSET of the exact integer-cosine pair set
+    (verification admits no false positives), and banded recall at the
+    default 18x2 / tau=2/5 stays >= 90% on the fixture (98.5%
+    measured; binomial-weight hyperplanes — see _srp_weight)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        srp_lsh_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.id_a, r.id_b)
+        for r in srp_lsh_pairs(e, tau_num=2, tau_den=5).collect()
+    }
+    # exact twin under the IDENTICAL quantized integer criterion
+    yq = F.transform(F.col("embedding"), lambda x: F.floor(x * 1000.0))
+    q = e.select(F.col("vec_id").alias("_id"), yq.alias("y"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    qa = q.select(F.col("_id").alias("id_a"), F.col("y").alias("ya"))
+    qb = q.select(F.col("_id").alias("id_b"), F.col("y").alias("yb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in qa.join(qb, F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot(F.col("ya"), F.col("yb")))
+        .withColumn("na", dot(F.col("ya"), F.col("ya")))
+        .withColumn("nb", dot(F.col("yb"), F.col("yb")))
+        .filter(
+            (F.col("dot") > 0)
+            & (25 * F.col("dot") * F.col("dot") >= 4 * F.col("na") * F.col("nb"))
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got <= exact
+    assert len(exact) > 0
+    assert len(got) / len(exact) >= 0.9
+
+
+def test_srp_hyperplanes_are_deterministic():
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        _srp_weight,
+    )
+
+    a = [_srp_weight(p, d, 64) for p in range(36) for d in range(64)]
+    b = [_srp_weight(p, d, 64) for p in range(36) for d in range(64)]
+    assert a == b
+    # binomial(12)-6 weights: bounded, centered, not degenerate
+    assert all(-6 <= w <= 6 for w in a)
+    assert abs(sum(a) / len(a)) < 0.5
+    assert len(set(a)) >= 7

@@ -209,3 +209,26 @@ def test_shard_manifest_single_scan_single_exchange(spark, sf_dir):
     assert _op_count(plan, "Exchange") == 1, plan
     assert "BatchEvalPython" not in plan
     assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
+
+
+def test_point_in_time_join_no_range_join(spark, sf_dir):
+    """PIT dimension lookup is the window-based as-of (union + one
+    custkey-partitioned carry) — never an inequality/range join, whose
+    row explosion on a hot customer is the thing this operator avoids.
+    Exchanges: fact equi-join + the scd2/asof custkey sort."""
+    plan = _plan(spark, "point_in_time_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _op_count(plan, "Exchange") <= 3, plan
+
+
+def test_srp_neardup_mapside_buckets_single_exchange(spark, sf_dir):
+    """SRP-LSH: bucket assignment is map-side literal arithmetic (the
+    small-k kmeans posture), so the whole query plans ONE exchange (the
+    (table,bucket) candidate join); verification joins ride broadcast.
+    No Python, no cartesian."""
+    plan = _plan(spark, "srp_neardup", sf_dir)
+    assert _op_count(plan, "Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
