@@ -634,3 +634,71 @@ def test_container_builders_parse_back_exactly(case):
             assert m["duration_ms"] == granule * 1000 // rate
         else:
             assert m["duration_ms"] == max(0, granule - 312) * 1000 // 48000
+
+
+# --------------------------------------------------- round 6: scrub
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta eps zeta".split()),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _ref_scrub(texts, k=3, cap=16):
+    """Pure-Python duplicate-span scrub: total-occurrence band [2,cap],
+    coverage by any containing k-gram, kept tokens rejoined."""
+    docs = {i: t.lower().split() for i, t in enumerate(texts)}
+    from collections import Counter
+
+    occ = Counter()
+    for toks in docs.values():
+        for s in range(len(toks) - k + 1):
+            occ[tuple(toks[s : s + k])] += 1
+    out = {}
+    for i, toks in docs.items():
+        covered = set()
+        for s in range(len(toks) - k + 1):
+            if 2 <= occ[tuple(toks[s : s + k])] <= cap:
+                covered.update(range(s, s + k))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        out[i] = (len(toks), len(covered), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy)
+def test_scrub_matches_python_reference_on_random_corpora(texts):
+    """scrub_duplicate_spans == the pure-Python reference on arbitrary
+    small-vocab corpora (small vocab forces dense gram collisions —
+    the regime where coverage logic can go wrong), and the accounting
+    invariant n_dup + n_kept == n_tokens holds row by row."""
+    import hashlib
+
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in scrub_duplicate_spans(df, k=3, max_gram_occ=16).collect()
+    }
+    ref = _ref_scrub(texts, k=3, cap=16)
+    assert set(got) == set(ref)
+    for i, (n_tok, n_dup, n_kept, scrub) in ref.items():
+        r = got[i]
+        assert (r.n_tokens, r.n_dup_tokens, r.n_kept_tokens) == (
+            n_tok,
+            n_dup,
+            n_kept,
+        ), (i, texts[i])
+        assert r.n_dup_tokens + r.n_kept_tokens == r.n_tokens
+        assert r.scrub_md5 == hashlib.md5(scrub.encode()).hexdigest()

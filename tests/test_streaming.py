@@ -856,3 +856,85 @@ def test_daily_peak_tws_plan_constructs(spark, event_stream):
     assert [f.name for f in df.schema.fields] == [
         "day", "peak", "n_boundaries",
     ]
+
+
+def test_stream_temporal_enrichment_matches_batch_asof(spark, tmp_path_factory):
+    """Streaming point-in-time enrichment (closed-interval stream-static
+    join, streaming/enrich.py) attaches the SAME dimension value the
+    batch window-based as-of picks, row for row — including an
+    equal-valid_from dedup and facts before any interval (dropped on
+    both paths)."""
+    import datetime as dt
+
+    from data_engineering_etl_self_service_spark.operators.asof import asof_join
+    from data_engineering_etl_self_service_spark.streaming.enrich import (
+        close_intervals,
+        temporal_enrich_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    dim_rows = [
+        # user 10: bronze from h0, silver from h5, gold from h9
+        (10, at(0), "bronze", 1),
+        (10, at(5), "silver", 2),
+        (10, at(9), "gold", 3),
+        # user 11: two changes at the SAME instant — latest seq wins
+        (11, at(2), "trial", 1),
+        (11, at(2), "paid", 2),
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "user_id long, valid_from timestamp, tier string, seq long"
+    )
+    fact_rows = [
+        (1, 10, at(0)),   # boundary: exactly at bronze start
+        (2, 10, at(4)),   # bronze
+        (3, 10, at(5)),   # boundary: silver starts
+        (4, 10, at(12)),  # gold (open-ended)
+        (5, 11, at(3)),   # paid (same-instant dedup)
+        (6, 11, at(1)),   # before any interval -> dropped
+        (7, 12, at(1)),   # unknown entity -> dropped
+    ]
+    facts_dir = str(tmp_path_factory.mktemp("pit_facts"))
+    spark.createDataFrame(
+        fact_rows, "fact_id long, user_id long, ts timestamp"
+    ).write.mode("overwrite").parquet(facts_dir)
+    schema = spark.read.parquet(facts_dir).schema
+    stream = spark.readStream.schema(schema).parquet(facts_dir)
+
+    closed = close_intervals(
+        dim, on="user_id", t_col="valid_from", tiebreak_col="seq"
+    )
+    q = (
+        temporal_enrich_stream(stream, closed, on="user_id", ts_col="ts")
+        .select("fact_id", "tier")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pit_enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.fact_id: r.tier
+        for r in spark.sql("SELECT * FROM pit_enriched").collect()
+    }
+    assert got == {1: "bronze", 2: "bronze", 3: "silver", 4: "gold", 5: "paid"}
+
+    # batch as-of twin over the deduped dim picks identical values
+    batch_facts = spark.read.parquet(facts_dir)
+    deduped = closed.drop("valid_to_excl").withColumnRenamed(
+        "valid_from", "t"
+    )
+    batch = asof_join(
+        batch_facts.withColumn("t", F.col("ts")),
+        deduped,
+        on="user_id",
+        ts_col="t",
+        right_cols=("tier",),
+    )
+    got_batch = {r.fact_id: r.tier_right for r in batch.collect()}
+    assert got_batch == got
