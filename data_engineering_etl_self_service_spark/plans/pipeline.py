@@ -332,6 +332,34 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
             df = df.join(s, id_col, "left")
             if bool(t.get("drop", True)):
                 df = df.filter(F.col("kept")).drop("kept")
+        elif op == "temporal_join":
+            # point-in-time dimension enrichment (round 6): attach the
+            # dimension attribute valid AT each row's own event time —
+            # the leakage-free feature join. The dimension parquet is an
+            # SCD2 change log (key, valid_from, attributes); intervals
+            # close with one lead() and the lookup is a single-match
+            # range join (streaming/enrich.py — the same helpers serve
+            # batch frames).
+            from ..streaming.enrich import (
+                close_intervals,
+                temporal_enrich_stream,
+            )
+
+            spark_ = df.sparkSession
+            dim = spark_.read.parquet(t["dim_path"])
+            closed = close_intervals(
+                dim,
+                on=t.get("on", "user_id"),
+                t_col=t.get("valid_from_col", "valid_from"),
+                tiebreak_col=t.get("tiebreak_col"),
+            )
+            df = temporal_enrich_stream(
+                df,
+                closed,
+                on=t.get("on", "user_id"),
+                ts_col=t.get("ts_col", "ts"),
+                t_col=t.get("valid_from_col", "valid_from"),
+            ).drop("valid_to_excl")
         elif op == "sessionize":
             # the reference's implied purpose (README.md:1 — user session
             # analysis) as one YAML stanza: adds a per-user session

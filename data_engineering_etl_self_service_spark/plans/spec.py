@@ -50,6 +50,7 @@ TRANSFORM_OPS = (
     "scrub_duplicates",
     "lm_fluency",
     "semantic_dedup",
+    "temporal_join",
 )
 
 

@@ -947,3 +947,45 @@ def test_yaml_semantic_dedup_drops_near_parallel_vectors(spark, tmp_path):
         r.vec_id for r in spark.read.parquet(out).collect()
     )
     assert kept_ids == [0, 2]  # near-parallel 1 dropped, lowest id kept
+
+
+def test_yaml_temporal_join_enriches_at_event_time(spark, tmp_path):
+    """The temporal_join stanza: facts pick up the dimension attribute
+    valid at their OWN timestamp, never the current one."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    dim_path = str(tmp_path / "tiers.parquet")
+    spark.createDataFrame(
+        [
+            (10, t0, "bronze"),
+            (10, t0 + dt.timedelta(days=5), "gold"),
+        ],
+        "user_id long, valid_from timestamp, tier string",
+    ).write.parquet(dim_path)
+    facts_path = str(tmp_path / "facts.parquet")
+    spark.createDataFrame(
+        [
+            (1, 10, t0 + dt.timedelta(days=1)),
+            (2, 10, t0 + dt.timedelta(days=9)),
+        ],
+        "fact_id long, user_id long, ts timestamp",
+    ).write.parquet(facts_path)
+    out = str(tmp_path / "enriched")
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "pit"},
+            "source": {"type": "file", "format": "parquet", "path": facts_path},
+            "transformations": [
+                {"op": "temporal_join", "dim_path": dim_path, "on": "user_id"}
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+            "destination": {"type": "parquet", "path": out},
+        }
+    )
+    assert not spec.warnings
+    assert run_pipeline(spark, spec).passed
+    got = {r.fact_id: r.tier for r in spark.read.parquet(out).collect()}
+    assert got == {1: "bronze", 2: "gold"}

@@ -141,6 +141,94 @@ def main() -> None:
         lambda: QUERIES["shard_manifest"](spark, sf_dir).count(),
     )
 
+    # SRP-LSH: at 10x corpus with FIXED planes the buckets don't grow
+    # (2^planes of them), so candidates explode — the documented
+    # anti-pattern. The probe measures the discipline instead: grow
+    # planes_per_table with the corpus (12x8 at 10x vs 18x2 at 1x).
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        srp_lsh_pairs,
+    )
+
+    timed("srp_1x_18x2", lambda: srp_lsh_pairs(embs).count())
+    timed(
+        f"srp_{replicas}x_12x8_grownplanes",
+        lambda: srp_lsh_pairs(
+            blown_e, n_tables=12, planes_per_table=8
+        ).count(),
+    )
+
+    # Point-in-time join at 10x facts+dimension (keys shifted so the
+    # per-customer interval structure is preserved per replica).
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    okmax = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    ckmax = orders.agg(F.max("o_custkey")).first()[0] + 1
+    bo = (
+        orders.crossJoin(r)
+        .select(
+            (F.col("o_orderkey") + F.col("r") * okmax).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("r") * ckmax).alias("o_custkey"),
+            "o_orderpriority",
+            "o_orderdate",
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    bl = (
+        li.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .crossJoin(r)
+        .select(
+            (F.col("l_orderkey") + F.col("r") * okmax).alias("l_orderkey"),
+            "l_linenumber",
+            "l_shipdate",
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+
+    def pit(o, l):
+        from pyspark.sql import Window as W
+
+        from data_engineering_etl_self_service_spark.operators.asof import (
+            asof_join,
+        )
+
+        w_all = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        w_attr = W.partitionBy("o_custkey", "o_orderpriority").orderBy(
+            "o_orderdate", "o_orderkey"
+        )
+        island = F.row_number().over(w_all) - F.row_number().over(w_attr)
+        dim0 = (
+            o.withColumn("island", island)
+            .groupBy("o_custkey", "o_orderpriority", "island")
+            .agg(
+                F.min("o_orderdate").alias("t"),
+                F.min("o_orderkey").alias("first_orderkey"),
+            )
+        )
+        w_tie = W.partitionBy("o_custkey", "t").orderBy(
+            F.desc("first_orderkey")
+        )
+        dim = (
+            dim0.withColumn("rn", F.row_number().over(w_tie))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "t", "o_orderpriority")
+        )
+        facts = (
+            l.join(o.select("o_orderkey", "o_custkey"),
+                   l["l_orderkey"] == o["o_orderkey"])
+            .select("l_orderkey", "l_linenumber", "l_shipdate", "o_custkey")
+            .distinct()
+            .withColumn("t", F.col("l_shipdate"))
+        )
+        return asof_join(
+            facts, dim, on="o_custkey", ts_col="t",
+            right_cols=("o_orderpriority",),
+        ).count()
+
+    timed("pit_join_1x", lambda: pit(orders, li))
+    timed(f"pit_join_{replicas}x", lambda: pit(bo, bl))
+
 
 if __name__ == "__main__":
     main()
