@@ -24,6 +24,8 @@ Operators
 
 from __future__ import annotations
 
+import pandas as _pd  # module-level so stringified UDF type hints resolve
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1237,26 +1239,38 @@ def srp_lsh_pairs(
     )
     q = embs.select(F.col(id_col).alias("_id"), yq.alias("y"))
 
-    def _dot_signs(plane_idx: int):
-        signs = F.array(
-            *[F.lit(_srp_weight(plane_idx, d, dim)) for d in range(dim)]
-        )
-        prods = F.zip_with(F.col("y"), signs, lambda a, b: a * b)
-        return F.aggregate(
-            prods, F.lit(0).cast("long"), lambda acc, x: acc + x
-        )
+    # Bucket assignment is Arrow-vectorized: one int64 matmul per batch
+    # against the (planes × dim) weight matrix, sign bits folded per
+    # table. A first draft used per-plane zip_with/aggregate expression
+    # dots — higher-order lambdas evaluate interpreted, and n_tables ×
+    # planes of them measured ~10 s for 2k rows at sf0.1; the matmul is
+    # flat in plane count (the _best_cluster_np lesson, bit-equal ints).
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    tables = []
-    for t in range(n_tables):
-        bits = F.lit(0)
+    n_planes = n_tables * planes_per_table
+    W_mat = np.array(
+        [
+            [_srp_weight(p, d, dim) for d in range(dim)]
+            for p in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
+
+    @pandas_udf("array<bigint>")
+    def _buckets(col: _pd.Series) -> _pd.Series:
+        if len(col) == 0:
+            return _pd.Series([], dtype="object")
+        X = np.stack([np.asarray(v, dtype=np.int64) for v in col])
+        S = (X @ W_mat.T) >= 0  # n × planes sign bits
+        out = np.zeros((len(col), n_tables), dtype=np.int64)
         for j in range(planes_per_table):
-            bits = bits + F.when(
-                _dot_signs(t * planes_per_table + j) >= 0, F.lit(1 << j)
-            ).otherwise(F.lit(0))
-        tables.append(F.struct(F.lit(t).alias("t"), bits.alias("bucket")))
+            out += S[:, j::planes_per_table].astype(np.int64) << j
+        return _pd.Series(list(out))
+
     hashed = q.select(
-        "_id", F.explode(F.array(*tables)).alias("tb")
-    ).select("_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        "_id", F.posexplode(_buckets(F.col("y"))).alias("t", "bucket")
+    )
     cands = (
         hashed.alias("a")
         .join(
@@ -1269,28 +1283,31 @@ def srp_lsh_pairs(
         .distinct()
     )
 
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    # The verify dots are Arrow-vectorized too (the candidate set is
+    # where volume lives — at low planes_per_table the buckets are wide
+    # and interpreted per-pair lambda dots dominated the wall).
+    @pandas_udf("bigint")
+    def _pair_dot(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        if len(a) == 0:
+            return _pd.Series([], dtype="int64")
+        A = np.stack([np.asarray(v, dtype=np.int64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.int64) for v in b])
+        return _pd.Series((A * B).sum(axis=1))
 
     qa = q.select(
         F.col("_id").alias("id_a"),
         F.col("y").alias("ya"),
-        _dot(F.col("y"), F.col("y")).alias("na"),
+        _pair_dot(F.col("y"), F.col("y")).alias("na"),
     )
     qb = q.select(
         F.col("_id").alias("id_b"),
         F.col("y").alias("yb"),
-        _dot(F.col("y"), F.col("y")).alias("nb"),
+        _pair_dot(F.col("y"), F.col("y")).alias("nb"),
     )
-    dot = _dot(F.col("ya"), F.col("yb"))
     return (
         cands.join(qa, "id_a")
         .join(qb, "id_b")
-        .withColumn("dot", dot)
+        .withColumn("dot", _pair_dot(F.col("ya"), F.col("yb")))
         .filter(
             (F.col("dot") > 0)
             & (
