@@ -1200,6 +1200,7 @@ def srp_lsh_pairs(
     id_col: str = "vec_id",
     dim: int = 64,
     quant: int = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Signed-random-projection LSH near-dup pairs over an embedding
     column — the banded LSH candidate path for EMBEDDING space (the
@@ -1228,8 +1229,12 @@ def srp_lsh_pairs(
     verify join carries quantized vectors only for candidate pairs.
     Bucket population concentrates when the corpus is center-massed —
     at production scale raise planes_per_table (buckets = 2^planes) the
-    way IVF raises n_cells, and the same max-bucket-size discipline as
-    MinHash-LSH applies.
+    way IVF raises n_cells, and ``max_bucket_size`` is the same skew
+    guard as MinHash-LSH's: a (table, bucket) cell wider than the cap
+    is excluded from candidate generation IN THAT TABLE — a
+    deterministic recall trade (the pair can still collide in another
+    table) that bounds the per-cell join fan-out on center-massed
+    corpora.
 
     Output: (id_a, id_b, cos) with id_a < id_b; cos is the double ratio
     of the SAME quantized integers on both engines.
@@ -1271,6 +1276,14 @@ def srp_lsh_pairs(
     hashed = q.select(
         "_id", F.posexplode(_buckets(F.col("y"))).alias("t", "bucket")
     )
+    if max_bucket_size is not None:
+        ok_cells = (
+            hashed.groupBy("t", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("t", "bucket")
+        )
+        hashed = hashed.join(ok_cells, ["t", "bucket"])
     cands = (
         hashed.alias("a")
         .join(

@@ -421,3 +421,21 @@ def test_srp_hyperplanes_are_deterministic():
     assert all(-6 <= w <= 6 for w in a)
     assert abs(sum(a) / len(a)) < 0.5
     assert len(set(a)) >= 7
+
+
+def test_srp_max_bucket_size_guard(spark, sf_dir):
+    """The SRP skew guard: cells wider than the cap are excluded from
+    candidate generation per table (deterministic recall trade), so a
+    tiny cap strictly shrinks the output and cap=corpus-size changes
+    nothing."""
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        srp_lsh_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    full = srp_lsh_pairs(e).count()
+    uncapped = srp_lsh_pairs(e, max_bucket_size=n).count()
+    tiny = srp_lsh_pairs(e, max_bucket_size=5).count()
+    assert uncapped == full
+    assert tiny < full
