@@ -1201,6 +1201,7 @@ def srp_lsh_pairs(
     dim: int = 64,
     quant: int = 1000,
     max_bucket_size: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Signed-random-projection LSH near-dup pairs over an embedding
     column — the banded LSH candidate path for EMBEDDING space (the
@@ -1223,10 +1224,14 @@ def srp_lsh_pairs(
     the contract IS the banding (the oracle restates it exactly), and
     the exact `embedding_neardup_pairs` remains the 100%-recall twin.
 
-    Scale: bucket assignment is a map-side literal-expression pass
-    (n_tables × planes_per_table integer dots per row — the small-k
-    kmeans posture); candidates shuffle once on (table, bucket); the
-    verify join carries quantized vectors only for candidate pairs.
+    Scale: bucket assignment is ONE map-side Arrow-vectorized pass
+    (an int64 matmul per batch against the (planes × dim) weight
+    matrix — flat in plane count; see the _buckets comment for why the
+    literal-expression draft lost); the quantized frame and the bucket
+    table are each computed ONCE and cached (the bucket table feeds
+    both sides of the candidate self-join plus the skew-guard count);
+    candidates shuffle once on (table, bucket); the verify join
+    carries quantized vectors only for candidate pairs.
     Bucket population concentrates when the corpus is center-massed —
     at production scale raise planes_per_table (buckets = 2^planes) the
     way IVF raises n_cells, and ``max_bucket_size`` is the same skew
@@ -1238,6 +1243,10 @@ def srp_lsh_pairs(
 
     Output: (id_a, id_b, cos) with id_a < id_b; cos is the double ratio
     of the SAME quantized integers on both engines.
+    ``materialize=True`` (default) eagerly computes the (near-dup-
+    volume-sized) result and unpersists the caches;
+    ``materialize=False`` returns the lazy plan (leaking the persists)
+    for plan audits, like duplicate_span_extents.
     """
     yq = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * quant)
@@ -1262,6 +1271,24 @@ def srp_lsh_pairs(
         dtype=np.int64,
     )
 
+    # Verify-side dots are Arrow-vectorized too (the candidate set is
+    # where volume lives — at low planes_per_table the buckets are wide
+    # and interpreted per-pair lambda dots dominated the wall).
+    @pandas_udf("bigint")
+    def _pair_dot(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        if len(a) == 0:
+            return _pd.Series([], dtype="int64")
+        A = np.stack([np.asarray(v, dtype=np.int64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.int64) for v in b])
+        return _pd.Series((A * B).sum(axis=1))
+
+    @pandas_udf("bigint")
+    def _pair_dot_norm(a: _pd.Series) -> _pd.Series:
+        if len(a) == 0:
+            return _pd.Series([], dtype="int64")
+        A = np.stack([np.asarray(v, dtype=np.int64) for v in a])
+        return _pd.Series((A * A).sum(axis=1))
+
     @pandas_udf("array<bigint>")
     def _buckets(col: _pd.Series) -> _pd.Series:
         if len(col) == 0:
@@ -1273,9 +1300,14 @@ def srp_lsh_pairs(
             out += S[:, j::planes_per_table].astype(np.int64) << j
         return _pd.Series(list(out))
 
+    # q carries the quantized vectors + norms (computed ONCE, reused by
+    # both verify sides); hashed is the skinny (_id, t, bucket) table
+    # feeding both self-join sides and the skew-guard count — persisted
+    # so the matmul UDF runs one pass, not three.
+    q = q.withColumn("n2", _pair_dot_norm(F.col("y"))).persist()
     hashed = q.select(
         "_id", F.posexplode(_buckets(F.col("y"))).alias("t", "bucket")
-    )
+    ).persist()
     if max_bucket_size is not None:
         ok_cells = (
             hashed.groupBy("t", "bucket")
@@ -1296,28 +1328,17 @@ def srp_lsh_pairs(
         .distinct()
     )
 
-    # The verify dots are Arrow-vectorized too (the candidate set is
-    # where volume lives — at low planes_per_table the buckets are wide
-    # and interpreted per-pair lambda dots dominated the wall).
-    @pandas_udf("bigint")
-    def _pair_dot(a: _pd.Series, b: _pd.Series) -> _pd.Series:
-        if len(a) == 0:
-            return _pd.Series([], dtype="int64")
-        A = np.stack([np.asarray(v, dtype=np.int64) for v in a])
-        B = np.stack([np.asarray(v, dtype=np.int64) for v in b])
-        return _pd.Series((A * B).sum(axis=1))
-
     qa = q.select(
         F.col("_id").alias("id_a"),
         F.col("y").alias("ya"),
-        _pair_dot(F.col("y"), F.col("y")).alias("na"),
+        F.col("n2").alias("na"),
     )
     qb = q.select(
         F.col("_id").alias("id_b"),
         F.col("y").alias("yb"),
-        _pair_dot(F.col("y"), F.col("y")).alias("nb"),
+        F.col("n2").alias("nb"),
     )
-    return (
+    out = (
         cands.join(qa, "id_a")
         .join(qb, "id_b")
         .withColumn("dot", _pair_dot(F.col("ya"), F.col("yb")))
@@ -1340,3 +1361,9 @@ def srp_lsh_pairs(
             ).alias("cos"),
         )
     )
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    hashed.unpersist()
+    q.unpersist()
+    return out

@@ -37,9 +37,19 @@ _M = 2**31
 
 
 def shard_key(id_col) -> "F.Column":
-    """The mixed 31-bit shuffle key for an integer id column."""
+    """The mixed 31-bit shuffle key for an integer id column.
+
+    The id is cast to long and folded into 31 bits BEFORE the multiply
+    (the sampling.py overflow discipline): Spark 4 runs ANSI mode, so
+    an unfolded int32 id would THROW on `id * 1103515245` for any id >=
+    2, and a long id >= ~8.4e9 would overflow int64. After the fold the
+    product is <= 2^31 * 1.2e9 < 2^62 — exact everywhere. For ids
+    already < 2^31 (every fixture and most real doc ids) the fold is
+    the identity, so the simple `(id * a + c) % m` oracle form matches
+    bit-for-bit."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(c * F.lit(_A) + F.lit(_C), F.lit(_M))
+    folded = F.pmod(c.cast("long"), F.lit(_M))
+    return F.pmod(folded * F.lit(_A) + F.lit(_C), F.lit(_M))
 
 
 def shard_assign(
@@ -52,6 +62,13 @@ def shard_assign(
     when ``with_position``, the row's 1-based position in its shard's
     deterministic read order (ordered by (h, id) — the global-shuffle
     order a sequential trainer consumes)."""
+    clash = {"h", "shard", "position"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"shard_assign would overwrite existing column(s) {sorted(clash)}; "
+            "rename them before sharding (the output columns h/shard/position "
+            "are part of the manifest contract)"
+        )
     out = df.withColumn("h", shard_key(id_col)).withColumn(
         "shard", F.pmod(F.col("h"), F.lit(n_shards))
     )

@@ -9653,10 +9653,11 @@ def srp_neardup(spark, sf_dir):
     `embedding_neardup_pairs`/`embedding_dedup_groups` twins remain the
     100%-recall baseline, and the recall is pinned by test).
 
-    Scale: bucket assignment is map-side literal-expression arithmetic
-    (n_tables×planes integer dots/row); candidates shuffle once on (table, bucket);
-    only candidate pairs carry vectors into the verify join
-    (operators/dedup.py srp_lsh_pairs).
+    Scale: bucket assignment is ONE map-side Arrow-vectorized matmul
+    pass (flat in plane count; the quantized frame and the skinny
+    bucket table are cached so nothing runs twice); candidates shuffle
+    once on (table, bucket); only candidate pairs carry vectors into
+    the verify join (operators/dedup.py srp_lsh_pairs).
     """
     from .operators.dedup import srp_lsh_pairs
 
@@ -9664,3 +9665,19 @@ def srp_neardup(spark, sf_dir):
     return srp_lsh_pairs(
         e, n_tables=18, planes_per_table=2, tau_num=2, tau_den=5
     )
+
+
+def _srp_neardup_plan(spark, sf_dir):
+    from .operators.dedup import srp_lsh_pairs
+
+    return srp_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        n_tables=18,
+        planes_per_table=2,
+        tau_num=2,
+        tau_den=5,
+        materialize=False,
+    )
+
+
+PLAN_VIEWS["srp_neardup"] = _srp_neardup_plan

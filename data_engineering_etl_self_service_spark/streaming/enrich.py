@@ -37,18 +37,29 @@ def close_intervals(
 
     Input: one row per attribute regime with its start ``t_col``.
     Output: input columns + ``valid_to_excl`` (the next regime's start;
-    NULL for the current regime). Rows sharing (key, t_col) collapse to
-    the one with the greatest ``tiebreak_col`` first (deterministic),
-    so downstream range joins are single-match by construction.
+    NULL for the current regime). Rows sharing (key, t_col) ALWAYS
+    collapse first — to the greatest ``tiebreak_col`` when given, else
+    to the greatest remaining-column struct (stable either way) — so
+    downstream range joins are single-match by construction.
     """
     d = dim
+    # ALWAYS collapse (key, t_col) duplicates — leaving two rows at the
+    # same instant makes lead() tie-dependent (one would get an empty
+    # [t, t) interval chosen by partition nondeterminism). With no
+    # tiebreak_col the survivor is still deterministic: greatest
+    # remaining-column struct wins (an arbitrary but stable total
+    # order).
     if tiebreak_col is not None:
-        w_tie = Window.partitionBy(on, t_col).orderBy(F.desc(tiebreak_col))
-        d = (
-            d.withColumn("_rn", F.row_number().over(w_tie))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        order = F.desc(tiebreak_col)
+    else:
+        rest = [c for c in d.columns if c not in (on, t_col)]
+        order = F.desc(F.struct(*rest)) if rest else F.lit(1).asc()
+    w_tie = Window.partitionBy(on, t_col).orderBy(order)
+    d = (
+        d.withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     w = Window.partitionBy(on).orderBy(t_col)
     return d.withColumn("valid_to_excl", F.lead(t_col).over(w))
 

@@ -228,7 +228,13 @@ def test_srp_neardup_mapside_buckets_single_exchange(spark, sf_dir):
     small-k kmeans posture), so the whole query plans ONE exchange (the
     (table,bucket) candidate join); verification joins ride broadcast.
     No Python, no cartesian."""
-    plan = _plan(spark, "srp_neardup", sf_dir)
+    from data_engineering_etl_self_service_spark.queries import PLAN_VIEWS
+
+    df = PLAN_VIEWS["srp_neardup"](spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
     assert _op_count(plan, "Exchange") <= 1, plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan

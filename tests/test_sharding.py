@@ -81,3 +81,28 @@ def test_write_training_shards_layout_and_manifest(spark, sf_dir, tmp_path):
     }
     for r in manifest:
         assert expect[r.shard] == r.h_checksum
+
+
+def test_shard_key_int32_ids_and_column_collision_guard(spark):
+    """Round-6 review fixes: an IntegerType id column must not overflow
+    under ANSI mode (pre-fold + cast), and shard_assign refuses to
+    silently overwrite existing h/shard/position columns."""
+    import pytest
+
+    df32 = spark.createDataFrame(
+        [(100000,), (2,), (2**31 - 1,)], "doc_id int"
+    )
+    rows = {
+        r.doc_id: r.h
+        for r in shard_assign(df32, n_shards=4).collect()
+    }
+    for i, h in rows.items():
+        assert h == (i * 1103515245 + 12345) % 2**31
+    # long ids beyond 2^31 fold deterministically instead of overflowing
+    big = spark.createDataFrame([(2**33 + 5,)], "doc_id long")
+    got = shard_assign(big, n_shards=4).first().h
+    assert got == (((2**33 + 5) % 2**31) * 1103515245 + 12345) % 2**31
+    with pytest.raises(ValueError, match="overwrite"):
+        shard_assign(
+            spark.createDataFrame([(1, 2)], "doc_id long, shard long")
+        )

@@ -938,3 +938,31 @@ def test_stream_temporal_enrichment_matches_batch_asof(spark, tmp_path_factory):
     )
     got_batch = {r.fact_id: r.tier_right for r in batch.collect()}
     assert got_batch == got
+
+
+def test_close_intervals_deterministic_without_tiebreak(spark):
+    """Same-instant dimension duplicates collapse deterministically even
+    with NO tiebreak_col (greatest remaining-column struct wins) — the
+    round-6 review fix for lead()-over-ties nondeterminism."""
+    import datetime as dt
+
+    from data_engineering_etl_self_service_spark.streaming.enrich import (
+        close_intervals,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [(10, t, "alpha"), (10, t, "zeta"), (10, t + dt.timedelta(days=1), "mid")],
+        "user_id long, valid_from timestamp, tier string",
+    )
+    outs = [
+        sorted(
+            (r.tier, r.valid_to_excl)
+            for r in close_intervals(dim, on="user_id").collect()
+        )
+        for _ in range(3)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    # exactly one row per (key, instant): the duplicate collapsed
+    assert len(outs[0]) == 2
+    assert ("zeta", t + dt.timedelta(days=1)) in outs[0]  # greatest struct won

@@ -95,22 +95,11 @@ def main() -> None:
     )
 
     def lm(d):
-        # inline twin of the lm_fluency_scores body over an arbitrary frame
-        from data_engineering_etl_self_service_spark.functions.text import tokens
+        from data_engineering_etl_self_service_spark.operators.lm import (
+            lm_fluency,
+        )
 
-        tk = d.select("doc_id", tokens(F.col("text")).alias("w"))
-        b = (
-            tk.withColumn("l", F.slice(F.col("w"), 1, F.size("w") - 1))
-            .withColumn("r2", F.slice(F.col("w"), 2, F.size("w") - 1))
-            .select("doc_id", F.explode(F.arrays_zip("l", "r2")).alias("p"))
-            .select("doc_id", F.col("p.l").alias("x"), F.col("p.r2").alias("y"))
-        )
-        uni = b.groupBy("x").agg(F.count(F.lit(1)).alias("n"))
-        bc = b.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
-        sc = b.join(bc, ["x", "y"]).join(uni, "x").select(
-            "doc_id", F.expr("(nxy * 1000000L) div n").alias("cond_ppm")
-        )
-        return sc.groupBy("doc_id").agg(F.count(F.lit(1))).count()
+        return lm_fluency(d).count()
 
     timed("lm_fluency_1x", lambda: lm(docs))
     timed(f"lm_fluency_{replicas}x_fresh", lambda: lm(fresh))
