@@ -263,14 +263,22 @@ def semantic_dedup(
         yq.alias("y"),
     )
 
-    def _dot(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    # Arrow-vectorized integer dots: the pair stage is where volume
+    # lives (per-cluster self-join), and higher-order zip_with/aggregate
+    # lambdas evaluate interpreted — the same lesson as
+    # _best_cluster_np and dedup.srp_lsh_pairs, bit-equal int64 results.
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    q = q.withColumn("n2", _dot(F.col("y"), F.col("y")))
+    @pandas_udf("bigint")
+    def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack([np.asarray(v, dtype=np.int64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.int64) for v in b])
+        return pd.Series((A * B).sum(axis=1))
+
+    q = q.withColumn("n2", _pair_dot(F.col("y"), F.col("y")))
     hi = q.select(
         F.col("vec_id").alias("v"),
         "cluster_id",
@@ -283,11 +291,10 @@ def semantic_dedup(
         F.col("y").alias("yb"),
         F.col("n2").alias("nb"),
     )
-    dot = _dot(F.col("ya"), F.col("yb"))
     dups = (
         hi.join(lo, "cluster_id")
         .filter(F.col("u") < F.col("v"))
-        .withColumn("dot", dot)
+        .withColumn("dot", _pair_dot(F.col("ya"), F.col("yb")))
         .filter(
             (F.col("dot") > 0)
             & (
