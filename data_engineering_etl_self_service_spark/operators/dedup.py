@@ -1271,23 +1271,25 @@ def srp_lsh_pairs(
         dtype=np.int64,
     )
 
-    # Verify-side dots are Arrow-vectorized too (the candidate set is
-    # where volume lives — at low planes_per_table the buckets are wide
-    # and interpreted per-pair lambda dots dominated the wall).
-    @pandas_udf("bigint")
-    def _pair_dot(a: _pd.Series, b: _pd.Series) -> _pd.Series:
-        if len(a) == 0:
-            return _pd.Series([], dtype="int64")
-        A = np.stack([np.asarray(v, dtype=np.int64) for v in a])
-        B = np.stack([np.asarray(v, dtype=np.int64) for v in b])
-        return _pd.Series((A * B).sum(axis=1))
-
+    # Map-side norms are Arrow-vectorized (corpus-sized, one pass); the
+    # PAIR-stage dot deliberately stays a JVM expression — at ~10M
+    # candidate pairs the Arrow round trip must ship BOTH 64-int arrays
+    # per pair out to Python and measured minutes where the interpreted
+    # JVM fold finishes in ~97 s (probe r6): candidate volume is where
+    # serialization, not arithmetic, dominates.
     @pandas_udf("bigint")
     def _pair_dot_norm(a: _pd.Series) -> _pd.Series:
         if len(a) == 0:
             return _pd.Series([], dtype="int64")
         A = np.stack([np.asarray(v, dtype=np.int64) for v in a])
         return _pd.Series((A * A).sum(axis=1))
+
+    def _expr_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
 
     @pandas_udf("array<bigint>")
     def _buckets(col: _pd.Series) -> _pd.Series:
@@ -1341,7 +1343,7 @@ def srp_lsh_pairs(
     out = (
         cands.join(qa, "id_a")
         .join(qb, "id_b")
-        .withColumn("dot", _pair_dot(F.col("ya"), F.col("yb")))
+        .withColumn("dot", _expr_dot(F.col("ya"), F.col("yb")))
         .filter(
             (F.col("dot") > 0)
             & (
