@@ -109,6 +109,7 @@ EXTENDED = [
     "wordpiece_merges",
     "point_in_time_join",
     "srp_neardup",
+    "tiff_metadata",
 ]
 
 HEADLINE = CORE + EXTENDED

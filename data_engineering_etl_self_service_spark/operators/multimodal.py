@@ -69,6 +69,8 @@ MAGIC_PREFIXES: tuple[tuple[bytes, str], ...] = (
     (b"\xff\xf3", "mp3"),  # MPEG-2 L3 sync
     (b"\xff\xe3", "mp3"),  # MPEG-2.5 L3 sync
     (b"%PDF-", "pdf"),  # document, not media: text via operators/pdf.py
+    (b"II\x2a\x00", "tiff"),  # little-endian TIFF (scanned docs)
+    (b"MM\x00\x2a", "tiff"),  # big-endian TIFF
 )
 
 
@@ -993,6 +995,19 @@ def _decode_payload(raw: bytes) -> dict:
                 if meta["duration_ms"] is not None
                 else None
             ),
+        )
+        return out
+    if bytes(raw[:4]) in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from .tiff import parse_tiff
+
+        meta = parse_tiff(bytes(raw))
+        out["kind"] = "tiff"
+        if meta is None:
+            return out  # sniffed-only: corrupt IFD chain
+        out.update(
+            width=meta["width"],
+            height=meta["height"],
+            channels=meta["samples_per_pixel"],
         )
         return out
     if bytes(raw[:5]) == b"%PDF-":

@@ -9681,3 +9681,89 @@ def _srp_neardup_plan(spark, sf_dir):
 
 
 PLAN_VIEWS["srp_neardup"] = _srp_neardup_plan
+
+
+@register(
+    "tiff_metadata",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 32 AS BIGINT) AS w,
+             CAST(8 + doc_id % 16 AS BIGINT) AS h,
+             CAST(1 + doc_id % 4 AS BIGINT) AS pages,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT)
+               AS spp
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+           pages AS n_pages, w AS width, h AS height,
+           CAST(8 AS BIGINT) AS bits_per_sample,
+           spp AS samples_per_pixel,
+           CAST(CASE WHEN spp = 3 THEN 2 ELSE 1 END AS BIGINT)
+             AS photometric,
+           pages * w * h * spp AS strip_bytes,
+           CASE WHEN doc_id % 5 = 0 THEN '2024:01:15 12:00:00' END
+             AS date_time
+    FROM p
+    """,
+)
+def tiff_metadata(spark, sf_dir):
+    """TIFF container metadata extraction (operators/tiff.py — the
+    scanned-document arrival format, completing the typed-container
+    family beside MP3/MP4/Ogg): per doc_id a deterministic TIFF is
+    built (both byte orders × gray/RGB sample layouts — RGB exercises
+    offset-valued BitsPerSample arrays — × 1-4 page chains × optional
+    DateTime) and parsed back through the header + chained-IFD walk.
+    No strip decode by scope — curation filters on pages, geometry,
+    sample layout, and timestamps, all of which live in the IFDs. The
+    oracle recomputes every field symbolically, so a hash match proves
+    byte-order handling, inline-vs-offset value reads, IFD chaining,
+    and strip-byte accounting.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.tiff import build_tiff, parse_tiff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def metas(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                m = parse_tiff(
+                    build_tiff(
+                        width=16 + i % 32,
+                        height=8 + i % 16,
+                        n_pages=1 + i % 4,
+                        samples_per_pixel=3 if i % 3 == 0 else 1,
+                        big_endian=i % 2 == 1,
+                        date_time=(
+                            "2024:01:15 12:00:00" if i % 5 == 0 else None
+                        ),
+                    )
+                )
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "byte_order": m["byte_order"],
+                        "n_pages": m["n_pages"],
+                        "width": m["width"],
+                        "height": m["height"],
+                        "bits_per_sample": m["bits_per_sample"],
+                        "samples_per_pixel": m["samples_per_pixel"],
+                        "photometric": m["photometric"],
+                        "strip_bytes": m["strip_bytes"],
+                        "date_time": m["date_time"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        metas,
+        "doc_id long, byte_order string, n_pages long, width long, "
+        "height long, bits_per_sample long, samples_per_pixel long, "
+        "photometric long, strip_bytes long, date_time string",
+    )

@@ -139,6 +139,7 @@ def test_codec_queries_are_single_scan_shuffle_free(spark, sf_dir):
         "ogg_metadata",
         "html_extract_stats",
         "pdf_extract_stats",
+        "tiff_metadata",
     ):
         plan = _plan(spark, name, sf_dir)
         assert _op_count(plan, "Exchange") == 0, (name, plan)
