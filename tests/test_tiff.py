@@ -70,3 +70,27 @@ def test_tiff_sniffed_and_decoded_in_multimodal(spark):
     }
     assert kinds == {1: "tiff", 2: "tiff"}  # sniff is prefix-based
     assert decode_payload(b"II\x2a\x00junk")["kind"] == "tiff"  # sniffed-only
+
+
+def test_tiff_random_tail_fuzz_never_raises():
+    """Arbitrary bytes behind a valid TIFF magic (the adversarial case a
+    100 TB dirty corpus feeds the sniffed branch) never raise — None or
+    a partial dict only."""
+    import random
+
+    rng = random.Random(0x71FF)
+    for _ in range(300):
+        blob = (
+            (b"II\x2a\x00" if rng.random() < 0.5 else b"MM\x00\x2a")
+            + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        )
+        r = parse_tiff(blob)
+        assert r is None or isinstance(r, dict)
+    # bit-flip fuzz over a real file
+    good = bytearray(build_tiff(12, 9, n_pages=2, samples_per_pixel=3))
+    for _ in range(300):
+        b = bytearray(good)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        r = parse_tiff(bytes(b))
+        assert r is None or isinstance(r, dict)
