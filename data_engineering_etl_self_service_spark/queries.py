@@ -9767,3 +9767,258 @@ def tiff_metadata(spark, sf_dir):
         "height long, bits_per_sample long, samples_per_pixel long, "
         "photometric long, strip_bytes long, date_time string",
     )
+
+
+@register(
+    "tar_extract_stats",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS txt_b,
+             octet_length(encode(
+               '{"doc_id": ' || doc_id || ', "lang": "' || lang || '"}'
+             )) AS json_b
+      FROM documents)
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_members,
+           CAST(2 * txt_b + json_b + 5 AS BIGINT) AS total_bytes,
+           TRUE AS checksums_ok,
+           doc_id % 2 = 0 AS gzipped,
+           TRUE AS roundtrip_exact
+    FROM m
+    """,
+)
+def tar_extract_stats(spark, sf_dir):
+    """Tar-shard ingestion (operators/archive.py) — the packaged-corpus
+    arrival container beside WARC: per doc a 3-member ustar shard is
+    built (sample text, a JSON sidecar, a '+ tail' variant text; even
+    doc_id wraps the whole shard as .tar.gz) and walked back through
+    the header/checksum/payload parser. The oracle states member
+    count, summed payload bytes (utf-8 octets, stated symbolically
+    from the text and the reconstructed JSON string), checksum
+    verdicts, the gzip flag, and byte-exact text recovery — a hash
+    match proves octal-field decoding, checksum arithmetic, 512-block
+    framing, gzip sniffing, and payload slicing end to end.
+
+    Scale: build, inflate, walk, and stats are ONE Arrow-batched
+    scan-stage pass with no exchange at all (one output row per input
+    row — same fused shape as warc_extract_stats minus its rollup);
+    shard files are row-partitioned so added executors divide
+    ingestion directly.
+    """
+    from .operators.archive import build_tar, iter_tar_members
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def chain(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                i = int(i)
+                txt = t.encode("utf-8")
+                js = f'{{"doc_id": {i}, "lang": "{lang}"}}'.encode("utf-8")
+                shard = build_tar(
+                    [
+                        (f"{i:08d}-a.txt", txt),
+                        (f"{i:08d}-a.json", js),
+                        (f"{i:08d}-b.txt", txt + b" tail"),
+                    ],
+                    gzip_whole=i % 2 == 0,
+                )
+                n = 0
+                total = 0
+                chk = True
+                exact = False
+                for m in iter_tar_members(shard):
+                    n += 1
+                    total += m["size"]
+                    chk = chk and m["checksum_ok"]
+                    if m["name"].endswith("-a.txt"):
+                        exact = m["payload"] == txt
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_members": n,
+                        "total_bytes": total,
+                        "checksums_ok": chk,
+                        "gzipped": i % 2 == 0,
+                        "roundtrip_exact": exact,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        chain,
+        "doc_id long, n_members long, total_bytes long, "
+        "checksums_ok boolean, gzipped boolean, roundtrip_exact boolean",
+    )
+
+
+@register(
+    "zip_extract_stats",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS txt_b,
+             octet_length(encode(
+               '{"doc_id": ' || doc_id || ', "source": "' || source || '"}'
+             )) AS json_b
+      FROM documents)
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_members,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 0 END AS BIGINT)
+             AS stored,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT)
+             AS deflated,
+           CAST(txt_b + json_b AS BIGINT) AS total_bytes,
+           TRUE AS crcs_ok,
+           TRUE AS roundtrip_exact
+    FROM m
+    """,
+)
+def zip_extract_stats(spark, sf_dir):
+    """Zip-archive ingestion (operators/archive.py) — the packaged
+    arrival format of scanned-document and code corpora: per doc a
+    2-member zip is built (doc text + JSON sidecar; even doc_id
+    deflated, odd stored) and read back via EOCD scan -> central
+    directory -> local headers, with CRC-32 verification per member.
+    The oracle states member/method counts, summed uncompressed
+    octets, CRC verdicts, and byte-exact recovery symbolically — a
+    hash match proves EOCD location, directory walking, local-header
+    offset honoring, raw-deflate inflation, and CRC arithmetic.
+
+    Scale: single Arrow-batched scan-stage pass, no exchange; the
+    central-directory read is O(members), never O(archive bytes).
+    """
+    from .operators.archive import build_zip, iter_zip_members
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def chain(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t, src in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+                i = int(i)
+                txt = t.encode("utf-8")
+                js = f'{{"doc_id": {i}, "source": "{src}"}}'.encode("utf-8")
+                blob = build_zip(
+                    [("doc.txt", txt), ("meta.json", js)],
+                    deflate=i % 2 == 0,
+                )
+                n = stored = deflated = 0
+                total = 0
+                crc = True
+                exact = False
+                for m in iter_zip_members(blob):
+                    n += 1
+                    stored += m["method"] == 0
+                    deflated += m["method"] == 8
+                    total += m["size"]
+                    crc = crc and m["crc_ok"]
+                    if m["name"] == "doc.txt":
+                        exact = m["payload"] == txt
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_members": n,
+                        "stored": stored,
+                        "deflated": deflated,
+                        "total_bytes": total,
+                        "crcs_ok": crc,
+                        "roundtrip_exact": exact,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        chain,
+        "doc_id long, n_members long, stored long, deflated long, "
+        "total_bytes long, crcs_ok boolean, roundtrip_exact boolean",
+    )
+
+
+@register(
+    "wds_sample_stats",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS txt_c,
+             octet_length(encode(text)) AS txt_b,
+             octet_length(encode(
+               '{"doc_id": ' || doc_id || ', "lang": "' || lang || '"}'
+             )) AS json_b
+      FROM documents)
+    SELECT doc_id,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-a' AS sample_key,
+           CAST(2 AS INTEGER) AS n_parts,
+           'json,txt' AS exts,
+           CAST(txt_b + json_b AS BIGINT) AS total_bytes,
+           CAST(txt_c AS BIGINT) AS text_chars
+    FROM m
+    UNION ALL
+    SELECT doc_id,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') || '-b' AS sample_key,
+           CAST(1 AS INTEGER) AS n_parts,
+           'txt' AS exts,
+           CAST(txt_b + 5 AS BIGINT) AS total_bytes,
+           CAST(txt_c + 5 AS BIGINT) AS text_chars
+    FROM m
+    """,
+)
+def wds_sample_stats(spark, sf_dir):
+    """WebDataset sample grouping (operators/archive.py) — THE
+    multimodal-training arrival convention: tar shards whose adjacent
+    members share a basename key form one sample (img.jpg + img.txt +
+    img.json). Per doc a 2-sample shard is built (sample a: text +
+    JSON sidecar; sample b: the '+ tail' text alone) and regrouped by
+    the first-dot key rule in a single ordered pass — no sort, no
+    shuffle, exactly how webdataset's streaming reader consumes
+    shards. The oracle states both samples' keys, part counts,
+    extension sets, byte totals, and decoded text lengths
+    symbolically.
+
+    Scale: adjacency grouping is order-preserving within one member
+    walk, so sample assembly stays inside the scan stage; 100 TB of
+    shards parallelize at shard granularity with zero exchanges.
+    """
+    from .operators.archive import build_tar, wds_sample_rows
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def pack(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                i = int(i)
+                txt = t.encode("utf-8")
+                js = f'{{"doc_id": {i}, "lang": "{lang}"}}'.encode("utf-8")
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "data": build_tar(
+                            [
+                                (f"{i:08d}-a.txt", txt),
+                                (f"{i:08d}-a.json", js),
+                                (f"{i:08d}-b.txt", txt + b" tail"),
+                            ]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "data"])
+
+    shards = d.mapInPandas(pack, "doc_id long, data binary")
+    samples = wds_sample_rows(shards)
+    return samples.select(
+        "doc_id",
+        "sample_key",
+        "n_parts",
+        "exts",
+        "total_bytes",
+        F.length("text").cast("long").alias("text_chars"),
+    )
