@@ -110,6 +110,10 @@ EXTENDED = [
     "point_in_time_join",
     "srp_neardup",
     "tiff_metadata",
+    # round 6 cont.: packaged-corpus arrival containers
+    "tar_extract_stats",
+    "zip_extract_stats",
+    "wds_sample_stats",
 ]
 
 HEADLINE = CORE + EXTENDED
