@@ -110,10 +110,12 @@ EXTENDED = [
     "point_in_time_join",
     "srp_neardup",
     "tiff_metadata",
-    # round 6 cont.: packaged-corpus arrival containers
+    # round 6 cont.: packaged-corpus arrival containers + WordPiece
+    # inference
     "tar_extract_stats",
     "zip_extract_stats",
     "wds_sample_stats",
+    "wordpiece_segment",
 ]
 
 HEADLINE = CORE + EXTENDED

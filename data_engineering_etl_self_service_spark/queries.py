@@ -9409,12 +9409,12 @@ def _wp_fold_cte(r: int) -> str:
       FROM {prev} CROSS JOIN wp{r})"""
 
 
-def _wordpiece_oracle(n_merges: int) -> str:
-    """Unrolled WordPiece training (likelihood-ratio argmax per round):
-    per round one symbol-unigram CTE, one scored-pair argmax CTE
-    (floored integer ratio at 1e-12, ties by raw count DESC then
+def _wordpiece_ctes(n_merges: int) -> "list[str]":
+    """Unrolled WordPiece training CTEs (likelihood-ratio argmax per
+    round): per round one symbol-unigram CTE, one scored-pair argmax
+    CTE (floored integer ratio at 1e-12, ties by raw count DESC then
     lexicographic), and the same list_reduce greedy fold as the BPE
-    oracle."""
+    oracle. Shared by the train and segment oracles."""
     ctes = [
         """ww AS MATERIALIZED (
       SELECT w, COUNT(*) AS c
@@ -9445,6 +9445,11 @@ def _wordpiece_oracle(n_merges: int) -> str:
         )
         if r < n_merges:
             ctes.append(_wp_fold_cte(r))
+    return ctes
+
+
+def _wordpiece_oracle(n_merges: int) -> str:
+    ctes = _wordpiece_ctes(n_merges)
     sel = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_rank, x AS left_sym, y AS right_sym, "
         f"x || y AS merged, CAST(score AS BIGINT) AS score_scaled, "
@@ -10022,3 +10027,83 @@ def wds_sample_stats(spark, sf_dir):
         "total_bytes",
         F.length("text").cast("long").alias("text_chars"),
     )
+
+
+def _wordpiece_segment_oracle(n_merges: int, top: int) -> str:
+    """Segment oracle: trained vocab (merged tokens UNION the corpus
+    character set) applied to the top word types by RECURSIVE greedy
+    longest-prefix match — one recursion step per emitted piece, the
+    longest matching vocab token chosen by a correlated argmax."""
+    ctes = _wordpiece_ctes(n_merges)
+    toks = "\n      UNION ".join(
+        f"SELECT x || y AS tok FROM wp{r}" for r in range(1, n_merges + 1)
+    )
+    ctes.append(
+        f"""vocab AS MATERIALIZED (
+      {toks}
+      UNION
+      SELECT DISTINCT s AS tok
+      FROM (SELECT unnest(string_split(w, '')) AS s FROM ww))"""
+    )
+    ctes.append(
+        f"""tw AS MATERIALIZED (
+      SELECT w, c FROM ww ORDER BY c DESC, w LIMIT {top})"""
+    )
+    ctes.append(
+        """seg AS (
+      SELECT w, c, w AS rest, CAST('' AS VARCHAR) AS segd, 0 AS np
+      FROM tw
+      UNION ALL
+      SELECT w, c, substr(rest, length(piece) + 1),
+             CASE WHEN np = 0 THEN piece
+                  ELSE segd || '+' || piece END,
+             np + 1
+      FROM (
+        SELECT w, c, rest, segd, np,
+               (SELECT tok FROM vocab
+                WHERE substr(rest, 1, length(tok)) = tok
+                ORDER BY length(tok) DESC, tok LIMIT 1) AS piece
+        FROM seg WHERE rest <> '') t
+      WHERE piece IS NOT NULL)"""
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT w AS word, CAST(c AS BIGINT) AS cnt,
+           CAST(np AS BIGINT) AS n_subwords, segd AS segmented
+    FROM seg WHERE rest = ''"""
+    )
+
+
+@register("wordpiece_segment", _wordpiece_segment_oracle(8, 80))
+def wordpiece_segment(spark, sf_dir):
+    """APPLY the trained WordPiece rules with the REAL inference
+    algorithm — greedy longest-prefix match over the learned vocab
+    (what BERT's tokenizer runs), not BPE's merge replay — completing
+    the second tokenizer family's train+apply lifecycle
+    (operators/bpe.py wordpiece_segment_types). The top-80 word types
+    come back with subword counts and the segmentation; the DuckDB twin
+    replays the identical longest-match rule as a RECURSIVE CTE with a
+    correlated longest-token argmax, so a hash match proves the trained
+    vocab AND the inference-side matching agree piece-for-piece across
+    engines.
+
+    Scale: training is wordpiece_merges' (corpus collapses once to word
+    types, vocab-bound rounds); inference is one Arrow-batched map-side
+    pass over the word-TYPE table with the 8-token vocab closed over —
+    encoding a 100 TB corpus is segment-the-types + broadcast-join
+    back, pure scan parallelism.
+    """
+    from .operators.bpe import DELIM, wordpiece_segment_types, wordpiece_train
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(~F.col("w").contains(DELIM))
+    )
+    rules = wordpiece_train(words, n_merges=8)
+    top = words.orderBy(F.desc("c"), "w").limit(80)
+    return wordpiece_segment_types(top, rules)

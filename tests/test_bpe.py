@@ -144,3 +144,33 @@ def test_wordpiece_matches_reference_and_differs_from_bpe(spark):
     assert got[0][1:3] == ("q", "u")  # likelihood picks qu first
     bpe = bpe_train(df, n_merges=1)
     assert bpe[0][1:3] != ("q", "u")  # frequency does not
+
+
+def test_wordpiece_segment_greedy_longest_match(spark):
+    from data_engineering_etl_self_service_spark.operators.bpe import (
+        wordpiece_segment_types,
+    )
+
+    # rules only need slot [3] (the merged token) for inference
+    rules = [
+        (1, "t", "h", "th", 0, 0),
+        (2, "th", "e", "the", 0, 0),
+        (3, "i", "n", "in", 0, 0),
+        (4, "in", "g", "ing", 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [("thing", 5), ("theme", 4), ("xyzzy", 3), ("the", 2), ("", 1)],
+        "w string, c long",
+    )
+    got = {
+        r.word: (r.n_subwords, r.segmented)
+        for r in wordpiece_segment_types(df, rules).collect()
+    }
+    # 'the' does not prefix 'thing' -> 'th' wins, then 'ing'
+    assert got["thing"] == (2, "th+ing")
+    # longest-first: 'the' beats 'th' when it fits
+    assert got["theme"] == (3, "the+m+e")
+    # no merged token applies -> per-char fallback keeps the op total
+    assert got["xyzzy"] == (5, "x+y+z+z+y")
+    assert got["the"] == (1, "the")
+    assert got[""] == (0, "")
