@@ -10107,3 +10107,74 @@ def wordpiece_segment(spark, sf_dir):
     rules = wordpiece_train(words, n_merges=8)
     top = words.orderBy(F.desc("c"), "w").limit(80)
     return wordpiece_segment_types(top, rules)
+
+
+@register(
+    "url_normalize_report",
+    """
+    WITH u AS (
+      SELECT user_id % 37 AS shop,
+             CASE WHEN user_id % 5 = 0 THEN 'co.uk' ELSE 'com' END AS tld,
+             'https://www.shop' || (user_id % 37) || '.'
+               || CASE WHEN user_id % 5 = 0 THEN 'co.uk' ELSE 'com' END
+               || '/p/' || event_id
+               || CASE WHEN event_id % 3 = 0 THEN '?a=1&b=2'
+                       WHEN event_id % 3 = 1 THEN '?q=' || event_type
+                       ELSE '' END AS norm
+      FROM events)
+    SELECT 'shop' || shop || '.' || tld AS domain,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT norm) AS n_urls,
+           MIN(norm) AS min_url,
+           MAX(norm) AS max_url
+    FROM u GROUP BY 1
+    """,
+)
+def url_normalize_report(spark, sf_dir):
+    """URL canonicalization + per-domain rollup (functions/url.py) —
+    the web-curation stage in front of crawl dedup and domain policy.
+    Each event synthesizes a deliberately messy raw URL (upper-case
+    scheme/host, explicit default :443 port, tracking params in
+    shuffled order, a fragment), which ``normalize_url`` canonicalizes
+    via the RFC 3986 Appendix-B decomposition regex: lower-cased
+    scheme/host, default port stripped, utm_*/gclid params dropped,
+    survivors sorted, fragment removed. The rollup groups by the
+    heuristic registered domain (eTLD+1 with a two-level-suffix list —
+    co.uk hosts exercise the 3-label branch). The oracle states the
+    CANONICAL url symbolically from the same event fields, so a hash
+    match proves decomposition, case folding, port stripping, param
+    filtering + sorting, and domain extraction all at once.
+
+    Scale: pure JVM expression work (regexp + array ops, no Python),
+    map-side until the final domain rollup — one shuffle on a bounded
+    74-value key.
+    """
+    from .functions.url import normalize_url, registered_domain, url_host
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Shop"),
+        (F.col("user_id") % 37).cast("string"),
+        F.lit("."),
+        F.when(F.col("user_id") % 5 == 0, F.lit("CO.UK")).otherwise(F.lit("COM")),
+        F.lit(":443/p/"),
+        F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("?utm_source=ad&b=2&a=1"))
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit("?gclid=x&q="), F.col("event_type")),
+        )
+        .otherwise(F.lit("")),
+        F.when(F.col("event_id") % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    d = e.select(raw.alias("raw"))
+    d = d.select(
+        normalize_url(F.col("raw")).alias("norm"),
+        registered_domain(url_host(F.col("raw"))).alias("domain"),
+    )
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("norm").alias("n_urls"),
+        F.min("norm").alias("min_url"),
+        F.max("norm").alias("max_url"),
+    )
