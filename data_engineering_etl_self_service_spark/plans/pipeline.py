@@ -274,6 +274,31 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
 
                 df = df.withColumn(out_col, _pdf_text(F.col(in_col)))
             # unknown formats fall through untouched (tolerant dispatch)
+        elif op == "extract_archive":
+            # packaged-corpus unpacking (round 6): the payload column
+            # holds a tar/zip archive per row; format "tar_members" /
+            # "zip_members" explodes member inventories, "wds_samples"
+            # regroups a tar shard into WebDataset samples (the
+            # multimodal-training arrival convention). All are
+            # Arrow-batched single-scan reshapes (operators/archive.py);
+            # malformed archives yield the members that parsed, never a
+            # failure.
+            from ..operators.archive import (
+                tar_member_rows,
+                wds_sample_rows,
+                zip_member_rows,
+            )
+
+            fmt = t.get("format", "wds_samples")
+            payload_col = t.get("payload_col", "payload")
+            id_col = t.get("id_col", "doc_id")
+            if fmt == "tar_members":
+                df = tar_member_rows(df, col=payload_col, id_col=id_col)
+            elif fmt == "zip_members":
+                df = zip_member_rows(df, col=payload_col, id_col=id_col)
+            elif fmt == "wds_samples":
+                df = wds_sample_rows(df, col=payload_col, id_col=id_col)
+            # unknown formats fall through untouched (tolerant dispatch)
         elif op == "scrub_duplicates":
             # duplicate-substring REMOVAL (round 6): tokens covered by a
             # cross-corpus duplicated k-gram are cut and the text column

@@ -47,6 +47,7 @@ TRANSFORM_OPS = (
     "chunk",
     "decode_media",
     "extract_text",
+    "extract_archive",
     "scrub_duplicates",
     "lm_fluency",
     "semantic_dedup",

@@ -989,3 +989,79 @@ def test_yaml_temporal_join_enriches_at_event_time(spark, tmp_path):
     assert run_pipeline(spark, spec).passed
     got = {r.fact_id: r.tier for r in spark.read.parquet(out).collect()}
     assert got == {1: "bronze", 2: "gold"}
+
+
+def test_extract_archive_pipeline_op(spark, tmp_path):
+    """The round-6 extract_archive op: packaged corpora (WebDataset tar
+    shards / zip archives) unpack inside one YAML pipeline — sample
+    regrouping feeds the text ops downstream; a corrupt shard yields
+    the members that parsed, never a failure."""
+    from data_engineering_etl_self_service_spark.operators.archive import (
+        build_tar,
+        build_zip,
+    )
+
+    src = str(tmp_path / "shards.parquet")
+    rows = [
+        (
+            1,
+            bytearray(
+                build_tar(
+                    [
+                        ("0001-a.txt", b"alpha text"),
+                        ("0001-a.json", b"{}"),
+                        ("0002-b.txt", b"beta text"),
+                    ]
+                )
+            ),
+        ),
+        (2, bytearray(build_tar([("0003-c.txt", b"gamma")], gzip_whole=True))),
+        (3, bytearray(b"corrupt, not a tar at all")),
+    ]
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "wds_ingest"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "extract_archive", "format": "wds_samples"},
+                {"op": "filter", "predicate": "text IS NOT NULL"},
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1},
+                {"check_type": "non_null", "column": "sample_key"},
+            ],
+            "destination": {"type": "parquet", "path": str(tmp_path / "samples")},
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed and res.published_path
+    out = {
+        r.sample_key: r
+        for r in spark.read.parquet(res.published_path).collect()
+    }
+    # shard 3 (corrupt) contributes nothing; every real sample surfaces
+    assert set(out) == {"0001-a", "0002-b", "0003-c"}
+    assert out["0001-a"].n_parts == 2 and out["0001-a"].text == "alpha text"
+    assert out["0003-c"].text == "gamma"
+
+    # member-inventory variants + unknown-format tolerance
+    zsrc = str(tmp_path / "zips.parquet")
+    spark.createDataFrame(
+        [(9, bytearray(build_zip([("a.txt", b"zz"), ("b.bin", b"\x01")])))],
+        "doc_id long, payload binary",
+    ).write.parquet(zsrc)
+    for fmt, expect_rows in (("zip_members", 2), ("tar_members", 0), ("nope", 1)):
+        spec2 = spec_from_dict(
+            {
+                "pipeline_info": {"name": f"inv_{fmt}"},
+                "source": {"type": "file", "format": "parquet", "path": zsrc},
+                "transformations": [{"op": "extract_archive", "format": fmt}],
+                "data_quality_checks": [],
+                "destination": {"type": "none"},
+            }
+        )
+        res2 = run_pipeline(spark, spec2)
+        assert res2.passed
+        assert res2.n_rows == expect_rows

@@ -966,3 +966,59 @@ def test_close_intervals_deterministic_without_tiebreak(spark):
     # exactly one row per (key, instant): the duplicate collapsed
     assert len(outs[0]) == 2
     assert ("zeta", t + dt.timedelta(days=1)) in outs[0]  # greatest struct won
+
+
+def test_stream_wds_shard_ingest_matches_batch(spark, tmp_path_factory):
+    """Streaming WebDataset shard ingestion: the SAME Arrow-batched
+    sample regrouping (operators/archive.py wds_sample_rows) runs
+    unchanged over a file stream of shard blobs — stateless scan-stage
+    work, so the streaming plan needs no state store and availableNow
+    replays the batch answer row for row (corrupt shard included)."""
+    from data_engineering_etl_self_service_spark.operators.archive import (
+        build_tar,
+        wds_sample_rows,
+    )
+
+    rows = [
+        (
+            1,
+            bytearray(
+                build_tar(
+                    [
+                        ("0001-a.txt", b"alpha"),
+                        ("0001-a.json", b"{}"),
+                        ("0002-b.txt", b"beta"),
+                    ]
+                )
+            ),
+        ),
+        (2, bytearray(build_tar([("0003-c.txt", b"gamma")], gzip_whole=True))),
+        (3, bytearray(b"corrupt, not a tar")),
+    ]
+    shard_dir = str(tmp_path_factory.mktemp("wds_shards"))
+    spark.createDataFrame(rows, "doc_id long, data binary").write.mode(
+        "overwrite"
+    ).parquet(shard_dir)
+
+    batch = sorted(
+        (r.doc_id, r.sample_key, r.n_parts, r.exts, r.text)
+        for r in wds_sample_rows(spark.read.parquet(shard_dir)).collect()
+    )
+
+    schema = spark.read.parquet(shard_dir).schema
+    stream = spark.readStream.schema(schema).parquet(shard_dir)
+    q = (
+        wds_sample_rows(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wds_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        (r.doc_id, r.sample_key, r.n_parts, r.exts, r.text)
+        for r in spark.sql("SELECT * FROM wds_stream").collect()
+    )
+    assert streamed == batch
+    assert len(batch) == 3  # shard 3 contributed nothing, quietly
