@@ -10178,3 +10178,91 @@ def url_normalize_report(spark, sf_dir):
         F.min("norm").alias("min_url"),
         F.max("norm").alias("max_url"),
     )
+
+
+def _corr_sql(nx: str, ny: str) -> str:
+    """Pearson corr from integer-exact sums (DuckDB side, HUGEINT):
+    num/den doubles are converted from identical integers on both
+    engines, so the final doubles match bit-for-bit."""
+    return (
+        f"CAST(n * s_{nx}{ny} - s_{nx} * s_{ny} AS DOUBLE) / "
+        f"SQRT(CAST(n * s_{nx}{nx} - s_{nx} * s_{nx} AS DOUBLE) * "
+        f"CAST(n * s_{ny}{ny} - s_{ny} * s_{ny} AS DOUBLE))"
+    )
+
+
+@register(
+    "numeric_correlations",
+    f"""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS HUGEINT) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+               AS p,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS HUGEINT) AS d
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(q) AS s_q, SUM(p) AS s_p, SUM(d) AS s_d,
+             SUM(q * q) AS s_qq, SUM(p * p) AS s_pp, SUM(d * d) AS s_dd,
+             SUM(q * p) AS s_qp, SUM(q * d) AS s_qd, SUM(d * p) AS s_dp
+      FROM v GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           {_corr_sql('q', 'p')} AS corr_qty_price,
+           {_corr_sql('q', 'd')} AS corr_qty_disc,
+           {_corr_sql('d', 'p')} AS corr_disc_price
+    FROM s
+    """,
+)
+def numeric_correlations(spark, sf_dir):
+    """Pearson correlation matrix over lineitem measures per return
+    flag — the column-relationship profile a curation/DQ dashboard
+    shows beside table_profile's univariate stats. Determinism across
+    engines comes from doing ALL moment arithmetic in exact integers
+    (quantity as units, price/discount in cents via the DECIMAL(18,2)
+    transit; sums of squares/products in DECIMAL(38,0) on Spark,
+    HUGEINT on DuckDB) and only converting the final num/den integers
+    to DOUBLE — identical integers give identical doubles, so even the
+    float division hash-matches (the doubles-derived-from-identical-
+    integer-arithmetic contract used by the cosine queries).
+
+    Scale: one map-side-combined aggregate over a 3-value key; every
+    moment is a running sum, so 100 TB adds executors, not passes. The
+    DECIMAL(38,0) accumulators hold to ~1e19-row groups — beyond any
+    per-flag cardinality at sane scale factors.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("p"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "d"
+        ),
+    )
+
+    def dsum(e):  # exact integer sums in wide decimal
+        return F.sum(F.expr(e))
+
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        dsum("CAST(q AS DECIMAL(38,0))").alias("s_q"),
+        dsum("CAST(p AS DECIMAL(38,0))").alias("s_p"),
+        dsum("CAST(d AS DECIMAL(38,0))").alias("s_d"),
+        dsum("CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))").alias("s_qq"),
+        dsum("CAST(p AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))").alias("s_pp"),
+        dsum("CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))").alias("s_dd"),
+        dsum("CAST(q AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))").alias("s_qp"),
+        dsum("CAST(q AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))").alias("s_qd"),
+        dsum("CAST(d AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))").alias("s_dp"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(_corr_sql("q", "p")).alias("corr_qty_price"),
+        F.expr(_corr_sql("q", "d")).alias("corr_qty_disc"),
+        F.expr(_corr_sql("d", "p")).alias("corr_disc_price"),
+    )
