@@ -276,3 +276,130 @@ def wordpiece_segment_types(
     return words.mapInPandas(
         seg, "word string, cnt long, n_subwords long, segmented string"
     )
+
+
+def unigram_vocab(
+    words: DataFrame,
+    max_len: int = 4,
+    top_k: int = 4096,
+    word_col: str = "w",
+    count_col: str = "c",
+) -> DataFrame:
+    """Count-based piece vocabulary — the SEED-VOCAB stage of the
+    unigram-LM tokenizer family (Kudo, ACL'18 / SentencePiece): every
+    substring of length 1..``max_len`` of every word type, weighted by
+    corpus frequency (each occurrence position counts). All length-1
+    pieces are kept unconditionally (segmentation totality); longer
+    pieces keep the deterministic top-``top_k`` by (freq DESC, tok
+    ASC). EM refinement + pruning is out of scope by documented line —
+    it is float-normalization-heavy and engine-divergent; the seed
+    vocabulary + exact Viterbi (below) is the deterministic core.
+
+    Scale: ONE corpus-sized substring explode + map-side-combined agg
+    over the word-TYPE table (max_len × |word| fan-out on types, not
+    corpus tokens); the top-k is a single bounded window.
+    """
+    from pyspark.sql import Window
+
+    w, c = F.col(word_col), F.col(count_col)
+    subs = (
+        words.select(
+            c.alias("c"),
+            F.explode(F.sequence(F.lit(0), F.length(w) - 1)).alias("s"),
+            w.alias("w"),
+        )
+        .select(
+            "c",
+            "s",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.lit(max_len))).alias("l"),
+        )
+        .filter(F.col("s") + F.col("l") <= F.length("w"))
+        .select(
+            F.expr("substr(w, s + 1, l)").alias("tok"),
+            F.col("c"),
+        )
+        .groupBy("tok")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    ones = subs.filter(F.length("tok") == 1)
+    longs = (
+        subs.filter(F.length("tok") >= 2)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("tok"))
+            ),
+        )
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )
+    return ones.unionByName(longs)
+
+
+def unigram_segment_types(
+    words: DataFrame,
+    vocab_rows: "list[tuple[str, int]]",
+    total: int,
+    max_len: int = 4,
+    word_col: str = "w",
+    count_col: str = "c",
+) -> DataFrame:
+    """Viterbi (max-likelihood) segmentation under the unigram LM —
+    SentencePiece inference: the path maximizing Π p(piece) with
+    p = count/total. The cross-engine determinism contract is strict
+    IEEE-754 double arithmetic in a FIXED operation order —
+    ``cand = best[j] * (count / total)`` — so a SQL twin replaying the
+    identical DP (same order, same tie rule: ties prefer the LONGER
+    final piece) produces bit-equal probabilities and paths. Unknown
+    characters cannot arise when segmenting the vocabulary's own
+    corpus (all length-1 pieces are in the vocab); a genuinely unknown
+    character contributes probability 1/total, keeping the op total.
+
+    Runs over the word-TYPE table with the bounded (top-k + alphabet)
+    vocab closed over — one Arrow-batched map-side pass; encoding a
+    100 TB corpus is segment-the-types + broadcast-join back.
+    """
+    sc = {t: cnt / total for t, cnt in vocab_rows}
+    unk = 1 / total
+
+    def seg(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"word": [], "cnt": [], "n_pieces": [], "prob": [], "segmented": []}
+            for w, c in zip(pdf[word_col], pdf[count_col]):
+                n = len(w)
+                best = [None] * (n + 1)
+                path = [None] * (n + 1)
+                best[0], path[0] = 1.0, ""
+                for i in range(1, n + 1):
+                    pick = None
+                    for ln in range(min(max_len, i), 0, -1):
+                        b = best[i - ln]
+                        if b is None:
+                            continue
+                        tok = w[i - ln : i]
+                        p = sc.get(tok, unk if ln == 1 else None)
+                        if p is None:
+                            continue
+                        cand = b * p
+                        if pick is None or cand > pick[0]:
+                            pick = (cand, ln, tok)
+                    cand, ln, tok = pick
+                    best[i] = cand
+                    prev = path[i - ln]
+                    path[i] = tok if prev == "" else prev + "+" + tok
+                out["word"].append(w)
+                out["cnt"].append(int(c))
+                out["n_pieces"].append(
+                    0 if n == 0 else path[n].count("+") + 1
+                )
+                out["prob"].append(1.0 if n == 0 else best[n])
+                out["segmented"].append(path[n])
+            yield pd.DataFrame(out)
+
+    return words.mapInPandas(
+        seg,
+        "word string, cnt long, n_pieces long, prob double, segmented string",
+    )

@@ -10266,3 +10266,110 @@ def numeric_correlations(spark, sf_dir):
         F.expr(_corr_sql("q", "d")).alias("corr_qty_disc"),
         F.expr(_corr_sql("d", "p")).alias("corr_disc_price"),
     )
+
+
+def _unigram_segment_oracle(top_k: int, top_words: int) -> str:
+    """Viterbi unigram-LM segmentation replayed in SQL: seed vocab
+    (all length-1 pieces + deterministic top-k longer substrings by
+    weighted frequency), then a recursive DP whose state carries the
+    last 4 (best, path) cells; candidate = best[j] * (cnt / total) in
+    strict IEEE double order, ties prefer the longer final piece —
+    bit-identical to the Python DP in unigram_segment_types."""
+    prior = "CASE sel WHEN 4 THEN p4 WHEN 3 THEN p3 WHEN 2 THEN p2 ELSE p1 END"
+    piece = "substr(w, pos + 2 - sel, sel)"
+    return f"""
+    WITH RECURSIVE ww AS MATERIALIZED (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents)
+      WHERE strpos(w, chr(31)) = 0
+      GROUP BY w),
+    subs AS MATERIALIZED (
+      SELECT substr(w, CAST(s AS INTEGER) + 1, CAST(l AS INTEGER)) AS tok,
+             SUM(c) AS cnt
+      FROM ww, unnest(range(0, length(w))) t(s), unnest(range(1, 5)) u(l)
+      WHERE s + l <= length(w)
+      GROUP BY 1),
+    vocab AS MATERIALIZED (
+      SELECT tok, cnt FROM subs WHERE length(tok) = 1
+      UNION ALL
+      SELECT tok, cnt FROM (
+        SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn
+        FROM subs WHERE length(tok) >= 2) WHERE rn <= {top_k}),
+    tot AS MATERIALIZED (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM vocab),
+    tw AS MATERIALIZED (SELECT w, c FROM ww ORDER BY c DESC, w LIMIT {top_words}),
+    dp AS (
+      SELECT w, c, 0 AS pos,
+             CAST(1.0 AS DOUBLE) AS b1, CAST('' AS VARCHAR) AS p1,
+             CAST(NULL AS DOUBLE) AS b2, CAST(NULL AS VARCHAR) AS p2,
+             CAST(NULL AS DOUBLE) AS b3, CAST(NULL AS VARCHAR) AS p3,
+             CAST(NULL AS DOUBLE) AS b4, CAST(NULL AS VARCHAR) AS p4
+      FROM tw
+      UNION ALL
+      SELECT w, c, pos + 1,
+             CASE sel WHEN 4 THEN c4 WHEN 3 THEN c3 WHEN 2 THEN c2 ELSE c1 END,
+             CASE WHEN ({prior}) = '' THEN {piece}
+                  ELSE ({prior}) || '+' || {piece} END,
+             b1, p1, b2, p2, b3, p3
+      FROM (
+        SELECT *,
+               CASE WHEN c4 IS NOT NULL AND (c3 IS NULL OR c4 >= c3)
+                         AND (c2 IS NULL OR c4 >= c2)
+                         AND (c1 IS NULL OR c4 >= c1) THEN 4
+                    WHEN c3 IS NOT NULL AND (c2 IS NULL OR c3 >= c2)
+                         AND (c1 IS NULL OR c3 >= c1) THEN 3
+                    WHEN c2 IS NOT NULL AND (c1 IS NULL OR c2 >= c1) THEN 2
+                    ELSE 1 END AS sel
+        FROM (
+          SELECT w, c, pos, b1, p1, b2, p2, b3, p3, b4, p4,
+                 b1 * ((SELECT CAST(v.cnt AS DOUBLE) FROM vocab v
+                        WHERE v.tok = substr(w, pos + 1, 1)) / (SELECT t FROM tot)) AS c1,
+                 b2 * ((SELECT CAST(v.cnt AS DOUBLE) FROM vocab v
+                        WHERE v.tok = substr(w, pos, 2)) / (SELECT t FROM tot)) AS c2,
+                 b3 * ((SELECT CAST(v.cnt AS DOUBLE) FROM vocab v
+                        WHERE v.tok = substr(w, pos - 1, 3)) / (SELECT t FROM tot)) AS c3,
+                 b4 * ((SELECT CAST(v.cnt AS DOUBLE) FROM vocab v
+                        WHERE v.tok = substr(w, pos - 2, 4)) / (SELECT t FROM tot)) AS c4
+          FROM dp WHERE pos < length(w)) c_inner) s_inner)
+    SELECT w AS word, CAST(c AS BIGINT) AS cnt,
+           CAST(CASE WHEN w = '' THEN 0
+                     ELSE len(string_split(p1, '+')) END AS BIGINT) AS n_pieces,
+           b1 AS prob, p1 AS segmented
+    FROM dp WHERE pos = length(w)"""
+
+
+@register("unigram_segment", _unigram_segment_oracle(4096, 80))
+def unigram_segment(spark, sf_dir):
+    """The THIRD tokenizer family — unigram LM (Kudo, ACL'18; the
+    SentencePiece model) beside BPE and WordPiece: a count-based seed
+    vocabulary (every <=4-char substring of the word types, weighted
+    by corpus frequency; all single chars kept, longer pieces top-4096
+    deterministic) and exact Viterbi maximum-likelihood segmentation
+    of the top-80 word types under p(piece) = count/total. EM
+    refinement is out of documented scope (float normalization is
+    engine-divergent); what ships is bit-deterministic: the DP
+    multiplies IEEE doubles in a pinned order, so the DuckDB twin —
+    the same DP as a recursive CTE carrying the last-4 (best, path)
+    window — reproduces probabilities AND paths bit-for-bit, hash-
+    matched including the double prob column.
+
+    Scale: vocab building is one substring explode + map-side agg on
+    the word-TYPE table; the vocab is a bounded collect (top-k +
+    alphabet) closed over an Arrow-batched map-side Viterbi — encoding
+    a 100 TB corpus segments the types and broadcast-joins back.
+    """
+    from .operators.bpe import DELIM, unigram_segment_types, unigram_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(~F.col("w").contains(DELIM))
+    )
+    vocab = [
+        (r.tok, int(r.cnt)) for r in unigram_vocab(words, 4, 4096).collect()
+    ]
+    total = sum(cnt for _, cnt in vocab)
+    top = words.orderBy(F.desc("c"), "w").limit(80)
+    return unigram_segment_types(top, vocab, total)

@@ -174,3 +174,70 @@ def test_wordpiece_segment_greedy_longest_match(spark):
     assert got["xyzzy"] == (5, "x+y+z+z+y")
     assert got["the"] == (1, "the")
     assert got[""] == (0, "")
+
+
+def test_unigram_vocab_seed_rules(spark):
+    from data_engineering_etl_self_service_spark.operators.bpe import (
+        unigram_vocab,
+    )
+
+    df = spark.createDataFrame([("abab", 2), ("ab", 3)], "w string, c long")
+    got = {
+        r.tok: r.cnt for r in unigram_vocab(df, max_len=3, top_k=100).collect()
+    }
+    # weighted by count, every occurrence position counts
+    assert got["a"] == 2 * 2 + 3 and got["b"] == 2 * 2 + 3
+    assert got["ab"] == 2 * 2 + 3  # positions 0 and 2 in 'abab', 0 in 'ab'
+    assert got["ba"] == 2
+    assert got["aba"] == 2 and got["bab"] == 2
+    # top_k caps only the length>=2 pieces; singles always survive
+    capped = {
+        r.tok
+        for r in unigram_vocab(df, max_len=3, top_k=1).collect()
+    }
+    assert "a" in capped and "b" in capped
+    assert len([t for t in capped if len(t) > 1]) == 1
+    assert "ab" in capped  # freq DESC, tok ASC picks 'ab'
+
+
+def test_unigram_viterbi_ml_path_and_ties(spark):
+    from data_engineering_etl_self_service_spark.operators.bpe import (
+        unigram_segment_types,
+    )
+
+    # vocab probs: 'ab' dominant -> 'abab' = ab+ab beats char path
+    vocab = [("a", 10), ("b", 10), ("ab", 60), ("ba", 10), ("aba", 10)]
+    total = 100
+    df = spark.createDataFrame(
+        [("abab", 1), ("aa", 1), ("xq", 1)], "w string, c long"
+    )
+    got = {
+        r.word: (r.n_pieces, r.segmented, r.prob)
+        for r in unigram_segment_types(df, vocab, total).collect()
+    }
+    assert got["abab"][1] == "ab+ab"
+    assert got["abab"][2] == (60 / 100) * (60 / 100)
+    # 'aa': only char path
+    assert got["aa"][1] == "a+a"
+    # unknown chars fall back to 1/total pieces, op stays total
+    assert got["xq"] == (2, "x+q", (1 / 100) * (1 / 100))
+
+    # tie: 'cc' with p(c)=p(cc) as exact doubles -> longer piece wins
+    vocab2 = [("c", 25), ("cc", 25)]
+    got2 = {
+        r.word: (r.segmented, r.prob)
+        for r in unigram_segment_types(
+            spark.createDataFrame([("cc", 1)], "w string, c long"), vocab2, 100
+        ).collect()
+    }
+    # char path prob = 0.25*0.25 = 0.0625 < 0.25 -> 'cc' wins on value
+    assert got2["cc"] == ("cc", 0.25)
+    # genuine tie needs equal PATH values: p(dd)=p(d)^2 exactly
+    vocab3 = [("d", 16), ("dd", 4)]  # (16/64)^2 = 1/16 == 4/64
+    got3 = {
+        r.word: (r.segmented, r.prob)
+        for r in unigram_segment_types(
+            spark.createDataFrame([("dd", 1)], "w string, c long"), vocab3, 64
+        ).collect()
+    }
+    assert got3["dd"] == ("dd", 4 / 64)  # longer final piece on tie
