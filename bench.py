@@ -116,6 +116,9 @@ EXTENDED = [
     "zip_extract_stats",
     "wds_sample_stats",
     "wordpiece_segment",
+    "unigram_segment",
+    "url_normalize_report",
+    "numeric_correlations",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -10373,3 +10373,56 @@ def unigram_segment(spark, sf_dir):
     total = sum(cnt for _, cnt in vocab)
     top = words.orderBy(F.desc("c"), "w").limit(80)
     return unigram_segment_types(top, vocab, total)
+
+
+@register(
+    "k_anonymity_report",
+    """
+    WITH q AS (
+      SELECT lang, source, n_chars // 200 AS len_bucket,
+             COUNT(*) AS grp_n
+      FROM documents GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(grp_n) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_k,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           CAST(SUM(grp_n * grp_n) AS BIGINT) AS class_size_ssq
+    FROM q
+    """,
+)
+def k_anonymity_report(spark, sf_dir):
+    """k-anonymity audit (Sweeney, IJUFKS'02) over the document
+    corpus — the privacy-side DQ gate beside pii_redaction's
+    content-side scrub: every (lang, source, length-bucket)
+    quasi-identifier equivalence class is sized, and the report states
+    how many classes (and rows) fall below k=5 — rows a release
+    policy must generalize or suppress because their attribute
+    combination is too identifying. class_size_ssq certifies the full
+    class-size distribution, not just the violator count.
+
+    Scale: one map-side-combined groupBy on the quasi-identifier key,
+    then a scalar rollup — two shuffles, the second on one row per
+    class; 100 TB adds executors, not passes.
+    """
+    d = _t(spark, sf_dir, "documents")
+    q = d.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") / 200).cast("bigint").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    below = F.col("grp_n") < 5
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("grp_n").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("bigint").alias(
+            "classes_below_k"
+        ),
+        F.sum(F.when(below, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_k"),
+        F.sum(F.col("grp_n") * F.col("grp_n"))
+        .cast("bigint")
+        .alias("class_size_ssq"),
+    )
