@@ -411,11 +411,21 @@ def zip_member_rows(df, col: str = "data", id_col: str = "doc_id"):
     )
 
 
-def wds_sample_rows(df, col: str = "data", id_col: str = "doc_id"):
+def wds_sample_rows(
+    df,
+    col: str = "data",
+    id_col: str = "doc_id",
+    payload_ext: "str | None" = None,
+):
     """Explode one-tar-shard-per-row ``df`` into WebDataset sample
     rows: (sample_key, sorted extension list, part count, total bytes,
-    the decoded ``.txt`` part when present). Single-scan like the
-    member explodes; the adjacency grouping needs no shuffle."""
+    the decoded ``.txt`` part when present). ``payload_ext`` adds a
+    ``payload`` binary column carrying that extension's raw bytes —
+    the seam that composes shard ingestion with the media decoders
+    (``extract_archive`` → ``decode_media`` in the YAML surface), so
+    image/audio parts flow decode-ready without a second shard pass.
+    Single-scan like the member explodes; the adjacency grouping needs
+    no shuffle."""
 
     def explode(it):
         import pandas as pd
@@ -425,27 +435,30 @@ def wds_sample_rows(df, col: str = "data", id_col: str = "doc_id"):
             for rid, blob in zip(pdf[id_col], pdf[col]):
                 for key, parts in iter_wds_samples(bytes(blob)):
                     txt = parts.get("txt")
-                    rows.append(
-                        {
-                            id_col: rid,
-                            "sample_key": key,
-                            "n_parts": len(parts),
-                            "exts": ",".join(sorted(parts)),
-                            "total_bytes": sum(len(p) for p in parts.values()),
-                            "text": (
-                                txt.decode("utf-8", "replace")
-                                if txt is not None
-                                else None
-                            ),
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col, "sample_key", "n_parts", "exts", "total_bytes", "text"],
-            )
+                    row = {
+                        id_col: rid,
+                        "sample_key": key,
+                        "n_parts": len(parts),
+                        "exts": ",".join(sorted(parts)),
+                        "total_bytes": sum(len(p) for p in parts.values()),
+                        "text": (
+                            txt.decode("utf-8", "replace")
+                            if txt is not None
+                            else None
+                        ),
+                    }
+                    if payload_ext is not None:
+                        row["payload"] = parts.get(payload_ext)
+                    rows.append(row)
+            cols = [id_col, "sample_key", "n_parts", "exts", "total_bytes", "text"]
+            if payload_ext is not None:
+                cols.append("payload")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return df.mapInPandas(
-        explode,
+    schema = (
         f"{id_col} long, sample_key string, n_parts int, exts string, "
-        "total_bytes long, text string",
+        "total_bytes long, text string"
     )
+    if payload_ext is not None:
+        schema += ", payload binary"
+    return df.mapInPandas(explode, schema)

@@ -1060,7 +1060,10 @@ def decode_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = [decode_payload(bytes(raw)) for raw in pdf[payload_col]]
+            rows = [
+                decode_payload(bytes(raw) if raw is not None else b"")
+                for raw in pdf[payload_col]
+            ]
             out = pd.DataFrame(
                 {c: [r[c] for r in rows] for c in cols}
             )

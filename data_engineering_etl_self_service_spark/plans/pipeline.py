@@ -297,7 +297,12 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
             elif fmt == "zip_members":
                 df = zip_member_rows(df, col=payload_col, id_col=id_col)
             elif fmt == "wds_samples":
-                df = wds_sample_rows(df, col=payload_col, id_col=id_col)
+                df = wds_sample_rows(
+                    df,
+                    col=payload_col,
+                    id_col=id_col,
+                    payload_ext=t.get("payload_ext"),
+                )
             # unknown formats fall through untouched (tolerant dispatch)
         elif op == "scrub_duplicates":
             # duplicate-substring REMOVAL (round 6): tokens covered by a

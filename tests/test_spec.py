@@ -1065,3 +1065,64 @@ def test_extract_archive_pipeline_op(spark, tmp_path):
         res2 = run_pipeline(spark, spec2)
         assert res2.passed
         assert res2.n_rows == expect_rows
+
+
+def test_wds_to_decode_media_composition(spark, tmp_path):
+    """The multimodal WebDataset story end to end in ONE spec: tar
+    shards of (png + txt + json) samples → extract_archive
+    (payload_ext carries the image bytes) → decode_media features →
+    real decoded dimensions. A sample missing the payload extension
+    degrades to an unknown-format row, never a failure."""
+    from data_engineering_etl_self_service_spark.operators.archive import (
+        build_tar,
+    )
+    from data_engineering_etl_self_service_spark.operators.multimodal import (
+        build_png,
+    )
+
+    src = str(tmp_path / "wds.parquet")
+    rows = [
+        (
+            1,
+            bytearray(
+                build_tar(
+                    [
+                        ("s001.png", build_png(8, 6, 10, 20, 30)),
+                        ("s001.txt", b"a red-ish square"),
+                        ("s001.json", b"{}"),
+                    ]
+                )
+            ),
+        ),
+        (
+            2,
+            bytearray(
+                build_tar([("s002.txt", b"text-only sample, no image")])
+            ),
+        ),
+    ]
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "wds_multimodal"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {
+                    "op": "extract_archive",
+                    "format": "wds_samples",
+                    "payload_ext": "png",
+                },
+                {"op": "decode_media", "mode": "features"},
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+            "destination": {"type": "parquet", "path": str(tmp_path / "out")},
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    out = {r.doc_id: r for r in spark.read.parquet(res.published_path).collect()}
+    assert out[1].kind == "png" and (out[1].width, out[1].height) == (8, 6)
+    assert out[2].kind == "unknown"  # payload_ext absent -> degraded row
