@@ -111,6 +111,45 @@ def test_examples_directory_specs_parse_and_run(
         if src.get("type") == "file" and not pathlib.Path(
             src_path.split("{", 1)[0]
         ).exists():
+            ops = {t.get("op") for t in cfg.get("transformations", [])}
+            if "extract_archive" in ops:
+                # shard-shaped source: (doc_id, payload) tar shards of
+                # (png + txt) WebDataset samples
+                from data_engineering_etl_self_service_spark.operators.archive import (
+                    build_tar,
+                )
+                from data_engineering_etl_self_service_spark.operators.multimodal import (
+                    build_png,
+                )
+
+                shards_src = str(tmp_path / "wds_shards")
+                spark.createDataFrame(
+                    [
+                        (
+                            i,
+                            bytearray(
+                                build_tar(
+                                    [
+                                        (
+                                            f"s{i:04d}.png",
+                                            build_png(8, 6, 10, 20, 30),
+                                        ),
+                                        (f"s{i:04d}.txt", b"caption"),
+                                    ]
+                                )
+                            ),
+                        )
+                        for i in range(20)
+                    ],
+                    "doc_id long, payload binary",
+                ).write.mode("overwrite").parquet(shards_src)
+                cfg["source"]["path"] = shards_src
+                q = tmp_path / p.name
+                q.write_text(_yaml.safe_dump(cfg))
+                assert not load_spec(str(q)).warnings
+                rc = main(["run", str(q), "--ds", "2025-08-13"])
+                assert rc == 0, p.name
+                continue
             if pages_src is None:
                 from data_engineering_etl_self_service_spark.operators.html import (
                     build_html,
