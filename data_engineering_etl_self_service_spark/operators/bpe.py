@@ -337,6 +337,41 @@ def unigram_vocab(
     return ones.unionByName(longs)
 
 
+def viterbi_segment(
+    w: str,
+    sc: "dict[str, float]",
+    unk: float,
+    max_len: int = 4,
+) -> "tuple[float, str]":
+    """The exact Viterbi DP shared by the Spark operator and the
+    property tests: maximize the product of piece probabilities in
+    strict IEEE-double order (``cand = best[j] * p``), ties preferring
+    the LONGER final piece; an unknown single char scores ``unk``.
+    Returns (prob, '+'-joined path) — ('' -> (1.0, ''))."""
+    n = len(w)
+    best: "list[float | None]" = [None] * (n + 1)
+    path: "list[str | None]" = [None] * (n + 1)
+    best[0], path[0] = 1.0, ""
+    for i in range(1, n + 1):
+        pick = None
+        for ln in range(min(max_len, i), 0, -1):
+            b = best[i - ln]
+            if b is None:
+                continue
+            tok = w[i - ln : i]
+            p = sc.get(tok, unk if ln == 1 else None)
+            if p is None:
+                continue
+            cand = b * p
+            if pick is None or cand > pick[0]:
+                pick = (cand, ln, tok)
+        cand, ln, tok = pick
+        best[i] = cand
+        prev = path[i - ln]
+        path[i] = tok if prev == "" else prev + "+" + tok
+    return (1.0 if n == 0 else best[n], path[n])
+
+
 def unigram_segment_types(
     words: DataFrame,
     vocab_rows: "list[tuple[str, int]]",
@@ -369,34 +404,12 @@ def unigram_segment_types(
         for pdf in it:
             out = {"word": [], "cnt": [], "n_pieces": [], "prob": [], "segmented": []}
             for w, c in zip(pdf[word_col], pdf[count_col]):
-                n = len(w)
-                best = [None] * (n + 1)
-                path = [None] * (n + 1)
-                best[0], path[0] = 1.0, ""
-                for i in range(1, n + 1):
-                    pick = None
-                    for ln in range(min(max_len, i), 0, -1):
-                        b = best[i - ln]
-                        if b is None:
-                            continue
-                        tok = w[i - ln : i]
-                        p = sc.get(tok, unk if ln == 1 else None)
-                        if p is None:
-                            continue
-                        cand = b * p
-                        if pick is None or cand > pick[0]:
-                            pick = (cand, ln, tok)
-                    cand, ln, tok = pick
-                    best[i] = cand
-                    prev = path[i - ln]
-                    path[i] = tok if prev == "" else prev + "+" + tok
+                prob, path = viterbi_segment(w, sc, unk, max_len)
                 out["word"].append(w)
                 out["cnt"].append(int(c))
-                out["n_pieces"].append(
-                    0 if n == 0 else path[n].count("+") + 1
-                )
-                out["prob"].append(1.0 if n == 0 else best[n])
-                out["segmented"].append(path[n])
+                out["n_pieces"].append(0 if w == "" else path.count("+") + 1)
+                out["prob"].append(prob)
+                out["segmented"].append(path)
             yield pd.DataFrame(out)
 
     return words.mapInPandas(

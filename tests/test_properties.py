@@ -702,3 +702,63 @@ def test_scrub_matches_python_reference_on_random_corpora(texts):
         ), (i, texts[i])
         assert r.n_dup_tokens + r.n_kept_tokens == r.n_tokens
         assert r.scrub_md5 == hashlib.md5(scrub.encode()).hexdigest()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=7),
+    counts=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=3, max_size=3
+    ),
+    extra=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=2, max_size=4),
+            st.integers(min_value=1, max_value=50),
+        ),
+        max_size=4,
+    ),
+)
+def test_unigram_viterbi_matches_bruteforce_enumeration(word, counts, extra):
+    """viterbi_segment (the exact DP the Spark operator runs per word
+    type) must find the TRUE maximum-likelihood segmentation: compare
+    against brute-force enumeration of every split of the word, with
+    the same IEEE-double value arithmetic."""
+    from data_engineering_etl_self_service_spark.operators.bpe import (
+        viterbi_segment,
+    )
+
+    vocab = {"a": counts[0], "b": counts[1], "c": counts[2]}
+    for tok, cnt in extra:
+        vocab.setdefault(tok, cnt)
+    total = sum(vocab.values())
+    sc = {t: c / total for t, c in vocab.items()}
+
+    def enumerate_best(w):
+        n = len(w)
+        best = None
+        for mask in range(1 << (n - 1)):
+            cuts = [0] + [i + 1 for i in range(n - 1) if mask >> i & 1] + [n]
+            pieces = [w[cuts[j] : cuts[j + 1]] for j in range(len(cuts) - 1)]
+            if any(len(p) > 4 for p in pieces):
+                continue
+            v = 1.0
+            ok = True
+            for p in pieces:
+                if p in sc:
+                    v = v * sc[p]
+                elif len(p) == 1:
+                    v = v * (1 / total)
+                else:
+                    ok = False
+                    break
+            if ok and (best is None or v > best[0]):
+                best = (v, pieces)
+        return best[0]
+
+    prob, path = viterbi_segment(word, sc, 1 / total, 4)
+    assert prob == enumerate_best(word)
+    # the returned path re-scores to the returned prob in the same order
+    v = 1.0
+    for p in path.split("+"):
+        v = v * sc.get(p, 1 / total)
+    assert v == prob
