@@ -416,3 +416,39 @@ def unigram_segment_types(
         seg,
         "word string, cnt long, n_pieces long, prob double, segmented string",
     )
+
+
+def unigram_hard_em_counts(
+    words: DataFrame,
+    vocab_rows: "list[tuple[str, int]]",
+    total: int,
+    max_len: int = 4,
+    word_col: str = "w",
+    count_col: str = "c",
+) -> DataFrame:
+    """ONE hard-EM (Viterbi-EM) refinement round for the unigram LM —
+    the deterministic core of SentencePiece's iterate-and-prune loop:
+    E-step = Viterbi-segment every word TYPE under the current piece
+    probabilities (hard assignment instead of forward-backward
+    expectations — all integer counts, no float normalization, which
+    is exactly what keeps the round engine-exact); M-step = new piece
+    counts are the corpus-weighted usage of each piece in the best
+    segmentations. Pieces never chosen simply vanish — the prune step
+    falls out of the hard assignment for free.
+
+    Fully distributed: segment-the-types (Arrow map-side) → piece
+    explode → one map-side-combined agg. Returns the (tok, cnt) table
+    for the next round's vocabulary.
+    """
+    seg = unigram_segment_types(
+        words, vocab_rows, total, max_len, word_col, count_col
+    )
+    return (
+        seg.filter(F.col("segmented") != "")
+        .select(
+            F.explode(F.split("segmented", r"\+")).alias("tok"),
+            F.col("cnt"),
+        )
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

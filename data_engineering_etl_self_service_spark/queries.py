@@ -10268,17 +10268,11 @@ def numeric_correlations(spark, sf_dir):
     )
 
 
-def _unigram_segment_oracle(top_k: int, top_words: int) -> str:
-    """Viterbi unigram-LM segmentation replayed in SQL: seed vocab
-    (all length-1 pieces + deterministic top-k longer substrings by
-    weighted frequency), then a recursive DP whose state carries the
-    last 4 (best, path) cells; candidate = best[j] * (cnt / total) in
-    strict IEEE double order, ties prefer the longer final piece —
-    bit-identical to the Python DP in unigram_segment_types."""
-    prior = "CASE sel WHEN 4 THEN p4 WHEN 3 THEN p3 WHEN 2 THEN p2 ELSE p1 END"
-    piece = "substr(w, pos + 2 - sel, sel)"
-    return f"""
-    WITH RECURSIVE ww AS MATERIALIZED (
+def _unigram_base_ctes(top_k: int, top_words: int) -> str:
+    """Word types + seed vocab (all singles + deterministic top-k
+    longer substrings) + total + top-words — shared by the seed and
+    hard-EM unigram oracles."""
+    return f"""ww AS MATERIALIZED (
       SELECT w, COUNT(*) AS c
       FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
             FROM documents)
@@ -10297,14 +10291,29 @@ def _unigram_segment_oracle(top_k: int, top_words: int) -> str:
         SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn
         FROM subs WHERE length(tok) >= 2) WHERE rn <= {top_k}),
     tot AS MATERIALIZED (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM vocab),
-    tw AS MATERIALIZED (SELECT w, c FROM ww ORDER BY c DESC, w LIMIT {top_words}),
-    dp AS (
+    tw AS MATERIALIZED (SELECT w, c FROM ww ORDER BY c DESC, w LIMIT {top_words})"""
+
+
+def _unigram_dp_cte(dp: str, seed: str, vocab: str, tot: str) -> str:
+    """The recursive Viterbi DP over ``seed`` words under ``vocab`` /
+    ``tot``, carrying the last-4 (best, path) window. candidate =
+    best[j] * (cnt / total) in strict IEEE double order, ties prefer
+    the longer final piece; an absent length-1 piece scores 1/total
+    (COALESCE) — all bit-identical to viterbi_segment in
+    operators/bpe.py."""
+    prior = "CASE sel WHEN 4 THEN p4 WHEN 3 THEN p3 WHEN 2 THEN p2 ELSE p1 END"
+    piece = "substr(w, pos + 2 - sel, sel)"
+    look = (
+        lambda start, ln: f"(SELECT CAST(v.cnt AS DOUBLE) FROM {vocab} v "
+        f"WHERE v.tok = substr(w, {start}, {ln}))"
+    )
+    return f"""{dp} AS (
       SELECT w, c, 0 AS pos,
              CAST(1.0 AS DOUBLE) AS b1, CAST('' AS VARCHAR) AS p1,
              CAST(NULL AS DOUBLE) AS b2, CAST(NULL AS VARCHAR) AS p2,
              CAST(NULL AS DOUBLE) AS b3, CAST(NULL AS VARCHAR) AS p3,
              CAST(NULL AS DOUBLE) AS b4, CAST(NULL AS VARCHAR) AS p4
-      FROM tw
+      FROM {seed}
       UNION ALL
       SELECT w, c, pos + 1,
              CASE sel WHEN 4 THEN c4 WHEN 3 THEN c3 WHEN 2 THEN c2 ELSE c1 END,
@@ -10322,15 +10331,19 @@ def _unigram_segment_oracle(top_k: int, top_words: int) -> str:
                     ELSE 1 END AS sel
         FROM (
           SELECT w, c, pos, b1, p1, b2, p2, b3, p3, b4, p4,
-                 b1 * ((SELECT CAST(v.cnt AS DOUBLE) FROM vocab v
-                        WHERE v.tok = substr(w, pos + 1, 1)) / (SELECT t FROM tot)) AS c1,
-                 b2 * ((SELECT CAST(v.cnt AS DOUBLE) FROM vocab v
-                        WHERE v.tok = substr(w, pos, 2)) / (SELECT t FROM tot)) AS c2,
-                 b3 * ((SELECT CAST(v.cnt AS DOUBLE) FROM vocab v
-                        WHERE v.tok = substr(w, pos - 1, 3)) / (SELECT t FROM tot)) AS c3,
-                 b4 * ((SELECT CAST(v.cnt AS DOUBLE) FROM vocab v
-                        WHERE v.tok = substr(w, pos - 2, 4)) / (SELECT t FROM tot)) AS c4
-          FROM dp WHERE pos < length(w)) c_inner) s_inner)
+                 b1 * (COALESCE({look('pos + 1', 1)}, 1.0)
+                       / (SELECT t FROM {tot})) AS c1,
+                 b2 * ({look('pos', 2)} / (SELECT t FROM {tot})) AS c2,
+                 b3 * ({look('pos - 1', 3)} / (SELECT t FROM {tot})) AS c3,
+                 b4 * ({look('pos - 2', 4)} / (SELECT t FROM {tot})) AS c4
+          FROM {dp} WHERE pos < length(w)) c_inner) s_inner)"""
+
+
+def _unigram_segment_oracle(top_k: int, top_words: int) -> str:
+    """Viterbi unigram-LM segmentation replayed in SQL (seed round)."""
+    return f"""
+    WITH RECURSIVE {_unigram_base_ctes(top_k, top_words)},
+    {_unigram_dp_cte('dp', 'tw', 'vocab', 'tot')}
     SELECT w AS word, CAST(c AS BIGINT) AS cnt,
            CAST(CASE WHEN w = '' THEN 0
                      ELSE len(string_split(p1, '+')) END AS BIGINT) AS n_pieces,
@@ -10426,3 +10439,71 @@ def k_anonymity_report(spark, sf_dir):
         .cast("bigint")
         .alias("class_size_ssq"),
     )
+
+
+def _unigram_em_oracle(top_k: int, top_words: int) -> str:
+    """One hard-EM round replayed in SQL: the seed DP runs over ALL
+    word types (dp0 seeded from ww), piece usage re-aggregates into
+    vocab1 (M-step; unused pieces vanish — the prune), and a second
+    recursive DP re-segments the top words under the refined model."""
+    return f"""
+    WITH RECURSIVE {_unigram_base_ctes(top_k, top_words)},
+    {_unigram_dp_cte('dp0', 'ww', 'vocab', 'tot')},
+    em AS MATERIALIZED (
+      SELECT tok, SUM(c) AS cnt
+      FROM (SELECT c, unnest(string_split(p1, '+')) AS tok
+            FROM dp0 WHERE pos = length(w) AND p1 <> '')
+      GROUP BY tok),
+    tot1 AS MATERIALIZED (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM em),
+    {_unigram_dp_cte('dp1', 'tw', 'em', 'tot1')}
+    SELECT w AS word, CAST(c AS BIGINT) AS cnt,
+           CAST(CASE WHEN w = '' THEN 0
+                     ELSE len(string_split(p1, '+')) END AS BIGINT) AS n_pieces,
+           b1 AS prob, p1 AS segmented,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM em) AS n_vocab_em
+    FROM dp1 WHERE pos = length(w)"""
+
+
+@register("unigram_em_segment", _unigram_em_oracle(4096, 80))
+def unigram_em_segment(spark, sf_dir):
+    """One HARD-EM (Viterbi-EM) refinement round for the unigram-LM
+    tokenizer (operators/bpe.py unigram_hard_em_counts) — the
+    deterministic core of SentencePiece's iterate-and-prune loop that
+    `unigram_segment`'s scope note deferred: E-step Viterbi-segments
+    every word TYPE under the seed model (hard assignment — integer
+    counts, no float normalization, which is what keeps the round
+    engine-exact); M-step re-counts pieces by corpus-weighted usage,
+    silently pruning never-chosen pieces; the top-80 words re-segment
+    under the refined model. n_vocab_em certifies the pruned
+    vocabulary size. The DuckDB twin replays BOTH recursive DPs and
+    the re-count, hash-matched including the double prob column.
+
+    Scale: E-step + M-step are segment-the-types (Arrow map-side) +
+    one piece explode + one map-side-combined agg per round; the
+    refined vocab is again a bounded collect. Rounds cost |types|,
+    never |corpus|.
+    """
+    from .operators.bpe import (
+        DELIM,
+        unigram_hard_em_counts,
+        unigram_segment_types,
+        unigram_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(~F.col("w").contains(DELIM))
+    )
+    vocab0 = [
+        (r.tok, int(r.cnt)) for r in unigram_vocab(words, 4, 4096).collect()
+    ]
+    tot0 = sum(cnt for _, cnt in vocab0)
+    em = unigram_hard_em_counts(words, vocab0, tot0)
+    vocab1 = [(r.tok, int(r.cnt)) for r in em.collect()]
+    tot1 = sum(cnt for _, cnt in vocab1)
+    top = words.orderBy(F.desc("c"), "w").limit(80)
+    out = unigram_segment_types(top, vocab1, tot1)
+    return out.withColumn("n_vocab_em", F.lit(len(vocab1)).cast("bigint"))

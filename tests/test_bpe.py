@@ -241,3 +241,22 @@ def test_unigram_viterbi_ml_path_and_ties(spark):
         ).collect()
     }
     assert got3["dd"] == ("dd", 4 / 64)  # longer final piece on tie
+
+
+def test_unigram_hard_em_prunes_and_recounts(spark):
+    from data_engineering_etl_self_service_spark.operators.bpe import (
+        unigram_hard_em_counts,
+    )
+
+    # 'ab' dominates -> 'abab' segments ab+ab; 'ba'/'aba' never chosen
+    vocab = [("a", 10), ("b", 10), ("ab", 60), ("ba", 10), ("aba", 10)]
+    df = spark.createDataFrame(
+        [("abab", 5), ("a", 2)], "w string, c long"
+    )
+    got = {
+        r.tok: r.cnt
+        for r in unigram_hard_em_counts(df, vocab, 100).collect()
+    }
+    # M-step: corpus-weighted piece usage in the best segmentations
+    assert got == {"ab": 10, "a": 2}  # 'abab'x5 -> 2 'ab' each; 'a'x2
+    # the prune fell out: ba/aba/b carry no rows at all
