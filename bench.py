@@ -117,6 +117,7 @@ EXTENDED = [
     "wds_sample_stats",
     "wordpiece_segment",
     "unigram_segment",
+    "unigram_em_segment",
     "url_normalize_report",
     "numeric_correlations",
 ]

@@ -329,6 +329,102 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                 "n_kept_tokens",
             )
             df = df.drop(text_col).join(s, id_col)
+        elif op == "tokenize":
+            # subword tokenization as config (round 6): train the
+            # chosen family ON the pipeline's own corpus (bpe /
+            # wordpiece / unigram — unigram takes optional em_rounds
+            # of hard EM) and attach the per-doc subword piece array.
+            # Scale shape: the corpus collapses once to word TYPES,
+            # types are segmented (expression fold or Arrow map-side),
+            # and pieces come back via a distributed join + per-doc
+            # ordered flatten — no word->pieces dict ever collects, so
+            # unbounded type tables stay distributed.
+            from ..functions.text import tokens as _tokens
+            from ..operators.bpe import (
+                DELIM,
+                _merge_fold,
+                bpe_train,
+                unigram_hard_em_counts,
+                unigram_segment_types,
+                unigram_vocab,
+                wordpiece_segment_types,
+                wordpiece_train,
+            )
+
+            family = t.get("family", "bpe")
+            text_col = t.get("text_col", "text")
+            id_col = t.get("id_col", "doc_id")
+            out_col = t.get("output_col", "pieces")
+            n_merges = int(t.get("n_merges", 8))
+            words = (
+                df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+                .groupBy("w")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(~F.col("w").contains(DELIM))
+            )
+            types = None
+            if family == "bpe":
+                rules = bpe_train(words, n_merges)
+                sym = F.split(F.col("w"), "(?!$)")
+                for _r, x, y, m in rules:
+                    sym = _merge_fold(x, y, m)(sym)
+                types = words.select(
+                    "w", F.array_join(sym, "+").alias("segmented")
+                )
+            elif family == "wordpiece":
+                rules = wordpiece_train(words, n_merges)
+                types = wordpiece_segment_types(words, rules).select(
+                    F.col("word").alias("w"), "segmented"
+                )
+            elif family == "unigram":
+                vocab = [
+                    (r.tok, int(r.cnt))
+                    for r in unigram_vocab(words, 4, 4096).collect()
+                ]
+                tot = sum(c for _, c in vocab)
+                for _ in range(int(t.get("em_rounds", 0))):
+                    vocab = [
+                        (r.tok, int(r.cnt))
+                        for r in unigram_hard_em_counts(
+                            words, vocab, tot
+                        ).collect()
+                    ]
+                    tot = sum(c for _, c in vocab)
+                types = unigram_segment_types(words, vocab, tot).select(
+                    F.col("word").alias("w"), "segmented"
+                )
+            # unknown families fall through untouched (tolerant dispatch)
+            if types is not None:
+                exploded = df.select(
+                    id_col,
+                    F.posexplode(_tokens(F.col(text_col))).alias("pos", "w"),
+                )
+                per_doc = (
+                    exploded.join(types, "w", "left")
+                    .select(
+                        id_col,
+                        F.struct(
+                            F.col("pos"),
+                            F.coalesce(
+                                F.split(F.col("segmented"), r"\+"),
+                                F.array(F.col("w")),
+                            ).alias("p"),
+                        ).alias("s"),
+                    )
+                    .groupBy(id_col)
+                    .agg(
+                        F.flatten(
+                            F.transform(
+                                F.array_sort(F.collect_list("s")),
+                                lambda s: s["p"],
+                            )
+                        ).alias(out_col)
+                    )
+                )
+                df = df.join(per_doc, id_col, "left").withColumn(
+                    f"n_{out_col}",
+                    F.coalesce(F.size(out_col), F.lit(0)).cast("long"),
+                )
         elif op == "lm_fluency":
             # corpus-trained bigram-LM fluency columns (round 6,
             # operators/lm.py): integer-ppm conditional-probability

@@ -49,6 +49,7 @@ TRANSFORM_OPS = (
     "extract_text",
     "extract_archive",
     "scrub_duplicates",
+    "tokenize",
     "lm_fluency",
     "semantic_dedup",
     "temporal_join",

@@ -1126,3 +1126,50 @@ def test_wds_to_decode_media_composition(spark, tmp_path):
     out = {r.doc_id: r for r in spark.read.parquet(res.published_path).collect()}
     assert out[1].kind == "png" and (out[1].width, out[1].height) == (8, 6)
     assert out[2].kind == "unknown"  # payload_ext absent -> degraded row
+
+
+def test_tokenize_pipeline_op_all_families(spark, tmp_path):
+    """The round-6 tokenize op: all three subword families train on
+    the pipeline's own corpus and attach per-doc piece arrays whose
+    concatenation reconstructs the original words (lossless subword
+    property), via a distributed types-join — no word dict collects."""
+    src = str(tmp_path / "docs.parquet")
+    rows = [
+        (1, "the thing sings"),
+        (2, "the theme thins"),
+        (3, "sing the thing"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    for family in ("bpe", "wordpiece", "unigram", "nope"):
+        spec = spec_from_dict(
+            {
+                "pipeline_info": {"name": f"tok_{family}"},
+                "source": {"type": "file", "format": "parquet", "path": src},
+                "transformations": [
+                    {"op": "tokenize", "family": family, "n_merges": 4}
+                ],
+                "data_quality_checks": [],
+                "destination": {"type": "none"},
+            }
+        )
+        res = run_pipeline(spark, spec)
+        assert res.passed, family
+    # drive one family end-to-end and check the lossless property
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "tok_check"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "tokenize", "family": "unigram", "em_rounds": 1}
+            ],
+            "data_quality_checks": [{"check_type": "min_row_count", "threshold": 3}],
+            "destination": {"type": "parquet", "path": str(tmp_path / "out")},
+        }
+    )
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    out = {r.doc_id: r for r in spark.read.parquet(res.published_path).collect()}
+    for doc_id, text in rows:
+        joined = "".join(out[doc_id].pieces)
+        assert joined == text.replace(" ", "")
+        assert out[doc_id].n_pieces == len(out[doc_id].pieces) > 0
