@@ -323,16 +323,22 @@ def unigram_vocab(
         .agg(F.sum("c").alias("cnt"))
     )
     ones = subs.filter(F.length("tok") == 1)
+    # two-phase top-k so no data-sized SinglePartition window exists:
+    # a global top-k member is top-k within its hash shard, so ranking
+    # per shard first bounds the final global window to <= 32*top_k
+    # rows regardless of how many substring types the corpus has.
+    shard = F.pmod(F.abs(F.xxhash64("tok")), F.lit(32))
+    order = (F.desc("cnt"), F.asc("tok"))
     longs = (
         subs.filter(F.length("tok") >= 2)
         .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.desc("cnt"), F.asc("tok"))
-            ),
+            "rn0",
+            F.row_number().over(Window.partitionBy(shard).orderBy(*order)),
         )
+        .filter(F.col("rn0") <= top_k)
+        .withColumn("rn", F.row_number().over(Window.orderBy(*order)))
         .filter(F.col("rn") <= top_k)
-        .drop("rn")
+        .drop("rn0", "rn")
     )
     return ones.unionByName(longs)
 
