@@ -1022,3 +1022,115 @@ def test_stream_wds_shard_ingest_matches_batch(spark, tmp_path_factory):
     )
     assert streamed == batch
     assert len(batch) == 3  # shard 3 contributed nothing, quietly
+
+
+def test_streaming_cdc_sink_seq_exact_and_replay_safe(spark, tmp_path_factory):
+    """Streaming CDC apply (streaming/cdc.py): micro-batch folds equal
+    the one-shot fold of the whole log; a LATER batch carrying a LOWER
+    seq neither clobbers newer state nor resurrects a deleted key
+    (persisted applied-seq + tombstones); replayed batch_ids are
+    no-ops."""
+    from data_engineering_etl_self_service_spark.streaming.cdc import (
+        cdc_state_fold,
+        read_cdc_table,
+        streaming_cdc_sink,
+    )
+
+    cols = ["k", "v"]
+    base = str(tmp_path_factory.mktemp("cdc") / "table")
+    sink = streaming_cdc_sink(base, "k", cols)
+
+    # batch 0: initial inserts
+    b0 = spark.createDataFrame(
+        [(1, "a", "I", 10), (2, "b", "I", 10), (3, "c", "I", 10)],
+        "k long, v string, _op string, _seq long",
+    )
+    # batch 1: update k=1 (seq 20), delete k=2 (seq 20)
+    b1 = spark.createDataFrame(
+        [(1, "a2", "U", 20), (2, "b", "D", 20)],
+        "k long, v string, _op string, _seq long",
+    )
+    # batch 2: OUT-OF-ORDER stragglers — all must be ignored:
+    # a stale update for k=1 (seq 15 < applied 20) and a stale update
+    # for deleted k=2 (seq 15 < tombstone 20)
+    b2 = spark.createDataFrame(
+        [(1, "stale", "U", 15), (2, "zombie", "U", 15), (4, "d", "I", 15)],
+        "k long, v string, _op string, _seq long",
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        sink(b, i)
+
+    got = {r.k: r.v for r in read_cdc_table(spark, base).collect()}
+    assert got == {1: "a2", 3: "c", 4: "d"}  # no stale, no zombie
+
+    # parity: one-shot fold of the full log gives the same table
+    full = b0.unionByName(b1).unionByName(b2)
+    oneshot = cdc_state_fold(None, full, "k", cols)
+    expect = {
+        r.k: r.v for r in oneshot.filter(F.col("_op") != "D").collect()
+    }
+    assert expect == got
+
+    # replay: re-delivering batch 1 (same batch_id) is a no-op
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        snapshot_versions,
+    )
+
+    versions_before = snapshot_versions(base)
+    sink(b1, 1)
+    assert snapshot_versions(base) == versions_before
+    assert {r.k: r.v for r in read_cdc_table(spark, base).collect()} == got
+
+    # same-seq delete/update tie: the delete wins deterministically
+    b3 = spark.createDataFrame(
+        [(3, "c2", "U", 30), (3, "c", "D", 30)],
+        "k long, v string, _op string, _seq long",
+    )
+    sink(b3, 3)
+    assert 3 not in {
+        r.k for r in read_cdc_table(spark, base).collect()
+    }
+
+
+def test_streaming_cdc_sink_drives_from_file_stream(spark, tmp_path_factory):
+    """The sink runs as a real foreachBatch over a file stream
+    (maxFilesPerTrigger=1 → one micro-batch per log file) and lands the
+    same table as the batch fold."""
+    import pathlib
+
+    from data_engineering_etl_self_service_spark.streaming.cdc import (
+        read_cdc_table,
+        streaming_cdc_sink,
+    )
+
+    logs = pathlib.Path(str(tmp_path_factory.mktemp("cdc_logs")))
+    spark.createDataFrame(
+        [(1, "a", "I", 1), (2, "b", "I", 1)],
+        "k long, v string, _op string, _seq long",
+    ).coalesce(1).write.parquet(str(logs / "f0"))
+    spark.createDataFrame(
+        [(1, "a2", "U", 2), (3, "c", "I", 2), (2, "b", "D", 2)],
+        "k long, v string, _op string, _seq long",
+    ).coalesce(1).write.parquet(str(logs / "f1"))
+
+    schema = "k long, v string, _op string, _seq long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(logs / "*"))
+    )
+    base = str(tmp_path_factory.mktemp("cdc_out") / "table")
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_cdc_sink(base, "k", ["k", "v"])
+        )
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            str(tmp_path_factory.mktemp("cdc_ckpt")),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.k: r.v for r in read_cdc_table(spark, base).collect()}
+    assert got == {1: "a2", 3: "c"}
