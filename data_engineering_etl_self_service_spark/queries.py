@@ -10651,3 +10651,103 @@ def nb_classifier_scores(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "entity_groups",
+    f"""
+    WITH RECURSIVE p AS (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb
+      FROM customer a JOIN customer b
+        ON substr(a.c_name, 1, 15) = substr(b.c_name, 1, 15)
+       AND a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) <= 1),
+    bidir AS (SELECT ka AS a, kb AS b FROM p UNION SELECT kb, ka FROM p),
+    nodes AS (SELECT DISTINCT a AS v FROM bidir),
+    labels(v, lbl) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT b.b, l.lbl
+      FROM labels l JOIN bidir b ON b.a = l.v WHERE l.lbl < b.b),
+    comp AS (SELECT v, MIN(lbl) AS g FROM labels GROUP BY v),
+    mem AS (
+      SELECT comp.v, comp.g, c.c_name, c.c_acctbal
+      FROM comp JOIN customer c ON c.c_custkey = comp.v)
+    SELECT g AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           string_agg(CAST(v AS VARCHAR), '+' ORDER BY v) AS member_keys,
+           MIN(CASE WHEN v = g THEN c_name END) AS canonical_name,
+           {dsum_expr('c_acctbal')} AS total_acctbal
+    FROM mem GROUP BY g ORDER BY entity_id
+    """,
+)
+def entity_groups(spark, sf_dir):
+    """Record-linkage entity resolution end to end (the master-data twin
+    of text near-dup clustering): block -> verify -> transitive closure
+    -> canonical entity rollup. Blocking on (name 15-prefix, nation,
+    market segment) turns all-pairs Levenshtein into an equi-join (the
+    fuzzy_name_pairs discipline); verified pairs (edit distance <= 1)
+    feed the shared components_from_pairs min-label-propagation loop
+    (the same operator behind neardup_groups — ANY pair producer
+    composes); each entity rolls up to its canonical (minimum-key)
+    record with the member list and an exact decimal-transit balance
+    total. The oracle walks the identical graph with a recursive CTE.
+
+    Scale: blocked pair generation is one equi-join with bounded
+    per-block fan-out; the component loop runs on the PAIR slice (near
+    the number of true duplicates, orders of magnitude below corpus
+    size) with the size-adaptive single-partition fast path; the rollup
+    is one groupBy on the entity id.
+    """
+    from .operators.dedup import components_from_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    left = c.select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 15).alias("blk"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    right = c.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 15).alias("blk"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    pairs = (
+        left.join(right, ["blk", "nat", "seg"])
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1)
+        .select("ka", "kb")
+    )
+    comp = components_from_pairs(pairs, "ka", "kb", out_id_col="v")
+    mem = comp.join(c, comp.v == c.c_custkey)
+    return (
+        mem.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.concat_ws(
+                "+",
+                F.transform(
+                    F.sort_array(F.collect_list("v")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("member_keys"),
+            F.min(
+                F.when(F.col("v") == F.col("group_id"), F.col("c_name"))
+            ).alias("canonical_name"),
+            dsum(F.col("c_acctbal"), "total_acctbal"),
+        )
+        .select(
+            F.col("group_id").alias("entity_id"),
+            "n_members",
+            "member_keys",
+            "canonical_name",
+            "total_acctbal",
+        )
+        .orderBy("entity_id")
+    )

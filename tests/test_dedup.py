@@ -439,3 +439,23 @@ def test_srp_max_bucket_size_guard(spark, sf_dir):
     tiny = srp_lsh_pairs(e, max_bucket_size=5).count()
     assert uncapped == full
     assert tiny < full
+
+
+def test_entity_groups_canonical_semantics(spark, sf_dir):
+    """entity_groups: every entity has >= 2 members, its id is the
+    minimum member key, the canonical name belongs to that key, and the
+    member list is sorted and '+'-joined."""
+    from data_engineering_etl_self_service_spark.queries import QUERIES
+
+    rows = QUERIES["entity_groups"](spark, sf_dir).collect()
+    assert rows, "fixture should contain fuzzy-duplicate customers"
+    cust = {
+        r["c_custkey"]: r["c_name"]
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    for r in rows:
+        keys = [int(k) for k in r["member_keys"].split("+")]
+        assert r["n_members"] == len(keys) >= 2
+        assert keys == sorted(keys)
+        assert r["entity_id"] == keys[0]
+        assert r["canonical_name"] == cust[keys[0]]
