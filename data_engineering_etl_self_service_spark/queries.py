@@ -10751,3 +10751,126 @@ def entity_groups(spark, sf_dir):
         )
         .orderBy("entity_id")
     )
+
+
+def _adpcm_oracle() -> str:
+    """The IMA ADPCM decoder replayed as a recursive CTE: the 89-entry
+    step table as VALUES (single source of truth: STEP_TABLE), the
+    index-adjust table as a CASE, the per-nibble diff/clamp arithmetic
+    inline — all exact integers, so the decoded stream hash-matches."""
+    from .operators.adpcm import STEP_TABLE
+
+    values = ", ".join(f"({k}, {s})" for k, s in enumerate(STEP_TABLE))
+    return f"""
+    WITH RECURSIVE steps(k, s) AS (VALUES {values}),
+    docs0 AS (
+      SELECT doc_id,
+             CAST(doc_id * 997 % 4001 - 2000 AS INTEGER) AS pred,
+             CAST(doc_id % 89 AS INTEGER) AS idx
+      FROM documents),
+    dp AS (
+      SELECT doc_id, 0 AS i, pred, idx,
+             CAST(NULL AS INTEGER) AS first_s,
+             CAST(32767 AS INTEGER) AS mn,
+             CAST(-32768 AS INTEGER) AS mx,
+             CAST(0 AS BIGINT) AS sabs
+      FROM docs0
+      UNION ALL
+      SELECT doc_id, i + 1, np, ni,
+             CASE WHEN i = 0 THEN np ELSE first_s END,
+             LEAST(mn, np), GREATEST(mx, np), sabs + ABS(np)
+      FROM (
+        SELECT doc_id, i, first_s, mn, mx, sabs,
+               CAST(GREATEST(-32768, LEAST(32767,
+                 pred + CASE WHEN n >= 8 THEN -diff ELSE diff END))
+                 AS INTEGER) AS np,
+               CAST(GREATEST(0, LEAST(88, idx +
+                 CASE WHEN n % 8 < 4 THEN -1 ELSE (n % 8 - 3) * 2 END))
+                 AS INTEGER) AS ni
+        FROM (
+          SELECT *,
+                 (step // 8)
+                 + CASE WHEN n % 2 = 1 THEN step // 4 ELSE 0 END
+                 + CASE WHEN (n // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+                 + CASE WHEN (n // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+          FROM (
+            SELECT dp.*,
+                   CAST((doc_id * 7 + i * 11 + (i * i) % 5) % 16
+                        AS INTEGER) AS n,
+                   (SELECT s FROM steps WHERE k = dp.idx) AS step
+            FROM dp WHERE i < 64) a) b) c)
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           first_s AS first_sample,
+           pred AS last_sample,
+           mn AS min_sample,
+           mx AS max_sample,
+           sabs AS sum_abs,
+           CAST(idx AS BIGINT) AS final_index
+    FROM dp WHERE i = 64
+    ORDER BY doc_id
+    """
+
+
+@register("adpcm_decode_stats", _adpcm_oracle())
+def adpcm_decode_stats(spark, sf_dir):
+    """IMA ADPCM sample decode (operators/adpcm.py — real compressed-
+    audio decode beside the PCM decoders, closing the WAV-IMA/DVI4
+    format family): per doc_id a deterministic 64-nibble stream with a
+    doc-derived initial (predictor, step index) — the index sweep
+    doc_id % 89 covers the ENTIRE step table across the corpus — is
+    decoded by the exact integer state machine, and per-stream stats
+    (first/last/min/max sample, abs-sum, final index) are emitted. The
+    oracle replays the decoder bit-for-bit as a recursive CTE over the
+    same VALUES-embedded step table, so a hash match proves the
+    quantizer arithmetic, both clamps, and the index walk at every one
+    of the 64 x n_docs steps. The codec itself is additionally pinned
+    bit-for-bit against stdlib audioop's DVI implementation
+    (tests/test_adpcm.py).
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass; decode
+    state is 2 integers per row and rows are independent (WAV-IMA
+    blocks re-seed state, so even single large files split by block).
+    """
+    from .operators.adpcm import decode_nibble
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                pred = i * 997 % 4001 - 2000
+                idx = i % 89
+                first = None
+                mn, mx, sabs = 32767, -32768, 0
+                for j in range(64):
+                    n = (i * 7 + j * 11 + (j * j) % 5) % 16
+                    pred, idx = decode_nibble(n, pred, idx)
+                    if j == 0:
+                        first = pred
+                    mn = min(mn, pred)
+                    mx = max(mx, pred)
+                    sabs += abs(pred)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_samples": 64,
+                        "first_sample": first,
+                        "last_sample": pred,
+                        "min_sample": mn,
+                        "max_sample": mx,
+                        "sum_abs": sabs,
+                        "final_index": idx,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, n_samples long, first_sample int, last_sample int, "
+        "min_sample int, max_sample int, sum_abs long, final_index long",
+    )
