@@ -10874,3 +10874,85 @@ def adpcm_decode_stats(spark, sf_dir):
         "doc_id long, n_samples long, first_sample int, last_sample int, "
         "min_sample int, max_sample int, sum_abs long, final_index long",
     )
+
+
+@register(
+    "unicode_normalize_report",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             text || ' ' || CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN 'cafe' || chr(769)
+               WHEN 1 THEN chr(64257) || 'le'
+               WHEN 2 THEN chr(65313) || chr(65314)
+               WHEN 3 THEN chr(8491) || 'unit'
+               ELSE 'ok' END AS wrapped
+      FROM documents),
+    n AS (SELECT doc_id, wrapped, nfc_normalize(wrapped) AS nfc FROM w)
+    SELECT doc_id,
+           CAST(length(wrapped) AS BIGINT) AS orig_chars,
+           CAST(length(nfc) AS BIGINT) AS nfc_chars,
+           nfc <> wrapped AS nfc_changed,
+           CAST(CASE WHEN doc_id % 5 = 1 THEN length(nfc) + 1
+                     ELSE length(nfc) END AS BIGINT) AS nfkc_chars,
+           doc_id % 5 IN (1, 2) AS nfkc_changed
+    FROM n
+    ORDER BY doc_id
+    """,
+)
+def unicode_normalize_report(spark, sf_dir):
+    """Unicode NFC/NFKC canonicalization (operators/unicodenorm.py —
+    the pre-dedup step real multilingual corpora need: different
+    codepoint sequences for the same visible text defeat every hashed
+    operator downstream). Builder-exercises-normalizer: each doc gets a
+    doc_id-selected suffix from the interesting normalization classes
+    (combining sequence, ligature, fullwidth letters, ANGSTROM SIGN,
+    ASCII fixpoint); stdlib unicodedata.normalize then produces NFC and
+    NFKC forms. The NFC columns are checked against DuckDB's OWN
+    nfc_normalize — a real two-library interop check, not symbolic —
+    while the NFKC columns are stated symbolically from the known
+    compatibility images (DuckDB ships no NFKC).
+
+    Oracle precondition (same family as html_extract_stats, asserted in
+    tests/test_unicodenorm.py): fixture text is ASCII, hence
+    NFC/NFKC-stable; only the injected suffix normalizes.
+
+    Scale: one shuffle-free Arrow-batched projection per form.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.unicodenorm import build_denormalized, normalize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @pandas_udf("string")
+    def _build(doc_id, text):
+        import pandas as pd
+
+        return pd.Series(
+            [build_denormalized(t, int(i)) for i, t in zip(doc_id, text)]
+        )
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.map(lambda t: normalize(t, "NFC"))
+
+    @pandas_udf("string")
+    def _nfkc(s):
+        return s.map(lambda t: normalize(t, "NFKC"))
+
+    w = d.select("doc_id", _build("doc_id", "text").alias("wrapped"))
+    n = w.select(
+        "doc_id",
+        "wrapped",
+        _nfc("wrapped").alias("nfc"),
+        _nfkc("wrapped").alias("nfkc"),
+    )
+    return n.select(
+        "doc_id",
+        F.length("wrapped").cast("bigint").alias("orig_chars"),
+        F.length("nfc").cast("bigint").alias("nfc_chars"),
+        (F.col("nfc") != F.col("wrapped")).alias("nfc_changed"),
+        F.length("nfkc").cast("bigint").alias("nfkc_chars"),
+        (F.col("nfkc") != F.col("nfc")).alias("nfkc_changed"),
+    ).orderBy("doc_id")
