@@ -10956,3 +10956,153 @@ def unicode_normalize_report(spark, sf_dir):
         F.length("nfkc").cast("bigint").alias("nfkc_chars"),
         (F.col("nfkc") != F.col("nfc")).alias("nfkc_changed"),
     ).orderBy("doc_id")
+
+
+@register(
+    "docx_extract_stats",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n,
+             doc_id % 4 = 0 AS tbl
+      FROM documents),
+    s AS (
+      SELECT doc_id, text, n, tbl,
+             (n + 11) // 12 AS paras_body,
+             n - 12 * ((n + 11) // 12 - 1) AS rem
+      FROM d)
+    SELECT doc_id,
+           CAST(1 + paras_body + CASE WHEN tbl THEN 4 ELSE 0 END AS BIGINT)
+             AS n_paragraphs,
+           CAST(1 + 4 * (paras_body - 1) + (rem + 2) // 3
+                + CASE WHEN tbl THEN 4 ELSE 0 END AS BIGINT) AS n_runs,
+           CAST(10 + length(CAST(doc_id AS VARCHAR)) + length(text)
+                + CASE WHEN tbl THEN 20 ELSE 0 END AS BIGINT) AS full_chars,
+           tbl AS has_table,
+           TRUE AS valid_package,
+           TRUE AS roundtrip_exact
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def docx_extract_stats(spark, sf_dir):
+    """DOCX (OOXML) text extraction (operators/docx.py — office
+    documents as a corpus arrival format, composing the zip reader with
+    a WordprocessingML walker). Builder-exercises-parser: each doc is
+    packaged as a real .docx (content types, officeDocument
+    relationship, document.xml with a Heading paragraph, 12-token
+    paragraphs of 3-token xml:space="preserve" runs, a 2x2 table for
+    every 4th doc); extraction walks w:p/w:r/w:t in document order and
+    must reproduce the original text EXACTLY (roundtrip_exact compares
+    against the symbolically-known 'Document <id> ' + text [+ table
+    cells] string Spark-side; the oracle states the paragraph/run
+    arithmetic — ceil splits — and the char total from doc_id and the
+    text alone). A hash match therefore proves zip walking, XML
+    namespace handling, run-boundary whitespace preservation, and
+    table-cell paragraph ordering.
+
+    Oracle precondition (shared with html_extract_stats, asserted in
+    tests): fixture text is non-empty single-spaced.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass; documents
+    are independent rows.
+    """
+    from .operators.docx import build_docx, extract_docx_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                r = extract_docx_text(build_docx(t, i))
+                exp = f"Document {i} " + t + (
+                    " r1c1 r1c2 r2c1 r2c2" if i % 4 == 0 else ""
+                )
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_paragraphs": r["n_paragraphs"],
+                        "n_runs": r["n_runs"],
+                        "full_chars": len(r["text"]),
+                        "has_table": r["has_table"],
+                        "valid_package": r["valid_package"] and r["ok"],
+                        "roundtrip_exact": r["text"] == exp,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, n_paragraphs long, n_runs long, full_chars long, "
+        "has_table boolean, valid_package boolean, roundtrip_exact boolean",
+    ).orderBy("doc_id")
+
+
+@register(
+    "eml_extract_stats",
+    """
+    SELECT doc_id,
+           'msg ' || CAST(doc_id AS VARCHAR) AS subject,
+           'sender' || CAST(doc_id % 7 AS VARCHAR) || '@corpus.example'
+             AS sender,
+           CAST(1000000000 + doc_id * 3600 AS BIGINT) AS date_epoch,
+           doc_id % 3 = 0 AS is_multipart,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_parts,
+           CAST(length(text) AS BIGINT) AS body_chars,
+           TRUE AS roundtrip_exact
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def eml_extract_stats(spark, sf_dir):
+    """RFC 5322 email ingestion (operators/mail.py — mail archives as a
+    corpus arrival format). Builder-exercises-parser with a REAL
+    second implementation: messages are hand-packed via the stdlib
+    EmailMessage builder (From/To/Subject/Date/Message-ID; every third
+    message MIME multipart/alternative with an html twin) and parsed
+    back by email.message_from_bytes — header extraction, RFC 2822 date
+    round-trip to exact epoch integers, multipart walking, and
+    text/plain body recovery are all pinned symbolically from
+    (doc_id, text). mbox framing with From-stuffing (RFC 4155) is
+    covered by tests/test_mail.py including stdlib mailbox interop.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass; mbox shards
+    split at their escaped separators, so files parallelize too.
+    """
+    from .operators.mail import EPOCH_BASE, EPOCH_STEP, build_eml, parse_eml
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                r = parse_eml(build_eml(t, i))
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "subject": r["subject"],
+                        "sender": r["sender"],
+                        "date_epoch": r["date_epoch"],
+                        "is_multipart": r["is_multipart"],
+                        "n_parts": r["n_parts"],
+                        "body_chars": len(r["body"]),
+                        "roundtrip_exact": r["body"] == t,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, subject string, sender string, date_epoch long, "
+        "is_multipart boolean, n_parts long, body_chars long, "
+        "roundtrip_exact boolean",
+    ).orderBy("doc_id")
