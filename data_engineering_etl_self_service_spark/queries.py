@@ -11106,3 +11106,150 @@ def eml_extract_stats(spark, sf_dir):
         "is_multipart boolean, n_parts long, body_chars long, "
         "roundtrip_exact boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "code_file_stats",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (len(string_split(text, ' ')) + 5) // 6 AS m,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'
+               ELSE 'c' END AS lang,
+             doc_id % 2 = 0 AS lic
+      FROM documents)
+    SELECT doc_id, lang,
+           lang = 'python' AS has_shebang,
+           lic AS has_license,
+           CASE WHEN lic THEN 'MIT' END AS license_id,
+           CAST(CASE WHEN lang = 'python' THEN 1 + CASE WHEN lic THEN 1
+                       ELSE 0 END
+                     ELSE CASE WHEN lic THEN 3 ELSE 0 END END
+                + m // 3
+                + (m - m // 3)
+                + CASE WHEN lang = 'python' OR lic THEN 1 ELSE 0 END
+             AS BIGINT) AS total_lines,
+           CAST(m - m // 3 AS BIGINT) AS code_lines,
+           CAST(CASE WHEN lang = 'python' THEN 1 + CASE WHEN lic THEN 1
+                       ELSE 0 END
+                     ELSE CASE WHEN lic THEN 3 ELSE 0 END END
+                + m // 3 AS BIGINT) AS comment_lines,
+           CAST(CASE WHEN lang = 'python' OR lic THEN 1 ELSE 0 END
+             AS BIGINT) AS blank_lines
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def code_file_stats(spark, sf_dir):
+    """Code-corpus curation stats (operators/code.py — The Stack /
+    StarCoder lineage): language identification by extension + shebang,
+    SPDX license detection, and language-aware comment/code/blank line
+    accounting including multi-line /* */ blocks. Builder-exercises-
+    parser: each doc becomes a deterministic fake source file
+    (Python/JavaScript/C by doc_id, optional SPDX header, every third
+    body line a comment), so every count is a pinned integer formula of
+    (doc_id, n_tokens) — the oracle states the ceil-chunk arithmetic
+    directly and a hash match proves the classifier's line walk.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.code import analyze_source, build_source
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                r = analyze_source(*build_source(t, i))
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "lang": r["lang"],
+                        "has_shebang": r["has_shebang"],
+                        "has_license": r["has_license"],
+                        "license_id": r["license_id"],
+                        "total_lines": r["total_lines"],
+                        "code_lines": r["code_lines"],
+                        "comment_lines": r["comment_lines"],
+                        "blank_lines": r["blank_lines"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, lang string, has_shebang boolean, "
+        "has_license boolean, license_id string, total_lines long, "
+        "code_lines long, comment_lines long, blank_lines long",
+    ).orderBy("doc_id")
+
+
+@register(
+    "srt_extract_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             (len(string_split(text, ' ')) + 7) // 8 AS m
+      FROM documents)
+    SELECT doc_id,
+           CAST(m AS BIGINT) AS n_cues,
+           CAST((doc_id % 7) * 250 AS BIGINT) AS first_start_ms,
+           CAST((m - 1) * 3500 + (doc_id % 7) * 250 + 2000
+                + ((m - 1) % 3) * 500 AS BIGINT) AS last_end_ms,
+           CAST(2000 * m + 500 * ((m + 1) // 3) + 1000 * (m // 3)
+             AS BIGINT) AS total_sub_ms,
+           TRUE AS roundtrip_exact
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def srt_extract_stats(spark, sf_dir):
+    """SubRip subtitle parsing (operators/subtitles.py — the
+    OpenSubtitles-lineage conversational corpus format; cue timing is
+    what audio/video-text alignment consumes). Builder-exercises-
+    parser: deterministic 8-token cues with doc_id-offset start times
+    and i%3-varied durations, two-line text for long cues; the parser's
+    cue walk must recover exact cue counts, millisecond timing sums,
+    and the original text (roundtrip_exact joins cue texts and compares
+    Spark-side; the oracle states the ceil/modular timing arithmetic).
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.subtitles import build_srt, parse_srt
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                cues = parse_srt(build_srt(t, i))
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_cues": len(cues),
+                        "first_start_ms": cues[0]["start_ms"],
+                        "last_end_ms": cues[-1]["end_ms"],
+                        "total_sub_ms": sum(
+                            c["end_ms"] - c["start_ms"] for c in cues
+                        ),
+                        "roundtrip_exact": " ".join(
+                            c["text"] for c in cues
+                        ) == t,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, n_cues long, first_start_ms long, last_end_ms long, "
+        "total_sub_ms long, roundtrip_exact boolean",
+    ).orderBy("doc_id")
