@@ -11253,3 +11253,73 @@ def srt_extract_stats(spark, sf_dir):
         "doc_id long, n_cues long, first_start_ms long, last_end_ms long, "
         "total_sub_ms long, roundtrip_exact boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "latex_extract_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             (len(string_split(text, ' ')) + 19) // 20 AS m
+      FROM documents)
+    SELECT doc_id,
+           CAST(m AS BIGINT) AS n_sections,
+           doc_id % 5 = 0 AS has_equation,
+           CAST(10 + length(CAST(doc_id AS VARCHAR)) + 7 * m
+                + length(text) AS BIGINT) AS extracted_chars,
+           TRUE AS roundtrip_exact
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def latex_extract_stats(spark, sf_dir):
+    """LaTeX (arXiv-source) text extraction (operators/latex.py —
+    detex-style markup stripping, the curation stage scientific corpora
+    need). Builder-exercises-parser: each doc becomes a full article
+    skeleton (commented preamble, \\title, 20-token \\section'd
+    paragraphs with every 7th token \\emph-wrapped, an equation
+    environment on every 5th doc, trailing comments on text lines);
+    extraction must recover 'Document <id> Part 1 <chunk> ...' EXACTLY
+    — proving comment stripping, display/inline math removal,
+    keep-argument unwrapping under nesting, command+argument dropping,
+    and whitespace collapse in one boolean. extracted_chars is the
+    pinned formula 10 + digits(doc_id) + 7*sections + chars(text)
+    (valid while sections <= 9 — fixture max is 5; asserted in
+    tests/test_latex.py).
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.latex import build_latex, extract_latex_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                got = extract_latex_text(build_latex(t, i))
+                toks = t.split(" ")
+                m = -(-len(toks) // 20)
+                exp = f"Document {i}" + "".join(
+                    f" Part {k + 1} " + " ".join(toks[k * 20 : (k + 1) * 20])
+                    for k in range(m)
+                )
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_sections": m,
+                        "has_equation": i % 5 == 0,
+                        "extracted_chars": len(got),
+                        "roundtrip_exact": got == exp,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, n_sections long, has_equation boolean, "
+        "extracted_chars long, roundtrip_exact boolean",
+    ).orderBy("doc_id")
