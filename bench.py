@@ -120,6 +120,17 @@ EXTENDED = [
     "unigram_em_segment",
     "url_normalize_report",
     "numeric_correlations",
+    # round 6c: learned scoring, entity resolution, compressed audio,
+    # office/mail/science/code/subtitle formats, unicode canonicalization
+    "nb_classifier_scores",
+    "entity_groups",
+    "adpcm_decode_stats",
+    "unicode_normalize_report",
+    "docx_extract_stats",
+    "eml_extract_stats",
+    "code_file_stats",
+    "srt_extract_stats",
+    "latex_extract_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -10649,7 +10649,6 @@ def nb_classifier_scores(spark, sf_dir):
             (F.col("bern_odds") > 1.0).alias("predicted"),
             ((F.col("bern_odds") > 1.0) == F.col("label")).alias("correct"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -10955,7 +10954,7 @@ def unicode_normalize_report(spark, sf_dir):
         (F.col("nfc") != F.col("wrapped")).alias("nfc_changed"),
         F.length("nfkc").cast("bigint").alias("nfkc_chars"),
         (F.col("nfkc") != F.col("nfc")).alias("nfkc_changed"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -11039,7 +11038,7 @@ def docx_extract_stats(spark, sf_dir):
         stats,
         "doc_id long, n_paragraphs long, n_runs long, full_chars long, "
         "has_table boolean, valid_package boolean, roundtrip_exact boolean",
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -11105,7 +11104,7 @@ def eml_extract_stats(spark, sf_dir):
         "doc_id long, subject string, sender string, date_epoch long, "
         "is_multipart boolean, n_parts long, body_chars long, "
         "roundtrip_exact boolean",
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -11186,7 +11185,7 @@ def code_file_stats(spark, sf_dir):
         "doc_id long, lang string, has_shebang boolean, "
         "has_license boolean, license_id string, total_lines long, "
         "code_lines long, comment_lines long, blank_lines long",
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -11252,7 +11251,7 @@ def srt_extract_stats(spark, sf_dir):
         stats,
         "doc_id long, n_cues long, first_start_ms long, last_end_ms long, "
         "total_sub_ms long, roundtrip_exact boolean",
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -11322,4 +11321,4 @@ def latex_extract_stats(spark, sf_dir):
         stats,
         "doc_id long, n_sections long, has_equation boolean, "
         "extracted_chars long, roundtrip_exact boolean",
-    ).orderBy("doc_id")
+    )

@@ -140,6 +140,15 @@ def test_codec_queries_are_single_scan_shuffle_free(spark, sf_dir):
         "html_extract_stats",
         "pdf_extract_stats",
         "tiff_metadata",
+        # round 6c: compressed audio, office/mail/science/code/subtitle
+        # arrival formats + unicode canonicalization
+        "adpcm_decode_stats",
+        "unicode_normalize_report",
+        "docx_extract_stats",
+        "eml_extract_stats",
+        "code_file_stats",
+        "srt_extract_stats",
+        "latex_extract_stats",
     ):
         plan = _plan(spark, name, sf_dir)
         assert _op_count(plan, "Exchange") == 0, (name, plan)
