@@ -31,6 +31,14 @@ from email.message import EmailMessage
 
 EPOCH_BASE = 1_000_000_000
 EPOCH_STEP = 3_600
+EPOCH_MOD = 1_000_000  # keeps the Date within datetime range for any id
+
+
+def eml_epoch(doc_id: int) -> int:
+    """The deterministic Date epoch: ``doc_id`` folded mod
+    ``EPOCH_MOD`` so arbitrarily large ids (e.g. replicated scale
+    probes) stay inside the representable datetime range."""
+    return EPOCH_BASE + (doc_id % EPOCH_MOD) * EPOCH_STEP
 
 
 def build_eml(text: str, doc_id: int) -> bytes:
@@ -39,9 +47,7 @@ def build_eml(text: str, doc_id: int) -> bytes:
     msg["From"] = f"sender{doc_id % 7}@corpus.example"
     msg["To"] = f"list{doc_id % 3}@corpus.example"
     msg["Subject"] = f"msg {doc_id}"
-    msg["Date"] = email.utils.formatdate(
-        EPOCH_BASE + doc_id * EPOCH_STEP, usegmt=True
-    )
+    msg["Date"] = email.utils.formatdate(eml_epoch(doc_id), usegmt=True)
     msg["Message-ID"] = f"<{doc_id}@corpus.example>"
     if doc_id % 3 == 0:
         msg.set_content(text)

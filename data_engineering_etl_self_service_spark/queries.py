@@ -11048,7 +11048,8 @@ def docx_extract_stats(spark, sf_dir):
            'msg ' || CAST(doc_id AS VARCHAR) AS subject,
            'sender' || CAST(doc_id % 7 AS VARCHAR) || '@corpus.example'
              AS sender,
-           CAST(1000000000 + doc_id * 3600 AS BIGINT) AS date_epoch,
+           CAST(1000000000 + (doc_id % 1000000) * 3600 AS BIGINT)
+             AS date_epoch,
            doc_id % 3 = 0 AS is_multipart,
            CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
              AS n_parts,

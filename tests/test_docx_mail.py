@@ -109,7 +109,7 @@ def test_eml_roundtrip(doc_id):
     r = parse_eml(build_eml(text, doc_id))
     assert r["ok"]
     assert r["subject"] == f"msg {doc_id}"
-    assert r["date_epoch"] == EPOCH_BASE + doc_id * EPOCH_STEP
+    assert r["date_epoch"] == EPOCH_BASE + doc_id * EPOCH_STEP  # ids < EPOCH_MOD
     assert r["is_multipart"] == (doc_id % 3 == 0)
     assert r["n_parts"] == (2 if doc_id % 3 == 0 else 1)
     assert r["body"] == text
@@ -141,3 +141,11 @@ def test_mbox_stdlib_mailbox_interop(tmp_path):
 def test_mail_malformed_never_raises(raw):
     parse_eml(raw)
     list(iter_mbox(raw))
+
+
+def test_eml_huge_doc_id_date_in_range():
+    """Scale-probe ids (1e9+) must not overflow the Date header."""
+    from data_engineering_etl_self_service_spark.operators.mail import eml_epoch
+
+    r = parse_eml(build_eml("x", 1_000_000_123))
+    assert r["ok"] and r["date_epoch"] == eml_epoch(1_000_000_123)
