@@ -235,3 +235,75 @@ def streaming_daily_peak_concurrency_tws(
             timeMode="None",
         )
     )
+
+
+def streaming_nb_score(
+    docs: DataFrame,
+    model_rows: "list[tuple]",
+    meta: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a DOCUMENT STREAM against a batch-trained Naive Bayes model
+    (operators/classify.py) — the score-on-ingest shape: classification
+    is a pure per-row map against a broadcast model, so the streaming
+    plan has NO state and NO shuffle; every micro-batch scores its rows
+    and moves on. This is the deployment shape of a learned quality
+    filter at 100 TB/day: train offline (one corpus pass), ship the
+    bounded model to every executor, score inline.
+
+    ``model_rows`` is the COLLECTED model table
+    ``(w, c_pos, c_neg, df_pos, df_neg)`` (bounded: the feature
+    vocabulary); ``meta`` the 1-row dict. Bit-parity with the batch
+    scorers is pinned by tests/test_streaming.py: the per-word ratios
+    use the identical pinned expression shape, the multinomial fold
+    runs in token-position order and the Bernoulli fold in sorted vocab
+    order — same doubles, same order, same result to the last bit.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    t_pos, t_neg, v = meta["t_pos"], meta["t_neg"], meta["v"]
+    n_pos, n_neg = meta["n_pos"], meta["n_neg"]
+    prior = (n_pos + 1.0) / (n_neg + 1.0)
+    mult_ratio = {
+        w: ((c_pos + 1.0) / float(t_pos + v))
+        / ((c_neg + 1.0) / float(t_neg + v))
+        for w, c_pos, c_neg, _dp, _dn in model_rows
+    }
+    oov = (1.0 / float(t_pos + v)) / (1.0 / float(t_neg + v))
+    bern = [
+        (
+            w,
+            ((df_pos + 1.0) / (n_pos + 2.0)) / ((df_neg + 1.0) / (n_neg + 2.0)),
+            (1.0 - (df_pos + 1.0) / (n_pos + 2.0))
+            / (1.0 - (df_neg + 1.0) / (n_neg + 2.0)),
+        )
+        for w, _cp, _cn, df_pos, df_neg in sorted(model_rows)
+    ]
+
+    def _mult(text: str) -> float:
+        odds = 1.0
+        for w in text.lower().strip().split():
+            odds = odds * mult_ratio.get(w, oov)
+        return prior * odds
+
+    def _bern(text: str) -> float:
+        present = set(text.lower().strip().split())
+        odds = 1.0
+        for w, f_in, f_out in bern:
+            odds = odds * (f_in if w in present else f_out)
+        return prior * odds
+
+    @pandas_udf("double")
+    def mult_odds(s):
+        return s.map(_mult)
+
+    @pandas_udf("double")
+    def bern_odds(s):
+        return s.map(_bern)
+
+    return docs.select(
+        F.col(id_col),
+        mult_odds(F.col(text_col)).alias("mult_odds"),
+        bern_odds(F.col(text_col)).alias("bern_odds"),
+    )

@@ -1134,3 +1134,58 @@ def test_streaming_cdc_sink_drives_from_file_stream(spark, tmp_path_factory):
     q.awaitTermination()
     got = {r.k: r.v for r in read_cdc_table(spark, base).collect()}
     assert got == {1: "a2", 3: "c"}
+
+
+def test_streaming_nb_score_bit_parity_with_batch(spark, tmp_path_factory):
+    """streaming_nb_score (stateless broadcast-model scoring of a doc
+    stream) reproduces BOTH batch scorers' odds bit-for-bit: same
+    pinned ratio arithmetic, same fold orders (token position /
+    sorted vocab)."""
+    from data_engineering_etl_self_service_spark.operators.classify import (
+        nb_score_bernoulli,
+        nb_score_multinomial,
+        nb_train,
+    )
+    from data_engineering_etl_self_service_spark.streaming.analytics import (
+        streaming_nb_score,
+    )
+    from data_engineering_etl_self_service_spark.streaming.sessions import (
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    lab = docs.withColumn(
+        "label", F.array_contains(F.split(F.lower(F.trim("text")), r"\s+"), "the")
+    )
+    model, meta = nb_train(lab.filter(F.col("doc_id") % 5 != 0))
+    model_rows = [tuple(r) for r in model.collect()]
+    meta_row = meta.collect()[0].asDict()
+
+    test_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    out = str(tmp_path_factory.mktemp("nb_docs"))
+    test_docs.write.mode("overwrite").parquet(out)
+    stream = spark.readStream.schema(test_docs.schema).parquet(out)
+    run_stream_to_memory(
+        streaming_nb_score(stream, model_rows, meta_row),
+        "stream_nb",
+        mode="append",  # stateless map: no aggregation, append-only
+    )
+    got = {
+        r["doc_id"]: (r["mult_odds"], r["bern_odds"])
+        for r in spark.sql("SELECT * FROM stream_nb").collect()
+    }
+
+    m = {
+        r["doc_id"]: r["mult_odds"]
+        for r in nb_score_multinomial(test_docs, model, meta).collect()
+    }
+    b = {
+        r["doc_id"]: r["bern_odds"]
+        for r in nb_score_bernoulli(test_docs, model, meta).collect()
+    }
+    assert set(got) == set(m)
+    for did, (mo, bo) in got.items():
+        assert mo.hex() == m[did].hex(), did
+        assert bo.hex() == b[did].hex(), did
