@@ -11323,3 +11323,92 @@ def latex_extract_stats(spark, sf_dir):
         "doc_id long, n_sections long, has_equation boolean, "
         "extracted_chars long, roundtrip_exact boolean",
     )
+
+
+@register(
+    "tfrecord_extract_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(string_split(text, ' ')) AS n
+      FROM documents)
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_records,
+           TRUE AS crc_ok,
+           TRUE AS id_match,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(length(text) - (n - 1) AS BIGINT) AS sum_tok_lens,
+           TRUE AS text_match
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def tfrecord_extract_stats(spark, sf_dir):
+    """TFRecord ingestion (operators/tfrecord.py — the TensorFlow
+    training-shard container beside WebDataset; framing + a hand-rolled
+    tf.train.Example wire decoder, all public format). Builder-
+    exercises-parser: each doc becomes a 2-record shard (a meta Example
+    with packed Int64List id/n_tokens, a data Example with the text as
+    BytesList plus per-token lengths as a packed Int64List); the walk
+    must verify BOTH masked CRC-32Cs per record and the decoded
+    features must reproduce the id, token count, text, and the token-
+    length sum (= chars minus separating spaces — stated symbolically).
+    CRC-32C itself is pinned to the public '123456789' test vector in
+    tests/test_tfrecord.py.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass; shards
+    split at record boundaries like WebDataset members.
+    """
+    from .operators.tfrecord import (
+        build_example,
+        build_tfrecord,
+        iter_tfrecord,
+        parse_example,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                toks = t.split(" ")
+                shard = build_tfrecord(
+                    [
+                        build_example(
+                            {"id": [i], "n_tokens": [len(toks)]}
+                        ),
+                        build_example(
+                            {
+                                "text": [t.encode()],
+                                "tok_lens": [len(w) for w in toks],
+                            }
+                        ),
+                    ]
+                )
+                recs = list(iter_tfrecord(shard))
+                meta = parse_example(recs[0]["payload"]) if recs else {}
+                data = parse_example(recs[1]["payload"]) if len(recs) > 1 else {}
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_records": len(recs),
+                        "crc_ok": all(
+                            r["len_crc_ok"] and r["data_crc_ok"] for r in recs
+                        ),
+                        "id_match": meta.get("id") == [i],
+                        "n_tokens": (meta.get("n_tokens") or [0])[0],
+                        "sum_tok_lens": sum(data.get("tok_lens") or []),
+                        "text_match": (data.get("text") or [b""])[0]
+                        == t.encode(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, n_records long, crc_ok boolean, id_match boolean, "
+        "n_tokens long, sum_tok_lens long, text_match boolean",
+    )
