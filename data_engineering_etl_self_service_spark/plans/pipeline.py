@@ -273,6 +273,42 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                     )
 
                 df = df.withColumn(out_col, _pdf_text(F.col(in_col)))
+            elif fmt in ("docx", "eml", "latex", "srt"):
+                # round 6c: office, mail, science, subtitle arrival
+                # formats — all Arrow-batched per-row extraction
+                # (operators/docx.py, mail.py, latex.py, subtitles.py);
+                # malformed input degrades to empty text, never a
+                # failure.
+                from pyspark.sql.functions import pandas_udf
+
+                if fmt == "docx":
+                    from ..operators.docx import extract_docx_text
+
+                    fn = lambda b: extract_docx_text(  # noqa: E731
+                        bytes(b) if b is not None else b""
+                    )["text"]
+                elif fmt == "eml":
+                    from ..operators.mail import parse_eml
+
+                    fn = lambda b: parse_eml(  # noqa: E731
+                        bytes(b) if b is not None else b""
+                    )["body"]
+                elif fmt == "latex":
+                    from ..operators.latex import extract_latex_text
+
+                    fn = lambda s: extract_latex_text(s or "")  # noqa: E731
+                else:  # srt
+                    from ..operators.subtitles import parse_srt
+
+                    fn = lambda s: " ".join(  # noqa: E731
+                        c["text"] for c in parse_srt(s or "")
+                    )
+
+                @pandas_udf("string")
+                def _extract(s):
+                    return s.map(fn)
+
+                df = df.withColumn(out_col, _extract(F.col(in_col)))
             # unknown formats fall through untouched (tolerant dispatch)
         elif op == "extract_archive":
             # packaged-corpus unpacking (round 6): the payload column
@@ -304,6 +340,58 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                     payload_ext=t.get("payload_ext"),
                 )
             # unknown formats fall through untouched (tolerant dispatch)
+        elif op == "normalize_unicode":
+            # UAX #15 canonicalization ahead of any hashed operator
+            # (round 6c, operators/unicodenorm.py): form NFC (default) /
+            # NFKC / NFD / NFKD; in-place on the text column.
+            from pyspark.sql.functions import pandas_udf
+
+            from ..operators.unicodenorm import normalize
+
+            form = str(t.get("form", "NFC")).upper()
+            col = t.get("text_col", "text")
+
+            @pandas_udf("string")
+            def _norm(s):
+                return s.map(lambda x: normalize(x or "", form))
+
+            df = df.withColumn(col, _norm(F.col(col)))
+        elif op == "classify":
+            # learned quality filter (round 6c, operators/classify.py):
+            # train Naive Bayes on the rows where `label_col` is set,
+            # score EVERY row, attach mult_odds / bern_odds / predicted.
+            # Filter on them with a plain `filter` stanza downstream —
+            # the same compose-with-filter contract as quality_score.
+            from ..operators.classify import (
+                nb_score_bernoulli,
+                nb_score_multinomial,
+                nb_train,
+            )
+
+            id_col = t.get("id_col", "doc_id")
+            text_col = t.get("text_col", "text")
+            label_col = t.get("label_col", "label")
+            train = df.filter(F.col(label_col).isNotNull()).select(
+                F.col(id_col).alias("doc_id"),
+                F.col(text_col).alias("text"),
+                F.col(label_col).cast("boolean").alias("label"),
+            )
+            model, meta = nb_train(train)
+            docs = df.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(text_col).alias("text"),
+            )
+            m = nb_score_multinomial(docs, model, meta).select(
+                F.col("doc_id").alias(id_col), "mult_odds"
+            )
+            b = nb_score_bernoulli(docs, model, meta).select(
+                F.col("doc_id").alias(id_col), "bern_odds"
+            )
+            df = (
+                df.join(m, id_col)
+                .join(b, id_col)
+                .withColumn("predicted", F.col("bern_odds") > 1.0)
+            )
         elif op == "scrub_duplicates":
             # duplicate-substring REMOVAL (round 6): tokens covered by a
             # cross-corpus duplicated k-gram are cut and the text column

@@ -53,6 +53,8 @@ TRANSFORM_OPS = (
     "lm_fluency",
     "semantic_dedup",
     "temporal_join",
+    "normalize_unicode",
+    "classify",
 )
 
 

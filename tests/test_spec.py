@@ -1173,3 +1173,121 @@ def test_tokenize_pipeline_op_all_families(spark, tmp_path):
         joined = "".join(out[doc_id].pieces)
         assert joined == text.replace(" ", "")
         assert out[doc_id].n_pieces == len(out[doc_id].pieces) > 0
+
+
+def test_round6c_extract_formats_and_classify_ops(spark, tmp_path):
+    """Round-6c YAML stanzas: extract_text gains docx/eml/latex/srt
+    formats, normalize_unicode canonicalizes in place, and classify
+    trains NB on labeled rows and scores everything — composable with
+    a plain filter downstream."""
+    from data_engineering_etl_self_service_spark.operators.docx import build_docx
+    from data_engineering_etl_self_service_spark.operators.latex import build_latex
+    from data_engineering_etl_self_service_spark.operators.mail import build_eml
+    from data_engineering_etl_self_service_spark.operators.subtitles import (
+        build_srt,
+    )
+
+    text = "spark engines like declarative plans and pushed filters"
+    src = str(tmp_path / "raw6c.parquet")
+    spark.createDataFrame(
+        [
+            (
+                1,
+                bytearray(build_docx(text, 1)),
+                bytearray(build_eml(text, 1)),
+                build_latex(text, 1),
+                build_srt(text, 1),
+                "café",
+            ),
+            (
+                2,
+                bytearray(b"not a zip"),
+                bytearray(build_eml(text, 2)),
+                text,
+                "garbage without cues",
+                "plain",
+            ),
+        ],
+        "doc_id long, docx binary, eml binary, tex string, srt string, "
+        "txt string",
+    ).write.parquet(src)
+
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "extract6c"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "extract_text", "format": "docx",
+                 "input_col": "docx", "output_col": "docx_text"},
+                {"op": "extract_text", "format": "eml",
+                 "input_col": "eml", "output_col": "eml_text"},
+                {"op": "extract_text", "format": "latex",
+                 "input_col": "tex", "output_col": "tex_text"},
+                {"op": "extract_text", "format": "srt",
+                 "input_col": "srt", "output_col": "srt_text"},
+                {"op": "normalize_unicode", "text_col": "txt"},
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+            "destination": {
+                "type": "parquet",
+                "path": str(tmp_path / "out6c"),
+            },
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    out = {
+        r.doc_id: r
+        for r in spark.read.parquet(res.published_path).collect()
+    }
+    assert out[1].docx_text == f"Document 1 {text}"
+    assert out[1].eml_text == text
+    assert out[1].tex_text == f"Document 1 Part 1 {text}"
+    assert out[1].srt_text == text
+    assert out[1].txt == "café"  # NFC composed
+    assert out[2].docx_text == ""  # malformed degrades
+    assert out[2].srt_text == ""
+
+
+def test_classify_pipeline_op(spark, tmp_path):
+    """classify: NB trains on rows with a label, scores all rows, and
+    the attached odds gate downstream filters."""
+    rows = [
+        (i, f"spam spam offer {i}", True) for i in range(8)
+    ] + [
+        (100 + i, f"meeting notes agenda {i}", False) for i in range(8)
+    ] + [
+        (200, "spam offer inside", None),
+        (201, "agenda for the meeting", None),
+    ]
+    src = str(tmp_path / "labeled.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, label boolean"
+    ).write.parquet(src)
+
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "classify"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "classify", "label_col": "label"},
+                {"op": "filter", "predicate": "predicted"},
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+            "destination": {
+                "type": "parquet",
+                "path": str(tmp_path / "kept"),
+            },
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    kept = {r.doc_id for r in spark.read.parquet(res.published_path).collect()}
+    assert 200 in kept and 201 not in kept  # unlabeled rows scored
+    assert all(d < 100 or d == 200 for d in kept)  # spam class only
