@@ -149,25 +149,35 @@ def parse_example(buf: bytes) -> dict:
     out: dict = {}
     try:
         for num, features_buf in walk_msg(buf):
-            if num != 1:
+            # garbage can encode any field with any wire type: only
+            # recurse into length-delimited (bytes) values
+            if num != 1 or not isinstance(features_buf, bytes):
                 continue
             for enum, entry in walk_msg(features_buf):
-                if enum != 1:
+                if enum != 1 or not isinstance(entry, bytes):
                     continue
                 name = None
                 values: list = []
                 for fnum, fval in walk_msg(entry):
+                    if not isinstance(fval, bytes):
+                        continue
                     if fnum == 1:
                         name = fval.decode("utf-8", "replace")
                     elif fnum == 2:
                         for knum, kbuf in walk_msg(fval):
+                            if not isinstance(kbuf, bytes):
+                                continue
                             if knum == 1:  # BytesList
                                 values = [
-                                    v for n2, v in walk_msg(kbuf) if n2 == 1
+                                    v
+                                    for n2, v in walk_msg(kbuf)
+                                    if n2 == 1 and isinstance(v, bytes)
                                 ]
                             elif knum == 3:  # Int64List (packed field 1)
                                 for n2, packed in walk_msg(kbuf):
-                                    if n2 != 1:
+                                    if n2 != 1 or not isinstance(
+                                        packed, bytes
+                                    ):
                                         continue
                                     p = 0
                                     while p < len(packed):
@@ -177,7 +187,7 @@ def parse_example(buf: bytes) -> dict:
                                         values.append(v)
                             elif knum == 2:  # FloatList (packed field 1)
                                 for n2, packed in walk_msg(kbuf):
-                                    if n2 == 1:
+                                    if n2 == 1 and isinstance(packed, bytes):
                                         values = [
                                             struct.unpack_from(
                                                 "<f", packed, o
@@ -186,7 +196,7 @@ def parse_example(buf: bytes) -> dict:
                                         ]
                 if name is not None:
                     out[name] = values
-    except (ValueError, IndexError):
+    except (ValueError, IndexError, TypeError):
         pass
     return out
 
@@ -224,3 +234,49 @@ def iter_tfrecord(raw: bytes):
             "len_crc_ok": masked_crc(header) == len_crc,
             "data_crc_ok": masked_crc(payload) == data_crc,
         }
+
+
+def tfrecord_example_rows(df, col: str = "data", id_col: str = "doc_id"):
+    """Explode one-TFRecord-shard-per-row ``df`` into Example rows:
+    Arrow-batched ``mapInPandas``, single scan stage, no exchange (the
+    tar_member_rows shape from operators/archive.py). Per record:
+    position, both CRC verdicts, the feature-name inventory, and the
+    first bytes feature decoded as text (the usual text-corpus layout);
+    carry full payloads through :func:`parse_example` in a downstream
+    stage when typed features are needed."""
+
+    def explode(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[col]):
+                for pos, rec in enumerate(iter_tfrecord(bytes(blob))):
+                    feats = parse_example(rec["payload"])
+                    text = ""
+                    for vals in feats.values():
+                        if vals and isinstance(vals[0], bytes):
+                            text = vals[0].decode("utf-8", "replace")
+                            break
+                    rows.append(
+                        {
+                            id_col: rid,
+                            "record_pos": pos,
+                            "crc_ok": rec["len_crc_ok"]
+                            and rec["data_crc_ok"],
+                            "feature_names": ",".join(sorted(feats)),
+                            "text": text,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "record_pos", "crc_ok", "feature_names", "text",
+                ],
+            )
+
+    return df.mapInPandas(
+        explode,
+        f"{id_col} long, record_pos long, crc_ok boolean, "
+        "feature_names string, text string",
+    )

@@ -332,6 +332,11 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                 df = tar_member_rows(df, col=payload_col, id_col=id_col)
             elif fmt == "zip_members":
                 df = zip_member_rows(df, col=payload_col, id_col=id_col)
+            elif fmt == "tfrecord_examples":
+                # round 6c: the TensorFlow shard container
+                from ..operators.tfrecord import tfrecord_example_rows
+
+                df = tfrecord_example_rows(df, col=payload_col, id_col=id_col)
             elif fmt == "wds_samples":
                 df = wds_sample_rows(
                     df,

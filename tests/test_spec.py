@@ -1291,3 +1291,40 @@ def test_classify_pipeline_op(spark, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(res.published_path).collect()}
     assert 200 in kept and 201 not in kept  # unlabeled rows scored
     assert all(d < 100 or d == 200 for d in kept)  # spam class only
+
+
+def test_extract_archive_tfrecord_format(spark, tmp_path):
+    """extract_archive format tfrecord_examples explodes TF shards."""
+    from data_engineering_etl_self_service_spark.operators.tfrecord import (
+        build_example,
+        build_tfrecord,
+    )
+
+    shard = build_tfrecord(
+        [build_example({"text": [f"doc {i}".encode()]}) for i in range(3)]
+    )
+    src = str(tmp_path / "tfshards.parquet")
+    spark.createDataFrame(
+        [(1, bytearray(shard))], "doc_id long, payload binary"
+    ).write.parquet(src)
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "tfr"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "extract_archive", "format": "tfrecord_examples"}
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 3}
+            ],
+            "destination": {
+                "type": "parquet",
+                "path": str(tmp_path / "tfrout"),
+            },
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    out = spark.read.parquet(res.published_path)
+    assert out.count() == 3 and out.filter("crc_ok").count() == 3

@@ -74,3 +74,30 @@ def test_iter_never_raises(raw):
 @given(st.binary(max_size=300))
 def test_parse_example_never_raises(raw):
     assert isinstance(parse_example(raw), dict)
+
+
+def test_tfrecord_example_rows_exploder(spark):
+    shard = build_tfrecord(
+        [
+            build_example({"text": [b"hello world"], "id": [1]}),
+            build_example({"text": [b"second rec"], "id": [2]}),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(shard)), (8, bytearray(b"junk"))],
+        "doc_id long, data binary",
+    )
+    from data_engineering_etl_self_service_spark.operators.tfrecord import (
+        tfrecord_example_rows,
+    )
+
+    rows = sorted(
+        tfrecord_example_rows(df).collect(),
+        key=lambda r: (r["doc_id"], r["record_pos"]),
+    )
+    assert [(r["doc_id"], r["record_pos"], r["text"]) for r in rows] == [
+        (7, 0, "hello world"),
+        (7, 1, "second rec"),
+    ]
+    assert all(r["crc_ok"] for r in rows)
+    assert rows[0]["feature_names"] == "id,text"
