@@ -131,6 +131,7 @@ EXTENDED = [
     "code_file_stats",
     "srt_extract_stats",
     "latex_extract_stats",
+    "tfrecord_extract_stats",
 ]
 
 HEADLINE = CORE + EXTENDED
