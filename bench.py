@@ -132,6 +132,7 @@ EXTENDED = [
     "srt_extract_stats",
     "latex_extract_stats",
     "tfrecord_extract_stats",
+    "image_dhash_groups",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -11412,3 +11412,93 @@ def tfrecord_extract_stats(spark, sf_dir):
         "doc_id long, n_records long, crc_ok boolean, id_match boolean, "
         "n_tokens long, sum_tok_lens long, text_match boolean",
     )
+
+
+@register(
+    "image_dhash_groups",
+    """
+    WITH px AS (
+      SELECT doc_id, x.x AS x, y.y AS y,
+             ((doc_id % 25 + 1) * (x.x * x.x + 3 * y.y) + 11 * x.x) % 251
+               + doc_id % 2 AS g
+      FROM documents, range(16) x(x), range(16) y(y)),
+    blk AS (
+      SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(g) AS s
+      FROM px GROUP BY 1, 2, 3),
+    bits AS (
+      SELECT a.doc_id,
+             CAST(CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS BIGINT)
+               * (CAST(1 AS BIGINT) << CAST(a.r * 7 + a.c AS INTEGER)) AS v
+      FROM blk a
+      JOIN blk b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < 7),
+    h AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS dhash
+          FROM bits GROUP BY doc_id),
+    g AS (SELECT dhash, COUNT(*) AS group_size, MIN(doc_id) AS canon
+          FROM h GROUP BY dhash)
+    SELECT h.doc_id, h.dhash,
+           CAST(h.doc_id % 25 AS BIGINT) AS pattern_class,
+           CAST(g.group_size AS BIGINT) AS group_size,
+           h.doc_id = g.canon AS is_canonical
+    FROM h JOIN g USING (dhash)
+    ORDER BY h.doc_id
+    """,
+)
+def image_dhash_groups(spark, sf_dir):
+    """Perceptual image dedup (operators/imagehash.py — the image twin
+    of exact text dedup): per doc a deterministic grayscale pattern
+    (content class = doc_id %% 25, plus a per-doc brightness offset the
+    hash must ignore) is encoded to a REAL PNG, decoded back by the
+    full PNG decoder (operators/multimodal.py — lossless, so the oracle
+    replays the pattern formula directly), and difference-hashed
+    (dhash56: 8x8 block sums, 7 horizontal comparisons per row). Images
+    sharing a hash form dedup groups with a canonical minimum-id
+    member. A hash match therefore proves the PNG round-trip, the block
+    arithmetic, the comparison packing, and the grouping in one row per
+    image — and demonstrates the brightness invariance (same-class
+    docs differ in bytes, share a hash).
+
+    Scale: hashing is a shuffle-free Arrow pass; grouping is ONE
+    groupBy on the 56-bit key — hamming-radius near-dup extends it with
+    SimHash-style pigeonhole bucketing.
+    """
+    from .operators.imagehash import build_pattern_gray, dhash56, grayscale
+    from .operators.multimodal import build_png_ex, decode_png
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def hashes(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                png = build_png_ex(build_pattern_gray(i), ctype=0)
+                px = decode_png(png)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "dhash": dhash56(grayscale(px[..., 0])),
+                        "pattern_class": i % 25,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    h = d.mapInPandas(
+        hashes, "doc_id long, dhash long, pattern_class long"
+    )
+    g = h.groupBy("dhash").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min("doc_id").alias("canon"),
+    )
+    return (
+        h.join(g, "dhash")
+        .select(
+            "doc_id",
+            "dhash",
+            "pattern_class",
+            "group_size",
+            (F.col("doc_id") == F.col("canon")).alias("is_canonical"),
+        )
+    )
