@@ -150,6 +150,31 @@ def test_examples_directory_specs_parse_and_run(
                 rc = main(["run", str(q), "--ds", "2025-08-13"])
                 assert rc == 0, p.name
                 continue
+            if "classify" in ops:
+                # labeled-office-docs source: (doc_id, docx, label) with
+                # label set on a rated slice only (round 6c example)
+                from data_engineering_etl_self_service_spark.operators.docx import (
+                    build_docx,
+                )
+
+                office_src = str(tmp_path / "office_docs")
+                rows = []
+                for i in range(24):
+                    text = (
+                        f"spam spam offer {i}" if i % 2 else f"notes agenda {i}"
+                    )
+                    label = bool(i % 2) if i < 16 else None
+                    rows.append((i, bytearray(build_docx(text, i)), label))
+                spark.createDataFrame(
+                    rows, "doc_id long, docx binary, label boolean"
+                ).write.mode("overwrite").parquet(office_src)
+                cfg["source"]["path"] = office_src
+                q = tmp_path / p.name
+                q.write_text(_yaml.safe_dump(cfg))
+                assert not load_spec(str(q)).warnings
+                rc = main(["run", str(q), "--ds", "2025-08-13"])
+                assert rc == 0, p.name
+                continue
             if pages_src is None:
                 from data_engineering_etl_self_service_spark.operators.html import (
                     build_html,
