@@ -133,6 +133,7 @@ EXTENDED = [
     "latex_extract_stats",
     "tfrecord_extract_stats",
     "image_dhash_groups",
+    "image_neardup_pairs",
 ]
 
 HEADLINE = CORE + EXTENDED

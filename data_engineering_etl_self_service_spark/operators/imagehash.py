@@ -69,15 +69,19 @@ def hamming56(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 56) - 1)).count("1")
 
 
-def build_pattern_gray(doc_id: int, size: int = 16):
+def build_pattern_gray(doc_id: int, size: int = 16, brightness: bool = True):
     """Deterministic grayscale test pattern: the PERCEPTUAL CONTENT is
-    decided by ``doc_id % 25`` (the pattern class), while ``doc_id``
-    also adds a global brightness offset that dhash must ignore —
-    so same-class documents are near-dup images with different bytes.
+    decided by ``doc_id % 25`` (the pattern class); with ``brightness``
+    (default) ``doc_id`` also adds a global brightness offset that
+    dhash must ignore — so same-class documents are near-dup images
+    with different bytes. ``brightness=False`` returns the bare class
+    pattern (the near-dup-pairs fixture adds its own blemish instead).
     """
     import numpy as np
 
     p = doc_id % 25
     y, x = np.mgrid[0:size, 0:size]
     base = ((p + 1) * (x * x + 3 * y) + 11 * x) % 251
-    return ((base + doc_id % 2) % 256).astype(np.uint8)
+    if brightness:
+        base = base + doc_id % 2
+    return (base % 256).astype(np.uint8)

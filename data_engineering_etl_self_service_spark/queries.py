@@ -11502,3 +11502,154 @@ def image_dhash_groups(spark, sf_dir):
             (F.col("doc_id") == F.col("canon")).alias("is_canonical"),
         )
     )
+
+
+@register(
+    "image_neardup_pairs",
+    """
+    WITH px AS (
+      SELECT doc_id, x.x AS x, y.y AS y,
+             LEAST(
+               ((doc_id % 25 + 1) * (x.x * x.x + 3 * y.y) + 11 * x.x) % 251
+               + CASE WHEN (x.x // 2) = ((doc_id // 25) % 64) % 8
+                       AND (y.y // 2) = ((doc_id // 25) % 64) // 8
+                      THEN 200 ELSE 0 END,
+               255) AS g
+      FROM documents, range(16) x(x), range(16) y(y)),
+    blk AS (
+      SELECT doc_id, y // 2 AS r, x // 2 AS c, SUM(g) AS s
+      FROM px GROUP BY 1, 2, 3),
+    bits AS (
+      SELECT a.doc_id,
+             CAST(CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS BIGINT)
+               * (CAST(1 AS BIGINT) << CAST(a.r * 7 + a.c AS INTEGER)) AS v
+      FROM blk a
+      JOIN blk b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < 7),
+    h AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS dhash,
+                 doc_id % 25 AS cls
+          FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, dhash, cls, i.i AS band,
+             (dhash >> CAST(i.i * 11 AS INTEGER))
+               & CASE WHEN i.i = 4 THEN 4095 ELSE 2047 END AS bv
+      FROM h, range(5) i(i)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                  AND a.doc_id < b.doc_id)
+    SELECT c.da AS doc_a, c.db AS doc_b,
+           CAST(bit_count(xor(ha.dhash, hb.dhash)) AS BIGINT) AS hamming,
+           ha.cls = hb.cls AS same_class
+    FROM cand c
+    JOIN h ha ON ha.doc_id = c.da
+    JOIN h hb ON hb.doc_id = c.db
+    WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 4
+    """,
+)
+def image_neardup_pairs(spark, sf_dir):
+    """NEAR-duplicate image pairs at hamming radius 4 (operators/
+    imagehash.py): each doc's pattern image additionally carries a
+    doc-specific saturated blemish block (so same-class images are no
+    longer byte- or hash-identical — a blemish moves at most the two
+    comparisons beside its block, hence same-class hashes differ by
+    <= 4 bits), and pairs are found with the SimHash pigeonhole
+    discipline applied to images: 5 bands (4x11 + 12 bits) guarantee
+    any pair within radius 4 shares at least one exact band, so the
+    candidate join is band-bucketed equi-join — NEVER all-pairs — and
+    the exact hamming verify runs on candidates only. The oracle
+    replays pixels, hash, bands, and bit_count verification
+    relationally.
+
+    Scale: hashing is the same shuffle-free Arrow pass; candidates are
+    one (band, value) exchange with per-bucket fan-out bounded by true
+    near-dup density — the minhash_lsh_pairs cost shape on the image
+    modality.
+    """
+    from .operators.imagehash import dhash56, grayscale
+    from .operators.multimodal import build_png_ex, decode_png
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def hashes(it):
+        import numpy as np
+        import pandas as pd
+
+        from .operators.imagehash import build_pattern_gray
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                base = build_pattern_gray(i, brightness=False).astype(
+                    np.int64
+                )
+                b = (i // 25) % 64
+                r0, c0 = b // 8, b % 8
+                base[2 * r0 : 2 * r0 + 2, 2 * c0 : 2 * c0 + 2] += 200
+                img = np.clip(base, 0, 255).astype(np.uint8)
+                px = decode_png(build_png_ex(img, ctype=0))
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "dhash": dhash56(grayscale(px[..., 0])),
+                        "cls": i % 25,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    h = d.mapInPandas(hashes, "doc_id long, dhash long, cls long")
+    bands = h.select(
+        "doc_id",
+        "dhash",
+        "cls",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(5)])
+        ).alias("band"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            "(dhash >> CAST(band * 11 AS INT)) "
+            "& CASE WHEN band = 4 THEN 4095 ELSE 2047 END"
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("da"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("db"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    ha = h.select(
+        F.col("doc_id").alias("da"),
+        F.col("dhash").alias("hash_a"),
+        F.col("cls").alias("cls_a"),
+    )
+    hb = h.select(
+        F.col("doc_id").alias("db"),
+        F.col("dhash").alias("hash_b"),
+        F.col("cls").alias("cls_b"),
+    )
+    return (
+        cand.join(ha, "da")
+        .join(hb, "db")
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("hash_a").bitwiseXOR(F.col("hash_b"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= 4)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "hamming",
+            (F.col("cls_a") == F.col("cls_b")).alias("same_class"),
+        )
+    )

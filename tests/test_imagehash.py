@@ -60,3 +60,16 @@ def test_png_roundtrip_preserves_hash():
     a = build_pattern_gray(12)
     px = decode_png(build_png_ex(a, ctype=0))
     assert dhash56(grayscale(px[..., 0])) == dhash56(a)
+
+
+def test_blemish_moves_at_most_two_comparisons():
+    """A single saturated 2x2 block changes only the comparisons to its
+    left and right — the bound the radius-4 pairing relies on."""
+    for did in (0, 26, 77, 301):
+        base = build_pattern_gray(did, brightness=False).astype(int)
+        b = (did // 25) % 64
+        r0, c0 = b // 8, b % 8
+        blem = base.copy()
+        blem[2 * r0 : 2 * r0 + 2, 2 * c0 : 2 * c0 + 2] += 200
+        blem = np.clip(blem, 0, 255)
+        assert hamming56(dhash56(base), dhash56(blem)) <= 2
