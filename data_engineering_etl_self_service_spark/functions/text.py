@@ -168,3 +168,35 @@ def langid(text: Column | str) -> Column:
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, s).otherwise(best_score)
     return best_lang
+
+
+def compression_ratio(text: Column | str, level: int = 6) -> Column:
+    """zlib-compressed bytes / raw bytes — the Gopher-lineage
+    repetitiveness signal: heavily duplicated or templated text
+    compresses far below natural prose, so a LOW ratio flags
+    boilerplate/spam and an extremely HIGH one flags random noise.
+
+    Runs as an Arrow-batched pandas UDF (zlib is per-row Python by
+    nature; there is no JVM expression for it) — shuffle-free, linear.
+    Deterministic for a fixed zlib version/level but NOT replayable in
+    SQL, so it ships as a quality column + pytest invariants
+    (monotonicity under repetition, bounds), not an oracled query —
+    its filtering role is covered by the exact-oracled repetition and
+    dup-ngram operators.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s):
+        import zlib
+
+        def one(t: str) -> float:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _ratio(c)

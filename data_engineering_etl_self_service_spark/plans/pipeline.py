@@ -201,6 +201,16 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                 F.col(t.get("text_col", "text"))
             ).items():
                 df = df.withColumn(name, col)
+            if t.get("compression"):
+                # Gopher-lineage repetitiveness signal (round 6c):
+                # zlib ratio, Arrow-batched — gate on it with a filter
+                # stanza (low = boilerplate/spam, ~1 = noise)
+                from ..functions.text import compression_ratio
+
+                df = df.withColumn(
+                    "compression_ratio",
+                    compression_ratio(F.col(t.get("text_col", "text"))),
+                )
         elif op == "chunk":
             # overlapping token-window chunks; NOTE: projects to
             # (id, chunk_id, chunk_text, n_tok) — a terminal reshape that

@@ -145,3 +145,59 @@ def test_trigram_rarity_flags_ood_doc(spark, tmp_path):
     assert out[4].n_tris == len(
         {"zzqqxxjjvvkkwwzzqqxx"[i : i + 3] for i in range(18)}
     )
+
+
+def test_compression_ratio_signal(spark):
+    """Repetition compresses far below natural prose; empty text is 1.0;
+    ratios are positive and bounded by a small constant overhead."""
+    from data_engineering_etl_self_service_spark.functions.text import (
+        compression_ratio,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog and runs far " * 3
+    df = spark.createDataFrame(
+        [(1, prose), (2, "spam " * 200), (3, ""), (4, "xyz")],
+        "id long, text string",
+    )
+    r = {
+        row["id"]: row["r"]
+        for row in df.select(
+            "id", compression_ratio("text").alias("r")
+        ).collect()
+    }
+    assert r[2] < 0.1 < r[1]  # repetition compresses much harder
+    assert r[3] == 1.0
+    assert all(0 < v <= 4.0 for v in r.values())
+
+
+def test_quality_score_op_compression_column(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.plans.pipeline import run_pipeline
+    from data_engineering_etl_self_service_spark.plans.spec import spec_from_dict
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "natural text with words"), (2, "dup " * 50)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "q"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "quality_score", "compression": True},
+                {"op": "filter", "predicate": "compression_ratio > 0.2"},
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+            "destination": {
+                "type": "parquet",
+                "path": str(tmp_path / "out"),
+            },
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    kept = [r.doc_id for r in spark.read.parquet(res.published_path).collect()]
+    assert kept == [1]
