@@ -134,6 +134,7 @@ EXTENDED = [
     "tfrecord_extract_stats",
     "image_dhash_groups",
     "image_neardup_pairs",
+    "sqlite_extract_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -11653,3 +11653,101 @@ def image_neardup_pairs(spark, sf_dir):
             (F.col("cls_a") == F.col("cls_b")).alias("same_class"),
         )
     )
+
+
+@register(
+    "sqlite_extract_stats",
+    """
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_rows,
+           CAST(10 AS BIGINT) AS ids_sum,
+           CAST(1 AS BIGINT) AS n_null_text,
+           CAST(length(text) - 2 AS BIGINT) AS text_chars,
+           CAST(1.5 AS DOUBLE) AS score_sum,
+           TRUE AS roundtrip_exact
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def sqlite_extract_stats(spark, sf_dir):
+    """SQLite database-file ingestion (operators/sqlite.py — the
+    application-dump arrival format, parsed by a hand-rolled page
+    walker per the public file-format spec). Two-implementation
+    interop by construction: the builder is the stdlib sqlite3 engine
+    itself — per doc a real database with docs(id INTEGER PRIMARY KEY,
+    text TEXT, score REAL) holding the text split into thirds at
+    scores k*0.25 plus an all-NULL fourth row — and the hand parser
+    must recover row counts, the rowid-alias ids, NULLs, exact REAL
+    sums, and the text round-trip (thirds rejoined == original; stated
+    symbolically as length(text)-2 chars across 3 parts). Interior
+    b-tree pages and overflow chains are exercised in
+    tests/test_sqlite.py with 300-row / 5KB-cell databases.
+
+    Scale: one shuffle-free Arrow-batched pass; database files are
+    independent rows.
+    """
+    from .operators.sqlite import sqlite_table_dicts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import os
+        import sqlite3
+        import tempfile
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                toks = t.split(" ")
+                m = -(-len(toks) // 3)
+                parts = [
+                    " ".join(toks[k * m : (k + 1) * m]) for k in range(3)
+                ]
+                p = tempfile.mktemp(suffix=".db")
+                con = sqlite3.connect(p)
+                con.execute(
+                    "CREATE TABLE docs (id INTEGER PRIMARY KEY, "
+                    "text TEXT, score REAL)"
+                )
+                con.executemany(
+                    "INSERT INTO docs VALUES (?,?,?)",
+                    [(k + 1, parts[k], (k + 1) * 0.25) for k in range(3)]
+                    + [(4, None, None)],
+                )
+                con.commit()
+                con.close()
+                raw = open(p, "rb").read()
+                os.unlink(p)
+                got = list(
+                    sqlite_table_dicts(raw, "docs", ["id", "text", "score"])
+                )
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_rows": len(got),
+                        "ids_sum": sum(g["id"] for g in got),
+                        "n_null_text": sum(
+                            1 for g in got if g["text"] is None
+                        ),
+                        "text_chars": sum(
+                            len(g["text"]) for g in got if g["text"]
+                        ),
+                        "score_sum": sum(
+                            g["score"] for g in got if g["score"] is not None
+                        ),
+                        "roundtrip_exact": " ".join(
+                            g["text"] for g in got if g["text"]
+                        )
+                        == t,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, n_rows long, ids_sum long, n_null_text long, "
+        "text_chars long, score_sum double, roundtrip_exact boolean",
+    )
