@@ -18,11 +18,29 @@ import sys
 
 
 def load(path: str) -> dict:
+    """Accept either a bench.py stdout capture (one JSON line) or a
+    driver BENCH_r{N}.json wrapper (whole-file JSON whose ``parsed``
+    field holds the bench line; some rounds have parsed=None because
+    the driver truncates stdout — those can't be compared per-query)."""
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
+        text = f.read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "queries" in doc:
+            return doc
+        if isinstance(doc, dict) and "parsed" in doc:
+            if doc["parsed"] is None:
+                raise SystemExit(
+                    f"{path}: driver wrapper has parsed=None "
+                    "(truncated stdout) — no per-query data"
+                )
+            return doc["parsed"]
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
     raise SystemExit(f"no JSON line in {path}")
 
 
