@@ -135,6 +135,7 @@ EXTENDED = [
     "image_dhash_groups",
     "image_neardup_pairs",
     "sqlite_extract_stats",
+    "cheapest_trade_route",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -520,3 +520,62 @@ def bfs_hops(
     return dist.filter(F.col("d").isNotNull()).select(
         "node", F.col("d").alias("hops")
     )
+
+
+def bellman_ford(
+    edges: DataFrame,
+    source,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "cost",
+) -> DataFrame:
+    """``rounds`` iterations of WEIGHTED distance relaxation
+    (Bellman-Ford): minimum total integer cost from ``source`` within
+    the round budget — the :func:`bfs_hops` frontier pattern pushing
+    ``d + cost`` instead of ``d + 1``. Exact with non-negative integer
+    weights, so the SQL oracle unrolls round for round and the result
+    hash-matches. ``rounds`` bounds path LENGTH (edges), the caller's
+    diameter assertion, exactly like bfs_hops.
+
+    Returns (node, cost) for nodes reached within ``rounds``.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == F.lit(source), F.lit(0))
+        .cast("long")
+        .alias("d"),
+    )
+    for _ in range(rounds):
+        reached = dist.filter(F.col("d").isNotNull())
+        pushed = e.join(
+            F.broadcast(reached.withColumnRenamed("node", "src")), "src"
+        ).select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        dist = (
+            reached.select("node", "d")
+            .unionByName(pushed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .join(nodes, "node", "right")
+            .select("node", "d")
+            .localCheckpoint()
+        )
+    return dist.filter(F.col("d").isNotNull()).select(
+        "node", F.col("d").alias("cost")
+    )

@@ -11751,3 +11751,108 @@ def sqlite_extract_stats(spark, sf_dir):
         "doc_id long, n_rows long, ids_sum long, n_null_text long, "
         "text_chars long, score_sum double, roundtrip_exact boolean",
     )
+
+
+def _bellman_ford_oracle(source: str, threshold_sql: str, rounds: int) -> str:
+    """Unrolled DuckDB twin of operators/graph.py:bellman_ford over the
+    weight-thresholded trade graph with integer edge costs
+    GREATEST(1000000 // trade_count, 1) — heavy lanes are cheap. Same
+    frontier/min CTE-pair unrolling as the BFS oracle, pushing d+cost."""
+    ctes = [
+        f"e0 AS ({_TRADE_EDGES_CTE} HAVING COUNT(*) >= {threshold_sql})",
+        "e AS (SELECT src, dst, GREATEST(1000000 // w, 1) AS cost FROM e0)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"""d0 AS (
+      SELECT node, CASE WHEN node = '{source}' THEN CAST(0 AS BIGINT) END
+             AS d FROM nodes)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""c{r} AS (
+      SELECT node, d FROM d{r} WHERE d IS NOT NULL
+      UNION ALL
+      SELECT e.dst, d{r}.d + e.cost FROM e JOIN d{r} ON e.src = d{r}.node
+      WHERE d{r}.d IS NOT NULL)"""
+        )
+        ctes.append(
+            f"""d{r + 1} AS (
+      SELECT n.node, MIN(c.d) AS d
+      FROM nodes n LEFT JOIN c{r} c ON n.node = c.node
+      GROUP BY n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS n_name, d AS cost FROM d{rounds} WHERE d IS NOT NULL"""
+    )
+
+
+@register(
+    "cheapest_trade_route",
+    _bellman_ford_oracle(
+        "NATION_18",
+        f"(SELECT GREATEST(COUNT(*) // {_TRADE_HOPS_DIVISOR}, 2)"
+        " FROM lineitem)",
+        5,
+    ),
+)
+def cheapest_trade_route(spark, sf_dir):
+    """Minimum-cost routes from NATION_18 over the thresholded trade
+    graph — trade_hops' WEIGHTED sibling: edge cost =
+    GREATEST(1000000 // trade_count, 1) (heavier lanes are cheaper),
+    relaxed for 5 Bellman-Ford rounds (operators/graph.py bellman_ford:
+    the bfs_hops frontier pattern pushing d+cost — one broadcast join +
+    map-side-combined MIN per round, lineage truncated per round). All
+    arithmetic is non-negative integers, so the unrolled oracle
+    hash-matches exactly. The round budget bounds path LENGTH; on this
+    graph's diameter the fixpoint is reached well inside it (the last
+    two rounds are asserted equal in tests/test_graph.py).
+
+    Scale: the edge list aggregates in ONE shuffle (dims broadcast);
+    each round joins the |V|-sized distance table against aggregated
+    edges — iteration cost is |V|+|E|, never data-sized.
+    """
+    from .operators.graph import bellman_ford
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    threshold = max(li.count() // _TRADE_HOPS_DIVISOR, 2)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("snk"),
+                    F.col("n_name").alias("src"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("cnk"),
+                    F.col("n_name").alias("dst"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= F.lit(threshold))
+        .select(
+            "src",
+            "dst",
+            F.greatest(
+                F.expr("CAST(1000000 div w AS BIGINT)"), F.lit(1)
+            ).alias("cost"),
+        )
+    )
+    out = bellman_ford(edges, "NATION_18", rounds=5)
+    return out.select(F.col("node").alias("n_name"), "cost")

@@ -216,3 +216,54 @@ def test_bfs_hops_vs_reference(spark):
         }
         assert got == ref(rounds), rounds
     assert "x" not in got and "y" not in got
+
+
+def test_bellman_ford_hand_graph_and_fixpoint(spark, sf_dir):
+    """Weighted relaxation on a hand graph: the cheap 3-edge detour
+    beats the expensive direct edge; extra rounds are a fixpoint."""
+    from data_engineering_etl_self_service_spark.operators.graph import (
+        bellman_ford,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10),
+            ("a", "c", 1),
+            ("c", "d", 1),
+            ("d", "b", 1),
+            ("b", "e", 1),
+            ("x", "y", 5),  # unreachable component
+        ],
+        "src string, dst string, cost long",
+    )
+    got = {
+        r["node"]: r["cost"]
+        for r in bellman_ford(edges, "a", rounds=4).collect()
+    }
+    assert got == {"a": 0, "b": 3, "c": 1, "d": 2, "e": 4}
+    # one more round changes nothing (fixpoint inside the budget)
+    again = {
+        r["node"]: r["cost"]
+        for r in bellman_ford(edges, "a", rounds=5).collect()
+    }
+    assert again == got
+    # fixture graph: cheapest_trade_route is at fixpoint within budget
+    from data_engineering_etl_self_service_spark.queries import QUERIES
+
+    rows = QUERIES["cheapest_trade_route"](spark, sf_dir).collect()
+    assert {r["n_name"] for r in rows}  # non-vacuous at sf0.001
+    assert all(r["cost"] >= 0 for r in rows)
+
+
+def test_bellman_ford_parallel_edges_keep_cheapest(spark):
+    from data_engineering_etl_self_service_spark.operators.graph import (
+        bellman_ford,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 7), ("a", "b", 2)], "src string, dst string, cost long"
+    )
+    got = {
+        r["node"]: r["cost"] for r in bellman_ford(edges, "a", 2).collect()
+    }
+    assert got["b"] == 2
