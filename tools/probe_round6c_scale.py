@@ -37,6 +37,13 @@ PROBES = [
     ("code_file_stats", ("documents",)),
     ("srt_extract_stats", ("documents",)),
     ("latex_extract_stats", ("documents",)),
+    ("tfrecord_extract_stats", ("documents",)),
+    ("sqlite_extract_stats", ("documents",)),
+    ("image_dhash_groups", ("documents",)),
+    ("image_neardup_pairs", ("documents",)),
+    # cheapest_trade_route is deliberately absent: replicating lineitem
+    # alone breaks its 5-table join closure, and its per-round |V|+|E|
+    # iteration cost is the already-probed trade_hops/pagerank shape.
 ]
 
 OFFSETS = {
