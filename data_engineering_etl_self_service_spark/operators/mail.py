@@ -108,8 +108,6 @@ def build_mbox(messages: "list[bytes]") -> bytes:
                 out += b">" + line + b"\n"
             else:
                 out += line + b"\n"
-        if not raw.endswith(b"\n"):
-            pass
         out += b"\n"
     return bytes(out)
 
