@@ -225,14 +225,23 @@ def read_wav_ima(raw: bytes) -> tuple[int, "list[int]"]:
             n_samples = struct.unpack_from("<I", body, 0)[0]
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 14:
+        raise ValueError("fmt chunk too short")
     tag, channels, rate, _br, block_align = struct.unpack_from("<HHIIH", fmt, 0)
     if tag != 0x0011:
         raise ValueError(f"not IMA ADPCM (format tag 0x{tag:04x})")
     if channels != 1:
         raise ValueError("only mono WAV-IMA supported")
+    if block_align < 5:
+        # 4-byte state header + at least one data byte; 0 would also
+        # divide-by-zero below — malformed per spec (review r6c)
+        raise ValueError(f"invalid block align {block_align}")
     out: list[int] = []
     for off in range(0, len(data) - (len(data) % block_align), block_align):
         first, index, _ = struct.unpack_from("<hBB", data, off)
+        # a corrupt header index (89-255) would index past the step
+        # table: clamp — decode of a corrupt block degrades, not raises
+        index = min(index, 88)
         out.append(first)
         body = data[off + 4 : off + block_align]
         out.extend(decode_ima(body, predictor=first, index=index, order="low"))

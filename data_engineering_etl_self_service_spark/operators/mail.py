@@ -74,9 +74,20 @@ def parse_eml(raw: bytes) -> dict:
         msg = email.message_from_bytes(raw)
         out["subject"] = msg["Subject"]
         out["sender"] = msg["From"]
-        if msg["Date"]:
-            dt = email.utils.parsedate_to_datetime(msg["Date"])
-            out["date_epoch"] = int(dt.timestamp())
+        # Date gets its OWN guard: a malformed Date header must not
+        # discard the recoverable body/headers (review r6c). A tz-naive
+        # Date is interpreted as UTC so date_epoch is identical on
+        # every executor regardless of local timezone.
+        try:
+            if msg["Date"]:
+                from datetime import timezone
+
+                dt = email.utils.parsedate_to_datetime(msg["Date"])
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                out["date_epoch"] = int(dt.timestamp())
+        except (ValueError, TypeError, OverflowError):
+            pass
         out["is_multipart"] = msg.is_multipart()
         body = None
         n_parts = 0

@@ -118,14 +118,14 @@ class _Db:
         stack = [root]
         while stack:
             num = stack.pop()
-            page = self.page(num)
-            hdr_off = 100 if num == 1 else 0
-            ptype = page[hdr_off]
-            ncells = struct.unpack(
-                ">H", page[hdr_off + 3 : hdr_off + 5]
-            )[0]
-            cp_start = hdr_off + (12 if ptype == 0x05 else 8)
             try:
+                page = self.page(num)
+                hdr_off = 100 if num == 1 else 0
+                ptype = page[hdr_off]
+                ncells = struct.unpack(
+                    ">H", page[hdr_off + 3 : hdr_off + 5]
+                )[0]
+                cp_start = hdr_off + (12 if ptype == 0x05 else 8)
                 if ptype == 0x05:  # interior table page
                     kids = []
                     for i in range(ncells):

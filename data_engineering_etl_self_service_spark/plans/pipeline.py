@@ -391,21 +391,36 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                 F.col(text_col).alias("text"),
                 F.col(label_col).cast("boolean").alias("label"),
             )
+            # fail LOUDLY on an empty training slice: with no labeled
+            # rows the model table is empty and the scoring joins would
+            # silently empty the whole pipeline (review r6c)
+            if train.limit(1).count() == 0:
+                raise ValueError(
+                    f"classify: no rows have a non-null '{label_col}' — "
+                    "nothing to train on"
+                )
             model, meta = nb_train(train)
             docs = df.select(
                 F.col(id_col).alias("doc_id"),
                 F.col(text_col).alias("text"),
-            )
+            ).filter(F.col("text").isNotNull())
             m = nb_score_multinomial(docs, model, meta).select(
                 F.col("doc_id").alias(id_col), "mult_odds"
             )
             b = nb_score_bernoulli(docs, model, meta).select(
                 F.col("doc_id").alias(id_col), "bern_odds"
             )
+            # LEFT joins: a NULL-text row produces no token rows, so an
+            # inner join would silently delete it — instead it passes
+            # through with NULL odds and predicted=false, filterable
+            # downstream like any other signal column
             df = (
-                df.join(m, id_col)
-                .join(b, id_col)
-                .withColumn("predicted", F.col("bern_odds") > 1.0)
+                df.join(m, id_col, "left")
+                .join(b, id_col, "left")
+                .withColumn(
+                    "predicted",
+                    F.coalesce(F.col("bern_odds") > 1.0, F.lit(False)),
+                )
             )
         elif op == "scrub_duplicates":
             # duplicate-substring REMOVAL (round 6): tokens covered by a

@@ -64,6 +64,7 @@ def register(name: str, oracle: str | None = None):
 
         wrapped.__name__ = name
         wrapped.__doc__ = fn.__doc__
+        wrapped._raw = fn  # undecorated fn (extra kwargs, e.g. PLAN_VIEWS)
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
@@ -11444,7 +11445,7 @@ def tfrecord_extract_stats(spark, sf_dir):
     ORDER BY h.doc_id
     """,
 )
-def image_dhash_groups(spark, sf_dir):
+def image_dhash_groups(spark, sf_dir, materialize=True):
     """Perceptual image dedup (operators/imagehash.py — the image twin
     of exact text dedup): per doc a deterministic grayscale pattern
     (content class = doc_id %% 25, plus a per-doc brightness offset the
@@ -11488,6 +11489,11 @@ def image_dhash_groups(spark, sf_dir):
     h = d.mapInPandas(
         hashes, "doc_id long, dhash long, pattern_class long"
     )
+    if materialize:
+        # h feeds BOTH the group aggregate and the row side of the join
+        # below — uncached, Spark would run the PNG encode/decode/hash
+        # pass once per branch (review r6c). |docs| skinny rows.
+        h = h.localCheckpoint(eager=True)
     g = h.groupBy("dhash").agg(
         F.count(F.lit(1)).cast("long").alias("group_size"),
         F.min("doc_id").alias("canon"),
@@ -11548,7 +11554,7 @@ def image_dhash_groups(spark, sf_dir):
     WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 4
     """,
 )
-def image_neardup_pairs(spark, sf_dir):
+def image_neardup_pairs(spark, sf_dir, materialize=True):
     """NEAR-duplicate image pairs at hamming radius 4 (operators/
     imagehash.py): each doc's pattern image additionally carries a
     doc-specific saturated blemish block (so same-class images are no
@@ -11600,6 +11606,11 @@ def image_neardup_pairs(spark, sf_dir):
             yield pd.DataFrame(rows)
 
     h = d.mapInPandas(hashes, "doc_id long, dhash long, cls long")
+    if materialize:
+        # h feeds FOUR plan branches (both band sides + both hash-lookup
+        # sides) — uncached, the per-image PNG/hash pass would run ~4x
+        # (review r6c). |docs| skinny rows.
+        h = h.localCheckpoint(eager=True)
     bands = h.select(
         "doc_id",
         "dhash",
@@ -11706,7 +11717,8 @@ def sqlite_extract_stats(spark, sf_dir):
                 parts = [
                     " ".join(toks[k * m : (k + 1) * m]) for k in range(3)
                 ]
-                p = tempfile.mktemp(suffix=".db")
+                fd, p = tempfile.mkstemp(suffix=".db")
+                os.close(fd)  # sqlite3 initializes the empty file in place
                 con = sqlite3.connect(p)
                 con.execute(
                     "CREATE TABLE docs (id INTEGER PRIMARY KEY, "
@@ -11856,3 +11868,11 @@ def cheapest_trade_route(spark, sf_dir):
     )
     out = bellman_ford(edges, "NATION_18", rounds=5)
     return out.select(F.col("node").alias("n_name"), "cost")
+
+
+PLAN_VIEWS["image_dhash_groups"] = lambda spark, sf_dir: (
+    image_dhash_groups._raw(spark, sf_dir, materialize=False)
+)
+PLAN_VIEWS["image_neardup_pairs"] = lambda spark, sf_dir: (
+    image_neardup_pairs._raw(spark, sf_dir, materialize=False)
+)

@@ -281,14 +281,27 @@ def streaming_nb_score(
         for w, _cp, _cn, df_pos, df_neg in sorted(model_rows)
     ]
 
+    import re as _re
+
+    def _tokens(text: str) -> "list[str]":
+        # EXACTLY functions.text.tokens: lower, trim (Spark trim strips
+        # 0x20 SPACES only — Python str.strip() would also eat unicode
+        # whitespace), split on ASCII \s+ (Java \s; Python str.split is
+        # unicode-aware and drops empties — either would break the
+        # bit-parity contract: Spark's split('') yields [''], one OOV
+        # factor, and U+00A0 is a separator in Python but not Java).
+        return _re.split(
+            r"\s+", (text or "").lower().strip(" "), flags=_re.A
+        )
+
     def _mult(text: str) -> float:
         odds = 1.0
-        for w in text.lower().strip().split():
+        for w in _tokens(text):
             odds = odds * mult_ratio.get(w, oov)
         return prior * odds
 
     def _bern(text: str) -> float:
-        present = set(text.lower().strip().split())
+        present = set(_tokens(text))
         odds = 1.0
         for w, f_in, f_out in bern:
             odds = odds * (f_in if w in present else f_out)

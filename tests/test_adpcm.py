@@ -118,3 +118,28 @@ def test_wav_ima_rejects_pcm_and_garbage():
     good = build_wav_ima(8000, _sine(100))
     with pytest.raises(ValueError):
         read_wav_ima(good[:20])
+
+
+def test_wav_ima_malformed_headers_degrade_or_valueerror():
+    """Corrupt fmt/block headers follow the documented contract: bad
+    structure -> ValueError; corrupt per-block index -> clamped decode,
+    never IndexError/ZeroDivisionError."""
+    good = bytearray(build_wav_ima(8000, _sine(600), block_align=256))
+    # block_align = 0 in the fmt chunk
+    import struct as _s
+
+    fmt_off = good.index(b"fmt ") + 8
+    bad_align = bytearray(good)
+    _s.pack_into("<H", bad_align, fmt_off + 12, 0)
+    with pytest.raises(ValueError):
+        read_wav_ima(bytes(bad_align))
+    # corrupt step index (200) in the first block header
+    data_off = good.index(b"data") + 8
+    bad_idx = bytearray(good)
+    bad_idx[data_off + 2] = 200
+    rate, dec = read_wav_ima(bytes(bad_idx))  # degrades, no raise
+    assert rate == 8000 and len(dec) == 600
+    # truncated fmt chunk
+    short_fmt = good[: fmt_off + 4]
+    with pytest.raises(ValueError):
+        read_wav_ima(bytes(short_fmt))

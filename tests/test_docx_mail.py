@@ -149,3 +149,25 @@ def test_eml_huge_doc_id_date_in_range():
 
     r = parse_eml(build_eml("x", 1_000_000_123))
     assert r["ok"] and r["date_epoch"] == eml_epoch(1_000_000_123)
+
+
+def test_eml_malformed_date_keeps_body():
+    raw = build_eml("recoverable body here", 5)
+    bad = raw.replace(b"Date:", b"X-Old-Date:") + b""
+    bad = b"Date: banana\n" + bad
+    r = parse_eml(bad)
+    assert r["ok"] and r["body"] == "recoverable body here"
+    assert r["date_epoch"] is None
+
+
+def test_eml_naive_date_is_utc(monkeypatch):
+    import os
+    import time
+
+    raw = build_eml("x", 3)
+    # strip the timezone from the Date header -> naive datetime
+    import re
+
+    naive = re.sub(rb"(Date: [^\r\n]*) GMT", rb"\1", raw)
+    r = parse_eml(naive)
+    assert r["date_epoch"] == EPOCH_BASE + 3 * EPOCH_STEP  # UTC, not local

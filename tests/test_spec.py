@@ -1328,3 +1328,44 @@ def test_extract_archive_tfrecord_format(spark, tmp_path):
     assert res.passed
     out = spark.read.parquet(res.published_path)
     assert out.count() == 3 and out.filter("crc_ok").count() == 3
+
+
+def test_classify_op_null_text_and_empty_train(spark, tmp_path):
+    """classify keeps NULL-text rows (NULL odds, predicted=false) and
+    fails loudly when no row carries a label."""
+    import pytest as _pytest
+
+    from data_engineering_etl_self_service_spark.plans.pipeline import (
+        apply_transformations,
+    )
+
+    def _ops(frame, ops):
+        spec = spec_from_dict(
+            {
+                "pipeline_info": {"name": "t"},
+                "source": {"type": "file", "format": "parquet", "path": "x"},
+                "transformations": ops,
+                "data_quality_checks": [],
+                "destination": {"type": "parquet", "path": "y"},
+            }
+        )
+        return apply_transformations(frame, spec)
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam offer", True),
+            (2, "meeting notes", False),
+            (3, None, None),
+        ],
+        "doc_id long, text string, label boolean",
+    )
+    out = _ops(df, [{"op": "classify", "label_col": "label"}])
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}  # NULL-text row survives
+    assert rows[3]["bern_odds"] is None and rows[3]["predicted"] is False
+
+    unlabeled = df.selectExpr(
+        "doc_id", "text", "CAST(NULL AS boolean) AS label"
+    )
+    with _pytest.raises(ValueError, match="no rows have a non-null"):
+        _ops(unlabeled, [{"op": "classify", "label_col": "label"}])

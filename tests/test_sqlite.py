@@ -19,7 +19,8 @@ from data_engineering_etl_self_service_spark.operators.sqlite import (
 
 
 def _db(rows, schema="(id INTEGER PRIMARY KEY, text TEXT, score REAL, tag BLOB)"):
-    p = tempfile.mktemp(suffix=".db")
+    fd, p = tempfile.mkstemp(suffix=".db")
+    os.close(fd)  # sqlite3 initializes the empty reserved file in place
     con = sqlite3.connect(p)
     con.execute(f"CREATE TABLE docs {schema}")
     width = len(rows[0])
@@ -88,3 +89,26 @@ def test_corrupt_page_degrades():
 @given(st.binary(max_size=400))
 def test_parser_never_raises(raw):
     list(iter_sqlite_rows(raw, "docs"))
+
+
+def test_truncated_database_degrades():
+    """Truncation at or inside any page yields partial rows, never an
+    exception (the dirty-corpus property the module promises)."""
+    raw = _db([(i, "x" * 300, None, None) for i in range(1, 200)])
+    for cut in (100, 150, 4096, 4098, len(raw) // 2, len(raw) - 7):
+        rows = list(iter_sqlite_rows(raw[:cut], "docs"))
+        assert all(isinstance(r, tuple) for r in rows)
+
+
+def test_fixture_token_minimum_precondition(spark, sf_dir):
+    """sqlite_extract_stats' text_chars = length(text)-2 formula needs
+    every doc to split into three non-empty thirds (>= 5 tokens)."""
+    from pyspark.sql import functions as F
+    from data_engineering_etl_self_service_spark.catalog import load_table
+
+    mn = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.min(F.size(F.split("text", " "))))
+        .collect()[0][0]
+    )
+    assert mn >= 5
