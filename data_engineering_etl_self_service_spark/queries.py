@@ -11772,7 +11772,16 @@ def _bellman_ford_oracle(source: str, threshold_sql: str, rounds: int) -> str:
     frontier/min CTE-pair unrolling as the BFS oracle, pushing d+cost."""
     ctes = [
         f"e0 AS ({_TRADE_EDGES_CTE} HAVING COUNT(*) >= {threshold_sql})",
-        "e AS (SELECT src, dst, GREATEST(1000000 // w, 1) AS cost FROM e0)",
+        # trade lanes carry goods both ways: symmetrize, cheapest lane
+        # per unordered pair wins (matches bellman_ford's parallel-edge
+        # MIN) — also what keeps the route tree non-vacuous at sf0.1,
+        # where NATION_18 has only IN-edges above threshold
+        """e AS (
+      SELECT src, dst, MIN(cost) AS cost FROM (
+        SELECT src, dst, GREATEST(1000000 // w, 1) AS cost FROM e0
+        UNION ALL
+        SELECT dst, src, GREATEST(1000000 // w, 1) FROM e0)
+      GROUP BY src, dst)""",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         f"""d0 AS (
       SELECT node, CASE WHEN node = '{source}' THEN CAST(0 AS BIGINT) END
@@ -11800,11 +11809,18 @@ def _bellman_ford_oracle(source: str, threshold_sql: str, rounds: int) -> str:
     )
 
 
+#: cheapest_trade_route's own divisor: trade_hops' 400 gives threshold
+#: 1500 at sf0.1 where the MAX nation-pair weight is 1343 — an empty
+#: graph and a vacuous benched query. 500 keeps 38 edges at sf0.1 and
+#: 184 at sf0.01 (measured), non-vacuous at every fixture scale.
+_TRADE_ROUTE_DIVISOR = 500
+
+
 @register(
     "cheapest_trade_route",
     _bellman_ford_oracle(
         "NATION_18",
-        f"(SELECT GREATEST(COUNT(*) // {_TRADE_HOPS_DIVISOR}, 2)"
+        f"(SELECT GREATEST(COUNT(*) // {_TRADE_ROUTE_DIVISOR}, 2)"
         " FROM lineitem)",
         5,
     ),
@@ -11828,7 +11844,7 @@ def cheapest_trade_route(spark, sf_dir):
     from .operators.graph import bellman_ford
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    threshold = max(li.count() // _TRADE_HOPS_DIVISOR, 2)
+    threshold = max(li.count() // _TRADE_ROUTE_DIVISOR, 2)
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -11864,6 +11880,13 @@ def cheapest_trade_route(spark, sf_dir):
             F.greatest(
                 F.expr("CAST(1000000 div w AS BIGINT)"), F.lit(1)
             ).alias("cost"),
+        )
+    )
+    # symmetrize: a lane is traversable both ways; bellman_ford keeps
+    # the cheapest parallel edge per direction
+    edges = edges.unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cost"
         )
     )
     out = bellman_ford(edges, "NATION_18", rounds=5)
