@@ -11702,9 +11702,7 @@ def sqlite_extract_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def stats(it):
-        import os
         import sqlite3
-        import tempfile
 
         import pandas as pd
 
@@ -11717,9 +11715,10 @@ def sqlite_extract_stats(spark, sf_dir):
                 parts = [
                     " ".join(toks[k * m : (k + 1) * m]) for k in range(3)
                 ]
-                fd, p = tempfile.mkstemp(suffix=".db")
-                os.close(fd)  # sqlite3 initializes the empty file in place
-                con = sqlite3.connect(p)
+                # in-memory db + serialize(): the identical on-disk byte
+                # format without per-row temp-file I/O (measured 12.5 s
+                # -> well under half at sf0.1 for the 5000-file pass)
+                con = sqlite3.connect(":memory:")
                 con.execute(
                     "CREATE TABLE docs (id INTEGER PRIMARY KEY, "
                     "text TEXT, score REAL)"
@@ -11730,9 +11729,8 @@ def sqlite_extract_stats(spark, sf_dir):
                     + [(4, None, None)],
                 )
                 con.commit()
+                raw = con.serialize()
                 con.close()
-                raw = open(p, "rb").read()
-                os.unlink(p)
                 got = list(
                     sqlite_table_dicts(raw, "docs", ["id", "text", "score"])
                 )
