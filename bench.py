@@ -136,6 +136,9 @@ EXTENDED = [
     "image_neardup_pairs",
     "sqlite_extract_stats",
     "cheapest_trade_route",
+    "markdown_extract_stats",
+    "feed_extract_stats",
+    "epub_extract_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

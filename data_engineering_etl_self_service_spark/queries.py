@@ -11897,3 +11897,218 @@ PLAN_VIEWS["image_dhash_groups"] = lambda spark, sf_dir: (
 PLAN_VIEWS["image_neardup_pairs"] = lambda spark, sf_dir: (
     image_neardup_pairs._raw(spark, sf_dir, materialize=False)
 )
+
+
+@register(
+    "markdown_extract_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             (len(string_split(text, ' ')) + 14) // 15 AS m
+      FROM documents)
+    SELECT doc_id,
+           CAST(m AS BIGINT) AS n_paragraphs,
+           doc_id % 3 = 0 AS has_list,
+           doc_id % 4 = 0 AS has_fence,
+           CAST(10 + length(CAST(doc_id AS VARCHAR)) + length(text)
+                + CASE WHEN doc_id % 3 = 0 THEN 21 ELSE 0 END
+                + CASE WHEN doc_id % 4 = 0
+                       THEN 15 + length(CAST(doc_id AS VARCHAR))
+                       ELSE 0 END AS BIGINT) AS extracted_chars,
+           TRUE AS roundtrip_exact
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def markdown_extract_stats(spark, sf_dir):
+    """Markdown text extraction (operators/markdown.py — the
+    README/docs/forum corpus format; CommonMark-rule stripping is the
+    Markdown sibling of the LaTeX detex stage). Builder-exercises-
+    parser: title header, 15-token paragraphs with positional
+    link/bold/em/code styling, every third paragraph blockquoted, a
+    bullet list on every 3rd doc and a rule + fenced code block on
+    every 4th; extraction must recover 'Document <id> ' + text (+ the
+    known list/fence tokens) EXACTLY — proving fence-content retention,
+    header/quote/bullet stripping, link unwrapping, and nested-emphasis
+    unwrapping in one boolean, with the char total stated as a pinned
+    formula of (doc_id, text).
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.markdown import build_markdown, extract_markdown_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                got = extract_markdown_text(build_markdown(t, i))
+                exp = f"Document {i} " + t
+                if i % 3 == 0:
+                    exp += " item a item b item c"
+                if i % 4 == 0:
+                    exp += f" fenced sample {i}"
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_paragraphs": -(-len(t.split(" ")) // 15),
+                        "has_list": i % 3 == 0,
+                        "has_fence": i % 4 == 0,
+                        "extracted_chars": len(got),
+                        "roundtrip_exact": got == exp,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, n_paragraphs long, has_list boolean, "
+        "has_fence boolean, extracted_chars long, roundtrip_exact boolean",
+    )
+
+
+@register(
+    "feed_extract_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             (len(string_split(text, ' ')) + 9) // 10 AS m
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS dialect,
+           'Feed ' || CAST(doc_id AS VARCHAR) AS feed_title,
+           CAST(m AS BIGINT) AS n_items,
+           CAST(1100000000 + (doc_id % 1000000) * 60 AS BIGINT)
+             AS first_epoch,
+           CAST(1100000000 + (doc_id % 1000000) * 60 + (m - 1) * 60
+             AS BIGINT) AS last_epoch,
+           CAST(length(text) - (m - 1) AS BIGINT) AS total_item_chars,
+           TRUE AS roundtrip_exact
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def feed_extract_stats(spark, sf_dir):
+    """RSS 2.0 / Atom feed ingestion (operators/feeds.py — the news/
+    blog corpus arrival format, both public dialects through ONE
+    parser). Builder-exercises-parser: even docs become RSS channels,
+    odd docs Atom feeds, items = 10-token chunks with arithmetic
+    timestamps (RFC 822 pubDate vs ISO 8601 updated — BOTH date
+    grammars round-trip to the same exact epoch integers); the parse
+    must recover dialect, channel title, item count, first/last epoch,
+    and the original text (items rejoined, stated symbolically as
+    length(text) - (m-1) chars across m items).
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.feeds import build_feed, parse_feed
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                r = parse_feed(build_feed(t, i))
+                items = r["items"]
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "dialect": r["dialect"],
+                        "feed_title": r["title"],
+                        "n_items": len(items),
+                        "first_epoch": items[0]["epoch"],
+                        "last_epoch": items[-1]["epoch"],
+                        "total_item_chars": sum(
+                            len(x["text"]) for x in items
+                        ),
+                        "roundtrip_exact": " ".join(
+                            x["text"] for x in items
+                        )
+                        == t,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, dialect string, feed_title string, n_items long, "
+        "first_epoch long, last_epoch long, total_item_chars long, "
+        "roundtrip_exact boolean",
+    )
+
+
+@register(
+    "epub_extract_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             (len(string_split(text, ' ')) + 39) // 40 AS m
+      FROM documents)
+    SELECT doc_id,
+           'Book ' || CAST(doc_id AS VARCHAR) AS book_title,
+           CAST(m AS BIGINT) AS n_chapters,
+           TRUE AS mimetype_ok,
+           CAST(10 * m + length(text) AS BIGINT) AS extracted_chars,
+           TRUE AS roundtrip_exact
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def epub_extract_stats(spark, sf_dir):
+    """EPUB (books) text extraction (operators/epub.py — the OCF/OPF
+    resolution chain done for real: container.xml → OPF manifest →
+    SPINE reading order → XHTML body text). Builder-exercises-parser
+    with a deliberate trap: chapters are zip-stored in REVERSE order
+    while the spine lists them forward, so an extractor walking zip
+    order scrambles the book and fails roundtrip_exact; the stored
+    mimetype-first OCF rule is also checked. Every field is a pinned
+    formula of (doc_id, text): m 40-token chapters contribute
+    'Chapter k ' headings (+10 chars each, k single-digit while docs
+    stay <= 360 tokens — fixture max 99).
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.epub import build_epub, extract_epub
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                r = extract_epub(build_epub(t, i))
+                toks = t.split(" ")
+                m = -(-len(toks) // 40)
+                exp = " ".join(
+                    f"Chapter {k + 1} " + " ".join(toks[k * 40 : (k + 1) * 40])
+                    for k in range(m)
+                )
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "book_title": r["title"],
+                        "n_chapters": r["n_chapters"],
+                        "mimetype_ok": r["mimetype_ok"] and r["ok"],
+                        "extracted_chars": len(r["text"]),
+                        "roundtrip_exact": r["text"] == exp,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, book_title string, n_chapters long, "
+        "mimetype_ok boolean, extracted_chars long, "
+        "roundtrip_exact boolean",
+    )

@@ -151,6 +151,9 @@ def test_codec_queries_are_single_scan_shuffle_free(spark, sf_dir):
         "latex_extract_stats",
         "tfrecord_extract_stats",
         "sqlite_extract_stats",
+        "markdown_extract_stats",
+        "feed_extract_stats",
+        "epub_extract_stats",
     ):
         plan = _plan(spark, name, sf_dir)
         assert _op_count(plan, "Exchange") == 0, (name, plan)
