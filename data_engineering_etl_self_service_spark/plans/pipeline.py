@@ -283,7 +283,8 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                     )
 
                 df = df.withColumn(out_col, _pdf_text(F.col(in_col)))
-            elif fmt in ("docx", "eml", "latex", "srt"):
+            elif fmt in ("docx", "eml", "latex", "srt", "markdown", "epub",
+                         "feed"):
                 # round 6c: office, mail, science, subtitle arrival
                 # formats — all Arrow-batched per-row extraction
                 # (operators/docx.py, mail.py, latex.py, subtitles.py);
@@ -307,6 +308,22 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                     from ..operators.latex import extract_latex_text
 
                     fn = lambda s: extract_latex_text(s or "")  # noqa: E731
+                elif fmt == "markdown":
+                    from ..operators.markdown import extract_markdown_text
+
+                    fn = lambda s: extract_markdown_text(s or "")  # noqa: E731
+                elif fmt == "epub":
+                    from ..operators.epub import extract_epub
+
+                    fn = lambda b: extract_epub(  # noqa: E731
+                        bytes(b) if b is not None else b""
+                    )["text"]
+                elif fmt == "feed":
+                    from ..operators.feeds import parse_feed
+
+                    fn = lambda s: " ".join(  # noqa: E731
+                        i["text"] for i in parse_feed(s or "")["items"]
+                    )
                 else:  # srt
                     from ..operators.subtitles import parse_srt
 

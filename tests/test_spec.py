@@ -1369,3 +1369,53 @@ def test_classify_op_null_text_and_empty_train(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="no rows have a non-null"):
         _ops(unlabeled, [{"op": "classify", "label_col": "label"}])
+
+
+def test_extract_text_markdown_epub_feed_formats(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.operators.epub import build_epub
+    from data_engineering_etl_self_service_spark.operators.feeds import build_feed
+    from data_engineering_etl_self_service_spark.operators.markdown import (
+        build_markdown,
+    )
+
+    text = "spark engines like declarative plans and pushed filters"
+    src = str(tmp_path / "raw_md.parquet")
+    spark.createDataFrame(
+        [
+            (
+                1,
+                build_markdown(text, 1),
+                bytearray(build_epub(text, 1)),
+                build_feed(text, 1),
+            )
+        ],
+        "doc_id long, md string, epub binary, feed string",
+    ).write.parquet(src)
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "md6c"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "extract_text", "format": "markdown",
+                 "input_col": "md", "output_col": "md_text"},
+                {"op": "extract_text", "format": "epub",
+                 "input_col": "epub", "output_col": "epub_text"},
+                {"op": "extract_text", "format": "feed",
+                 "input_col": "feed", "output_col": "feed_text"},
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+            "destination": {
+                "type": "parquet",
+                "path": str(tmp_path / "md_out"),
+            },
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    row = spark.read.parquet(res.published_path).collect()[0]
+    assert row.md_text == f"Document 1 {text}"
+    assert row.epub_text == f"Chapter 1 {text}"
+    assert row.feed_text == text
