@@ -139,6 +139,7 @@ EXTENDED = [
     "markdown_extract_stats",
     "feed_extract_stats",
     "epub_extract_stats",
+    "charset_sniff_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -284,7 +284,7 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
 
                 df = df.withColumn(out_col, _pdf_text(F.col(in_col)))
             elif fmt in ("docx", "eml", "latex", "srt", "markdown", "epub",
-                         "feed"):
+                         "feed", "sniff"):
                 # round 6c: office, mail, science, subtitle arrival
                 # formats — all Arrow-batched per-row extraction
                 # (operators/docx.py, mail.py, latex.py, subtitles.py);
@@ -324,6 +324,14 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
                     fn = lambda s: " ".join(  # noqa: E731
                         i["text"] for i in parse_feed(s or "")["items"]
                     )
+                elif fmt == "sniff":
+                    # raw bytes of unknown charset -> UTF-8 text
+                    # (operators/encoding.py ladder; total, never raises)
+                    from ..operators.encoding import sniff_decode
+
+                    fn = lambda b: sniff_decode(  # noqa: E731
+                        bytes(b) if b is not None else b""
+                    )["text"]
                 else:  # srt
                     from ..operators.subtitles import parse_srt
 

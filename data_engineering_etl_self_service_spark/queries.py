@@ -12112,3 +12112,82 @@ def epub_extract_stats(spark, sf_dir):
         "mimetype_ok boolean, extracted_chars long, "
         "roundtrip_exact boolean",
     )
+
+
+@register(
+    "charset_sniff_stats",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INTEGER)
+             WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+             WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
+             ELSE 'latin-1' END AS encoding,
+           doc_id % 5 IN (1, 2) AS had_bom,
+           CAST(0 AS BIGINT) AS n_replacements,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT)
+             AS high_bytes,
+           CAST(length(text)
+                + CASE WHEN doc_id % 5 = 4 THEN 5 ELSE 0 END AS BIGINT)
+             AS text_chars,
+           TRUE AS roundtrip_exact
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def charset_sniff_stats(spark, sf_dir):
+    """Charset sniffing (operators/encoding.py — the decode-to-UTF-8
+    front door every mixed-encoding corpus needs BEFORE normalization):
+    per doc_id the text is encoded down one of five arrival paths —
+    plain UTF-8, UTF-8+BOM, UTF-16 LE with BOM, UTF-16 BE withOUT a BOM
+    (exercising the NUL-parity heuristic), and Latin-1 with an injected
+    high byte (invalid as UTF-8, so the ladder must fall through) — and
+    the sniffer must identify the encoding, strip the BOM, decode with
+    zero replacements, and reproduce the exact text (the Latin-1 doc
+    gains the known 5-char ' caf\\xe9' suffix). Every column is a pinned
+    formula of doc_id.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.encoding import sniff_decode
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                mod = i % 5
+                if mod == 0:
+                    raw, exp = t.encode("utf-8"), t
+                elif mod == 1:
+                    raw, exp = b"\xef\xbb\xbf" + t.encode("utf-8"), t
+                elif mod == 2:
+                    raw, exp = b"\xff\xfe" + t.encode("utf-16-le"), t
+                elif mod == 3:
+                    raw, exp = t.encode("utf-16-be"), t
+                else:
+                    exp = t + " caf\xe9"
+                    raw = exp.encode("latin-1")
+                r = sniff_decode(raw)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "encoding": r["encoding"],
+                        "had_bom": r["had_bom"],
+                        "n_replacements": r["n_replacements"],
+                        "high_bytes": r["high_bytes"],
+                        "text_chars": len(r["text"]),
+                        "roundtrip_exact": r["text"] == exp,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, encoding string, had_bom boolean, "
+        "n_replacements long, high_bytes long, text_chars long, "
+        "roundtrip_exact boolean",
+    )

@@ -1,0 +1,59 @@
+"""Charset sniffing (operators/encoding.py): BOM ladder, UTF-16
+heuristic, fall-through, replacement accounting, fuzz totality."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_engineering_etl_self_service_spark.operators.encoding import (
+    sniff_decode,
+)
+
+
+def test_bom_ladder_priority():
+    # UTF-32 LE BOM starts with the UTF-16 LE BOM bytes: longest wins
+    raw32 = b"\xff\xfe\x00\x00" + "ab".encode("utf-32-le")
+    assert sniff_decode(raw32)["encoding"] == "utf-32-le"
+    assert sniff_decode(raw32)["text"] == "ab"
+    raw16 = b"\xff\xfe" + "ab".encode("utf-16-le")
+    assert sniff_decode(raw16)["encoding"] == "utf-16-le"
+
+
+def test_utf16_heuristic_without_bom():
+    for enc in ("utf-16-le", "utf-16-be"):
+        r = sniff_decode("ascii heavy text".encode(enc))
+        assert r["encoding"] == enc and r["text"] == "ascii heavy text"
+    # an odd-length buffer never triggers the heuristic
+    r = sniff_decode("abc".encode("utf-16-le") + b"x")
+    assert r["encoding"] != "utf-16-le"
+
+
+def test_utf8_strict_then_latin1_fallback():
+    assert sniff_decode("héllo".encode("utf-8"))["encoding"] == "utf-8"
+    r = sniff_decode(b"caf\xe9 au lait")
+    assert r["encoding"] == "latin-1"
+    assert r["text"] == "café au lait"
+    assert r["high_bytes"] == 1 and r["n_replacements"] == 0
+
+
+def test_bom_with_corrupt_body_counts_replacements():
+    r = sniff_decode(b"\xef\xbb\xbfok \xff\xfe broken")
+    assert r["encoding"] == "utf-8" and r["had_bom"]
+    assert r["n_replacements"] == 2
+    assert "ok" in r["text"]
+
+
+def test_empty_input():
+    r = sniff_decode(b"")
+    assert r["encoding"] == "empty" and r["text"] == ""
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=300))
+def test_sniff_total_and_consistent(raw):
+    r = sniff_decode(raw)
+    assert isinstance(r["text"], str)
+    assert r["n_replacements"] == r["text"].count("�") or r[
+        "encoding"
+    ] in ("utf-8", "latin-1", "empty")

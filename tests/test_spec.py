@@ -1419,3 +1419,37 @@ def test_extract_text_markdown_epub_feed_formats(spark, tmp_path):
     assert row.md_text == f"Document 1 {text}"
     assert row.epub_text == f"Chapter 1 {text}"
     assert row.feed_text == text
+
+
+def test_extract_text_sniff_format(spark, tmp_path):
+    src = str(tmp_path / "raw_bytes.parquet")
+    spark.createDataFrame(
+        [
+            (1, bytearray("utf-16 text here".encode("utf-16-le"))),
+            (2, bytearray(b"caf\xe9 latin")),
+            (3, bytearray(b"\xef\xbb\xbfbom utf8")),
+        ],
+        "doc_id long, raw binary",
+    ).write.parquet(src)
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "sniff"},
+            "source": {"type": "file", "format": "parquet", "path": src},
+            "transformations": [
+                {"op": "extract_text", "format": "sniff",
+                 "input_col": "raw", "output_col": "text"}
+            ],
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 3}
+            ],
+            "destination": {
+                "type": "parquet",
+                "path": str(tmp_path / "sniffed"),
+            },
+        }
+    )
+    assert not spec.warnings
+    res = run_pipeline(spark, spec)
+    assert res.passed
+    rows = {r.doc_id: r.text for r in spark.read.parquet(res.published_path).collect()}
+    assert rows == {1: "utf-16 text here", 2: "café latin", 3: "bom utf8"}
