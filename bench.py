@@ -140,6 +140,7 @@ EXTENDED = [
     "feed_extract_stats",
     "epub_extract_stats",
     "charset_sniff_stats",
+    "decompress_sniff_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -94,3 +94,54 @@ def sniff_decode(raw: bytes) -> dict:
         high_bytes=sum(1 for b in raw if b >= 0x80),
     )
     return out
+
+
+#: compression magic → stdlib decoder. gzip via zlib wbits=31 (header
+#: parsing included); bzip2/xz via their stdlib modules. zstd has no
+#: stdlib decoder — sniffed and reported, payload passes through opaque
+#: (the decode_media stub discipline for absent codecs).
+_MAGICS = [
+    (b"\x1f\x8b", "gzip"),
+    (b"BZh", "bzip2"),
+    (b"\xfd7zXZ\x00", "xz"),
+    (b"\x28\xb5\x2f\xfd", "zstd"),
+]
+
+
+def sniff_decompress(raw: bytes) -> dict:
+    """Sniff + decompress a payload → ``{compression, ok, data}``.
+
+    ``compression`` is 'none' for unrecognized bytes (data passes
+    through verbatim — plain text IS the common case); a recognized
+    container that fails to inflate degrades to ``ok=False`` with empty
+    data, never raises. Composes with :func:`sniff_decode`:
+    bytes → decompress → charset → text is the whole front door.
+    """
+    comp = "none"
+    for magic, name in _MAGICS:
+        if raw.startswith(magic):
+            comp = name
+            break
+    if comp == "none":
+        return {"compression": "none", "ok": True, "data": raw}
+    try:
+        if comp == "gzip":
+            import zlib
+
+            return {
+                "compression": comp,
+                "ok": True,
+                "data": zlib.decompress(raw, wbits=31),
+            }
+        if comp == "bzip2":
+            import bz2
+
+            return {"compression": comp, "ok": True, "data": bz2.decompress(raw)}
+        if comp == "xz":
+            import lzma
+
+            return {"compression": comp, "ok": True, "data": lzma.decompress(raw)}
+    except Exception:
+        return {"compression": comp, "ok": False, "data": b""}
+    # zstd: recognized but undecodable here (no stdlib codec)
+    return {"compression": comp, "ok": False, "data": b""}

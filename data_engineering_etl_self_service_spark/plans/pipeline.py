@@ -284,7 +284,7 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
 
                 df = df.withColumn(out_col, _pdf_text(F.col(in_col)))
             elif fmt in ("docx", "eml", "latex", "srt", "markdown", "epub",
-                         "feed", "sniff"):
+                         "feed", "sniff", "auto"):
                 # round 6c: office, mail, science, subtitle arrival
                 # formats — all Arrow-batched per-row extraction
                 # (operators/docx.py, mail.py, latex.py, subtitles.py);
@@ -331,6 +331,19 @@ def apply_transformations(df: DataFrame, spec: PipelineSpec) -> DataFrame:
 
                     fn = lambda b: sniff_decode(  # noqa: E731
                         bytes(b) if b is not None else b""
+                    )["text"]
+                elif fmt == "auto":
+                    # the whole bytes front door: magic-sniffed
+                    # decompress (gzip/bz2/xz) then charset sniff
+                    from ..operators.encoding import (
+                        sniff_decode,
+                        sniff_decompress,
+                    )
+
+                    fn = lambda b: sniff_decode(  # noqa: E731
+                        sniff_decompress(
+                            bytes(b) if b is not None else b""
+                        )["data"]
                     )["text"]
                 else:  # srt
                     from ..operators.subtitles import parse_srt

@@ -12191,3 +12191,72 @@ def charset_sniff_stats(spark, sf_dir):
         "n_replacements long, high_bytes long, text_chars long, "
         "roundtrip_exact boolean",
     )
+
+
+@register(
+    "decompress_sniff_stats",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2'
+             WHEN 2 THEN 'xz' ELSE 'none' END AS compression,
+           TRUE AS ok,
+           CAST(length(text) AS BIGINT) AS data_chars,
+           TRUE AS text_match
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def decompress_sniff_stats(spark, sf_dir):
+    """Compressed-payload front door (operators/encoding.py
+    sniff_decompress — corpus files arrive as .gz/.bz2/.xz blobs;
+    magic-sniffed and inflated with the stdlib codecs, then handed to
+    the charset sniffer: bytes → decompress → decode → text is the
+    complete ingestion chain, exposed as extract_text format 'auto').
+    Builder-exercises-parser: per doc_id the text compresses down one
+    of four paths (gzip / bzip2 / xz / passthrough); the chain must
+    identify the container and reproduce the exact text.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass.
+    """
+    from .operators.encoding import sniff_decode, sniff_decompress
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import bz2
+        import gzip
+        import lzma
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                raw = t.encode("utf-8")
+                mod = i % 4
+                if mod == 0:
+                    raw = gzip.compress(raw)
+                elif mod == 1:
+                    raw = bz2.compress(raw)
+                elif mod == 2:
+                    raw = lzma.compress(raw)
+                r = sniff_decompress(raw)
+                text = sniff_decode(r["data"])["text"]
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "compression": r["compression"],
+                        "ok": r["ok"],
+                        "data_chars": len(text),
+                        "text_match": text == t,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, compression string, ok boolean, data_chars long, "
+        "text_match boolean",
+    )

@@ -57,3 +57,38 @@ def test_sniff_total_and_consistent(raw):
     assert r["n_replacements"] == r["text"].count("�") or r[
         "encoding"
     ] in ("utf-8", "latin-1", "empty")
+
+
+def test_sniff_decompress_all_containers_and_degrade():
+    import bz2
+    import gzip
+    import lzma
+
+    from data_engineering_etl_self_service_spark.operators.encoding import (
+        sniff_decompress,
+    )
+
+    text = b"round trip payload"
+    for raw, comp in [
+        (gzip.compress(text), "gzip"),
+        (bz2.compress(text), "bzip2"),
+        (lzma.compress(text), "xz"),
+        (text, "none"),
+    ]:
+        r = sniff_decompress(raw)
+        assert (r["compression"], r["ok"], r["data"]) == (comp, True, text)
+    broken = sniff_decompress(b"\x1f\x8bnot really gzip")
+    assert broken == {"compression": "gzip", "ok": False, "data": b""}
+    zstd = sniff_decompress(b"\x28\xb5\x2f\xfd payload")
+    assert zstd["compression"] == "zstd" and not zstd["ok"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=300))
+def test_sniff_decompress_never_raises(raw):
+    from data_engineering_etl_self_service_spark.operators.encoding import (
+        sniff_decompress,
+    )
+
+    r = sniff_decompress(raw)
+    assert isinstance(r["data"], bytes)
