@@ -112,10 +112,13 @@ def sniff_decompress(raw: bytes) -> dict:
     """Sniff + decompress a payload → ``{compression, ok, data}``.
 
     ``compression`` is 'none' for unrecognized bytes (data passes
-    through verbatim — plain text IS the common case); a recognized
-    container that fails to inflate degrades to ``ok=False`` with empty
-    data, never raises. Composes with :func:`sniff_decode`:
-    bytes → decompress → charset → text is the whole front door.
+    through verbatim — plain text IS the common case); a magic-prefixed
+    payload that fails to inflate ALSO passes through verbatim with
+    ``ok=False`` — magic bytes can occur in plain text ('BZh' is three
+    printable ASCII chars), and destroying the payload on a sniff
+    false-positive would be silent data loss (review r6c). Never
+    raises. Composes with :func:`sniff_decode`: bytes → decompress →
+    charset → text is the whole front door.
     """
     comp = "none"
     for magic, name in _MAGICS:
@@ -142,6 +145,7 @@ def sniff_decompress(raw: bytes) -> dict:
 
             return {"compression": comp, "ok": True, "data": lzma.decompress(raw)}
     except Exception:
-        return {"compression": comp, "ok": False, "data": b""}
+        # sniff false-positive or corrupt container: keep the bytes
+        return {"compression": comp, "ok": False, "data": raw}
     # zstd: recognized but undecodable here (no stdlib codec)
-    return {"compression": comp, "ok": False, "data": b""}
+    return {"compression": comp, "ok": False, "data": raw}

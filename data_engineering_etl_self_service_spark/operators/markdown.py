@@ -35,13 +35,19 @@ import re
 PARA_TOKENS = 15
 
 _FENCE = re.compile(r"^(```|~~~)[^\n]*\n(.*?)\n\1[ \t]*$", re.S | re.M)
-_HEADER = re.compile(r"^#{1,6}[ \t]+(.*?)[ \t]*#*[ \t]*$", re.M)
+# closing hashes are markup only when whitespace-separated from the text
+# (CommonMark 4.2) — '# C#' keeps its trailing '#'
+_HEADER = re.compile(r"^#{1,6}[ \t]+(.*?)(?:[ \t]+#+)?[ \t]*$", re.M)
 _BLOCKQUOTE = re.compile(r"^[ \t]*(?:>[ \t]?)+", re.M)
 _BULLET = re.compile(r"^[ \t]*(?:[-*+]|\d{1,9}[.)])[ \t]+", re.M)
 _IMAGE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
 _LINK = re.compile(r"\[([^\]]*)\]\([^)]*\)")
-_STRONG = re.compile(r"(\*\*|__)(.+?)\1", re.S)
-_EM = re.compile(r"(\*|_)([^*_\s][^*_]*?)\1")
+# CommonMark 6.2: '*' MAY open/close intraword emphasis, '_' may NOT —
+# snake_case_words must survive extraction verbatim
+_STRONG_STAR = re.compile(r"\*\*(.+?)\*\*", re.S)
+_STRONG_UNDER = re.compile(r"(?<!\w)__(.+?)__(?!\w)", re.S)
+_EM_STAR = re.compile(r"\*([^*\s][^*]*?)\*")
+_EM_UNDER = re.compile(r"(?<!\w)_([^_\s][^_]*?)_(?!\w)")
 _CODE_SPAN = re.compile(r"`([^`]*)`")
 _HRULE = re.compile(r"^[ \t]*(?:-{3,}|\*{3,}|_{3,})[ \t]*$", re.M)
 
@@ -89,13 +95,10 @@ def extract_markdown_text(src: str) -> str:
     src = _BULLET.sub("", src)
     src = _IMAGE.sub(lambda m: m.group(1), src)
     src = _LINK.sub(lambda m: m.group(1), src)
-    for pat in (_STRONG, _CODE_SPAN):
+    for pat in (_STRONG_STAR, _STRONG_UNDER, _CODE_SPAN,
+                _EM_STAR, _EM_UNDER):
         prev = None
         while prev != src:
             prev = src
-            src = pat.sub(lambda m: m.group(2 if pat is _STRONG else 1), src)
-    prev = None
-    while prev != src:
-        prev = src
-        src = _EM.sub(lambda m: m.group(2), src)
+            src = pat.sub(lambda m: m.group(1), src)
     return re.sub(r"\s+", " ", src).strip()

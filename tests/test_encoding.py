@@ -77,10 +77,17 @@ def test_sniff_decompress_all_containers_and_degrade():
     ]:
         r = sniff_decompress(raw)
         assert (r["compression"], r["ok"], r["data"]) == (comp, True, text)
+    # sniff false-positive: 'BZh' is printable ASCII — the payload
+    # must survive verbatim, not be destroyed
+    fp = sniff_decompress(b"BZh is a legit sentence start")
+    assert fp["compression"] == "bzip2" and not fp["ok"]
+    assert fp["data"] == b"BZh is a legit sentence start"
     broken = sniff_decompress(b"\x1f\x8bnot really gzip")
-    assert broken == {"compression": "gzip", "ok": False, "data": b""}
+    assert broken["compression"] == "gzip" and not broken["ok"]
+    assert broken["data"] == b"\x1f\x8bnot really gzip"
     zstd = sniff_decompress(b"\x28\xb5\x2f\xfd payload")
     assert zstd["compression"] == "zstd" and not zstd["ok"]
+    assert zstd["data"].startswith(b"\x28")
 
 
 @settings(max_examples=60, deadline=None)

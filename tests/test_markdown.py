@@ -61,3 +61,15 @@ def test_roundtrip_fixture_shapes():
 @given(st.text(max_size=300))
 def test_extract_never_raises(src):
     assert isinstance(extract_markdown_text(src), str)
+
+
+def test_commonmark_intraword_and_header_edge_rules():
+    """Review r6c: '_' never matches intraword (snake_case survives),
+    '*' does (CommonMark 6.2); closing header hashes need whitespace."""
+    assert extract_markdown_text("snake_case_token here") == "snake_case_token here"
+    # word-boundary __x__ IS strong emphasis per spec; intraword is not
+    assert extract_markdown_text("__init__ method") == "init method"
+    assert extract_markdown_text("dunder__init__name") == "dunder__init__name"
+    assert extract_markdown_text("a*b*c") == "abc"  # '*' IS intraword markup
+    assert extract_markdown_text("# C#") == "C#"
+    assert extract_markdown_text("## Title ##") == "Title"

@@ -45,6 +45,7 @@ PROBES = [
     ("feed_extract_stats", ("documents",)),
     ("epub_extract_stats", ("documents",)),
     ("charset_sniff_stats", ("documents",)),
+    ("decompress_sniff_stats", ("documents",)),
     # cheapest_trade_route is deliberately absent: replicating lineitem
     # alone breaks its 5-table join closure, and its per-round |V|+|E|
     # iteration cost is the already-probed trade_hops/pagerank shape.
