@@ -205,23 +205,50 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     core_total = round(sum(timings[n] for n in CORE), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "core_metric": "core_queries_total_wall",
-                "core_value": core_total,
-                "core_n": len(CORE),
-                "queries": timings,
-                "samples": samples,
-                "samples_sec": samples_sec,
-                "policy": "best-of-2-all",
-                "sf": sf,
-            }
-        )
+    # Full detail (all per-query timings + both raw samples) goes to a
+    # FILE; stdout gets one COMPACT final line. The driver records only
+    # a ~2 KB stdout tail, and from round 5 the full-map JSON outgrew it
+    # (BENCH_r05/r06 both captured `parsed: null` with a mid-JSON
+    # truncated tail). The compact line keeps the driver contract keys
+    # (metric/value/unit/queries/sf) with `queries` restricted to the
+    # FROZEN core-30 (the round-over-round comparison set), plus a
+    # pointer to the detail file. ~1.2 KB worst case; asserted <= 1536
+    # bytes so the stdout tail can never truncate it again.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "core_metric": "core_queries_total_wall",
+        "core_value": core_total,
+        "core_n": len(CORE),
+        "queries": timings,
+        "samples": samples,
+        "samples_sec": samples_sec,
+        "policy": "best-of-2-all",
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "core_metric": "core_queries_total_wall",
+        "core_value": core_total,
+        "core_n": len(CORE),
+        "n_queries": len(timings),
+        "queries": {n: timings[n] for n in CORE},
+        "policy": "best-of-2-all",
+        "detail": "BENCH_local.json",
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1536, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,7 @@ def pagerank_fixedpoint(
     damping_den: int = 100,
     checkpoint_every: int = 5,
     driver_edges_max: int = 1_000_000,
+    broadcast_nodes_max: int = 10_000_000,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list, exact fixed-point.
 
@@ -77,8 +78,16 @@ def pagerank_fixedpoint(
       quality-prior graphs (nation/source/domain level), where the
       iterative state is thousands of rows distilled from terabytes.
     - **Distributed tier**: ranks stay a DataFrame; each iteration is a
-      broadcast join of |V| ranks against the cached edge list plus a
-      map-side-combined groupBy. ``checkpoint_every`` bounds lineage
+      join of |V| ranks against the cached edge list plus a
+      map-side-combined groupBy. The join strategy is picked by
+      ``n_nodes`` (a scalar already computed for the damping base):
+      up to ``broadcast_nodes_max`` the rank table is broadcast (the
+      domain/host-graph case — |V| ≪ |E|, zero shuffle of the edge
+      list); above it — a web-scale node set that would blow the
+      broadcast limit — the hint is omitted and Spark shuffles BOTH
+      sides on ``src``, which AQE can further re-plan. Both paths
+      compute the identical integer recurrence (parity-pinned by
+      ``tests/test_graph.py``). ``checkpoint_every`` bounds lineage
       depth (eager ``localCheckpoint`` every k-th iteration) so long
       convergence runs never build an O(iters)-deep plan, while short
       runs skip the extra materialization jobs entirely.
@@ -125,10 +134,11 @@ def pagerank_fixedpoint(
 
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for it in range(n_iters):
+        rank_side = ranks.withColumnRenamed("node", "src")
+        if n_nodes <= broadcast_nodes_max:
+            rank_side = F.broadcast(rank_side)
         contrib = (
-            ew.join(
-                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
-            )
+            ew.join(rank_side, "src")
             # overflow-safe exact floor((rank * w) / outw)
             .select(
                 "dst",

@@ -57,6 +57,37 @@ def test_pagerank_matches_reference_model_both_tiers(spark):
     assert dist_tier == expected
 
 
+def test_pagerank_shuffle_join_fallback_parity(spark):
+    """broadcast_nodes_max=0 forces the shuffle-join rank update (the
+    web-scale path where |V| would blow the broadcast limit); it must be
+    bit-identical to the broadcast path AND the reference recurrence —
+    the documented boundary is a code path, not an assumption."""
+    edges = [
+        ("a", "b", 1),
+        ("a", "b", 1),
+        ("a", "c", 2),
+        ("b", "c", 5),
+        ("c", "a", 1),
+        ("d", "a", 3),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    expected = _ref_pagerank(edges)
+    shuffle_tier = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixedpoint(
+            df, n_iters=3, driver_edges_max=0, broadcast_nodes_max=0
+        ).collect()
+    }
+    broadcast_tier = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixedpoint(
+            df, n_iters=3, driver_edges_max=0
+        ).collect()
+    }
+    assert shuffle_tier == expected
+    assert broadcast_tier == shuffle_tier
+
+
 def test_pagerank_distributed_tier_checkpoints_long_runs(spark):
     """checkpoint_every=2 over 5 iterations on the distributed tier —
     exercises the lineage-truncation branch; result must still match."""

@@ -20,8 +20,12 @@ import sys
 def load(path: str) -> dict:
     """Accept either a bench.py stdout capture (one JSON line) or a
     driver BENCH_r{N}.json wrapper (whole-file JSON whose ``parsed``
-    field holds the bench line; some rounds have parsed=None because
-    the driver truncates stdout — those can't be compared per-query)."""
+    field holds the bench line; r5/r6 wrappers have parsed=None because
+    the driver truncates stdout — those can't be compared per-query).
+    From round 7 the stdout line is COMPACT (core-30 queries only, under
+    the driver's 2 KB tail) and the full per-query map lives in the
+    repo's ``BENCH_local.json`` — pass that file for full-suite
+    comparisons; driver wrappers compare the frozen core set."""
     with open(path) as f:
         text = f.read()
     try:
