@@ -141,6 +141,8 @@ EXTENDED = [
     "epub_extract_stats",
     "charset_sniff_stats",
     "decompress_sniff_stats",
+    # round 7: jar-less Avro OCF ingestion
+    "avro_extract_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -12260,3 +12260,108 @@ def decompress_sniff_stats(spark, sf_dir):
         "doc_id long, compression string, ok boolean, data_chars long, "
         "text_match boolean",
     )
+
+
+@register(
+    "avro_extract_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'null' ELSE 'deflate' END
+             AS codec,
+           CAST(len(toks) AS BIGINT) AS n_records,
+           CAST(length(text) - (len(toks) - 1) AS BIGINT) AS sum_chars,
+           CAST(len(list_filter(toks, w -> length(w) >= 5)) AS BIGINT)
+             AS n_long_tokens,
+           TRUE AS schema_ok,
+           TRUE AS roundtrip_exact
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def avro_extract_stats(spark, sf_dir):
+    """Avro OCF ingestion (sources/avro_ocf.py — the pure-Python reader
+    that un-gates ``read_avro`` when the spark-avro jar is absent; Avro
+    is the de-facto Kafka wire format, so the jar-less container can now
+    still drain an Avro-dumped topic — ref: requirements.txt:2 pulls the
+    Kafka provider). Builder-exercises-parser: each doc's tokens become
+    OCF records (idx int / word string / nchars long / caps boolean)
+    under the doc's codec (null for even doc_ids, deflate for odd); the
+    reader must verify the container (magic, metadata map, sync markers
+    per block), inflate, and decode — every reported stat is computed
+    from the DECODED records and stated symbolically from the text
+    (token count, char sum = length minus separating spaces, long-token
+    count; single-spaced fixture). schema_ok pins the parsed writer
+    schema (name + field list + field order); roundtrip_exact rebuilds
+    the text from decoded words.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass; block
+    decode is per-file on executors (the jar splits single files on
+    sync markers — same plan shape either way).
+    """
+    from .sources.avro_ocf import read_ocf, write_ocf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    _SCHEMA = {
+        "type": "record",
+        "name": "tok",
+        "fields": [
+            {"name": "idx", "type": "int"},
+            {"name": "word", "type": "string"},
+            {"name": "nchars", "type": "long"},
+            {"name": "caps", "type": "boolean"},
+        ],
+    }
+
+    def stats(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                toks = t.split(" ")
+                codec = "null" if i % 2 == 0 else "deflate"
+                payload = write_ocf(
+                    [
+                        {
+                            "idx": k,
+                            "word": w,
+                            "nchars": len(w),
+                            "caps": w[:1].isupper(),
+                        }
+                        for k, w in enumerate(toks)
+                    ],
+                    _SCHEMA,
+                    codec=codec,
+                    block_records=16,
+                )
+                schema, got_codec, recs = read_ocf(payload)
+                words = [r["word"] for r in recs]
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "codec": got_codec,
+                        "n_records": len(recs),
+                        "sum_chars": sum(len(w) for w in words),
+                        "n_long_tokens": sum(len(w) >= 5 for w in words),
+                        "schema_ok": schema["name"] == "tok"
+                        and [f["name"] for f in schema["fields"]]
+                        == ["idx", "word", "nchars", "caps"]
+                        and all(
+                            r["idx"] == k and r["nchars"] == len(r["word"])
+                            for k, r in enumerate(recs)
+                        ),
+                        "roundtrip_exact": " ".join(words) == t,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, codec string, n_records long, sum_chars long, "
+        "n_long_tokens long, schema_ok boolean, roundtrip_exact boolean",
+    )

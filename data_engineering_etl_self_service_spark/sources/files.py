@@ -145,20 +145,21 @@ def read_avro(
     path: str,
     schema: StructType | str | None = None,
 ) -> DataFrame:
-    """Avro source (common in Kafka-adjacent lakes) — jar-gated.
+    """Avro source (common in Kafka-adjacent lakes).
 
-    Works verbatim wherever ``spark-avro`` is deployed (cluster images
-    routinely include it; same pushdown/pruning story as ORC). In this
-    container the module is absent, so the gate raises ONE clear
-    environmental error up front instead of Spark's opaque
-    failed-to-find-data-source mid-plan."""
+    Uses the ``spark-avro`` datasource wherever it is deployed (cluster
+    images routinely include it; same pushdown/pruning story as ORC).
+    When the jar is absent — this container — it FALLS BACK to the
+    pure-Python OCF reader (``sources/avro_ocf.py``): ``binaryFile``
+    scan + executor-side block decode, same DataFrame out. The fallback
+    parallelizes per FILE (the jar splits single files on sync markers;
+    deploy it for that) and supports the documented schema subset
+    (primitives, records, arrays, maps, enums, fixed, [null,X]
+    unions)."""
     if not avro_available(spark):
-        raise RuntimeError(
-            "spark-avro datasource module not on the classpath "
-            "(external since Spark 2.4; jar-gated in this environment "
-            "like the Kafka connector). Deploy with --packages "
-            "org.apache.spark:spark-avro_2.13:<spark version>."
-        )
+        from .avro_ocf import read_avro_ocf
+
+        return read_avro_ocf(spark, path)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -166,14 +167,19 @@ def read_avro(
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Avro sink — jar-gated like :func:`read_avro`."""
+    """Avro sink — spark-avro when deployed, else the pure-Python OCF
+    writer (one deflate-coded file per partition; requires a filesystem
+    every executor can reach — local[] or a shared mount, which is the
+    only place the jar-less case arises)."""
     if not avro_available(df.sparkSession):
-        raise RuntimeError(
-            "spark-avro datasource module not on the classpath "
-            "(external since Spark 2.4; jar-gated in this environment "
-            "like the Kafka connector). Deploy with --packages "
-            "org.apache.spark:spark-avro_2.13:<spark version>."
-        )
+        import shutil
+
+        from .avro_ocf import write_avro_ocf_files
+
+        if mode == "overwrite":
+            shutil.rmtree(path, ignore_errors=True)
+        write_avro_ocf_files(df, path)
+        return
     df.write.format("avro").mode(mode).save(path)
 
 

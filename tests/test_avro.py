@@ -1,0 +1,253 @@
+"""Pure-Python Avro OCF reader/writer (sources/avro_ocf.py) and the
+read_avro/write_avro fallback wiring (sources/files.py)."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import pytest
+
+from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+    _zigzag,
+    avro_to_spark_type,
+    parse_ocf_header,
+    read_avro_ocf,
+    read_ocf,
+    write_avro_ocf_files,
+    write_ocf,
+)
+from data_engineering_etl_self_service_spark.sources.files import (
+    avro_available,
+    read_avro,
+    write_avro,
+)
+
+FULL_SCHEMA = {
+    "type": "record",
+    "name": "tok",
+    "namespace": "x.y",
+    "fields": [
+        {"name": "idx", "type": "int"},
+        {"name": "word", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "ratio", "type": "float"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "blob", "type": "bytes"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "color",
+            "type": {
+                "type": "enum",
+                "name": "Color",
+                "symbols": ["RED", "GREEN", "BLUE"],
+            },
+        },
+        {"name": "fx", "type": {"type": "fixed", "name": "F4", "size": 4}},
+        {"name": "maybe", "type": ["null", "long"]},
+    ],
+}
+
+
+def _full_records(n=23):
+    return [
+        {
+            "idx": i,
+            "word": f"w{i}",
+            "score": i * 0.5,
+            "ratio": float(i),
+            "flag": i % 2 == 0,
+            "blob": bytes([i % 256, (i + 1) % 256]),
+            "tags": [f"t{j}" for j in range(i % 4)],
+            "attrs": {f"k{j}": j * i for j in range(i % 3)},
+            "color": ["RED", "GREEN", "BLUE"][i % 3],
+            "fx": bytes([i % 256] * 4),
+            "maybe": None if i % 3 == 0 else i * 100,
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "zstd"])
+def test_ocf_roundtrip_all_types_all_codecs(codec):
+    recs = _full_records()
+    payload = write_ocf(recs, FULL_SCHEMA, codec=codec, block_records=7)
+    schema, got_codec, out = read_ocf(payload)
+    assert got_codec == codec
+    assert schema == FULL_SCHEMA
+    assert len(out) == len(recs)
+    for a, b in zip(recs, out):
+        for k in a:
+            if k == "ratio":  # float32 round-trips through IEEE-754
+                assert abs(a[k] - b[k]) < 1e-6
+            else:
+                assert a[k] == b[k], k
+
+
+def test_ocf_writer_deterministic_and_header_parse():
+    recs = _full_records(5)
+    p1 = write_ocf(recs, FULL_SCHEMA, codec="deflate")
+    p2 = write_ocf(recs, FULL_SCHEMA, codec="deflate")
+    assert p1 == p2  # md5-derived sync marker → byte-reproducible
+    hdr = parse_ocf_header(p1)
+    assert hdr["schema"]["name"] == "tok"
+    assert hdr["codec"] == "deflate"
+    assert len(hdr["sync"]) == 16
+
+
+def test_ocf_reads_negative_block_count_form():
+    """Writers may emit array/map blocks as (-count, byte_size, items);
+    the reader must accept both forms (Avro spec, 'Data Serialization')."""
+    # record with one array field; hand-encode the negative-count form
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}],
+    }
+    body = bytearray()
+    items = bytearray()
+    for v in (7, -3, 900):
+        items += _zigzag(v)
+    body += _zigzag(-3)  # negative count
+    body += _zigzag(len(items))  # byte size follows
+    body += items
+    body += _zigzag(0)  # end of blocks
+    # wrap in a null-codec OCF container by splicing into write_ocf output
+    container = write_ocf([{"xs": []}], schema, codec="null")
+    hdr = parse_ocf_header(container)
+    out = bytearray(container[: hdr["body_pos"]])
+    out += _zigzag(1)  # one record
+    out += _zigzag(len(body))
+    out += body
+    out += hdr["sync"]
+    _, _, records = read_ocf(bytes(out))
+    assert records == [{"xs": [7, -3, 900]}]
+
+
+def test_ocf_corrupt_inputs_fail_loudly():
+    recs = _full_records(3)
+    good = write_ocf(recs, FULL_SCHEMA)
+    with pytest.raises(ValueError, match="magic"):
+        read_ocf(b"PAR1" + good[4:])
+    with pytest.raises(ValueError, match="sync|truncated"):
+        read_ocf(good[:-3])  # clipped sync marker
+    tampered = bytearray(good)
+    tampered[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with pytest.raises(ValueError, match="sync"):
+        read_ocf(bytes(tampered))
+
+
+def test_avro_to_spark_type_mapping_and_unsupported_union():
+    t = avro_to_spark_type(FULL_SCHEMA)
+    assert t.simpleString() == (
+        "struct<idx:int,word:string,score:double,ratio:float,"
+        "flag:boolean,blob:binary,tags:array<string>,"
+        "attrs:map<string,bigint>,color:string,fx:binary,maybe:bigint>"
+    )
+    assert [f.nullable for f in t.fields] == [False] * 10 + [True]
+    with pytest.raises(ValueError, match="union"):
+        avro_to_spark_type(
+            {
+                "type": "record",
+                "name": "bad",
+                "fields": [{"name": "u", "type": ["int", "string"]}],
+            }
+        )
+
+
+def test_read_avro_ocf_through_spark(spark, tmp_path):
+    recs = _full_records(40)
+    # two files → two-task parallelism; different block sizes
+    (tmp_path / "a.avro").write_bytes(
+        write_ocf(recs[:25], FULL_SCHEMA, codec="deflate", block_records=9)
+    )
+    (tmp_path / "b.avro").write_bytes(
+        write_ocf(recs[25:], FULL_SCHEMA, codec="null")
+    )
+    df = read_avro_ocf(spark, str(tmp_path))
+    rows = {r["idx"]: r for r in df.collect()}
+    assert len(rows) == 40
+    assert rows[7]["tags"] == ["t0", "t1", "t2"]
+    assert rows[5]["attrs"] == {"k0": 0, "k1": 5}
+    assert rows[6]["maybe"] is None and rows[7]["maybe"] == 700
+    assert rows[8]["color"] == "BLUE"
+    assert bytes(rows[9]["fx"]) == bytes([9] * 4)
+    # explicit schema_json skips the driver header peek, same result
+    df2 = read_avro_ocf(
+        spark, str(tmp_path), schema_json=json.dumps(FULL_SCHEMA)
+    )
+    assert df2.count() == 40
+
+
+def test_read_avro_ocf_schema_drift_fails(spark, tmp_path):
+    s1 = {
+        "type": "record",
+        "name": "a",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    s2 = {
+        "type": "record",
+        "name": "a",
+        "fields": [{"name": "x", "type": "string"}],
+    }
+    (tmp_path / "a.avro").write_bytes(write_ocf([{"x": 1}], s1))
+    (tmp_path / "b.avro").write_bytes(write_ocf([{"x": "s"}], s2))
+    df = read_avro_ocf(spark, str(tmp_path), schema_json=json.dumps(s1))
+    with pytest.raises(Exception, match="drift"):
+        df.collect()
+
+
+def test_write_avro_read_avro_fallback_end_to_end(spark, tmp_path):
+    """The files.py surface: write_avro → read_avro with no jar in the
+    container must silently take the pure OCF path and round-trip; where
+    spark-avro IS deployed the same calls use the jar (both branches of
+    the gate share this assertion)."""
+    src = spark.createDataFrame(
+        [(i, f"n{i}", float(i) / 4, [i, i * 2]) for i in range(100)],
+        "id long, name string, score double, xs array<long>",
+    ).repartition(4)
+    path = str(tmp_path / "lake")
+    write_avro(src, path)
+    out = read_avro(spark, path)
+    assert sorted(out.columns) == sorted(src.columns)
+    got = {r["id"]: r for r in out.collect()}
+    assert len(got) == 100
+    assert got[7]["name"] == "n7" and got[7]["xs"] == [7, 14]
+    if not avro_available(spark):
+        # the fallback wrote real OCF files readable by the pure reader
+        import glob
+
+        files = glob.glob(path + "/part-*.avro")
+        assert 1 <= len(files) <= 4
+        hdr = parse_ocf_header(open(files[0], "rb").read())
+        assert hdr["codec"] == "deflate"
+
+
+def test_write_avro_ocf_files_nullable_columns(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a"), (2, None)], "id long, name string"
+    )
+    write_avro_ocf_files(src, str(tmp_path / "n"), codec="zstd")
+    out = read_avro_ocf(spark, str(tmp_path / "n")).collect()
+    by_id = {r["id"]: r["name"] for r in out}
+    assert by_id == {1: "a", 2: None}
+
+
+def test_snappy_crc_verified():
+    """The snappy codec's 4-byte big-endian CRC32 suffix is validated —
+    a flipped payload byte must not decode silently."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "string"}],
+    }
+    payload = bytearray(
+        write_ocf([{"x": "hello snappy " * 20}], schema, codec="snappy")
+    )
+    hdr = parse_ocf_header(bytes(payload))
+    # find the CRC (last 4 bytes before the trailing sync marker)
+    crc_pos = len(payload) - 16 - 4
+    payload[crc_pos : crc_pos + 4] = struct.pack(">I", 0)
+    with pytest.raises(Exception):
+        read_ocf(bytes(payload))

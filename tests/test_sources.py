@@ -264,29 +264,22 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path_factory):
 def test_avro_gate_probes_classpath_and_roundtrips_when_present(
     spark, tmp_path_factory
 ):
-    """Avro is jar-gated like Kafka: the datasource module is external
-    since Spark 2.4 and absent from this container. The gate must probe
-    the classpath honestly — when the module IS deployed the reader
-    round-trips with pushdown; when absent both entry points raise ONE
-    clear environmental error up front (not Spark's opaque
-    failed-to-find-data-source mid-plan)."""
+    """The avro datasource module is external since Spark 2.4 and absent
+    from this container; the classpath probe picks the engine: the jar
+    where deployed, else the pure-Python OCF fallback
+    (sources/avro_ocf.py — round 7; the gate used to raise). EITHER way
+    the same write_avro → read_avro surface must round-trip, so this
+    test is one code path for both environments."""
     from data_engineering_etl_self_service_spark.sources.files import (
-        avro_available,
         read_avro,
         write_avro,
     )
 
-    out = str(tmp_path_factory.mktemp("avro_lake"))
+    out = str(tmp_path_factory.mktemp("avro_lake")) + "/lake"
     df = spark.range(0, 100).selectExpr("id", "id % 7 AS g")
-    if avro_available(spark):
-        write_avro(df, out)
-        back = read_avro(spark, out).filter("g = 3")
-        assert back.count() == sum(1 for i in range(100) if i % 7 == 3)
-    else:
-        with pytest.raises(RuntimeError, match="spark-avro"):
-            write_avro(df, out)
-        with pytest.raises(RuntimeError, match="spark-avro"):
-            read_avro(spark, out)
+    write_avro(df, out)
+    back = read_avro(spark, out).filter("g = 3")
+    assert back.count() == sum(1 for i in range(100) if i % 7 == 3)
 
 
 def test_partitioned_writer_uses_zstd(spark, tmp_path_factory):
