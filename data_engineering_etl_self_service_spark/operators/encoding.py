@@ -96,15 +96,18 @@ def sniff_decode(raw: bytes) -> dict:
     return out
 
 
-#: compression magic → stdlib decoder. gzip via zlib wbits=31 (header
-#: parsing included); bzip2/xz via their stdlib modules. zstd has no
-#: stdlib decoder — sniffed and reported, payload passes through opaque
-#: (the decode_media stub discipline for absent codecs).
+#: compression magic → decoder. gzip via zlib wbits=31 (header parsing
+#: included); bzip2/xz via their stdlib modules; zstd via the pure
+#: RFC 8878 decoder (operators/zstd.py) with pyarrow's libzstd as the
+#: fallback for frame features outside its subset (dictionaries);
+#: lz4 frame via pyarrow (import-try — absent pyarrow degrades lz4 to
+#: sniffed-but-passthrough, never data loss).
 _MAGICS = [
     (b"\x1f\x8b", "gzip"),
     (b"BZh", "bzip2"),
     (b"\xfd7zXZ\x00", "xz"),
     (b"\x28\xb5\x2f\xfd", "zstd"),
+    (b"\x04\x22\x4d\x18", "lz4"),
 ]
 
 
@@ -144,8 +147,46 @@ def sniff_decompress(raw: bytes) -> dict:
             import lzma
 
             return {"compression": comp, "ok": True, "data": lzma.decompress(raw)}
+        if comp == "zstd":
+            from .zstd import zstd_decompress
+
+            try:
+                # pure RFC 8878 decoder first: its subset covers every
+                # standard dict-less frame, and decoding a libzstd-made
+                # payload with an independent implementation is the
+                # stronger correctness posture
+                return {
+                    "compression": comp,
+                    "ok": True,
+                    "data": zstd_decompress(raw),
+                }
+            except ValueError:
+                # outside the subset (dictionary frames) → libzstd
+                import io
+
+                import pyarrow as pa
+
+                return {
+                    "compression": comp,
+                    "ok": True,
+                    "data": pa.input_stream(
+                        io.BytesIO(raw), compression="zstd"
+                    ).read(),
+                }
+        if comp == "lz4":
+            import io
+
+            import pyarrow as pa
+
+            return {
+                "compression": comp,
+                "ok": True,
+                "data": pa.input_stream(
+                    io.BytesIO(raw), compression="lz4"
+                ).read(),
+            }
     except Exception:
-        # sniff false-positive or corrupt container: keep the bytes
+        # sniff false-positive, corrupt container, or absent optional
+        # codec (pyarrow): keep the bytes
         return {"compression": comp, "ok": False, "data": raw}
-    # zstd: recognized but undecodable here (no stdlib codec)
-    return {"compression": comp, "ok": False, "data": raw}
+    raise AssertionError("unreachable: every sniffed codec returns")

@@ -2732,6 +2732,8 @@ def _latest_checked() -> frozenset[str]:
 #: negative_samples — had NO prior driver row, so they need no entry;
 #: they are still unsettled and already fronted.)
 _RECHECK: dict[str, int] = {
+    "decompress_sniff_stats": 7,  # widened: zstd+lz4 arrival paths
+    "eml_extract_stats": 7,  # widened: base64/QP transfer-encodings
     "warc_extract_stats": 6,  # row widened with chunked-framing column
     "mp3_metadata": 5,  # row widened with ID3v2 title/artist/album
     "math_funcs": 3,  # oracle floor/ceiling now CAST to BIGINT
@@ -12197,9 +12199,10 @@ def charset_sniff_stats(spark, sf_dir):
     "decompress_sniff_stats",
     """
     SELECT doc_id,
-           CASE CAST(doc_id % 4 AS INTEGER)
+           CASE CAST(doc_id % 6 AS INTEGER)
              WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2'
-             WHEN 2 THEN 'xz' ELSE 'none' END AS compression,
+             WHEN 2 THEN 'xz' WHEN 3 THEN 'zstd'
+             WHEN 4 THEN 'lz4' ELSE 'none' END AS compression,
            TRUE AS ok,
            CAST(length(text) AS BIGINT) AS data_chars,
            TRUE AS text_match
@@ -12209,13 +12212,17 @@ def charset_sniff_stats(spark, sf_dir):
 )
 def decompress_sniff_stats(spark, sf_dir):
     """Compressed-payload front door (operators/encoding.py
-    sniff_decompress — corpus files arrive as .gz/.bz2/.xz blobs;
-    magic-sniffed and inflated with the stdlib codecs, then handed to
-    the charset sniffer: bytes → decompress → decode → text is the
-    complete ingestion chain, exposed as extract_text format 'auto').
+    sniff_decompress — corpus files arrive as .gz/.bz2/.xz/.zst/.lz4
+    blobs; magic-sniffed and inflated, then handed to the charset
+    sniffer: bytes → decompress → decode → text is the complete
+    ingestion chain, exposed as extract_text format 'auto').
     Builder-exercises-parser: per doc_id the text compresses down one
-    of four paths (gzip / bzip2 / xz / passthrough); the chain must
-    identify the container and reproduce the exact text.
+    of six paths (gzip / bzip2 / xz / zstd / lz4 / passthrough); the
+    chain must identify the container and reproduce the exact text.
+    The zstd rows are a genuine two-implementation interop: the builder
+    compresses with pyarrow's libzstd, the chain decodes with the pure
+    RFC 8878 decoder (operators/zstd.py — round 7; zstd used to be
+    sniffed-but-passthrough).
 
     Scale: one shuffle-free Arrow-batched mapInPandas pass.
     """
@@ -12229,19 +12236,24 @@ def decompress_sniff_stats(spark, sf_dir):
         import lzma
 
         import pandas as pd
+        import pyarrow as pa
 
         for pdf in it:
             rows = []
             for i, t in zip(pdf["doc_id"], pdf["text"]):
                 i = int(i)
                 raw = t.encode("utf-8")
-                mod = i % 4
+                mod = i % 6
                 if mod == 0:
                     raw = gzip.compress(raw)
                 elif mod == 1:
                     raw = bz2.compress(raw)
                 elif mod == 2:
                     raw = lzma.compress(raw)
+                elif mod == 3:
+                    raw = pa.Codec("zstd").compress(raw, asbytes=True)
+                elif mod == 4:
+                    raw = pa.Codec("lz4").compress(raw, asbytes=True)
                 r = sniff_decompress(raw)
                 text = sniff_decode(r["data"])["text"]
                 rows.append(

@@ -85,9 +85,18 @@ def test_sniff_decompress_all_containers_and_degrade():
     broken = sniff_decompress(b"\x1f\x8bnot really gzip")
     assert broken["compression"] == "gzip" and not broken["ok"]
     assert broken["data"] == b"\x1f\x8bnot really gzip"
+    # zstd/lz4 (round 7): real frames inflate exactly; corrupt frames
+    # with the right magic degrade to passthrough like the others
+    import pyarrow as pa
+
+    for codec in ("zstd", "lz4"):
+        r = sniff_decompress(pa.Codec(codec).compress(text, asbytes=True))
+        assert (r["compression"], r["ok"], r["data"]) == (codec, True, text)
     zstd = sniff_decompress(b"\x28\xb5\x2f\xfd payload")
     assert zstd["compression"] == "zstd" and not zstd["ok"]
     assert zstd["data"].startswith(b"\x28")
+    lz4 = sniff_decompress(b"\x04\x22\x4d\x18 nope")
+    assert lz4["compression"] == "lz4" and not lz4["ok"]
 
 
 @settings(max_examples=60, deadline=None)
