@@ -41,26 +41,61 @@ def eml_epoch(doc_id: int) -> int:
     return EPOCH_BASE + (doc_id % EPOCH_MOD) * EPOCH_STEP
 
 
+def attachment_blob(doc_id: int) -> bytes:
+    """The deterministic attachment payload for messages where
+    ``doc_id % 4 == 0``: ``doc_id % 50 + 1`` bytes, value pattern
+    pinned so the parse side can verify an exact binary round-trip."""
+    n = doc_id % 50 + 1
+    return bytes((doc_id + k) % 256 for k in range(n))
+
+
 def build_eml(text: str, doc_id: int) -> bytes:
-    """Deterministic RFC 5322 message wrapping ``text``."""
+    """Deterministic RFC 5322 message wrapping ``text``.
+
+    Arrival-path coverage is all keyed off ``doc_id`` so the oracle can
+    state every parsed field symbolically:
+
+    - ``doc_id % 5``: the text/plain part's Content-Transfer-Encoding —
+      1 → base64, 2 → quoted-printable, else 7bit (the three wire
+      encodings real mail archives mix);
+    - ``doc_id % 3 == 0``: multipart/alternative with a text/html twin;
+    - ``doc_id % 4 == 0``: an application/octet-stream ATTACHMENT
+      (promotes the message to multipart/mixed), payload =
+      :func:`attachment_blob`.
+    """
     msg = EmailMessage()
     msg["From"] = f"sender{doc_id % 7}@corpus.example"
     msg["To"] = f"list{doc_id % 3}@corpus.example"
     msg["Subject"] = f"msg {doc_id}"
     msg["Date"] = email.utils.formatdate(eml_epoch(doc_id), usegmt=True)
     msg["Message-ID"] = f"<{doc_id}@corpus.example>"
+    # CTE is pinned EXPLICITLY for every path: set_content's default
+    # auto-upgrades long lines (the fixture's single-line docs) to
+    # quoted-printable, which would make the wire encoding depend on
+    # text length instead of doc_id. 7bit is legal here — corpus lines
+    # stay far below RFC 5322's 998-char limit.
+    cte = {1: "base64", 2: "quoted-printable"}.get(doc_id % 5, "7bit")
+    msg.set_content(text, cte=cte)
     if doc_id % 3 == 0:
-        msg.set_content(text)
         msg.add_alternative(f"<p>{text}</p>", subtype="html")
-    else:
-        msg.set_content(text)
+    if doc_id % 4 == 0:
+        msg.add_attachment(
+            attachment_blob(doc_id),
+            maintype="application",
+            subtype="octet-stream",
+            filename=f"blob{doc_id}.bin",
+        )
     return msg.as_bytes()
 
 
 def parse_eml(raw: bytes) -> dict:
     """Parse a message → ``{ok, subject, sender, date_epoch,
-    is_multipart, n_parts, body}``; the body is the first text/plain
-    part with trailing newline stripped (set_content appends one)."""
+    is_multipart, n_parts, body, cte, n_attachments, attachment_bytes,
+    attachments}``; the body is the first text/plain part with trailing
+    newline stripped (set_content appends one); ``cte`` is that part's
+    Content-Transfer-Encoding (lower-cased, '7bit' default);
+    attachments are the content-disposition=attachment leaves, DECODED
+    (base64 undone), with their total byte count."""
     out = {
         "ok": False,
         "subject": None,
@@ -69,6 +104,10 @@ def parse_eml(raw: bytes) -> dict:
         "is_multipart": False,
         "n_parts": 0,
         "body": "",
+        "cte": None,
+        "n_attachments": 0,
+        "attachment_bytes": 0,
+        "attachments": [],
     }
     try:
         msg = email.message_from_bytes(raw)
@@ -95,11 +134,20 @@ def parse_eml(raw: bytes) -> dict:
             if part.is_multipart():
                 continue
             n_parts += 1
+            if part.get_content_disposition() == "attachment":
+                blob = part.get_payload(decode=True) or b""
+                out["attachments"].append(blob)
+                out["n_attachments"] += 1
+                out["attachment_bytes"] += len(blob)
+                continue
             if body is None and part.get_content_type() == "text/plain":
                 payload = part.get_payload(decode=True)
                 body = payload.decode(
                     part.get_content_charset() or "utf-8", "replace"
                 )
+                out["cte"] = str(
+                    part.get("Content-Transfer-Encoding") or "7bit"
+                ).lower()
         out["n_parts"] = n_parts
         out["body"] = (body or "").rstrip("\n")
         out["ok"] = True

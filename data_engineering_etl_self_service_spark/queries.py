@@ -11053,11 +11053,20 @@ def docx_extract_stats(spark, sf_dir):
              AS sender,
            CAST(1000000000 + (doc_id % 1000000) * 3600 AS BIGINT)
              AS date_epoch,
-           doc_id % 3 = 0 AS is_multipart,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
-             AS n_parts,
+           doc_id % 3 = 0 OR doc_id % 4 = 0 AS is_multipart,
+           CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+             AS BIGINT) AS n_parts,
+           CASE CAST(doc_id % 5 AS INTEGER)
+             WHEN 1 THEN 'base64' WHEN 2 THEN 'quoted-printable'
+             ELSE '7bit' END AS cte,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_attachments,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 50 + 1 ELSE 0 END
+             AS BIGINT) AS attachment_bytes,
            CAST(length(text) AS BIGINT) AS body_chars,
-           TRUE AS roundtrip_exact
+           TRUE AS roundtrip_exact,
+           TRUE AS attachment_exact
     FROM documents
     ORDER BY doc_id
     """,
@@ -11067,17 +11076,21 @@ def eml_extract_stats(spark, sf_dir):
     corpus arrival format). Builder-exercises-parser with a REAL
     second implementation: messages are hand-packed via the stdlib
     EmailMessage builder (From/To/Subject/Date/Message-ID; every third
-    message MIME multipart/alternative with an html twin) and parsed
-    back by email.message_from_bytes — header extraction, RFC 2822 date
-    round-trip to exact epoch integers, multipart walking, and
-    text/plain body recovery are all pinned symbolically from
-    (doc_id, text). mbox framing with From-stuffing (RFC 4155) is
-    covered by tests/test_mail.py including stdlib mailbox interop.
+    message MIME multipart/alternative with an html twin; every fourth
+    carries a binary attachment → multipart/mixed; the text part's
+    Content-Transfer-Encoding cycles 7bit / base64 / quoted-printable
+    by doc_id%5 — round 7 widening) and parsed back by
+    email.message_from_bytes — header extraction, RFC 2822 date
+    round-trip to exact epoch integers, multipart walking, wire
+    DE-coding of base64/QP bodies, and exact binary attachment recovery
+    are all pinned symbolically from (doc_id, text). mbox framing with
+    From-stuffing (RFC 4155) is covered by tests/test_docx_mail.py
+    including stdlib mailbox interop.
 
     Scale: one shuffle-free Arrow-batched mapInPandas pass; mbox shards
     split at their escaped separators, so files parallelize too.
     """
-    from .operators.mail import EPOCH_BASE, EPOCH_STEP, build_eml, parse_eml
+    from .operators.mail import attachment_blob, build_eml, parse_eml
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -11097,8 +11110,13 @@ def eml_extract_stats(spark, sf_dir):
                         "date_epoch": r["date_epoch"],
                         "is_multipart": r["is_multipart"],
                         "n_parts": r["n_parts"],
+                        "cte": r["cte"],
+                        "n_attachments": r["n_attachments"],
+                        "attachment_bytes": r["attachment_bytes"],
                         "body_chars": len(r["body"]),
                         "roundtrip_exact": r["body"] == t,
+                        "attachment_exact": r["attachments"]
+                        == ([attachment_blob(i)] if i % 4 == 0 else []),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -11106,8 +11124,9 @@ def eml_extract_stats(spark, sf_dir):
     return d.mapInPandas(
         stats,
         "doc_id long, subject string, sender string, date_epoch long, "
-        "is_multipart boolean, n_parts long, body_chars long, "
-        "roundtrip_exact boolean",
+        "is_multipart boolean, n_parts long, cte string, "
+        "n_attachments long, attachment_bytes long, body_chars long, "
+        "roundtrip_exact boolean, attachment_exact boolean",
     )
 
 

@@ -103,21 +103,38 @@ def test_docx_broken_xml_degrades():
 # ---------------------------------------------------------------- mail
 
 
-@pytest.mark.parametrize("doc_id", [5, 6, 0])
+@pytest.mark.parametrize("doc_id", [5, 6, 0, 7, 12, 16, 22])
 def test_eml_roundtrip(doc_id):
+    """Covers every builder arrival path: plain 7bit (5), alternative +
+    base64 (6), alternative + attachment (0, 12), QP + attachment +
+    alternative? (7 = QP only, 16 = base64 + attachment, 22 = QP)."""
+    from data_engineering_etl_self_service_spark.operators.mail import (
+        attachment_blob,
+    )
+
     text = _text(10, doc_id)
     r = parse_eml(build_eml(text, doc_id))
     assert r["ok"]
     assert r["subject"] == f"msg {doc_id}"
     assert r["date_epoch"] == EPOCH_BASE + doc_id * EPOCH_STEP  # ids < EPOCH_MOD
-    assert r["is_multipart"] == (doc_id % 3 == 0)
-    assert r["n_parts"] == (2 if doc_id % 3 == 0 else 1)
-    assert r["body"] == text
+    assert r["is_multipart"] == (doc_id % 3 == 0 or doc_id % 4 == 0)
+    assert r["n_parts"] == 1 + (doc_id % 3 == 0) + (doc_id % 4 == 0)
+    assert r["cte"] == {1: "base64", 2: "quoted-printable"}.get(
+        doc_id % 5, "7bit"
+    )
+    assert r["body"] == text  # base64/QP wire encodings decode exactly
+    if doc_id % 4 == 0:
+        assert r["attachments"] == [attachment_blob(doc_id)]
+        assert r["attachment_bytes"] == doc_id % 50 + 1
+    else:
+        assert r["n_attachments"] == 0
 
 
 def test_mbox_from_stuffing_roundtrip():
     tricky = "From the very start\n>From quoted depth one\nplain line"
-    m1 = build_eml(tricky, 1)
+    # doc_id 5 → 7bit: the tricky lines must hit the wire RAW (a base64
+    # id would hide them from the stuffing logic entirely)
+    m1 = build_eml(tricky, 5)
     m2 = build_eml(_text(4), 2)
     msgs = list(iter_mbox(build_mbox([m1, m2])))
     assert len(msgs) == 2
