@@ -195,6 +195,20 @@ def vacuum(
     for v in versions:
         if v not in keep:
             os.unlink(_manifest_path(base_dir, v))
+    # manifests from writers that died between staging the .tmp and the
+    # os.link commit: invisible to readers (snapshot_versions filters on
+    # the .json suffix) but they accumulate — reclaim under the same
+    # grace period as orphan data dirs
+    mdir = os.path.join(base_dir, _MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        now = _time.time()
+        for name in os.listdir(mdir):
+            full = os.path.join(mdir, name)
+            if name.endswith(".tmp") and (
+                min_age_s <= 0
+                or now - os.path.getmtime(full) >= min_age_s
+            ):
+                os.unlink(full)
     return deleted
 
 

@@ -340,6 +340,92 @@ def test_jdbc_sink_write_readback_parity(spark, tmp_path_factory):
 # ---------------------------------------------------------------- snapshots
 
 
+def test_snapshot_crash_between_data_write_and_publish(
+    spark, tmp_path, monkeypatch
+):
+    """Fault injection for the commit protocol: a writer that dies AFTER
+    staging its data directory but BEFORE publishing the manifest must
+    leave (a) readers on the old version, (b) an orphan that vacuum
+    reclaims — but only past the grace period — and (c) a table that a
+    simple retry commits onto normally."""
+    from data_engineering_etl_self_service_spark.sources import snapshots
+
+    base = str(tmp_path / "snap")
+    assert snapshots.write_snapshot(spark.range(5), base) == 1
+
+    # crash point: write_snapshot calls snapshot_versions right after
+    # the parquet stage — make that call die like a killed writer
+    real_versions = snapshots.snapshot_versions
+
+    def boom(base_dir):
+        raise KeyboardInterrupt("writer killed mid-commit")
+
+    monkeypatch.setattr(snapshots, "snapshot_versions", boom)
+    with pytest.raises(KeyboardInterrupt):
+        snapshots.write_snapshot(spark.range(100, 200), base)
+    monkeypatch.setattr(snapshots, "snapshot_versions", real_versions)
+
+    # (a) readers see the OLD version only — the orphan is invisible
+    assert snapshots.snapshot_versions(base) == [1]
+    assert read_snapshot_count(spark, base) == 5
+    data_root = tmp_path / "snap" / "data"
+    assert len(list(data_root.iterdir())) == 2  # v1 + the orphan
+
+    # (b) grace period first: a young orphan survives vacuum...
+    assert snapshots.vacuum(base, keep_last=1, min_age_s=3600.0) == []
+    assert len(list(data_root.iterdir())) == 2
+    # ...then reclaim with the window elapsed (age 0 = maintenance mode)
+    deleted = snapshots.vacuum(base, keep_last=1)
+    assert len(deleted) == 1
+    assert len(list(data_root.iterdir())) == 1
+    assert read_snapshot_count(spark, base) == 5  # v1 intact post-vacuum
+
+    # (c) recovery is a plain retry — next commit is v2 on top of v1
+    assert snapshots.write_snapshot(spark.range(100, 103), base) == 2
+    assert read_snapshot_count(spark, base) == 8
+
+
+def test_snapshot_crash_between_tmp_manifest_and_link(
+    spark, tmp_path, monkeypatch
+):
+    """Second crash point: the .tmp manifest is staged but the atomic
+    os.link publish never runs. Readers must be unaffected (the version
+    never exists) and vacuum reclaims the stale .tmp."""
+    import os as _os
+
+    from data_engineering_etl_self_service_spark.sources import snapshots
+
+    base = str(tmp_path / "snap")
+    snapshots.write_snapshot(spark.range(7), base)
+
+    real_link = _os.link
+
+    def boom(src, dst):
+        raise KeyboardInterrupt("writer killed before publish")
+
+    monkeypatch.setattr(snapshots.os, "link", boom)
+    with pytest.raises(KeyboardInterrupt):
+        snapshots.write_snapshot(spark.range(3), base)
+    monkeypatch.setattr(snapshots.os, "link", real_link)
+
+    mdir = tmp_path / "snap" / "_snapshots"
+    assert [p.name for p in mdir.iterdir() if p.name.endswith(".tmp")]
+    assert snapshots.snapshot_versions(base) == [1]
+    assert read_snapshot_count(spark, base) == 7
+    snapshots.vacuum(base, keep_last=1)
+    assert not [p for p in mdir.iterdir() if p.name.endswith(".tmp")]
+    assert snapshots.snapshot_versions(base) == [1]
+    assert snapshots.write_snapshot(spark.range(2), base) == 2
+
+
+def read_snapshot_count(spark, base, version=None) -> int:
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    return read_snapshot(spark, base, version=version).count()
+
+
 def test_snapshot_append_and_time_travel(spark, tmp_path):
     from data_engineering_etl_self_service_spark.sources.snapshots import (
         read_snapshot,
