@@ -141,8 +141,9 @@ EXTENDED = [
     "epub_extract_stats",
     "charset_sniff_stats",
     "decompress_sniff_stats",
-    # round 7: jar-less Avro OCF ingestion
+    # round 7: jar-less Avro OCF ingestion + skew-bounded sessionization
     "avro_extract_stats",
+    "sessionize_skewsafe",
 ]
 
 HEADLINE = CORE + EXTENDED

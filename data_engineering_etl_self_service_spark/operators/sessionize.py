@@ -51,6 +51,104 @@ def sessionize(
     return events.withColumn(out_col, seq)
 
 
+def sessionize_bucketed(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    tiebreak_cols: tuple[str, ...] = ("event_id",),
+    out_col: str = "session_seq",
+    bucket_hours: float = 24.0,
+) -> DataFrame:
+    """Skew-bounded sessionization: bit-identical to :func:`sessionize`,
+    but the window partitions by ``(user, time-bucket)`` instead of the
+    whole user.
+
+    Why it exists: a single bot/scraper user carrying a material share
+    of all events turns the plain per-user window into ONE straggler
+    task — and AQE's skew handling splits JOIN partitions, not window
+    partitions, so no runtime re-plan can save it (probed at sf0.1 with
+    a 10% bot user — see SCALE.md). This is SURVEY §2.5's "pre-split on
+    (user_id, day)" contingency as code, generalized to any bucket
+    width.
+
+    Two-pass stitch keeps gap semantics EXACT across bucket edges:
+
+    1. Window over ``(user, bucket)``: local new-session flags + local
+       running sequence (the skew bound — no task sees more than one
+       user-bucket of events).
+    2. Bucket-level rollup (ONE ROW per user-bucket — thousands of
+       times smaller than events): first/last event time and local
+       session count per bucket; a per-user window over these tiny rows
+       decides whether each bucket's first session MERGES with the
+       previous non-empty bucket's last session (gap <= threshold,
+       the exact complement of the new-session rule) and prefix-sums
+       the global numbering offsets.
+    3. Equi-join the offsets back on ``(user, bucket)`` —
+       ``global_seq = offset_prev - merged + local_seq``.
+
+    Cost vs :func:`sessionize`: the bucket-level pass is negligible,
+    but downstream per-session rollups can no longer reuse the window's
+    partitioning (a session may span buckets), so session_stats pays
+    one extra events-sized exchange. Use the plain operator unless the
+    user distribution actually skews.
+    """
+    gap_us = int(gap_minutes * 60_000_000)
+    bucket_us = int(bucket_hours * 3_600_000_000)
+    us = F.unix_micros(F.col(ts_col))
+    e = events.withColumn("_us", us).withColumn(
+        "_bkt", F.expr(f"_us DIV {bucket_us}")
+    )
+    w1 = Window.partitionBy(user_col, "_bkt").orderBy(
+        ts_col, *tiebreak_cols
+    )
+    prev_us = F.lag("_us").over(w1)
+    is_new = (
+        prev_us.isNull() | ((F.col("_us") - prev_us) > F.lit(gap_us))
+    ).cast("int")
+    local = e.withColumn(
+        "_lseq",
+        F.sum(is_new).over(
+            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # one row per (user, bucket): reuses the (user, bucket) hash
+    # partitioning the window just established — no extra shuffle here
+    blevel = local.groupBy(user_col, "_bkt").agg(
+        F.min("_us").alias("_first_us"),
+        F.max("_us").alias("_last_us"),
+        F.max("_lseq").alias("_nloc"),
+    )
+    w2 = Window.partitionBy(user_col).orderBy("_bkt")
+    prev_last = F.lag("_last_us").over(w2)
+    merged = (
+        prev_last.isNotNull()
+        & ((F.col("_first_us") - prev_last) <= F.lit(gap_us))
+    ).cast("long")
+    offsets = (
+        blevel.withColumn("_m", merged)
+        .withColumn(
+            "_cum",
+            F.sum(F.col("_nloc") - F.col("_m")).over(
+                w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select(
+            user_col,
+            "_bkt",
+            "_m",
+            (F.col("_cum") - (F.col("_nloc") - F.col("_m"))).alias("_off"),
+        )
+    )
+    return (
+        local.join(offsets, [user_col, "_bkt"])
+        .withColumn(
+            out_col, (F.col("_off") - F.col("_m") + F.col("_lseq"))
+        )
+        .drop("_us", "_bkt", "_lseq", "_m", "_off")
+    )
+
+
 def session_stats(
     events: DataFrame,
     user_col: str = "user_id",

@@ -723,6 +723,48 @@ def sessionize_stats(spark, sf_dir):
     return out.withColumn("session_seq", F.col("session_seq").cast("bigint"))
 
 
+@register("sessionize_skewsafe", _SESSIONIZE_ORACLE)
+def sessionize_skewsafe(spark, sf_dir):
+    """The flagship rollup through the SKEW-BOUNDED sessionizer
+    (operators/sessionize.py sessionize_bucketed — window over
+    (user, 24h bucket) + bucket-level session stitch): must hash-match
+    the identical oracle as sessionize_stats, proving the cross-bucket
+    stitch is exact, not approximate. This is the path for corpora
+    where one bot/scraper user would otherwise become a single
+    straggler window task that AQE cannot split (skew probe numbers in
+    SCALE.md; parity also pinned in tests/test_sessionize.py).
+
+    Scale: shuffle on (user, bucket) for the big window, a negligible
+    bucket-level pass, one extra events-sized exchange for the rollup.
+    """
+    from .functions.numeric import dsum
+    from .operators.sessionize import sessionize_bucketed
+
+    e = _t(spark, sf_dir, "events")
+    sess = sessionize_bucketed(e, gap_minutes=30.0)
+    purchase_val = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(F.lit(0.0))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            (
+                F.max(F.unix_micros(F.col("ts")))
+                - F.min(F.unix_micros(F.col("ts")))
+            )
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("duration_sec"),
+        dsum(purchase_val, alias="revenue"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias(
+            "n_purchases"
+        ),
+    ).withColumn("session_seq", F.col("session_seq").cast("bigint"))
+
+
 @register(
     "session_summary",
     f"""
