@@ -62,7 +62,80 @@ def build_eml(text: str, doc_id: int) -> bytes:
     - ``doc_id % 4 == 0``: an application/octet-stream ATTACHMENT
       (promotes the message to multipart/mixed), payload =
       :func:`attachment_blob`.
+
+    Assembles the MIME bytes directly (base64.encodebytes / quopri for
+    the wire encodings): the stdlib EmailMessage builder spent ~87% of
+    the oracled query's wall in policy machinery, and the PARSE side is
+    the implementation under test — the builder only has to be a
+    correct producer. :func:`build_eml_stdlib` keeps the EmailMessage
+    construction and a test pins both builders parse-identical across
+    the whole arrival-path matrix.
     """
+    import base64
+    import quopri
+
+    cte = {1: "base64", 2: "quoted-printable"}.get(doc_id % 5, "7bit")
+    raw = (text + "\n").encode("utf-8")
+    if cte == "base64":
+        body = base64.encodebytes(raw)
+    elif cte == "quoted-printable":
+        body = quopri.encodestring(raw)
+    else:
+        body = raw
+    plain = (
+        b'Content-Type: text/plain; charset="utf-8"\n'
+        + f"Content-Transfer-Encoding: {cte}\n\n".encode()
+        + body
+    )
+    if doc_id % 3 == 0:
+        html = (
+            b'Content-Type: text/html; charset="utf-8"\n'
+            b"Content-Transfer-Encoding: 7bit\n\n"
+            + f"<p>{text}</p>\n".encode("utf-8")
+        )
+        ba = f"==alt{doc_id}=="
+        content = (
+            f'Content-Type: multipart/alternative; boundary="{ba}"'
+            f"\n\n--{ba}\n".encode()
+            + plain
+            + f"\n--{ba}\n".encode()
+            + html
+            + f"\n--{ba}--\n".encode()
+        )
+    else:
+        content = plain
+    if doc_id % 4 == 0:
+        att = (
+            b"Content-Type: application/octet-stream\n"
+            b"Content-Transfer-Encoding: base64\n"
+            b"Content-Disposition: attachment; "
+            + f'filename="blob{doc_id}.bin"\n\n'.encode()
+            + base64.encodebytes(attachment_blob(doc_id))
+        )
+        bm = f"==mix{doc_id}=="
+        content = (
+            f'Content-Type: multipart/mixed; boundary="{bm}"'
+            f"\n\n--{bm}\n".encode()
+            + content
+            + f"\n--{bm}\n".encode()
+            + att
+            + f"\n--{bm}--\n".encode()
+        )
+    return (
+        f"From: sender{doc_id % 7}@corpus.example\n"
+        f"To: list{doc_id % 3}@corpus.example\n"
+        f"Subject: msg {doc_id}\n"
+        f"Date: {email.utils.formatdate(eml_epoch(doc_id), usegmt=True)}\n"
+        f"Message-ID: <{doc_id}@corpus.example>\n"
+        "MIME-Version: 1.0\n"
+    ).encode() + content
+
+
+def build_eml_stdlib(text: str, doc_id: int) -> bytes:
+    """The EmailMessage-based twin of :func:`build_eml` — same message
+    semantics through a second, independent MIME producer. Kept for the
+    two-builder parity test (both must parse identically); the direct
+    assembler above is the hot path."""
     msg = EmailMessage()
     msg["From"] = f"sender{doc_id % 7}@corpus.example"
     msg["To"] = f"list{doc_id % 3}@corpus.example"

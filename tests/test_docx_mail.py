@@ -130,6 +130,23 @@ def test_eml_roundtrip(doc_id):
         assert r["n_attachments"] == 0
 
 
+def test_eml_two_builders_parse_identical():
+    """build_eml (direct MIME assembly, the hot path) and
+    build_eml_stdlib (EmailMessage) must parse to IDENTICAL dicts for
+    every arrival path — two independent producers, one parser. 60 ids
+    covers the full (mod 3 × mod 4 × mod 5) path matrix."""
+    from data_engineering_etl_self_service_spark.operators.mail import (
+        build_eml_stdlib,
+    )
+
+    for doc_id in range(60):
+        text = _text(8, doc_id)
+        a = parse_eml(build_eml(text, doc_id))
+        b = parse_eml(build_eml_stdlib(text, doc_id))
+        assert a == b, (doc_id, {k: (a[k], b[k]) for k in a if a[k] != b[k]})
+        assert a["body"] == text
+
+
 def test_mbox_from_stuffing_roundtrip():
     tricky = "From the very start\n>From quoted depth one\nplain line"
     # doc_id 5 → 7bit: the tricky lines must hit the wire RAW (a base64
