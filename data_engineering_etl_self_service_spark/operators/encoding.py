@@ -98,10 +98,10 @@ def sniff_decode(raw: bytes) -> dict:
 
 #: compression magic → decoder. gzip via zlib wbits=31 (header parsing
 #: included); bzip2/xz via their stdlib modules; zstd via the pure
-#: RFC 8878 decoder (operators/zstd.py) with pyarrow's libzstd as the
-#: fallback for frame features outside its subset (dictionaries);
-#: lz4 frame via pyarrow (import-try — absent pyarrow degrades lz4 to
-#: sniffed-but-passthrough, never data loss).
+#: RFC 8878 decoder (operators/zstd.py) and lz4 via the pure frame
+#: decoder (operators/lz4.py), each with pyarrow's native codec as the
+#: fallback for the one feature outside their subset (dictionary
+#: frames) — every sniffed codec inflates with NO optional dependency.
 _MAGICS = [
     (b"\x1f\x8b", "gzip"),
     (b"BZh", "bzip2"),
@@ -174,17 +174,28 @@ def sniff_decompress(raw: bytes) -> dict:
                     ).read(),
                 }
         if comp == "lz4":
-            import io
+            from .lz4 import lz4_decompress
 
-            import pyarrow as pa
+            try:
+                # pure frame decoder first (same two-implementation
+                # posture as zstd); liblz4 covers dictionary frames
+                return {
+                    "compression": comp,
+                    "ok": True,
+                    "data": lz4_decompress(raw),
+                }
+            except ValueError:
+                import io
 
-            return {
-                "compression": comp,
-                "ok": True,
-                "data": pa.input_stream(
-                    io.BytesIO(raw), compression="lz4"
-                ).read(),
-            }
+                import pyarrow as pa
+
+                return {
+                    "compression": comp,
+                    "ok": True,
+                    "data": pa.input_stream(
+                        io.BytesIO(raw), compression="lz4"
+                    ).read(),
+                }
     except Exception:
         # sniff false-positive, corrupt container, or absent optional
         # codec (pyarrow): keep the bytes

@@ -7,9 +7,8 @@ documented subset from the public RFC 8878 / zstd format spec:
 
 - **Frames**: standard zstd frames (magic 0x28B52FFD), single- and
   multi-block, with or without Single_Segment / Frame_Content_Size /
-  Content_Checksum (checksum bytes are consumed, not verified — the
-  xxhash64 integrity check belongs to the producing side; corrupt
-  streams already fail structurally). Skippable frames
+  Content_Checksum (VERIFIED when present: low 32 bits of
+  XXH64(content) via operators/xxhash.py). Skippable frames
   (0x184D2A5?) are skipped per spec. Dictionary frames are rejected
   loudly (Dictionary_ID present → ValueError), not mis-decoded.
 - **Blocks**: Raw, RLE, and Compressed.
@@ -648,7 +647,14 @@ def _decompress(raw: bytes) -> bytes:
         if checksum:
             if pos + 4 > len(raw):
                 raise ValueError("zstd: truncated content checksum")
-            pos += 4  # xxhash64 low 32 bits: consumed, not verified
+            # Content_Checksum = low 32 bits of XXH64(content, seed=0)
+            from .xxhash import xxh64
+
+            want = int.from_bytes(raw[pos : pos + 4], "little")
+            got = xxh64(bytes(out[frame_out_start:])) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError("zstd: content checksum mismatch")
+            pos += 4
         if content_size is not None and (
             len(out) - frame_out_start != content_size
         ):

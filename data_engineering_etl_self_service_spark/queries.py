@@ -7717,12 +7717,23 @@ def trigram_rarity(spark, sf_dir):
 
 
 def _trigram_rarity_build(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # trigrams index into a pre-split char ARRAY (element_at is
+        # O(1)) instead of substring(text, i, 3): UTF8String substring
+        # seeks from the string start, making the naive explode
+        # O(len^2) per doc — measured 3x slower at sf0.1 and
+        # super-linear (exponent 1.17) at the sf1 scale probe. Same
+        # trigram set bit-for-bit (exceptAll-verified both ways).
+        .withColumn("_c", F.expr("split(text, '')"))
+    )
     tri_arr = F.when(
         F.length("text") >= 3,
         F.expr(
             "array_distinct(transform(sequence(1, length(text) - 2),"
-            " i -> substring(text, i, 3)))"
+            " i -> concat(element_at(_c, i), element_at(_c, i + 1),"
+            " element_at(_c, i + 2))))"
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
     # persist: the exploded pairs feed BOTH the DF-count agg and the

@@ -90,21 +90,47 @@ def test_multi_frame_concatenation():
     assert zstd_decompress(_comp(a) + _comp(b, 19)) == a + b
 
 
-def test_content_checksum_frames_decode():
-    """pyarrow doesn't emit checksums, so hand-flip the frame-header
-    descriptor path instead: build a frame WITH the checksum flag and
-    4 trailing bytes; the decoder consumes them and still verifies the
-    content size."""
+def test_content_checksum_frames_verified():
+    """pyarrow doesn't emit checksums, so hand-build a frame WITH the
+    checksum flag: the decoder must verify XXH64(content)&0xFFFFFFFF
+    (pinned vectors for xxh64 itself below) and reject a wrong one."""
+    from data_engineering_etl_self_service_spark.operators.xxhash import (
+        xxh64,
+    )
+
     fhd = bytes([0x24])  # single-segment + checksum, FCS 1 byte
-    frame = (
+    body = (
         struct.pack("<I", ZSTD_MAGIC)
         + fhd
         + bytes([3])
         + struct.pack("<I", (3 << 3) | (0 << 1) | 1)[:3]
         + b"xyz"
-        + b"\x00\x00\x00\x00"  # unverified xxhash32 slot
     )
-    assert zstd_decompress(frame) == b"xyz"
+    good = body + struct.pack("<I", xxh64(b"xyz") & 0xFFFFFFFF)
+    assert zstd_decompress(good) == b"xyz"
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_decompress(body + b"\x00\x00\x00\x00")
+
+
+def test_xxhash_reference_vectors():
+    """operators/xxhash.py against the published XXH sanity vectors."""
+    from data_engineering_etl_self_service_spark.operators.xxhash import (
+        xxh32,
+        xxh64,
+    )
+
+    msg80 = b"1234567890" * 8
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64(b"message digest") == 0x066ED728FCEEB3BE
+    assert xxh64(b"abcdefghijklmnopqrstuvwxyz") == 0xCFE1F278FA89835C
+    assert xxh64(msg80) == 0xE04A477F19EE145D
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"message digest") == 0x7C948494
+    assert xxh32(msg80) == 0x9C05F475
 
 
 def test_dictionary_frames_rejected_loudly():
@@ -150,3 +176,135 @@ def test_truncation_always_raises():
         zstd_decompress(b"")
     with pytest.raises(ValueError, match="magic"):
         zstd_decompress(b"\x00" * 16)
+
+
+# ----------------------------------------------------------------- lz4
+
+
+def test_lz4_parity_with_liblz4():
+    import pyarrow as pa
+
+    from data_engineering_etl_self_service_spark.operators.lz4 import (
+        lz4_decompress,
+    )
+
+    rng = random.Random(9)
+    words = ["the", "quick", "brown", "fox", "lz4"]
+    cases = [
+        b"",
+        b"a",
+        b"A" * 10000,
+        " ".join(rng.choice(words) for _ in range(5000)).encode(),
+        bytes(rng.randrange(256) for _ in range(3000)),
+        (" ".join(rng.choice(words) for _ in range(300000))).encode(),
+    ]
+    for i in range(60):
+        n = rng.randrange(0, 2000)
+        cases.append(
+            bytes(rng.randrange(256) for _ in range(n))
+            if i % 2
+            else bytes(rng.randrange(3) for _ in range(n))
+        )
+    for data in cases:
+        for lvl in (None, 1, 9):
+            codec = (
+                pa.Codec("lz4")
+                if lvl is None
+                else pa.Codec("lz4", compression_level=lvl)
+            )
+            assert lz4_decompress(codec.compress(data, asbytes=True)) == data
+
+
+def test_lz4_handbuilt_frame_with_all_checksums():
+    """Frame exercising the options liblz4 doesn't emit by default:
+    per-block checksums, content size, content checksum, an
+    uncompressed block, and a skippable frame prefix — every checksum
+    VERIFIED (flip any and the decode fails loudly)."""
+    from data_engineering_etl_self_service_spark.operators.lz4 import (
+        LZ4_MAGIC,
+        lz4_decompress,
+    )
+    from data_engineering_etl_self_service_spark.operators.xxhash import (
+        xxh32,
+    )
+
+    content = b"hello hello hello lz4 frame format"
+    # hand-coded LZ4 sequences:
+    #   seq1: literals "hello " (6) + match(offset=6, len=12)
+    #         -> "hello hello hello " (18 bytes)
+    #   seq2 (final, literals only): "lz4 frame format" (16 literals,
+    #         lit nibble 15 + extension byte 1, match nibble 0)
+    blk = bytes([(6 << 4) | (12 - 4)]) + b"hello " + struct.pack("<H", 6)
+    blk += bytes([0xF0, 1]) + b"lz4 frame format"
+
+    def frame(flg_extra=0):
+        flg = 0b01100000 | 0x10 | 0x08 | 0x04 | flg_extra  # indep+bsum+csize+csum
+        bd = 0x40
+        desc = bytes([flg, bd]) + struct.pack("<Q", len(content))
+        hc = (xxh32(desc) >> 8) & 0xFF
+        out = struct.pack("<I", 0x184D2A51) + struct.pack("<I", 3) + b"xyz"
+        out += struct.pack("<I", LZ4_MAGIC) + desc + bytes([hc])
+        out += struct.pack("<I", len(blk)) + blk
+        out += struct.pack("<I", xxh32(blk))
+        tail = b""  # no second block; content fits one
+        out += tail
+        out += struct.pack("<I", 0)  # EndMark
+        out += struct.pack("<I", xxh32(content))
+        return out
+
+    good = frame()
+    assert lz4_decompress(good) == content
+    # flip one bit in the stored block -> block checksum catches it
+    bad = bytearray(good)
+    blk_pos = good.index(blk)
+    bad[blk_pos + 2] ^= 1
+    with pytest.raises(ValueError, match="checksum"):
+        lz4_decompress(bytes(bad))
+    # header checksum catches descriptor tampering
+    bad2 = bytearray(good)
+    flg_pos = good.index(struct.pack("<I", LZ4_MAGIC)) + 4
+    bad2[flg_pos] ^= 0x10
+    with pytest.raises(ValueError, match="checksum|reserved"):
+        lz4_decompress(bytes(bad2))
+
+
+def test_lz4_corruption_and_truncation_fail_loudly():
+    import pyarrow as pa
+
+    from data_engineering_etl_self_service_spark.operators.lz4 import (
+        lz4_decompress,
+    )
+
+    data = b"some text that compresses " * 50
+    good = pa.Codec("lz4").compress(data, asbytes=True)
+    for cut in (1, 3, 5, 9, len(good) // 2, len(good) - 1):
+        with pytest.raises(ValueError):
+            lz4_decompress(good[:cut])
+    with pytest.raises(ValueError, match="magic"):
+        lz4_decompress(b"\x00" * 12)
+    # liblz4 emits no content checksum by default, so retrofit one with
+    # our own tools (flip FLG bit 2, recompute the header checksum,
+    # append XXH32(content)): now EVERY content-affecting flip must
+    # raise — a successful decode can only ever equal the original
+    # (the only surviving flips are spec-dead bits like the final
+    # token's unused match nibble).
+    from data_engineering_etl_self_service_spark.operators.xxhash import (
+        xxh32,
+    )
+
+    flg = good[4] | 0x04
+    desc = bytes([flg]) + good[5:6]
+    hc = (xxh32(desc) >> 8) & 0xFF
+    checked = good[:4] + desc + bytes([hc]) + good[7:] + struct.pack(
+        "<I", xxh32(data)
+    )
+    assert lz4_decompress(checked) == data
+    rng = random.Random(5)
+    for _ in range(200):
+        bad = bytearray(checked)
+        bad[rng.randrange(len(bad))] ^= 1 << rng.randrange(8)
+        try:
+            out = lz4_decompress(bytes(bad))
+        except ValueError:
+            continue
+        assert out == data  # dead-bit flip; wrong output is impossible
