@@ -169,3 +169,27 @@ def _decompress(raw: bytes) -> bytes:
         if content_size is not None and len(out) - frame_start != content_size:
             raise ValueError("lz4: content size mismatch")
     return bytes(out)
+
+
+def lz4_compress_stored(data: bytes, block_size: int = 1 << 18) -> bytes:
+    """Minimal VALID lz4 frame writer: uncompressed blocks with content
+    size, per-block checksums, and content checksum — readable by any
+    conforming decoder (liblz4, this module). The write path for .lz4
+    artifacts where no native codec is deployed."""
+    flg = 0b01100000 | 0x10 | 0x08 | 0x04  # indep + bsum + csize + csum
+    bd = 0x70  # 4 MiB max-block-size bin (any size <= bin is legal)
+    desc = bytes([flg, bd]) + struct.pack("<Q", len(data))
+    out = bytearray()
+    out += struct.pack("<I", LZ4_MAGIC)
+    out += desc
+    out += bytes([(xxh32(desc) >> 8) & 0xFF])
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + block_size]
+        pos += len(chunk)
+        out += struct.pack("<I", 0x80000000 | len(chunk))
+        out += chunk
+        out += struct.pack("<I", xxh32(chunk))
+    out += struct.pack("<I", 0)  # EndMark
+    out += struct.pack("<I", xxh32(data))
+    return bytes(out)

@@ -660,3 +660,44 @@ def _decompress(raw: bytes) -> bytes:
         ):
             raise ValueError("zstd: frame content size mismatch")
     return bytes(out)
+
+
+def zstd_compress_stored(data: bytes, block_size: int = 1 << 17) -> bytes:
+    """Minimal VALID zstd writer: raw (stored) blocks + frame content
+    size + verified content checksum — no entropy coding, so output is
+    slightly larger than input, but any conforming decoder (libzstd,
+    this module) reads it. Gives the jar-less/pyarrow-less environment
+    a write path for .zst artifacts whose readers are standard;
+    compression worth having goes through pyarrow where present.
+    RLE runs get RLE blocks (the one free win the format offers)."""
+    out = bytearray()
+    out += struct.pack("<I", ZSTD_MAGIC)
+    n = len(data)
+    # Single_Segment + checksum; FCS field width by content size
+    if n < 256:
+        out += bytes([0x24, n])
+    elif n < 65536 + 256:
+        out += bytes([0x64])
+        out += struct.pack("<H", n - 256)
+    else:
+        out += bytes([0xA4])
+        out += struct.pack("<I", n)
+    blocks = []
+    pos = 0
+    while pos < n:
+        chunk = data[pos : pos + block_size]
+        pos += len(chunk)
+        if len(chunk) >= 4 and chunk.count(chunk[0]) == len(chunk):
+            blocks.append((1, chunk[:1], len(chunk)))  # RLE
+        else:
+            blocks.append((0, chunk, len(chunk)))  # raw
+    if not blocks:
+        blocks = [(0, b"", 0)]
+    for i, (btype, payload, size) in enumerate(blocks):
+        last = 1 if i == len(blocks) - 1 else 0
+        out += struct.pack("<I", (size << 3) | (btype << 1) | last)[:3]
+        out += payload
+    from .xxhash import xxh64
+
+    out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

@@ -308,3 +308,48 @@ def test_lz4_corruption_and_truncation_fail_loudly():
         except ValueError:
             continue
         assert out == data  # dead-bit flip; wrong output is impossible
+
+
+def test_stored_writers_native_and_pure_readers():
+    """zstd_compress_stored / lz4_compress_stored emit VALID frames:
+    both the pure decoders AND the native libzstd/liblz4 readers
+    (pyarrow) must recover the exact bytes — the no-dependency WRITE
+    path for .zst/.lz4 artifacts."""
+    import io
+
+    import pyarrow as pa
+
+    from data_engineering_etl_self_service_spark.operators.lz4 import (
+        lz4_compress_stored,
+        lz4_decompress,
+    )
+    from data_engineering_etl_self_service_spark.operators.zstd import (
+        zstd_compress_stored,
+    )
+
+    rng = random.Random(1)
+    cases = [
+        b"",
+        b"x",
+        b"A" * 100000,  # exercises the zstd RLE-block win
+        bytes(rng.randrange(256) for _ in range(70000)),
+        b"hello world " * 5000,
+        bytes([7]) * 300 + b"tail",
+    ]
+    for data in cases:
+        z = zstd_compress_stored(data, block_size=3000)
+        l4 = lz4_compress_stored(data, block_size=3000)
+        assert zstd_decompress(z) == data
+        assert lz4_decompress(l4) == data
+        assert pa.input_stream(io.BytesIO(z), compression="zstd").read() == data
+        assert pa.input_stream(io.BytesIO(l4), compression="lz4").read() == data
+    # the checksums the writers stamp are load-bearing: flip a payload
+    # byte and both pure readers must reject
+    z = bytearray(zstd_compress_stored(b"payload bytes here"))
+    z[-6] ^= 1
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(z))
+    l4 = bytearray(lz4_compress_stored(b"payload bytes here"))
+    l4[20] ^= 1
+    with pytest.raises(ValueError):
+        lz4_decompress(bytes(l4))
