@@ -142,8 +142,10 @@ EXTENDED = [
     "charset_sniff_stats",
     "decompress_sniff_stats",
     # round 7: jar-less Avro OCF ingestion + skew-bounded sessionization
+    # + parquet footer audit
     "avro_extract_stats",
     "sessionize_skewsafe",
+    "parquet_footer_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

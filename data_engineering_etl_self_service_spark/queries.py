@@ -12449,3 +12449,120 @@ def avro_extract_stats(spark, sf_dir):
         "doc_id long, codec string, n_records long, sum_chars long, "
         "n_long_tokens long, schema_ok boolean, roundtrip_exact boolean",
     )
+
+
+@register(
+    "parquet_footer_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST((n + (doc_id % 4 + 1) * 8 - 1)
+                // ((doc_id % 4 + 1) * 8) AS BIGINT) AS n_row_groups,
+           CAST(2 AS BIGINT) AS n_columns,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'uncompressed' WHEN 1 THEN 'snappy'
+             ELSE 'zstd' END AS codec,
+           CAST(0 AS BIGINT) AS idx_min,
+           CAST(n - 1 AS BIGINT) AS idx_max,
+           CAST(0 AS BIGINT) AS null_count_total,
+           TRUE AS pyarrow_parity
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def parquet_footer_stats(spark, sf_dir):
+    """Parquet footer introspection (operators/parquet_meta.py — the
+    hand-rolled Thrift-compact FileMetaData decoder a 100 TB lake audit
+    needs: row-group layout, codecs, chunk sizes, and min/max stats
+    WITHOUT touching data pages). Builder-exercises-parser with a REAL
+    second implementation both ways: pyarrow WRITES each doc's tokens
+    as a parquet payload with a doc-pinned row-group size and codec,
+    the hand decoder walks the footer, and every reported number is
+    symbolic from (doc_id, token count) — row-group count is the
+    ceil-div of the pinned layout, idx min/max decode from the PLAIN
+    statistics encoding. pyarrow_parity re-reads the same footer with
+    pyarrow's own metadata object and compares field by field.
+
+    Scale: one shuffle-free Arrow-batched mapInPandas pass; footers are
+    KB-sized regardless of file size, so the audit pattern reads
+    footers only.
+    """
+    from .operators.parquet_meta import parquet_footer
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(it):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                toks = t.split(" ")
+                rg_size = (i % 4 + 1) * 8
+                codec = ["none", "snappy", "zstd"][i % 3]
+                buf = io.BytesIO()
+                pq.write_table(
+                    pa.table(
+                        {
+                            "idx": pa.array(
+                                range(len(toks)), pa.int64()
+                            ),
+                            "word": toks,
+                        }
+                    ),
+                    buf,
+                    compression=codec,
+                    row_group_size=rg_size,
+                )
+                raw = buf.getvalue()
+                f = parquet_footer(raw)
+                rgs = f["row_groups"]
+                idx_cols = [rg["columns"][0] for rg in rgs]
+                parity = True
+                m = pq.ParquetFile(io.BytesIO(raw)).metadata
+                parity &= f["num_rows"] == m.num_rows
+                parity &= len(rgs) == m.num_row_groups
+                for ri in range(m.num_row_groups):
+                    mr = m.row_group(ri)
+                    parity &= rgs[ri]["num_rows"] == mr.num_rows
+                    for ci in range(mr.num_columns):
+                        mc = mr.column(ci)
+                        mine = rgs[ri]["columns"][ci]
+                        parity &= mine["num_values"] == mc.num_values
+                        parity &= mine["codec"] == mc.compression.lower()
+                        st = mc.statistics
+                        if st is not None and st.has_min_max:
+                            parity &= mine["min"] == st.min
+                            parity &= mine["max"] == st.max
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "n_rows": f["num_rows"],
+                        "n_row_groups": len(rgs),
+                        "n_columns": len(rgs[0]["columns"]) if rgs else 0,
+                        "codec": idx_cols[0]["codec"] if idx_cols else "",
+                        "idx_min": min(c["min"] for c in idx_cols),
+                        "idx_max": max(c["max"] for c in idx_cols),
+                        "null_count_total": sum(
+                            c["null_count"] or 0
+                            for rg in rgs
+                            for c in rg["columns"]
+                        ),
+                        "pyarrow_parity": bool(parity),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        stats,
+        "doc_id long, n_rows long, n_row_groups long, n_columns long, "
+        "codec string, idx_min long, idx_max long, "
+        "null_count_total long, pyarrow_parity boolean",
+    )

@@ -1,0 +1,107 @@
+"""Parquet footer decoder (operators/parquet_meta.py): thrift-compact
+generic reader + FileMetaData mapping, vs pyarrow's own metadata."""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+    parquet_footer,
+    thrift_compact_decode,
+)
+
+
+def _write(table, **kw) -> bytes:
+    buf = io.BytesIO()
+    pq.write_table(table, buf, **kw)
+    return buf.getvalue()
+
+
+def test_footer_parity_with_pyarrow_multi_type():
+    t = pa.table(
+        {
+            "i32": pa.array([3, 1, 2, None], pa.int32()),
+            "i64": pa.array([10, 20, None, 40], pa.int64()),
+            "dbl": pa.array([0.5, -1.25, 2.0, None], pa.float64()),
+            "s": pa.array(["b", None, "a", "c"]),
+            "flag": pa.array([True, False, None, True]),
+        }
+    )
+    raw = _write(t, compression="snappy", row_group_size=3)
+    f = parquet_footer(raw)
+    m = pq.ParquetFile(io.BytesIO(raw)).metadata
+    assert f["num_rows"] == m.num_rows == 4
+    assert len(f["row_groups"]) == m.num_row_groups == 2
+    assert [s["name"] for s in f["schema"][1:]] == t.column_names
+    for ri in range(m.num_row_groups):
+        mr = m.row_group(ri)
+        rg = f["row_groups"][ri]
+        assert rg["num_rows"] == mr.num_rows
+        for ci in range(mr.num_columns):
+            mc, mine = mr.column(ci), rg["columns"][ci]
+            assert mine["path"] == mc.path_in_schema
+            assert mine["num_values"] == mc.num_values
+            assert mine["codec"] == mc.compression.lower()
+            assert mine["total_compressed_size"] == mc.total_compressed_size
+            st = mc.statistics
+            if st is not None:
+                assert mine["null_count"] == st.null_count
+                if st.has_min_max:
+                    assert mine["min"] == st.min
+                    assert mine["max"] == st.max
+
+
+@pytest.mark.parametrize("codec", ["none", "gzip", "zstd", "lz4", "brotli"])
+def test_footer_codec_names(codec):
+    raw = _write(pa.table({"x": pa.array([1, 2], pa.int64())}), compression=codec)
+    got = parquet_footer(raw)["row_groups"][0]["columns"][0]["codec"]
+    exp = {"none": "uncompressed", "lz4": "lz4_raw"}.get(codec, codec)
+    assert got == exp  # pyarrow 'lz4' writes parquet LZ4_RAW (id 7)
+
+
+def test_footer_corrupt_inputs_fail_loudly():
+    raw = _write(pa.table({"x": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="magic"):
+        parquet_footer(raw[:-4] + b"XXXX")
+    with pytest.raises(ValueError, match="magic"):
+        parquet_footer(b"PAR1")
+    bad_len = raw[:-8] + struct.pack("<I", 10**6) + b"PAR1"
+    with pytest.raises(ValueError, match="range"):
+        parquet_footer(bad_len)
+
+
+def test_thrift_generic_long_form_and_types():
+    """Hand-built compact-protocol struct exercising the long-form
+    field header (id delta 0 → explicit zigzag id), doubles, nested
+    structs, lists, and bool fields."""
+    buf = bytearray()
+    buf += bytes([0x15, 0x54])  # field 1, i32 zigzag(42)
+    buf += bytes([0x07])  # long form: type DOUBLE, id follows
+    buf += bytes([0xC8, 0x01])  # zigzag varint id = 100
+    buf += struct.pack("<d", 1.5)
+    buf += bytes([0x11])  # field 101 (delta 1), BOOL_TRUE
+    buf += bytes([0x19, 0x25, 0x02, 0x04])  # field 102: list<i32> [1,2]
+    buf += bytes([0x1C])  # field 103: struct
+    buf += bytes([0x18, 0x02, ord("h"), ord("i"), 0x00])  # s.f1="hi", stop
+    buf += bytes([0x00])  # stop
+    out = thrift_compact_decode(bytes(buf))
+    assert out[1] == 42
+    assert out[100] == 1.5
+    assert out[101] is True
+    assert out[102] == [1, 2]
+    assert out[103] == {1: b"hi"}
+
+
+def test_footer_row_group_layout_formula():
+    for n, rg_size in [(1, 8), (8, 8), (9, 8), (100, 7)]:
+        t = pa.table({"idx": pa.array(range(n), pa.int64())})
+        f = parquet_footer(_write(t, row_group_size=rg_size))
+        assert len(f["row_groups"]) == (n + rg_size - 1) // rg_size
+        assert sum(rg["num_rows"] for rg in f["row_groups"]) == n
+        assert f["row_groups"][0]["columns"][0]["min"] == 0
+        assert f["row_groups"][-1]["columns"][0]["max"] == n - 1
