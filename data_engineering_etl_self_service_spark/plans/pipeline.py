@@ -62,7 +62,13 @@ def _read_source(spark: SparkSession, spec: PipelineSpec, ds: str | None) -> Dat
             for k, v in opts.items()
         }
     if src.type == "file":
-        from ..sources.files import read_csv, read_json, read_parquet
+        from ..sources.files import (
+            read_avro,
+            read_csv,
+            read_json,
+            read_orc,
+            read_parquet,
+        )
 
         fmt = opts.get("format", "parquet")
         path = opts["path"]
@@ -70,6 +76,11 @@ def _read_source(spark: SparkSession, spec: PipelineSpec, ds: str | None) -> Dat
             return read_csv(spark, path, schema=opts.get("schema"))
         if fmt == "json":
             return read_json(spark, path, schema=opts.get("schema"))
+        if fmt == "orc":
+            return read_orc(spark, path, schema=opts.get("schema"))
+        if fmt == "avro":
+            # spark-avro where deployed, pure OCF fallback in-container
+            return read_avro(spark, path)
         return read_parquet(spark, path)
     if src.type == "http_api":
         from ..sources.http import fetch_json_df

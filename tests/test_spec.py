@@ -1453,3 +1453,51 @@ def test_extract_text_sniff_format(spark, tmp_path):
     assert res.passed
     rows = {r.doc_id: r.text for r in spark.read.parquet(res.published_path).collect()}
     assert rows == {1: "utf-16 text here", 2: "café latin", 3: "bom utf8"}
+
+
+def test_pipeline_reads_avro_and_orc_sources(spark, tmp_path):
+    """YAML `source: {type: file, format: avro|orc}` — the avro path
+    exercises the jar-less OCF fallback end to end THROUGH the
+    self-service contract (write with write_avro, read via the spec,
+    DQ-gate, publish)."""
+    from data_engineering_etl_self_service_spark.sources.files import (
+        write_avro,
+    )
+
+    src_df = spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(40)],
+        "id long, name string, score double",
+    )
+    avro_dir = str(tmp_path / "in_avro")
+    write_avro(src_df, avro_dir)
+    orc_dir = str(tmp_path / "in_orc")
+    src_df.write.orc(orc_dir)
+    for fmt, path in (("avro", avro_dir), ("orc", orc_dir)):
+        spec = spec_from_dict(
+            {
+                "pipeline_info": {"name": f"{fmt}-src"},
+                "source": {
+                    "type": "file",
+                    "format": fmt,
+                    "path": path,
+                },
+                "transformations": [
+                    {"op": "filter", "predicate": "id >= 10"}
+                ],
+                "destination": {
+                    "type": "parquet",
+                    "path": str(tmp_path / f"out_{fmt}"),
+                },
+                "data_quality_checks": [
+                    {"check_type": "min_row_count", "threshold": 10}
+                ],
+            }
+        )
+        assert not spec.warnings
+        res = run_pipeline(spark, spec)
+        assert res.passed and res.published_path
+        out = spark.read.parquet(res.published_path)
+        assert out.count() == 30
+        assert {r["id"] for r in out.select("id").collect()} == set(
+            range(10, 40)
+        )
