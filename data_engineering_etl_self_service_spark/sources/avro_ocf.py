@@ -165,8 +165,10 @@ def _resolve(schema, named: dict):
     if isinstance(schema, dict):
         _register_named(schema, named)
         t = schema["type"]
-        if t in _PRIMITIVES and len(schema) <= 2:
-            # {"type": "long", "logicalType": ...} — decode as base type
+        if t in _PRIMITIVES:
+            # {"type": "bytes", "logicalType": "decimal", ...} — the
+            # WIRE encoding is always the base type; logical-type
+            # annotations are handled post-decode (_logical_decoder)
             return t
         return schema
     if isinstance(schema, list):
@@ -464,6 +466,106 @@ def write_ocf(
 
 
 # =========================================================================
+# Logical types (Avro 1.11 spec §Logical Types)
+# =========================================================================
+
+
+def _logical(schema) -> tuple[str | None, dict]:
+    """The (logicalType, attrs) of a schema node, if any."""
+    if isinstance(schema, dict) and "logicalType" in schema:
+        return schema["logicalType"], schema
+    return None, {}
+
+
+def _logical_decoder(schema, named: dict):
+    """A value converter applied AFTER binary decode (base-typed values
+    in, logical Python values out), or None when nothing converts.
+    Covers the logical types Kafka-adjacent lakes actually emit:
+    timestamp-micros/-millis → tz-aware datetime, date → date,
+    decimal (bytes/fixed, big-endian two's-complement unscaled) →
+    Decimal. time-* stay as integers (Spark has no TIME type); uuid
+    stays a string. Recurses through records/arrays/maps/[null,X]."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    lt, attrs = _logical(schema)
+    if lt == "timestamp-micros":
+        return lambda v: _dt.datetime.fromtimestamp(
+            v / 1_000_000, tz=_dt.timezone.utc
+        ).replace(tzinfo=None)
+    if lt == "timestamp-millis":
+        return lambda v: _dt.datetime.fromtimestamp(
+            v / 1_000, tz=_dt.timezone.utc
+        ).replace(tzinfo=None)
+    if lt == "date":
+        return lambda v: _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    if lt == "decimal":
+        scale = attrs.get("scale", 0)
+        return lambda v: _decimal.Decimal(
+            int.from_bytes(v, "big", signed=True)
+        ).scaleb(-scale)
+    schema = _resolve(schema, named)
+    if isinstance(schema, list):
+        subs = [_logical_decoder(b, named) for b in schema]
+        if not any(subs):
+            return None
+        branch = next(s for s in subs if s)
+        return lambda v: None if v is None else branch(v)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            fields = {
+                f["name"]: _logical_decoder(f["type"], named)
+                for f in schema["fields"]
+            }
+            if not any(fields.values()):
+                return None
+
+            def conv_rec(v, fields=fields):
+                return {
+                    k: (fields[k](x) if fields.get(k) and x is not None else x)
+                    for k, x in v.items()
+                }
+
+            return conv_rec
+        if t == "array":
+            sub = _logical_decoder(schema["items"], named)
+            return (lambda v: [sub(x) for x in v]) if sub else None
+        if t == "map":
+            sub = _logical_decoder(schema["values"], named)
+            return (
+                (lambda v: {k: sub(x) for k, x in v.items()}) if sub else None
+            )
+    return None
+
+
+def _logical_encoder(schema):
+    """Inverse of :func:`_logical_decoder` for the writer: logical
+    Python values in, base-typed values out (timestamps → epoch µs,
+    dates → days, Decimal → big-endian unscaled bytes)."""
+    import datetime as _dt
+
+    lt, attrs = _logical(schema)
+    if lt == "timestamp-micros":
+        epoch = _dt.datetime(1970, 1, 1)
+        return lambda v: (
+            (v.replace(tzinfo=None) - epoch) // _dt.timedelta(microseconds=1)
+        )
+    if lt == "date":
+        return lambda v: (v - _dt.date(1970, 1, 1)).days
+    if lt == "decimal":
+        scale = attrs.get("scale", 0)
+
+        def enc_dec(v, scale=scale):
+            unscaled = int(v.scaleb(scale).to_integral_value())
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            return unscaled.to_bytes(n, "big", signed=True)
+
+        return enc_dec
+    return None
+
+
+# =========================================================================
 # Avro schema → Spark type mapping
 # =========================================================================
 
@@ -475,6 +577,15 @@ def avro_to_spark_type(schema, named: dict | None = None):
     from pyspark.sql import types as T
 
     named = {} if named is None else named
+    lt, attrs = _logical(schema)
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        return T.TimestampNTZType()
+    if lt == "date":
+        return T.DateType()
+    if lt == "decimal":
+        return T.DecimalType(
+            attrs.get("precision", 38), attrs.get("scale", 0)
+        )
     schema = _resolve(schema, named)
     if isinstance(schema, list):
         branches = [b for b in schema if b != "null"]
@@ -562,6 +673,12 @@ def read_avro_ocf(spark, path: str, schema_json=None):
         raise ValueError("avro: top-level schema must be a record")
     schema_canon = json.dumps(schema, sort_keys=True)
     field_names = [f.name for f in spark_type.fields]
+    named: dict = {}
+    _resolve(schema, named)
+    field_convs = {
+        f["name"]: _logical_decoder(f["type"], named)
+        for f in schema["fields"]
+    }
 
     def decode(it):
         import pandas as pd
@@ -576,8 +693,14 @@ def read_avro_ocf(spark, path: str, schema_json=None):
                     )
                 yield pd.DataFrame(
                     {
-                        name: [rec[name] for rec in records]
+                        name: [
+                            conv(rec[name])
+                            if conv and rec[name] is not None
+                            else rec[name]
+                            for rec in records
+                        ]
                         for name in field_names
+                        for conv in (field_convs.get(name),)
                     }
                 )
 
@@ -622,6 +745,17 @@ def write_avro_ocf_files(df, path: str, codec: str = "deflate") -> int:
                 "type": "map",
                 "values": spark_to_avro(dt.valueType, name + "_v"),
             }
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.DecimalType):
+            return {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
         if isinstance(dt, T.StructType):
             return {
                 "type": "record",
@@ -640,10 +774,25 @@ def write_avro_ocf_files(df, path: str, codec: str = "deflate") -> int:
 
     schema = spark_to_avro(df.schema, "row")
     names = df.columns
+    col_encs = {
+        f["name"]: _logical_encoder(
+            f["type"][1]
+            if isinstance(f["type"], list)
+            else f["type"]
+        )
+        for f in schema["fields"]
+    }
 
     def write_part(idx, rows):
         records = [
-            {n: (None if row[n] is None else row[n]) for n in names}
+            {
+                n: (
+                    None
+                    if row[n] is None
+                    else (col_encs[n](row[n]) if col_encs[n] else row[n])
+                )
+                for n in names
+            }
             for row in rows
         ]
         if records:

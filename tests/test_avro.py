@@ -251,3 +251,95 @@ def test_snappy_crc_verified():
     payload[crc_pos : crc_pos + 4] = struct.pack(">I", 0)
     with pytest.raises(Exception):
         read_ocf(bytes(payload))
+
+
+def test_logical_types_roundtrip_through_spark(spark, tmp_path):
+    """timestamp-micros / date / decimal — the logical types
+    Kafka-adjacent Avro lakes actually carry. write_avro_ocf_files maps
+    Spark types to logical Avro schemas and the reader converts decoded
+    base values back (timestamps as NTZ: deterministic regardless of
+    the reading session's timezone — a documented divergence from
+    spark-avro's session-TZ TimestampType)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    src = spark.createDataFrame(
+        [
+            (
+                1,
+                dt.datetime(2024, 3, 1, 12, 30, 45, 123456),
+                dt.date(2024, 2, 29),
+                Decimal("12345.67"),
+            ),
+            (2, None, None, Decimal("-0.03")),
+        ],
+        "id long, ts timestamp_ntz, d date, amt decimal(10,2)",
+    )
+    path = str(tmp_path / "logical")
+    write_avro_ocf_files(src, path)
+    # the written schema is logical, not just base longs
+    import glob
+
+    hdr = parse_ocf_header(
+        open(glob.glob(path + "/part-*.avro")[0], "rb").read()
+    )
+    by_name = {
+        f["name"]: f["type"] for f in hdr["schema"]["fields"]
+    }
+    assert by_name["ts"][1]["logicalType"] == "timestamp-micros"
+    assert by_name["d"][1]["logicalType"] == "date"
+    assert by_name["amt"][1] == {
+        "type": "bytes",
+        "logicalType": "decimal",
+        "precision": 10,
+        "scale": 2,
+    }
+    out = read_avro_ocf(spark, path)
+    assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(out.dtypes)["d"] == "date"
+    assert dict(out.dtypes)["amt"] == "decimal(10,2)"
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["ts"] == dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    assert rows[1]["d"] == dt.date(2024, 2, 29)
+    assert rows[1]["amt"] == Decimal("12345.67")
+    assert rows[2]["ts"] is None and rows[2]["d"] is None
+    assert rows[2]["amt"] == Decimal("-0.03")
+
+
+def test_logical_types_handwritten_ocf(spark, tmp_path):
+    """An OCF authored with explicit logical schemas (as a Kafka
+    Connect sink would write it) reads back with converted values —
+    including timestamp-millis and a decimal inside an array."""
+    schema = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "at",
+                "type": {"type": "long", "logicalType": "timestamp-millis"},
+            },
+            {
+                "name": "amts",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 6,
+                        "scale": 3,
+                    },
+                },
+            },
+        ],
+    }
+    recs = [
+        {"id": 1, "at": 86_400_000 + 1500, "amts": [b"\x04\xd2", b"\xff\xff"]},
+    ]
+    (tmp_path / "x.avro").write_bytes(write_ocf(recs, schema))
+    out = read_avro_ocf(spark, str(tmp_path)).collect()
+    import datetime as dt
+    from decimal import Decimal
+
+    assert out[0]["at"] == dt.datetime(1970, 1, 2, 0, 0, 1, 500000)
+    assert out[0]["amts"] == [Decimal("1.234"), Decimal("-0.001")]
