@@ -146,6 +146,7 @@ EXTENDED = [
     "avro_extract_stats",
     "sessionize_skewsafe",
     "parquet_footer_stats",
+    "kafka_avro_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -12566,3 +12566,84 @@ def parquet_footer_stats(spark, sf_dir):
         "codec string, idx_min long, idx_max long, "
         "null_count_total long, pyarrow_parity boolean",
     )
+
+
+@register(
+    "kafka_avro_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(doc_id % 100 AS INTEGER) AS schema_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           toks[1] AS first_word,
+           CAST(length(text) AS BIGINT) AS text_chars
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def kafka_avro_stats(spark, sf_dir):
+    """Kafka-consumer Avro wire path without jars
+    (sources/avro_ocf.py decode_confluent_avro — the jar-less twin of
+    spark-avro's from_avro over kafka.value): messages are
+    Confluent-framed (magic 0x00 + big-endian schema id + bare Avro
+    body, the de-facto Schema Registry wire format) and the decoder
+    must de-frame AND binary-decode each record back to typed columns.
+    Builder-exercises-parser at the DATAFRAME level: stage 1 encodes
+    each doc as a framed message (one binary column — past this point
+    the original columns are gone, everything below is recovered from
+    the wire bytes); stage 2 is the decode operator under test. Every
+    column is symbolic from (doc_id, text).
+
+    Scale: two shuffle-free Arrow-batched stages over one scan — the
+    same plan a readStream.format("kafka") source would feed.
+    """
+    from .sources.avro_ocf import (
+        confluent_frame,
+        decode_confluent_avro,
+        encode_avro_body,
+    )
+
+    _EVT = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "n_tokens", "type": "int"},
+            {"name": "first", "type": "string"},
+            {"name": "text", "type": "string"},
+        ],
+    }
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_wire(it):
+        import pandas as pd
+
+        for pdf in it:
+            vals = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                toks = t.split(" ")
+                body = encode_avro_body(
+                    {
+                        "doc_id": i,
+                        "n_tokens": len(toks),
+                        "first": toks[0],
+                        "text": t,
+                    },
+                    _EVT,
+                )
+                vals.append(confluent_frame(body, i % 100))
+            yield pd.DataFrame({"value": vals})
+
+    framed = d.mapInPandas(to_wire, "value binary")
+    decoded = decode_confluent_avro(framed, "value", _EVT)
+    return decoded.select(
+        "doc_id",
+        F.col("schema_id").cast("int").alias("schema_id"),
+        "n_tokens",
+        F.col("first").alias("first_word"),
+        F.length("text").cast("long").alias("text_chars"),
+    )

@@ -805,3 +805,99 @@ def write_avro_ocf_files(df, path: str, codec: str = "deflate") -> int:
 
     n = df.rdd.mapPartitionsWithIndex(write_part).sum()
     return int(n)
+
+
+# =========================================================================
+# Bare-body (container-less) Avro + Confluent wire format
+# =========================================================================
+
+
+def decode_avro_body(raw: bytes, schema, named: dict | None = None):
+    """Decode ONE container-less Avro value (what a Kafka message body
+    is after de-framing) against its writer schema."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    named = {} if named is None else named
+    _resolve(schema, named)
+    r = _Reader(raw)
+    out = _decode(r, schema, named)
+    if r.pos != len(raw):
+        raise ValueError("avro: trailing bytes after value")
+    return out
+
+
+def encode_avro_body(value, schema) -> bytes:
+    """Encode ONE container-less Avro value (a Kafka message body)."""
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    named: dict = {}
+    _resolve(schema, named)
+    out = bytearray()
+    _encode(out, value, schema, named)
+    return bytes(out)
+
+
+def confluent_frame(body: bytes, schema_id: int) -> bytes:
+    """Confluent Schema Registry wire format: magic 0x00 + big-endian
+    4-byte schema id + the bare Avro body (public format — the
+    de-facto Kafka Avro framing)."""
+    return b"\x00" + struct.pack(">I", schema_id) + body
+
+
+def parse_confluent(raw: bytes) -> tuple[int, bytes]:
+    """Split a Confluent-framed message → (schema_id, avro_body)."""
+    if len(raw) < 5 or raw[0] != 0:
+        raise ValueError("confluent: bad magic byte")
+    return struct.unpack(">I", raw[1:5])[0], raw[5:]
+
+
+def decode_confluent_avro(df, value_col: str, schema, keep: list | None = None):
+    """Kafka-consumer Avro path without jars: a DataFrame with a
+    Confluent-framed binary column → the record's fields as top-level
+    columns (plus ``schema_id``), logical types converted. ``keep``
+    passes through extra columns (key, partition, timestamp). This is
+    the jar-less twin of spark-avro's ``from_avro`` over
+    ``kafka.value`` — same shuffle-free Arrow-batched plan shape as the
+    OCF reader."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    spark_type = avro_to_spark_type(schema)
+    if not isinstance(spark_type, T.StructType):
+        raise ValueError("avro: top-level schema must be a record")
+    keep = list(keep or [])
+    named: dict = {}
+    _resolve(schema, named)
+    convs = {
+        f["name"]: _logical_decoder(f["type"], named)
+        for f in schema["fields"]
+    }
+    field_names = [f.name for f in spark_type.fields]
+    out_type = T.StructType(
+        [T.StructField("schema_id", T.IntegerType(), False)]
+        + [df.schema[k] for k in keep]
+        + list(spark_type.fields)
+    )
+
+    def decode(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in range(len(pdf)):
+                sid, body = parse_confluent(bytes(pdf[value_col].iloc[i]))
+                rec = decode_avro_body(body, schema, dict(named))
+                row = {"schema_id": sid}
+                for k in keep:
+                    row[k] = pdf[k].iloc[i]
+                for name in field_names:
+                    v = rec[name]
+                    conv = convs.get(name)
+                    row[name] = conv(v) if conv and v is not None else v
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=["schema_id"] + keep + field_names
+            )
+
+    return df.select(value_col, *keep).mapInPandas(decode, out_type)

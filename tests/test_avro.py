@@ -343,3 +343,77 @@ def test_logical_types_handwritten_ocf(spark, tmp_path):
 
     assert out[0]["at"] == dt.datetime(1970, 1, 2, 0, 0, 1, 500000)
     assert out[0]["amts"] == [Decimal("1.234"), Decimal("-0.001")]
+
+
+def test_confluent_frame_roundtrip_and_errors():
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        confluent_frame,
+        decode_avro_body,
+        encode_avro_body,
+        parse_confluent,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "k",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+        ],
+    }
+    body = encode_avro_body({"a": 7, "b": "x"}, schema)
+    framed = confluent_frame(body, 1234)
+    assert framed[0] == 0 and len(framed) == 5 + len(body)
+    sid, got = parse_confluent(framed)
+    assert sid == 1234
+    assert decode_avro_body(got, schema) == {"a": 7, "b": "x"}
+    with pytest.raises(ValueError, match="magic"):
+        parse_confluent(b"\x01\x00\x00\x00\x01xx")
+    with pytest.raises(ValueError, match="trailing"):
+        decode_avro_body(got + b"\x00", schema)
+
+
+def test_decode_confluent_avro_dataframe(spark):
+    """The DataFrame-level Kafka value decoder: framed binaries +
+    passthrough columns in, typed record columns out."""
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        confluent_frame,
+        decode_confluent_avro,
+        encode_avro_body,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "user", "type": "string"},
+            {"name": "n", "type": "long"},
+            {
+                "name": "at",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+        ],
+    }
+    rows = [
+        (
+            i,
+            confluent_frame(
+                encode_avro_body(
+                    {"user": f"u{i}", "n": i * 10, "at": i * 1_000_000},
+                    schema,
+                ),
+                42,
+            ),
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "part int, value binary")
+    out = decode_confluent_avro(df, "value", schema, keep=["part"])
+    assert out.columns == ["schema_id", "part", "user", "n", "at"]
+    got = {r["n"]: r for r in out.collect()}
+    assert len(got) == 20
+    import datetime as dt
+
+    assert got[30]["user"] == "u3" and got[30]["part"] == 3
+    assert got[30]["schema_id"] == 42
+    assert got[30]["at"] == dt.datetime(1970, 1, 1, 0, 0, 3)

@@ -159,6 +159,7 @@ def test_codec_queries_are_single_scan_shuffle_free(spark, sf_dir):
         # round 7: jar-less Avro OCF ingestion + parquet footer audit
         "avro_extract_stats",
         "parquet_footer_stats",
+        "kafka_avro_stats",
     ):
         plan = _plan(spark, name, sf_dir)
         assert _op_count(plan, "Exchange") == 0, (name, plan)
