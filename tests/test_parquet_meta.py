@@ -105,3 +105,33 @@ def test_footer_row_group_layout_formula():
         assert sum(rg["num_rows"] for rg in f["row_groups"]) == n
         assert f["row_groups"][0]["columns"][0]["min"] == 0
         assert f["row_groups"][-1]["columns"][0]["max"] == n - 1
+
+
+def test_lake_layout_report_over_fixture_dir(spark, tmp_path):
+    """Directory audit: write a small 'lake' with mixed layouts and
+    assert the per-file report matches what pyarrow says about the
+    same files."""
+    import glob
+
+    spark.range(1000).selectExpr("id", "id % 7 AS g").repartition(
+        3
+    ).write.parquet(str(tmp_path / "lake"))
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        lake_layout_report,
+    )
+
+    rep = {
+        r["file"]: r
+        for r in lake_layout_report(spark, str(tmp_path / "lake")).collect()
+    }
+    files = glob.glob(str(tmp_path / "lake") + "/*.parquet")
+    assert len(rep) == len(files) == 3
+    total = 0
+    for fp in files:
+        m = pq.ParquetFile(fp).metadata
+        r = rep[fp.rsplit("/", 1)[-1]]
+        assert r["n_rows"] == m.num_rows
+        assert r["n_row_groups"] == m.num_row_groups
+        assert r["n_columns"] == m.num_columns
+        total += r["n_rows"]
+    assert total == 1000

@@ -1189,3 +1189,61 @@ def test_streaming_nb_score_bit_parity_with_batch(spark, tmp_path_factory):
     for did, (mo, bo) in got.items():
         assert mo.hex() == m[did].hex(), did
         assert bo.hex() == b[did].hex(), did
+
+
+def test_streaming_confluent_avro_decode_parity(spark, tmp_path_factory):
+    """decode_confluent_avro works UNCHANGED on a streaming DataFrame
+    (mapInPandas is streaming-compatible): a file stream of
+    Confluent-framed Kafka-style values decodes to the same typed rows
+    the batch path produces — the jar-less drop-in for
+    from_avro(col('value')) in a readStream.format('kafka') pipeline."""
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        confluent_frame,
+        decode_confluent_avro,
+        encode_avro_body,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "user", "type": "string"},
+            {"name": "n", "type": "long"},
+        ],
+    }
+    out = str(tmp_path_factory.mktemp("avro_stream"))
+    rows = [
+        (
+            i,
+            confluent_frame(
+                encode_avro_body({"user": f"u{i % 5}", "n": i}, schema), 7
+            ),
+        )
+        for i in range(50)
+    ]
+    spark.createDataFrame(rows, "off long, value binary").write.mode(
+        "overwrite"
+    ).parquet(out)
+    src_schema = spark.read.parquet(out).schema
+
+    batch = decode_confluent_avro(spark.read.parquet(out), "value", schema)
+    stream = decode_confluent_avro(
+        spark.readStream.schema(src_schema).parquet(out), "value", schema
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("avro_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["n"]: (r["user"], r["schema_id"])
+        for r in spark.sql("SELECT * FROM avro_stream_out").collect()
+    }
+    want = {
+        r["n"]: (r["user"], r["schema_id"]) for r in batch.collect()
+    }
+    assert got == want and len(got) == 50
+    assert got[13] == ("u3", 7)
