@@ -90,7 +90,9 @@ def lz4_decompress(raw: bytes) -> bytes:
     checksum, or dictionary frames."""
     try:
         return _decompress(raw)
-    except IndexError as ex:
+    except (IndexError, struct.error) as ex:
+        # truncation surfaces as indexing or short-unpack errors deep
+        # in header fields — normalize to the documented ValueError
         raise ValueError("lz4: truncated input") from ex
 
 
@@ -108,6 +110,8 @@ def _decompress(raw: bytes) -> bytes:
             if pos + 4 > len(raw):
                 raise ValueError("lz4: truncated skippable frame")
             pos += 4 + struct.unpack_from("<I", raw, pos)[0]
+            if pos > len(raw):  # declared size runs past end-of-input
+                raise ValueError("lz4: truncated skippable frame")
             continue
         if magic != LZ4_MAGIC:
             raise ValueError("lz4: bad magic")

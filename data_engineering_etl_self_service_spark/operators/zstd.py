@@ -211,12 +211,20 @@ class _FseState:
 def _huffman_from_weights(weights: list[int]):
     """Weights (last one implied) → flat decode table
     [(symbol, nb_bits)] of size 2^max_bits, plus max_bits."""
+    # spec bounds: max code length 11 → max weight 11, and weights past
+    # that bound would allocate 2^weight table slots — reject BEFORE
+    # summing so a ~50-byte crafted frame can't OOM the executor
+    # (review r7; the FSE weight path can emit symbols up to 255)
+    if any(w > 11 or w < 0 for w in weights):
+        raise ValueError("zstd: Huffman weight exceeds spec bound")
     total = sum((1 << (w - 1)) for w in weights if w > 0)
     if total == 0:
         raise ValueError("zstd: empty Huffman weights")
     # last weight completes to the nearest power of 2 STRICTLY above
     # (it must be >= 1), so Max_Number_Bits is total's bit length
     max_bits = total.bit_length()
+    if max_bits > 11:
+        raise ValueError("zstd: Huffman table exceeds 11-bit spec bound")
     left = (1 << max_bits) - total
     # implied last weight must itself be a power of two
     if left & (left - 1):
@@ -569,7 +577,7 @@ def zstd_decompress(raw: bytes) -> bytes:
     the documented subset (dictionary frames)."""
     try:
         return _decompress(raw)
-    except IndexError as ex:  # truncated input indexing past the end
+    except (IndexError, struct.error) as ex:  # truncated-input indexing
         raise ValueError("zstd: truncated input") from ex
 
 
@@ -588,6 +596,8 @@ def _decompress(raw: bytes) -> bytes:
                 raise ValueError("zstd: truncated skippable frame")
             size = struct.unpack_from("<I", raw, pos)[0]
             pos += 4 + size
+            if pos > len(raw):  # declared size runs past end-of-input
+                raise ValueError("zstd: truncated skippable frame")
             continue
         if magic != ZSTD_MAGIC:
             raise ValueError("zstd: bad magic")

@@ -137,6 +137,15 @@ _PRIMITIVES = {
 
 
 def _register_named(schema, named: dict) -> None:
+    """Register every named type reachable from ``schema`` — including
+    through union branches, array items, and map values (review r7: a
+    union-sheltered record definition referenced later used to resolve
+    only if an earlier VALUE had exercised that branch, making valid
+    files fail data-dependently)."""
+    if isinstance(schema, list):
+        for branch in schema:
+            _register_named(branch, named)
+        return
     if not isinstance(schema, dict):
         return
     t = schema.get("type")
@@ -148,9 +157,11 @@ def _register_named(schema, named: dict) -> None:
             named[f"{ns}.{name}"] = schema
     if t == "record":
         for f in schema["fields"]:
-            _register_named(
-                f["type"] if isinstance(f["type"], dict) else {}, named
-            )
+            _register_named(f["type"], named)
+    elif t == "array":
+        _register_named(schema.get("items"), named)
+    elif t == "map":
+        _register_named(schema.get("values"), named)
 
 
 def _resolve(schema, named: dict):
@@ -489,14 +500,14 @@ def _logical_decoder(schema, named: dict):
     import decimal as _decimal
 
     lt, attrs = _logical(schema)
+    # integer epoch arithmetic, NOT fromtimestamp(v / 1e6): float
+    # division corrupts microseconds for far-future values and crashes
+    # on the 9999-12-31 SCD2 end-of-time sentinel (review r7)
+    _EPOCH = _dt.datetime(1970, 1, 1)
     if lt == "timestamp-micros":
-        return lambda v: _dt.datetime.fromtimestamp(
-            v / 1_000_000, tz=_dt.timezone.utc
-        ).replace(tzinfo=None)
+        return lambda v: _EPOCH + _dt.timedelta(microseconds=v)
     if lt == "timestamp-millis":
-        return lambda v: _dt.datetime.fromtimestamp(
-            v / 1_000, tz=_dt.timezone.utc
-        ).replace(tzinfo=None)
+        return lambda v: _EPOCH + _dt.timedelta(milliseconds=v)
     if lt == "date":
         return lambda v: _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
     if lt == "decimal":
@@ -707,12 +718,16 @@ def read_avro_ocf(spark, path: str, schema_json=None):
     return files.select("content").mapInPandas(decode, spark_type)
 
 
-def write_avro_ocf_files(df, path: str, codec: str = "deflate") -> int:
+def write_avro_ocf_files(
+    df, path: str, codec: str = "deflate", part_suffix: str | None = None
+) -> int:
     """Avro sink without the jar: one OCF file per partition, written
     executor-side to ``path`` (must be a filesystem every executor can
     reach — local[] or a shared mount; real clusters writing to object
     stores deploy spark-avro). Returns the number of files written.
-    Spark→Avro field types come from the inverse of
+    ``part_suffix`` uniquifies file names (the append-mode path in
+    ``files.write_avro`` — deterministic names would clobber a prior
+    write). Spark→Avro field types come from the inverse of
     :func:`avro_to_spark_type` for the supported subset."""
     import os
 
@@ -798,7 +813,13 @@ def write_avro_ocf_files(df, path: str, codec: str = "deflate") -> int:
         if records:
             payload = write_ocf(records, schema, codec=codec)
             with open(
-                os.path.join(path, f"part-{idx:05d}.avro"), "wb"
+                os.path.join(
+                    path,
+                    f"part-{idx:05d}-{part_suffix}.avro"
+                    if part_suffix
+                    else f"part-{idx:05d}.avro",
+                ),
+                "wb",
             ) as fh:
                 fh.write(payload)
             yield 1

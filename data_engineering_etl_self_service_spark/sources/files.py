@@ -157,9 +157,21 @@ def read_avro(
     (primitives, records, arrays, maps, enums, fixed, [null,X]
     unions)."""
     if not avro_available(spark):
+        from pyspark.sql.types import _parse_datatype_string
+
         from .avro_ocf import read_avro_ocf
 
-        return read_avro_ocf(spark, path)
+        df = read_avro_ocf(spark, path)
+        if schema is not None:
+            # honor the caller's declared schema like the jar path does
+            # (cast/reorder; missing columns fail loudly, not silently)
+            target = (
+                _parse_datatype_string(schema)
+                if isinstance(schema, str)
+                else schema
+            )
+            df = df.to(target)
+        return df
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -170,15 +182,33 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Avro sink — spark-avro when deployed, else the pure-Python OCF
     writer (one deflate-coded file per partition; requires a filesystem
     every executor can reach — local[] or a shared mount, which is the
-    only place the jar-less case arises)."""
+    only place the jar-less case arises). The fallback honors the full
+    mode contract: overwrite replaces, append adds uniquely-named part
+    files, error/errorifexists refuses a non-empty target, ignore
+    no-ops (review r7: append used to silently clobber deterministic
+    part names)."""
     if not avro_available(df.sparkSession):
+        import os
         import shutil
+        import uuid
 
         from .avro_ocf import write_avro_ocf_files
 
+        existing = os.path.isdir(path) and any(os.scandir(path))
         if mode == "overwrite":
             shutil.rmtree(path, ignore_errors=True)
-        write_avro_ocf_files(df, path)
+        elif mode in ("error", "errorifexists"):
+            if existing:
+                raise FileExistsError(
+                    f"write_avro: path already exists: {path}"
+                )
+        elif mode == "ignore":
+            if existing:
+                return
+        elif mode != "append":
+            raise ValueError(f"write_avro: unknown mode {mode!r}")
+        suffix = uuid.uuid4().hex[:8] if mode == "append" and existing else None
+        write_avro_ocf_files(df, path, part_suffix=suffix)
         return
     df.write.format("avro").mode(mode).save(path)
 

@@ -417,3 +417,96 @@ def test_decode_confluent_avro_dataframe(spark):
     assert got[30]["user"] == "u3" and got[30]["part"] == 3
     assert got[30]["schema_id"] == 42
     assert got[30]["at"] == dt.datetime(1970, 1, 1, 0, 0, 3)
+
+
+def test_register_named_through_union_array_map():
+    """A named type DEFINED inside a union branch (or array/map) and
+    REFERENCED later must resolve even when early values never exercise
+    that branch (review r7: registration used to happen lazily during
+    decode, making valid files fail data-dependently)."""
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {
+                "name": "a",
+                "type": [
+                    "null",
+                    {
+                        "type": "record",
+                        "name": "X",
+                        "fields": [{"name": "v", "type": "long"}],
+                    },
+                ],
+            },
+            {"name": "b", "type": "X"},
+        ],
+    }
+    recs = [{"a": None, "b": {"v": 1}}, {"a": {"v": 2}, "b": {"v": 3}}]
+    _, _, out = read_ocf(write_ocf(recs, schema))
+    assert out == recs
+
+
+def test_logical_timestamp_scd2_sentinel_and_far_future():
+    """Integer epoch arithmetic: the 9999-12-31 SCD2 end-of-time
+    sentinel and far-future values round-trip exactly (the float-
+    division form crashed on the sentinel and corrupted microseconds
+    past year ~3000 — review r7)."""
+    import datetime as dt
+
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        _logical_decoder,
+        _logical_encoder,
+    )
+
+    schema = {"type": "long", "logicalType": "timestamp-micros"}
+    dec = _logical_decoder(schema, {})
+    enc = _logical_encoder(schema)
+    for ts in (
+        dt.datetime(9999, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(3000, 1, 1, 0, 0, 0, 123457),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 1),  # pre-epoch
+    ):
+        assert dec(enc(ts)) == ts
+
+
+def test_write_avro_mode_contract_fallback(spark, tmp_path):
+    """Jar-less write_avro honors all five modes (review r7: append
+    used to clobber the deterministic part names)."""
+    from data_engineering_etl_self_service_spark.sources.files import (
+        avro_available,
+    )
+
+    if avro_available(spark):
+        return  # the jar path delegates mode handling to spark-avro
+    path = str(tmp_path / "lake")
+    df1 = spark.range(10).selectExpr("id", "id * 2 AS y").coalesce(1)
+    df2 = spark.range(100, 105).selectExpr("id", "id * 2 AS y").coalesce(1)
+    write_avro(df1, path)
+    write_avro(df2, path, mode="append")
+    assert read_avro(spark, path).count() == 15
+    write_avro(df2, path, mode="ignore")  # no-op on existing
+    assert read_avro(spark, path).count() == 15
+    with pytest.raises(FileExistsError):
+        write_avro(df2, path, mode="error")
+    write_avro(df2, path, mode="overwrite")
+    assert read_avro(spark, path).count() == 5
+    with pytest.raises(ValueError, match="unknown mode"):
+        write_avro(df2, path, mode="banana")
+
+
+def test_read_avro_fallback_honors_declared_schema(spark, tmp_path):
+    """read_avro(schema=...) on the jar-less path casts/reorders to the
+    caller's declared schema instead of silently ignoring it."""
+    path = str(tmp_path / "lake")
+    write_avro(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"),
+        path,
+    )
+    out = read_avro(spark, path, schema="name string, id int")
+    assert out.columns == ["name", "id"]
+    assert dict(out.dtypes)["id"] == "int"
+    assert {(r["name"], r["id"]) for r in out.collect()} == {
+        ("a", 1),
+        ("b", 2),
+    }

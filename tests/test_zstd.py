@@ -353,3 +353,55 @@ def test_stored_writers_native_and_pure_readers():
     l4[20] ^= 1
     with pytest.raises(ValueError):
         lz4_decompress(bytes(l4))
+
+
+def test_crafted_huffman_weight_bomb_rejected():
+    """A crafted frame whose Huffman description claims out-of-spec
+    weights must raise ValueError BEFORE allocating 2^weight table
+    slots (review r7: a ~50-byte payload could OOM the executor)."""
+    from data_engineering_etl_self_service_spark.operators.zstd import (
+        _huffman_from_weights,
+    )
+
+    with pytest.raises(ValueError, match="bound"):
+        _huffman_from_weights([60, 1])
+    with pytest.raises(ValueError, match="bound"):
+        _huffman_from_weights([12, 12, 12])
+
+
+def test_skippable_frame_size_past_eof_raises():
+    data = b"content " * 30
+    for comp, fn in (("zstd", zstd_decompress),):
+        good = _comp(data)
+        bad = good + struct.pack("<II", 0x184D2A51, 100) + b"xx"
+        with pytest.raises(ValueError, match="skippable"):
+            fn(bad)
+    from data_engineering_etl_self_service_spark.operators.lz4 import (
+        lz4_compress_stored,
+        lz4_decompress,
+    )
+
+    bad = (
+        lz4_compress_stored(data)
+        + struct.pack("<II", 0x184D2A51, 100)
+        + b"xx"
+    )
+    with pytest.raises(ValueError, match="skippable"):
+        lz4_decompress(bad)
+
+
+def test_lz4_truncation_in_struct_fields_raises_valueerror():
+    """Truncation inside the content-size field / checksum words must
+    surface as the documented ValueError, not struct.error."""
+    from data_engineering_etl_self_service_spark.operators.lz4 import (
+        lz4_compress_stored,
+        lz4_decompress,
+    )
+
+    good = lz4_compress_stored(b"payload " * 20)
+    for cut in range(5, len(good), 3):
+        try:
+            lz4_decompress(good[:cut])
+        except ValueError:
+            continue
+        raise AssertionError(f"no ValueError at cut {cut}")
