@@ -922,3 +922,124 @@ def decode_confluent_avro(df, value_col: str, schema, keep: list | None = None):
             )
 
     return df.select(value_col, *keep).mapInPandas(decode, out_type)
+
+
+# =========================================================================
+# Single-object encoding (Avro spec §Single-object encoding)
+# =========================================================================
+
+
+def canonical_form(schema) -> str:
+    """Parsing Canonical Form (Avro spec): primitives collapse to bare
+    strings, names become fullnames, only the normative attributes
+    survive (name/type/fields/symbols/items/values/size, in that
+    order), minimal JSON. This is the string the schema fingerprint is
+    computed over — two schemas that parse identically fingerprint
+    identically regardless of docs/aliases/whitespace/logical types."""
+
+    def walk(node, ns=None):
+        if isinstance(node, str):
+            if node in _PRIMITIVES:
+                return node
+            return node if "." in node or not ns else f"{ns}.{node}"
+        if isinstance(node, list):
+            return [walk(b, ns) for b in node]
+        t = node["type"]
+        if t in _PRIMITIVES and "name" not in node:
+            return t
+        out = {}
+        if "name" in node:
+            name = node["name"]
+            node_ns = node.get("namespace", ns)
+            out["name"] = (
+                name if "." in name
+                else (f"{node_ns}.{name}" if node_ns else name)
+            )
+            ns = node_ns
+        out["type"] = t
+        if t == "record":
+            out["fields"] = [
+                {"name": f["name"], "type": walk(f["type"], ns)}
+                for f in node["fields"]
+            ]
+        elif t == "enum":
+            out["symbols"] = list(node["symbols"])
+        elif t == "array":
+            out["items"] = walk(node["items"], ns)
+        elif t == "map":
+            out["values"] = walk(node["values"], ns)
+        elif t == "fixed":
+            out["size"] = node["size"]
+        return out
+
+    if isinstance(schema, str) and schema not in _PRIMITIVES:
+        schema = json.loads(schema)
+    return json.dumps(walk(schema), separators=(",", ":"))
+
+
+_CRC64_EMPTY = 0xC15D213AA4D7A795
+_CRC64_TABLE: list | None = None
+
+
+def crc64_avro(data: bytes) -> int:
+    """CRC-64-AVRO schema fingerprint (the spec's table-driven form:
+    seed = the polynomial constant, one byte-indexed xor/shift round
+    per input byte)."""
+    global _CRC64_TABLE
+    if _CRC64_TABLE is None:
+        table = []
+        for i in range(256):
+            fp = i
+            for _ in range(8):
+                fp = (fp >> 1) ^ (_CRC64_EMPTY & -(fp & 1))
+            table.append(fp)
+        _CRC64_TABLE = table
+    fp = _CRC64_EMPTY
+    for b in data:
+        fp = (fp >> 8) ^ _CRC64_TABLE[(fp ^ b) & 0xFF]
+    return fp
+
+
+def schema_fingerprint(schema) -> bytes:
+    """8-byte little-endian CRC-64-AVRO of the canonical form — the id
+    a single-object frame carries in place of a registry lookup."""
+    return struct.pack(
+        "<Q", crc64_avro(canonical_form(schema).encode("utf-8"))
+    )
+
+
+SINGLE_OBJECT_MARKER = b"\xc3\x01"
+
+
+def single_object_frame(value, schema) -> bytes:
+    """Avro single-object encoding: 0xC3 0x01 + the writer schema's
+    8-byte LE CRC-64-AVRO fingerprint + the bare body — the
+    registry-less sibling of the Confluent framing, used by Avro's own
+    message APIs."""
+    return (
+        SINGLE_OBJECT_MARKER
+        + schema_fingerprint(schema)
+        + encode_avro_body(value, schema)
+    )
+
+
+def parse_single_object(raw: bytes, schemas) -> tuple[dict, object]:
+    """Decode a single-object frame → ``(writer_schema, value)``.
+    ``schemas`` is one schema or a list; the frame's fingerprint picks
+    which one wrote it (unknown fingerprints fail loudly — decoding
+    with the wrong schema would be silent garbage)."""
+    if raw[:2] != SINGLE_OBJECT_MARKER:
+        raise ValueError("avro: bad single-object marker")
+    if isinstance(schemas, (dict, str)):
+        schemas = [schemas]
+    schemas = [
+        json.loads(s) if isinstance(s, str) else s for s in schemas
+    ]
+    fp = raw[2:10]
+    for s in schemas:
+        if schema_fingerprint(s) == fp:
+            return s, decode_avro_body(raw[10:], s)
+    raise ValueError(
+        f"avro: unknown schema fingerprint {fp.hex()} "
+        "(not among the provided reader schemas)"
+    )

@@ -510,3 +510,145 @@ def test_read_avro_fallback_honors_declared_schema(spark, tmp_path):
         ("a", 1),
         ("b", 2),
     }
+
+
+# --------------------------------------------------------- property-based
+
+
+def test_property_roundtrip_random_records():
+    """Hypothesis-style randomized round-trip (seeded, deterministic):
+    records drawn over the full supported type surface must survive
+    write_ocf → read_ocf bit-exactly under every codec."""
+    import random
+
+    rng = random.Random(2024)
+    schema = {
+        "type": "record",
+        "name": "p",
+        "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {"name": "kv", "type": {"type": "map", "values": "string"}},
+            {"name": "m", "type": ["null", "double"]},
+        ],
+    }
+
+    def rand_str():
+        return "".join(
+            chr(rng.choice([0x20, 0x41, 0x7A, 0xE9, 0x4E2D, 0x1F600]))
+            for _ in range(rng.randrange(0, 12))
+        )
+
+    for trial in range(30):
+        recs = [
+            {
+                "i": rng.randrange(-(2**31), 2**31),
+                "l": rng.randrange(-(2**63), 2**63),
+                "d": rng.choice(
+                    [0.0, -0.0, 1e308, -1e-308, 3.14159, float("inf")]
+                ),
+                "s": rand_str(),
+                "b": bytes(rng.randrange(256) for _ in range(rng.randrange(8))),
+                "xs": [rng.randrange(-1000, 1000) for _ in range(rng.randrange(5))],
+                "kv": {rand_str() or "k": rand_str() for _ in range(rng.randrange(3))},
+                "m": None if rng.random() < 0.3 else rng.random(),
+            }
+            for _ in range(rng.randrange(1, 20))
+        ]
+        codec = ["null", "deflate", "snappy", "zstd"][trial % 4]
+        _, _, out = read_ocf(
+            write_ocf(recs, schema, codec=codec, block_records=5)
+        )
+        assert out == recs, (trial, codec)
+
+
+def test_single_object_encoding_and_fingerprint():
+    """Avro single-object framing (0xC3 0x01 + CRC-64-AVRO of the
+    Parsing Canonical Form): round-trip, schema selection by
+    fingerprint among candidates, and loud failure on unknown
+    fingerprints. Canonical-form rules pinned directly: docs/aliases/
+    logicalType stripped, names become fullnames, attribute order
+    normalized — so an annotated and a bare copy of the same schema
+    fingerprint IDENTICALLY."""
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        canonical_form,
+        parse_single_object,
+        schema_fingerprint,
+        single_object_frame,
+    )
+
+    annotated = {
+        "type": "record",
+        "name": "Evt",
+        "namespace": "com.example",
+        "doc": "an event",
+        "fields": [
+            {"name": "id", "type": {"type": "long"}, "doc": "pk"},
+            {
+                "name": "at",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+                "aliases": ["ts"],
+            },
+        ],
+    }
+    bare = {
+        "type": "record",
+        "name": "com.example.Evt",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "at", "type": "long"},
+        ],
+    }
+    assert canonical_form(annotated) == canonical_form(bare) == (
+        '{"name":"com.example.Evt","type":"record","fields":'
+        '[{"name":"id","type":"long"},{"name":"at","type":"long"}]}'
+    )
+    assert schema_fingerprint(annotated) == schema_fingerprint(bare)
+
+    other = {
+        "type": "record",
+        "name": "Other",
+        "fields": [{"name": "x", "type": "string"}],
+    }
+    frame = single_object_frame({"id": 9, "at": 1_000_000}, annotated)
+    assert frame[:2] == b"\xc3\x01" and len(frame) > 10
+    # reader holds several candidate schemas; the fingerprint picks
+    picked, value = parse_single_object(frame, [other, bare])
+    assert picked == bare
+    assert value == {"id": 9, "at": 1_000_000}
+    with pytest.raises(ValueError, match="fingerprint"):
+        parse_single_object(frame, [other])
+    with pytest.raises(ValueError, match="marker"):
+        parse_single_object(b"\x00\x01" + frame[2:], [bare])
+
+
+def test_canonical_form_primitive_and_nested():
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        canonical_form,
+        crc64_avro,
+    )
+
+    assert canonical_form("int") == '"int"'
+    assert canonical_form({"type": "string"}) == '"string"'
+    nested = {
+        "type": "record",
+        "name": "R",
+        "namespace": "n",
+        "fields": [
+            {
+                "name": "e",
+                "type": {"type": "enum", "name": "E", "symbols": ["A", "B"]},
+            },
+            {"name": "f", "type": {"type": "fixed", "name": "F", "size": 4}},
+            {"name": "xs", "type": {"type": "array", "items": "E"}},
+        ],
+    }
+    cf = canonical_form(nested)
+    assert '"name":"n.R"' in cf and '"name":"n.E"' in cf
+    assert '"items":"n.E"' in cf  # references become fullnames too
+    # CRC-64-AVRO is deterministic and distinct per canonical form
+    assert crc64_avro(cf.encode()) != crc64_avro(b'"int"')
