@@ -718,6 +718,68 @@ def read_avro_ocf(spark, path: str, schema_json=None):
     return files.select("content").mapInPandas(decode, spark_type)
 
 
+def spark_schema_to_avro(dt, name: str = "row"):
+    """Spark ``DataType`` → Avro schema (the inverse of
+    :func:`avro_to_spark_type` over the supported subset, logical types
+    included: timestamp→timestamp-micros, date→date, decimal→bytes
+    decimal). Public because Kafka PRODUCERS need it too: pair with
+    :func:`encode_avro_body` + :func:`confluent_frame` /
+    :func:`single_object_frame` to emit wire messages from DataFrame
+    rows. Nullable struct fields become ``[null, X]`` unions."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.IntegerType):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "array",
+            "items": spark_schema_to_avro(dt.elementType, name + "_i"),
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "values": spark_schema_to_avro(dt.valueType, name + "_v"),
+        }
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": ["null", spark_schema_to_avro(f.dataType, f.name)]
+                    if f.nullable
+                    else spark_schema_to_avro(f.dataType, f.name),
+                }
+                for f in dt.fields
+            ],
+        }
+    raise ValueError(f"avro writer: unsupported Spark type {dt}")
+
+
 def write_avro_ocf_files(
     df, path: str, codec: str = "deflate", part_suffix: str | None = None
 ) -> int:
@@ -727,67 +789,12 @@ def write_avro_ocf_files(
     stores deploy spark-avro). Returns the number of files written.
     ``part_suffix`` uniquifies file names (the append-mode path in
     ``files.write_avro`` — deterministic names would clobber a prior
-    write). Spark→Avro field types come from the inverse of
-    :func:`avro_to_spark_type` for the supported subset."""
+    write). Spark→Avro field types come from
+    :func:`spark_schema_to_avro`."""
     import os
 
-    from pyspark.sql import types as T
-
     os.makedirs(path, exist_ok=True)
-
-    def spark_to_avro(dt, name="r"):
-        if isinstance(dt, T.BooleanType):
-            return "boolean"
-        if isinstance(dt, T.IntegerType):
-            return "int"
-        if isinstance(dt, T.LongType):
-            return "long"
-        if isinstance(dt, T.FloatType):
-            return "float"
-        if isinstance(dt, T.DoubleType):
-            return "double"
-        if isinstance(dt, T.BinaryType):
-            return "bytes"
-        if isinstance(dt, T.StringType):
-            return "string"
-        if isinstance(dt, T.ArrayType):
-            return {
-                "type": "array",
-                "items": spark_to_avro(dt.elementType, name + "_i"),
-            }
-        if isinstance(dt, T.MapType):
-            return {
-                "type": "map",
-                "values": spark_to_avro(dt.valueType, name + "_v"),
-            }
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-            return {"type": "long", "logicalType": "timestamp-micros"}
-        if isinstance(dt, T.DateType):
-            return {"type": "int", "logicalType": "date"}
-        if isinstance(dt, T.DecimalType):
-            return {
-                "type": "bytes",
-                "logicalType": "decimal",
-                "precision": dt.precision,
-                "scale": dt.scale,
-            }
-        if isinstance(dt, T.StructType):
-            return {
-                "type": "record",
-                "name": name,
-                "fields": [
-                    {
-                        "name": f.name,
-                        "type": ["null", spark_to_avro(f.dataType, f.name)]
-                        if f.nullable
-                        else spark_to_avro(f.dataType, f.name),
-                    }
-                    for f in dt.fields
-                ],
-            }
-        raise ValueError(f"avro writer: unsupported Spark type {dt}")
-
-    schema = spark_to_avro(df.schema, "row")
+    schema = spark_schema_to_avro(df.schema, "row")
     names = df.columns
     col_encs = {
         f["name"]: _logical_encoder(

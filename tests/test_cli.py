@@ -175,6 +175,27 @@ def test_examples_directory_specs_parse_and_run(
                 rc = main(["run", str(q), "--ds", "2025-08-13"])
                 assert rc == 0, p.name
                 continue
+            if src.get("format") == "avro":
+                # Avro-lake source (round 7): materialize with the pure
+                # OCF writer so the run exercises the jar-less read path
+                from data_engineering_etl_self_service_spark.sources.files import (
+                    write_avro,
+                )
+
+                avro_src = str(tmp_path / "avro_lake_in")
+                write_avro(
+                    spark.range(40).selectExpr(
+                        "id", "CAST(id AS DOUBLE) / 4 AS score"
+                    ),
+                    avro_src,
+                )
+                cfg["source"]["path"] = avro_src
+                q = tmp_path / p.name
+                q.write_text(_yaml.safe_dump(cfg))
+                assert not load_spec(str(q)).warnings
+                rc = main(["run", str(q), "--ds", "2025-08-13"])
+                assert rc == 0, p.name
+                continue
             if pages_src is None:
                 from data_engineering_etl_self_service_spark.operators.html import (
                     build_html,
