@@ -655,7 +655,7 @@ def _nullable(schema) -> bool:
 # =========================================================================
 
 
-def read_avro_ocf(spark, path: str, schema_json=None):
+def read_avro_ocf(spark, path: str, schema_json=None, reader_schema=None):
     """Avro source without the spark-avro jar: ``binaryFile`` scan →
     executor-side OCF decode (Arrow-batched ``mapInPandas``).
 
@@ -664,11 +664,22 @@ def read_avro_ocf(spark, path: str, schema_json=None):
     any scheme binaryFile can read); pass ``schema_json`` (JSON str or
     parsed dict) to skip the peek when files are huge. Files whose
     header schema differs from the peeked one fail loudly (schema drift
-    should never silently coerce)."""
+    should never silently coerce) — UNLESS ``reader_schema`` is given,
+    which flips to the spec's Schema Resolution semantics: every file
+    decodes under its OWN writer schema and adapts to the reader schema
+    (:func:`resolution_adapter` — field matching by name, defaults for
+    new fields, primitive promotions), so a directory spanning several
+    schema versions reads as ONE evolved DataFrame."""
     from pyspark.sql import types as T
 
     files = spark.read.format("binaryFile").load(path)
-    if schema_json is None:
+    if reader_schema is not None:
+        schema = (
+            json.loads(reader_schema)
+            if isinstance(reader_schema, str)
+            else reader_schema
+        )
+    elif schema_json is None:
         first = files.select("content").head()
         if first is None:
             raise ValueError(f"avro: no files at {path}")
@@ -690,17 +701,29 @@ def read_avro_ocf(spark, path: str, schema_json=None):
         f["name"]: _logical_decoder(f["type"], named)
         for f in schema["fields"]
     }
+    resolve_mode = reader_schema is not None
 
     def decode(it):
         import pandas as pd
 
+        adapters: dict = {}  # writer-canon → adapter (per executor)
         for pdf in it:
             for raw in pdf["content"]:
                 file_schema, _, records = read_ocf(bytes(raw))
-                if json.dumps(file_schema, sort_keys=True) != schema_canon:
+                fcanon = json.dumps(file_schema, sort_keys=True)
+                if resolve_mode:
+                    if fcanon != schema_canon:
+                        if fcanon not in adapters:
+                            adapters[fcanon] = resolution_adapter(
+                                file_schema, schema
+                            )
+                        adapt = adapters[fcanon]
+                        records = [adapt(rec) for rec in records]
+                elif fcanon != schema_canon:
                     raise ValueError(
                         "avro: file schema differs from the peeked/"
-                        "declared schema (schema drift)"
+                        "declared schema (schema drift); pass "
+                        "reader_schema= to resolve evolved files"
                     )
                 yield pd.DataFrame(
                     {
@@ -1050,3 +1073,117 @@ def parse_single_object(raw: bytes, schemas) -> tuple[dict, object]:
         f"avro: unknown schema fingerprint {fp.hex()} "
         "(not among the provided reader schemas)"
     )
+
+
+# =========================================================================
+# Schema resolution (Avro spec §Schema Resolution — reader vs writer)
+# =========================================================================
+
+#: legal primitive promotions, writer → readers (Avro spec table)
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def resolution_adapter(writer, reader, named_w=None, named_r=None):
+    """Build a VALUE adapter implementing the spec's schema-resolution
+    rules over already-decoded writer values: record fields match by
+    NAME (writer-only fields dropped, reader-only fields filled from
+    their ``default`` — required, else loud error), primitive
+    promotions (int→long/float/double, long→float/double, float→double,
+    string↔bytes), enums resolve by symbol, arrays/maps/[null,X] unions
+    recurse. Returns a callable; raises ``ValueError`` on incompatible
+    schemas — at BUILD time, not per row, so a bad evolution fails
+    before any data moves."""
+    named_w = {} if named_w is None else named_w
+    named_r = {} if named_r is None else named_r
+    w = _resolve(writer, named_w)
+    r = _resolve(reader, named_r)
+    if isinstance(w, list) or isinstance(r, list):
+        wb = [b for b in (w if isinstance(w, list) else [w]) if b != "null"]
+        rb = [b for b in (r if isinstance(r, list) else [r]) if b != "null"]
+        if len(wb) != 1 or len(rb) != 1:
+            raise ValueError("avro resolution: only [null, X] unions")
+        if isinstance(w, list) and not isinstance(r, list):
+            raise ValueError(
+                "avro resolution: nullable writer needs nullable reader"
+            )
+        sub = resolution_adapter(wb[0], rb[0], named_w, named_r)
+        return lambda v: None if v is None else sub(v)
+    if isinstance(w, str) and isinstance(r, str):
+        if w == r:
+            return lambda v: v
+        if r in _PROMOTIONS.get(w, ()):
+            if w in ("int", "long") and r in ("float", "double"):
+                return float
+            if w == "string" and r == "bytes":
+                return lambda v: v.encode("utf-8")
+            if w == "bytes" and r == "string":
+                return lambda v: v.decode("utf-8")
+            return lambda v: v  # int→long / float→double: same repr
+        raise ValueError(f"avro resolution: cannot read {w} as {r}")
+    if isinstance(w, str) or isinstance(r, str):
+        raise ValueError("avro resolution: primitive vs complex mismatch")
+    wt, rt = w["type"], r["type"]
+    if wt != rt:
+        raise ValueError(f"avro resolution: {wt} vs {rt}")
+    if wt == "record":
+        w_fields = {f["name"]: f for f in w["fields"]}
+        plan = []
+        for f in r["fields"]:
+            name = f["name"]
+            if name in w_fields:
+                plan.append(
+                    (
+                        name,
+                        resolution_adapter(
+                            w_fields[name]["type"],
+                            f["type"],
+                            named_w,
+                            named_r,
+                        ),
+                        None,
+                    )
+                )
+            elif "default" in f:
+                plan.append((name, None, f["default"]))
+            elif _nullable(f["type"]):
+                plan.append((name, None, None))
+            else:
+                raise ValueError(
+                    f"avro resolution: reader field {name!r} has no "
+                    "writer counterpart and no default"
+                )
+
+        def conv_rec(v, plan=plan):
+            return {
+                name: (fn(v[name]) if fn else default)
+                for name, fn, default in plan
+            }
+
+        return conv_rec
+    if wt == "array":
+        sub = resolution_adapter(w["items"], r["items"], named_w, named_r)
+        return lambda v: [sub(x) for x in v]
+    if wt == "map":
+        sub = resolution_adapter(w["values"], r["values"], named_w, named_r)
+        return lambda v: {k: sub(x) for k, x in v.items()}
+    if wt == "enum":
+        missing = set(w["symbols"]) - set(r["symbols"])
+        if missing and "default" not in r:
+            raise ValueError(
+                f"avro resolution: writer symbols {sorted(missing)} "
+                "absent from reader enum (no enum default)"
+            )
+        known = set(r["symbols"])
+        fallback = r.get("default")
+        return lambda v: v if v in known else fallback
+    if wt == "fixed":
+        if w["size"] != r["size"]:
+            raise ValueError("avro resolution: fixed size mismatch")
+        return lambda v: v
+    raise ValueError(f"avro resolution: unsupported type {wt}")

@@ -652,3 +652,96 @@ def test_canonical_form_primitive_and_nested():
     assert '"items":"n.E"' in cf  # references become fullnames too
     # CRC-64-AVRO is deterministic and distinct per canonical form
     assert crc64_avro(cf.encode()) != crc64_avro(b'"int"')
+
+
+def test_schema_resolution_adapter_rules():
+    """Spec schema-resolution rules at the value level: promotions,
+    defaults, dropped fields, enum symbol fallback, incompatibility
+    fails at BUILD time."""
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        resolution_adapter,
+    )
+
+    v1 = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "tag", "type": "string"},
+            {"name": "old", "type": "long"},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "id", "type": "long"},  # int -> long promotion
+            {"name": "score", "type": "double", "default": 1.5},  # new
+            {"name": "tag", "type": "bytes"},  # string -> bytes
+            {"name": "note", "type": ["null", "string"]},  # new nullable
+        ],
+    }
+    adapt = resolution_adapter(v1, v2)
+    assert adapt({"id": 7, "tag": "x", "old": 9}) == {
+        "id": 7,
+        "score": 1.5,
+        "tag": b"x",
+        "note": None,
+    }
+    # new required field without default -> loud build-time error
+    bad = {
+        "type": "record",
+        "name": "E",
+        "fields": [{"name": "mandatory", "type": "long"}],
+    }
+    with pytest.raises(ValueError, match="no.*default"):
+        resolution_adapter(v1, bad)
+    # illegal demotion long -> int
+    with pytest.raises(ValueError, match="cannot read"):
+        resolution_adapter(
+            {"type": "record", "name": "E",
+             "fields": [{"name": "id", "type": "long"}]},
+            {"type": "record", "name": "E",
+             "fields": [{"name": "id", "type": "int"}]},
+        )
+    # enum symbol fallback via reader default
+    we = {"type": "enum", "name": "C", "symbols": ["A", "B", "NEW"]}
+    re_ = {"type": "enum", "name": "C", "symbols": ["A", "B"], "default": "A"}
+    ad = resolution_adapter(we, re_)
+    assert ad("NEW") == "A" and ad("B") == "B"
+
+
+def test_read_avro_ocf_evolved_directory(spark, tmp_path):
+    """A directory holding v1 AND v2 files reads as ONE DataFrame under
+    the v2 reader schema — v1 rows get promoted ids and the default
+    score; without reader_schema the same directory fails loudly."""
+    v1 = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "name", "type": "string"},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double", "default": -1.0},
+        ],
+    }
+    (tmp_path / "a.avro").write_bytes(
+        write_ocf([{"id": 1, "name": "one"}], v1)
+    )
+    (tmp_path / "b.avro").write_bytes(
+        write_ocf([{"id": 2, "name": "two", "score": 0.5}], v2)
+    )
+    out = read_avro_ocf(spark, str(tmp_path), reader_schema=v2)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] == -1.0 and rows[1]["name"] == "one"
+    assert rows[2]["score"] == 0.5
+    assert dict(out.dtypes)["id"] == "bigint"
+    with pytest.raises(Exception, match="drift"):
+        read_avro_ocf(spark, str(tmp_path), schema_json=json.dumps(v2)).collect()
