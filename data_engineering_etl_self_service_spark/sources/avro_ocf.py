@@ -550,29 +550,77 @@ def _logical_decoder(schema, named: dict):
     return None
 
 
-def _logical_encoder(schema):
+def _logical_encoder(schema, named: dict | None = None):
     """Inverse of :func:`_logical_decoder` for the writer: logical
-    Python values in, base-typed values out (timestamps → epoch µs,
-    dates → days, Decimal → big-endian unscaled bytes)."""
+    Python values in, base-typed values out (timestamps → epoch µs/ms,
+    dates → days, Decimal → big-endian unscaled bytes). Recurses
+    through records/arrays/maps/[null,X] exactly like the decoder, so
+    :func:`encode_avro_body` handles logical types anywhere in the
+    schema (review r7b: the documented Kafka-producer pairing crashed
+    on a top-level timestamp column)."""
     import datetime as _dt
 
+    named = {} if named is None else named
     lt, attrs = _logical(schema)
+    # every converter passes base-typed values through untouched, so
+    # callers that hand-build records with raw ints/bytes keep working
     if lt == "timestamp-micros":
         epoch = _dt.datetime(1970, 1, 1)
-        return lambda v: (
+        return lambda v: v if isinstance(v, int) else (
             (v.replace(tzinfo=None) - epoch) // _dt.timedelta(microseconds=1)
         )
+    if lt == "timestamp-millis":
+        epoch = _dt.datetime(1970, 1, 1)
+        return lambda v: v if isinstance(v, int) else (
+            (v.replace(tzinfo=None) - epoch) // _dt.timedelta(milliseconds=1)
+        )
     if lt == "date":
-        return lambda v: (v - _dt.date(1970, 1, 1)).days
+        return lambda v: v if isinstance(v, int) else (
+            (v - _dt.date(1970, 1, 1)).days
+        )
     if lt == "decimal":
         scale = attrs.get("scale", 0)
 
         def enc_dec(v, scale=scale):
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v)
             unscaled = int(v.scaleb(scale).to_integral_value())
             n = max(1, (unscaled.bit_length() + 8) // 8)
             return unscaled.to_bytes(n, "big", signed=True)
 
         return enc_dec
+    resolved = _resolve(schema, named)
+    if isinstance(resolved, list):
+        subs = [_logical_encoder(b, named) for b in resolved]
+        if not any(subs):
+            return None
+        branch = next(s for s in subs if s)
+        return lambda v: None if v is None else branch(v)
+    if isinstance(resolved, dict):
+        t = resolved["type"]
+        if t == "record":
+            fields = {
+                f["name"]: _logical_encoder(f["type"], named)
+                for f in resolved["fields"]
+            }
+            if not any(fields.values()):
+                return None
+
+            def conv_rec(v, fields=fields):
+                return {
+                    k: (fields[k](x) if fields.get(k) and x is not None else x)
+                    for k, x in v.items()
+                }
+
+            return conv_rec
+        if t == "array":
+            sub = _logical_encoder(resolved["items"], named)
+            return (lambda v: [sub(x) for x in v]) if sub else None
+        if t == "map":
+            sub = _logical_encoder(resolved["values"], named)
+            return (
+                (lambda v: {k: sub(x) for k, x in v.items()}) if sub else None
+            )
     return None
 
 
@@ -766,14 +814,16 @@ def spark_schema_to_avro(dt, name: str = "row"):
     if isinstance(dt, T.StringType):
         return "string"
     if isinstance(dt, T.ArrayType):
+        items = spark_schema_to_avro(dt.elementType, name + "_i")
         return {
             "type": "array",
-            "items": spark_schema_to_avro(dt.elementType, name + "_i"),
+            "items": ["null", items] if dt.containsNull else items,
         }
     if isinstance(dt, T.MapType):
+        values = spark_schema_to_avro(dt.valueType, name + "_v")
         return {
             "type": "map",
-            "values": spark_schema_to_avro(dt.valueType, name + "_v"),
+            "values": ["null", values] if dt.valueContainsNull else values,
         }
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return {"type": "long", "logicalType": "timestamp-micros"}
@@ -878,11 +928,17 @@ def decode_avro_body(raw: bytes, schema, named: dict | None = None):
 
 
 def encode_avro_body(value, schema) -> bytes:
-    """Encode ONE container-less Avro value (a Kafka message body)."""
+    """Encode ONE container-less Avro value (a Kafka message body).
+    Logical-typed values (datetime/date/Decimal) are converted to their
+    base encodings first, so this pairs directly with
+    :func:`spark_schema_to_avro` over DataFrame rows."""
     if isinstance(schema, str):
         schema = json.loads(schema)
     named: dict = {}
     _resolve(schema, named)
+    conv = _logical_encoder(schema, dict(named))
+    if conv is not None and value is not None:
+        value = conv(value)
     out = bytearray()
     _encode(out, value, schema, named)
     return bytes(out)
@@ -980,12 +1036,15 @@ def canonical_form(schema) -> str:
         out = {}
         if "name" in node:
             name = node["name"]
-            node_ns = node.get("namespace", ns)
-            out["name"] = (
-                name if "." in name
-                else (f"{node_ns}.{name}" if node_ns else name)
-            )
-            ns = node_ns
+            if "." in name:
+                # a dotted fullname both names this node AND sets the
+                # enclosing namespace for its children (review r7b)
+                out["name"] = name
+                ns = name.rsplit(".", 1)[0]
+            else:
+                node_ns = node.get("namespace", ns)
+                out["name"] = f"{node_ns}.{name}" if node_ns else name
+                ns = node_ns
         out["type"] = t
         if t == "record":
             out["fields"] = [
@@ -1030,12 +1089,25 @@ def crc64_avro(data: bytes) -> int:
     return fp
 
 
+_FP_CACHE: dict = {}
+
+
 def schema_fingerprint(schema) -> bytes:
     """8-byte little-endian CRC-64-AVRO of the canonical form — the id
-    a single-object frame carries in place of a registry lookup."""
-    return struct.pack(
-        "<Q", crc64_avro(canonical_form(schema).encode("utf-8"))
+    a single-object frame carries in place of a registry lookup.
+    Memoized (bounded) so per-message consumer loops don't re-walk the
+    schema per frame."""
+    key = schema if isinstance(schema, str) else json.dumps(
+        schema, sort_keys=True
     )
+    fp = _FP_CACHE.get(key)
+    if fp is None:
+        fp = struct.pack(
+            "<Q", crc64_avro(canonical_form(schema).encode("utf-8"))
+        )
+        if len(_FP_CACHE) < 256:
+            _FP_CACHE[key] = fp
+    return fp
 
 
 SINGLE_OBJECT_MARKER = b"\xc3\x01"
@@ -1087,6 +1159,23 @@ _PROMOTIONS = {
     "string": {"bytes"},
     "bytes": {"string"},
 }
+
+
+def _json_default(default, schema, named: dict):
+    """Convert a JSON-encoded field default to its runtime value: the
+    spec encodes bytes/fixed defaults as ISO-8859-1 strings (review
+    r7b: passing them through as str crashed the BinaryType Arrow
+    conversion for every old-schema file)."""
+    base = _resolve(schema, named)
+    if isinstance(base, list):  # union default applies to FIRST branch
+        base = _resolve(base[0], named)
+    if base == "bytes" and isinstance(default, str):
+        return default.encode("latin-1")
+    if isinstance(base, dict) and base.get("type") == "fixed" and isinstance(
+        default, str
+    ):
+        return default.encode("latin-1")
+    return default
 
 
 def resolution_adapter(writer, reader, named_w=None, named_r=None):
@@ -1150,10 +1239,14 @@ def resolution_adapter(writer, reader, named_w=None, named_r=None):
                     )
                 )
             elif "default" in f:
-                plan.append((name, None, f["default"]))
-            elif _nullable(f["type"]):
-                plan.append((name, None, None))
+                plan.append(
+                    (name, None, _json_default(f["default"], f["type"], named_r))
+                )
             else:
+                # spec: a reader-only field MUST carry a default — even
+                # a nullable one (write "default": null); silently
+                # NULLing a renamed column is exactly the drift this
+                # module exists to catch (review r7b)
                 raise ValueError(
                     f"avro resolution: reader field {name!r} has no "
                     "writer counterpart and no default"
@@ -1173,15 +1266,23 @@ def resolution_adapter(writer, reader, named_w=None, named_r=None):
         sub = resolution_adapter(w["values"], r["values"], named_w, named_r)
         return lambda v: {k: sub(x) for k, x in v.items()}
     if wt == "enum":
-        missing = set(w["symbols"]) - set(r["symbols"])
-        if missing and "default" not in r:
-            raise ValueError(
-                f"avro resolution: writer symbols {sorted(missing)} "
-                "absent from reader enum (no enum default)"
-            )
+        # spec: unknown symbols fail when a VALUE carries one (files
+        # that never use the new symbol stay readable); the reader's
+        # enum default, when present, absorbs them instead
         known = set(r["symbols"])
         fallback = r.get("default")
-        return lambda v: v if v in known else fallback
+
+        def conv_enum(v, known=known, fallback=fallback):
+            if v in known:
+                return v
+            if fallback is not None:
+                return fallback
+            raise ValueError(
+                f"avro resolution: enum symbol {v!r} absent from the "
+                "reader enum (no enum default)"
+            )
+
+        return conv_enum
     if wt == "fixed":
         if w["size"] != r["size"]:
             raise ValueError("avro resolution: fixed size mismatch")

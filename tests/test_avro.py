@@ -678,7 +678,10 @@ def test_schema_resolution_adapter_rules():
             {"name": "id", "type": "long"},  # int -> long promotion
             {"name": "score", "type": "double", "default": 1.5},  # new
             {"name": "tag", "type": "bytes"},  # string -> bytes
-            {"name": "note", "type": ["null", "string"]},  # new nullable
+            # new nullable field: the spec STILL requires a default
+            {"name": "note", "type": ["null", "string"], "default": None},
+            # bytes default arrives as an ISO-8859-1 JSON string
+            {"name": "blob", "type": "bytes", "default": "\u00ff"},
         ],
     }
     adapt = resolution_adapter(v1, v2)
@@ -687,7 +690,19 @@ def test_schema_resolution_adapter_rules():
         "score": 1.5,
         "tag": b"x",
         "note": None,
+        "blob": b"\xff",
     }
+    # a reader-only field WITHOUT a default is a loud error even when
+    # nullable (silently NULLing a renamed column is drift)
+    with pytest.raises(ValueError, match="no.*default"):
+        resolution_adapter(
+            v1,
+            {
+                "type": "record",
+                "name": "E",
+                "fields": [{"name": "renamed", "type": ["null", "string"]}],
+            },
+        )
     # new required field without default -> loud build-time error
     bad = {
         "type": "record",
@@ -704,11 +719,18 @@ def test_schema_resolution_adapter_rules():
             {"type": "record", "name": "E",
              "fields": [{"name": "id", "type": "int"}]},
         )
-    # enum symbol fallback via reader default
+    # enum symbol fallback via reader default; WITHOUT a default the
+    # error comes when a VALUE carries the unknown symbol (files that
+    # never use it stay readable, per spec)
     we = {"type": "enum", "name": "C", "symbols": ["A", "B", "NEW"]}
     re_ = {"type": "enum", "name": "C", "symbols": ["A", "B"], "default": "A"}
     ad = resolution_adapter(we, re_)
     assert ad("NEW") == "A" and ad("B") == "B"
+    no_default = {"type": "enum", "name": "C", "symbols": ["A", "B"]}
+    ad2 = resolution_adapter(we, no_default)
+    assert ad2("B") == "B"  # builds fine, old symbols decode
+    with pytest.raises(ValueError, match="enum symbol"):
+        ad2("NEW")
 
 
 def test_read_avro_ocf_evolved_directory(spark, tmp_path):
@@ -745,3 +767,87 @@ def test_read_avro_ocf_evolved_directory(spark, tmp_path):
     assert dict(out.dtypes)["id"] == "bigint"
     with pytest.raises(Exception, match="drift"):
         read_avro_ocf(spark, str(tmp_path), schema_json=json.dumps(v2)).collect()
+
+
+def test_canonical_form_dotted_fullname_sets_child_namespace():
+    """A dotted fullname names the node AND becomes the enclosing
+    namespace for nested named types (review r7b: children used to
+    canonicalize without their namespace, diverging from every
+    reference Avro fingerprint)."""
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        canonical_form,
+    )
+
+    dotted = {
+        "type": "record",
+        "name": "a.b.Outer",
+        "fields": [
+            {
+                "name": "c",
+                "type": {
+                    "type": "record",
+                    "name": "Child",
+                    "fields": [{"name": "x", "type": "long"}],
+                },
+            }
+        ],
+    }
+    explicit = {
+        "type": "record",
+        "name": "Outer",
+        "namespace": "a.b",
+        "fields": [
+            {
+                "name": "c",
+                "type": {
+                    "type": "record",
+                    "name": "Child",
+                    "fields": [{"name": "x", "type": "long"}],
+                },
+            }
+        ],
+    }
+    assert canonical_form(dotted) == canonical_form(explicit)
+    assert '"name":"a.b.Child"' in canonical_form(dotted)
+
+
+def test_encode_avro_body_applies_logical_types():
+    """The documented Kafka-producer pairing: spark_schema_to_avro +
+    encode_avro_body round-trips logical-typed values (review r7b:
+    encode used to crash on the very types the helper advertises)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        decode_avro_body,
+        encode_avro_body,
+        spark_schema_to_avro,
+    )
+
+    st = T.StructType(
+        [
+            T.StructField("ts", T.TimestampNTZType(), False),
+            T.StructField("d", T.DateType(), False),
+            T.StructField("amt", T.DecimalType(8, 3), False),
+            T.StructField("xs", T.ArrayType(T.LongType(), True), False),
+        ]
+    )
+    schema = spark_schema_to_avro(st)
+    # nullable array ELEMENTS become [null, long] unions
+    assert schema["fields"][3]["type"]["items"] == ["null", "long"]
+    row = {
+        "ts": dt.datetime(2024, 5, 6, 7, 8, 9, 101112),
+        "d": dt.date(2024, 5, 6),
+        "amt": Decimal("123.456"),
+        "xs": [1, None, 3],
+    }
+    body = encode_avro_body(row, schema)
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        _logical_decoder,
+    )
+
+    dec = _logical_decoder(schema, {})
+    out = dec(decode_avro_body(body, schema))
+    assert out == row
