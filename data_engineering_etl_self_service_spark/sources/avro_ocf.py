@@ -383,6 +383,17 @@ def parse_ocf_header(raw: bytes) -> dict:
     """Parse just the OCF header → ``{schema, codec, sync, body_pos}``
     (``schema`` is the parsed JSON). Cheap: reads only the metadata map
     and the 16-byte sync marker."""
+    try:
+        return _parse_ocf_header(raw)
+    except (IndexError, struct.error, UnicodeDecodeError, KeyError) as ex:
+        # truncation mid-varint / missing metadata keys / mojibake in
+        # the schema JSON — normalize to the documented ValueError
+        raise ValueError("avro: malformed OCF header") from ex
+    except json.JSONDecodeError as ex:
+        raise ValueError("avro: malformed schema JSON") from ex
+
+
+def _parse_ocf_header(raw: bytes) -> dict:
     r = _Reader(raw)
     if r.read(4) != MAGIC:
         raise ValueError("avro: bad OCF magic")
@@ -409,7 +420,16 @@ def parse_ocf_header(raw: bytes) -> dict:
 
 
 def read_ocf(raw: bytes) -> tuple[dict, str, list]:
-    """Decode a whole OCF payload → ``(schema_json, codec, records)``."""
+    """Decode a whole OCF payload → ``(schema_json, codec, records)``.
+    Malformed input raises ``ValueError`` — never Index/struct/Key
+    errors (untrusted-bytes contract, fuzz-pinned)."""
+    try:
+        return _read_ocf(raw)
+    except (IndexError, struct.error, UnicodeDecodeError, KeyError) as ex:
+        raise ValueError("avro: malformed OCF payload") from ex
+
+
+def _read_ocf(raw: bytes) -> tuple[dict, str, list]:
     hdr = parse_ocf_header(raw)
     schema, codec, sync = hdr["schema"], hdr["codec"], hdr["sync"]
     named: dict = {}
@@ -915,13 +935,17 @@ def write_avro_ocf_files(
 
 def decode_avro_body(raw: bytes, schema, named: dict | None = None):
     """Decode ONE container-less Avro value (what a Kafka message body
-    is after de-framing) against its writer schema."""
+    is after de-framing) against its writer schema. Malformed bytes
+    raise ``ValueError`` (untrusted-bytes contract)."""
     if isinstance(schema, str):
         schema = json.loads(schema)
     named = {} if named is None else named
     _resolve(schema, named)
     r = _Reader(raw)
-    out = _decode(r, schema, named)
+    try:
+        out = _decode(r, schema, named)
+    except (IndexError, struct.error, UnicodeDecodeError) as ex:
+        raise ValueError("avro: malformed value bytes") from ex
     if r.pos != len(raw):
         raise ValueError("avro: trailing bytes after value")
     return out

@@ -7,6 +7,7 @@ import json
 import struct
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from data_engineering_etl_self_service_spark.sources.avro_ocf import (
     _zigzag,
@@ -851,3 +852,41 @@ def test_encode_avro_body_applies_logical_types():
     dec = _logical_decoder(schema, {})
     out = dec(decode_avro_body(body, schema))
     assert out == row
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=300))
+def test_wire_parsers_never_panic(raw):
+    """Untrusted-bytes contract for every Avro entry point: arbitrary
+    input either parses or raises ValueError — never IndexError /
+    struct.error / KeyError / hangs (hypothesis)."""
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        parse_confluent,
+        parse_single_object,
+    )
+
+    simple = {
+        "type": "record",
+        "name": "s",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    # raw random bytes AND mutations of a VALID payload (so the fuzz
+    # actually reaches past the magic/marker checks into varints,
+    # metadata maps, and block walks)
+    valid = write_ocf([{"x": 1}, {"x": -5}], simple)
+    inputs = [raw, valid[: len(raw) % (len(valid) + 1)], valid + raw]
+    if raw:
+        spliced = bytearray(valid)
+        spliced[len(raw) % len(valid)] ^= raw[0] or 1
+        inputs.append(bytes(spliced))
+    for data in inputs:
+        for fn in (
+            lambda d=data: read_ocf(d),
+            lambda d=data: parse_ocf_header(d),
+            lambda d=data: parse_confluent(d),
+            lambda d=data: parse_single_object(d, simple),
+        ):
+            try:
+                fn()
+            except ValueError:
+                pass
