@@ -97,11 +97,14 @@ def sniff_decode(raw: bytes) -> dict:
 
 
 #: compression magic → decoder. gzip via zlib wbits=31 (header parsing
-#: included); bzip2/xz via their stdlib modules; zstd via the pure
-#: RFC 8878 decoder (operators/zstd.py) and lz4 via the pure frame
-#: decoder (operators/lz4.py), each with pyarrow's native codec as the
-#: fallback for the one feature outside their subset (dictionary
-#: frames) — every sniffed codec inflates with NO optional dependency.
+#: included); bzip2/xz via their stdlib modules; zstd/lz4 via pyarrow's
+#: native codec (libzstd / liblz4 — C-speed, the only sane default on
+#: the bulk arrival path) with the pure RFC 8878 / lz4-frame decoders
+#: (operators/zstd.py, operators/lz4.py) as the no-pyarrow fallback —
+#: every sniffed codec still inflates with NO optional dependency, and
+#: the two-implementation correctness posture lives where it belongs:
+#: the byte-parity tests in tests/test_zstd.py / tests/test_lz4.py
+#: that decode the same frames both ways (VERDICT r7 #1).
 _MAGICS = [
     (b"\x1f\x8b", "gzip"),
     (b"BZh", "bzip2"),
@@ -109,6 +112,18 @@ _MAGICS = [
     (b"\x28\xb5\x2f\xfd", "zstd"),
     (b"\x04\x22\x4d\x18", "lz4"),
 ]
+
+
+def _native_decompress(raw: bytes, codec: str) -> bytes:
+    """Inflate ``raw`` with pyarrow's native codec (libzstd/liblz4).
+    Raises on absent pyarrow or a failed decode — callers fall back to
+    the pure-Python decoder. Kept separate so tests can monkeypatch the
+    native path away and exercise the fallback ordering."""
+    import io
+
+    import pyarrow as pa
+
+    return pa.input_stream(io.BytesIO(raw), compression=codec).read()
 
 
 def sniff_decompress(raw: bytes) -> dict:
@@ -148,54 +163,25 @@ def sniff_decompress(raw: bytes) -> dict:
 
             return {"compression": comp, "ok": True, "data": lzma.decompress(raw)}
         if comp == "zstd":
-            from .zstd import zstd_decompress
-
+            # native libzstd first — the arrival front door must not
+            # pay pure-Python per-byte cost when the C codec is in the
+            # container; the pure RFC 8878 decoder is the no-pyarrow
+            # fallback (and the corrupt-frame second opinion)
             try:
-                # pure RFC 8878 decoder first: its subset covers every
-                # standard dict-less frame, and decoding a libzstd-made
-                # payload with an independent implementation is the
-                # stronger correctness posture
-                return {
-                    "compression": comp,
-                    "ok": True,
-                    "data": zstd_decompress(raw),
-                }
-            except ValueError:
-                # outside the subset (dictionary frames) → libzstd
-                import io
+                data = _native_decompress(raw, "zstd")
+            except Exception:
+                from .zstd import zstd_decompress
 
-                import pyarrow as pa
-
-                return {
-                    "compression": comp,
-                    "ok": True,
-                    "data": pa.input_stream(
-                        io.BytesIO(raw), compression="zstd"
-                    ).read(),
-                }
+                data = zstd_decompress(raw)
+            return {"compression": comp, "ok": True, "data": data}
         if comp == "lz4":
-            from .lz4 import lz4_decompress
-
             try:
-                # pure frame decoder first (same two-implementation
-                # posture as zstd); liblz4 covers dictionary frames
-                return {
-                    "compression": comp,
-                    "ok": True,
-                    "data": lz4_decompress(raw),
-                }
-            except ValueError:
-                import io
+                data = _native_decompress(raw, "lz4")
+            except Exception:
+                from .lz4 import lz4_decompress
 
-                import pyarrow as pa
-
-                return {
-                    "compression": comp,
-                    "ok": True,
-                    "data": pa.input_stream(
-                        io.BytesIO(raw), compression="lz4"
-                    ).read(),
-                }
+                data = lz4_decompress(raw)
+            return {"compression": comp, "ok": True, "data": data}
     except Exception:
         # sniff false-positive, corrupt container, or absent optional
         # codec (pyarrow): keep the bytes

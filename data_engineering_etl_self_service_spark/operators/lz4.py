@@ -2,8 +2,10 @@
 
 Companion to ``operators/zstd.py``: with it, every codec in
 ``sniff_decompress``'s magic table inflates without ANY optional
-dependency (gzip/bzip2/xz are stdlib; zstd and lz4 are these pure
-decoders, with pyarrow's native codecs as the fast/fallback tier).
+dependency (gzip/bzip2/xz are stdlib; zstd and lz4 decode natively
+via pyarrow when it is importable — the ~300×-faster bulk default,
+see SCALE.md — with these pure decoders as the no-pyarrow fallback
+and the independent parity implementation).
 
 Implements:
 

@@ -28,11 +28,12 @@ documented subset from the public RFC 8878 / zstd format spec:
 Bitstream mechanics: FSE table descriptions read FORWARD
 little-endian; Huffman literal streams and the sequence bitstream
 read BACKWARD from a 1-bit sentinel in the last byte — both are
-implemented over Python big-ints (the corpus-payload sizes this
-front door sees make per-frame big-int shifts cheap; the hot path
-for bulk data is pyarrow's native codec, which
-``sniff_decompress`` prefers when the pure decode fails and which
-the parity tests decode against).
+implemented over Python big-ints. The hot path for bulk data is
+pyarrow's native codec (libzstd), which ``sniff_decompress`` tries
+FIRST (round 8); this pure decoder is the no-pyarrow fallback and
+the independent implementation the parity tests decode against —
+measured ~166× slower per byte than libzstd (SCALE.md), which is
+exactly why it is not the default.
 
 Verification: byte-for-byte parity with pyarrow's libzstd compressor
 across sizes, entropy profiles, and compression levels 1-19

@@ -99,6 +99,54 @@ def test_sniff_decompress_all_containers_and_degrade():
     assert lz4["compression"] == "lz4" and not lz4["ok"]
 
 
+def test_sniff_decompress_native_first_pure_fallback(monkeypatch):
+    """Codec ordering contract (VERDICT r7 #1): the arrival front door
+    uses the native libzstd/liblz4 codec when pyarrow is importable and
+    falls back to the pure-Python decoders only when it isn't (or the
+    native decode fails)."""
+    import pyarrow as pa
+
+    from data_engineering_etl_self_service_spark.operators import (
+        encoding,
+        lz4,
+        zstd,
+    )
+
+    text = b"ordering contract payload " * 8
+    frames = {
+        "zstd": pa.Codec("zstd").compress(text, asbytes=True),
+        "lz4": pa.Codec("lz4").compress(text, asbytes=True),
+    }
+
+    # 1) native path is the default: poison the pure decoders — the
+    #    decode must still succeed without ever touching them
+    monkeypatch.setattr(
+        zstd, "zstd_decompress", lambda raw: (_ for _ in ()).throw(
+            AssertionError("pure zstd decoder reached on native path")
+        ),
+    )
+    monkeypatch.setattr(
+        lz4, "lz4_decompress", lambda raw: (_ for _ in ()).throw(
+            AssertionError("pure lz4 decoder reached on native path")
+        ),
+    )
+    for codec, raw in frames.items():
+        r = encoding.sniff_decompress(raw)
+        assert (r["compression"], r["ok"], r["data"]) == (codec, True, text)
+
+    # 2) no-pyarrow fallback: kill the native path — the pure decoders
+    #    (restored) must inflate the same frames bit-identically
+    monkeypatch.undo()
+    monkeypatch.setattr(
+        encoding,
+        "_native_decompress",
+        lambda raw, codec: (_ for _ in ()).throw(ImportError("no pyarrow")),
+    )
+    for codec, raw in frames.items():
+        r = encoding.sniff_decompress(raw)
+        assert (r["compression"], r["ok"], r["data"]) == (codec, True, text)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.binary(max_size=300))
 def test_sniff_decompress_never_raises(raw):
