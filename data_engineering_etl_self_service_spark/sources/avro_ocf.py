@@ -187,6 +187,83 @@ def _resolve(schema, named: dict):
     raise ValueError(f"avro: bad schema node {schema!r}")
 
 
+#: Items/records whose schema encodes to ZERO bytes (bare null, empty
+#: records, size-0 fixed) can't be bounded by remaining input — cap
+#: their declared counts outright (a ~200-byte crafted payload used to
+#: be able to declare 2^40 items and hang/OOM the executor — ADVICE r7).
+_ZERO_WIRE_CAP = 1_000_000
+
+#: Per-block decompressed-size ceiling (decompression-bomb guard): far
+#: above any sane OCF block, far below an executor OOM.
+_MAX_BLOCK_BYTES = 1 << 30
+
+
+def _min_wire_size(schema, named: dict, _path: frozenset = frozenset()):
+    """Minimum bytes ONE value of ``schema`` consumes on the wire —
+    the untrusted-bytes bound for array/map/record counts (a declared
+    count can never exceed remaining_bytes / min_wire_size). Doubles as
+    the recursive-schema detector: a named type re-entered on the
+    current traversal path is a cycle, which this fallback rejects
+    loudly per the module contract (ADVICE r7 — RecursionError used to
+    escape the documented ValueError normalization)."""
+    schema = _resolve(schema, named)
+    if isinstance(schema, str):
+        return {
+            "null": 0,
+            "boolean": 1,
+            "int": 1,
+            "long": 1,
+            "float": 4,
+            "double": 8,
+            "bytes": 1,
+            "string": 1,
+        }[schema]
+    if isinstance(schema, list):  # union: ≥1-byte branch varint
+        return 1 + min(
+            _min_wire_size(b, named, _path) for b in schema
+        ) if schema else 1
+    t = schema["type"]
+    if t in ("record", "enum", "fixed"):
+        key = schema.get("namespace", "") + "." + schema["name"]
+        if key in _path:
+            raise ValueError(
+                f"avro: recursive schema ({schema['name']!r} references "
+                "itself) — not supported by the jar-less fallback"
+            )
+        _path = _path | {key}
+    if t == "record":
+        return sum(
+            _min_wire_size(f["type"], named, _path)
+            for f in schema["fields"]
+        )
+    if t in ("array", "map"):
+        # items/values are validated for cycles even though the min
+        # size of an EMPTY container is just its terminator varint
+        _min_wire_size(
+            schema["items"] if t == "array" else schema["values"],
+            named,
+            _path,
+        )
+        return 1
+    if t == "enum":
+        return 1
+    if t == "fixed":
+        return int(schema["size"])
+    raise ValueError(f"avro: unsupported type {t!r}")
+
+
+def _count_bound(n: int, remaining: int, item_min: int, what: str) -> None:
+    """Reject a wire-declared item count that the remaining input can't
+    possibly hold (ADVICE r7: zero-cost counts looped for 2^40)."""
+    if n < 0:
+        raise ValueError(f"avro: negative {what} count")
+    cap = remaining // item_min if item_min else _ZERO_WIRE_CAP
+    if n > cap:
+        raise ValueError(
+            f"avro: {what} count {n} exceeds input bound {cap}"
+        )
+
+
 def _decode(r: _Reader, schema, named: dict):
     schema = _resolve(schema, named)
     if isinstance(schema, str):
@@ -217,6 +294,7 @@ def _decode(r: _Reader, schema, named: dict):
         }
     if t == "array":
         out = []
+        item_min = _min_wire_size(schema["items"], named)
         while True:
             n = r.read_long()
             if n == 0:
@@ -224,10 +302,13 @@ def _decode(r: _Reader, schema, named: dict):
             if n < 0:  # size-prefixed block form
                 n = -n
                 r.read_long()
+            _count_bound(n, len(r.buf) - r.pos, item_min, "array block")
             for _ in range(n):
                 out.append(_decode(r, schema["items"], named))
     if t == "map":
         out = {}
+        # every map entry carries a ≥1-byte key-length varint
+        val_min = 1 + _min_wire_size(schema["values"], named)
         while True:
             n = r.read_long()
             if n == 0:
@@ -235,6 +316,7 @@ def _decode(r: _Reader, schema, named: dict):
             if n < 0:
                 n = -n
                 r.read_long()
+            _count_bound(n, len(r.buf) - r.pos, val_min, "map block")
             for _ in range(n):
                 k = r.read_bytes().decode("utf-8")
                 out[k] = _decode(r, schema["values"], named)
@@ -327,7 +409,22 @@ def _decompress_block(data: bytes, codec: str) -> bytes:
     if codec == "null":
         return data
     if codec == "deflate":
-        return zlib.decompress(data, wbits=-15)
+        # streaming limit, not bare zlib.decompress: a tiny crafted
+        # block must not be able to allocate unbounded output
+        # (decompression bomb — ADVICE r7)
+        d = zlib.decompressobj(wbits=-15)
+        try:
+            out = d.decompress(data, _MAX_BLOCK_BYTES)
+            if d.unconsumed_tail:
+                raise ValueError(
+                    "avro: deflate block exceeds decompressed-size bound"
+                )
+            out += d.flush()
+            if not d.eof:
+                raise ValueError("avro: truncated deflate block")
+            return out
+        except zlib.error as ex:
+            raise ValueError("avro: corrupt deflate block") from ex
     if codec == "snappy":
         pa = _pa_codec("snappy")
         if pa is None:
@@ -343,6 +440,10 @@ def _decompress_block(data: bytes, codec: str) -> bytes:
             if not b & 0x80:
                 break
             shift += 7
+        if n > _MAX_BLOCK_BYTES:
+            raise ValueError(
+                "avro: snappy block exceeds decompressed-size bound"
+            )
         raw = pa.decompress(body, decompressed_size=n, asbytes=True)
         if struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF) != crc:
             raise ValueError("avro: snappy block CRC mismatch")
@@ -354,7 +455,12 @@ def _decompress_block(data: bytes, codec: str) -> bytes:
         stream = __import__("pyarrow").input_stream(
             io.BytesIO(data), compression="zstd"
         )
-        return stream.read()
+        out = stream.read(_MAX_BLOCK_BYTES + 1)
+        if len(out) > _MAX_BLOCK_BYTES:
+            raise ValueError(
+                "avro: zstd block exceeds decompressed-size bound"
+            )
+        return out
     raise ValueError(f"avro: unsupported codec {codec!r}")
 
 
@@ -385,7 +491,13 @@ def parse_ocf_header(raw: bytes) -> dict:
     and the 16-byte sync marker."""
     try:
         return _parse_ocf_header(raw)
-    except (IndexError, struct.error, UnicodeDecodeError, KeyError) as ex:
+    except (
+        IndexError,
+        struct.error,
+        UnicodeDecodeError,
+        KeyError,
+        RecursionError,
+    ) as ex:
         # truncation mid-varint / missing metadata keys / mojibake in
         # the schema JSON — normalize to the documented ValueError
         raise ValueError("avro: malformed OCF header") from ex
@@ -425,7 +537,13 @@ def read_ocf(raw: bytes) -> tuple[dict, str, list]:
     errors (untrusted-bytes contract, fuzz-pinned)."""
     try:
         return _read_ocf(raw)
-    except (IndexError, struct.error, UnicodeDecodeError, KeyError) as ex:
+    except (
+        IndexError,
+        struct.error,
+        UnicodeDecodeError,
+        KeyError,
+        RecursionError,
+    ) as ex:
         raise ValueError("avro: malformed OCF payload") from ex
 
 
@@ -434,12 +552,16 @@ def _read_ocf(raw: bytes) -> tuple[dict, str, list]:
     schema, codec, sync = hdr["schema"], hdr["codec"], hdr["sync"]
     named: dict = {}
     _resolve(schema, named)
+    rec_min = _min_wire_size(schema, named)  # also rejects cycles
     records: list = []
     r = _Reader(raw, hdr["body_pos"])
     while r.pos < len(raw):
         count = r.read_long()
         size = r.read_long()
+        if size < 0:
+            raise ValueError("avro: negative block byte size")
         block = _Reader(_decompress_block(r.read(size), codec))
+        _count_bound(count, len(block.buf), rec_min, "block record")
         for _ in range(count):
             records.append(_decode(block, schema, named))
         if block.pos != len(block.buf):
@@ -471,6 +593,7 @@ def write_ocf(
         raise ValueError("avro: sync marker must be 16 bytes")
     named: dict = {}
     _resolve(schema, named)
+    _min_wire_size(schema, named)  # rejects recursive schemas loudly
     out = bytearray()
     out += MAGIC
     meta = {"avro.schema": schema_bytes, "avro.codec": codec.encode()}
@@ -512,7 +635,8 @@ def _logical_decoder(schema, named: dict):
     """A value converter applied AFTER binary decode (base-typed values
     in, logical Python values out), or None when nothing converts.
     Covers the logical types Kafka-adjacent lakes actually emit:
-    timestamp-micros/-millis → tz-aware datetime, date → date,
+    timestamp-micros/-millis → naive (NTZ) datetime holding the UTC
+    wall clock, date → date,
     decimal (bytes/fixed, big-endian two's-complement unscaled) →
     Decimal. time-* stay as integers (Spark has no TIME type); uuid
     stays a string. Recurses through records/arrays/maps/[null,X]."""
@@ -584,15 +708,24 @@ def _logical_encoder(schema, named: dict | None = None):
     lt, attrs = _logical(schema)
     # every converter passes base-typed values through untouched, so
     # callers that hand-build records with raw ints/bytes keep working
+    # aware datetimes CONVERT to UTC before the epoch subtraction —
+    # replace(tzinfo=None) alone would encode the local wall clock,
+    # silently wrong by the offset (ADVICE r7); naive inputs are
+    # treated as already-UTC (the NTZ contract of the decoder)
+    def _utc_naive(v):
+        if v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
     if lt == "timestamp-micros":
         epoch = _dt.datetime(1970, 1, 1)
         return lambda v: v if isinstance(v, int) else (
-            (v.replace(tzinfo=None) - epoch) // _dt.timedelta(microseconds=1)
+            (_utc_naive(v) - epoch) // _dt.timedelta(microseconds=1)
         )
     if lt == "timestamp-millis":
         epoch = _dt.datetime(1970, 1, 1)
         return lambda v: v if isinstance(v, int) else (
-            (v.replace(tzinfo=None) - epoch) // _dt.timedelta(milliseconds=1)
+            (_utc_naive(v) - epoch) // _dt.timedelta(milliseconds=1)
         )
     if lt == "date":
         return lambda v: v if isinstance(v, int) else (
@@ -758,13 +891,14 @@ def read_avro_ocf(spark, path: str, schema_json=None, reader_schema=None):
             if isinstance(schema_json, str)
             else schema_json
         )
+    named: dict = {}
+    _resolve(schema, named)
+    _min_wire_size(schema, named)  # rejects recursive schemas loudly
     spark_type = avro_to_spark_type(schema)
     if not isinstance(spark_type, T.StructType):
         raise ValueError("avro: top-level schema must be a record")
     schema_canon = json.dumps(schema, sort_keys=True)
     field_names = [f.name for f in spark_type.fields]
-    named: dict = {}
-    _resolve(schema, named)
     field_convs = {
         f["name"]: _logical_decoder(f["type"], named)
         for f in schema["fields"]
@@ -857,15 +991,23 @@ def spark_schema_to_avro(dt, name: str = "row"):
             "scale": dt.scale,
         }
     if isinstance(dt, T.StructType):
+        # nested record names derive from the FULL field path, not the
+        # bare field name: two same-named struct fields at different
+        # nesting levels would otherwise emit duplicate Avro record
+        # names — invalid per the spec, rejected by strict readers
+        # (spark-avro jar, fastavro) (ADVICE r7)
         return {
             "type": "record",
             "name": name,
             "fields": [
                 {
                     "name": f.name,
-                    "type": ["null", spark_schema_to_avro(f.dataType, f.name)]
+                    "type": [
+                        "null",
+                        spark_schema_to_avro(f.dataType, f"{name}_{f.name}"),
+                    ]
                     if f.nullable
-                    else spark_schema_to_avro(f.dataType, f.name),
+                    else spark_schema_to_avro(f.dataType, f"{name}_{f.name}"),
                 }
                 for f in dt.fields
             ],
@@ -941,10 +1083,16 @@ def decode_avro_body(raw: bytes, schema, named: dict | None = None):
         schema = json.loads(schema)
     named = {} if named is None else named
     _resolve(schema, named)
+    _min_wire_size(schema, named)  # rejects recursive schemas loudly
     r = _Reader(raw)
     try:
         out = _decode(r, schema, named)
-    except (IndexError, struct.error, UnicodeDecodeError) as ex:
+    except (
+        IndexError,
+        struct.error,
+        UnicodeDecodeError,
+        RecursionError,
+    ) as ex:
         raise ValueError("avro: malformed value bytes") from ex
     if r.pos != len(raw):
         raise ValueError("avro: trailing bytes after value")
@@ -960,6 +1108,7 @@ def encode_avro_body(value, schema) -> bytes:
         schema = json.loads(schema)
     named: dict = {}
     _resolve(schema, named)
+    _min_wire_size(schema, named)  # rejects recursive schemas loudly
     conv = _logical_encoder(schema, dict(named))
     if conv is not None and value is not None:
         value = conv(value)
@@ -1000,6 +1149,7 @@ def decode_confluent_avro(df, value_col: str, schema, keep: list | None = None):
     keep = list(keep or [])
     named: dict = {}
     _resolve(schema, named)
+    _min_wire_size(schema, named)  # validate ONCE, not per message
     convs = {
         f["name"]: _logical_decoder(f["type"], named)
         for f in schema["fields"]
@@ -1014,11 +1164,28 @@ def decode_confluent_avro(df, value_col: str, schema, keep: list | None = None):
     def decode(it):
         import pandas as pd
 
+        def decode_body(body, _named=dict(named)):
+            # lean per-message twin of decode_avro_body: the schema was
+            # validated once above, so skip the per-call traversal
+            r = _Reader(body)
+            try:
+                out = _decode(r, schema, _named)
+            except (
+                IndexError,
+                struct.error,
+                UnicodeDecodeError,
+                RecursionError,
+            ) as ex:
+                raise ValueError("avro: malformed value bytes") from ex
+            if r.pos != len(body):
+                raise ValueError("avro: trailing bytes after value")
+            return out
+
         for pdf in it:
             rows = []
             for i in range(len(pdf)):
                 sid, body = parse_confluent(bytes(pdf[value_col].iloc[i]))
-                rec = decode_avro_body(body, schema, dict(named))
+                rec = decode_body(body)
                 row = {"schema_id": sid}
                 for k in keep:
                     row[k] = pdf[k].iloc[i]

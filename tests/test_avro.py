@@ -890,3 +890,207 @@ def test_wire_parsers_never_panic(raw):
                 fn()
             except ValueError:
                 pass
+
+
+# =========================================================================
+# Round-8 hardening (ADVICE r7): count bounds, bomb guards, cycles,
+# nested-name uniqueness, tz-aware encode
+# =========================================================================
+
+
+def test_untrusted_counts_are_bounded_by_input():
+    """A ~40-byte crafted payload must not be able to declare 2^40
+    items: counts over zero-byte-encoded types hit an absolute cap,
+    counts over >=1-byte types are bounded by remaining input. Each
+    rejection must be FAST (no loop to the declared count)."""
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        decode_avro_body,
+    )
+
+    huge = _zigzag(1 << 40)
+    # array of nulls: zero bytes per item -> absolute cap
+    with pytest.raises(ValueError, match="count"):
+        decode_avro_body(huge, {"type": "array", "items": "null"})
+    # array of longs: 1 byte per item minimum -> input-size bound
+    with pytest.raises(ValueError, match="count"):
+        decode_avro_body(huge + b"\x02", {"type": "array", "items": "long"})
+    # map: every entry carries a key-length varint
+    with pytest.raises(ValueError, match="count"):
+        decode_avro_body(huge + b"\x02", {"type": "map", "values": "null"})
+    # block record count over an empty (zero-byte) record
+    empty_rec = {"type": "record", "name": "E", "fields": []}
+    payload = bytearray(write_ocf([{}] * 3, empty_rec))
+    # a legit empty-record file still reads (3 records, 0 bytes each)
+    assert read_ocf(bytes(payload))[2] == [{}, {}, {}]
+    hdr = parse_ocf_header(bytes(payload))
+    crafted = (
+        bytes(payload[: hdr["body_pos"]])
+        + _zigzag(1 << 40)  # block record count
+        + _zigzag(0)  # block byte size
+        + hdr["sync"]
+    )
+    with pytest.raises(ValueError, match="count"):
+        read_ocf(crafted)
+    # legit small arrays of nulls still decode
+    body = _zigzag(3) + _zigzag(0)
+    assert decode_avro_body(
+        body, {"type": "array", "items": "null"}
+    ) == [None, None, None]
+
+
+def test_decompression_bomb_guard(monkeypatch):
+    """Deflate/zstd blocks stop inflating at the per-block byte cap and
+    raise instead of allocating unbounded output; corrupt and truncated
+    deflate normalize to ValueError (not zlib.error)."""
+    import zlib
+
+    from data_engineering_etl_self_service_spark.sources import avro_ocf
+
+    monkeypatch.setattr(avro_ocf, "_MAX_BLOCK_BYTES", 1 << 16)
+    c = zlib.compressobj(wbits=-15)
+    bomb = c.compress(b"\x00" * (1 << 20)) + c.flush()
+    with pytest.raises(ValueError, match="bound"):
+        avro_ocf._decompress_block(bomb, "deflate")
+    with pytest.raises(ValueError, match="bound"):
+        import pyarrow as pa
+
+        avro_ocf._decompress_block(
+            pa.Codec("zstd").compress(b"\x00" * (1 << 20), asbytes=True),
+            "zstd",
+        )
+    with pytest.raises(ValueError):
+        avro_ocf._decompress_block(b"\x99\x99garbage", "deflate")
+    ok = zlib.compressobj(wbits=-15)
+    good = ok.compress(b"payload") + ok.flush()
+    with pytest.raises(ValueError, match="truncated"):
+        avro_ocf._decompress_block(good[:-2], "deflate")
+    assert avro_ocf._decompress_block(good, "deflate") == b"payload"
+
+
+def test_recursive_schema_raises_value_error():
+    """Self-referential schemas reject with the documented ValueError
+    at every entry point — never RecursionError (ADVICE r7)."""
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        decode_avro_body,
+        encode_avro_body,
+    )
+
+    direct = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "x", "type": "R"}],
+    }
+    union_sheltered = {
+        "type": "record",
+        "name": "N",
+        "fields": [{"name": "next", "type": ["null", "N"]}],
+    }
+    for schema in (direct, union_sheltered):
+        with pytest.raises(ValueError, match="recursive"):
+            decode_avro_body(b"\x00", schema)
+        with pytest.raises(ValueError, match="recursive"):
+            encode_avro_body({"x": None, "next": None}, schema)
+        with pytest.raises(ValueError, match="recursive"):
+            write_ocf([], schema)
+    # named-type REUSE (diamond, not cycle) stays legal
+    diamond = {
+        "type": "record",
+        "name": "D",
+        "fields": [
+            {
+                "name": "a",
+                "type": {
+                    "type": "record",
+                    "name": "Leaf",
+                    "fields": [{"name": "v", "type": "long"}],
+                },
+            },
+            {"name": "b", "type": "Leaf"},
+        ],
+    }
+    rec = {"a": {"v": 1}, "b": {"v": 2}}
+    assert read_ocf(write_ocf([rec], diamond))[2] == [rec]
+
+
+def test_nested_record_names_are_path_unique():
+    """Same-named struct fields at different nesting paths must emit
+    DISTINCT Avro record names (duplicate names are invalid per the
+    spec and rejected by strict readers — ADVICE r7)."""
+    from pyspark.sql import types as T
+
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        spark_schema_to_avro,
+    )
+
+    meta = T.StructType([T.StructField("v", T.LongType(), False)])
+    st_ = T.StructType(
+        [
+            T.StructField(
+                "a",
+                T.StructType([T.StructField("meta", meta, False)]),
+                False,
+            ),
+            T.StructField(
+                "b",
+                T.StructType([T.StructField("meta", meta, False)]),
+                False,
+            ),
+        ]
+    )
+    schema = spark_schema_to_avro(st_)
+
+    names: list[str] = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if node.get("type") == "record":
+                names.append(node["name"])
+                for f in node["fields"]:
+                    walk(f["type"])
+            elif node.get("type") == "array":
+                walk(node["items"])
+            elif node.get("type") == "map":
+                walk(node["values"])
+        elif isinstance(node, list):
+            for b in node:
+                walk(b)
+
+    walk(schema)
+    assert len(names) == len(set(names)), names
+    # and the schema round-trips through our own writer/reader
+    rec = {"a": {"meta": {"v": 1}}, "b": {"meta": {"v": 2}}}
+    assert read_ocf(write_ocf([rec], schema))[2] == [rec]
+
+
+def test_tz_aware_datetime_encodes_as_utc():
+    """Aware datetimes CONVERT to UTC before epoch encoding; dropping
+    the tzinfo would silently shift the value by the offset (ADVICE
+    r7). Naive datetimes keep the existing treated-as-UTC contract."""
+    import datetime as dt
+
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        _logical_decoder,
+        decode_avro_body,
+        encode_avro_body,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+    aware = dt.datetime(
+        2024, 5, 6, 7, 8, 9, 101112,
+        tzinfo=dt.timezone(dt.timedelta(hours=2)),
+    )
+    naive_utc = dt.datetime(2024, 5, 6, 5, 8, 9, 101112)
+    dec = _logical_decoder(schema, {})
+    out_aware = dec(decode_avro_body(encode_avro_body({"ts": aware}, schema), schema))
+    out_naive = dec(decode_avro_body(encode_avro_body({"ts": naive_utc}, schema), schema))
+    assert out_aware == {"ts": naive_utc}
+    assert out_naive == {"ts": naive_utc}
