@@ -29,13 +29,15 @@ records. This module implements that spec directly:
   fields, recursive schemas.
 
 Spark integration (:func:`read_avro_ocf`): ``binaryFile`` scan →
-one-file header peek for the schema (or caller-supplied
-``schema_json`` to skip the peek on huge files) → Arrow-batched
-``mapInPandas`` decode on executors. Parallelism unit is the FILE
-(typical Kafka-dump layouts are many ~100 MB files); splitting a single
-file on its sync markers is exactly what the real spark-avro datasource
-does, and clusters that need it deploy the jar — this fallback keeps
-the same DataFrame surface working without it. The writer
+one-file header peek for the schema (header-bytes-only on local files;
+or caller-supplied ``schema_json`` to skip the peek) → Arrow-batched
+``mapInPandas`` decode on executors. Parallelism unit: local files
+larger than ``split_bytes`` (default 128 MiB) split into byte ranges
+on their 16-byte sync markers — the same split protocol as the real
+spark-avro datasource — so a Kafka-dump layout of a few huge files
+fans out across tasks (round 8; previously one task per file).
+Non-``file:`` schemes stay whole-file (range reads need executor-side
+``open``; clusters on object stores deploy the jar). The writer
 (:func:`write_avro_ocf_files`) emits one OCF file per partition on a
 shared/local filesystem, enabling two-way interop tests with spark-avro
 wherever the jar IS present.
@@ -856,24 +858,139 @@ def _nullable(schema) -> bool:
 # =========================================================================
 
 
-def read_avro_ocf(spark, path: str, schema_json=None, reader_schema=None):
+def _local_fspath(uri: str) -> str | None:
+    """Filesystem path for a ``file:`` URI (what binaryFile lists on
+    local/shared mounts), or None for any other scheme."""
+    from urllib.parse import unquote, urlparse
+
+    if not uri.startswith("file:"):
+        return None
+    return unquote(urlparse(uri).path)
+
+
+def _peek_header_local(fspath: str, fsize: int) -> dict:
+    """Parse one local file's OCF header reading only header bytes —
+    the schema peek must not pull a multi-GB file to the driver."""
+    size = min(fsize, 1 << 16)
+    while True:
+        with open(fspath, "rb") as fh:
+            head = fh.read(size)
+        try:
+            return parse_ocf_header(head)
+        except ValueError:
+            if size >= fsize:
+                raise
+            size = min(fsize, size * 16)  # schema JSON larger than peek
+
+
+def _scan_for_sync(fh, sync: bytes, start: int, end: int) -> int | None:
+    """First position ``m`` with ``start <= m < end`` where the 16-byte
+    ``sync`` marker begins, or None. Reads forward in 1 MiB chunks with
+    a 15-byte overlap (a marker may straddle chunk edges)."""
+    pos = start
+    tail = b""
+    while pos - len(tail) < end:
+        fh.seek(pos)
+        buf = fh.read(1 << 20)
+        if not buf:
+            return None
+        hay = tail + buf
+        idx = hay.find(sync)
+        if idx != -1:
+            m = pos - len(tail) + idx
+            return m if m < end else None
+        tail = hay[-15:]
+        pos += len(buf)
+    return None
+
+
+def _read_ocf_range(fh, hdr: dict, start: int, end: int, fsize: int) -> list:
+    """Decode the blocks of one OCF file that BELONG to the byte range
+    ``[start, end)`` — the sync-marker split protocol the spark-avro
+    jar (and every Hadoop input format) uses: a block belongs to the
+    range that contains the start of its PRECEDING sync marker, so
+    consecutive ranges partition the block stream exactly and a block
+    that straddles a range edge is decoded by exactly one task."""
+    schema, codec, sync = hdr["schema"], hdr["codec"], hdr["sync"]
+    named: dict = {}
+    _resolve(schema, named)
+    rec_min = _min_wire_size(schema, named)
+    first_marker = hdr["body_pos"] - 16  # the header's trailing sync
+    records: list = []
+    if start <= first_marker < end:
+        m = first_marker
+    else:
+        m = _scan_for_sync(fh, sync, max(start, first_marker), end)
+        if m is None:
+            return records
+    pos = m + 16  # block starts after its marker
+    while m < end and pos < fsize:
+        fh.seek(pos)
+        head = _Reader(fh.read(20))  # two varints, ≤10 bytes each
+        count = head.read_long()
+        size = head.read_long()
+        if size < 0:
+            raise ValueError("avro: negative block byte size")
+        data_pos = pos + head.pos
+        fh.seek(data_pos)
+        data = fh.read(size)
+        if len(data) != size:
+            raise ValueError("avro: truncated block")
+        if fh.read(16) != sync:
+            raise ValueError("avro: sync marker mismatch")
+        block = _Reader(_decompress_block(data, codec))
+        _count_bound(count, len(block.buf), rec_min, "block record")
+        for _ in range(count):
+            records.append(_decode(block, schema, named))
+        if block.pos != len(block.buf):
+            raise ValueError("avro: trailing bytes in block")
+        m = data_pos + size  # this block's trailing sync = next marker
+        pos = m + 16
+    return records
+
+
+def read_avro_ocf(
+    spark,
+    path: str,
+    schema_json=None,
+    reader_schema=None,
+    split_bytes: int = 128 << 20,
+):
     """Avro source without the spark-avro jar: ``binaryFile`` scan →
     executor-side OCF decode (Arrow-batched ``mapInPandas``).
 
-    The record schema comes from ONE file's header (a single bounded
-    driver-side fetch through Spark's own filesystem layer — works on
-    any scheme binaryFile can read); pass ``schema_json`` (JSON str or
-    parsed dict) to skip the peek when files are huge. Files whose
+    The record schema comes from ONE file's header (header-bytes-only
+    peek on local files; a single bounded driver-side fetch through
+    Spark's own filesystem layer elsewhere); pass ``schema_json`` (JSON
+    str or parsed dict) to skip the peek. Files whose
     header schema differs from the peeked one fail loudly (schema drift
     should never silently coerce) — UNLESS ``reader_schema`` is given,
     which flips to the spec's Schema Resolution semantics: every file
     decodes under its OWN writer schema and adapts to the reader schema
     (:func:`resolution_adapter` — field matching by name, defaults for
     new fields, primitive promotions), so a directory spanning several
-    schema versions reads as ONE evolved DataFrame."""
+    schema versions reads as ONE evolved DataFrame.
+
+    **Sync-marker splitting** (round 8): local files larger than
+    ``split_bytes`` are planned as ``(path, start, end)`` byte ranges —
+    one task per range, exactly like the spark-avro jar — so a
+    Kafka-dump layout of a few huge files no longer serializes to one
+    task per file. Each task seeks to its range, scans to the next
+    16-byte sync marker, and decodes the blocks whose marker starts
+    inside the range (bit-identical to the whole-file read; parity
+    pinned in tests). Non-``file:`` schemes keep the whole-file
+    binaryFile path (range reads need executor-side ``open``)."""
     from pyspark.sql import types as T
 
     files = spark.read.format("binaryFile").load(path)
+    listing = [
+        (r["path"], int(r["length"]))
+        for r in files.select("path", "length").collect()
+    ]
+    if not listing:
+        raise ValueError(f"avro: no files at {path}")
+    local_paths = [_local_fspath(p) for p, _ in listing]
+    all_local = all(p is not None for p in local_paths)
     if reader_schema is not None:
         schema = (
             json.loads(reader_schema)
@@ -881,10 +998,13 @@ def read_avro_ocf(spark, path: str, schema_json=None, reader_schema=None):
             else reader_schema
         )
     elif schema_json is None:
-        first = files.select("content").head()
-        if first is None:
-            raise ValueError(f"avro: no files at {path}")
-        schema = parse_ocf_header(bytes(first["content"]))["schema"]
+        if all_local:
+            schema = _peek_header_local(local_paths[0], listing[0][1])[
+                "schema"
+            ]
+        else:
+            first = files.select("content").head()
+            schema = parse_ocf_header(bytes(first["content"]))["schema"]
     else:
         schema = (
             json.loads(schema_json)
@@ -905,40 +1025,88 @@ def read_avro_ocf(spark, path: str, schema_json=None, reader_schema=None):
     }
     resolve_mode = reader_schema is not None
 
-    def decode(it):
+    def to_pdf(records):
         import pandas as pd
 
+        return pd.DataFrame(
+            {
+                name: [
+                    conv(rec[name])
+                    if conv and rec[name] is not None
+                    else rec[name]
+                    for rec in records
+                ]
+                for name in field_names
+                for conv in (field_convs.get(name),)
+            }
+        )
+
+    def adapt_records(file_schema, records, adapters):
+        fcanon = json.dumps(file_schema, sort_keys=True)
+        if fcanon == schema_canon:
+            return records
+        if not resolve_mode:
+            raise ValueError(
+                "avro: file schema differs from the peeked/"
+                "declared schema (schema drift); pass "
+                "reader_schema= to resolve evolved files"
+            )
+        if fcanon not in adapters:
+            adapters[fcanon] = resolution_adapter(file_schema, schema)
+        adapt = adapters[fcanon]
+        return [adapt(rec) for rec in records]
+
+    if all_local and split_bytes and any(
+        length > split_bytes for _, length in listing
+    ):
+        ranges = []
+        for fspath, (_, length) in zip(local_paths, listing):
+            n = max(1, -(-length // split_bytes))
+            ranges.extend(
+                (
+                    fspath,
+                    i * split_bytes,
+                    min((i + 1) * split_bytes, length),
+                    length,
+                )
+                for i in range(n)
+            )
+        rdf = spark.createDataFrame(
+            ranges, "fspath string, start long, end long, fsize long"
+        ).repartition(len(ranges))
+
+        def decode_ranges(it):
+            adapters: dict = {}
+            headers: dict = {}  # fspath → parsed header (per executor)
+            for pdf in it:
+                for fspath, rstart, rend, fsize in zip(
+                    pdf["fspath"], pdf["start"], pdf["end"], pdf["fsize"]
+                ):
+                    if fspath not in headers:
+                        headers[fspath] = _peek_header_local(
+                            fspath, int(fsize)
+                        )
+                    hdr = headers[fspath]
+                    with open(fspath, "rb") as fh:
+                        records = _read_ocf_range(
+                            fh, hdr, int(rstart), int(rend), int(fsize)
+                        )
+                    records = adapt_records(
+                        hdr["schema"], records, adapters
+                    )
+                    if records:  # empty pdf columns arrive as float64
+                        yield to_pdf(records)  # and break Arrow casts
+
+        return rdf.mapInPandas(decode_ranges, spark_type)
+
+    def decode(it):
         adapters: dict = {}  # writer-canon → adapter (per executor)
         for pdf in it:
             for raw in pdf["content"]:
                 file_schema, _, records = read_ocf(bytes(raw))
-                fcanon = json.dumps(file_schema, sort_keys=True)
-                if resolve_mode:
-                    if fcanon != schema_canon:
-                        if fcanon not in adapters:
-                            adapters[fcanon] = resolution_adapter(
-                                file_schema, schema
-                            )
-                        adapt = adapters[fcanon]
-                        records = [adapt(rec) for rec in records]
-                elif fcanon != schema_canon:
-                    raise ValueError(
-                        "avro: file schema differs from the peeked/"
-                        "declared schema (schema drift); pass "
-                        "reader_schema= to resolve evolved files"
-                    )
-                yield pd.DataFrame(
-                    {
-                        name: [
-                            conv(rec[name])
-                            if conv and rec[name] is not None
-                            else rec[name]
-                            for rec in records
-                        ]
-                        for name in field_names
-                        for conv in (field_convs.get(name),)
-                    }
-                )
+                records = adapt_records(file_schema, records, adapters)
+                if records:  # see range path: empty pdf breaks Arrow
+                    yield to_pdf(records)
 
     return files.select("content").mapInPandas(decode, spark_type)
 

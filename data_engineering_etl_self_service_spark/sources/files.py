@@ -152,9 +152,9 @@ def read_avro(
     When the jar is absent — this container — it FALLS BACK to the
     pure-Python OCF reader (``sources/avro_ocf.py``): ``binaryFile``
     scan + executor-side block decode, same DataFrame out. The fallback
-    parallelizes per FILE (the jar splits single files on sync markers;
-    deploy it for that) and supports the documented schema subset
-    (primitives, records, arrays, maps, enums, fixed, [null,X]
+    splits local files larger than 128 MiB on their sync markers (the
+    jar's split protocol — round 8) and supports the documented schema
+    subset (primitives, records, arrays, maps, enums, fixed, [null,X]
     unions)."""
     if not avro_available(spark):
         from pyspark.sql.types import _parse_datatype_string
