@@ -233,9 +233,19 @@ def main() -> None:
         "policy": "best-of-2-all",
         "sf": sf,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
-    )
+    # Detail goes to an UNCOMMITTED run-stamped path under .scratch/
+    # (gitignored) — never the committed BENCH_local.json: the driver's
+    # per-round bench run used to clobber the builder's closing-idle
+    # detail and leave the tree dirty at judge hand-off (VERDICT r7
+    # #2). The closing idle file is promoted to BENCH_local.json as a
+    # deliberate commit (SPARK_GRAFT_BENCH_DETAIL overrides the path).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if not detail_path:
+        os.makedirs(os.path.join(repo, ".scratch"), exist_ok=True)
+        detail_path = os.path.join(
+            repo, ".scratch", f"BENCH_detail_{int(time.time())}.json"
+        )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
         fh.write("\n")
@@ -249,7 +259,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": {n: timings[n] for n in CORE},
         "policy": "best-of-2-all",
-        "detail": "BENCH_local.json",
+        "detail": os.path.relpath(detail_path, repo),
         "sf": sf,
     }
     line = json.dumps(compact, separators=(",", ":"))
