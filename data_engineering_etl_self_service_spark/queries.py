@@ -2862,6 +2862,42 @@ _ROUND5_NEW = frozenset(
     }
 )
 
+#: the rows-only-by-design queries (no SQL oracle — the driver records a
+#: weaker rows-only row). Their "settled" status never expires via the
+#: normal tail rotation fast enough (VERDICT r7 #3: knn_join_fast's only
+#: driver row was from r01), so any of them whose latest driver row is
+#: ≥3 rounds old re-fronts ahead of the settled tail for a fresh row.
+_ROWS_ONLY_ROTATE = (
+    "approx_tier",
+    "hll_sketch_union",
+    "knn_join_fast",
+    "simhash_neardup",
+)
+
+
+def _last_driver_round() -> dict[str, int]:
+    """name → highest round N whose CORRECTNESS_r{N}.json has a row for
+    it (0 when never checked)."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    last: dict[str, int] = {}
+    for path in _glob.glob(str(root / "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)", Path(path).name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = _json.loads(Path(path).read_text())
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if isinstance(r, dict) and rnd > last.get(name, 0):
+                last[name] = rnd
+    return last
+
+
 #: newest operators — surfaced ahead of the older unchecked backlog so the
 #: driver's capped per-round check always covers the code that changed most
 #: recently (the backlog drains over the following rounds either way).
@@ -2909,6 +2945,16 @@ def _priority_order(names):
     ~ceil(N/48) ≈ 4 rounds — continuous staleness re-verification
     instead of a frozen prefix."""
     settled = _driver_checked()
+    cur = _current_round()
+    last_seen = _last_driver_round()
+    # rows-only-by-design queries with stale driver evidence re-front
+    # (treated as unsettled for THIS ordering; see _ROWS_ONLY_ROTATE)
+    stale_rows_only = [
+        n
+        for n in _ROWS_ONLY_ROTATE
+        if n in names and cur - last_seen.get(n, 0) >= 3
+    ]
+    settled = settled - frozenset(stale_rows_only)
     fresh = [
         n for n in _FRESH_FIRST if n in names and n not in settled
     ]
@@ -2927,7 +2973,7 @@ def _priority_order(names):
     latest = _latest_checked()
     tail = [n for n in names if n in settled and n not in latest]
     if tail:
-        rot = (_current_round() * 48) % len(tail)
+        rot = (cur * 48) % len(tail)
         tail = tail[rot:] + tail[:rot]
     tail += [n for n in names if n in settled and n in latest]
     return fresh + rest + new3 + new4 + new5 + tail
