@@ -147,6 +147,8 @@ EXTENDED = [
     "sessionize_skewsafe",
     "parquet_footer_stats",
     "kafka_avro_stats",
+    # round 8: partition-level footers-only lake audit
+    "lake_audit",
 ]
 
 HEADLINE = CORE + EXTENDED

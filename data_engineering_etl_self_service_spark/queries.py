@@ -12693,3 +12693,119 @@ def kafka_avro_stats(spark, sf_dir):
         F.col("first").alias("first_word"),
         F.length("text").cast("long").alias("text_chars"),
     )
+
+
+@register(
+    "lake_audit",
+    """
+    WITH d AS (
+      SELECT doc_id % 10 AS part,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    p AS (
+      SELECT part,
+             CAST(part % 3 + 2 AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS total_rows
+      FROM d GROUP BY part),
+    q AS (
+      SELECT part, k, total_rows,
+             CAST(list_sum([ (((total_rows + k - 1 - j) // k) + 7) // 8
+                             for j in generate_series(0, k - 1) ])
+                  AS BIGINT) AS n_row_groups
+      FROM p)
+    SELECT CAST(part AS INTEGER) AS part,
+           k AS n_files,
+           total_rows,
+           n_row_groups,
+           CAST(total_rows // k AS BIGINT) AS min_file_rows,
+           CAST((total_rows + k - 1) // k AS BIGINT) AS max_file_rows,
+           CAST(total_rows // n_row_groups AS BIGINT) AS avg_rg_rows,
+           'uncompressed,zstd' AS codecs
+    FROM q
+    ORDER BY part
+    """,
+)
+def lake_audit(spark, sf_dir):
+    """Partition-level lake audit from parquet footers ONLY
+    (operators/parquet_meta.py lake_audit_report — VERDICT r7 #6): per
+    hive partition, file counts/sizes + log2 histograms, row-group
+    size spread, column-chunk compression ratios with the
+    worst-compressing column named, and the small-file / size-skew
+    compaction flags. Builder-exercises-auditor end to end as a REAL
+    distributed flow: stage 1 shuffles documents once on a derived
+    partition key and writes a hive-partitioned mini-lake
+    executor-side with a PINNED layout (doc_id%10 partitions, k=p%3+2
+    files per partition, tokens round-robined across files, row
+    groups of 8, codec alternating none/zstd per file); stage 2 is
+    the audit operator under test reading footers back. Every oracle
+    column is symbolic from the pinned layout: file j of partition p
+    holds ceil((n_p - j)/k) rows, so row-group totals are closed-form
+    ceil-divs DuckDB restates independently. The byte-based outputs
+    (histograms, compression ratios, skew flags) are pinned against
+    pyarrow's own metadata in tests/test_parquet_meta.py.
+
+    Scale: the audit reads footers only (KB per file at any file
+    size); its rollups shuffle one row per file and per file-column —
+    auditing a 100 TB lake moves MBs.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .operators.parquet_meta import lake_audit_report
+
+    out_dir = str(
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "lake_audit"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("part", (F.col("doc_id") % 10).cast("int"))
+    )
+
+    def build(pdf):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = int(pdf["part"].iloc[0])
+        k = part % 3 + 2
+        pdf = pdf.sort_values("doc_id")
+        toks = [w for t in pdf["text"] for w in t.split(" ")]
+        pdir = _os.path.join(out_dir, f"part={part}")
+        _os.makedirs(pdir, exist_ok=True)
+        for j in range(k):
+            pq.write_table(
+                pa.table({"tok": pa.array(toks[j::k], pa.string())}),
+                _os.path.join(pdir, f"f-{j:03d}.parquet"),
+                compression=["none", "zstd"][j % 2],
+                row_group_size=8,
+            )
+        return pd.DataFrame({"part": [part], "n_files": [k]})
+
+    # force the lake build BEFORE the audit lists the directory
+    d.groupBy("part").applyInPandas(
+        build, "part int, n_files int"
+    ).count()
+
+    audit = lake_audit_report(spark, out_dir, small_file_bytes=1 << 20)
+    return audit.select(
+        F.regexp_extract("partition", r"part=(\d+)", 1)
+        .cast("int")
+        .alias("part"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("total_rows").cast("long").alias("total_rows"),
+        F.col("n_row_groups").cast("long").alias("n_row_groups"),
+        F.col("min_file_rows").cast("long").alias("min_file_rows"),
+        F.col("max_file_rows").cast("long").alias("max_file_rows"),
+        F.col("avg_rg_rows").cast("long").alias("avg_rg_rows"),
+        "codecs",
+    )

@@ -135,3 +135,124 @@ def test_lake_layout_report_over_fixture_dir(spark, tmp_path):
         assert r["n_columns"] == m.num_columns
         total += r["n_rows"]
     assert total == 1000
+
+
+def test_lake_audit_report_vs_pyarrow_ground_truth(spark, tmp_path):
+    """Partition-level audit (round 8): every byte-based output —
+    histograms, compression ratios, worst column, small-file and skew
+    flags — recomputed independently from pyarrow's own metadata over
+    a pinned two-partition lake with deliberate small-file skew."""
+    import glob
+    import math
+    import os
+    from collections import Counter, defaultdict
+
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        lake_audit_report,
+    )
+
+    lake = tmp_path / "lake"
+    # part=a: one big zstd file + two tiny uncompressed files (small-
+    # file majority + size skew); part=b: two even snappy files
+    specs = {
+        "part=a": [
+            (5000, "zstd", 512),
+            (8, "none", 8),
+            (8, "none", 8),
+        ],
+        "part=b": [(600, "snappy", 128), (600, "snappy", 128)],
+    }
+    for part, files in specs.items():
+        os.makedirs(lake / part)
+        for i, (nrows, codec, rg) in enumerate(files):
+            pq.write_table(
+                pa.table(
+                    {
+                        "x": pa.array(range(nrows), pa.int64()),
+                        "txt": pa.array(
+                            ["wordy text " * 5] * nrows, pa.string()
+                        ),
+                    }
+                ),
+                str(lake / part / f"f{i}.parquet"),
+                compression=codec,
+                row_group_size=rg,
+            )
+    # small_file_bytes between the tiny and big file sizes
+    rep = {
+        r["partition"]: r
+        for r in lake_audit_report(
+            spark, str(lake), small_file_bytes=4096
+        ).collect()
+    }
+    assert set(rep) == {"part=a", "part=b"}
+    for part, files in specs.items():
+        paths = sorted(glob.glob(str(lake / part / "*.parquet")))
+        metas = [pq.ParquetFile(p).metadata for p in paths]
+        sizes = [os.path.getsize(p) for p in paths]
+        r = rep[part]
+        assert r["n_files"] == len(paths)
+        assert r["total_bytes"] == sum(sizes)
+        assert r["total_rows"] == sum(m.num_rows for m in metas)
+        assert r["n_row_groups"] == sum(m.num_row_groups for m in metas)
+        assert r["min_file_bytes"] == min(sizes)
+        assert r["max_file_bytes"] == max(sizes)
+        assert r["avg_file_bytes"] == sum(sizes) // len(sizes)
+        n_small = sum(1 for s in sizes if s < 4096)
+        assert r["n_small_files"] == n_small
+        assert r["small_file_flag"] == (n_small * 2 > len(paths))
+        assert r["file_skew_pct"] == int(
+            max(sizes) * len(sizes) * 100 / sum(sizes)
+        )
+        # histograms: log2 buckets recomputed from the ground truth
+        fhist = Counter(int(math.floor(math.log2(s))) for s in sizes)
+        assert r["file_size_hist"] == ",".join(
+            f"{b}:{c}" for b, c in sorted(fhist.items())
+        )
+        rg_rows = [
+            m.row_group(i).num_rows
+            for m in metas
+            for i in range(m.num_row_groups)
+        ]
+        rghist = Counter(
+            int(math.floor(math.log2(max(n, 1)))) for n in rg_rows
+        )
+        assert r["rg_rows_hist"] == ",".join(
+            f"{b}:{c}" for b, c in sorted(rghist.items())
+        )
+        assert r["min_rg_rows"] == min(rg_rows)
+        assert r["max_rg_rows"] == max(rg_rows)
+        assert r["avg_rg_rows"] == sum(rg_rows) // len(rg_rows)
+        # compression ratios per column chunk from pyarrow metadata
+        comp = defaultdict(int)
+        uncomp = defaultdict(int)
+        for m in metas:
+            for gi in range(m.num_row_groups):
+                g = m.row_group(gi)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    comp[c.path_in_schema] += c.total_compressed_size
+                    uncomp[c.path_in_schema] += c.total_uncompressed_size
+        assert r["compression_ratio_pct"] == int(
+            sum(uncomp.values()) * 100 / max(sum(comp.values()), 1)
+        )
+        ratios = {
+            p: int(uncomp[p] * 100 / max(comp[p], 1)) for p in comp
+        }
+        worst = min(ratios, key=lambda p: (ratios[p], p))
+        assert r["worst_col"] == worst
+        assert r["worst_col_ratio_pct"] == ratios[worst]
+        codecs = sorted(
+            {
+                m.row_group(gi).column(ci).compression.lower()
+                for m in metas
+                for gi in range(m.num_row_groups)
+                for ci in range(m.row_group(gi).num_columns)
+            }
+        )
+        assert r["codecs"] == ",".join(codecs)
+    # the skewed partition actually trips the flags
+    assert rep["part=a"]["small_file_flag"] is True
+    assert rep["part=a"]["file_skew_pct"] > 200
+    assert rep["part=b"]["small_file_flag"] is False
+    assert 95 <= rep["part=b"]["file_skew_pct"] <= 105

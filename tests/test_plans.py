@@ -259,3 +259,18 @@ def test_srp_neardup_mapside_buckets_single_exchange(spark, sf_dir):
     assert _op_count(plan, "Exchange") <= 1, plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lake_audit_rollups_are_footer_sized(spark, sf_dir):
+    """lake_audit (round 8): the audit never touches data pages — ONE
+    binaryFile scan feeds the per-file footer decode, and every
+    exchange downstream moves per-file / per-file-column rows, never
+    row data. No cartesian joins, no row-at-a-time Python."""
+    p = _plan(spark, "lake_audit", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the per-file footer frame is persisted, so all five partition
+    # rollups read ONE materialization of the binaryFile scan instead
+    # of re-reading the lake per branch
+    assert p.count("InMemoryTableScan") >= 5
