@@ -23,10 +23,15 @@ records. This module implements that spec directly:
   ``snappy`` (raw snappy + 4-byte big-endian CRC32 suffix per spec) and
   ``zstd`` when pyarrow's codecs are importable (they are in this
   container) — import-try gated, never a hard dependency.
-- **Not supported** (clear errors, not silent wrongness): general
-  multi-branch unions beyond ``[null, X]`` (spark-avro maps those to
-  member structs; out of scope for the fallback), bare ``null``-typed
-  fields, recursive schemas.
+- **Unions**: ``[null, X]`` → nullable X; ``[int, long]`` → long and
+  ``[float, double]`` → double (spark-avro's promotions); any other
+  multi-branch union → a struct of nullable ``member0..memberN``
+  fields with exactly the taken branch set — the same mapping the
+  spark-avro jar documents (SchemaConverters), both directions
+  (round 8; previously rejected).
+- **Not supported** (clear errors, not silent wrongness): bare
+  ``null``-typed fields, recursive schemas, unions directly nesting
+  unions (illegal per spec).
 
 Spark integration (:func:`read_avro_ocf`): ``binaryFile`` scan →
 one-file header peek for the schema (header-bytes-only on local files;
@@ -287,7 +292,23 @@ def _decode(r: _Reader, schema, named: dict):
         idx = r.read_long()
         if not 0 <= idx < len(schema):
             raise ValueError(f"avro: union branch {idx} out of range")
-        return _decode(r, schema[idx], named)
+        branch = schema[idx]
+        val = _decode(r, branch, named)
+        nonnull = [b for b in schema if b != "null"]
+        if len(nonnull) <= 1:
+            return val
+        kinds = {b if isinstance(b, str) else None for b in nonnull}
+        if kinds in ({"int", "long"}, {"float", "double"}):
+            return val  # spark-avro promotes these to one column type
+        if branch == "null":
+            return None
+        # multi-branch union → member struct (spark-avro's mapping):
+        # exactly the taken branch's member is set
+        j = sum(1 for b in schema[:idx] if b != "null")
+        return {
+            f"member{i}": (val if i == j else None)
+            for i in range(len(nonnull))
+        }
     t = schema["type"]
     if t == "record":
         return {
@@ -360,8 +381,41 @@ def _encode(out: bytearray, value, schema, named: dict) -> None:
             out += b
             return
     if isinstance(schema, list):
-        # writer picks the first matching branch: None→null, else the
-        # first non-null branch ([null, X] is the supported shape)
+        nonnull = [(i, b) for i, b in enumerate(schema) if b != "null"]
+        if len(nonnull) > 1 and value is not None:
+            kinds = {
+                b if isinstance(b, str) else None for _, b in nonnull
+            }
+            if kinds not in ({"int", "long"}, {"float", "double"}):
+                # member-struct form (the decoder's multi-union shape):
+                # exactly one memberJ set picks the branch to encode
+                if not (
+                    isinstance(value, dict)
+                    and value
+                    and all(k.startswith("member") for k in value)
+                ):
+                    raise ValueError(
+                        "avro: multi-branch union values must be "
+                        "member structs ({'memberJ': value})"
+                    )
+                set_m = [(k, v) for k, v in value.items() if v is not None]
+                if len(set_m) != 1:
+                    raise ValueError(
+                        "avro: exactly one union member must be set"
+                    )
+                k, v = set_m[0]
+                try:
+                    j = int(k[6:])
+                    i, branch = nonnull[j]
+                except (ValueError, IndexError) as ex:
+                    raise ValueError(
+                        f"avro: bad union member key {k!r}"
+                    ) from ex
+                out += _zigzag(i)
+                _encode(out, v, branch, named)
+                return
+        # [null, X] / promotion pairs: first matching branch —
+        # None→null, else the first non-null branch
         for i, branch in enumerate(schema):
             is_null = branch == "null"
             if (value is None) == is_null:
@@ -663,6 +717,26 @@ def _logical_decoder(schema, named: dict):
         ).scaleb(-scale)
     schema = _resolve(schema, named)
     if isinstance(schema, list):
+        nonnull = [b for b in schema if b != "null"]
+        if len(nonnull) > 1:
+            # member-struct multi-union: convert per member slot
+            msubs = [_logical_decoder(b, named) for b in nonnull]
+            if not any(msubs):
+                return None
+
+            def conv_union(v, msubs=msubs):
+                if v is None or not isinstance(v, dict):
+                    return v
+                return {
+                    k: (
+                        msubs[int(k[6:])](x)
+                        if x is not None and msubs[int(k[6:])]
+                        else x
+                    )
+                    for k, x in v.items()
+                }
+
+            return conv_union
         subs = [_logical_decoder(b, named) for b in schema]
         if not any(subs):
             return None
@@ -746,6 +820,25 @@ def _logical_encoder(schema, named: dict | None = None):
         return enc_dec
     resolved = _resolve(schema, named)
     if isinstance(resolved, list):
+        nonnull = [b for b in resolved if b != "null"]
+        if len(nonnull) > 1:
+            msubs = [_logical_encoder(b, named) for b in nonnull]
+            if not any(msubs):
+                return None
+
+            def conv_union(v, msubs=msubs):
+                if v is None or not isinstance(v, dict):
+                    return v
+                return {
+                    k: (
+                        msubs[int(k[6:])](x)
+                        if x is not None and msubs[int(k[6:])]
+                        else x
+                    )
+                    for k, x in v.items()
+                }
+
+            return conv_union
         subs = [_logical_encoder(b, named) for b in resolved]
         if not any(subs):
             return None
@@ -803,13 +896,32 @@ def avro_to_spark_type(schema, named: dict | None = None):
     schema = _resolve(schema, named)
     if isinstance(schema, list):
         branches = [b for b in schema if b != "null"]
-        if len(schema) - len(branches) != 1 or len(branches) != 1:
-            raise ValueError(
-                "avro fallback supports only [null, X] unions; general "
-                "unions need the spark-avro jar"
-            )
-        return avro_to_spark_type(branches[0], named)
+        if len(branches) == 1:
+            return avro_to_spark_type(branches[0], named)
+        # multi-branch unions: spark-avro's documented mapping
+        # (SchemaConverters) — [int,long]→long, [float,double]→double,
+        # anything else → a struct of nullable member0..memberN fields,
+        # exactly one set per value (round 8; previously rejected)
+        kinds = {b if isinstance(b, str) else None for b in branches}
+        if kinds == {"int", "long"}:
+            return T.LongType()
+        if kinds == {"float", "double"}:
+            return T.DoubleType()
+        if any(isinstance(b, list) for b in branches):
+            raise ValueError("avro: unions may not directly nest unions")
+        return T.StructType(
+            [
+                T.StructField(
+                    f"member{i}", avro_to_spark_type(b, named), True
+                )
+                for i, b in enumerate(branches)
+            ]
+        )
     if isinstance(schema, str):
+        if schema == "null":
+            raise ValueError(
+                "avro: bare null-typed fields have no Spark column type"
+            )
         return {
             "boolean": T.BooleanType(),
             "int": T.IntegerType(),
