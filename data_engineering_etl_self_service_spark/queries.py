@@ -9701,6 +9701,17 @@ def point_in_time_join(spark, sf_dir):
     )
 
 
+def _srp_auto_planes(n: int, target_width: int = 64) -> int:
+    """planes_per_table from corpus size: the smallest p in [2, 12]
+    with 2^p buckets per table >= ceil(n / target_width), so expected
+    bucket WIDTH stays ~constant as the corpus grows — without this the
+    candidate pair volume is quadratic in n (the round-8 sf1 probe
+    measured e = 1.99 at pinned p=2: 5.4 s -> 525 s for 10x). Integer
+    arithmetic only, restated verbatim by the SQL oracle."""
+    m = -(-n // target_width)
+    return 2 + sum(1 for k in range(2, 12) if m > (1 << k))
+
+
 @register(
     "srp_neardup",
     """
@@ -9709,14 +9720,28 @@ def point_in_time_join(spark, sf_dir):
              list_transform(embedding::DOUBLE[],
                             x -> CAST(floor(x * 1000.0) AS BIGINT)) AS y
       FROM embeddings),
+    pp AS (
+      SELECT 2
+           + CASE WHEN m > 4 THEN 1 ELSE 0 END
+           + CASE WHEN m > 8 THEN 1 ELSE 0 END
+           + CASE WHEN m > 16 THEN 1 ELSE 0 END
+           + CASE WHEN m > 32 THEN 1 ELSE 0 END
+           + CASE WHEN m > 64 THEN 1 ELSE 0 END
+           + CASE WHEN m > 128 THEN 1 ELSE 0 END
+           + CASE WHEN m > 256 THEN 1 ELSE 0 END
+           + CASE WHEN m > 512 THEN 1 ELSE 0 END
+           + CASE WHEN m > 1024 THEN 1 ELSE 0 END
+           + CASE WHEN m > 2048 THEN 1 ELSE 0 END AS p
+      FROM (SELECT (COUNT(*) + 63) // 64 AS m FROM embeddings)),
     comp AS (
       SELECT vec_id, CAST(d AS BIGINT) AS d, y[d + 1] AS v
       FROM yq, range(0, 64) dd(d)),
     planes AS (
       SELECT t, j, d,
-             bit_count(((t * 2 + j) * 64 + d + 1) * 2654435761
-                       % 2147483648 % 4096) - 6 AS s
-      FROM range(0, 18) tt(t), range(0, 2) jj(j), range(0, 64) dd(d)),
+             bit_count(((t * (SELECT p FROM pp) + j) * 64 + d + 1)
+                       * 2654435761 % 2147483648 % 4096) - 6 AS s
+      FROM range(0, 18) tt(t), range(0, 12) jj(j), range(0, 64) dd(d)
+      WHERE j < (SELECT p FROM pp)),
     dots AS (
       SELECT c.vec_id, p.t, p.j, SUM(c.v * p.s) AS dot
       FROM comp c JOIN planes p ON c.d = p.d GROUP BY 1, 2, 3),
@@ -9751,14 +9776,22 @@ def srp_neardup(spark, sf_dir):
     """Signed-random-projection LSH near-dup pairs over embeddings
     (Charikar STOC'02) — the banded-LSH candidate path for EMBEDDING
     space, completing the family: MinHash-LSH covers shingle space,
-    SimHash covers token space, SRP covers vector space. 18 tables × 2
-    sign bits of hash-derived integer hyperplanes (binomial-weight
+    SimHash covers token space, SRP covers vector space. 18 tables ×
+    p sign bits of hash-derived integer hyperplanes (binomial-weight
     discretized Gaussians, no RNG — Spark and the
     oracle build bit-identical tables), same-(table,bucket) candidate
     pairs, exact integer-cosine verification at tau = 2/5. The banding
-    IS the contract (98.5% recall measured on the fixture; the exact
-    `embedding_neardup_pairs`/`embedding_dedup_groups` twins remain the
-    100%-recall baseline, and the recall is pinned by test).
+    IS the contract (the oracle restates candidates AND the auto plane
+    count exactly; the exact `embedding_neardup_pairs`/
+    `embedding_dedup_groups` twins remain the 100%-recall baseline,
+    and operator-level recall is pinned by test).
+
+    p auto-scales with corpus size (`_srp_auto_planes`: smallest p
+    with 2^p buckets >= ceil(n/64), clamped to [2, 12]) — the
+    "raise planes_per_table the way IVF raises n_cells" posture as a
+    CODE PATH (round 8; the sf1 probe caught the pinned-p quadratic).
+    At the sf0.001/sf0.01 driver gates p stays 2 (unchanged
+    behavior); sf0.1 gets p=5, the sf1 replica p=9.
 
     Scale: bucket assignment is ONE map-side Arrow-vectorized matmul
     pass (flat in plane count; the quantized frame and the skinny
@@ -9769,18 +9802,20 @@ def srp_neardup(spark, sf_dir):
     from .operators.dedup import srp_lsh_pairs
 
     e = _t(spark, sf_dir, "embeddings")
+    p = _srp_auto_planes(e.count())
     return srp_lsh_pairs(
-        e, n_tables=18, planes_per_table=2, tau_num=2, tau_den=5
+        e, n_tables=18, planes_per_table=p, tau_num=2, tau_den=5
     )
 
 
 def _srp_neardup_plan(spark, sf_dir):
     from .operators.dedup import srp_lsh_pairs
 
+    e = _t(spark, sf_dir, "embeddings")
     return srp_lsh_pairs(
-        _t(spark, sf_dir, "embeddings"),
+        e,
         n_tables=18,
-        planes_per_table=2,
+        planes_per_table=_srp_auto_planes(e.count()),
         tau_num=2,
         tau_den=5,
         materialize=False,

@@ -24,7 +24,7 @@ Replication keeps semantics "fresh-growth", not adversarial cliques:
 
 Output dir defaults to /root/repo/.scratch/sf1 (gitignored; ~60 MB).
 
-Usage: python tools/probe_r7_sf1.py [build|run|all] [out_dir]
+Usage: python tools/probe_r7_sf1.py [build|run|all] [out_dir] [query ...]\n(explicit query names probe the extended tail — round 8)
 """
 
 from __future__ import annotations
@@ -154,14 +154,14 @@ def build(spark, out_dir: str) -> None:
     print(f"built sf1 at {out_dir}")
 
 
-def run(spark, out_dir: str) -> None:
+def run(spark, out_dir: str, names=None) -> None:
     import math
 
     from bench import CORE
     from data_engineering_etl_self_service_spark.queries import QUERIES
 
     results = {}
-    for name in CORE:
+    for name in names or CORE:
         fn = QUERIES[name]
         fn(spark, "/root/testdata/sf0.01").count()  # warm codegen
         walls = {}
@@ -183,7 +183,7 @@ def run(spark, out_dir: str) -> None:
     print(
         json.dumps(
             {
-                "probe": "core30-sf1",
+                "probe": "sf1" if names else "core30-sf1",
                 "n": len(results),
                 "sublinear_or_linear": lin,
                 "worst": max(
@@ -205,11 +205,12 @@ def main() -> None:
             "sf1",
         )
     )
+    names = sys.argv[3:] or None  # round 8: probe the EXTENDED tail too
     spark = get_spark(app_name="probe-r7-sf1")
     if mode in ("build", "all"):
         build(spark, out_dir)
     if mode in ("run", "all"):
-        run(spark, out_dir)
+        run(spark, out_dir, names)
 
 
 if __name__ == "__main__":
