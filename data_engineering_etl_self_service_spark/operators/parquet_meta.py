@@ -210,7 +210,39 @@ def parquet_footer(raw: bytes) -> dict:
     start = len(raw) - 8 - meta_len
     if start < 4:
         raise ValueError("parquet: footer length out of range")
-    fmd = thrift_compact_decode(raw, start)
+    return _map_footer(thrift_compact_decode(raw, start))
+
+
+def read_footer_local(fspath: str, fsize: int) -> dict:
+    """:func:`parquet_footer` reading ONLY the footer bytes of a local
+    file — seek to the trailing ``(metadata_len, PAR1)`` word, then
+    read exactly the metadata blob (round 8). This is what makes the
+    lake audits footers-only in I/O terms too: a 10 GB file costs the
+    same KBs to audit as a 10 MB one. (The binaryFile ``content`` path
+    ships whole files; on object stores the equivalent is a ranged
+    GET of the last N KB.)"""
+    with open(fspath, "rb") as fh:
+        if fsize < 12:
+            raise ValueError("parquet: file too small")
+        fh.seek(0)
+        if fh.read(4) != b"PAR1":
+            raise ValueError("parquet: missing PAR1 magic")
+        fh.seek(fsize - 8)
+        tail = fh.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError("parquet: missing PAR1 magic")
+        meta_len = struct.unpack("<I", tail[:4])[0]
+        start = fsize - 8 - meta_len
+        if start < 4:
+            raise ValueError("parquet: footer length out of range")
+        fh.seek(start)
+        buf = fh.read(meta_len)
+    return _map_footer(thrift_compact_decode(buf, 0))
+
+
+def _map_footer(fmd: dict) -> dict:
+    """Map a thrift-decoded FileMetaData tree to the plain-dict shape
+    :func:`parquet_footer` documents."""
     schema = [
         {
             "name": el.get(4, b"").decode("utf-8", "replace"),
@@ -265,14 +297,67 @@ def file_audit_rows(spark, path: str):
     rollup (:func:`lake_audit_report`) aggregates: hive-partition label,
     file size, row/row-group counts, per-row-group row counts, and the
     per-column-chunk (path, codec, compressed, uncompressed) parallel
-    arrays. Executor-side footer decode over a binaryFile scan —
-    shuffle-free, and footers are KB-sized regardless of file size."""
+    arrays. Executor-side footer decode, shuffle-free — and on local
+    files the I/O is footer bytes ONLY (:func:`read_footer_local`
+    seeks to the trailing metadata; round 8 — the binaryFile
+    ``content`` path shipped whole files, which at 100 TB would read
+    the lake to audit it). Non-``file:`` schemes fall back to the
+    whole-content read (object stores pair this with a ranged GET)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .load(path)
     )
+    first = files.select("path").head()
+    local = first is not None and first["path"].startswith("file:")
+
+    def _row(p, size, f, _os):
+        rgs = f["row_groups"]
+        cols = [c for rg in rgs for c in rg["columns"]]
+        return {
+            "partition": _os.path.basename(_os.path.dirname(p)),
+            "file": _os.path.basename(p),
+            "bytes": size,
+            "n_rows": f["num_rows"],
+            "n_row_groups": len(rgs),
+            "rg_rows": [rg["num_rows"] for rg in rgs],
+            "col_path": [c["path"] for c in cols],
+            "col_codec": [c["codec"] for c in cols],
+            "col_comp": [c["total_compressed_size"] for c in cols],
+            "col_uncomp": [c["total_uncompressed_size"] for c in cols],
+        }
+
+    schema = (
+        "partition string, file string, bytes long, n_rows long, "
+        "n_row_groups long, rg_rows array<long>, "
+        "col_path array<string>, col_codec array<string>, "
+        "col_comp array<long>, col_uncomp array<long>"
+    )
+
+    if local:
+        from ..sources.avro_ocf import _local_fspath
+
+        def stats_local(it):
+            import os as _os
+
+            import pandas as pd
+
+            for pdf in it:
+                rows = [
+                    _row(
+                        p,
+                        int(ln),
+                        read_footer_local(_local_fspath(p), int(ln)),
+                        _os,
+                    )
+                    for p, ln in zip(pdf["path"], pdf["length"])
+                ]
+                yield pd.DataFrame(rows)
+
+        return files.select("path", "length").mapInPandas(
+            stats_local, schema
+        )
 
     def stats(it):
         import os as _os
@@ -283,38 +368,10 @@ def file_audit_rows(spark, path: str):
             rows = []
             for p, raw in zip(pdf["path"], pdf["content"]):
                 raw = bytes(raw)
-                f = parquet_footer(raw)
-                rgs = f["row_groups"]
-                cols = [c for rg in rgs for c in rg["columns"]]
-                rows.append(
-                    {
-                        "partition": _os.path.basename(
-                            _os.path.dirname(p)
-                        ),
-                        "file": _os.path.basename(p),
-                        "bytes": len(raw),
-                        "n_rows": f["num_rows"],
-                        "n_row_groups": len(rgs),
-                        "rg_rows": [rg["num_rows"] for rg in rgs],
-                        "col_path": [c["path"] for c in cols],
-                        "col_codec": [c["codec"] for c in cols],
-                        "col_comp": [
-                            c["total_compressed_size"] for c in cols
-                        ],
-                        "col_uncomp": [
-                            c["total_uncompressed_size"] for c in cols
-                        ],
-                    }
-                )
+                rows.append(_row(p, len(raw), parquet_footer(raw), _os))
             yield pd.DataFrame(rows)
 
-    return files.select("path", "content").mapInPandas(
-        stats,
-        "partition string, file string, bytes long, n_rows long, "
-        "n_row_groups long, rg_rows array<long>, "
-        "col_path array<string>, col_codec array<string>, "
-        "col_comp array<long>, col_uncomp array<long>",
-    )
+    return files.select("path", "content").mapInPandas(stats, schema)
 
 
 def lake_audit_report(spark, path: str, small_file_bytes: int = 32 << 20):
@@ -463,18 +520,66 @@ def lake_layout_report(spark, path: str):
     footer-derived facts a compaction/clustering decision needs —
     row count, row-group count and average size, codec mix, and the
     small-file flag that dominates 100 TB lake health. Executor-side
-    footer decode over a binaryFile scan (shuffle-free); pair with
-    :func:`parquet_footer` for per-column drill-down.
-
-    Note: binaryFile ships whole files; on object stores a range-read
-    of the last N KB is the production pattern — the decode below is
-    identical either way (it only touches the footer bytes).
-    """
+    footer decode (shuffle-free); on local files the I/O is footer
+    bytes only (:func:`read_footer_local` — round 8), with the
+    binaryFile content path as the non-local fallback. Pair with
+    :func:`parquet_footer` for per-column drill-down."""
     files = spark.read.format("binaryFile").load(
         path.rstrip("/") + "/*.parquet"
         if not path.endswith(".parquet")
         else path
     )
+    first = files.select("path").head()
+    local = first is not None and first["path"].startswith("file:")
+
+    def _row(p, size, f, _os):
+        rgs = f["row_groups"]
+        codecs = sorted(
+            {c["codec"] for rg in rgs for c in rg["columns"]}
+        )
+        return {
+            "file": _os.path.basename(p),
+            "bytes": size,
+            "n_rows": f["num_rows"],
+            "n_row_groups": len(rgs),
+            "avg_rows_per_group": f["num_rows"] // max(len(rgs), 1),
+            "n_columns": len(rgs[0]["columns"]) if rgs else 0,
+            "codecs": ",".join(codecs),
+            "created_by": f["created_by"].split("(")[0].strip(),
+        }
+
+    schema = (
+        "file string, bytes long, n_rows long, n_row_groups long, "
+        "avg_rows_per_group long, n_columns long, codecs string, "
+        "created_by string"
+    )
+
+    if local:
+        from ..sources.avro_ocf import _local_fspath
+
+        def stats_local(it):
+            import os as _os
+
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    [
+                        _row(
+                            p,
+                            int(ln),
+                            read_footer_local(
+                                _local_fspath(p), int(ln)
+                            ),
+                            _os,
+                        )
+                        for p, ln in zip(pdf["path"], pdf["length"])
+                    ]
+                )
+
+        return files.select("path", "length").mapInPandas(
+            stats_local, schema
+        )
 
     def stats(it):
         import os as _os
@@ -485,30 +590,7 @@ def lake_layout_report(spark, path: str):
             rows = []
             for p, raw in zip(pdf["path"], pdf["content"]):
                 raw = bytes(raw)
-                f = parquet_footer(raw)
-                rgs = f["row_groups"]
-                codecs = sorted(
-                    {c["codec"] for rg in rgs for c in rg["columns"]}
-                )
-                rows.append(
-                    {
-                        "file": _os.path.basename(p),
-                        "bytes": len(raw),
-                        "n_rows": f["num_rows"],
-                        "n_row_groups": len(rgs),
-                        "avg_rows_per_group": (
-                            f["num_rows"] // max(len(rgs), 1)
-                        ),
-                        "n_columns": len(rgs[0]["columns"]) if rgs else 0,
-                        "codecs": ",".join(codecs),
-                        "created_by": f["created_by"].split("(")[0].strip(),
-                    }
-                )
+                rows.append(_row(p, len(raw), parquet_footer(raw), _os))
             yield pd.DataFrame(rows)
 
-    return files.select("path", "content").mapInPandas(
-        stats,
-        "file string, bytes long, n_rows long, n_row_groups long, "
-        "avg_rows_per_group long, n_columns long, codecs string, "
-        "created_by string",
-    )
+    return files.select("path", "content").mapInPandas(stats, schema)

@@ -256,3 +256,63 @@ def test_lake_audit_report_vs_pyarrow_ground_truth(spark, tmp_path):
     assert rep["part=a"]["file_skew_pct"] > 200
     assert rep["part=b"]["small_file_flag"] is False
     assert 95 <= rep["part=b"]["file_skew_pct"] <= 105
+
+
+def test_read_footer_local_parity_and_bounded_io(tmp_path):
+    """read_footer_local (round 8) returns the identical parsed footer
+    as the whole-bytes parser while reading only the trailing metadata
+    — the property that makes the lake audits footers-only in I/O
+    terms. Corrupt magics fail loudly."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        parquet_footer,
+        read_footer_local,
+    )
+
+    fp = tmp_path / "x.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(range(1000), pa.int64()),
+                "b": pa.array([f"s{i}" for i in range(1000)]),
+            }
+        ),
+        str(fp),
+        compression="zstd",
+        row_group_size=128,
+    )
+    raw = fp.read_bytes()
+    assert read_footer_local(str(fp), len(raw)) == parquet_footer(raw)
+    # corrupt trailing magic -> loud failure
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(raw[:-4] + b"XXXX")
+    with pytest.raises(ValueError, match="magic"):
+        read_footer_local(str(bad), len(raw))
+    # truncated head -> loud failure
+    tiny = tmp_path / "tiny.parquet"
+    tiny.write_bytes(b"PAR1")
+    with pytest.raises(ValueError, match="small"):
+        read_footer_local(str(tiny), 4)
+
+
+def test_file_audit_rows_never_ships_content_locally(spark, tmp_path):
+    """On local paths the audit scan projects only (path, length) —
+    the binary content column must NOT be read (round 8: reading it
+    means reading the whole lake to audit footers)."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        file_audit_rows,
+        lake_layout_report,
+    )
+
+    os_dir = tmp_path / "lake" / "part=x"
+    os_dir.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"a": pa.array(range(64), pa.int64())}),
+        str(os_dir / "f.parquet"),
+    )
+    for df in (
+        file_audit_rows(spark, str(tmp_path / "lake")),
+        lake_layout_report(spark, str(os_dir)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "content" not in plan
+        assert df.count() == 1
