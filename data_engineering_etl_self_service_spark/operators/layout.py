@@ -54,6 +54,79 @@ def compact(
     return n_files
 
 
+def compact_flagged(
+    spark: SparkSession,
+    path: str,
+    small_file_bytes: int = 32 << 20,
+    target_mb: int = 128,
+) -> DataFrame:
+    """Audit → action: compact exactly the hive partitions whose
+    ``lake_audit_report`` small-file flag fired (round 8 — the audit
+    names compaction as the decision; this executes it). Per flagged
+    partition: :func:`compact` rewrites into ~``target_mb`` files in a
+    staging sibling, row counts are verified EQUAL before the swap
+    (rewrites must never lose rows), then the directory is swapped in.
+    Unflagged partitions are not touched — not rewritten, not even
+    re-listed.
+
+    Returns one row per flagged partition:
+    ``(partition, files_before, files_after, rows_before, rows_after,
+    swapped)``.
+
+    Scale: the flagged list is one bounded driver-side collect (a row
+    per PARTITION, the planner's natural unit); each rewrite is one
+    shuffle sized by that partition's real bytes. The dir swap is
+    rename-based and honest about its atomicity: on posix renames this
+    is crash-safe per partition; on object stores use the snapshot
+    tables (`sources/snapshots.py`) whose manifest pointer IS the
+    atomic commit — this helper targets path-addressed hive lakes.
+    """
+    import os
+    import shutil
+
+    from .parquet_meta import lake_audit_report
+
+    audit = lake_audit_report(spark, path, small_file_bytes)
+    flagged = [
+        (r["partition"], int(r["n_files"]), int(r["total_rows"]))
+        for r in audit.filter(F.col("small_file_flag")).collect()
+    ]
+    rows = []
+    for part, files_before, rows_before in flagged:
+        src = os.path.join(path, part)
+        staging = src + "__compacting"
+        shutil.rmtree(staging, ignore_errors=True)
+        compact(spark, src, staging, target_mb=target_mb)
+        rows_after = spark.read.parquet(staging).count()
+        swapped = rows_after == rows_before
+        if swapped:
+            retired = src + "__retired"
+            shutil.rmtree(retired, ignore_errors=True)
+            os.rename(src, retired)
+            os.rename(staging, src)
+            shutil.rmtree(retired)
+        else:  # row-count drift: keep the original, drop the rewrite
+            shutil.rmtree(staging, ignore_errors=True)
+        files_after = sum(
+            1 for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        rows.append(
+            (
+                part,
+                files_before,
+                files_after,
+                rows_before,
+                rows_after,
+                swapped,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "partition string, files_before long, files_after long, "
+        "rows_before long, rows_after long, swapped boolean",
+    )
+
+
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> F.Column:
     """Morton key: each column rank-normalized to ``[0, 2^bits)`` by its
     global min/max, then bit-interleaved. Min/max come from ONE tiny

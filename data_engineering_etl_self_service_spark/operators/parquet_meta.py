@@ -408,10 +408,15 @@ def lake_audit_report(spark, path: str, small_file_bytes: int = 32 << 20):
     f = f.withColumn(
         "size_bucket", F.floor(F.log2(F.greatest("bytes", F.lit(1)))).cast("int")
     )
-    # five rollups fan out of the per-file pass — persist it so the
-    # lake's files are read (and footers decoded) ONCE, not per branch
-    # (per-file rows are KBs at any lake size; Spark evicts LRU)
-    f = f.persist()
+    # five rollups fan out of the per-file pass — materialize it ONCE
+    # (eager localCheckpoint) so the lake's files are listed and their
+    # footers decoded exactly once, not per branch. NOT .persist():
+    # Spark's cache manager matches by canonical plan, so a persisted
+    # frame would serve STALE rows to a re-audit of the same path
+    # after a compaction rewrote it (caught by the round-8
+    # audit→compact→re-audit test). Per-file rows are KBs at any lake
+    # size.
+    f = f.localCheckpoint(eager=True)
     base = f.groupBy("partition").agg(
         F.count("*").alias("n_files"),
         F.sum("bytes").alias("total_bytes"),

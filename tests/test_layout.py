@@ -66,3 +66,72 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path_factory):
     # global span is ~200 in each dimension; clustered files must be far
     # narrower in BOTH (perfect quadrants would be ~50).
     assert avg_sx < 120 and avg_sy < 120, (avg_sx, avg_sy)
+
+
+def test_compact_flagged_partitions_end_to_end(spark, tmp_path):
+    """Audit → compaction loop (round 8): only the small-file-flagged
+    partition is rewritten, rows are preserved and verified, the
+    healthy partition's files are untouched, and a re-audit shows the
+    flag cleared."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_etl_self_service_spark.operators.layout import (
+        compact_flagged,
+    )
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        lake_audit_report,
+    )
+
+    lake = tmp_path / "lake"
+    # part=s: five tiny files (flag fires); part=h: one healthy file
+    os.makedirs(lake / "part=s")
+    # each ~3 KB (< threshold); merged ~13 KB (> threshold)
+    for i in range(5):
+        pq.write_table(
+            pa.table(
+                {"x": pa.array(range(i * 300, i * 300 + 300), pa.int64())}
+            ),
+            str(lake / "part=s" / f"f{i}.parquet"),
+            compression="none",
+        )
+    os.makedirs(lake / "part=h")
+    pq.write_table(  # comfortably above the small-file threshold
+        pa.table({"x": pa.array(range(20_000), pa.int64())}),
+        str(lake / "part=h" / "f0.parquet"),
+        compression="none",
+    )
+    before_h = sorted(glob.glob(str(lake / "part=h" / "*")))
+
+    rep = {
+        r["partition"]: r
+        for r in compact_flagged(
+            spark, str(lake), small_file_bytes=4096, target_mb=128
+        ).collect()
+    }
+    # only the flagged partition was compacted
+    assert set(rep) == {"part=s"}
+    r = rep["part=s"]
+    assert r["swapped"] is True
+    assert r["files_before"] == 5 and r["files_after"] < 5
+    assert r["rows_before"] == r["rows_after"] == 1500
+    # data identical after the swap
+    got = sorted(
+        x["x"] for x in spark.read.parquet(str(lake / "part=s")).collect()
+    )
+    assert got == list(range(1500))
+    # healthy partition byte-for-byte untouched
+    assert sorted(glob.glob(str(lake / "part=h" / "*"))) == before_h
+    # staging/retired dirs cleaned up
+    assert not any("__" in d for d in os.listdir(lake))
+    # re-audit: the flag is cleared
+    rep2 = {
+        a["partition"]: a
+        for a in lake_audit_report(
+            spark, str(lake), small_file_bytes=4096
+        ).collect()
+    }
+    assert rep2["part=s"]["small_file_flag"] is False

@@ -270,7 +270,8 @@ def test_lake_audit_rollups_are_footer_sized(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    # the per-file footer frame is persisted, so all five partition
-    # rollups read ONE materialization of the binaryFile scan instead
-    # of re-reading the lake per branch
-    assert p.count("InMemoryTableScan") >= 5
+    # the per-file footer frame is eagerly checkpointed, so all five
+    # partition rollups read ONE materialization instead of re-reading
+    # the lake per branch (and a re-audit can't see stale cached rows)
+    assert p.count("Scan ExistingRDD") >= 5
+    assert "binaryFile" not in p  # the lake scan ran exactly once
