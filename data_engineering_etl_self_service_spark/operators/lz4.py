@@ -177,6 +177,103 @@ def _decompress(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _emit_seq(
+    out: bytearray, lits: bytes, offset: int | None, mlen: int
+) -> None:
+    """One LZ4 sequence: token, literal-length extension, literals,
+    then (unless this is the literals-only final sequence) the 2-byte
+    little-endian offset and match-length extension."""
+    ll = len(lits)
+    ml_code = 0 if offset is None else mlen - 4
+    token_l = 15 if ll >= 15 else ll
+    token_m = 0 if offset is None else (15 if ml_code >= 15 else ml_code)
+    out.append((token_l << 4) | token_m)
+    if ll >= 15:
+        rem = ll - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += lits
+    if offset is None:
+        return
+    out += struct.pack("<H", offset)
+    if ml_code >= 15:
+        rem = ml_code - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+
+
+def lz4_block_compress(src: bytes) -> bytes:
+    """REAL LZ4 block compression (round 8): greedy hash-table match
+    finder over 4-byte prefixes — the reference algorithm's fast path,
+    from the public block-format spec. Honors the spec's end rules
+    (matches start >= 12 bytes before block end, the last 5 bytes are
+    literals, blocks under 13 bytes are all-literal), so output decodes
+    with any conforming decoder. Greedy per-position probing; the
+    native codec remains the hot path — this is the no-pyarrow WRITE
+    tier (the read side's mirror)."""
+    n = len(src)
+    out = bytearray()
+    if n < 13:
+        _emit_seq(out, src, None, 0)
+        return bytes(out)
+    table: dict[int, int] = {}
+    anchor = pos = 0
+    last_start = n - 12  # last legal match START
+    mend_cap = n - 5  # matches never cover the final 5 literals
+    while pos <= last_start:
+        key = int.from_bytes(src[pos : pos + 4], "little")
+        cand = table.get(key)
+        table[key] = pos
+        if cand is not None and pos - cand <= 0xFFFF:
+            m, c = pos + 4, cand + 4
+            while m < mend_cap and src[m] == src[c]:
+                m += 1
+                c += 1
+            _emit_seq(out, src[anchor:pos], pos - cand, m - pos)
+            pos = anchor = m
+        else:
+            pos += 1
+    _emit_seq(out, src[anchor:], None, 0)
+    return bytes(out)
+
+
+def lz4_compress(data: bytes, block_size: int = 1 << 18) -> bytes:
+    """Full lz4 frame writer with REAL compressed blocks: independent
+    blocks (window resets per block, matching the descriptor flag),
+    per-block checksums, content size + content checksum — readable by
+    liblz4 and by :func:`lz4_decompress` (both pinned in tests). A
+    block whose compressed form doesn't shrink is stored raw (the
+    spec's high-bit escape), so output never exceeds
+    input + framing."""
+    flg = 0b01100000 | 0x10 | 0x08 | 0x04  # indep + bsum + csize + csum
+    bd = 0x70  # 4 MiB max-block-size bin (any size <= bin is legal)
+    desc = bytes([flg, bd]) + struct.pack("<Q", len(data))
+    out = bytearray()
+    out += struct.pack("<I", LZ4_MAGIC)
+    out += desc
+    out += bytes([(xxh32(desc) >> 8) & 0xFF])
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + block_size]
+        pos += len(chunk)
+        comp = lz4_block_compress(chunk)
+        if len(comp) < len(chunk):
+            out += struct.pack("<I", len(comp))
+            out += comp
+            out += struct.pack("<I", xxh32(comp))
+        else:  # incompressible: stored form
+            out += struct.pack("<I", 0x80000000 | len(chunk))
+            out += chunk
+            out += struct.pack("<I", xxh32(chunk))
+    out += struct.pack("<I", 0)  # EndMark
+    out += struct.pack("<I", xxh32(data))
+    return bytes(out)
+
+
 def lz4_compress_stored(data: bytes, block_size: int = 1 << 18) -> bytes:
     """Minimal VALID lz4 frame writer: uncompressed blocks with content
     size, per-block checksums, and content checksum — readable by any
