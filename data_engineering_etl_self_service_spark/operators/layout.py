@@ -90,6 +90,12 @@ def compact_flagged(
     flagged = [
         (r["partition"], int(r["n_files"]), int(r["total_rows"]))
         for r in audit.filter(F.col("small_file_flag")).collect()
+        # the audit labels files by parent dir; a flat (unpartitioned)
+        # table's label is the table dir itself — only hive partition
+        # subdirectories are compactable units here
+        if os.path.isdir(os.path.join(path, r["partition"]))
+        and os.path.realpath(os.path.join(path, r["partition"]))
+        != os.path.realpath(path)
     ]
     rows = []
     for part, files_before, rows_before in flagged:

@@ -821,6 +821,35 @@ def compile_pipeline(
                 _write_sink(df, spec, quarantined, ds)
         if persisted is not None:
             persisted.unpersist()
+        # Post-publish lake maintenance (round 8): the self-service
+        # spec can ask for small-file compaction of the table it just
+        # published — the audit→compact loop (operators/layout.py
+        # compact_flagged) as a YAML switch:
+        #   destination:
+        #     maintenance: {compact_small_files: true,
+        #                   small_file_mb: 32, target_mb: 128}
+        # Runs only after a PASSED publish to a parquet sink; flagged
+        # hive partitions are rewritten with verified-equal row counts.
+        n_compacted = 0
+        maint = spec.destination.options.get("maintenance") or {}
+        if (
+            published
+            and spec.destination.type == "parquet"
+            and maint.get("compact_small_files")
+        ):
+            from ..operators.layout import compact_flagged
+
+            n_compacted = (
+                compact_flagged(
+                    spark,
+                    published,
+                    small_file_bytes=int(maint.get("small_file_mb", 32))
+                    << 20,
+                    target_mb=int(maint.get("target_mb", 128)),
+                )
+                .filter("swapped")
+                .count()
+            )
         t3 = time.perf_counter()
         if not report.passed and alert is not None:
             # the reference's Slack alert hook (ref: dag_factory.py:80-87),
@@ -839,6 +868,7 @@ def compile_pipeline(
                 "write_s": round(t3 - t2, 3),
                 "total_s": round(t3 - t0, 3),
                 "rows_quarantined": n_bad_rows,
+                "partitions_compacted": n_compacted,
             },
         )
 

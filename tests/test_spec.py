@@ -233,7 +233,14 @@ def test_pipeline_metrics_and_row_count(spark, tmp_path):
     res = run_pipeline(spark, spec)
     assert res.n_rows == 40 and res.report.n_rows == 40
     m = res.metrics
-    assert set(m) == {"plan_s", "checks_s", "write_s", "total_s", "rows_quarantined"}
+    assert set(m) == {
+        "plan_s",
+        "checks_s",
+        "write_s",
+        "total_s",
+        "rows_quarantined",
+        "partitions_compacted",
+    }
     assert m["total_s"] >= m["checks_s"] >= 0
 
 
@@ -1501,3 +1508,59 @@ def test_pipeline_reads_avro_and_orc_sources(spark, tmp_path):
         assert {r["id"] for r in out.select("id").collect()} == set(
             range(10, 40)
         )
+
+
+def test_yaml_maintenance_compacts_small_files(spark, tmp_path):
+    """destination.maintenance.compact_small_files (round 8): a passed
+    publish whose ds partition lands as many tiny files is compacted
+    in-place by the audit→compact loop, rows preserved, and the run
+    reports partitions_compacted."""
+    import glob
+
+    from data_engineering_etl_self_service_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from data_engineering_etl_self_service_spark.plans.spec import (
+        spec_from_dict,
+    )
+
+    src = tmp_path / "in.json"
+    out = tmp_path / "tbl"
+    import json as _json
+
+    with open(src, "w") as fh:
+        for i in range(400):
+            fh.write(_json.dumps({"event_id": i, "v": i * 2}) + "\n")
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"dag_id": "maint"},
+            "source": {"type": "file", "format": "json", "path": str(src)},
+            "destination": {
+                "type": "parquet",
+                "path": str(out),
+                "partition_by": ["ds"],
+                "maintenance": {
+                    "compact_small_files": True,
+                    "small_file_mb": 1,
+                    "target_mb": 128,
+                },
+            },
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+            "transformations": [
+                # fan the write out to many tiny files
+                {"op": "repartition", "n": 16}
+            ],
+        }
+    )
+    res = run_pipeline(spark, spec, ds="2025-08-15")
+    assert res.report.passed and res.published_path == str(out)
+    assert res.metrics["partitions_compacted"] == 1
+    files = glob.glob(str(out / "ds=2025-08-15" / "*.parquet"))
+    assert len(files) == 1  # 16 tiny files -> 1
+    got = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == list(range(400))
