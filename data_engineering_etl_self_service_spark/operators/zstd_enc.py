@@ -1,0 +1,222 @@
+"""Pure-Python Zstandard COMPRESSOR — real compressed blocks from the
+RFC 8878 spec, the write-side mirror of ``operators/zstd.py`` (round 8).
+
+``zstd_compress_stored`` (zstd.py) emits valid-but-uncompressed frames;
+this module emits genuinely compressed ones: an LZ match stage (the
+same greedy 4-byte hash probing as ``lz4.lz4_block_compress``) feeding
+zstd Compressed blocks with **Raw literals + predefined-FSE-coded
+sequences**:
+
+- literals ride uncompressed (Raw type, 20-bit size header) — entropy
+  coding of literals (Huffman) is the one stage intentionally left to
+  native codecs;
+- sequences (literal-length / offset / match-length code triples) are
+  FSE-encoded against the spec's PREDEFINED distributions, so no table
+  descriptions are written and the decoder side is the already-proven
+  ``_predef`` tables. The encoder is the exact inverse of the decoder's
+  state machine: for each symbol stream it walks the chain BACKWARD,
+  picking for step i the unique state whose (baseline, nb_bits) range
+  contains step i+1's state — the FSE spread tiles the state space per
+  symbol, so the choice is total and unambiguous — then packs the bit
+  ops in decode order under the 1-bit sentinel of the backward stream.
+- offsets always use the literal form (Offset_Value = offset + 3);
+  repeat-offset codes are never emitted, so frames are stateless across
+  blocks.
+- blocks cap at 64 KiB source; a block whose compressed form doesn't
+  shrink is stored Raw (every block stays under the format's 128 KiB
+  Block_Maximum_Size).
+
+Verified both ways in tests/test_zstd.py: libzstd (pyarrow) decodes the
+output bit-identically, and so does the in-repo pure decoder — plus
+ratio assertions and hypothesis round-trip fuzz. Like the decoder, this
+is the no-pyarrow fallback/write tier: the native codec remains the
+bulk hot path (SCALE.md).
+"""
+
+from __future__ import annotations
+
+import bisect
+import struct
+
+from .xxhash import xxh64
+from .zstd import (
+    ZSTD_MAGIC,
+    _LL_BASE,
+    _LL_BITS,
+    _ML_BASE,
+    _ML_BITS,
+    _predef,
+)
+
+#: per kind: {symbol: sorted [(baseline, nb_bits, state)]}, accuracy_log
+_ENC_TABLES: dict = {}
+
+
+def _enc_table(kind: str):
+    if kind not in _ENC_TABLES:
+        table, al = _predef(kind)
+        by_sym: dict[int, list] = {}
+        for state, (sym, nb, base) in enumerate(table):
+            by_sym.setdefault(sym, []).append((base, nb, state))
+        for slots in by_sym.values():
+            slots.sort()
+        _ENC_TABLES[kind] = (by_sym, al)
+    return _ENC_TABLES[kind]
+
+
+def _code_of(value: int, bases: list[int]) -> int:
+    """Largest code whose baseline <= value (bases are sorted)."""
+    return bisect.bisect_right(bases, value) - 1
+
+
+def _state_chain(codes: list[int], kind: str):
+    """Backward FSE state assignment: (initial_state, accuracy_log,
+    transition bit ops [(value, nb_bits)] for steps 0..n-2)."""
+    by_sym, al = _enc_table(kind)
+    n = len(codes)
+    try:
+        nxt = by_sym[codes[-1]][0][2]  # last state: any slot of its code
+    except KeyError:
+        raise ValueError(f"zstd encode: {kind} code {codes[-1]} invalid")
+    trans: list = [None] * (n - 1)
+    for i in range(n - 2, -1, -1):
+        slots = by_sym.get(codes[i])
+        if not slots:
+            raise ValueError(f"zstd encode: {kind} code {codes[i]} invalid")
+        j = bisect.bisect_right(slots, (nxt, 1 << 30, 1 << 30)) - 1
+        base, nb, state = slots[j]
+        if not base <= nxt < base + (1 << nb):  # tiling guarantees this
+            raise AssertionError("zstd encode: FSE range gap")
+        trans[i] = (nxt - base, nb)
+        nxt = state
+    return nxt, al, trans
+
+
+def _pack_backward(ops: list) -> bytes:
+    """Bit ops in DECODE order → backward-read bitstream bytes: the
+    first-read value sits just under the 1-bit sentinel (the inverse of
+    zstd.py's _BackBits)."""
+    acc = 0
+    total = 0
+    for v, nb in ops:
+        acc = (acc << nb) | v
+        total += nb
+    acc |= 1 << total  # sentinel
+    return acc.to_bytes(total // 8 + 1, "little")
+
+
+def _encode_sequences(seqs: list) -> bytes:
+    """[(ll, offset, ml)] → the sequences-section bitstream (predefined
+    tables; header bytes added by the caller)."""
+    n = len(seqs)
+    ll_codes = [_code_of(s[0], _LL_BASE) for s in seqs]
+    ml_codes = [_code_of(s[2], _ML_BASE) for s in seqs]
+    of_codes = [(s[1] + 3).bit_length() - 1 for s in seqs]
+    ll0, _, ll_tr = _state_chain(ll_codes, "ll")
+    of0, _, of_tr = _state_chain(of_codes, "of")
+    ml0, _, ml_tr = _state_chain(ml_codes, "ml")
+    ops = [(ll0, 6), (of0, 5), (ml0, 6)]  # init reads: LL, OF, ML
+    for i, (ll, off, ml) in enumerate(seqs):
+        ov = off + 3
+        ops.append((ov - (1 << of_codes[i]), of_codes[i]))
+        ops.append((ml - _ML_BASE[ml_codes[i]], _ML_BITS[ml_codes[i]]))
+        ops.append((ll - _LL_BASE[ll_codes[i]], _LL_BITS[ll_codes[i]]))
+        if i + 1 < n:  # decoder updates LL, ML, OF after each non-last
+            ops.append(ll_tr[i])
+            ops.append(ml_tr[i])
+            ops.append(of_tr[i])
+    return _pack_backward(ops)
+
+
+def _find_sequences(src: bytes):
+    """Greedy 4-byte-prefix LZ parse (the lz4_block_compress matcher,
+    zstd-flavored: no end-of-block literal rules, min match 4) →
+    (sequences [(lit_len, offset, match_len)], literals bytes)."""
+    n = len(src)
+    seqs: list = []
+    lits = bytearray()
+    table: dict[int, int] = {}
+    anchor = pos = 0
+    last = n - 4
+    while pos <= last:
+        key = int.from_bytes(src[pos : pos + 4], "little")
+        cand = table.get(key)
+        table[key] = pos
+        if cand is not None:
+            m, c = pos + 4, cand + 4
+            while m < n and src[m] == src[c]:
+                m += 1
+                c += 1
+            lits += src[anchor:pos]
+            seqs.append((pos - anchor, pos - cand, m - pos))
+            pos = anchor = m
+        else:
+            pos += 1
+    lits += src[anchor:]
+    return seqs, bytes(lits)
+
+
+def _compress_block(src: bytes) -> bytes | None:
+    """One zstd Compressed-block CONTENT for ``src``, or None when the
+    compressed form wouldn't shrink (caller stores the block raw)."""
+    seqs, lits = _find_sequences(src)
+    if not seqs:
+        return None
+    rsize = len(lits)
+    out = bytearray()
+    # Raw literals, size_format=3 (20-bit regenerated size, 3 bytes)
+    out.append(0 | (3 << 2) | ((rsize & 0xF) << 4))
+    out.append((rsize >> 4) & 0xFF)
+    out.append(rsize >> 12)
+    out += lits
+    n = len(seqs)
+    if n < 128:
+        out.append(n)
+    elif n < 0x7F00:
+        out.append(128 + (n >> 8))
+        out.append(n & 0xFF)
+    else:  # 64 KiB blocks with >=4-byte matches can't reach this
+        raise ValueError("zstd encode: too many sequences in block")
+    out.append(0)  # modes byte: Predefined for LL, OF, ML
+    out += _encode_sequences(seqs)
+    return bytes(out) if len(out) < len(src) else None
+
+
+def zstd_compress(data: bytes, block_size: int = 1 << 16) -> bytes:
+    """Compress ``data`` into a standard zstd frame (single-segment,
+    frame content size, VERIFIED content checksum). Every block is
+    Compressed when that shrinks it and Raw otherwise, so output never
+    exceeds input + framing. Readable by libzstd and by
+    :func:`operators.zstd.zstd_decompress` (both pinned in tests)."""
+    if block_size > 1 << 17:
+        raise ValueError("zstd encode: block_size above 128 KiB")
+    out = bytearray()
+    out += struct.pack("<I", ZSTD_MAGIC)
+    n = len(data)
+    # Single_Segment + Content_Checksum; FCS width by content size
+    if n < 256:
+        out += bytes([0x24, n])
+    elif n < 65536 + 256:
+        out += bytes([0x64])
+        out += struct.pack("<H", n - 256)
+    else:
+        out += bytes([0xA4])
+        out += struct.pack("<I", n)
+    chunks = [
+        data[i : i + block_size] for i in range(0, n, block_size)
+    ] or [b""]
+    for i, chunk in enumerate(chunks):
+        last = 1 if i == len(chunks) - 1 else 0
+        comp = _compress_block(chunk) if chunk else None
+        if comp is not None:
+            out += struct.pack("<I", last | (2 << 1) | (len(comp) << 3))[
+                :3
+            ]
+            out += comp
+        else:
+            out += struct.pack("<I", last | (0 << 1) | (len(chunk) << 3))[
+                :3
+            ]
+            out += chunk
+    out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)
