@@ -20,9 +20,11 @@ records. This module implements that spec directly:
   under both short name and namespace-qualified fullname; later
   references by either resolve.
 - **Codecs**: ``null`` and ``deflate`` (raw zlib, wbits=-15) always;
-  ``snappy`` (raw snappy + 4-byte big-endian CRC32 suffix per spec) and
-  ``zstd`` when pyarrow's codecs are importable (they are in this
-  container) — import-try gated, never a hard dependency.
+  ``snappy`` (raw snappy + 4-byte big-endian CRC32 suffix per spec)
+  when pyarrow is importable; ``zstd`` via pyarrow when importable
+  and otherwise through the in-repo pure RFC 8878 decoder/encoder
+  (operators/zstd.py, zstd_enc.py — round 8), so zstd-coded OCFs
+  read AND write with NO optional dependency.
 - **Unions**: ``[null, X]`` → nullable X; ``[int, long]`` → long and
   ``[float, double]`` → double (spark-avro's promotions); any other
   multi-branch union → a struct of nullable ``member0..memberN``
@@ -507,7 +509,16 @@ def _decompress_block(data: bytes, codec: str) -> bytes:
     if codec == "zstd":
         pa = _pa_codec("zstd")
         if pa is None:
-            raise ValueError("avro: zstd codec unavailable (no pyarrow)")
+            # pyarrow-less fallback: the pure RFC 8878 decoder (round 8
+            # — zstd-coded OCFs now read with NO optional dependency)
+            from ..operators.zstd import zstd_decompress
+
+            out = zstd_decompress(data)
+            if len(out) > _MAX_BLOCK_BYTES:
+                raise ValueError(
+                    "avro: zstd block exceeds decompressed-size bound"
+                )
+            return out
         stream = __import__("pyarrow").input_stream(
             io.BytesIO(data), compression="zstd"
         )
@@ -536,7 +547,11 @@ def _compress_block(data: bytes, codec: str) -> bytes:
     if codec == "zstd":
         pa = _pa_codec("zstd")
         if pa is None:
-            raise ValueError("avro: zstd codec unavailable (no pyarrow)")
+            # pure zstd writer (raw literals + predefined-FSE
+            # sequences) — real compression with NO optional dependency
+            from ..operators.zstd_enc import zstd_compress
+
+            return zstd_compress(data)
         return pa.compress(data, asbytes=True)
     raise ValueError(f"avro: unsupported codec {codec!r}")
 
