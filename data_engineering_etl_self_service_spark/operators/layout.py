@@ -75,16 +75,38 @@ def compact_flagged(
 
     Scale: the flagged list is one bounded driver-side collect (a row
     per PARTITION, the planner's natural unit); each rewrite is one
-    shuffle sized by that partition's real bytes. The dir swap is
-    rename-based and honest about its atomicity: on posix renames this
-    is crash-safe per partition; on object stores use the snapshot
-    tables (`sources/snapshots.py`) whose manifest pointer IS the
-    atomic commit — this helper targets path-addressed hive lakes.
+    shuffle sized by that partition's real bytes. Atomicity, honestly:
+    the swap is TWO renames (src→__retired, __compacting→src), so a
+    crash in the window between them leaves the partition dir absent
+    with the data intact in ``__retired`` — the recovery sweep at the
+    START of every run restores it (and reclaims completed-swap
+    leftovers), and the audits ignore ``__compacting``/``__retired``
+    dirs so in-flight state is never double-counted. True
+    single-pointer commits live in the snapshot tables
+    (`sources/snapshots.py`); this helper targets path-addressed hive
+    lakes.
     """
     import os
     import shutil
 
     from .parquet_meta import lake_audit_report
+
+    # recovery sweep for a previous crashed run (review r8): a
+    # partition stranded mid-swap (src missing, __retired present) is
+    # restored; completed swaps' leftovers and stale staging reclaimed.
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            full = os.path.join(root, d)
+            if d.endswith("__compacting"):
+                shutil.rmtree(full, ignore_errors=True)
+                dirs.remove(d)
+            elif d.endswith("__retired"):
+                src = full[: -len("__retired")]
+                if not os.path.exists(src):
+                    os.rename(full, src)  # crashed between renames
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+                dirs.remove(d)
 
     audit = lake_audit_report(spark, path, small_file_bytes)
     flagged = [

@@ -249,6 +249,10 @@ def lz4_compress(data: bytes, block_size: int = 1 << 18) -> bytes:
     block whose compressed form doesn't shrink is stored raw (the
     spec's high-bit escape), so output never exceeds
     input + framing."""
+    if block_size > 4 << 20:
+        # the descriptor declares the 4 MiB bin; a bigger block emits
+        # frames liblz4 rejects (review r8, repro'd)
+        raise ValueError("lz4: block_size above the 4 MiB frame bin")
     flg = 0b01100000 | 0x10 | 0x08 | 0x04  # indep + bsum + csize + csum
     bd = 0x70  # 4 MiB max-block-size bin (any size <= bin is legal)
     desc = bytes([flg, bd]) + struct.pack("<Q", len(data))

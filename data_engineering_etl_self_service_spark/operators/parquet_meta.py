@@ -303,20 +303,46 @@ def file_audit_rows(spark, path: str):
     ``content`` path shipped whole files, which at 100 TB would read
     the lake to audit it). Non-``file:`` schemes fall back to the
     whole-content read (object stores pair this with a ranged GET)."""
+    from pyspark.sql import functions as F
+
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .load(path)
+        # compaction staging/retirement dirs (layout.compact_flagged)
+        # are in-flight maintenance state, not partitions — auditing
+        # them would double-count a crashed swap's data (review r8)
+        .filter(~F.col("path").rlike("__(compacting|retired)/"))
     )
     first = files.select("path").head()
     local = first is not None and first["path"].startswith("file:")
+    # partition label = path RELATIVE to the table root, so nested
+    # hive layouts (ds=.../hr=...) stay distinct — basename(dirname)
+    # alone merged equal leaf names across parents (review r8). Only
+    # computable when the root is a local path; the non-local fallback
+    # keeps the leaf-dir label (documented).
+    import os as _os_drv
+
+    root_norm = _os_drv.path.realpath(
+        path[5:] if path.startswith("file:") else path
+    )
+
+    def _label(p, _os):
+        from urllib.parse import unquote, urlparse
+
+        if p.startswith("file:"):
+            d = _os.path.dirname(
+                _os.path.realpath(unquote(urlparse(p).path))
+            )
+            return _os.path.relpath(d, root_norm)
+        return _os.path.basename(_os.path.dirname(p))
 
     def _row(p, size, f, _os):
         rgs = f["row_groups"]
         cols = [c for rg in rgs for c in rg["columns"]]
         return {
-            "partition": _os.path.basename(_os.path.dirname(p)),
+            "partition": _label(p, _os),
             "file": _os.path.basename(p),
             "bytes": size,
             "n_rows": f["num_rows"],
@@ -512,11 +538,26 @@ def lake_audit_report(spark, path: str, small_file_bytes: int = 32 << 20):
         ),
         F.min("ratio_pct").alias("worst_col_ratio_pct"),
     )
+    # LEFT joins + defaults: a partition whose files all have ZERO row
+    # groups (empty part files) contributes no exploded rg/chunk rows —
+    # an inner join would silently drop exactly the degenerate
+    # partition an auditor most needs to see (review r8)
     return (
         base.join(fhist, "partition")
-        .join(rgstats, "partition")
-        .join(rghist, "partition")
-        .join(comp, "partition")
+        .join(rgstats, "partition", "left")
+        .join(rghist, "partition", "left")
+        .join(comp, "partition", "left")
+        .fillna(
+            {
+                "min_rg_rows": 0,
+                "max_rg_rows": 0,
+                "avg_rg_rows": 0,
+                "rg_rows_hist": "",
+                "compression_ratio_pct": 0,
+                "worst_col": "",
+                "worst_col_ratio_pct": 0,
+            }
+        )
     )
 
 

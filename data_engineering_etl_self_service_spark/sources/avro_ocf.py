@@ -261,6 +261,22 @@ def _min_wire_size(schema, named: dict, _path: frozenset = frozenset()):
     raise ValueError(f"avro: unsupported type {t!r}")
 
 
+def _min_wire_memo(schema, named: dict) -> int:
+    """:func:`_min_wire_size` memoized per decode session (keyed by
+    schema-node identity inside ``named`` under a NUL-prefixed key no
+    Avro type name can collide with) — the bound is a pure function of
+    the schema, and recomputing it per array/map VALUE put a full
+    sub-schema traversal on the hot decode path (review r8)."""
+    memo = named.get("\x00minwire")
+    if memo is None:
+        memo = named["\x00minwire"] = {}
+    key = id(schema)
+    v = memo.get(key)
+    if v is None:
+        v = memo[key] = _min_wire_size(schema, named)
+    return v
+
+
 def _count_bound(n: int, remaining: int, item_min: int, what: str) -> None:
     """Reject a wire-declared item count that the remaining input can't
     possibly hold (ADVICE r7: zero-cost counts looped for 2^40)."""
@@ -319,7 +335,7 @@ def _decode(r: _Reader, schema, named: dict):
         }
     if t == "array":
         out = []
-        item_min = _min_wire_size(schema["items"], named)
+        item_min = _min_wire_memo(schema["items"], named)
         while True:
             n = r.read_long()
             if n == 0:
@@ -333,7 +349,7 @@ def _decode(r: _Reader, schema, named: dict):
     if t == "map":
         out = {}
         # every map entry carries a ≥1-byte key-length varint
-        val_min = 1 + _min_wire_size(schema["values"], named)
+        val_min = 1 + _min_wire_memo(schema["values"], named)
         while True:
             n = r.read_long()
             if n == 0:
@@ -406,18 +422,31 @@ def _encode(out: bytearray, value, schema, named: dict) -> None:
                         "avro: exactly one union member must be set"
                     )
                 k, v = set_m[0]
+                # digits only: int('-1') would silently index the LAST
+                # branch via Python negative indexing (review r8)
+                if not k[6:].isdigit():
+                    raise ValueError(f"avro: bad union member key {k!r}")
                 try:
-                    j = int(k[6:])
-                    i, branch = nonnull[j]
-                except (ValueError, IndexError) as ex:
+                    i, branch = nonnull[int(k[6:])]
+                except IndexError as ex:
                     raise ValueError(
                         f"avro: bad union member key {k!r}"
                     ) from ex
                 out += _zigzag(i)
                 _encode(out, v, branch, named)
                 return
-        # [null, X] / promotion pairs: first matching branch —
-        # None→null, else the first non-null branch
+            # promotion pairs encode on the WIDER branch — the decoder
+            # promotes to long/double, so the float branch would
+            # silently destroy double precision and the int branch
+            # would emit out-of-range varints (review r8, repro'd)
+            wide = "long" if kinds == {"int", "long"} else "double"
+            for i, branch in nonnull:
+                if branch == wide:
+                    out += _zigzag(i)
+                    _encode(out, value, branch, named)
+                    return
+        # [null, X]: first matching branch — None→null, else the
+        # single non-null branch
         for i, branch in enumerate(schema):
             is_null = branch == "null"
             if (value is None) == is_null:
@@ -1037,7 +1066,23 @@ def _read_ocf_range(fh, hdr: dict, start: int, end: int, fsize: int) -> list:
     jar (and every Hadoop input format) uses: a block belongs to the
     range that contains the start of its PRECEDING sync marker, so
     consecutive ranges partition the block stream exactly and a block
-    that straddles a range edge is decoded by exactly one task."""
+    that straddles a range edge is decoded by exactly one task.
+    Malformed bytes raise ``ValueError`` (the same untrusted-bytes
+    contract as :func:`read_ocf` — review r8: the split path used to
+    leak raw IndexError/struct.error)."""
+    try:
+        return _read_ocf_range_raw(fh, hdr, start, end, fsize)
+    except (
+        IndexError,
+        struct.error,
+        UnicodeDecodeError,
+        KeyError,
+        RecursionError,
+    ) as ex:
+        raise ValueError("avro: malformed OCF payload") from ex
+
+
+def _read_ocf_range_raw(fh, hdr, start, end, fsize) -> list:
     schema, codec, sync = hdr["schema"], hdr["codec"], hdr["sync"]
     named: dict = {}
     _resolve(schema, named)
@@ -1110,14 +1155,25 @@ def read_avro_ocf(
     from pyspark.sql import types as T
 
     files = spark.read.format("binaryFile").load(path)
-    listing = [
-        (r["path"], int(r["length"]))
-        for r in files.select("path", "length").collect()
-    ]
-    if not listing:
+    # one-row scheme sniff — the full (path, length) listing is pulled
+    # to the driver ONLY when sync-splitting can actually apply (local
+    # scheme + split_bytes set); an object-store directory of millions
+    # of files must not pay a driver-side listing for the unchanged
+    # whole-file path (review r8)
+    first = files.select("path", "length").head()
+    if first is None:
         raise ValueError(f"avro: no files at {path}")
-    local_paths = [_local_fspath(p) for p, _ in listing]
-    all_local = all(p is not None for p in local_paths)
+    first_local = _local_fspath(first["path"])
+    listing: list = []
+    local_paths: list = []
+    all_local = False
+    if first_local is not None and split_bytes:
+        listing = [
+            (r["path"], int(r["length"]))
+            for r in files.select("path", "length").collect()
+        ]
+        local_paths = [_local_fspath(p) for p, _ in listing]
+        all_local = all(p is not None for p in local_paths)
     if reader_schema is not None:
         schema = (
             json.loads(reader_schema)
@@ -1125,13 +1181,13 @@ def read_avro_ocf(
             else reader_schema
         )
     elif schema_json is None:
-        if all_local:
-            schema = _peek_header_local(local_paths[0], listing[0][1])[
-                "schema"
-            ]
+        if first_local is not None:
+            schema = _peek_header_local(
+                first_local, int(first["length"])
+            )["schema"]
         else:
-            first = files.select("content").head()
-            schema = parse_ocf_header(bytes(first["content"]))["schema"]
+            head = files.select("content").head()
+            schema = parse_ocf_header(bytes(head["content"]))["schema"]
     else:
         schema = (
             json.loads(schema_json)

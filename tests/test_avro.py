@@ -1337,3 +1337,62 @@ def test_ocf_zstd_codec_works_without_pyarrow(monkeypatch):
     # native read of the pure-written container
     out3 = read_ocf(pure)[2]
     assert [r["word"] for r in out3] == [r["word"] for r in recs]
+
+
+def test_promotion_union_encodes_on_wider_branch():
+    """[int,long] / [float,double] unions encode on the WIDER branch
+    (review r8, repro'd): the float branch silently destroyed double
+    precision and the int branch emitted out-of-range varints."""
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        decode_avro_body,
+        encode_avro_body,
+    )
+
+    fs = {
+        "type": "record",
+        "name": "p",
+        "fields": [
+            {"name": "f", "type": ["float", "double"]},
+            {"name": "i", "type": ["int", "long"]},
+            {"name": "nf", "type": ["null", "float", "double"]},
+        ],
+    }
+    rec = {"f": 1.1, "i": 1 << 40, "nf": 2.30000000000009}
+    out = decode_avro_body(encode_avro_body(rec, fs), fs)
+    assert out == rec  # exact doubles, exact big int — no narrowing
+    # branch indices on the wire: double=1, long=1, double-in-null=2
+    body = encode_avro_body(rec, fs)
+    assert body[0] == 2  # zigzag(1) — the double branch of [f,d]
+    # negative member keys must raise, not silently index backwards
+    us = {
+        "type": "record",
+        "name": "u",
+        "fields": [{"name": "u", "type": ["int", "string"]}],
+    }
+    with pytest.raises(ValueError, match="member"):
+        encode_avro_body({"u": {"member-1": "x"}}, us)
+
+
+def test_sync_split_malformed_bytes_raise_value_error(tmp_path):
+    """The range reader honors the untrusted-bytes contract: a file
+    truncated mid-block raises ValueError, never IndexError (review
+    r8)."""
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        _read_ocf_range,
+    )
+
+    simple = {
+        "type": "record",
+        "name": "s",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    payload = write_ocf([{"x": i} for i in range(100)], simple,
+                        block_records=7)
+    hdr = parse_ocf_header(payload)
+    # cut right after the header sync: block header bytes are missing
+    for cut in (hdr["body_pos"] + 1, len(payload) - 3):
+        f = tmp_path / f"t{cut}.avro"
+        f.write_bytes(payload[:cut])
+        with open(f, "rb") as fh:
+            with pytest.raises(ValueError, match="avro"):
+                _read_ocf_range(fh, hdr, 0, cut, cut)

@@ -135,3 +135,37 @@ def test_compact_flagged_partitions_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert rep2["part=s"]["small_file_flag"] is False
+
+
+def test_compact_flagged_recovers_crashed_swap(spark, tmp_path):
+    """Review r8: a crash between the two swap renames leaves the data
+    in part=x__retired with the partition dir missing — the recovery
+    sweep restores it, and audits never see staging dirs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_etl_self_service_spark.operators.layout import (
+        compact_flagged,
+    )
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        lake_audit_report,
+    )
+
+    lake = tmp_path / "lake"
+    d = lake / "part=x"
+    d.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"x": pa.array(range(500), pa.int64())}),
+        str(d / "f.parquet"),
+    )
+    # simulate the crash window: src renamed away, staging half-done
+    os.rename(d, str(d) + "__retired")
+    os.makedirs(str(d) + "__compacting")
+    # audits ignore the in-flight dirs entirely
+    assert lake_audit_report(spark, str(lake)).count() == 0
+    # the next maintenance run restores the partition first
+    compact_flagged(spark, str(lake), small_file_bytes=1)
+    assert sorted(os.listdir(lake)) == ["part=x"]
+    assert spark.read.parquet(str(d)).count() == 500

@@ -316,3 +316,39 @@ def test_file_audit_rows_never_ships_content_locally(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "content" not in plan
         assert df.count() == 1
+
+
+def test_lake_audit_nested_partitions_and_empty_files(spark, tmp_path):
+    """Review r8: nested hive layouts keep DISTINCT labels (equal leaf
+    names under different parents no longer merge), and a partition of
+    zero-row-group (empty) part files still appears in the report
+    instead of being inner-joined away."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        lake_audit_report,
+    )
+
+    lake = tmp_path / "lake"
+    for ds in ("ds=a", "ds=b"):
+        d = lake / ds / "hr=00"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table({"x": pa.array(range(50), pa.int64())}),
+            str(d / "f.parquet"),
+        )
+    empty = lake / "ds=a" / "hr=01"
+    empty.mkdir()
+    # a writer that never writes emits ZERO row groups (pyarrow's
+    # write_table of an empty table still emits one empty row group)
+    pq.ParquetWriter(
+        str(empty / "e.parquet"), pa.schema([("x", pa.int64())])
+    ).close()
+    rep = {
+        r["partition"]: r
+        for r in lake_audit_report(spark, str(lake)).collect()
+    }
+    assert set(rep) == {"ds=a/hr=00", "ds=b/hr=00", "ds=a/hr=01"}
+    assert rep["ds=a/hr=00"]["total_rows"] == 50
+    assert rep["ds=b/hr=00"]["total_rows"] == 50
+    e = rep["ds=a/hr=01"]
+    assert e["n_files"] == 1 and e["total_rows"] == 0
+    assert e["min_rg_rows"] == 0 and e["rg_rows_hist"] == ""
