@@ -19,12 +19,12 @@ records. This module implements that spec directly:
 - **Named-type references**: record/enum/fixed definitions register
   under both short name and namespace-qualified fullname; later
   references by either resolve.
-- **Codecs**: ``null`` and ``deflate`` (raw zlib, wbits=-15) always;
+- **Codecs**: every spec codec with NO optional dependency (round 8):
+  ``null`` and ``deflate`` (raw zlib, wbits=-15) via stdlib;
   ``snappy`` (raw snappy + 4-byte big-endian CRC32 suffix per spec)
-  when pyarrow is importable; ``zstd`` via pyarrow when importable
-  and otherwise through the in-repo pure RFC 8878 decoder/encoder
-  (operators/zstd.py, zstd_enc.py — round 8), so zstd-coded OCFs
-  read AND write with NO optional dependency.
+  and ``zstd`` via pyarrow when importable, otherwise through the
+  in-repo pure codecs (operators/snappy.py, zstd.py, zstd_enc.py) —
+  both read and write.
 - **Unions**: ``[null, X]`` → nullable X; ``[int, long]`` → long and
   ``[float, double]`` → double (spark-avro's promotions); any other
   multi-branch union → a struct of nullable ``member0..memberN``
@@ -513,9 +513,6 @@ def _decompress_block(data: bytes, codec: str) -> bytes:
         except zlib.error as ex:
             raise ValueError("avro: corrupt deflate block") from ex
     if codec == "snappy":
-        pa = _pa_codec("snappy")
-        if pa is None:
-            raise ValueError("avro: snappy codec unavailable (no pyarrow)")
         body, crc = data[:-4], data[-4:]
         # pyarrow needs the output size up front; raw snappy embeds it
         # as a leading LSB-first varint — parse that preamble
@@ -531,7 +528,14 @@ def _decompress_block(data: bytes, codec: str) -> bytes:
             raise ValueError(
                 "avro: snappy block exceeds decompressed-size bound"
             )
-        raw = pa.decompress(body, decompressed_size=n, asbytes=True)
+        pa = _pa_codec("snappy")
+        if pa is None:
+            # pyarrow-less fallback: pure raw-snappy decoder (round 8)
+            from ..operators.snappy import snappy_decompress
+
+            raw = snappy_decompress(body)
+        else:
+            raw = pa.decompress(body, decompressed_size=n, asbytes=True)
         if struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF) != crc:
             raise ValueError("avro: snappy block CRC mismatch")
         return raw
@@ -569,10 +573,12 @@ def _compress_block(data: bytes, codec: str) -> bytes:
     if codec == "snappy":
         pa = _pa_codec("snappy")
         if pa is None:
-            raise ValueError("avro: snappy codec unavailable (no pyarrow)")
-        return pa.compress(data, asbytes=True) + struct.pack(
-            ">I", zlib.crc32(data) & 0xFFFFFFFF
-        )
+            from ..operators.snappy import snappy_compress
+
+            body = snappy_compress(data)
+        else:
+            body = pa.compress(data, asbytes=True)
+        return body + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
     if codec == "zstd":
         pa = _pa_codec("zstd")
         if pa is None:

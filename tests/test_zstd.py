@@ -555,3 +555,49 @@ def test_zstd_compressor_fuzz_roundtrip():
             pa.input_stream(io.BytesIO(frame), compression="zstd").read()
             == data
         )
+
+
+def test_snappy_pure_codec_parity_with_libsnappy():
+    """Pure raw-snappy codec (round 8): our encode decodes with
+    libsnappy, libsnappy's encode decodes with us, self round-trips
+    across entropy profiles + fuzz, and malformed inputs raise
+    ValueError."""
+    import hashlib
+
+    from data_engineering_etl_self_service_spark.operators.snappy import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    rng = random.Random(11)
+    profiles = [
+        b"",
+        b"x",
+        b"a" * 100_000,
+        b"the quick brown fox jumps over the lazy dog " * 2000,
+        b"".join(
+            hashlib.sha256(str(i).encode()).digest() for i in range(800)
+        ),
+        b"".join(
+            bytes([rng.randrange(5)]) * rng.randrange(1, 50)
+            for _ in range(3000)
+        ),
+    ]
+    lib = pa.Codec("snappy")
+    for data in profiles:
+        ours = snappy_compress(data)
+        assert snappy_decompress(ours) == data
+        assert (
+            lib.decompress(ours, decompressed_size=len(data), asbytes=True)
+            == data
+        )
+        assert snappy_decompress(lib.compress(data, asbytes=True)) == data
+    assert len(snappy_compress(profiles[2])) < len(profiles[2]) // 10
+    for _ in range(150):
+        m = rng.randrange(0, 2000)
+        data = bytes(rng.choice(b"pqrpq") for _ in range(m))
+        assert snappy_decompress(snappy_compress(data)) == data
+    for bad in (b"", b"\xff\xff\xff\xff\xff\xff", b"\x05\x10ab",
+                b"\x04\x09\x01\x00"):
+        with pytest.raises(ValueError):
+            snappy_decompress(bad)
