@@ -4,12 +4,17 @@ RFC 8878 spec, the write-side mirror of ``operators/zstd.py`` (round 8).
 ``zstd_compress_stored`` (zstd.py) emits valid-but-uncompressed frames;
 this module emits genuinely compressed ones: an LZ match stage (the
 same greedy 4-byte hash probing as ``lz4.lz4_block_compress``) feeding
-zstd Compressed blocks with **Raw literals + predefined-FSE-coded
-sequences**:
+zstd Compressed blocks with **entropy-coded literals +
+predefined-FSE-coded sequences**:
 
-- literals ride uncompressed (Raw type, 20-bit size header) — entropy
-  coding of literals (Huffman) is the one stage intentionally left to
-  native codecs;
+- literals take the smallest expressible section: RLE for single-byte
+  runs, HUFFMAN-compressed (1-stream or 4-stream with jump table,
+  direct 4-bit weight description, 11-bit length-limited canonical
+  codes whose encode map is derived from the DECODER's own table
+  construction) when that shrinks, Raw otherwise; each block also
+  evaluates a literals-only form, which beats a marginal LZ parse on
+  near-random small-alphabet data (measured: it edges out libzstd
+  there);
 - sequences (literal-length / offset / match-length code triples) are
   FSE-encoded against the spec's PREDEFINED distributions, so no table
   descriptions are written and the decoder side is the already-proven
@@ -45,6 +50,7 @@ from .zstd import (
     _LL_BITS,
     _ML_BASE,
     _ML_BITS,
+    _huffman_from_weights,
     _predef,
 )
 
@@ -128,6 +134,187 @@ def _encode_sequences(seqs: list) -> bytes:
     return _pack_backward(ops)
 
 
+def _huffman_lengths(freqs: dict, cap: int = 11) -> dict:
+    """Huffman code lengths limited to ``cap`` bits: plain heap Huffman
+    then the standard Kraft-sum repair when clamping overflowed depths
+    (lengthen cheap shallow leaves / shorten deep ones until the sum is
+    exactly 2^cap — the equality the zstd weight table demands)."""
+    import heapq
+
+    if len(freqs) < 2:
+        raise ValueError("huffman: need two symbols")
+    heap = [
+        (f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))
+    ]
+    heapq.heapify(heap)
+    lens = {s: 0 for s in freqs}
+    tie = len(heap)
+    while len(heap) > 1:
+        f1, _, l1 = heapq.heappop(heap)
+        f2, _, l2 = heapq.heappop(heap)
+        for s in l1 + l2:
+            lens[s] += 1
+        tie += 1
+        heapq.heappush(heap, (f1 + f2, tie, l1 + l2))
+    if max(lens.values()) <= cap:
+        return lens
+    for s in lens:
+        lens[s] = min(lens[s], cap)
+    target = 1 << cap
+    kraft = sum(1 << (cap - v) for v in lens.values())
+    guard = 0
+    while kraft > target:  # overfull: deepen the deepest sub-cap leaf
+        s = max(
+            (x for x in lens if lens[x] < cap),
+            key=lambda x: (lens[x], -freqs[x]),
+        )
+        kraft -= 1 << (cap - lens[s] - 1)
+        lens[s] += 1
+        guard += 1
+        if guard > 4096:
+            raise ValueError("huffman: kraft repair diverged")
+    while kraft < target:  # underfull: shorten a deep leaf that fits
+        for s in sorted(lens, key=lambda x: -lens[x]):
+            gain = 1 << (cap - lens[s])
+            if lens[s] > 1 and kraft + gain <= target:
+                lens[s] -= 1
+                kraft += gain
+                break
+        else:
+            raise ValueError("huffman: kraft repair stuck")
+        guard += 1
+        if guard > 4096:
+            raise ValueError("huffman: kraft repair diverged")
+    return lens
+
+
+def _huffman_encoder(lits: bytes):
+    """(description bytes, {symbol: (code, nb_bits)}, max_bits) for the
+    literal bytes, or None when the table can't be expressed in the
+    direct-weights header (>=129 distinct-symbol span) or wouldn't
+    help. Codes come from the DECODER's own table construction
+    (_huffman_from_weights), so encode and decode agree by
+    construction."""
+    freqs: dict = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    if len(freqs) < 2:
+        return None
+    max_present = max(freqs)
+    if max_present > 128:  # direct header caps Number_of_Weights at 128
+        return None
+    try:
+        lens = _huffman_lengths(freqs)
+    except ValueError:
+        return None
+    maxlen = max(lens.values())
+    # weight = maxlen + 1 - len for present symbols, 0 for gaps; the
+    # LAST present symbol's weight is implied by Kraft completion
+    weights = [
+        (maxlen + 1 - lens[s]) if s in lens else 0
+        for s in range(max_present + 1)
+    ]
+    desc_weights = weights[:-1]
+    table, max_bits = _huffman_from_weights(desc_weights)
+    enc: dict = {}
+    seen: set = set()
+    for pos, (sym, nb) in enumerate(table):
+        if sym in seen:
+            continue
+        seen.add(sym)
+        cell = 1 << (max_bits - nb)
+        if pos % cell:  # canonical construction guarantees alignment
+            raise AssertionError("huffman: misaligned code cell")
+        enc[sym] = (pos >> (max_bits - nb), nb)
+    hdr = 127 + len(desc_weights)
+    nibbles = bytearray()
+    for i in range(0, len(desc_weights), 2):
+        hi = desc_weights[i] << 4
+        lo = desc_weights[i + 1] if i + 1 < len(desc_weights) else 0
+        nibbles.append(hi | lo)
+    return bytes([hdr]) + bytes(nibbles), enc, max_bits
+
+
+def _huffman_stream(syms: bytes, enc: dict) -> bytes:
+    """One backward-read Huffman literal stream (codes in output order
+    under the 1-bit sentinel — the inverse of _huffman_decode_stream)."""
+    acc = 0
+    total = 0
+    for s in syms:
+        code, nb = enc[s]
+        acc = (acc << nb) | code
+        total += nb
+    acc |= 1 << total
+    return acc.to_bytes(total // 8 + 1, "little")
+
+
+def _literals_section(lits: bytes) -> bytes:
+    """The smallest literals section we can write for ``lits``: RLE for
+    single-byte runs, Huffman-compressed (1-stream or 4-stream) when it
+    shrinks, Raw otherwise."""
+    rsize = len(lits)
+    # Raw baseline (size_format=3: 20-bit size, 3 header bytes)
+    raw = bytes(
+        [
+            0 | (3 << 2) | ((rsize & 0xF) << 4),
+            (rsize >> 4) & 0xFF,
+            rsize >> 12,
+        ]
+    ) + lits
+    if rsize >= 2 and len(set(lits)) == 1:  # RLE literals
+        return bytes(
+            [
+                1 | (3 << 2) | ((rsize & 0xF) << 4),
+                (rsize >> 4) & 0xFF,
+                rsize >> 12,
+                lits[0],
+            ]
+        )
+    if rsize < 32:
+        return raw
+    info = _huffman_encoder(lits)
+    if info is None:
+        return raw
+    desc, enc, _ = info
+    if rsize <= 1023:  # 1-stream form (size_format=0, 10-bit sizes)
+        stream = _huffman_stream(lits, enc)
+        csize = len(desc) + len(stream)
+        if csize > 1023 or 3 + csize >= len(raw):
+            return raw
+        return bytes(
+            [
+                2 | (0 << 2) | ((rsize & 0xF) << 4),
+                ((rsize >> 4) & 0x3F) | ((csize & 3) << 6),
+                csize >> 2,
+            ]
+        ) + desc + stream
+    # 4-stream form (size_format=3, 18-bit sizes)
+    per = (rsize + 3) // 4
+    parts = [lits[i * per : (i + 1) * per] for i in range(3)]
+    parts.append(lits[3 * per :])
+    streams = [_huffman_stream(p, enc) for p in parts]
+    jump = struct.pack(
+        "<HHH", len(streams[0]), len(streams[1]), len(streams[2])
+    )
+    body = desc + jump + b"".join(streams)
+    csize = len(body)
+    if (
+        csize >= 1 << 18
+        or any(len(s) > 0xFFFF for s in streams[:3])
+        or 5 + csize >= len(raw)
+    ):
+        return raw
+    return bytes(
+        [
+            2 | (3 << 2) | ((rsize & 0xF) << 4),
+            (rsize >> 4) & 0xFF,
+            ((rsize >> 12) & 0x3F) | ((csize & 3) << 6),
+            (csize >> 2) & 0xFF,
+            csize >> 10,
+        ]
+    ) + body
+
+
 def _find_sequences(src: bytes):
     """Greedy 4-byte-prefix LZ parse (the lz4_block_compress matcher,
     zstd-flavored: no end-of-block literal rules, min match 4) →
@@ -160,16 +347,20 @@ def _compress_block(src: bytes) -> bytes | None:
     """One zstd Compressed-block CONTENT for ``src``, or None when the
     compressed form wouldn't shrink (caller stores the block raw)."""
     seqs, lits = _find_sequences(src)
-    if not seqs:
-        return None
-    rsize = len(lits)
-    out = bytearray()
-    # Raw literals, size_format=3 (20-bit regenerated size, 3 bytes)
-    out.append(0 | (3 << 2) | ((rsize & 0xF) << 4))
-    out.append((rsize >> 4) & 0xFF)
-    out.append(rsize >> 12)
-    out += lits
+    # literals-only candidate: on near-random data the greedy LZ parse
+    # emits marginal 4-byte matches whose sequence coding costs MORE
+    # than Huffman-coding the bytes straight — evaluate both and keep
+    # the smaller (native encoders price this per-sequence; one extra
+    # entropy pass per 64 KiB block is our cheaper approximation)
+    lit_only = bytes(_literals_section(src)) + b"\x00" if src else None
+    out = bytearray(_literals_section(lits))
     n = len(seqs)
+    if n == 0:
+        out.append(0)  # 0 sequences
+        best = bytes(out)
+        if lit_only is not None and len(lit_only) < len(best):
+            best = lit_only
+        return best if len(best) < len(src) else None
     if n < 128:
         out.append(n)
     elif n < 0x7F00:
@@ -179,7 +370,10 @@ def _compress_block(src: bytes) -> bytes | None:
         raise ValueError("zstd encode: too many sequences in block")
     out.append(0)  # modes byte: Predefined for LL, OF, ML
     out += _encode_sequences(seqs)
-    return bytes(out) if len(out) < len(src) else None
+    best = bytes(out)
+    if lit_only is not None and len(lit_only) < len(best):
+        best = lit_only
+    return best if len(best) < len(src) else None
 
 
 def zstd_compress(data: bytes, block_size: int = 1 << 16) -> bytes:

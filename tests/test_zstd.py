@@ -601,3 +601,49 @@ def test_snappy_pure_codec_parity_with_libsnappy():
                 b"\x04\x09\x01\x00"):
         with pytest.raises(ValueError):
             snappy_decompress(bad)
+
+
+def test_zstd_compressor_huffman_literals():
+    """Huffman-compressed literals (round 8b): entropy-coded literal
+    sections decode through BOTH decoders; a low-entropy literal-heavy
+    input approaches the ideal bits/symbol (beating raw literals by
+    ~2.6x here); the literals-only candidate wins over a marginal LZ
+    parse on near-random small-alphabet data; RLE literal sections
+    cover single-byte runs."""
+    import io
+
+    from data_engineering_etl_self_service_spark.operators.zstd import (
+        zstd_decompress,
+    )
+    from data_engineering_etl_self_service_spark.operators.zstd_enc import (
+        zstd_compress,
+    )
+
+    rng = random.Random(5)
+    # 8 roughly-uniform symbols -> ideal 3 bits/symbol; the greedy LZ
+    # parse alone coded this WORSE than raw before the literals-only
+    # candidate
+    litonly = bytes(rng.choice(b"abcdefgh") for _ in range(50_000))
+    frame = zstd_compress(litonly)
+    assert len(frame) < 20_000  # ~3/8 of input + framing
+    assert zstd_decompress(frame) == litonly
+    assert (
+        pa.input_stream(io.BytesIO(frame), compression="zstd").read()
+        == litonly
+    )
+    # skewed frequencies exercise the length-limit Kraft repair
+    skew = b"".join(
+        bytes([s]) * f
+        for s, f in zip(range(40), [3 ** min(i, 12) for i in range(40)])
+    )
+    skew = bytes(rng.sample(skew * 1, len(skew)))  # shuffle
+    f2 = zstd_compress(skew)
+    assert zstd_decompress(f2) == skew
+    assert (
+        pa.input_stream(io.BytesIO(f2), compression="zstd").read() == skew
+    )
+    # single-distinct-byte literal runs take the RLE literal form
+    rle = b"q" * 100_000
+    f3 = zstd_compress(rle)
+    assert len(f3) < 60
+    assert zstd_decompress(f3) == rle
