@@ -215,28 +215,18 @@ def lz4_block_compress(src: bytes) -> bytes:
     with any conforming decoder. Greedy per-position probing; the
     native codec remains the hot path — this is the no-pyarrow WRITE
     tier (the read side's mirror)."""
+    from .lzmatch import greedy_matches
+
     n = len(src)
     out = bytearray()
     if n < 13:
         _emit_seq(out, src, None, 0)
         return bytes(out)
-    table: dict[int, int] = {}
-    anchor = pos = 0
-    last_start = n - 12  # last legal match START
-    mend_cap = n - 5  # matches never cover the final 5 literals
-    while pos <= last_start:
-        key = int.from_bytes(src[pos : pos + 4], "little")
-        cand = table.get(key)
-        table[key] = pos
-        if cand is not None and pos - cand <= 0xFFFF:
-            m, c = pos + 4, cand + 4
-            while m < mend_cap and src[m] == src[c]:
-                m += 1
-                c += 1
-            _emit_seq(out, src[anchor:pos], pos - cand, m - pos)
-            pos = anchor = m
-        else:
-            pos += 1
+    # shared matcher with lz4's spec end rules: matches START >= 12
+    # bytes before block end and never cover the final 5 literals
+    matches, anchor = greedy_matches(src, 0xFFFF, n - 12, n - 5)
+    for a, p, off, ml in matches:
+        _emit_seq(out, src[a:p], off, ml)
     _emit_seq(out, src[anchor:], None, 0)
     return bytes(out)
 
@@ -249,10 +239,11 @@ def lz4_compress(data: bytes, block_size: int = 1 << 18) -> bytes:
     block whose compressed form doesn't shrink is stored raw (the
     spec's high-bit escape), so output never exceeds
     input + framing."""
-    if block_size > 4 << 20:
-        # the descriptor declares the 4 MiB bin; a bigger block emits
-        # frames liblz4 rejects (review r8, repro'd)
-        raise ValueError("lz4: block_size above the 4 MiB frame bin")
+    if not 0 < block_size <= 4 << 20:
+        # upper bound: the descriptor declares the 4 MiB bin — bigger
+        # blocks emit frames liblz4 rejects (review r8, repro'd);
+        # lower bound: block_size 0 looped forever (review r8b)
+        raise ValueError("lz4: block_size must be in (0, 4 MiB]")
     flg = 0b01100000 | 0x10 | 0x08 | 0x04  # indep + bsum + csize + csum
     bd = 0x70  # 4 MiB max-block-size bin (any size <= bin is legal)
     desc = bytes([flg, bd]) + struct.pack("<Q", len(data))

@@ -48,6 +48,11 @@ def snappy_decompress(raw: bytes) -> bytes:
             raise ValueError("snappy: length varint too long")
     out = bytearray()
     while pos < len(raw):
+        if len(out) > n:
+            # incremental: the declared length is the output budget —
+            # never materialize past it before the final equality check
+            # (review r8b: copy tags emit up to 21x their input)
+            raise ValueError("snappy: output exceeds declared length")
         tag = raw[pos]
         pos += 1
         ttype = tag & 3
@@ -141,22 +146,11 @@ def snappy_compress(src: bytes) -> bytes:
         out.append(b | 0x80 if v else b)
         if not v:
             break
-    table: dict[int, int] = {}
-    anchor = pos = 0
-    last = n - 4
-    while pos <= last:
-        key = int.from_bytes(src[pos : pos + 4], "little")
-        cand = table.get(key)
-        table[key] = pos
-        if cand is not None and pos - cand <= 0xFFFF:
-            m, c = pos + 4, cand + 4
-            while m < n and src[m] == src[c]:
-                m += 1
-                c += 1
-            _emit_literal(out, src[anchor:pos])
-            _emit_copy(out, pos - cand, m - pos)
-            pos = anchor = m
-        else:
-            pos += 1
+    from .lzmatch import greedy_matches
+
+    matches, anchor = greedy_matches(src, 0xFFFF, n - 4, n)
+    for a, p, off, ml in matches:
+        _emit_literal(out, src[a:p])
+        _emit_copy(out, off, ml)
     _emit_literal(out, src[anchor:])
     return bytes(out)

@@ -478,7 +478,11 @@ def _seq_table(mode: int, kind: str, buf: bytes, ctx: _FrameCtx, maxsym):
 
 
 def _decode_block(
-    block: bytes, ctx: _FrameCtx, out: bytearray, frame_start: int
+    block: bytes,
+    ctx: _FrameCtx,
+    out: bytearray,
+    frame_start: int,
+    max_out: int | None = None,
 ) -> None:
     """Decode one compressed block, APPENDING to the frame-shared
     ``out`` buffer — matches may reach back into previous blocks of the
@@ -558,6 +562,10 @@ def _decode_block(
             raise ValueError("zstd: match offset beyond window")
         for _ in range(ml):  # overlapping copies are the point
             out.append(out[-offset])
+        if max_out is not None and len(out) > max_out:
+            # incremental bomb guard: raise after ONE sequence's
+            # overshoot, never after materializing the whole output
+            raise ValueError("zstd: output exceeds size bound")
         if i + 1 < n_seq:
             ll_s.update(bits)
             ml_s.update(bits)
@@ -572,17 +580,22 @@ def _decode_block(
 # =========================================================================
 
 
-def zstd_decompress(raw: bytes) -> bytes:
+def zstd_decompress(raw: bytes, max_out: int | None = None) -> bytes:
     """Decode one-or-more concatenated zstd frames → original bytes.
     Raises ``ValueError`` on anything structurally invalid or outside
-    the documented subset (dictionary frames)."""
+    the documented subset (dictionary frames). ``max_out`` bounds the
+    TOTAL decompressed size INCREMENTALLY (checked per block and per
+    sequence, so a crafted high-ratio frame raises after at most one
+    sequence's overshoot instead of materializing the bomb first —
+    review r8b; callers with a declared size budget, like the Avro
+    block decoder, must pass it)."""
     try:
-        return _decompress(raw)
+        return _decompress(raw, max_out)
     except (IndexError, struct.error) as ex:  # truncated-input indexing
         raise ValueError("zstd: truncated input") from ex
 
 
-def _decompress(raw: bytes) -> bytes:
+def _decompress(raw: bytes, max_out: int | None = None) -> bytes:
     pos = 0
     out = bytearray()
     if not raw:
@@ -635,6 +648,10 @@ def _decompress(raw: bytes) -> bytes:
             last = bh & 1
             btype = (bh >> 1) & 3
             bsize = bh >> 3
+            if max_out is not None and len(out) + (
+                bsize if btype in (0, 1) else 0
+            ) > max_out:
+                raise ValueError("zstd: output exceeds size bound")
             if btype == 0:  # Raw
                 out += raw[pos : pos + bsize]
                 if pos + bsize > len(raw):
@@ -650,7 +667,7 @@ def _decompress(raw: bytes) -> bytes:
                 if len(block) != bsize:
                     raise ValueError("zstd: truncated compressed block")
                 pos += bsize
-                _decode_block(block, ctx, out, frame_out_start)
+                _decode_block(block, ctx, out, frame_out_start, max_out)
             else:
                 raise ValueError("zstd: reserved block type")
             if last:

@@ -101,14 +101,27 @@ def _state_chain(codes: list[int], kind: str):
 def _pack_backward(ops: list) -> bytes:
     """Bit ops in DECODE order → backward-read bitstream bytes: the
     first-read value sits just under the 1-bit sentinel (the inverse of
-    zstd.py's _BackBits)."""
+    zstd.py's _BackBits). Packs LINEARLY by iterating in reverse and
+    flushing whole bytes — the one-big-int left-shift form copied the
+    whole accumulator per op, O(bits²) on match-heavy 64 KiB blocks
+    (review r8b)."""
+    buf = bytearray()
     acc = 0
-    total = 0
-    for v, nb in ops:
-        acc = (acc << nb) | v
-        total += nb
-    acc |= 1 << total  # sentinel
-    return acc.to_bytes(total // 8 + 1, "little")
+    filled = 0
+    for v, nb in reversed(ops):
+        acc |= v << filled
+        filled += nb
+        while filled >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            filled -= 8
+    acc |= 1 << filled  # sentinel
+    while True:
+        buf.append(acc & 0xFF)
+        acc >>= 8
+        filled -= 8
+        if filled < 0:
+            return bytes(buf)
 
 
 def _encode_sequences(seqs: list) -> bytes:
@@ -237,15 +250,9 @@ def _huffman_encoder(lits: bytes):
 
 def _huffman_stream(syms: bytes, enc: dict) -> bytes:
     """One backward-read Huffman literal stream (codes in output order
-    under the 1-bit sentinel — the inverse of _huffman_decode_stream)."""
-    acc = 0
-    total = 0
-    for s in syms:
-        code, nb = enc[s]
-        acc = (acc << nb) | code
-        total += nb
-    acc |= 1 << total
-    return acc.to_bytes(total // 8 + 1, "little")
+    under the 1-bit sentinel — the inverse of _huffman_decode_stream;
+    linear packing via _pack_backward)."""
+    return _pack_backward([enc[s] for s in syms])
 
 
 def _literals_section(lits: bytes) -> bytes:
@@ -316,31 +323,18 @@ def _literals_section(lits: bytes) -> bytes:
 
 
 def _find_sequences(src: bytes):
-    """Greedy 4-byte-prefix LZ parse (the lz4_block_compress matcher,
-    zstd-flavored: no end-of-block literal rules, min match 4) →
+    """Greedy LZ parse (shared matcher, zstd-flavored: no end-of-block
+    literal rules, unbounded in-block offsets, min match 4) →
     (sequences [(lit_len, offset, match_len)], literals bytes)."""
+    from .lzmatch import greedy_matches
+
     n = len(src)
-    seqs: list = []
-    lits = bytearray()
-    table: dict[int, int] = {}
-    anchor = pos = 0
-    last = n - 4
-    while pos <= last:
-        key = int.from_bytes(src[pos : pos + 4], "little")
-        cand = table.get(key)
-        table[key] = pos
-        if cand is not None:
-            m, c = pos + 4, cand + 4
-            while m < n and src[m] == src[c]:
-                m += 1
-                c += 1
-            lits += src[anchor:pos]
-            seqs.append((pos - anchor, pos - cand, m - pos))
-            pos = anchor = m
-        else:
-            pos += 1
-    lits += src[anchor:]
-    return seqs, bytes(lits)
+    matches, anchor = greedy_matches(src, None, n - 4, n)
+    seqs = [(p - a, off, ml) for a, p, off, ml in matches]
+    lits = b"".join(
+        [src[a:p] for a, p, _, _ in matches] + [src[anchor:]]
+    )
+    return seqs, lits
 
 
 def _compress_block(src: bytes) -> bytes | None:
@@ -366,8 +360,13 @@ def _compress_block(src: bytes) -> bytes | None:
     elif n < 0x7F00:
         out.append(128 + (n >> 8))
         out.append(n & 0xFF)
-    else:  # 64 KiB blocks with >=4-byte matches can't reach this
-        raise ValueError("zstd encode: too many sequences in block")
+    else:
+        # 3-byte form (0xFF prefix): 128 KiB blocks of back-to-back
+        # 4-byte matches can exceed the 2-byte ceiling on VALID input
+        # (review r8b); max expressible 0x7F00 + 0xFFFF covers any
+        # block <= 128 KiB with >= 4-byte matches
+        out.append(255)
+        out += (n - 0x7F00).to_bytes(2, "little")
     out.append(0)  # modes byte: Predefined for LL, OF, ML
     out += _encode_sequences(seqs)
     best = bytes(out)
@@ -382,8 +381,8 @@ def zstd_compress(data: bytes, block_size: int = 1 << 16) -> bytes:
     Compressed when that shrinks it and Raw otherwise, so output never
     exceeds input + framing. Readable by libzstd and by
     :func:`operators.zstd.zstd_decompress` (both pinned in tests)."""
-    if block_size > 1 << 17:
-        raise ValueError("zstd encode: block_size above 128 KiB")
+    if not 0 < block_size <= 1 << 17:
+        raise ValueError("zstd encode: block_size must be in (0, 128 KiB]")
     out = bytearray()
     out += struct.pack("<I", ZSTD_MAGIC)
     n = len(data)

@@ -837,6 +837,18 @@ def compile_pipeline(
             and spec.destination.type == "parquet"
             and maint.get("compact_small_files")
         ):
+            import os as _os
+
+            if not _os.path.isdir(published):
+                # compact_flagged walks local paths; silently no-opping
+                # on s3a://... would let small files accumulate while
+                # the user believes compaction is active (review r8b)
+                raise ValueError(
+                    "maintenance.compact_small_files requires a "
+                    "local/shared-filesystem destination path; got "
+                    f"{published!r} (object stores: use snapshot "
+                    "tables or an external OPTIMIZE job)"
+                )
             from ..operators.layout import compact_flagged
 
             n_compacted = (

@@ -543,15 +543,13 @@ def _decompress_block(data: bytes, codec: str) -> bytes:
         pa = _pa_codec("zstd")
         if pa is None:
             # pyarrow-less fallback: the pure RFC 8878 decoder (round 8
-            # — zstd-coded OCFs now read with NO optional dependency)
+            # — zstd-coded OCFs now read with NO optional dependency);
+            # the bound is enforced INSIDE the decode loop, so a
+            # crafted high-ratio frame raises instead of materializing
+            # the bomb first (review r8b)
             from ..operators.zstd import zstd_decompress
 
-            out = zstd_decompress(data)
-            if len(out) > _MAX_BLOCK_BYTES:
-                raise ValueError(
-                    "avro: zstd block exceeds decompressed-size bound"
-                )
-            return out
+            return zstd_decompress(data, max_out=_MAX_BLOCK_BYTES)
         stream = __import__("pyarrow").input_stream(
             io.BytesIO(data), compression="zstd"
         )

@@ -647,3 +647,55 @@ def test_zstd_compressor_huffman_literals():
     f3 = zstd_compress(rle)
     assert len(f3) < 60
     assert zstd_decompress(f3) == rle
+
+
+def test_codec_hardening_round8b():
+    """Second-review fixes: bounded decompression raises BEFORE
+    materializing bombs; block_size guards; the 3-byte sequence-count
+    form handles match-dense 128 KiB blocks."""
+    import io
+
+    from data_engineering_etl_self_service_spark.operators.lz4 import (
+        lz4_compress,
+    )
+    from data_engineering_etl_self_service_spark.operators.snappy import (
+        snappy_compress,
+        snappy_decompress,
+    )
+    from data_engineering_etl_self_service_spark.operators.zstd import (
+        zstd_decompress,
+    )
+    from data_engineering_etl_self_service_spark.operators.zstd_enc import (
+        zstd_compress,
+    )
+
+    # zstd max_out: a high-ratio frame must raise without materializing
+    big = zstd_compress(b"a" * (1 << 20))
+    assert len(big) < 200
+    assert zstd_decompress(big, max_out=1 << 20) == b"a" * (1 << 20)
+    with pytest.raises(ValueError, match="bound"):
+        zstd_decompress(big, max_out=1 << 10)
+    # snappy: crafted block declaring a small n but emitting more
+    # output raises mid-decode (declared length IS the budget)
+    body = snappy_compress(b"xy" * 600)
+    small_n = bytes([10]) + body[2:]  # preamble says 10 bytes
+    with pytest.raises(ValueError, match="length|exceeds"):
+        snappy_decompress(small_n)
+    # block_size guards: zero/negative loop forever without them
+    for bad in (0, -1, (4 << 20) + 1):
+        with pytest.raises(ValueError, match="block_size"):
+            lz4_compress(b"data", block_size=bad)
+    for bad in (0, -1, (1 << 17) + 1):
+        with pytest.raises(ValueError, match="block_size"):
+            zstd_compress(b"data", block_size=bad)
+    # 3-byte Number_of_Sequences form: a 128 KiB block of back-to-back
+    # 4-byte matches exceeds the 2-byte ceiling on VALID input
+    rng = random.Random(13)
+    vocab = [bytes([rng.randrange(256) for _ in range(4)]) for _ in range(700)]
+    dense = b"".join(rng.choice(vocab) for _ in range(32 * 1024))  # 128 KiB
+    frame = zstd_compress(dense, block_size=1 << 17)
+    assert zstd_decompress(frame) == dense
+    assert (
+        pa.input_stream(io.BytesIO(frame), compression="zstd").read()
+        == dense
+    )
