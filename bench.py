@@ -147,8 +147,10 @@ EXTENDED = [
     "sessionize_skewsafe",
     "parquet_footer_stats",
     "kafka_avro_stats",
-    # round 8: partition-level footers-only lake audit
+    # round 8: partition-level footers-only lake audit + data-skipping
+    # audit
     "lake_audit",
+    "scan_pruning",
 ]
 
 HEADLINE = CORE + EXTENDED

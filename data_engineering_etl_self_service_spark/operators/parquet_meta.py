@@ -561,6 +561,151 @@ def lake_audit_report(spark, path: str, small_file_bytes: int = 32 << 20):
     )
 
 
+def pruning_report(spark, path: str, column: str, lo: int, hi: int):
+    """Footers-only DATA-SKIPPING audit: for the predicate
+    ``lo <= column <= hi``, how many files and row groups would parquet
+    min/max statistics let a scan skip — per hive partition, without
+    touching a data page (SURVEY §4's partition-pruning row as a
+    measurable tool; round 8). A file/row group is skippable when its
+    stats window misses the predicate (``max < lo or min > hi``);
+    missing stats count as NOT skippable (the conservative answer a
+    real scanner gives).
+
+    One row per partition: ``n_files, n_skippable_files,
+    n_row_groups, n_skippable_rgs, rows_total, rows_scanned`` (rows of
+    non-skippable files — the I/O the predicate actually pays).
+
+    Integer (int64) statistics only — the audit's reference use is
+    key/timestamp-epoch columns; float stats have their own ordering
+    subtleties that a skipping AUDIT should not paper over. Scale: the
+    same footer-bytes-only scan as :func:`lake_audit_report` plus one
+    per-file rollup."""
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .filter(~F.col("path").rlike("__(compacting|retired)/"))
+    )
+    first = files.select("path").head()
+    local = first is not None and first["path"].startswith("file:")
+    import os as _os_drv
+
+    root_norm = _os_drv.path.realpath(
+        path[5:] if path.startswith("file:") else path
+    )
+
+    def rows_of(p, fsize, footer, _os):
+        from urllib.parse import unquote, urlparse
+
+        if p.startswith("file:"):
+            d = _os.path.dirname(
+                _os.path.realpath(unquote(urlparse(p).path))
+            )
+            label = _os.path.relpath(d, root_norm)
+        else:
+            label = _os.path.basename(_os.path.dirname(p))
+        n_rgs = n_skip_rgs = 0
+        fmin = fmax = None
+        stats_ok = True
+        for rg in footer["row_groups"]:
+            n_rgs += 1
+            col = next(
+                (c for c in rg["columns"] if c["path"] == column), None
+            )
+            if (
+                col is None
+                or col["min"] is None
+                or col["max"] is None
+                or not isinstance(col["min"], int)
+            ):
+                stats_ok = False
+                continue
+            if col["max"] < lo or col["min"] > hi:
+                n_skip_rgs += 1
+            fmin = col["min"] if fmin is None else min(fmin, col["min"])
+            fmax = col["max"] if fmax is None else max(fmax, col["max"])
+        file_skippable = bool(
+            stats_ok
+            and fmin is not None
+            and (fmax < lo or fmin > hi)
+        )
+        return {
+            "partition": label,
+            "n_rows": footer["num_rows"],
+            "n_row_groups": n_rgs,
+            "n_skip_rgs": n_skip_rgs if stats_ok else 0,
+            "file_skippable": file_skippable,
+        }
+
+    schema = (
+        "partition string, n_rows long, n_row_groups long, "
+        "n_skip_rgs long, file_skippable boolean"
+    )
+
+    if local:
+        from ..sources.avro_ocf import _local_fspath
+
+        def stats_local(it):
+            import os as _os
+
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    [
+                        rows_of(
+                            p,
+                            int(ln),
+                            read_footer_local(
+                                _local_fspath(p), int(ln)
+                            ),
+                            _os,
+                        )
+                        for p, ln in zip(pdf["path"], pdf["length"])
+                    ]
+                )
+
+        per_file = files.select("path", "length").mapInPandas(
+            stats_local, schema
+        )
+    else:
+
+        def stats(it):
+            import os as _os
+
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    [
+                        rows_of(
+                            p, len(raw), parquet_footer(bytes(raw)), _os
+                        )
+                        for p, raw in zip(pdf["path"], pdf["content"])
+                    ]
+                )
+
+        per_file = files.select("path", "content").mapInPandas(
+            stats, schema
+        )
+
+    return per_file.groupBy("partition").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.col("file_skippable").cast("long")).alias(
+            "n_skippable_files"
+        ),
+        F.sum("n_row_groups").alias("n_row_groups"),
+        F.sum("n_skip_rgs").alias("n_skippable_rgs"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(
+            F.when(F.col("file_skippable"), 0).otherwise(F.col("n_rows"))
+        ).alias("rows_scanned"),
+    )
+
+
 def lake_layout_report(spark, path: str):
     """Directory-level layout audit: one row per parquet file with the
     footer-derived facts a compaction/clustering decision needs —

@@ -12844,3 +12844,131 @@ def lake_audit(spark, sf_dir):
         F.col("avg_rg_rows").cast("long").alias("avg_rg_rows"),
         "codecs",
     )
+
+
+@register(
+    "scan_pruning",
+    """
+    WITH d AS (
+      SELECT doc_id % 8 AS part,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    p AS (
+      SELECT part,
+             CAST(part % 3 + 2 AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM d GROUP BY part),
+    f AS (
+      SELECT part, k, n,
+             [ {'o': coalesce(list_sum([ (n + k - 1 - i) // k
+                                          for i in generate_series(0, j - 1) ]), 0),
+                'r': (n + k - 1 - j) // k }
+               for j in generate_series(0, k - 1) ] AS files
+      FROM p)
+    SELECT CAST(part AS INTEGER) AS part,
+           k AS n_files,
+           CAST(list_sum([ CASE WHEN x.o + x.r - 1 < 16 OR x.o > 47
+                                THEN 1 ELSE 0 END
+                           for x in files ]) AS BIGINT)
+             AS n_skippable_files,
+           CAST(list_sum([ (x.r + 7) // 8 for x in files ]) AS BIGINT)
+             AS n_row_groups,
+           CAST(list_sum([
+                  coalesce(list_sum(
+                    [ CASE WHEN x.o + LEAST(8 * m + 7, x.r - 1) < 16
+                                OR x.o + 8 * m > 47
+                           THEN 1 ELSE 0 END
+                      for m in generate_series(0, (x.r + 7) // 8 - 1) ]
+                  ), 0)
+                  for x in files ]) AS BIGINT) AS n_skippable_rgs,
+           n AS rows_total,
+           CAST(list_sum([ CASE WHEN x.o + x.r - 1 < 16 OR x.o > 47
+                                THEN 0 ELSE x.r END
+                           for x in files ]) AS BIGINT) AS rows_scanned
+    FROM f
+    ORDER BY part
+    """,
+)
+def scan_pruning(spark, sf_dir):
+    """Footers-only data-skipping audit (operators/parquet_meta.py
+    pruning_report — SURVEY §4's partition-pruning row as a measurable
+    tool): for a pinned predicate ``16 <= v <= 47``, how many files
+    and row groups the parquet min/max statistics let a scan skip per
+    partition, and the row I/O the predicate actually pays.
+    Builder-exercises-auditor: the distributed builder writes each
+    partition's value column 0..n-1 as CONTIGUOUS slices across
+    k = p%3+2 files with row groups of 8, so every file's and row
+    group's [min, max] window is a closed-form offset interval the
+    DuckDB oracle restates symbolically (nested list comprehensions
+    over the same ceil-div offsets).
+
+    Scale: the audit reads footer bytes only (the lake_audit posture)
+    — at 100 TB this measures how well a layout serves a predicate
+    WITHOUT scanning it, the question clustering/Z-order decisions
+    hang on.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .operators.parquet_meta import pruning_report
+
+    out_dir = str(
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "scan_pruning"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("part", (F.col("doc_id") % 8).cast("int"))
+    )
+
+    def build(pdf):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = int(pdf["part"].iloc[0])
+        k = part % 3 + 2
+        pdf = pdf.sort_values("doc_id")
+        n = sum(len(t.split(" ")) for t in pdf["text"])
+        pdir = _os.path.join(out_dir, f"part={part}")
+        _os.makedirs(pdir, exist_ok=True)
+        off = 0
+        for j in range(k):
+            rows = (n + k - 1 - j) // k
+            pq.write_table(
+                pa.table(
+                    {"v": pa.array(range(off, off + rows), pa.int64())}
+                ),
+                _os.path.join(pdir, f"f-{j:03d}.parquet"),
+                row_group_size=8,
+            )
+            off += rows
+        return pd.DataFrame({"part": [part], "n_files": [k]})
+
+    d.groupBy("part").applyInPandas(
+        build, "part int, n_files int"
+    ).count()
+
+    rep = pruning_report(spark, out_dir, column="v", lo=16, hi=47)
+    return rep.select(
+        F.regexp_extract("partition", r"part=(\d+)", 1)
+        .cast("int")
+        .alias("part"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_skippable_files").cast("long").alias(
+            "n_skippable_files"
+        ),
+        F.col("n_row_groups").cast("long").alias("n_row_groups"),
+        F.col("n_skippable_rgs").cast("long").alias("n_skippable_rgs"),
+        F.col("rows_total").cast("long").alias("rows_total"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+    )

@@ -352,3 +352,57 @@ def test_lake_audit_nested_partitions_and_empty_files(spark, tmp_path):
     e = rep["ds=a/hr=01"]
     assert e["n_files"] == 1 and e["total_rows"] == 0
     assert e["min_rg_rows"] == 0 and e["rg_rows_hist"] == ""
+
+
+def test_pruning_report_vs_ground_truth(spark, tmp_path):
+    """Data-skipping audit (round 8): skippable counts recomputed from
+    pyarrow's own statistics; files with missing/foreign-typed stats
+    count as NOT skippable (the conservative scanner answer)."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        pruning_report,
+    )
+
+    lake = tmp_path / "lake"
+    # part=a: three files covering [0,99], [100,199], [200,299]
+    os_a = lake / "part=a"
+    os_a.mkdir(parents=True)
+    for j in range(3):
+        pq.write_table(
+            pa.table(
+                {"v": pa.array(range(j * 100, j * 100 + 100), pa.int64())}
+            ),
+            str(os_a / f"f{j}.parquet"),
+            row_group_size=16,
+        )
+    # part=b: one file WITHOUT the audited column -> never skippable
+    os_b = lake / "part=b"
+    os_b.mkdir()
+    pq.write_table(
+        pa.table({"other": pa.array(range(50), pa.int64())}),
+        str(os_b / "f0.parquet"),
+    )
+    rep = {
+        r["partition"]: r
+        for r in pruning_report(
+            spark, str(lake), column="v", lo=120, hi=180
+        ).collect()
+    }
+    a = rep["part=a"]
+    # predicate [120,180] hits only the middle file
+    assert a["n_files"] == 3 and a["n_skippable_files"] == 2
+    assert a["rows_total"] == 300 and a["rows_scanned"] == 100
+    # rg-level: file 2's rgs cover [100,115]..[196,199]; rgs fully
+    # outside [120,180] skip — ground truth from pyarrow stats
+    truth_skip = 0
+    truth_rgs = 0
+    for j in range(3):
+        m = pq.ParquetFile(str(os_a / f"f{j}.parquet")).metadata
+        for gi in range(m.num_row_groups):
+            st = m.row_group(gi).column(0).statistics
+            truth_rgs += 1
+            if st.max < 120 or st.min > 180:
+                truth_skip += 1
+    assert a["n_row_groups"] == truth_rgs
+    assert a["n_skippable_rgs"] == truth_skip
+    b = rep["part=b"]
+    assert b["n_skippable_files"] == 0 and b["rows_scanned"] == 50

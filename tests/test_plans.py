@@ -275,3 +275,15 @@ def test_lake_audit_rollups_are_footer_sized(spark, sf_dir):
     # the lake per branch (and a re-audit can't see stale cached rows)
     assert p.count("Scan ExistingRDD") >= 5
     assert "binaryFile" not in p  # the lake scan ran exactly once
+
+
+def test_scan_pruning_is_footer_sized(spark, sf_dir):
+    """scan_pruning (round 8): same posture as lake_audit — no
+    cartesian joins, no row-at-a-time Python, the audit rollup moves
+    per-file rows only."""
+    p = _plan(spark, "scan_pruning", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert _op_count(p, "Scan binaryFile") == 1  # one footer scan
+    assert _op_count(p, "Exchange") == 1  # the per-partition rollup
