@@ -151,6 +151,9 @@ EXTENDED = [
     # audit
     "lake_audit",
     "scan_pruning",
+    # round 9: page-level (PageIndex) + typed/null-stats skipping audits
+    "scan_pruning_pages",
+    "scan_pruning_typed",
 ]
 
 HEADLINE = CORE + EXTENDED

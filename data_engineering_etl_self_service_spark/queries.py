@@ -12972,3 +12972,332 @@ def scan_pruning(spark, sf_dir):
         F.col("rows_total").cast("long").alias("rows_total"),
         F.col("rows_scanned").cast("long").alias("rows_scanned"),
     )
+
+
+@register(
+    "scan_pruning_pages",
+    """
+    WITH d AS (
+      SELECT doc_id % 6 AS part,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    p AS (
+      SELECT part,
+             CAST(part % 3 + 2 AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM d GROUP BY part),
+    f AS (
+      SELECT part, k, n,
+             [ {'o': coalesce(list_sum([ (n + k - 1 - i) // k
+                                          for i in generate_series(0, j - 1) ]), 0),
+                'r': (n + k - 1 - j) // k }
+               for j in generate_series(0, k - 1) ] AS files
+      FROM p)
+    SELECT CAST(part AS INTEGER) AS part,
+           k AS n_files,
+           CAST(list_sum([ CASE WHEN x.o + x.r - 1 < 16 OR x.o > 47
+                                THEN 1 ELSE 0 END
+                           for x in files ]) AS BIGINT)
+             AS n_skippable_files,
+           k AS n_row_groups,
+           CAST(list_sum([ CASE WHEN x.o + x.r - 1 < 16 OR x.o > 47
+                                THEN 1 ELSE 0 END
+                           for x in files ]) AS BIGINT)
+             AS n_skippable_rgs,
+           CAST(list_sum([ (x.r + 7) // 8 for x in files ]) AS BIGINT)
+             AS n_pages,
+           CAST(list_sum([
+                  CASE WHEN x.o + x.r - 1 < 16 OR x.o > 47
+                       THEN (x.r + 7) // 8
+                       ELSE coalesce(list_sum(
+                         [ CASE WHEN x.o + LEAST(8 * m + 7, x.r - 1) < 16
+                                     OR x.o + 8 * m > 47
+                                THEN 1 ELSE 0 END
+                           for m in generate_series(0, (x.r + 7) // 8 - 1) ]
+                       ), 0) END
+                  for x in files ]) AS BIGINT) AS n_skippable_pages,
+           n AS rows_total,
+           CAST(list_sum([
+                  CASE WHEN x.o + x.r - 1 < 16 OR x.o > 47
+                       THEN 0
+                       ELSE coalesce(list_sum(
+                         [ CASE WHEN x.o + LEAST(8 * m + 7, x.r - 1) < 16
+                                     OR x.o + 8 * m > 47
+                                THEN 0
+                                ELSE LEAST(8 * m + 7, x.r - 1) - 8 * m + 1 END
+                           for m in generate_series(0, (x.r + 7) // 8 - 1) ]
+                       ), 0) END
+                  for x in files ]) AS BIGINT) AS rows_scanned
+    FROM f
+    ORDER BY part
+    """,
+)
+def scan_pruning_pages(spark, sf_dir):
+    """PAGE-level data-skipping audit via the Parquet PageIndex
+    (operators/parquet_meta.py page_pruning_report — VERDICT r8 #2):
+    for the pinned predicate ``16 <= v <= 47``, how many data PAGES
+    the ColumnIndex min/max windows let a scan skip per partition, and
+    the page-granular row I/O the predicate pays — the granularity a
+    modern reader prunes at once a row group survives.
+    Builder-exercises-auditor: each partition's value column 0..n-1 is
+    written as CONTIGUOUS slices across k = p%3+2 files, ONE row group
+    per file, pages of exactly 8 rows (write_batch_size) with the page
+    index enabled — so every page's [min, max] window is the
+    closed-form interval [o + 8m, o + min(8m+7, r-1)] the DuckDB
+    oracle restates symbolically. A row group skipped by its chunk
+    stats never opens its index (all its pages count skipped).
+
+    Scale: footers + the KB-sized page-index region per file — ONE
+    extra ranged read over the footers-only posture; at 100 TB this
+    measures whether a layout's intra-file ordering serves a predicate
+    (the clustering decision one level below lake_audit/scan_pruning).
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .operators.parquet_meta import page_pruning_report
+
+    out_dir = str(
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "scan_pruning_pages"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("part", (F.col("doc_id") % 6).cast("int"))
+    )
+
+    def build(pdf):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = int(pdf["part"].iloc[0])
+        k = part % 3 + 2
+        pdf = pdf.sort_values("doc_id")
+        n = sum(len(t.split(" ")) for t in pdf["text"])
+        pdir = _os.path.join(out_dir, f"part={part}")
+        _os.makedirs(pdir, exist_ok=True)
+        off = 0
+        for j in range(k):
+            rows = (n + k - 1 - j) // k
+            pq.write_table(
+                pa.table(
+                    {"v": pa.array(range(off, off + rows), pa.int64())}
+                ),
+                _os.path.join(pdir, f"f-{j:03d}.parquet"),
+                row_group_size=1 << 30,
+                write_page_index=True,
+                write_batch_size=8,
+                data_page_size=1,
+            )
+            off += rows
+        return pd.DataFrame({"part": [part], "n_files": [k]})
+
+    d.groupBy("part").applyInPandas(
+        build, "part int, n_files int"
+    ).count()
+
+    rep = page_pruning_report(spark, out_dir, column="v", lo=16, hi=47)
+    return rep.select(
+        F.regexp_extract("partition", r"part=(\d+)", 1)
+        .cast("int")
+        .alias("part"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_skippable_files").cast("long").alias(
+            "n_skippable_files"
+        ),
+        F.col("n_row_groups").cast("long").alias("n_row_groups"),
+        F.col("n_skippable_rgs").cast("long").alias("n_skippable_rgs"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_skippable_pages").cast("long").alias(
+            "n_skippable_pages"
+        ),
+        F.col("rows_total").cast("long").alias("rows_total"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+    )
+
+
+@register(
+    "scan_pruning_typed",
+    """
+    WITH d AS (
+      SELECT doc_id % 6 AS part,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    p AS (
+      SELECT part,
+             CAST(part % 3 + 2 AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM d GROUP BY part),
+    f AS (
+      SELECT part, k, n,
+             [ {'j': j,
+                'o': coalesce(list_sum([ (n + k - 1 - i) // k
+                                          for i in generate_series(0, j - 1) ]), 0),
+                'r': (n + k - 1 - j) // k }
+               for j in generate_series(0, k - 1) ] AS files
+      FROM p),
+    g AS (
+      SELECT part, k, n,
+             [ {'r': x.r,
+                'nrg': (x.r + 7) // 8,
+                'skips': coalesce(list_sum(
+                  [ CASE WHEN x.j = 0 AND m = 0 THEN 1
+                         WHEN x.o + LEAST(8 * m + 7, x.r - 1) < 16
+                              OR x.o + 8 * m > 47
+                         THEN 1 ELSE 0 END
+                    for m in generate_series(0, (x.r + 7) // 8 - 1) ]), 0),
+                'nullskips': CASE WHEN x.j = 0 THEN 1 ELSE 0 END }
+               for x in files ] AS fs
+      FROM f),
+    modes AS (
+      SELECT 's_between' AS mode, part, k, n, fs FROM g
+      UNION ALL
+      SELECT 'x_between', part, k, n, fs FROM g
+      UNION ALL
+      SELECT 'not_null', part, k, n, fs FROM g)
+    SELECT mode,
+           CAST(part AS INTEGER) AS part,
+           k AS n_files,
+           CAST(list_sum([ CASE WHEN (CASE WHEN mode = 'not_null'
+                                           THEN y.nullskips ELSE y.skips END) = y.nrg
+                                THEN 1 ELSE 0 END
+                           for y in fs ]) AS BIGINT) AS n_skippable_files,
+           CAST(list_sum([ y.nrg for y in fs ]) AS BIGINT) AS n_row_groups,
+           CAST(list_sum([ CASE WHEN mode = 'not_null'
+                                THEN y.nullskips ELSE y.skips END
+                           for y in fs ]) AS BIGINT) AS n_skippable_rgs,
+           n AS rows_total,
+           CAST(list_sum([ CASE WHEN (CASE WHEN mode = 'not_null'
+                                           THEN y.nullskips ELSE y.skips END) = y.nrg
+                                THEN 0 ELSE y.r END
+                           for y in fs ]) AS BIGINT) AS rows_scanned
+    FROM modes
+    ORDER BY mode, part
+    """,
+)
+def scan_pruning_typed(spark, sf_dir):
+    """TYPED data-skipping audit (VERDICT r8 #3): the same
+    footers-only pruning_report driven through string min/max, double
+    min/max, and null-count statistics — over a string-keyed hive
+    lake whose first row group of file 0 is ALL NULL in the audited
+    columns. Three modes, one row each per partition:
+
+    - ``s_between``: ``'w%09d'%16 <= s <= 'w%09d'%47`` over a
+      zero-padded string column (lexicographic = numeric order, so
+      the oracle reuses the integer interval algebra);
+    - ``x_between``: ``16.25 <= x <= 47.25`` over doubles (x = o +
+      0.25 — same integer skip set by construction);
+    - ``not_null``: ``s IS NOT NULL`` — exactly the all-null row
+      group skips (null_count == num_values pruning).
+
+    The all-null row group is skippable in ALL three modes (NULL
+    satisfies no range), and its stats-less window must NOT zero its
+    file's other row groups' skip counts (ADVICE r8: per-row-group
+    semantics). Builder layout is scan_pruning's contiguous-slice
+    scheme (k = p%3+2 files, row groups of 8), so every counter is a
+    closed-form the DuckDB oracle restates with one extra CASE for
+    the null stripe.
+
+    Scale: identical footer-bytes-only I/O posture as scan_pruning;
+    string/double/null stats are what real lakes key on (ds strings,
+    event-time doubles, sparse optional columns)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .operators.parquet_meta import pruning_report
+
+    out_dir = str(
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "scan_pruning_typed"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("part", (F.col("doc_id") % 6).cast("int"))
+    )
+
+    def build(pdf):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = int(pdf["part"].iloc[0])
+        k = part % 3 + 2
+        pdf = pdf.sort_values("doc_id")
+        n = sum(len(t.split(" ")) for t in pdf["text"])
+        pdir = _os.path.join(out_dir, f"key=cat_{part}")
+        _os.makedirs(pdir, exist_ok=True)
+        off = 0
+        for j in range(k):
+            rows = (n + k - 1 - j) // k
+            # file 0's first 8 rows are NULL in both audited columns
+            # (one all-null row group at row_group_size=8)
+            svals = [
+                None if j == 0 and i < 8 else f"w{off + i:09d}"
+                for i in range(rows)
+            ]
+            xvals = [
+                None if j == 0 and i < 8 else off + i + 0.25
+                for i in range(rows)
+            ]
+            pq.write_table(
+                pa.table(
+                    {
+                        "s": pa.array(svals, pa.string()),
+                        "x": pa.array(xvals, pa.float64()),
+                    }
+                ),
+                _os.path.join(pdir, f"f-{j:03d}.parquet"),
+                row_group_size=8,
+            )
+            off += rows
+        return pd.DataFrame({"part": [part], "n_files": [k]})
+
+    d.groupBy("part").applyInPandas(
+        build, "part int, n_files int"
+    ).count()
+
+    def report(mode, **kw):
+        rep = pruning_report(spark, out_dir, **kw)
+        return rep.select(
+            F.lit(mode).alias("mode"),
+            F.regexp_extract("partition", r"key=cat_(\d+)", 1)
+            .cast("int")
+            .alias("part"),
+            F.col("n_files").cast("long").alias("n_files"),
+            F.col("n_skippable_files").cast("long").alias(
+                "n_skippable_files"
+            ),
+            F.col("n_row_groups").cast("long").alias("n_row_groups"),
+            F.col("n_skippable_rgs").cast("long").alias(
+                "n_skippable_rgs"
+            ),
+            F.col("rows_total").cast("long").alias("rows_total"),
+            F.col("rows_scanned").cast("long").alias("rows_scanned"),
+        )
+
+    return (
+        report("s_between", column="s", lo="w%09d" % 16, hi="w%09d" % 47)
+        .unionByName(
+            report("x_between", column="x", lo=16.25, hi=47.25)
+        )
+        .unionByName(report("not_null", column="s", not_null=True))
+    )

@@ -287,3 +287,32 @@ def test_scan_pruning_is_footer_sized(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert _op_count(p, "Scan binaryFile") == 1  # one footer scan
     assert _op_count(p, "Exchange") == 1  # the per-partition rollup
+
+
+def test_scan_pruning_pages_is_index_sized(spark, sf_dir):
+    """scan_pruning_pages (round 9): the PageIndex audit keeps the
+    scan_pruning posture — one binaryFile listing projecting (path,
+    length) only, one rollup exchange, no content column anywhere in
+    the plan (footer + index region ranged reads happen inside the
+    Arrow-batched per-file pass)."""
+    p = _plan(spark, "scan_pruning_pages", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert _op_count(p, "Scan binaryFile") == 1
+    assert _op_count(p, "Exchange") == 1
+    assert "content" not in p
+
+
+def test_scan_pruning_typed_is_footer_sized(spark, sf_dir):
+    """scan_pruning_typed (round 9): three typed pruning modes union
+    three footer-only audits of the SAME mini-lake — three binaryFile
+    listings (one per mode), one rollup exchange each, and the
+    content column never projected."""
+    p = _plan(spark, "scan_pruning_typed", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert _op_count(p, "Scan binaryFile") == 3
+    assert _op_count(p, "Exchange") == 3
+    assert "content" not in p
