@@ -828,40 +828,60 @@ def compile_pipeline(
         #   destination:
         #     maintenance: {compact_small_files: true,
         #                   small_file_mb: 32, target_mb: 128}
-        # Runs only after a PASSED publish to a parquet sink; flagged
-        # hive partitions are rewritten with verified-equal row counts.
+        # Runs only after a PASSED publish. Parquet sinks use the
+        # local rename-swap loop; SNAPSHOT sinks route to the
+        # object-store-safe single-pointer commit
+        # (sources/snapshots.py compact_small_dirs — round 9), so the
+        # audit→compaction loop is safe end to end on any filesystem
+        # a snapshot table lives on. Flagged units are rewritten with
+        # verified-equal row counts either way.
         n_compacted = 0
         maint = spec.destination.options.get("maintenance") or {}
         if (
             published
-            and spec.destination.type == "parquet"
+            and spec.destination.type in ("parquet", "snapshot")
             and maint.get("compact_small_files")
         ):
             import os as _os
 
-            if not _os.path.isdir(published):
-                # compact_flagged walks local paths; silently no-opping
-                # on s3a://... would let small files accumulate while
-                # the user believes compaction is active (review r8b)
-                raise ValueError(
-                    "maintenance.compact_small_files requires a "
-                    "local/shared-filesystem destination path; got "
-                    f"{published!r} (object stores: use snapshot "
-                    "tables or an external OPTIMIZE job)"
-                )
-            from ..operators.layout import compact_flagged
+            small = int(maint.get("small_file_mb", 32)) << 20
+            tgt = int(maint.get("target_mb", 128))
+            if spec.destination.type == "snapshot":
+                from ..sources.snapshots import compact_small_dirs
 
-            n_compacted = (
-                compact_flagged(
-                    spark,
-                    published,
-                    small_file_bytes=int(maint.get("small_file_mb", 32))
-                    << 20,
-                    target_mb=int(maint.get("target_mb", 128)),
+                n_compacted = (
+                    compact_small_dirs(
+                        spark, published, small_file_bytes=small,
+                        target_mb=tgt,
+                    )
+                    .filter("swapped")
+                    .count()
                 )
-                .filter("swapped")
-                .count()
-            )
+            else:
+                if not _os.path.isdir(published):
+                    # compact_flagged's rename swap walks local paths;
+                    # silently no-opping on s3a://... would let small
+                    # files accumulate while the user believes
+                    # compaction is active (review r8b)
+                    raise ValueError(
+                        "maintenance.compact_small_files requires a "
+                        "local/shared-filesystem destination path; got "
+                        f"{published!r} (object stores: use snapshot "
+                        "tables, whose compaction commits via the "
+                        "manifest pointer)"
+                    )
+                from ..operators.layout import compact_flagged
+
+                n_compacted = (
+                    compact_flagged(
+                        spark,
+                        published,
+                        small_file_bytes=small,
+                        target_mb=tgt,
+                    )
+                    .filter("swapped")
+                    .count()
+                )
         t3 = time.perf_counter()
         if not report.passed and alert is not None:
             # the reference's Slack alert hook (ref: dag_factory.py:80-87),

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import glob
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_engineering_etl_self_service_spark.operators.layout import (
@@ -169,3 +170,147 @@ def test_compact_flagged_recovers_crashed_swap(spark, tmp_path):
     compact_flagged(spark, str(lake), small_file_bytes=1)
     assert sorted(os.listdir(lake)) == ["part=x"]
     assert spark.read.parquet(str(d)).count() == 500
+
+
+def test_compact_small_dirs_single_pointer_commit(spark, tmp_path):
+    """Snapshot-table compaction (round 9, VERDICT r8 #4): the
+    audit→compaction loop on a snapshot table commits via the manifest
+    pointer — no renames. Flagged data dirs are rewritten into fresh
+    dirs and swapped in ONE new version; unflagged dirs ride along by
+    reference; rows and time travel are preserved; the streaming
+    batch_id watermark survives; orphans (a crashed writer's dir, a
+    drifted rewrite) are never referenced."""
+    from data_engineering_etl_self_service_spark.operators.layout import (
+        compact_flagged,
+    )
+    from data_engineering_etl_self_service_spark.sources import snapshots
+
+    base = str(tmp_path / "snap")
+    # v1: 8 tiny files; v2 append: 8 more tiny files; v3 append: one
+    # healthy file (kept by reference)
+    snapshots.write_snapshot(
+        spark.range(100)
+        .selectExpr("id", "md5(cast(id AS string)) AS h")
+        .repartition(8),
+        base,
+    )
+    snapshots.write_snapshot(
+        spark.range(100, 200)
+        .selectExpr("id", "md5(cast(id AS string)) AS h")
+        .repartition(8),
+        base,
+        meta={"batch_id": 41},
+    )
+    snapshots.write_snapshot(
+        spark.range(200, 300)
+        .selectExpr("id", "md5(cast(id AS string)) AS h")
+        .coalesce(1),
+        base,
+    )
+    head = snapshots.snapshot_versions(base)[-1]
+    dirs_before = snapshots._read_manifest(base, head)["data_dirs"]
+    assert len(dirs_before) == 3
+    # a crashed writer's orphan dir must not be audited into the swap
+    orphan = tmp_path / "snap" / "data" / "deadbeef"
+    spark.range(5).repartition(4).write.parquet(str(orphan))
+
+    out = compact_flagged(
+        spark, base, small_file_bytes=2 << 10, target_mb=128
+    ).collect()
+    swapped = {r["partition"]: r for r in out if r["swapped"]}
+    assert len(swapped) == 2  # the two tiny-file dirs; healthy + orphan not touched
+    for r in swapped.values():
+        assert r["partition"].startswith("data/")
+        assert r["files_before"] == 8 and r["files_after"] == 1
+        assert r["rows_before"] == r["rows_after"] == 100
+
+    new_head = snapshots.snapshot_versions(base)[-1]
+    assert new_head == head + 1
+    m = snapshots._read_manifest(base, new_head)
+    assert m["mode"] == "compact"
+    assert m["batch_id"] == 41  # exactly-once watermark carried
+    assert len(m["data_dirs"]) == 3
+    # the healthy dir rides along BY REFERENCE (same relpath)
+    kept = set(dirs_before) & set(m["data_dirs"])
+    assert len(kept) == 1
+    assert "data/deadbeef" not in m["data_dirs"]
+    # rows preserved, new head reads back whole
+    got = sorted(
+        r["id"]
+        for r in snapshots.read_snapshot(spark, base).collect()
+    )
+    assert got == list(range(300))
+    # time travel: the PRE-compaction head still reads its old dirs
+    old = snapshots.read_snapshot(spark, base, version=head)
+    assert old.count() == 300
+    # re-audit: flag cleared (no more small-file-majority dirs in head)
+    again = compact_flagged(
+        spark, base, small_file_bytes=2 << 10, target_mb=128
+    ).collect()
+    assert again == []
+
+
+def test_compact_small_dirs_crash_mid_commit_keeps_readers_whole(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r8 #4 'done' bar: a compaction writer killed at the
+    manifest publish leaves readers on the old version with NO double
+    counting — the rewritten dirs are invisible orphans vacuum
+    reclaims — and a plain retry completes the swap."""
+    import os as _os
+
+    from data_engineering_etl_self_service_spark.sources import snapshots
+
+    base = str(tmp_path / "snap")
+    snapshots.write_snapshot(spark.range(50).repartition(8), base)
+
+    real_link = _os.link
+
+    def boom(src, dst):
+        raise KeyboardInterrupt("compactor killed before publish")
+
+    monkeypatch.setattr(snapshots.os, "link", boom)
+    with pytest.raises(KeyboardInterrupt):
+        snapshots.compact_small_dirs(
+            spark, base, small_file_bytes=1 << 20
+        )
+    monkeypatch.setattr(snapshots.os, "link", real_link)
+
+    # readers: old version, exact rows, no doubles
+    assert snapshots.snapshot_versions(base) == [1]
+    df = snapshots.read_snapshot(spark, base)
+    assert sorted(r["id"] for r in df.collect()) == list(range(50))
+    data_root = tmp_path / "snap" / "data"
+    assert len(list(data_root.iterdir())) == 2  # v1 dir + orphan rewrite
+    # vacuum reclaims the orphan (grace period honored first)
+    assert snapshots.vacuum(base, keep_last=1, min_age_s=3600.0) == []
+    assert len(snapshots.vacuum(base, keep_last=1)) == 1
+    assert snapshots.read_snapshot(spark, base).count() == 50
+    # retry completes normally
+    out = snapshots.compact_small_dirs(
+        spark, base, small_file_bytes=1 << 20
+    ).collect()
+    assert len(out) == 1 and out[0]["swapped"]
+    assert snapshots.snapshot_versions(base) == [1, 2]
+    assert snapshots.read_snapshot(spark, base).count() == 50
+
+
+def test_compact_small_dirs_leaves_partitioned_dirs_alone(
+    spark, tmp_path
+):
+    """Hive-partitioned snapshot versions (overwrite-only by contract)
+    version by full rewrite — dir-level compaction must not flatten
+    their layout."""
+    from data_engineering_etl_self_service_spark.sources import snapshots
+
+    base = str(tmp_path / "snap")
+    df = spark.range(40).selectExpr("id", "id % 2 AS ds").repartition(8)
+    snapshots.write_snapshot(
+        df, base, mode="overwrite", partition_by=("ds",)
+    )
+    out = snapshots.compact_small_dirs(
+        spark, base, small_file_bytes=1 << 20
+    ).collect()
+    assert out == []
+    assert snapshots.snapshot_versions(base) == [1]  # no empty commit
+    assert snapshots.read_snapshot(spark, base).count() == 40

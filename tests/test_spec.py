@@ -1564,3 +1564,67 @@ def test_yaml_maintenance_compacts_small_files(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     )
     assert got == list(range(400))
+
+
+def test_yaml_maintenance_compacts_snapshot_destination(spark, tmp_path):
+    """Round 9 (VERDICT r8 #4): maintenance.compact_small_files on a
+    SNAPSHOT destination routes through the single-pointer manifest
+    commit — the published version's tiny-file data dir is rewritten
+    and swapped as a new version, rows preserved, old version still
+    time-travelable, no rename anywhere."""
+    import json as _json
+
+    from data_engineering_etl_self_service_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from data_engineering_etl_self_service_spark.plans.spec import (
+        spec_from_dict,
+    )
+    from data_engineering_etl_self_service_spark.sources import snapshots
+
+    src = tmp_path / "in.json"
+    out = tmp_path / "tbl"
+    with open(src, "w") as fh:
+        for i in range(400):
+            fh.write(_json.dumps({"event_id": i, "v": i * 2}) + "\n")
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"dag_id": "maint_snap"},
+            "source": {"type": "file", "format": "json", "path": str(src)},
+            "destination": {
+                "type": "snapshot",
+                "path": str(out),
+                "maintenance": {
+                    "compact_small_files": True,
+                    "small_file_mb": 1,
+                    "target_mb": 128,
+                },
+            },
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+            "transformations": [{"op": "repartition", "n": 16}],
+        }
+    )
+    res = run_pipeline(spark, spec, ds="2025-08-15")
+    assert res.report.passed and res.published_path == str(out)
+    assert res.metrics["partitions_compacted"] == 1
+    # v1 = the publish, v2 = the compaction commit
+    assert snapshots.snapshot_versions(str(out)) == [1, 2]
+    assert snapshots._read_manifest(str(out), 2)["mode"] == "compact"
+    head = snapshots.read_snapshot(spark, str(out))
+    assert sorted(
+        r["event_id"] for r in head.collect()
+    ) == list(range(400))
+    # the compacted head lists ONE dir with one file
+    m = snapshots._read_manifest(str(out), 2)
+    assert len(m["data_dirs"]) == 1
+    import glob as _glob
+
+    files = _glob.glob(str(out / m["data_dirs"][0] / "*.parquet"))
+    assert len(files) == 1  # 16 tiny files -> 1
+    # time travel to the pre-compaction version still works
+    assert (
+        snapshots.read_snapshot(spark, str(out), version=1).count()
+        == 400
+    )
