@@ -132,11 +132,15 @@ def sniff_decompress(raw: bytes) -> dict:
     ``compression`` is 'none' for unrecognized bytes (data passes
     through verbatim — plain text IS the common case); a magic-prefixed
     payload that fails to inflate ALSO passes through verbatim with
-    ``ok=False`` — magic bytes can occur in plain text ('BZh' is three
-    printable ASCII chars), and destroying the payload on a sniff
-    false-positive would be silent data loss (review r6c). Never
-    raises. Composes with :func:`sniff_decode`: bytes → decompress →
-    charset → text is the whole front door.
+    ``ok=False`` and the failure's message under ``error`` — magic
+    bytes can occur in plain text ('BZh' is three printable ASCII
+    chars), and destroying the payload on a sniff false-positive would
+    be silent data loss (review r6c). Never raises. A zstd frame that
+    names an external DICTIONARY is failed up front with a specific
+    actionable ``error`` ("requires its external dictionary") instead
+    of the generic decode failure both libzstd and the pure decoder
+    would report (VERDICT r8 #6). Composes with :func:`sniff_decode`:
+    bytes → decompress → charset → text is the whole front door.
     """
     comp = "none"
     for magic, name in _MAGICS:
@@ -163,6 +167,18 @@ def sniff_decompress(raw: bytes) -> dict:
 
             return {"compression": comp, "ok": True, "data": lzma.decompress(raw)}
         if comp == "zstd":
+            # dictionary frames fail BOTH decoders with an opaque
+            # "corrupt" — probe the header first so the failure names
+            # the real cause and the missing piece (VERDICT r8 #6)
+            from .zstd import zstd_dictionary_id
+
+            did = zstd_dictionary_id(raw)
+            if did is not None:
+                raise ValueError(
+                    f"zstd: dictionary frame (dictionary_id={did}) "
+                    "requires its external dictionary; external "
+                    "dictionaries are unsupported"
+                )
             # native libzstd first — the arrival front door must not
             # pay pure-Python per-byte cost when the C codec is in the
             # container; the pure RFC 8878 decoder is the no-pyarrow
@@ -182,8 +198,13 @@ def sniff_decompress(raw: bytes) -> dict:
 
                 data = lz4_decompress(raw)
             return {"compression": comp, "ok": True, "data": data}
-    except Exception:
-        # sniff false-positive, corrupt container, or absent optional
-        # codec (pyarrow): keep the bytes
-        return {"compression": comp, "ok": False, "data": raw}
+    except Exception as ex:
+        # sniff false-positive, corrupt container, dictionary frame, or
+        # absent optional codec (pyarrow): keep the bytes, name the why
+        return {
+            "compression": comp,
+            "ok": False,
+            "data": raw,
+            "error": str(ex),
+        }
     raise AssertionError("unreachable: every sniffed codec returns")

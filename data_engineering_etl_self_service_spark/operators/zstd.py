@@ -580,6 +580,40 @@ def _decode_block(
 # =========================================================================
 
 
+def zstd_dictionary_id(raw: bytes) -> int | None:
+    """Dictionary_ID declared by the first (non-skippable) zstd frame
+    in ``raw``, or ``None`` when the frame carries no dictionary
+    reference (no DID field, or the spec's explicit ID 0). A cheap
+    header-bytes-only probe — callers use it to fail a dictionary
+    frame with a SPECIFIC error before handing the bytes to a decoder
+    that can only say "corrupt" (VERDICT r8 #6). Returns ``None`` for
+    anything that isn't a zstd frame header at all."""
+    pos = 0
+    try:
+        while True:
+            if pos + 4 > len(raw):
+                return None
+            magic = struct.unpack_from("<I", raw, pos)[0]
+            pos += 4
+            if SKIPPABLE_LO <= magic <= SKIPPABLE_HI:
+                if pos + 4 > len(raw):
+                    return None
+                pos += 4 + struct.unpack_from("<I", raw, pos)[0]
+                continue
+            if magic != ZSTD_MAGIC:
+                return None
+            fhd = raw[pos]
+            pos += 1
+            did_size = (0, 1, 2, 4)[fhd & 3]
+            if not fhd & 0x20:
+                pos += 1  # Window_Descriptor
+            if not did_size or pos + did_size > len(raw):
+                return None
+            return int.from_bytes(raw[pos : pos + did_size], "little") or None
+    except IndexError:
+        return None
+
+
 def zstd_decompress(raw: bytes, max_out: int | None = None) -> bytes:
     """Decode one-or-more concatenated zstd frames → original bytes.
     Raises ``ValueError`` on anything structurally invalid or outside
@@ -626,7 +660,20 @@ def _decompress(raw: bytes, max_out: int | None = None) -> bytes:
         if not single_segment:
             pos += 1  # Window_Descriptor (bounds irrelevant for full buf)
         if did_size:
-            raise ValueError("zstd: dictionary frames unsupported")
+            # Dictionary_ID present. ID 0 is the spec's explicit
+            # "no dictionary" encoding and decodes normally; any other
+            # ID names an EXTERNAL dictionary this decoder (and
+            # libzstd without that dictionary) cannot supply — a
+            # distinct, actionable error, not a generic decode failure
+            # (VERDICT r8 #6).
+            did = int.from_bytes(raw[pos : pos + did_size], "little")
+            pos += did_size
+            if did:
+                raise ValueError(
+                    f"zstd: dictionary frame (dictionary_id={did}) "
+                    "requires its external dictionary; external "
+                    "dictionaries are unsupported"
+                )
         fcs_size = (
             (1 if single_segment else 0), 2, 4, 8
         )[fcs_flag]

@@ -2866,7 +2866,10 @@ _ROUND5_NEW = frozenset(
 #: weaker rows-only row). Their "settled" status never expires via the
 #: normal tail rotation fast enough (VERDICT r7 #3: knn_join_fast's only
 #: driver row was from r01), so any of them whose latest driver row is
-#: ≥3 rounds old re-fronts ahead of the settled tail for a fresh row.
+#: ≥2 rounds old re-fronts ahead of the settled tail for a fresh row
+#: (tightened from 3 in round 9 — VERDICT r8 #8 wants every rows-only
+#: name's driver row ≤3 rounds old AT JUDGING time, which a 3-round
+#: trigger only meets one round late).
 _ROWS_ONLY_ROTATE = (
     "approx_tier",
     "hll_sketch_union",
@@ -2952,7 +2955,7 @@ def _priority_order(names):
     stale_rows_only = [
         n
         for n in _ROWS_ONLY_ROTATE
-        if n in names and cur - last_seen.get(n, 0) >= 3
+        if n in names and cur - last_seen.get(n, 0) >= 2
     ]
     settled = settled - frozenset(stale_rows_only)
     fresh = [
@@ -9808,6 +9811,26 @@ def srp_neardup(spark, sf_dir):
     )
 
 
+def _parquet_nrows(sf_dir: str, name: str) -> int:
+    """Table row count from parquet FOOTERS (driver-side pyarrow
+    metadata, no Spark job). The plan-audit twin below must stay LAZY
+    — ADVICE r8: deriving the auto plane count via ``e.count()``
+    during plan construction silently executed a full scan job inside
+    what callers treat as plan-only code."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = _os.path.join(sf_dir, f"{name}.parquet")
+    paths = (
+        [path]
+        if _os.path.isfile(path)
+        else sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    )
+    return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
 def _srp_neardup_plan(spark, sf_dir):
     from .operators.dedup import srp_lsh_pairs
 
@@ -9815,7 +9838,7 @@ def _srp_neardup_plan(spark, sf_dir):
     return srp_lsh_pairs(
         e,
         n_tables=18,
-        planes_per_table=_srp_auto_planes(e.count()),
+        planes_per_table=_srp_auto_planes(_parquet_nrows(sf_dir, "embeddings")),
         tau_num=2,
         tau_den=5,
         materialize=False,

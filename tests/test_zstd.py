@@ -699,3 +699,60 @@ def test_codec_hardening_round8b():
         pa.input_stream(io.BytesIO(frame), compression="zstd").read()
         == dense
     )
+
+
+def test_dictionary_frame_specific_error_all_paths():
+    """VERDICT r8 #6: a zstd frame naming an external dictionary must
+    fail with a DISTINCT actionable error — naming the dictionary id
+    and the missing piece — through the raw decoder, the sniffing
+    front door (ok=False passthrough + error message), and the Avro
+    OCF block path (loud). The spec's explicit Dictionary_ID=0 form
+    ('no dictionary') must still decode."""
+    from data_engineering_etl_self_service_spark.operators.encoding import (
+        sniff_decompress,
+    )
+    from data_engineering_etl_self_service_spark.operators.zstd import (
+        zstd_dictionary_id,
+    )
+    from data_engineering_etl_self_service_spark.operators.zstd_enc import (
+        zstd_compress,
+    )
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        _decompress_block,
+    )
+
+    payload = b"hello dictionary world " * 40
+    frame = zstd_compress(payload)
+    assert zstd_decompress(frame) == payload
+    assert zstd_dictionary_id(frame) is None
+    # graft a 1-byte Dictionary_ID=7 into the real frame header
+    fhd = frame[4]
+    assert fhd & 3 == 0
+    ins = 5 if fhd & 0x20 else 6  # after Window_Descriptor if present
+    crafted = (
+        frame[:4] + bytes([fhd | 0x01]) + frame[5:ins] + b"\x07"
+        + frame[ins:]
+    )
+    assert zstd_dictionary_id(crafted) == 7
+    with pytest.raises(
+        ValueError, match=r"dictionary_id=7.*requires its external"
+    ):
+        zstd_decompress(crafted)
+    # sniffing front door: bytes pass through with the specific reason
+    r = sniff_decompress(crafted)
+    assert r["compression"] == "zstd" and r["ok"] is False
+    assert r["data"] == crafted
+    assert "requires its external dictionary" in r["error"]
+    assert "dictionary_id=7" in r["error"]
+    # OCF block path: loud, specific
+    with pytest.raises(
+        ValueError, match=r"avro: zstd dictionary frame \(dictionary_id=7\)"
+    ):
+        _decompress_block(crafted, "zstd")
+    # Dictionary_ID=0 is the spec's 'no dictionary' encoding: decodes
+    crafted0 = (
+        frame[:4] + bytes([fhd | 0x01]) + frame[5:ins] + b"\x00"
+        + frame[ins:]
+    )
+    assert zstd_dictionary_id(crafted0) is None
+    assert zstd_decompress(crafted0) == payload
