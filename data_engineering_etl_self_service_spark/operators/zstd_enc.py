@@ -24,9 +24,17 @@ predefined-FSE-coded sequences**:
   contains step i+1's state — the FSE spread tiles the state space per
   symbol, so the choice is total and unambiguous — then packs the bit
   ops in decode order under the 1-bit sentinel of the backward stream.
-- offsets always use the literal form (Offset_Value = offset + 3);
-  repeat-offset codes are never emitted, so frames are stateless across
-  blocks.
+- offsets prefer the REPEAT-OFFSET codes (Offset_Value 1-3, round 9 —
+  VERDICT r8 #7): the encoder walks the decoder's three-slot repeat
+  history forward over the sequence stream (including the ll==0
+  remapping and the rep1-1 special form) and emits the 0/1-extra-bit
+  repeat form whenever the match offset sits in the history, falling
+  back to the literal form (Offset_Value = offset + 3) otherwise. The
+  history threads across blocks within a frame, exactly like the
+  decoder's ``_FrameCtx.rep``; structured data with a dominant stride
+  (the OCF fallback's actual payload shape) saves ~log2(offset) bits
+  per repeated match. ``use_rep_offsets=False`` restores the stateless
+  literal-only form (and is what the ratio test compares against).
 - blocks cap at 64 KiB source; a block whose compressed form doesn't
   shrink is stored Raw (every block stays under the format's 128 KiB
   Block_Maximum_Size).
@@ -124,20 +132,53 @@ def _pack_backward(ops: list) -> bytes:
             return bytes(buf)
 
 
-def _encode_sequences(seqs: list) -> bytes:
-    """[(ll, offset, ml)] → the sequences-section bitstream (predefined
-    tables; header bytes added by the caller)."""
+def _offset_values(seqs: list, rep: list) -> tuple:
+    """Map each sequence's match offset to its Offset_Value, preferring
+    the repeat codes (VERDICT r8 #7) — the exact forward image of the
+    decoder's repeat-history walk (zstd.py ``_decode_block``: the ll==0
+    index remap, the rep1-1 form, and every history rotation). Returns
+    ``(offset_values, rep_after)``; ``rep`` is not mutated."""
+    r0, r1, r2 = rep
+    ovs = []
+    for ll, off, _ml in seqs:
+        if ll != 0 and off == r0:
+            ov = 1  # history untouched
+        elif ll != 0 and off == r1:
+            ov = 2
+            r0, r1 = r1, r0
+        elif ll != 0 and off == r2:
+            ov = 3
+            r0, r1, r2 = r2, r0, r1
+        elif ll == 0 and off == r1:
+            ov = 1
+            r0, r1 = r1, r0
+        elif ll == 0 and off == r2:
+            ov = 2
+            r0, r1, r2 = r2, r0, r1
+        elif ll == 0 and off == r0 - 1 and off > 0:
+            ov = 3
+            r0, r1, r2 = off, r0, r1
+        else:
+            ov = off + 3
+            r0, r1, r2 = off, r0, r1
+        ovs.append(ov)
+    return ovs, [r0, r1, r2]
+
+
+def _encode_sequences(seqs: list, ovs: list) -> bytes:
+    """[(ll, offset, ml)] + per-sequence Offset_Values → the
+    sequences-section bitstream (predefined tables; header bytes added
+    by the caller)."""
     n = len(seqs)
     ll_codes = [_code_of(s[0], _LL_BASE) for s in seqs]
     ml_codes = [_code_of(s[2], _ML_BASE) for s in seqs]
-    of_codes = [(s[1] + 3).bit_length() - 1 for s in seqs]
+    of_codes = [ov.bit_length() - 1 for ov in ovs]
     ll0, _, ll_tr = _state_chain(ll_codes, "ll")
     of0, _, of_tr = _state_chain(of_codes, "of")
     ml0, _, ml_tr = _state_chain(ml_codes, "ml")
     ops = [(ll0, 6), (of0, 5), (ml0, 6)]  # init reads: LL, OF, ML
     for i, (ll, off, ml) in enumerate(seqs):
-        ov = off + 3
-        ops.append((ov - (1 << of_codes[i]), of_codes[i]))
+        ops.append((ovs[i] - (1 << of_codes[i]), of_codes[i]))
         ops.append((ml - _ML_BASE[ml_codes[i]], _ML_BITS[ml_codes[i]]))
         ops.append((ll - _LL_BASE[ll_codes[i]], _LL_BITS[ll_codes[i]]))
         if i + 1 < n:  # decoder updates LL, ML, OF after each non-last
@@ -337,9 +378,14 @@ def _find_sequences(src: bytes):
     return seqs, lits
 
 
-def _compress_block(src: bytes) -> bytes | None:
-    """One zstd Compressed-block CONTENT for ``src``, or None when the
-    compressed form wouldn't shrink (caller stores the block raw)."""
+def _compress_block(
+    src: bytes, rep: list, use_rep_offsets: bool = True
+) -> tuple:
+    """One zstd Compressed-block CONTENT for ``src`` →
+    ``(content_or_None, rep_after)`` — None when the compressed form
+    wouldn't shrink (caller stores the block raw; the repeat-offset
+    history is untouched, matching the decoder, which only rotates it
+    on decoded sequences)."""
     seqs, lits = _find_sequences(src)
     # literals-only candidate: on near-random data the greedy LZ parse
     # emits marginal 4-byte matches whose sequence coding costs MORE
@@ -354,7 +400,7 @@ def _compress_block(src: bytes) -> bytes | None:
         best = bytes(out)
         if lit_only is not None and len(lit_only) < len(best):
             best = lit_only
-        return best if len(best) < len(src) else None
+        return (best if len(best) < len(src) else None), rep
     if n < 128:
         out.append(n)
     elif n < 0x7F00:
@@ -368,18 +414,40 @@ def _compress_block(src: bytes) -> bytes | None:
         out.append(255)
         out += (n - 0x7F00).to_bytes(2, "little")
     out.append(0)  # modes byte: Predefined for LL, OF, ML
-    out += _encode_sequences(seqs)
+    if use_rep_offsets:
+        ovs, rep_after = _offset_values(seqs, rep)
+    else:
+        # literal form for every offset; the decoder still rotates its
+        # history on each ov>3, so walk the same rotation
+        ovs = [s[1] + 3 for s in seqs]
+        r = list(rep)
+        for _ll, off, _ml in seqs:
+            r = [off, r[0], r[1]]
+        rep_after = r
+    out += _encode_sequences(seqs, ovs)
     best = bytes(out)
+    best_rep = rep_after
     if lit_only is not None and len(lit_only) < len(best):
-        best = lit_only
-    return best if len(best) < len(src) else None
+        # the winning candidate decodes with ZERO sequences — the
+        # decoder's history never rotates for this block
+        best, best_rep = lit_only, rep
+    if len(best) < len(src):
+        return best, best_rep
+    return None, rep
 
 
-def zstd_compress(data: bytes, block_size: int = 1 << 16) -> bytes:
+def zstd_compress(
+    data: bytes,
+    block_size: int = 1 << 16,
+    use_rep_offsets: bool = True,
+) -> bytes:
     """Compress ``data`` into a standard zstd frame (single-segment,
     frame content size, VERIFIED content checksum). Every block is
     Compressed when that shrinks it and Raw otherwise, so output never
-    exceeds input + framing. Readable by libzstd and by
+    exceeds input + framing. Match offsets use the repeat-offset codes
+    whenever the offset sits in the decoder's three-slot history
+    (``use_rep_offsets=False`` restores literal-only offsets — kept
+    for the ratio comparison test). Readable by libzstd and by
     :func:`operators.zstd.zstd_decompress` (both pinned in tests)."""
     if not 0 < block_size <= 1 << 17:
         raise ValueError("zstd encode: block_size must be in (0, 128 KiB]")
@@ -398,9 +466,12 @@ def zstd_compress(data: bytes, block_size: int = 1 << 16) -> bytes:
     chunks = [
         data[i : i + block_size] for i in range(0, n, block_size)
     ] or [b""]
+    rep = [1, 4, 8]  # the spec's initial repeat-offset history
     for i, chunk in enumerate(chunks):
         last = 1 if i == len(chunks) - 1 else 0
-        comp = _compress_block(chunk) if chunk else None
+        comp = None
+        if chunk:
+            comp, rep = _compress_block(chunk, rep, use_rep_offsets)
         if comp is not None:
             out += struct.pack("<I", last | (2 << 1) | (len(comp) << 3))[
                 :3

@@ -756,3 +756,48 @@ def test_dictionary_frame_specific_error_all_paths():
     )
     assert zstd_dictionary_id(crafted0) is None
     assert zstd_decompress(crafted0) == payload
+
+
+def test_rep_offset_codes_shrink_structured_data():
+    """VERDICT r8 #7: repeat-offset emission. The encoder walks the
+    decoder's three-slot offset history (ll==0 remap + rep1-1 form
+    included) and emits Offset_Value 1-3 when the match offset sits in
+    it. Structured data with a dominant stride must shrink vs the
+    literal-offset form, and every frame must decode bit-identically
+    through BOTH libzstd and the pure decoder."""
+    import io
+
+    from data_engineering_etl_self_service_spark.operators.zstd_enc import (
+        zstd_compress,
+    )
+
+    def lib_decode(frame):
+        return pa.input_stream(
+            io.BytesIO(frame), compression="zstd"
+        ).read()
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "zstd"]
+    stride = b"".join(
+        b"key%04d=value%04d;" % (i, i % 50) for i in range(4000)
+    )
+    profiles = [
+        stride,  # constant stride -> rep1 dominates
+        b"AB" * 5000,
+        " ".join(rng.choice(words) for _ in range(8000)).encode(),
+        bytes(rng.randrange(4) for _ in range(50000)),
+        # multi-block: the history must thread ACROSS 64 KiB blocks
+        stride * 3,
+    ]
+    for i, d in enumerate(profiles):
+        f_rep = zstd_compress(d)
+        f_lit = zstd_compress(d, use_rep_offsets=False)
+        assert zstd_decompress(f_rep) == d, i
+        assert zstd_decompress(f_lit) == d, i
+        assert lib_decode(f_rep) == d, i
+        assert lib_decode(f_lit) == d, i
+        assert len(f_rep) <= len(f_lit), i
+    # the stride profile must improve MATERIALLY, not incidentally
+    assert len(zstd_compress(stride)) < 0.7 * len(
+        zstd_compress(stride, use_rep_offsets=False)
+    )
