@@ -13027,11 +13027,13 @@ def scan_pruning(spark, sf_dir):
                                 THEN 1 ELSE 0 END
                            for x in files ]) AS BIGINT)
              AS n_skippable_rgs,
-           CAST(list_sum([ (x.r + 7) // 8 for x in files ]) AS BIGINT)
+           CAST(list_sum([ CASE WHEN x.o + x.r - 1 < 16 OR x.o > 47
+                                THEN 0 ELSE (x.r + 7) // 8 END
+                           for x in files ]) AS BIGINT)
              AS n_pages,
            CAST(list_sum([
                   CASE WHEN x.o + x.r - 1 < 16 OR x.o > 47
-                       THEN (x.r + 7) // 8
+                       THEN 0
                        ELSE coalesce(list_sum(
                          [ CASE WHEN x.o + LEAST(8 * m + 7, x.r - 1) < 16
                                      OR x.o + 8 * m > 47
@@ -13068,7 +13070,9 @@ def scan_pruning_pages(spark, sf_dir):
     index enabled — so every page's [min, max] window is the
     closed-form interval [o + 8m, o + min(8m+7, r-1)] the DuckDB
     oracle restates symbolically. A row group skipped by its chunk
-    stats never opens its index (all its pages count skipped).
+    stats never opens its index — zero index bytes read — so the page
+    counters cover exactly the SURVIVING row groups (the marginal
+    pruning the PageIndex adds beyond chunk stats).
 
     Scale: footers + the KB-sized page-index region per file — ONE
     extra ranged read over the footers-only posture; at 100 TB this

@@ -115,8 +115,8 @@ def _commit_manifest(
     base_dir: str,
     dirs_of_head,
     mode: str,
-    schema: str | None,
-    meta: dict | None,
+    schema,
+    meta,
     max_retries: int = 10,
 ) -> int:
     """The single-pointer commit core shared by every snapshot writer:
@@ -124,7 +124,12 @@ def _commit_manifest(
     the CURRENT head inside the optimistic-retry loop, so a concurrent
     commit between planning and publish is never clobbered — the loser
     of the ``os.link`` race re-derives its directory list against the
-    winner's manifest. Returns the committed version number."""
+    winner's manifest. ``schema`` and ``meta`` may each be a value OR a
+    zero-arg callable — callables are re-evaluated per retry for the
+    same reason (review r9: a compaction that lost the race to a
+    streaming commit must not re-publish the PRE-race batch_id, or the
+    exactly-once replay guard re-appends the raced epoch). Returns the
+    committed version number."""
     os.makedirs(os.path.join(base_dir, _MANIFEST_DIR), exist_ok=True)
     for _ in range(max_retries):
         versions = snapshot_versions(base_dir)
@@ -134,6 +139,8 @@ def _commit_manifest(
             if versions
             else []
         )
+        schema_v = schema() if callable(schema) else schema
+        meta_v = meta() if callable(meta) else meta
         manifest = {
             "version": version,
             "mode": mode,
@@ -144,8 +151,8 @@ def _commit_manifest(
             # written schema, recorded per commit: schema drift between
             # versions becomes an auditable fact instead of a read-time
             # surprise (see schema_changes()).
-            **({"schema": schema} if schema is not None else {}),
-            **(meta or {}),
+            **({"schema": schema_v} if schema_v is not None else {}),
+            **(meta_v or {}),
         }
         tmp = _manifest_path(base_dir, version) + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
@@ -415,10 +422,16 @@ def compact_small_dirs(
         "partition string, files_before long, files_after long, "
         "rows_before long, rows_after long, swapped boolean"
     )
+    # audit ONLY the head version's data dirs — listing all of data/
+    # would footer-read every retained version and every orphan, so
+    # maintenance I/O would scale with history instead of head size
+    # (review r9); labels stay relative to data/ so the first path
+    # segment is the uuid dir name
     audit = lake_audit_report(
         spark,
-        os.path.join(base_dir, _DATA_DIR),
+        [os.path.join(base_dir, d) for d in head["data_dirs"]],
         small_file_bytes=small_file_bytes,
+        label_root=os.path.join(base_dir, _DATA_DIR),
     ).collect()
     # roll the per-leaf-dir audit rows up to data-dir granularity (the
     # first path segment under data/); hive-partitioned dirs show up as
@@ -472,13 +485,29 @@ def compact_small_dirs(
             )
         )
     if swap:
-        last = last_committed_batch(base_dir)
+
+        def _meta():
+            # re-read per commit attempt: a streaming commit that wins
+            # the race mid-compaction carries a NEWER batch_id, and the
+            # retry must republish that one, not the pre-audit value
+            # (review r9 — the replay guard depends on it)
+            last = last_committed_batch(base_dir)
+            return {"batch_id": last} if last is not None else None
+
+        def _schema():
+            versions = snapshot_versions(base_dir)
+            return (
+                _read_manifest(base_dir, versions[-1]).get("schema")
+                if versions
+                else None
+            )
+
         _commit_manifest(
             base_dir,
             lambda head_dirs: [swap.get(d, d) for d in head_dirs],
             "compact",
-            head.get("schema"),
-            {"batch_id": last} if last is not None else None,
+            _schema,
+            _meta,
         )
     return spark.createDataFrame(rows, schema_row)
 

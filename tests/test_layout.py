@@ -314,3 +314,50 @@ def test_compact_small_dirs_leaves_partitioned_dirs_alone(
     assert out == []
     assert snapshots.snapshot_versions(base) == [1]  # no empty commit
     assert snapshots.read_snapshot(spark, base).count() == 40
+
+
+def test_compact_small_dirs_lost_race_republishes_newer_batch_id(
+    spark, tmp_path, monkeypatch
+):
+    """review r9: a compaction that loses the manifest race to a
+    concurrent STREAMING commit must republish the winner's newer
+    batch_id (and current-head schema), not the pre-audit value —
+    otherwise last_committed_batch regresses and the exactly-once
+    replay guard re-appends the raced epoch."""
+    from data_engineering_etl_self_service_spark.sources import snapshots
+
+    base = str(tmp_path / "snap")
+    snapshots.write_snapshot(
+        spark.range(50).repartition(8), base, meta={"batch_id": 41}
+    )
+
+    real_link = snapshots.os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"]:
+            state["raced"] = True
+            # the streaming sink wins the race mid-commit
+            snapshots.write_snapshot(
+                spark.range(100, 110), base, meta={"batch_id": 42}
+            )
+            raise FileExistsError(dst)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(snapshots.os, "link", racing_link)
+    out = snapshots.compact_small_dirs(
+        spark, base, small_file_bytes=1 << 20
+    ).collect()
+    monkeypatch.setattr(snapshots.os, "link", real_link)
+    assert len(out) == 1 and out[0]["swapped"]
+    # three versions: v1, the racing v2, the compaction v3
+    assert snapshots.snapshot_versions(base) == [1, 2, 3]
+    head = snapshots._read_manifest(base, 3)
+    assert head["mode"] == "compact"
+    assert head["batch_id"] == 42  # the WINNER's watermark, not 41
+    assert snapshots.last_committed_batch(base) == 42
+    # the racing append's rows survive the compaction commit
+    got = sorted(
+        r["id"] for r in snapshots.read_snapshot(spark, base).collect()
+    )
+    assert got == list(range(50)) + list(range(100, 110))

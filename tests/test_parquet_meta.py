@@ -635,20 +635,18 @@ def test_page_pruning_report_vs_ground_truth(spark, tmp_path):
             rg_rows = pf.metadata.row_group(ri).num_rows
             rg_skip = st.max < lo or st.min > hi
             if rg_skip:
+                # chunk-stats skip: zero index reads, zero page counts
+                # (the page counters measure the index's MARGINAL
+                # pruning over surviving row groups — review r9)
                 exp_skip_rgs += 1
+                continue
             if pidx is None:
                 exp_pages += 1
-                if rg_skip:
-                    exp_skip_pages += 1
-                else:
-                    exp_scanned += rg_rows
+                exp_scanned += rg_rows
                 continue
             data = pf.read_row_group(ri).column("v").to_pylist()
             firsts = pidx["first_rows"]
             exp_pages += len(firsts)
-            if rg_skip:
-                exp_skip_pages += len(firsts)
-                continue
             for i, start in enumerate(firsts):
                 end = firsts[i + 1] if i + 1 < len(firsts) else rg_rows
                 live = [x for x in data[start:end] if x is not None]
@@ -737,3 +735,64 @@ def test_pruning_report_typed_and_null_modes(spark, tmp_path):
     a = rep["key=cat_a"]
     assert a["n_files"] == 2 and a["n_skippable_files"] == 1
     assert a["rows_total"] == 350 and a["rows_scanned"] == 300
+
+
+def test_page_index_read_skips_stats_skipped_row_groups(tmp_path):
+    """review r9: a row group skipped by chunk stats must cost ZERO
+    index bytes — read_page_index(only=...) restricts the ranged read
+    span to the surviving row groups."""
+    import os
+
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        read_footer_handle,
+        read_page_index,
+    )
+
+    fp = tmp_path / "x.parquet"
+    pq.write_table(
+        pa.table({"v": pa.array(range(900), pa.int64())}),
+        str(fp),
+        row_group_size=300,
+        write_page_index=True,
+        write_batch_size=50,
+        data_page_size=1,
+    )
+    fsize = os.path.getsize(fp)
+    with open(fp, "rb") as fh:
+        footer = read_footer_handle(fh, fsize)
+        full = read_page_index(fh, footer, "v")
+        fh2 = _CountingHandle(open(fp, "rb"))
+        only_mid = read_page_index(fh2, footer, "v", only={1})
+        fh2.close()
+        fh3 = _CountingHandle(open(fp, "rb"))
+        read_page_index(fh3, footer, "v")
+        fh3.close()
+    assert only_mid[0] is None and only_mid[2] is None
+    assert only_mid[1] == full[1]
+    # restricting to one rg reads strictly fewer index bytes
+    assert 0 < fh2.bytes_read < fh3.bytes_read
+    # empty selection never touches the handle
+    assert read_page_index(None, footer, "v", only=set()) == [
+        None,
+        None,
+        None,
+    ]
+
+
+def test_s3a_scheme_rewrite_and_unknown_scheme_error():
+    """review r9: Spark lakes address object stores as s3a:// — the
+    ranged-read resolver must rewrite Hadoop-convention schemes to the
+    pyarrow equivalent instead of dying on ArrowInvalid, and unknown
+    schemes must fail with an actionable message."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        _pyarrow_uri,
+        open_ranged,
+    )
+
+    assert _pyarrow_uri("s3a://bucket/k/f.parquet") == "s3://bucket/k/f.parquet"
+    assert _pyarrow_uri("s3n://b/k") == "s3://b/k"
+    assert _pyarrow_uri("S3A://b/k") == "s3://b/k"
+    assert _pyarrow_uri("gs://b/k") == "gs://b/k"
+    assert _pyarrow_uri("/local/path") == "/local/path"
+    with pytest.raises(ValueError, match="known schemes"):
+        open_ranged("definitelynotascheme://x/y")
