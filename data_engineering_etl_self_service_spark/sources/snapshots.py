@@ -457,7 +457,7 @@ def compact_small_dirs(
         and d not in partitioned
         and os.path.join(_DATA_DIR, d) in head_set
     ]
-    rows = []
+    pending = []  # (rel, new_rel|None, audit, n_files_after, rows_after)
     swap: dict[str, str] = {}
     for rel, a in flagged:
         src = os.path.join(base_dir, rel)
@@ -470,20 +470,13 @@ def compact_small_dirs(
             "error"
         ).parquet(dst)
         rows_after = spark.read.parquet(dst).count()
-        swapped = rows_after == a["total_rows"]
-        if swapped:
+        if rows_after == a["total_rows"]:
             swap[rel] = new_rel
-        # on drift the new dir stays unreferenced — vacuum reclaims it
-        rows.append(
-            (
-                rel,
-                a["n_files"],
-                n_files if swapped else a["n_files"],
-                a["total_rows"],
-                rows_after,
-                swapped,
-            )
-        )
+            pending.append((rel, new_rel, a, n_files, rows_after))
+        else:
+            # drift: the new dir stays unreferenced — vacuum reclaims it
+            pending.append((rel, None, a, a["n_files"], rows_after))
+    committed: set[str] = set()
     if swap:
 
         def _meta():
@@ -502,13 +495,32 @@ def compact_small_dirs(
                 else None
             )
 
-        _commit_manifest(
+        version = _commit_manifest(
             base_dir,
             lambda head_dirs: [swap.get(d, d) for d in head_dirs],
             "compact",
             _schema,
             _meta,
         )
+        # `swapped` is reported from the manifest that actually
+        # COMMITTED, not from intent: a concurrent overwrite can race
+        # the old dir out of the head, making the substitution a no-op
+        # for that dir — its rewrite is then just an orphan and must
+        # not be reported as landed work (review r9)
+        committed = set(
+            _read_manifest(base_dir, version)["data_dirs"]
+        )
+    rows = [
+        (
+            rel,
+            a["n_files"],
+            n_after if new_rel in committed else a["n_files"],
+            a["total_rows"],
+            rows_after,
+            new_rel is not None and new_rel in committed,
+        )
+        for rel, new_rel, a, n_after, rows_after in pending
+    ]
     return spark.createDataFrame(rows, schema_row)
 
 

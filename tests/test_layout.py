@@ -361,3 +361,42 @@ def test_compact_small_dirs_lost_race_republishes_newer_batch_id(
         r["id"] for r in snapshots.read_snapshot(spark, base).collect()
     )
     assert got == list(range(50)) + list(range(100, 110))
+
+
+def test_compact_small_dirs_raced_overwrite_reports_not_swapped(
+    spark, tmp_path, monkeypatch
+):
+    """review r9b: when a concurrent OVERWRITE races the flagged dir
+    out of the head between audit and commit, the substitution is a
+    no-op — the report must say swapped=False (the rewrite is just an
+    orphan), not claim landed work."""
+    from data_engineering_etl_self_service_spark.sources import snapshots
+
+    base = str(tmp_path / "snap")
+    snapshots.write_snapshot(spark.range(50).repartition(8), base)
+
+    real_link = snapshots.os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"]:
+            state["raced"] = True
+            snapshots.write_snapshot(
+                spark.range(900, 910), base, mode="overwrite"
+            )
+            raise FileExistsError(dst)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(snapshots.os, "link", racing_link)
+    out = snapshots.compact_small_dirs(
+        spark, base, small_file_bytes=1 << 20
+    ).collect()
+    monkeypatch.setattr(snapshots.os, "link", real_link)
+    assert len(out) == 1
+    assert out[0]["swapped"] is False
+    assert out[0]["files_after"] == out[0]["files_before"]
+    # the overwrite's head is untouched by the no-op compact commit
+    got = sorted(
+        r["id"] for r in snapshots.read_snapshot(spark, base).collect()
+    )
+    assert got == list(range(900, 910))

@@ -464,7 +464,7 @@ def test_generic_branch_reads_only_footer_bytes_on_multi_gb_file(tmp_path):
     fh.close()
     assert footer["num_rows"] == 1000
     assert len(footer["row_groups"]) == 10
-    assert fh.bytes_read == meta_len + 12  # blob + both magic probes
+    assert fh.bytes_read == meta_len + 8  # blob + tail word, TWO reads
     # the generic (pyarrow-fs) branch parses the same file identically
     # through real positioned reads — forced even for a local URI
     gfh = open_ranged(str(big), force_generic=True)
@@ -796,3 +796,127 @@ def test_s3a_scheme_rewrite_and_unknown_scheme_error():
     assert _pyarrow_uri("/local/path") == "/local/path"
     with pytest.raises(ValueError, match="known schemes"):
         open_ranged("definitelynotascheme://x/y")
+
+
+def test_relative_local_root_labels_and_compaction(spark):
+    """review r9b: a RELATIVE local table root must be realpath'd on
+    the driver — shipped verbatim it would be re-anchored against each
+    Python worker's CWD, producing garbage labels (and a silently
+    no-op'd compaction downstream). Relative paths resolve against the
+    driver process CWD (where the JVM was launched), so the fixture
+    lives under the repo's .scratch dir."""
+    import os
+    import shutil
+    import uuid
+
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        lake_audit_report,
+    )
+
+    rel = os.path.join(".scratch", f"rel_lake_{uuid.uuid4().hex[:8]}")
+    try:
+        for part in ("part=a", "part=b"):
+            d = os.path.join(rel, part)
+            os.makedirs(d)
+            pq.write_table(
+                pa.table({"x": pa.array(range(100), pa.int64())}),
+                os.path.join(d, "f.parquet"),
+            )
+        rep = {
+            r["partition"]: r["total_rows"]
+            for r in lake_audit_report(spark, rel).collect()
+        }
+        assert rep == {"part=a": 100, "part=b": 100}
+    finally:
+        shutil.rmtree(rel, ignore_errors=True)
+
+
+def test_page_index_exact_extent_reads(tmp_path):
+    """review r9b: the page-index ranged read must cover exactly the
+    selected column's selected row groups — a min..max span would drag
+    in other columns' index bytes and interior stats-skipped rgs. The
+    byte counter pins: selecting rgs {0, 2} of a 3-column file reads
+    strictly less than the whole index region, and the decoded
+    entries equal the full read's."""
+    import os
+
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        read_footer_handle,
+        read_page_index,
+    )
+
+    fp = tmp_path / "wide.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "v": pa.array(range(900), pa.int64()),
+                "w": pa.array([f"pad{i:06d}" * 4 for i in range(900)]),
+                "z": pa.array([i * 0.5 for i in range(900)]),
+            }
+        ),
+        str(fp),
+        row_group_size=300,
+        write_page_index=True,
+        write_batch_size=10,
+        data_page_size=1,
+    )
+    fsize = os.path.getsize(fp)
+    with open(fp, "rb") as fh:
+        footer = read_footer_handle(fh, fsize)
+    # whole index region span (all columns, all rgs) for comparison
+    offs = [
+        (c["ci_off"], c["ci_len"], c["oi_off"], c["oi_len"])
+        for rg in footer["row_groups"]
+        for c in rg["columns"]
+    ]
+    region = max(o + n for a, b, o, n in offs for o, n in [(a, b), (o, n)]) - min(
+        min(a, o) for a, b, o, n in offs
+    )
+    with open(fp, "rb") as raw:
+        fh_all = _CountingHandle(raw)
+        full = read_page_index(fh_all, footer, "v")
+    with open(fp, "rb") as raw:
+        fh_sel = _CountingHandle(raw)
+        sel = read_page_index(fh_sel, footer, "v", only={0, 2})
+    # exact extents: the v-column selection reads far less than the
+    # 3-column index region, and selecting 2 of 3 rgs reads less still
+    assert fh_all.bytes_read < region
+    assert fh_sel.bytes_read < fh_all.bytes_read
+    assert sel[1] is None
+    assert sel[0] == full[0] and sel[2] == full[2]
+
+
+def test_open_ranged_uses_cached_bucket_filesystem(monkeypatch):
+    """review r9b: object-store filesystems resolve once per bucket
+    (cached), not once per file, and the file path handed to the
+    cached client is pyarrow's '<bucket>/<key>' form."""
+    from data_engineering_etl_self_service_spark.operators import (
+        parquet_meta as pm,
+    )
+
+    calls = []
+
+    class FakeFS:
+        def open_input_file(self, p):
+            calls.append(p)
+            return io.BytesIO(b"")
+
+    roots = []
+
+    def fake_bucket_fs(root):
+        roots.append(root)
+        return FakeFS()
+
+    # the real resolver is an LRU: same bucket -> same instance
+    a = pm._bucket_fs("gs://samebucket")
+    b = pm._bucket_fs("gs://samebucket")
+    assert a is b
+
+    monkeypatch.setattr(pm, "_bucket_fs", fake_bucket_fs)
+    pm.open_ranged("s3a://mybucket/lake/part=1/f.parquet")
+    pm.open_ranged("s3a://mybucket/lake/part=2/g.parquet")
+    assert roots == ["s3://mybucket", "s3://mybucket"]
+    assert calls == [
+        "mybucket/lake/part=1/f.parquet",
+        "mybucket/lake/part=2/g.parquet",
+    ]
