@@ -400,3 +400,41 @@ def test_compact_small_dirs_raced_overwrite_reports_not_swapped(
         r["id"] for r in snapshots.read_snapshot(spark, base).collect()
     )
     assert got == list(range(900, 910))
+
+
+def test_zorder_layout_improves_measured_skipping(spark, tmp_path):
+    """Writer↔auditor synergy: zorder_by exists to make min/max
+    skipping work in BOTH dimensions, and pruning_report is the tool
+    that measures skipping — so a z-ordered layout must measurably
+    beat a randomly-bucketed one on the SAME predicate in each
+    dimension (round 9: the two halves pin each other)."""
+    from data_engineering_etl_self_service_spark.operators.layout import (
+        zorder_by,
+    )
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        pruning_report,
+    )
+
+    n, files = 40_000, 16
+    df = spark.range(0, n).select(
+        (F.col("id") % 200).alias("x"),
+        (F.floor(F.col("id") / 200)).alias("y"),
+    )
+    shuffled = str(tmp_path / "shuffled")
+    zordered = str(tmp_path / "zordered")
+    df.repartition(files).write.parquet(shuffled)
+    zorder_by(df, ["x", "y"], n_files=files).write.parquet(zordered)
+
+    def scanned(path, col):
+        rep = pruning_report(
+            spark, path, column=col, lo=0, hi=24
+        ).collect()
+        return sum(r["rows_scanned"] for r in rep)
+
+    for col in ("x", "y"):
+        rand = scanned(shuffled, col)
+        z = scanned(zordered, col)
+        # random bucketing: every file spans the domain -> ~no skipping
+        assert rand == n, (col, rand)
+        # z-order: the 12.5%-of-domain predicate prunes most files
+        assert z < n // 2, (col, z)
