@@ -920,3 +920,78 @@ def test_open_ranged_uses_cached_bucket_filesystem(monkeypatch):
         "mybucket/lake/part=1/f.parquet",
         "mybucket/lake/part=2/g.parquet",
     ]
+
+
+def test_page_pruning_typed_predicates(spark, tmp_path):
+    """The page audit is type-generic through the same _window_misses
+    used by the rg audit — pin it on STRING and DOUBLE page stats
+    (ColumnIndex min/max decode by column type), with ground truth
+    recomputed from pyarrow data slices at the decoded boundaries."""
+    import os
+
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        page_pruning_report,
+        read_footer_handle,
+        read_page_index,
+    )
+
+    lake = tmp_path / "lake"
+    d = lake / "part=a"
+    d.mkdir(parents=True)
+    fp = d / "f0.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "s": pa.array([f"k{i:05d}" for i in range(600)]),
+                "x": pa.array([i + 0.5 for i in range(600)]),
+            }
+        ),
+        str(fp),
+        row_group_size=300,
+        write_page_index=True,
+        write_batch_size=50,
+        data_page_size=1,
+    )
+
+    def truth(col, lo, hi):
+        fsize = os.path.getsize(fp)
+        with open(fp, "rb") as fh:
+            footer = read_footer_handle(fh, fsize)
+            idx = read_page_index(fh, footer, col)
+        pf = pq.ParquetFile(str(fp))
+        pages = skips = scanned = 0
+        for ri, pidx in enumerate(idx):
+            rg_rows = pf.metadata.row_group(ri).num_rows
+            st = pf.metadata.row_group(ri).column(
+                0 if col == "s" else 1
+            ).statistics
+            if st.max < lo or st.min > hi:
+                continue  # rg-skipped: excluded from page counters
+            data = pf.read_row_group(ri).column(col).to_pylist()
+            firsts = pidx["first_rows"]
+            pages += len(firsts)
+            for i, start in enumerate(firsts):
+                end = firsts[i + 1] if i + 1 < len(firsts) else rg_rows
+                page = data[start:end]
+                if max(page) < lo or min(page) > hi:
+                    skips += 1
+                else:
+                    scanned += end - start
+        return pages, skips, scanned
+
+    for col, lo, hi in (
+        ("s", "k00120", "k00180"),  # hits pages inside rg0 only
+        ("x", 320.0, 380.75),  # hits pages inside rg1 only
+    ):
+        rep = page_pruning_report(
+            spark, str(lake), column=col, lo=lo, hi=hi
+        ).collect()
+        assert len(rep) == 1
+        r = rep[0]
+        pages, skips, scanned = truth(col, lo, hi)
+        assert r["n_pages"] == pages
+        assert r["n_skippable_pages"] == skips
+        assert r["rows_scanned"] == scanned
+        assert r["n_skippable_rgs"] == 1  # the other rg window-misses
+        # the predicate genuinely prunes at page granularity
+        assert 0 < skips < pages and 0 < scanned < 600
