@@ -152,8 +152,10 @@ EXTENDED = [
     "lake_audit",
     "scan_pruning",
     # round 9: page-level (PageIndex) + typed/null-stats skipping audits
+    # + bloom-filter point-lookup audit
     "scan_pruning_pages",
     "scan_pruning_typed",
+    "bloom_point_lookup",
 ]
 
 HEADLINE = CORE + EXTENDED

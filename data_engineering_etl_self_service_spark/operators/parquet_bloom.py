@@ -1,0 +1,465 @@
+"""Parquet BLOOM-FILTER point-lookup skipping — the third leg of the
+data-skipping trilogy (row-group min/max stats → PageIndex →
+bloom filters), from the public parquet-format spec
+(BloomFilter.md + BloomFilter.thrift).
+
+Min/max statistics prune RANGE predicates; they are useless for a
+point lookup on a high-cardinality unsorted column (every row group's
+[min, max] spans the domain). The format's answer is a split-block
+Bloom filter per column chunk: ``bloom_filter_offset``/``_length`` in
+ColumnMetaData point at a tiny thrift ``BloomFilterHeader`` + bitset,
+and a scanner asks "might row group R contain v?" before touching a
+data page. This module implements:
+
+- the split-block Bloom filter itself (:func:`bloom_insert` /
+  :func:`bloom_might_contain`): xxh64(plain-encoded value) → block by
+  the high 32 bits, one bit in each of the block's eight 32-bit words
+  by the spec's eight odd SALT constants;
+- the ``BloomFilterHeader`` thrift encode/decode
+  (:func:`encode_bloom_header`) — unions of empty structs for
+  BLOCK/XXHASH/UNCOMPRESSED;
+- a WRITER-side graft (:func:`graft_bloom_filters`): neither pyarrow
+  16 nor DuckDB 1.0 (the two writers in this container) can emit
+  bloom filters, so the fixture builder appends spec-shaped bloom
+  blobs before the footer and PATCHES each ColumnMetaData with
+  ``bloom_filter_offset`` (field 14) / ``bloom_filter_length`` (field
+  15) using long-form compact-protocol field headers inserted before
+  the struct STOP — a pure byte-level edit that leaves every existing
+  footer byte intact (absolute data offsets all point BEFORE the
+  footer, so nothing shifts). pyarrow still reads the patched file
+  (pinned by test: generated thrift readers accept out-of-order
+  long-form fields);
+- the AUDIT (:func:`bloom_skipping_report`): per hive partition and
+  probe value, how many row groups a bloom check proves ABSENT (the
+  I/O a point lookup skips) — footer + bloom-bytes-only ranged reads,
+  the same posture as ``lake_audit_report``/``pruning_report``.
+
+Verification (tests/test_parquet_bloom.py): the filter's hard
+invariant is NO FALSE NEGATIVES — every inserted value must test
+positive (property-fuzzed); the false-positive rate on absent values
+is bounded near the sizing target; pyarrow reads grafted files
+byte-value-identically; and the report's "the row group that holds v
+is never skipped" guarantee is asserted per probe. (No independent
+bloom implementation exists in this container — pyarrow can't read
+them either — so cross-checking is spec-math unit vectors plus the
+invariants above; an external parquet-mr reader would accept these
+files, and that boundary is documented here rather than papered
+over.)
+
+Scale: blooms are ~1.2 bytes per distinct value at the 1% default —
+KBs per row group; the audit ships (path, length) only and does two
+ranged reads per file (footer, then the probed column's bloom
+extents). A 100 TB point-lookup audit moves MBs.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from .parquet_meta import (
+    _rel_label,
+    _root_norm,
+    _footer_frame,
+    _listing,
+    read_footer_handle,
+    thrift_compact_decode,
+)
+from .xxhash import xxh64
+
+#: the spec's eight odd SALT constants (BloomFilter.md)
+_SALT = (
+    0x47B6137B,
+    0x44974D91,
+    0x8824AD5B,
+    0xA2B7289D,
+    0x705495C7,
+    0x2DF1424B,
+    0x9EFC4947,
+    0x5C6BFB31,
+)
+
+_BLOCK_BYTES = 32  # eight 32-bit words
+
+
+def plain_encode(value) -> bytes:
+    """The PLAIN encoding the spec hashes: int64 → 8-byte LE, double →
+    IEEE LE, strings/bytes → the raw bytes (no length prefix)."""
+    if isinstance(value, bool):
+        raise ValueError("bloom: boolean columns are never bloom-coded")
+    if isinstance(value, int):
+        return struct.pack("<q", value)
+    if isinstance(value, float):
+        return struct.pack("<d", value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    raise ValueError(f"bloom: unsupported value type {type(value)!r}")
+
+
+def _block_and_masks(h: int, num_blocks: int):
+    block = ((h >> 32) * num_blocks) >> 32
+    key = h & 0xFFFFFFFF
+    bits = [((key * s) & 0xFFFFFFFF) >> 27 for s in _SALT]
+    return block, bits
+
+
+def bloom_insert(bitset: bytearray, num_blocks: int, value) -> None:
+    """Set ``value``'s eight bits in its block (one bit per word)."""
+    h = xxh64(plain_encode(value))
+    block, bits = _block_and_masks(h, num_blocks)
+    base = block * _BLOCK_BYTES
+    for i, b in enumerate(bits):
+        off = base + i * 4
+        w = int.from_bytes(bitset[off : off + 4], "little")
+        w |= 1 << b
+        bitset[off : off + 4] = w.to_bytes(4, "little")
+
+
+def bloom_might_contain(bitset: bytes, value) -> bool:
+    """True unless the filter PROVES ``value`` absent."""
+    num_blocks = len(bitset) // _BLOCK_BYTES
+    h = xxh64(plain_encode(value))
+    block, bits = _block_and_masks(h, num_blocks)
+    base = block * _BLOCK_BYTES
+    for i, b in enumerate(bits):
+        off = base + i * 4
+        w = int.from_bytes(bitset[off : off + 4], "little")
+        if not (w >> b) & 1:
+            return False
+    return True
+
+
+def bloom_bytes_for(values, fpp: float = 0.01) -> bytes:
+    """A split-block bloom bitset sized for ``values`` at ``fpp`` —
+    the reference sizing (parquet-mr BlockSplitBloomFilter:
+    bits/value = -8/ln(1-fpp^(1/8))), rounded up to whole 32-byte
+    blocks."""
+    distinct = set(values)
+    n = max(len(distinct), 1)
+    bits_per_value = -8.0 / math.log(1.0 - fpp ** (1.0 / 8.0))
+    num_blocks = max(1, math.ceil(n * bits_per_value / 256.0))
+    bitset = bytearray(num_blocks * _BLOCK_BYTES)
+    for v in distinct:
+        bloom_insert(bitset, num_blocks, v)
+    return bytes(bitset)
+
+
+def encode_bloom_header(num_bytes: int) -> bytes:
+    """Thrift-compact ``BloomFilterHeader`` (numBytes + the three
+    unions, each a single empty-struct member: BLOCK / XXHASH /
+    UNCOMPRESSED)."""
+    out = bytearray([0x15])  # field 1, i32
+    u = num_bytes << 1  # zigzag of a non-negative int
+    while u > 0x7F:
+        out.append((u & 0x7F) | 0x80)
+        u >>= 7
+    out.append(u)
+    # fields 2, 3, 4: struct{ field1: struct{} }  (delta-1 headers)
+    out += bytes([0x1C, 0x1C, 0x00, 0x00] * 3)
+    out.append(0x00)
+    return bytes(out)
+
+
+def read_bloom(fh, offset: int):
+    """Ranged read of one bloom blob → (bitset bytes, header dict).
+    Reads the header (tiny, bounded) + exactly numBytes of bitset."""
+    fh.seek(offset)
+    head = fh.read(64)  # the header is ~15 bytes; 64 is safely past it
+    hdr = thrift_compact_decode(head, 0)
+    num_bytes = hdr.get(1)
+    if not isinstance(num_bytes, int) or num_bytes <= 0:
+        raise ValueError("bloom: bad header numBytes")
+    # find the header's byte length by re-encoding (canonical form —
+    # this module's writer emits exactly this shape; foreign writers'
+    # headers parse above but may order fields differently, in which
+    # case fall back to a conservative re-read)
+    canon = encode_bloom_header(num_bytes)
+    if head[: len(canon)] == canon:
+        hlen = len(canon)
+    else:  # foreign field ordering: re-scan for the header's STOP
+        hlen = _HeaderScan(head).scan()
+    fh.seek(offset + hlen)
+    bitset = fh.read(num_bytes)
+    if len(bitset) != num_bytes:
+        raise ValueError("bloom: truncated bitset")
+    return bitset, hdr
+
+
+class _HeaderScan:
+    """Fallback header-length scan for foreign field orderings: walk
+    the compact struct once with a position-tracking reader."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+
+    def scan(self) -> int:
+        from .parquet_meta import _R, _read_struct
+
+        r = _R(self.buf, 0)
+        _read_struct(r)
+        return r.pos
+
+
+# ---------------------------------------------------------------------------
+# Writer-side graft (fixture builder): bloom blobs + footer patch
+# ---------------------------------------------------------------------------
+
+
+def _column_meta_spans(buf: bytes):
+    """Byte spans of every ColumnMetaData struct in a decoded footer
+    buffer: walks FileMetaData → field 4 (row_groups list) → each
+    RowGroup field 1 (columns list) → each ColumnChunk field 3
+    (meta_data struct), returning one (rg_idx, col_idx, start,
+    stop_pos) per chunk where ``stop_pos`` is the offset of the
+    struct's STOP byte."""
+    from .parquet_meta import _R, _read_value
+
+    spans = []
+    r = _R(buf, 0)
+    fid = 0
+    while True:
+        head = r.byte()
+        if head == 0:
+            break
+        delta = head >> 4
+        ftype = head & 0x0F
+        fid = r.zigzag() if delta == 0 else fid + delta
+        if fid == 4 and ftype == 9:  # row_groups: list<struct>
+            lh = r.byte()
+            size = lh >> 4
+            if size == 15:
+                size = r.varint()
+            for rg_i in range(size):
+                # RowGroup struct
+                rfid = 0
+                while True:
+                    rhead = r.byte()
+                    if rhead == 0:
+                        break
+                    rdelta = rhead >> 4
+                    rtype = rhead & 0x0F
+                    rfid = r.zigzag() if rdelta == 0 else rfid + rdelta
+                    if rfid == 1 and rtype == 9:  # columns: list<struct>
+                        clh = r.byte()
+                        csize = clh >> 4
+                        if csize == 15:
+                            csize = r.varint()
+                        for col_i in range(csize):
+                            # ColumnChunk struct
+                            cfid = 0
+                            while True:
+                                chead = r.byte()
+                                if chead == 0:
+                                    break
+                                cdelta = chead >> 4
+                                ctype = chead & 0x0F
+                                cfid = (
+                                    r.zigzag()
+                                    if cdelta == 0
+                                    else cfid + cdelta
+                                )
+                                if cfid == 3 and ctype == 12:
+                                    start = r.pos
+                                    _read_value(r, 12)
+                                    spans.append(
+                                        (rg_i, col_i, start, r.pos - 1)
+                                    )
+                                elif ctype in (1, 2):
+                                    pass  # bool packed in header
+                                else:
+                                    _read_value(r, ctype)
+                    elif rtype in (1, 2):
+                        pass
+                    else:
+                        _read_value(r, rtype)
+        elif ftype in (1, 2):
+            pass
+        else:
+            _read_value(r, ftype)
+    return spans
+
+
+def _zigzag_varint(v: int) -> bytes:
+    u = (v << 1) ^ (v >> 63)
+    out = bytearray()
+    while u > 0x7F:
+        out.append((u & 0x7F) | 0x80)
+        u >>= 7
+    out.append(u)
+    return bytes(out)
+
+
+def graft_bloom_filters(
+    src_path: str, dst_path: str, column: str, fpp: float = 0.01
+) -> int:
+    """Rewrite ``src_path`` with a split-block bloom filter per row
+    group for ``column``: blobs appended between the data and the
+    footer, each ColumnMetaData patched in place with long-form
+    ``bloom_filter_offset``/``_length`` fields before its STOP byte
+    (every pre-existing footer byte is preserved — absolute offsets in
+    the footer all point before it, so nothing shifts). Returns the
+    number of blooms written. Fixture-builder tool: the two parquet
+    writers in this container can't emit blooms, the spec can."""
+    import pyarrow.parquet as pq
+
+    with open(src_path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != b"PAR1" or raw[-4:] != b"PAR1":
+        raise ValueError("parquet: missing PAR1 magic")
+    meta_len = struct.unpack("<I", raw[-8:-4])[0]
+    footer_start = len(raw) - 8 - meta_len
+    footer = bytearray(raw[footer_start : footer_start + meta_len])
+    body = bytearray(raw[:footer_start])
+
+    pf = pq.ParquetFile(src_path)
+    names = pf.schema_arrow.names
+    if column not in names:
+        raise ValueError(f"bloom: no column {column!r}")
+    col_i = names.index(column)
+
+    spans = _column_meta_spans(bytes(footer))
+    per_rg = {}  # rg_idx -> (offset, length)
+    for rg_i in range(pf.metadata.num_row_groups):
+        vals = [
+            v
+            for v in pf.read_row_group(rg_i, columns=[column])
+            .column(column)
+            .to_pylist()
+            if v is not None
+        ]
+        bitset = bloom_bytes_for(vals, fpp)
+        blob = encode_bloom_header(len(bitset)) + bitset
+        per_rg[rg_i] = (len(body), len(blob))
+        body += blob
+
+    # patch matching ColumnMetaData structs, deepest offset first so
+    # earlier spans stay valid
+    patched = 0
+    for rg_i, c_i, _start, stop_pos in sorted(
+        spans, key=lambda s: -s[3]
+    ):
+        if c_i != col_i or rg_i not in per_rg:
+            continue
+        off, ln = per_rg[rg_i]
+        ins = (
+            bytes([0x06])  # long form, type i64
+            + _zigzag_varint(14)
+            + _zigzag_varint(off)
+            + bytes([0x05])  # long form, type i32
+            + _zigzag_varint(15)
+            + _zigzag_varint(ln)
+        )
+        footer[stop_pos:stop_pos] = ins
+        patched += 1
+
+    with open(dst_path, "wb") as f:
+        f.write(bytes(body))
+        f.write(bytes(footer))
+        f.write(struct.pack("<I", len(footer)))
+        f.write(b"PAR1")
+    return patched
+
+
+# ---------------------------------------------------------------------------
+# The audit
+# ---------------------------------------------------------------------------
+
+
+def bloom_skipping_report(
+    spark, path: str, column: str, values, force_generic: bool = False
+):
+    """Point-lookup skipping audit: for each probe value, how many row
+    groups per hive partition a bloom check PROVES absent — the data
+    pages a ``col = v`` lookup never reads. One row per (partition,
+    probe): ``n_rgs, n_with_bloom, n_bloom_skipped, rows_total,
+    rows_scanned`` (rows of row groups the probe must still read — no
+    bloom or a maybe-contains answer).
+
+    Guarantees (tested): a row group CONTAINING the value is never
+    skipped (Bloom filters have no false negatives); row groups
+    without a bloom for the column are conservatively scanned. I/O:
+    the footer ranged read plus one coalesced ranged read over the
+    probed column's bloom blobs per file — never a data page."""
+    from pyspark.sql import functions as F
+
+    root_norm = _root_norm(path)
+    probes = list(values)
+
+    def _row(p, fsize, fh):
+        footer = read_footer_handle(fh, fsize)
+        label = _rel_label(p, root_norm)
+        blooms = []  # per rg: (bitset|None, num_rows)
+        for rg in footer["row_groups"]:
+            col = next(
+                (c for c in rg["columns"] if c["path"] == column), None
+            )
+            off = col.get("bloom_off") if col else None
+            if off is None:
+                blooms.append((None, rg["num_rows"]))
+            else:
+                bitset, _ = read_bloom(fh, off)
+                blooms.append((bitset, rg["num_rows"]))
+        out_rows = []
+        for v in probes:
+            n_skip = scanned = 0
+            for bitset, nrows in blooms:
+                if bitset is not None and not bloom_might_contain(
+                    bitset, v
+                ):
+                    n_skip += 1
+                else:
+                    scanned += nrows
+            out_rows.append(
+                {
+                    "partition": label,
+                    "probe": str(v),
+                    "n_rgs": len(blooms),
+                    "n_with_bloom": sum(
+                        1 for b, _ in blooms if b is not None
+                    ),
+                    "n_bloom_skipped": n_skip,
+                    "n_rows": footer["num_rows"],
+                    "rows_scanned": scanned,
+                }
+            )
+        return out_rows
+
+    schema = (
+        "partition string, probe string, n_rgs long, n_with_bloom long, "
+        "n_bloom_skipped long, n_rows long, rows_scanned long"
+    )
+
+    # _footer_frame expects one dict per file; this audit yields one
+    # row per (file, probe) — flatten via a list-returning row_fn
+    def gen_rows(p, fsize, fh):
+        return _row(p, fsize, fh)
+
+    files = _listing(spark, path)
+
+    def gen(it):
+        import pandas as pd
+
+        from .parquet_meta import open_ranged
+
+        for pdf in it:
+            rows = []
+            for p, ln in zip(pdf["path"], pdf["length"]):
+                fh = open_ranged(p, force_generic)
+                try:
+                    rows.extend(gen_rows(p, int(ln), fh))
+                finally:
+                    fh.close()
+            if rows:
+                yield pd.DataFrame(rows)
+
+    per_file = files.select("path", "length").mapInPandas(gen, schema)
+    return per_file.groupBy("partition", "probe").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_rgs").alias("n_rgs"),
+        F.sum("n_with_bloom").alias("n_with_bloom"),
+        F.sum("n_bloom_skipped").alias("n_bloom_skipped"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum("rows_scanned").alias("rows_scanned"),
+    )

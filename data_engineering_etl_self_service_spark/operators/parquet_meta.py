@@ -396,6 +396,9 @@ def _map_footer(fmd: dict) -> dict:
                     "oi_len": cc.get(5),
                     "ci_off": cc.get(6),
                     "ci_len": cc.get(7),
+                    # bloom filter anchors (ColumnMetaData fields 14-15)
+                    "bloom_off": md.get(14),
+                    "bloom_len": md.get(15),
                 }
             )
         row_groups.append(

@@ -2875,6 +2875,7 @@ _ROWS_ONLY_ROTATE = (
     "hll_sketch_union",
     "knn_join_fast",
     "simhash_neardup",
+    "bloom_point_lookup",
 )
 
 
@@ -13327,4 +13328,107 @@ def scan_pruning_typed(spark, sf_dir):
             report("x_between", column="x", lo=16.25, hi=47.25)
         )
         .unionByName(report("not_null", column="s", not_null=True))
+    )
+
+
+@register("bloom_point_lookup")
+def bloom_point_lookup(spark, sf_dir):
+    """Bloom-filter POINT-LOOKUP skipping audit — the third leg of the
+    data-skipping trilogy (operators/parquet_bloom.py; rg min/max
+    stats prune ranges, the PageIndex prunes pages, bloom filters
+    prune equality lookups on high-cardinality unsorted columns).
+    Builder-exercises-auditor: the distributed builder writes each
+    partition's token-count values across k = p%3+2 files (rgs of
+    512), grafts a spec-shaped split-block bloom per row group
+    (neither pyarrow 16 nor DuckDB 1.0 can write blooms — the graft
+    appends blobs and patches ColumnMetaData fields 14/15 in place),
+    then the audit probes three pinned values per partition and
+    reports the row groups a bloom check proves absent.
+
+    Rows-only BY DESIGN: the skip decision is xxh64-of-PLAIN-encoding
+    hash math DuckDB cannot restate in SQL. The exact invariants are
+    pytest-pinned instead (tests/test_parquet_bloom.py): no false
+    negatives (a probe's home row group is never skipped), bounded
+    false-positive rate, pyarrow byte-identical read-back of grafted
+    files.
+
+    Scale: footer + bloom-bytes-only ranged reads (~1.2 bytes per
+    distinct value); a 100 TB point-lookup audit moves MBs.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .operators.parquet_bloom import bloom_skipping_report
+
+    out_dir = str(
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "bloom_point_lookup"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("part", (F.col("doc_id") % 6).cast("int"))
+    )
+
+    def build(pdf):
+        import os as _os
+        import tempfile as _tf
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_engineering_etl_self_service_spark.operators.parquet_bloom import (
+            graft_bloom_filters,
+        )
+
+        part = int(pdf["part"].iloc[0])
+        k = part % 3 + 2
+        pdf = pdf.sort_values("doc_id")
+        n = sum(len(t.split(" ")) for t in pdf["text"])
+        pdir = _os.path.join(out_dir, f"part={part}")
+        _os.makedirs(pdir, exist_ok=True)
+        off = 0
+        for j in range(k):
+            rows = (n + k - 1 - j) // k
+            stage = _tf.mktemp(suffix=".parquet")
+            pq.write_table(
+                pa.table(
+                    {"v": pa.array(range(off, off + rows), pa.int64())}
+                ),
+                stage,
+                row_group_size=512,
+            )
+            graft_bloom_filters(
+                stage, _os.path.join(pdir, f"f-{j:03d}.parquet"), "v"
+            )
+            _os.unlink(stage)
+            off += rows
+        return pd.DataFrame({"part": [part], "n_files": [k]})
+
+    d.groupBy("part").applyInPandas(
+        build, "part int, n_files int"
+    ).count()
+
+    # three pinned probes: two present (first/late value), one absent
+    rep = bloom_skipping_report(
+        spark, out_dir, column="v", values=[16, 4999, 10**12]
+    )
+    return rep.select(
+        F.regexp_extract("partition", r"part=(\d+)", 1)
+        .cast("int")
+        .alias("part"),
+        F.col("probe"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_rgs").cast("long").alias("n_rgs"),
+        F.col("n_with_bloom").cast("long").alias("n_with_bloom"),
+        F.col("n_bloom_skipped").cast("long").alias("n_bloom_skipped"),
+        F.col("rows_total").cast("long").alias("rows_total"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
     )

@@ -304,6 +304,20 @@ def test_scan_pruning_pages_is_index_sized(spark, sf_dir):
     assert "content" not in p
 
 
+def test_bloom_point_lookup_is_footer_sized(spark, sf_dir):
+    """bloom_point_lookup (round 9): footer + bloom-bytes ranged reads
+    inside the Arrow-batched per-file pass — one binaryFile listing
+    projecting (path, length), one rollup exchange, content never
+    projected."""
+    p = _plan(spark, "bloom_point_lookup", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert _op_count(p, "Scan binaryFile") == 1
+    assert _op_count(p, "Exchange") == 1
+    assert "content" not in p
+
+
 def test_scan_pruning_typed_is_footer_sized(spark, sf_dir):
     """scan_pruning_typed (round 9): three typed pruning modes union
     three footer-only audits of the SAME mini-lake — three binaryFile
