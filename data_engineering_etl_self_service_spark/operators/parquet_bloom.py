@@ -47,9 +47,11 @@ files, and that boundary is documented here rather than papered
 over.)
 
 Scale: blooms are ~1.2 bytes per distinct value at the 1% default —
-KBs per row group; the audit ships (path, length) only and does two
-ranged reads per file (footer, then the probed column's bloom
-extents). A 100 TB point-lookup audit moves MBs.
+KBs per row group; the audit ships (path, length) only and reads per
+file: the footer (two positioned reads) plus the probed column's
+bloom blobs as COALESCED exact extents (adjacent blobs = one
+positioned read; byte-count-pinned). A 100 TB point-lookup audit
+moves MBs.
 """
 
 from __future__ import annotations
@@ -82,15 +84,29 @@ _SALT = (
 _BLOCK_BYTES = 32  # eight 32-bit words
 
 
-def plain_encode(value) -> bytes:
-    """The PLAIN encoding the spec hashes: int64 → 8-byte LE, double →
-    IEEE LE, strings/bytes → the raw bytes (no length prefix)."""
+def plain_encode(value, ptype: str = "int64") -> bytes:
+    """The PLAIN encoding the spec hashes, BY PHYSICAL TYPE (review
+    r9c: hashing every int as 8 bytes made blooms on INT32/FLOAT
+    columns spec-wrong — a parquet-mr reader of such a file, or this
+    audit probing a foreign bloom, would hash a different width and
+    get near-total false negatives): int32 → 4-byte LE, int64 →
+    8-byte LE, float/double → IEEE LE, strings/bytes → the raw bytes
+    (no length prefix). ±0.0 canonicalizes to +0.0 on BOTH insert and
+    probe — they are SQL-equal but IEEE-distinct, and a -0.0-only
+    filter must not prove a ``= 0.0`` lookup absent."""
     if isinstance(value, bool):
         raise ValueError("bloom: boolean columns are never bloom-coded")
+    if ptype in ("float", "double") or (
+        isinstance(value, float) and ptype not in ("int32", "int64")
+    ):
+        v = float(value)
+        if v == 0.0:
+            v = 0.0  # fold -0.0
+        return struct.pack("<f" if ptype == "float" else "<d", v)
     if isinstance(value, int):
+        if ptype == "int32":
+            return struct.pack("<i", value)
         return struct.pack("<q", value)
-    if isinstance(value, float):
-        return struct.pack("<d", value)
     if isinstance(value, str):
         return value.encode("utf-8")
     if isinstance(value, (bytes, bytearray)):
@@ -105,9 +121,7 @@ def _block_and_masks(h: int, num_blocks: int):
     return block, bits
 
 
-def bloom_insert(bitset: bytearray, num_blocks: int, value) -> None:
-    """Set ``value``'s eight bits in its block (one bit per word)."""
-    h = xxh64(plain_encode(value))
+def _insert_hash(bitset: bytearray, num_blocks: int, h: int) -> None:
     block, bits = _block_and_masks(h, num_blocks)
     base = block * _BLOCK_BYTES
     for i, b in enumerate(bits):
@@ -117,10 +131,17 @@ def bloom_insert(bitset: bytearray, num_blocks: int, value) -> None:
         bitset[off : off + 4] = w.to_bytes(4, "little")
 
 
-def bloom_might_contain(bitset: bytes, value) -> bool:
+def bloom_insert(
+    bitset: bytearray, num_blocks: int, value, ptype: str = "int64"
+) -> None:
+    """Set ``value``'s eight bits in its block (one bit per word)."""
+    _insert_hash(bitset, num_blocks, xxh64(plain_encode(value, ptype)))
+
+
+def bloom_might_contain(bitset: bytes, value, ptype: str = "int64") -> bool:
     """True unless the filter PROVES ``value`` absent."""
     num_blocks = len(bitset) // _BLOCK_BYTES
-    h = xxh64(plain_encode(value))
+    h = xxh64(plain_encode(value, ptype))
     block, bits = _block_and_masks(h, num_blocks)
     base = block * _BLOCK_BYTES
     for i, b in enumerate(bits):
@@ -131,18 +152,21 @@ def bloom_might_contain(bitset: bytes, value) -> bool:
     return True
 
 
-def bloom_bytes_for(values, fpp: float = 0.01) -> bytes:
+def bloom_bytes_for(values, ptype: str = "int64", fpp: float = 0.01) -> bytes:
     """A split-block bloom bitset sized for ``values`` at ``fpp`` —
     the reference sizing (parquet-mr BlockSplitBloomFilter:
     bits/value = -8/ln(1-fpp^(1/8))), rounded up to whole 32-byte
-    blocks."""
-    distinct = set(values)
+    blocks. Distinctness is judged on the PLAIN encodings (review
+    r9c: a Python ``set()`` collapses 5 and 5.0 — and kept only ONE
+    of ±0.0 — exactly the values whose encodings the filter actually
+    stores)."""
+    distinct = {plain_encode(v, ptype) for v in values}
     n = max(len(distinct), 1)
     bits_per_value = -8.0 / math.log(1.0 - fpp ** (1.0 / 8.0))
     num_blocks = max(1, math.ceil(n * bits_per_value / 256.0))
     bitset = bytearray(num_blocks * _BLOCK_BYTES)
-    for v in distinct:
-        bloom_insert(bitset, num_blocks, v)
+    for enc in distinct:
+        _insert_hash(bitset, num_blocks, xxh64(enc))
     return bytes(bitset)
 
 
@@ -200,6 +224,69 @@ class _HeaderScan:
         r = _R(self.buf, 0)
         _read_struct(r)
         return r.pos
+
+
+def read_blooms(fh, footer: dict, column: str) -> list:
+    """Every row group's bloom bitset for ``column`` in COALESCED
+    exact-extent ranged reads (review r9c: per-rg header probes cost
+    ~2 GET round trips per row group on an object store; the footer
+    already records offset AND length — fields 14/15 — so adjacent
+    blobs merge into one read, the ``read_page_index`` discipline).
+    Returns one ``bytes | None`` per row group (``None`` = no bloom
+    for the column, or no recorded length — such a blob falls back to
+    :func:`read_bloom`'s probing form)."""
+    anchors = []
+    for rg in footer["row_groups"]:
+        c = next(
+            (c for c in rg["columns"] if c["path"] == column), None
+        )
+        if c is None or c.get("bloom_off") is None:
+            anchors.append(None)
+        elif c.get("bloom_len") is None:
+            anchors.append(("probe", c["bloom_off"]))
+        else:
+            anchors.append((c["bloom_off"], c["bloom_len"]))
+    extents = sorted(
+        a for a in anchors if a is not None and a[0] != "probe"
+    )
+    merged: list[list[int]] = []
+    for off, ln in extents:
+        if merged and off - (merged[-1][0] + merged[-1][1]) <= 4096:
+            merged[-1][1] = max(merged[-1][1], off + ln - merged[-1][0])
+        else:
+            merged.append([off, ln])
+    blobs = []
+    for off, ln in merged:
+        fh.seek(off)
+        blobs.append((off, fh.read(ln)))
+
+    def _slice(off, ln):
+        for boff, blob in blobs:
+            if boff <= off and off + ln <= boff + len(blob):
+                return blob[off - boff : off - boff + ln]
+        raise AssertionError("bloom extent not read")
+
+    out = []
+    for a in anchors:
+        if a is None:
+            out.append(None)
+        elif a[0] == "probe":  # foreign writer without field 15
+            out.append(read_bloom(fh, a[1])[0])
+        else:
+            off, ln = a
+            raw = _slice(off, ln)
+            hdr = thrift_compact_decode(raw, 0)
+            canon = encode_bloom_header(hdr[1])
+            hlen = (
+                len(canon)
+                if raw[: len(canon)] == canon
+                else _HeaderScan(raw).scan()
+            )
+            bitset = raw[hlen : hlen + hdr[1]]
+            if len(bitset) != hdr[1]:
+                raise ValueError("bloom: truncated bitset")
+            out.append(bitset)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -318,6 +405,11 @@ def graft_bloom_filters(
     if column not in names:
         raise ValueError(f"bloom: no column {column!r}")
     col_i = names.index(column)
+    # hash by the column's PHYSICAL type (review r9c — INT32/FLOAT
+    # plain encodings are 4 bytes, not 8)
+    ptype = (
+        pf.metadata.row_group(0).column(col_i).physical_type.lower()
+    )
 
     spans = _column_meta_spans(bytes(footer))
     per_rg = {}  # rg_idx -> (offset, length)
@@ -329,7 +421,7 @@ def graft_bloom_filters(
             .to_pylist()
             if v is not None
         ]
-        bitset = bloom_bytes_for(vals, fpp)
+        bitset = bloom_bytes_for(vals, ptype, fpp)
         blob = encode_bloom_header(len(bitset)) + bitset
         per_rg[rg_i] = (len(body), len(blob))
         body += blob
@@ -380,8 +472,11 @@ def bloom_skipping_report(
     Guarantees (tested): a row group CONTAINING the value is never
     skipped (Bloom filters have no false negatives); row groups
     without a bloom for the column are conservatively scanned. I/O:
-    the footer ranged read plus one coalesced ranged read over the
-    probed column's bloom blobs per file — never a data page."""
+    the footer ranged read plus COALESCED exact-extent ranged reads
+    over the probed column's bloom blobs (:func:`read_blooms` —
+    adjacent blobs merge into one positioned read) — never a data
+    page. Probe hashes use each row group's PHYSICAL column type from
+    its footer entry, so int32/float columns compare spec-correctly."""
     from pyspark.sql import functions as F
 
     root_norm = _root_norm(path)
@@ -390,23 +485,20 @@ def bloom_skipping_report(
     def _row(p, fsize, fh):
         footer = read_footer_handle(fh, fsize)
         label = _rel_label(p, root_norm)
-        blooms = []  # per rg: (bitset|None, num_rows)
-        for rg in footer["row_groups"]:
+        bitsets = read_blooms(fh, footer, column)
+        blooms = []  # per rg: (bitset|None, ptype, num_rows)
+        for rg, bitset in zip(footer["row_groups"], bitsets):
             col = next(
                 (c for c in rg["columns"] if c["path"] == column), None
             )
-            off = col.get("bloom_off") if col else None
-            if off is None:
-                blooms.append((None, rg["num_rows"]))
-            else:
-                bitset, _ = read_bloom(fh, off)
-                blooms.append((bitset, rg["num_rows"]))
+            ptype = col["type"] if col else "int64"
+            blooms.append((bitset, ptype, rg["num_rows"]))
         out_rows = []
         for v in probes:
             n_skip = scanned = 0
-            for bitset, nrows in blooms:
+            for bitset, ptype, nrows in blooms:
                 if bitset is not None and not bloom_might_contain(
-                    bitset, v
+                    bitset, v, ptype
                 ):
                     n_skip += 1
                 else:
@@ -417,7 +509,7 @@ def bloom_skipping_report(
                     "probe": str(v),
                     "n_rgs": len(blooms),
                     "n_with_bloom": sum(
-                        1 for b, _ in blooms if b is not None
+                        1 for b, _, _ in blooms if b is not None
                     ),
                     "n_bloom_skipped": n_skip,
                     "n_rows": footer["num_rows"],
@@ -430,31 +522,9 @@ def bloom_skipping_report(
         "partition string, probe string, n_rgs long, n_with_bloom long, "
         "n_bloom_skipped long, n_rows long, rows_scanned long"
     )
-
-    # _footer_frame expects one dict per file; this audit yields one
-    # row per (file, probe) — flatten via a list-returning row_fn
-    def gen_rows(p, fsize, fh):
-        return _row(p, fsize, fh)
-
-    files = _listing(spark, path)
-
-    def gen(it):
-        import pandas as pd
-
-        from .parquet_meta import open_ranged
-
-        for pdf in it:
-            rows = []
-            for p, ln in zip(pdf["path"], pdf["length"]):
-                fh = open_ranged(p, force_generic)
-                try:
-                    rows.extend(gen_rows(p, int(ln), fh))
-                finally:
-                    fh.close()
-            if rows:
-                yield pd.DataFrame(rows)
-
-    per_file = files.select("path", "length").mapInPandas(gen, schema)
+    per_file = _footer_frame(
+        _listing(spark, path), _row, schema, force_generic
+    )
     return per_file.groupBy("partition", "probe").agg(
         F.count("*").alias("n_files"),
         F.sum("n_rgs").alias("n_rgs"),

@@ -578,10 +578,12 @@ def _rel_label(p: str, root_norm: str) -> str:
 
 
 def _footer_frame(files, row_fn, schema: str, force_generic: bool = False):
-    """One output row per parquet file, produced executor-side from a
+    """Output rows per parquet file, produced executor-side from a
     footer-bytes-only ranged read (:func:`open_ranged`): ``row_fn(path,
     size, fh)`` gets an open random-access handle and returns a plain
-    dict. Shuffle-free; the input frame carries (path, length) only."""
+    dict — or a LIST of dicts for audits that emit several rows per
+    file (the bloom probe report). Shuffle-free; the input frame
+    carries (path, length) only."""
 
     def gen(it):
         import pandas as pd
@@ -591,9 +593,10 @@ def _footer_frame(files, row_fn, schema: str, force_generic: bool = False):
             for p, ln in zip(pdf["path"], pdf["length"]):
                 fh = open_ranged(p, force_generic)
                 try:
-                    rows.append(row_fn(p, int(ln), fh))
+                    out = row_fn(p, int(ln), fh)
                 finally:
                     fh.close()
+                rows.extend(out if isinstance(out, list) else [out])
             if rows:  # empty pandas batches break Arrow list casts
                 yield pd.DataFrame(rows)
 

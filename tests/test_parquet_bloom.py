@@ -46,15 +46,20 @@ def test_bloom_no_false_negatives_across_types():
     and doubles."""
     rng = random.Random(5)
     cases = [
-        [rng.randrange(-(2**63), 2**63) for _ in range(3000)],
-        [f"doc-{rng.randrange(10**9)}" for _ in range(3000)],
-        [bytes([rng.randrange(256) for _ in range(20)]) for _ in range(500)],
-        [rng.random() * 1e6 for _ in range(2000)],
-        [0, -1, 2**63 - 1, -(2**63)],
+        ([rng.randrange(-(2**63), 2**63) for _ in range(3000)], "int64"),
+        ([rng.randrange(-(2**31), 2**31) for _ in range(3000)], "int32"),
+        ([f"doc-{rng.randrange(10**9)}" for _ in range(3000)], "byte_array"),
+        (
+            [bytes([rng.randrange(256) for _ in range(20)]) for _ in range(500)],
+            "byte_array",
+        ),
+        ([rng.random() * 1e6 for _ in range(2000)], "double"),
+        ([rng.random() * 100 for _ in range(2000)], "float"),
+        ([0, -1, 2**63 - 1, -(2**63)], "int64"),
     ]
-    for vals in cases:
-        bs = bloom_bytes_for(vals)
-        assert all(bloom_might_contain(bs, v) for v in vals)
+    for vals, ptype in cases:
+        bs = bloom_bytes_for(vals, ptype)
+        assert all(bloom_might_contain(bs, v, ptype) for v in vals)
 
 
 def test_bloom_false_positive_rate_near_target():
@@ -213,3 +218,118 @@ def test_bloom_read_is_ranged_not_whole_file(tmp_path):
     # ~30 KB of bloom (25k distinct at 1%) vs a 350 KB file — the
     # blob itself, never the data pages
     assert fh.n < os.path.getsize(dst) // 4
+
+def test_plain_encoding_is_physical_type_correct(tmp_path):
+    """review r9c: INT32/FLOAT plain encodings are 4 bytes — a bloom
+    that hashed them as 8 would give near-total false negatives to any
+    spec-compliant reader. Graft blooms onto int32 and float columns
+    and assert every present value still tests positive through the
+    full footer→bloom path, with the width pinned."""
+    from data_engineering_etl_self_service_spark.operators.parquet_bloom import (
+        plain_encode,
+    )
+
+    assert plain_encode(7, "int32") == b"\x07\x00\x00\x00"
+    assert plain_encode(7, "int64") == b"\x07" + b"\x00" * 7
+    assert len(plain_encode(1.5, "float")) == 4
+    assert len(plain_encode(1.5, "double")) == 8
+    src = str(tmp_path / "s.parquet")
+    dst = str(tmp_path / "d.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "i": pa.array(range(1000), pa.int32()),
+                "f": pa.array([i * 0.5 for i in range(1000)], pa.float32()),
+            }
+        ),
+        src,
+        row_group_size=500,
+    )
+    for col, probes, ptype in (
+        ("i", [0, 499, 999], "int32"),
+        ("f", [0.0, 250.5, 499.5], "float"),
+    ):
+        graft_bloom_filters(src, dst, col)
+        f = read_footer_local(dst, os.path.getsize(dst))
+        with open(dst, "rb") as fh:
+            for rg in f["row_groups"]:
+                c = next(
+                    x for x in rg["columns"] if x["path"] == col
+                )
+                assert c["type"] == ptype
+                bitset, _ = read_bloom(fh, c["bloom_off"])
+                vals = pq.ParquetFile(dst).read_row_group(
+                    f["row_groups"].index(rg), columns=[col]
+                ).column(col).to_pylist()
+                assert all(
+                    bloom_might_contain(bitset, v, ptype) for v in vals
+                )
+
+
+def test_negative_zero_and_encoding_dedupe():
+    """review r9c: ±0.0 are SQL-equal but IEEE-distinct — both insert
+    and probe canonicalize, so a -0.0-only filter never proves a
+    ``= 0.0`` lookup absent; distinctness is judged on encodings."""
+    bs = bloom_bytes_for([-0.0, 1.5, 2.5], ptype="double")
+    assert bloom_might_contain(bs, 0.0, "double")
+    assert bloom_might_contain(bs, -0.0, "double")
+    bs2 = bloom_bytes_for([0.0], ptype="double")
+    assert bloom_might_contain(bs2, -0.0, "double")
+
+
+def test_read_blooms_coalesced_extent_reads(tmp_path):
+    """review r9c: the audit's bloom I/O is coalesced exact extents
+    (footer already records offset+length), not 2 probing reads per
+    row group — byte-count-pinned, with per-rg parity against the
+    single-blob reader."""
+    from data_engineering_etl_self_service_spark.operators.parquet_bloom import (
+        read_blooms,
+    )
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        read_footer_handle,
+    )
+
+    src = str(tmp_path / "s.parquet")
+    dst = str(tmp_path / "d.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array(range(4000), pa.int64())}),
+        src,
+        row_group_size=500,
+    )
+    graft_bloom_filters(src, dst, "v")
+    fsize = os.path.getsize(dst)
+
+    class Counting:
+        def __init__(self, fh):
+            self.fh = fh
+            self.n = 0
+            self.reads = 0
+
+        def seek(self, p):
+            return self.fh.seek(p)
+
+        def read(self, k):
+            out = self.fh.read(k)
+            self.n += len(out)
+            self.reads += 1
+            return out
+
+    with open(dst, "rb") as raw:
+        footer = read_footer_handle(raw, fsize)
+        fh = Counting(raw)
+        bitsets = read_blooms(fh, footer, "v")
+    lens = [
+        c["bloom_len"]
+        for rg in footer["row_groups"]
+        for c in rg["columns"]
+        if c["bloom_off"] is not None
+    ]
+    assert len(bitsets) == 8 and all(b is not None for b in bitsets)
+    # the 8 adjacent blobs coalesce into ONE positioned read
+    assert fh.reads == 1
+    assert fh.n == sum(lens)
+    # parity with the single-blob probing reader
+    with open(dst, "rb") as raw:
+        for rg, b in zip(footer["row_groups"], bitsets):
+            off = rg["columns"][0]["bloom_off"]
+            assert read_bloom(raw, off)[0] == b
