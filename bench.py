@@ -156,6 +156,12 @@ EXTENDED = [
     "scan_pruning_pages",
     "scan_pruning_typed",
     "bloom_point_lookup",
+    # round 9 cont.: encoding/clustering lake audits, persisted skip
+    # index with index-backed scan, mixture reweighting
+    "encoding_audit",
+    "clustering_depth",
+    "skip_index_scan",
+    "domain_mix",
 ]
 
 HEADLINE = CORE + EXTENDED

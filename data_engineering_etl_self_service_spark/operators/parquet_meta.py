@@ -83,6 +83,25 @@ _TYPES = {
     7: "fixed_len_byte_array",
 }
 
+# parquet.thrift enum Encoding (format spec, public)
+_ENCODINGS = {
+    0: "PLAIN",
+    2: "PLAIN_DICTIONARY",
+    3: "RLE",
+    4: "BIT_PACKED",
+    5: "DELTA_BINARY_PACKED",
+    6: "DELTA_LENGTH_BYTE_ARRAY",
+    7: "DELTA_BYTE_ARRAY",
+    8: "RLE_DICTIONARY",
+    9: "BYTE_STREAM_SPLIT",
+}
+
+#: Encoding ids that mean "values come from the chunk's dictionary".
+_DICT_ENCODINGS = {2, 8}
+#: PageType ids (parquet.thrift): DATA_PAGE, DATA_PAGE_V2, DICTIONARY_PAGE.
+_DATA_PAGE_TYPES = (0, 3)
+_DICT_PAGE_TYPE = 2
+
 
 class _R:
     __slots__ = ("buf", "pos")
@@ -399,6 +418,22 @@ def _map_footer(fmd: dict) -> dict:
                     # bloom filter anchors (ColumnMetaData fields 14-15)
                     "bloom_off": md.get(14),
                     "bloom_len": md.get(15),
+                    # dictionary page anchor (field 11) + per-page-type
+                    # encoding tallies (field 13, PageEncodingStats) —
+                    # None when the writer omitted them, [] never occurs
+                    "dict_page_off": md.get(11),
+                    "encoding_stats": (
+                        None
+                        if md.get(13) is None
+                        else [
+                            {
+                                "page_type": e.get(1),
+                                "encoding": e.get(2),
+                                "count": e.get(3, 0),
+                            }
+                            for e in md.get(13)
+                        ]
+                    ),
                 }
             )
         row_groups.append(
@@ -816,6 +851,258 @@ def lake_audit_report(
                 "worst_col_ratio_pct": 0,
             }
         )
+    )
+
+
+def classify_chunk_encoding(c: dict) -> tuple[str, int, int]:
+    """One column chunk's encoding class from its footer entry:
+    ``("dict" | "plain" | "fallback", n_data_pages, n_dict_pages)``.
+
+    Reads PageEncodingStats (per-page-type tallies) when the writer
+    recorded them; an older writer that omitted field 13 is classified
+    from the dictionary-page offset — dictionary-encoded iff a
+    dictionary page exists — with page tallies 0 (unknown, not
+    claimed)."""
+    stats = c["encoding_stats"]
+    if stats is not None:
+        data = [e for e in stats if e["page_type"] in _DATA_PAGE_TYPES]
+        has_dict = any(e["encoding"] in _DICT_ENCODINGS for e in data)
+        has_plain = any(
+            e["encoding"] not in _DICT_ENCODINGS for e in data
+        )
+        n_data = sum(e["count"] for e in data)
+        n_dictp = sum(
+            e["count"]
+            for e in stats
+            if e["page_type"] == _DICT_PAGE_TYPE
+        )
+    else:
+        has_dict = c["dict_page_off"] is not None
+        has_plain = not has_dict
+        n_data = n_dictp = 0
+    if has_dict and has_plain:
+        cls = "fallback"
+    elif has_dict:
+        cls = "dict"
+    else:
+        cls = "plain"
+    return cls, n_data, n_dictp
+
+
+def encoding_report(spark, path, force_generic: bool = False):
+    """Column ENCODING audit from parquet footers only: per (hive
+    partition, column), how the lake's column chunks are actually
+    encoded — dictionary vs plain, and where the writer's dictionary
+    FELL BACK to plain mid-chunk (the signal that a column's
+    cardinality outgrew the dictionary page and the file should be
+    re-encoded or the column re-bucketed). The question behind it at
+    100 TB: dictionary-encoded columns prune and decode an order of
+    magnitude cheaper, and fallback chunks silently bloat scans.
+
+    One row per (partition, column):
+
+    - ``n_chunks`` — column chunks (one per row group per file)
+    - ``n_dict_chunks`` — every data page dictionary-encoded
+    - ``n_plain_chunks`` — no dictionary-encoded data page
+    - ``n_fallback_chunks`` — BOTH kinds of data page in one chunk
+      (pyarrow/parquet-mr dictionary-overflow fallback)
+    - ``n_data_pages`` / ``n_dict_pages`` — page tallies from
+      PageEncodingStats (0 when the writer omitted the field)
+    - ``encodings`` — sorted distinct encoding names in use
+
+    Classification reads ColumnMetaData.encoding_stats (field 13,
+    per-page-type tallies) when present; older writers that omit it
+    are classified from the dictionary-page offset (field 11) —
+    dictionary-encoded iff a dictionary page exists — with page
+    tallies reported as 0. Scale: the :func:`lake_audit_report`
+    posture — footer bytes only, shuffle of one row per
+    file x column, never a data page."""
+    from pyspark.sql import functions as F
+
+    root_norm = _root_norm(path)
+
+    def _rows(p, fsize, fh):
+        f = read_footer_handle(fh, fsize)
+        label = _rel_label(p, root_norm)
+        per_col: dict[str, dict] = {}
+        for rg in f["row_groups"]:
+            for c in rg["columns"]:
+                a = per_col.setdefault(
+                    c["path"],
+                    {
+                        "partition": label,
+                        "column": c["path"],
+                        "n_chunks": 0,
+                        "n_dict_chunks": 0,
+                        "n_plain_chunks": 0,
+                        "n_fallback_chunks": 0,
+                        "n_data_pages": 0,
+                        "n_dict_pages": 0,
+                        "encodings": set(),
+                    },
+                )
+                a["n_chunks"] += 1
+                a["encodings"].update(
+                    _ENCODINGS.get(e, f"UNKNOWN({e})")
+                    for e in c["encodings"]
+                )
+                cls, n_data, n_dictp = classify_chunk_encoding(c)
+                a["n_data_pages"] += n_data
+                a["n_dict_pages"] += n_dictp
+                a[f"n_{cls}_chunks"] += 1
+        return [
+            {**a, "encodings": sorted(a["encodings"])}
+            for a in per_col.values()
+        ]
+
+    schema = (
+        "partition string, column string, n_chunks long, "
+        "n_dict_chunks long, n_plain_chunks long, "
+        "n_fallback_chunks long, n_data_pages long, "
+        "n_dict_pages long, encodings array<string>"
+    )
+    per_file = _footer_frame(
+        _listing(spark, path), _rows, schema, force_generic
+    )
+    return (
+        per_file.groupBy("partition", "column")
+        .agg(
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_dict_chunks").alias("n_dict_chunks"),
+            F.sum("n_plain_chunks").alias("n_plain_chunks"),
+            F.sum("n_fallback_chunks").alias("n_fallback_chunks"),
+            F.sum("n_data_pages").alias("n_data_pages"),
+            F.sum("n_dict_pages").alias("n_dict_pages"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("encodings")))
+            ).alias("_encs"),
+        )
+        .withColumn("encodings", F.concat_ws(",", "_encs"))
+        .drop("_encs")
+    )
+
+
+def clustering_report(spark, path: str, column: str, force_generic: bool = False):
+    """How well-CLUSTERED a lake is on ``column``, from footer min/max
+    stats only — the metric that decides whether a sort / Z-order
+    rewrite would pay for itself. Perfectly clustered files carry
+    disjoint [min, max] windows (every point-read touches one file);
+    unclustered files all span the whole domain (every read touches
+    all of them). Per hive partition:
+
+    - ``n_files`` / ``n_unstatted`` — files audited; files whose
+      row groups lack usable stats for ``column`` (excluded from the
+      sweep, reported honestly)
+    - ``max_depth`` — the most file [min, max] windows any single
+      value falls inside (1 = perfectly clustered, n_files = fully
+      interleaved); exactly the file count a point lookup must open
+    - ``n_overlap_pairs`` — file pairs with intersecting windows
+      (0 = disjoint; k·(k-1)/2 = everything overlaps everything)
+    - ``clustered`` — ``n_overlap_pairs == 0``
+
+    Both metrics come from one O(n log n) sweep, not an all-pairs
+    join: each file becomes a (+1 at min) / (-1 at max) event, events
+    sort by (coord, start-before-end), and a running sum gives the
+    open-interval depth; a start arriving at depth d overlaps the
+    d-1 already-open windows, so summing (depth-1) over starts counts
+    intersecting pairs exactly (touching windows count — equal
+    coordinates order starts first). A file's window is its row
+    groups' [min of mins, max of maxs], usable only when EVERY row
+    group has stats (partial stats can't bound the file). Scale: two
+    rows per file into one partition-keyed window sort — auditing a
+    100 TB lake shuffles file-count rows, never data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    root_norm = _root_norm(path)
+
+    def _row(p, fsize, fh):
+        f = read_footer_handle(fh, fsize)
+        mn = mx = None
+        ok = len(f["row_groups"]) > 0
+        for rg in f["row_groups"]:
+            c = next(
+                (c for c in rg["columns"] if c["path"] == column), None
+            )
+            if (
+                c is None
+                or c["min"] is None
+                or c["max"] is None
+                or isinstance(c["min"], bool)
+            ):
+                ok = False
+                break
+            mn = c["min"] if mn is None else min(mn, c["min"])
+            mx = c["max"] if mx is None else max(mx, c["max"])
+        kind = (
+            "str"
+            if ok and isinstance(mn, str)
+            else ("num" if ok else None)
+        )
+        return {
+            "partition": _rel_label(p, root_norm),
+            "statted": ok,
+            # typed coordinate pair — exactly one populated per audit
+            # (int stats ride the long lane losslessly; float/double
+            # the double lane; strings the string lane)
+            "min_n": (
+                float(mn) if kind == "num" and isinstance(mn, float)
+                else None
+            ),
+            "max_n": (
+                float(mx) if kind == "num" and isinstance(mx, float)
+                else None
+            ),
+            "min_i": mn if kind == "num" and isinstance(mn, int) else None,
+            "max_i": mx if kind == "num" and isinstance(mx, int) else None,
+            "min_s": mn if kind == "str" else None,
+            "max_s": mx if kind == "str" else None,
+        }
+
+    schema = (
+        "partition string, statted boolean, min_n double, max_n double, "
+        "min_i long, max_i long, min_s string, max_s string"
+    )
+    per_file = _footer_frame(
+        _listing(spark, path), _row, schema, force_generic
+    )
+    # two rollups (sweep + counts) fan out of the per-file pass —
+    # materialize it once so the lake is listed and footers decoded
+    # once, and a re-audit after a rewrite can't see stale cache
+    # (the lake_audit_report discipline; rows are KBs at any size)
+    per_file = per_file.localCheckpoint(eager=True)
+    # one event row per window edge; starts sort before ends at equal
+    # coordinates so touching windows register as overlapping
+    statted = per_file.filter("statted")
+    ev = statted.selectExpr(
+        "partition",
+        "stack(2, min_n, min_i, min_s, 0, max_n, max_i, max_s, 1) "
+        "as (coord_n, coord_i, coord_s, is_end)"
+    )
+    w = (
+        Window.partitionBy("partition")
+        .orderBy("coord_n", "coord_i", "coord_s", "is_end")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    depth = ev.withColumn(
+        "depth",
+        F.sum(F.when(F.col("is_end") == 0, 1).otherwise(-1)).over(w),
+    ).filter("is_end = 0")
+    sweep = depth.groupBy("partition").agg(
+        F.max("depth").alias("max_depth"),
+        F.sum(F.col("depth") - 1).alias("n_overlap_pairs"),
+    )
+    counts = per_file.groupBy("partition").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.when(F.col("statted"), 0).otherwise(1)).alias(
+            "n_unstatted"
+        ),
+    )
+    # left join: a partition with zero statted files still reports
+    return (
+        counts.join(sweep, "partition", "left")
+        .fillna({"max_depth": 0, "n_overlap_pairs": 0})
+        .withColumn("clustered", F.col("n_overlap_pairs") == 0)
     )
 
 

@@ -54,6 +54,106 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(key_col), buckets) < permille)
 
 
+def domain_mix_weights(
+    df: DataFrame,
+    domain_col: str,
+    size_col: str,
+    target_ppm: dict[str, int] | None = None,
+    cap_ppm: int = 4_000_000,
+) -> DataFrame:
+    """Per-domain sampling weights that steer a corpus toward a TARGET
+    mixture — the static form of training-data mixture reweighting
+    (DoReMi-style domain weights, Pile/ROOTS-style source mixes): given
+    each domain's actual share of the corpus by ``size_col`` (tokens,
+    chars, bytes), compute the rate that makes the SAMPLED corpus match
+    ``target_ppm`` (parts-per-million per domain; default = uniform
+    across observed domains).
+
+    One row per domain: ``n_rows``, ``domain_size``, ``actual_ppm``
+    (observed share), ``target_ppm``, ``weight_ppm`` — the per-row
+    sampling rate in ppm, > 1e6 meaning UP-sampling (epochs), capped at
+    ``cap_ppm`` (4.0 epochs default — the standard guard against a tiny
+    domain exploding into hundreds of repeats).
+
+    All arithmetic is int64 floor-division (ppm-scaled), so the DuckDB
+    oracle reproduces every value bit-for-bit and results are identical
+    at any partitioning. Scale: one groupBy on the domain column; the
+    share/weight math runs on the one-row-per-domain rollup via a
+    whole-frame window (domains are tens, not millions — document
+    cardinality lives in the groupBy, which map-side combines)."""
+    from pyspark.sql import Window
+
+    agg = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(size_col).cast("long").alias("domain_size"),
+    )
+    w = Window.partitionBy()
+    agg = (
+        agg.withColumn("_total", F.sum("domain_size").over(w))
+        .withColumn("_n_domains", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "actual_ppm",
+            F.expr("greatest(domain_size * 1000000 div _total, 1L)"),
+        )
+    )
+    if target_ppm is None:
+        agg = agg.withColumn(
+            "target_ppm", F.expr("1000000 div _n_domains")
+        )
+    else:
+        m = F.create_map(
+            *[
+                F.lit(x)
+                for kv in sorted(target_ppm.items())
+                for x in kv
+            ]
+        )
+        agg = agg.withColumn(
+            "target_ppm",
+            F.coalesce(m[F.col(domain_col)], F.lit(0)).cast("long"),
+        )
+    return (
+        agg.withColumn(
+            "weight_ppm",
+            F.least(
+                F.lit(cap_ppm).cast("long"),
+                F.expr("target_ppm * 1000000 div actual_ppm"),
+            ),
+        )
+        .drop("_total", "_n_domains")
+    )
+
+
+def apply_mix_epochs(
+    df: DataFrame,
+    weights: DataFrame,
+    domain_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Materialize a mixture: input rows + ``weight_ppm`` and
+    ``n_copies`` — how many times this row appears in the reweighted
+    corpus (0 = dropped). Integer epochs are ``weight_ppm div 1e6``;
+    the fractional remainder is a deterministic Bernoulli draw from
+    the module's Knuth hash of ``key_col`` (same fold/multiply the
+    samplers use, mod 1e6), so the SAME row up/down-samples
+    identically on every engine, run, and partition layout.
+
+    Scale: ``weights`` is one row per domain — broadcast join; the
+    draw is a pure map-side expression. Callers that need physical
+    copies explode ``sequence(1, n_copies)``; keeping the count column
+    is free and preserves exact token accounting."""
+    wsel = F.broadcast(weights.select(domain_col, "weight_ppm"))
+    folded = F.pmod(F.col(key_col).cast("long"), F.lit(KEY_FOLD))
+    frac = F.pmod(folded * F.lit(KNUTH), F.lit(1_000_000))
+    return df.join(wsel, domain_col).withColumn(
+        "n_copies",
+        F.expr("weight_ppm div 1000000")
+        + (frac < F.pmod(F.col("weight_ppm"), F.lit(1_000_000))).cast(
+            "long"
+        ),
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -13432,3 +13432,474 @@ def bloom_point_lookup(spark, sf_dir):
         F.col("rows_total").cast("long").alias("rows_total"),
         F.col("rows_scanned").cast("long").alias("rows_scanned"),
     )
+
+
+@register(
+    "encoding_audit",
+    """
+    WITH d AS (
+      SELECT doc_id % 6 AS part,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    p AS (
+      SELECT part,
+             CAST(part % 3 + 2 AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM d GROUP BY part),
+    f AS (
+      SELECT part, k, n,
+             [ {'c': (((n + k - 1 - j) // k) + 7) // 8,
+                'dict': j % 2 = 0}
+               for j in generate_series(0, k - 1) ] AS files
+      FROM p),
+    a AS (
+      SELECT part,
+             CAST(list_sum([x.c for x in files]) AS BIGINT)
+               AS n_chunks,
+             CAST(list_sum([CASE WHEN x.dict THEN x.c ELSE 0 END
+                            for x in files]) AS BIGINT)
+               AS n_dict_chunks
+      FROM f)
+    SELECT CAST(part AS INTEGER) AS part,
+           c.colname,
+           n_chunks,
+           n_dict_chunks,
+           n_chunks - n_dict_chunks AS n_plain_chunks,
+           CAST(0 AS BIGINT) AS n_fallback_chunks,
+           n_chunks AS n_data_pages,
+           n_dict_chunks AS n_dict_pages,
+           'PLAIN,RLE,RLE_DICTIONARY' AS encodings
+    FROM a CROSS JOIN (SELECT unnest(['tok', 'v']) AS colname) c
+    ORDER BY part, colname
+    """,
+)
+def encoding_audit(spark, sf_dir):
+    """Column ENCODING audit from parquet footers only
+    (operators/parquet_meta.py encoding_report): per (partition,
+    column), dictionary- vs plain-encoded chunk counts, data/dict
+    page tallies from PageEncodingStats, and the distinct encodings
+    in use — the footer facts that tell a lake operator which columns
+    lost dictionary encoding and bloat every scan.
+    Builder-exercises-auditor: the distributed builder writes each
+    partition's tokens as contiguous slices across k = p%3+2 files
+    (row groups of 8, one data page per row group), alternating
+    use_dictionary per file (even j dictionary, odd j plain), so
+    every chunk/page count is a closed-form ceil-div the DuckDB
+    oracle restates symbolically. The dictionary-FALLBACK detection
+    (a chunk with both kinds of data page) can't occur in this pinned
+    layout — it is pytest-pinned instead with a
+    dictionary_pagesize_limit-starved fixture
+    (tests/test_parquet_meta.py).
+
+    Scale: the lake_audit I/O posture — footer bytes only, one
+    shuffled row per file x column.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .operators.parquet_meta import encoding_report
+
+    out_dir = str(
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "encoding_audit"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("part", (F.col("doc_id") % 6).cast("int"))
+    )
+
+    def build(pdf):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = int(pdf["part"].iloc[0])
+        k = part % 3 + 2
+        pdf = pdf.sort_values("doc_id")
+        toks = [w for t in pdf["text"] for w in t.split(" ")]
+        n = len(toks)
+        pdir = _os.path.join(out_dir, f"part={part}")
+        _os.makedirs(pdir, exist_ok=True)
+        off = 0
+        for j in range(k):
+            rows = (n + k - 1 - j) // k
+            pq.write_table(
+                pa.table(
+                    {
+                        "tok": pa.array(
+                            toks[off : off + rows], pa.string()
+                        ),
+                        "v": pa.array(
+                            range(off, off + rows), pa.int64()
+                        ),
+                    }
+                ),
+                _os.path.join(pdir, f"f-{j:03d}.parquet"),
+                row_group_size=8,
+                use_dictionary=(j % 2 == 0),
+            )
+            off += rows
+        return pd.DataFrame({"part": [part], "n_files": [k]})
+
+    d.groupBy("part").applyInPandas(
+        build, "part int, n_files int"
+    ).count()
+
+    rep = encoding_report(spark, out_dir)
+    return rep.select(
+        F.regexp_extract("partition", r"part=(\d+)", 1)
+        .cast("int")
+        .alias("part"),
+        F.col("column").alias("colname"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_dict_chunks").cast("long").alias("n_dict_chunks"),
+        F.col("n_plain_chunks").cast("long").alias("n_plain_chunks"),
+        F.col("n_fallback_chunks")
+        .cast("long")
+        .alias("n_fallback_chunks"),
+        F.col("n_data_pages").cast("long").alias("n_data_pages"),
+        F.col("n_dict_pages").cast("long").alias("n_dict_pages"),
+        "encodings",
+    )
+
+
+@register(
+    "clustering_depth",
+    """
+    WITH d AS (
+      SELECT doc_id % 6 AS part FROM documents),
+    p AS (
+      SELECT part, CAST(part % 3 + 2 AS BIGINT) AS k
+      FROM d GROUP BY part)
+    SELECT CAST(part AS INTEGER) AS part,
+           k AS n_files,
+           CAST(0 AS BIGINT) AS n_unstatted,
+           CAST(CASE WHEN part % 2 = 0 THEN 1 ELSE k END AS BIGINT)
+             AS max_depth,
+           CAST(CASE WHEN part % 2 = 0 THEN 0
+                     ELSE k * (k - 1) // 2 END AS BIGINT)
+             AS n_overlap_pairs,
+           part % 2 = 0 AS clustered
+    FROM p
+    ORDER BY part
+    """,
+)
+def clustering_depth(spark, sf_dir):
+    """File-clustering audit from footer min/max stats only
+    (operators/parquet_meta.py clustering_report): per partition, the
+    maximum number of file [min, max] windows any single value falls
+    inside (= files a point lookup must open) and the count of
+    overlapping file pairs — the metric that decides whether a
+    sort/Z-order rewrite pays. Builder-exercises-auditor with BOTH
+    layouts: even partitions write value ranges as CONTIGUOUS slices
+    across k = p%3+2 files (perfectly clustered: depth 1, 0
+    overlapping pairs), odd partitions ROUND-ROBIN the same values
+    (fully interleaved: depth k, all k·(k-1)/2 pairs overlap), so the
+    oracle is closed-form per partition. The sweep is O(n log n)
+    events, never an all-pairs join.
+
+    Scale: footer-bytes-only I/O; two event rows per file into one
+    partition-keyed window — auditing a 100 TB lake shuffles
+    file-count rows.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .operators.parquet_meta import clustering_report
+
+    out_dir = str(
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "clustering_depth"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("part", (F.col("doc_id") % 6).cast("int"))
+    )
+
+    def build(pdf):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = int(pdf["part"].iloc[0])
+        k = part % 3 + 2
+        pdf = pdf.sort_values("doc_id")
+        n = sum(len(t.split(" ")) for t in pdf["text"])
+        pdir = _os.path.join(out_dir, f"part={part}")
+        _os.makedirs(pdir, exist_ok=True)
+        for j in range(k):
+            if part % 2 == 0:
+                off = sum((n + k - 1 - i) // k for i in range(j))
+                rows = (n + k - 1 - j) // k
+                vals = range(off, off + rows)
+            else:
+                vals = range(j, n, k)
+            pq.write_table(
+                pa.table({"v": pa.array(vals, pa.int64())}),
+                _os.path.join(pdir, f"f-{j:03d}.parquet"),
+                row_group_size=64,
+            )
+        return pd.DataFrame({"part": [part], "n_files": [k]})
+
+    d.groupBy("part").applyInPandas(
+        build, "part int, n_files int"
+    ).count()
+
+    rep = clustering_report(spark, out_dir, column="v")
+    return rep.select(
+        F.regexp_extract("partition", r"part=(\d+)", 1)
+        .cast("int")
+        .alias("part"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_unstatted").cast("long").alias("n_unstatted"),
+        F.col("max_depth").cast("long").alias("max_depth"),
+        F.col("n_overlap_pairs")
+        .cast("long")
+        .alias("n_overlap_pairs"),
+        "clustered",
+    )
+
+
+@register(
+    "skip_index_scan",
+    """
+    WITH d AS (
+      SELECT doc_id % 8 AS part,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    p AS (
+      SELECT part,
+             CAST(part % 3 + 2 AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM d GROUP BY part),
+    f AS (
+      SELECT part, k, n,
+             [ {'o': coalesce(list_sum([ (n + k - 1 - i) // k
+                                          for i in generate_series(0, j - 1) ]), 0),
+                'r': (n + k - 1 - j) // k }
+               for j in generate_series(0, k - 1) ] AS files
+      FROM p)
+    SELECT CAST(part AS INTEGER) AS part,
+           k AS n_files,
+           CAST(list_sum([ CASE WHEN x.o + x.r - 1 < 16 OR x.o > 47
+                                THEN 0 ELSE 1 END
+                           for x in files ]) AS BIGINT) AS n_files_read,
+           n AS rows_total,
+           CAST(list_sum([ CASE WHEN x.o + x.r - 1 < 16 OR x.o > 47
+                                THEN 0 ELSE x.r END
+                           for x in files ]) AS BIGINT) AS rows_scanned,
+           CAST(greatest(least(n - 1, 47) - 15, 0) AS BIGINT) AS n_match,
+           CAST(CASE WHEN n <= 16 THEN 0
+                     ELSE (16 + least(n - 1, 47))
+                          * (least(n - 1, 47) - 15) // 2 END AS BIGINT)
+             AS sum_v
+    FROM f
+    ORDER BY part
+    """,
+)
+def skip_index_scan(spark, sf_dir):
+    """Persisted skip index + INDEX-BACKED scan
+    (operators/skipindex.py): build the one-row-per-(file, column)
+    min/max index from footers, persist it as an ordinary parquet
+    table, then answer ``16 <= v <= 47`` by pruning the index FIRST
+    and reading only surviving files — manifest-style file
+    elimination (what Delta/Iceberg do) built from plain parquet
+    footers. Output joins the planner-side accounting
+    (``scan_file_counts``: files/rows the index lets the scan skip)
+    with the actual indexed read's result (match count + sum), so
+    correctness of BOTH the pruning math and the pruned read is
+    oracled. Builder layout is scan_pruning's contiguous-slice one —
+    every window is a closed-form offset interval.
+
+    Scale: index build is footers-only I/O; the scan collects one
+    path per SURVIVING file (the same driver-side file list Spark
+    materializes for any read) and the predicate stays attached, so
+    row-group pruning inside survivors is unchanged.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .operators.skipindex import (
+        build_skip_index,
+        indexed_scan,
+        scan_file_counts,
+    )
+
+    base = (
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "skip_index_scan"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    out_dir = str(base / "lake")
+    ix_dir = str(base / "index")
+    shutil.rmtree(str(base), ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("part", (F.col("doc_id") % 8).cast("int"))
+    )
+
+    def build(pdf):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = int(pdf["part"].iloc[0])
+        k = part % 3 + 2
+        pdf = pdf.sort_values("doc_id")
+        n = sum(len(t.split(" ")) for t in pdf["text"])
+        pdir = _os.path.join(out_dir, f"part={part}")
+        _os.makedirs(pdir, exist_ok=True)
+        off = 0
+        for j in range(k):
+            rows = (n + k - 1 - j) // k
+            pq.write_table(
+                pa.table(
+                    {"v": pa.array(range(off, off + rows), pa.int64())}
+                ),
+                _os.path.join(pdir, f"f-{j:03d}.parquet"),
+                row_group_size=8,
+            )
+            off += rows
+        return pd.DataFrame({"part": [part], "n_files": [k]})
+
+    d.groupBy("part").applyInPandas(
+        build, "part int, n_files int"
+    ).count()
+
+    # build once, persist, reload — the round-trip IS the feature
+    build_skip_index(spark, out_dir, ["v"]).write.mode(
+        "overwrite"
+    ).parquet(ix_dir)
+    ix = spark.read.parquet(ix_dir)
+
+    counts = scan_file_counts(ix, "v", 16, 47).select(
+        F.regexp_extract("partition", r"part=(\d+)", 1)
+        .cast("int")
+        .alias("part"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_files_read").cast("long").alias("n_files_read"),
+        F.col("rows_total").cast("long").alias("rows_total"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+    )
+    data = (
+        indexed_scan(spark, ix, out_dir, "v", 16, 47)
+        .groupBy(F.col("part").cast("int").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_match"),
+            F.sum("v").alias("sum_v"),
+        )
+    )
+    # left join: a partition the index prunes ENTIRELY still reports
+    return (
+        counts.join(data, "part", "left")
+        .fillna({"n_match": 0, "sum_v": 0})
+    )
+
+
+@register(
+    "domain_mix",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS sz
+      FROM documents),
+    a AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(sz) AS BIGINT) AS domain_tokens
+      FROM d GROUP BY lang),
+    t AS (
+      SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total,
+             COUNT(*) AS nd
+      FROM a),
+    w AS (
+      SELECT lang, n_docs, domain_tokens,
+             CAST(greatest(domain_tokens * 1000000 // total, 1)
+                  AS BIGINT) AS actual_ppm,
+             CAST(1000000 // nd AS BIGINT) AS target_ppm
+      FROM a, t),
+    w2 AS (
+      SELECT *,
+             CAST(least(4000000, target_ppm * 1000000 // actual_ppm)
+                  AS BIGINT) AS weight_ppm
+      FROM w),
+    c AS (
+      SELECT d.lang, d.sz,
+             weight_ppm // 1000000
+             + CASE WHEN ((doc_id % 2147483648) * 2654435761)
+                         % 1000000 < weight_ppm % 1000000
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM d JOIN w2 USING (lang))
+    SELECT w2.lang, n_docs, domain_tokens, actual_ppm, target_ppm,
+           weight_ppm, s.sampled_docs, s.sampled_tokens
+    FROM w2
+    JOIN (SELECT lang,
+                 CAST(SUM(n_copies) AS BIGINT) AS sampled_docs,
+                 CAST(SUM(n_copies * sz) AS BIGINT) AS sampled_tokens
+          FROM c GROUP BY lang) s USING (lang)
+    ORDER BY lang
+    """,
+)
+def domain_mix(spark, sf_dir):
+    """Training-data MIXTURE reweighting (north-star curation;
+    operators/sampling.py domain_mix_weights + apply_mix_epochs):
+    compute per-domain sampling weights that steer the corpus toward
+    a uniform token mixture across languages (ppm-scaled integer
+    math, capped at 4.0 epochs), then materialize the mix as
+    deterministic per-document copy counts — integer epochs plus a
+    Knuth-hash Bernoulli draw for the fractional remainder, so the
+    same document up/down-samples identically on every engine and
+    partition layout. Output per domain: observed share, target,
+    weight, and the achieved post-sampling doc/token counts, all
+    bit-exact against the oracle's restatement of the same integer
+    ladder.
+
+    Scale: one groupBy(domain) rollup; the weights frame (one row per
+    domain) broadcast-joins back; the draw is a map-side expression —
+    no second shuffle of the corpus.
+    """
+    from .operators.sampling import apply_mix_epochs, domain_mix_weights
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("sz"),
+    )
+    weights = domain_mix_weights(d, "lang", "sz")
+    mixed = apply_mix_epochs(d, weights, "lang", "doc_id")
+    achieved = mixed.groupBy("lang").agg(
+        F.sum("n_copies").alias("sampled_docs"),
+        F.sum(F.col("n_copies") * F.col("sz")).alias("sampled_tokens"),
+    )
+    return weights.select(
+        "lang",
+        F.col("n_rows").alias("n_docs"),
+        F.col("domain_size").alias("domain_tokens"),
+        "actual_ppm",
+        "target_ppm",
+        "weight_ppm",
+    ).join(achieved, "lang")

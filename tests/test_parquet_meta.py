@@ -995,3 +995,181 @@ def test_page_pruning_typed_predicates(spark, tmp_path):
         assert r["n_skippable_rgs"] == 1  # the other rg window-misses
         # the predicate genuinely prunes at page granularity
         assert 0 < skips < pages and 0 < scanned < 600
+
+
+def test_encoding_report_vs_duckdb_parquet_metadata(spark, tmp_path):
+    """Encoding audit parity: chunk counts and the distinct encoding
+    set must match what DuckDB's parquet_metadata() reports for the
+    same files, per (partition, column)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        encoding_report,
+    )
+
+    lake = tmp_path / "lake"
+    for part, use_dict in [("a", True), ("b", False)]:
+        d = lake / f"part={part}"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "tok": pa.array([f"w{i % 9}" for i in range(200)]),
+                    "v": pa.array(range(200), pa.int64()),
+                }
+            ),
+            str(d / "f.parquet"),
+            row_group_size=32,
+            use_dictionary=use_dict,
+        )
+    rep = {
+        (r["partition"], r["column"]): r
+        for r in encoding_report(spark, str(lake)).collect()
+    }
+    duck = defaultdict(lambda: {"n": 0, "encs": set()})
+    for part in ("a", "b"):
+        rows = duckdb.sql(
+            "select path_in_schema, encodings from parquet_metadata("
+            f"'{lake}/part={part}/f.parquet')"
+        ).fetchall()
+        for col, encs in rows:
+            e = duck[(f"part={part}", col)]
+            e["n"] += 1
+            e["encs"].update(s.strip() for s in encs.split(","))
+    assert set(rep) == set(duck)
+    for key, e in duck.items():
+        assert rep[key]["n_chunks"] == e["n"]
+        assert set(rep[key]["encodings"].split(",")) == e["encs"]
+    # dict-mode partition: every chunk dictionary-encoded, one dict
+    # page per chunk, one data page per 32-row row group
+    for col in ("tok", "v"):
+        r = rep[("part=a", col)]
+        assert r["n_dict_chunks"] == r["n_chunks"] == 7
+        assert r["n_plain_chunks"] == r["n_fallback_chunks"] == 0
+        assert r["n_dict_pages"] == 7 and r["n_data_pages"] == 7
+        rb = rep[("part=b", col)]
+        assert rb["n_plain_chunks"] == rb["n_chunks"] == 7
+        assert rb["n_dict_chunks"] == rb["n_fallback_chunks"] == 0
+        assert rb["n_dict_pages"] == 0 and rb["n_data_pages"] == 7
+
+
+def test_encoding_report_detects_dictionary_fallback(spark, tmp_path):
+    """A dictionary page starved below the column's cardinality makes
+    the writer fall back to PLAIN mid-chunk; the audit must report the
+    chunk as fallback, not dict or plain."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        encoding_report,
+    )
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    pq.write_table(
+        pa.table(
+            {"s": pa.array([f"value-{i:06d}" for i in range(5000)])}
+        ),
+        str(lake / "f.parquet"),
+        use_dictionary=True,
+        dictionary_pagesize_limit=1024,  # ~70 distinct values fit
+        row_group_size=5000,
+    )
+    r = encoding_report(spark, str(lake)).collect()
+    (row,) = [x for x in r if x["column"] == "s"]
+    assert row["n_fallback_chunks"] == 1
+    assert row["n_dict_chunks"] == 0 and row["n_plain_chunks"] == 0
+    assert "RLE_DICTIONARY" in row["encodings"]
+    assert row["n_data_pages"] > 1  # dict-encoded pages + plain pages
+    assert row["n_dict_pages"] == 1
+
+
+def test_classify_chunk_encoding_old_writer_fallback():
+    """Writers that omit PageEncodingStats (field 13) classify from
+    the dictionary-page offset, with page tallies reported as 0 —
+    unknown, not claimed."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        classify_chunk_encoding,
+    )
+
+    old_dict = {"encoding_stats": None, "dict_page_off": 4}
+    old_plain = {"encoding_stats": None, "dict_page_off": None}
+    assert classify_chunk_encoding(old_dict) == ("dict", 0, 0)
+    assert classify_chunk_encoding(old_plain) == ("plain", 0, 0)
+    modern = {
+        "encoding_stats": [
+            {"page_type": 2, "encoding": 0, "count": 1},
+            {"page_type": 0, "encoding": 8, "count": 3},
+            {"page_type": 0, "encoding": 0, "count": 2},
+        ],
+        "dict_page_off": 4,
+    }
+    assert classify_chunk_encoding(modern) == ("fallback", 5, 1)
+    v2_pages = {
+        "encoding_stats": [{"page_type": 3, "encoding": 8, "count": 2},
+                           {"page_type": 2, "encoding": 0, "count": 1}],
+        "dict_page_off": 4,
+    }
+    assert classify_chunk_encoding(v2_pages) == ("dict", 2, 1)
+
+
+def test_clustering_report_depth_pairs_and_edge_cases(spark, tmp_path):
+    """Clustering sweep ground truth: disjoint windows -> depth 1 /
+    0 pairs; TOUCHING windows overlap; fully interleaved -> depth k /
+    all pairs; a file without usable stats is excluded and counted."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        clustering_report,
+    )
+
+    lake = tmp_path / "lake"
+
+    def _wf(part, name, vals, typ=pa.int64()):
+        d = lake / f"part={part}"
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table({"v": pa.array(vals, typ)}),
+            str(d / f"{name}.parquet"),
+        )
+
+    # part=a: [0,9] [10,19] [20,29] disjoint
+    _wf("a", "f0", range(0, 10))
+    _wf("a", "f1", range(10, 20))
+    _wf("a", "f2", range(20, 30))
+    # part=b: [0,5] [5,9] touching at 5 -> one overlapping pair, depth 2
+    _wf("b", "f0", [0, 3, 5])
+    _wf("b", "f1", [5, 7, 9])
+    # part=c: three interleaved spans + one all-NULL (no stats window)
+    _wf("c", "f0", [0, 30])
+    _wf("c", "f1", [1, 31])
+    _wf("c", "f2", [2, 32])
+    _wf("c", "fnull", [None, None])
+    rep = {
+        r["partition"]: r
+        for r in clustering_report(spark, str(lake), "v").collect()
+    }
+    a, b, c = rep["part=a"], rep["part=b"], rep["part=c"]
+    assert (a["max_depth"], a["n_overlap_pairs"], a["clustered"]) == (1, 0, True)
+    assert a["n_files"] == 3 and a["n_unstatted"] == 0
+    assert (b["max_depth"], b["n_overlap_pairs"], b["clustered"]) == (2, 1, False)
+    assert (c["max_depth"], c["n_overlap_pairs"]) == (3, 3)
+    assert c["n_files"] == 4 and c["n_unstatted"] == 1
+
+
+def test_clustering_report_string_and_double_lanes(spark, tmp_path):
+    """The sweep orders on whichever typed lane the column's stats
+    populate — string windows and double windows both work."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        clustering_report,
+    )
+
+    for typ, mk in [
+        (pa.string(), lambda lo, hi: [f"k{lo:04d}", f"k{hi:04d}"]),
+        (pa.float64(), lambda lo, hi: [float(lo), float(hi)]),
+    ]:
+        lake = tmp_path / f"lake_{typ}"
+        d = lake / "part=x"
+        d.mkdir(parents=True)
+        pq.write_table(pa.table({"v": pa.array(mk(0, 10), typ)}), str(d / "f0.parquet"))
+        pq.write_table(pa.table({"v": pa.array(mk(5, 15), typ)}), str(d / "f1.parquet"))
+        pq.write_table(pa.table({"v": pa.array(mk(20, 30), typ)}), str(d / "f2.parquet"))
+        (r,) = clustering_report(spark, str(lake), "v").collect()
+        assert (r["max_depth"], r["n_overlap_pairs"], r["clustered"]) == (2, 1, False)

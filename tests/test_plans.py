@@ -330,3 +330,58 @@ def test_scan_pruning_typed_is_footer_sized(spark, sf_dir):
     assert _op_count(p, "Scan binaryFile") == 3
     assert _op_count(p, "Exchange") == 3
     assert "content" not in p
+
+
+def test_encoding_audit_is_footer_sized(spark, sf_dir):
+    """encoding_audit (round 9): the scan_pruning posture — one
+    binaryFile listing projecting (path, length), one rollup exchange
+    on (partition, column), content never projected."""
+    p = _plan(spark, "encoding_audit", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert _op_count(p, "Scan binaryFile") == 1
+    assert _op_count(p, "Exchange") == 1
+    assert "content" not in p
+
+
+def test_clustering_depth_reads_footers_once(spark, sf_dir):
+    """clustering_depth (round 9): the sweep and the file counts both
+    fan out of ONE materialized per-file footer pass (eager
+    localCheckpoint — the lake_audit discipline), so the lake is
+    listed once; downstream exchanges move two event rows per file,
+    never data."""
+    p = _plan(spark, "clustering_depth", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "binaryFile" not in p  # checkpointed: listed exactly once
+    assert p.count("Scan ExistingRDD") >= 2
+    assert "content" not in p
+
+
+def test_skip_index_scan_reads_only_survivors(spark, sf_dir):
+    """skip_index_scan (round 9): the data side of the plan reads the
+    PRUNED parquet file list with the predicate pushed to the scan;
+    the accounting side reads the persisted index table. No cartesian
+    joins, no row-at-a-time Python, no binary content."""
+    p = _plan(spark, "skip_index_scan", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "binaryFile" not in p  # index built+persisted pre-plan
+    # the pruned data read keeps the predicate at the scan
+    assert "PushedFilters: [IsNotNull(v), GreaterThanOrEqual(v,16)" in p
+    assert "content" not in p
+
+
+def test_domain_mix_broadcasts_weights(spark, sf_dir):
+    """domain_mix (round 9): the per-domain weights frame joins back
+    to the corpus via BROADCAST (one row per domain); the only
+    whole-frame exchange is the single-partition window over the
+    domain rollup, never the corpus."""
+    p = _plan(spark, "domain_mix", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p

@@ -1,0 +1,213 @@
+"""Persisted skip-index + index-backed scan (operators/skipindex.py).
+
+Soundness is the contract under test: the index may only rule a file
+out when its stats PROVE no row can match — so an indexed_scan result
+must equal the plain full-scan-and-filter result on every fixture,
+including files with missing stats, all-NULL files, and predicates
+typed differently from the column.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_etl_self_service_spark.operators.skipindex import (
+    INDEX_VERSION,
+    _survivors,
+    build_skip_index,
+    indexed_scan,
+    scan_file_counts,
+)
+
+
+def _lake(tmp_path):
+    lake = tmp_path / "lake"
+    for part, files in {
+        "p=1": [range(0, 100), range(100, 200)],
+        "p=2": [range(500, 600), [None] * 50],
+    }.items():
+        d = lake / part
+        d.mkdir(parents=True)
+        for j, vals in enumerate(files):
+            pq.write_table(
+                pa.table({"v": pa.array(vals, pa.int64())}),
+                str(d / f"f{j}.parquet"),
+                row_group_size=32,
+            )
+    return str(lake)
+
+
+def test_index_rows_and_typed_lanes(spark, tmp_path):
+    lake = _lake(tmp_path)
+    ix = build_skip_index(spark, lake, ["v"]).collect()
+    assert len(ix) == 4
+    by = {(r["partition"], r["path"].rsplit("/", 1)[-1]): r for r in ix}
+    r = by[("p=1", "f0.parquet")]
+    assert (r["min_i"], r["max_i"]) == (0, 99)
+    assert r["min_d"] is None and r["min_s"] is None
+    assert r["has_stats"] and r["index_version"] == INDEX_VERSION
+    assert r["n_rows"] == 100 and r["n_row_groups"] == 4
+    nul = by[("p=2", "f1.parquet")]
+    # all-NULL file: no window, but stats are USABLE (all-null proof)
+    assert nul["has_stats"] and nul["min_i"] is None
+    assert nul["null_count"] == nul["num_values"] == 50
+
+
+def test_indexed_scan_equals_full_scan(spark, tmp_path):
+    lake = _lake(tmp_path)
+    ix = build_skip_index(spark, lake, ["v"])
+    for lo, hi in [(50, 150), (0, 0), (550, 800), (10**6, 10**7)]:
+        got = sorted(
+            r["v"]
+            for r in indexed_scan(spark, ix, lake, "v", lo, hi).collect()
+        )
+        want = sorted(
+            r["v"]
+            for r in spark.read.parquet(lake)
+            .filter(F.col("v").between(lo, hi))
+            .collect()
+        )
+        assert got == want, (lo, hi)
+
+
+def test_survivor_pruning_is_exactly_right(spark, tmp_path):
+    lake = _lake(tmp_path)
+    ix = build_skip_index(spark, lake, ["v"])
+    surv = {
+        r["path"].rsplit("/", 2)[-2] + "/" + r["path"].rsplit("/", 1)[-1]
+        for r in _survivors(ix, "v", 50, 150).select("path").collect()
+    }
+    # [50,150] hits p=1/f0 [0,99] and p=1/f1 [100,199]; misses
+    # p=2/f0 [500,599]; the all-NULL file is provably empty for ranges
+    assert surv == {"p=1/f0.parquet", "p=1/f1.parquet"}
+    counts = {
+        r["partition"]: r
+        for r in scan_file_counts(ix, "v", 50, 150).collect()
+    }
+    assert counts["p=1"]["n_files_read"] == 2
+    assert counts["p=2"]["n_files_read"] == 0
+    assert counts["p=2"]["rows_scanned"] == 0
+    assert counts["p=2"]["rows_total"] == 150
+
+
+def test_unstatted_and_foreign_typed_predicates_survive(spark, tmp_path):
+    """Missing column stats or a predicate typed unlike the stats must
+    leave the file IN the scan (soundness over cleverness)."""
+    lake = tmp_path / "lake"
+    d = lake / "p=1"
+    d.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"v": pa.array(range(10), pa.int64())}),
+        str(d / "f0.parquet"),
+        write_statistics=False,
+    )
+    ix = build_skip_index(spark, str(lake), ["v"])
+    (row,) = ix.collect()
+    assert not row["has_stats"]
+    # un-statted file survives an arbitrarily disjoint predicate
+    assert _survivors(ix, "v", 10**9, 10**9 + 1).count() == 1
+    # statted int column + string predicate -> string lanes are NULL
+    # -> window cannot prove a miss -> file survives
+    lake2 = tmp_path / "lake2"
+    d2 = lake2 / "p=1"
+    d2.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"v": pa.array(range(10), pa.int64())}),
+        str(d2 / "f0.parquet"),
+    )
+    ix2 = build_skip_index(spark, str(lake2), ["v"])
+    assert _survivors(ix2, "v", "zzz", "zzzz").count() == 1
+    with pytest.raises(ValueError):
+        _survivors(ix2, "v", True, True)
+
+
+def test_empty_survivor_set_returns_empty_frame_with_schema(spark, tmp_path):
+    lake = _lake(tmp_path)
+    ix = build_skip_index(spark, lake, ["v"])
+    out = indexed_scan(spark, ix, lake, "v", 10**9, 2 * 10**9)
+    assert out.count() == 0
+    assert set(out.columns) == {"v", "p"}
+
+
+def test_version_mismatch_rows_are_ignored(spark, tmp_path):
+    lake = _lake(tmp_path)
+    ix = build_skip_index(spark, lake, ["v"]).withColumn(
+        "index_version", F.lit(INDEX_VERSION + 1)
+    )
+    # every row is from a "future" builder -> nothing survives the
+    # version gate -> nothing can be pruned NOR read via the index;
+    # the scan degrades to the empty-schema frame, never a wrong answer
+    assert _survivors(ix, "v", 50, 150).count() == 0
+
+
+def test_string_and_double_predicates(spark, tmp_path):
+    lake = tmp_path / "lake"
+    d = lake / "p=1"
+    d.mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "s": pa.array(["apple", "banana", "cherry"]),
+                "x": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            }
+        ),
+        str(d / "f0.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s": pa.array(["melon", "peach"]),
+                "x": pa.array([10.5, 11.5], pa.float64()),
+            }
+        ),
+        str(d / "f1.parquet"),
+    )
+    ix = build_skip_index(spark, str(lake), ["s", "x"])
+    assert ix.count() == 4
+    got = sorted(
+        r["s"]
+        for r in indexed_scan(
+            spark, ix, str(lake), "s", "ba", "cz"
+        ).collect()
+    )
+    assert got == ["banana", "cherry"]
+    surv = _survivors(ix, "s", "m", "n").select("path").collect()
+    assert len(surv) == 1 and surv[0]["path"].endswith("f1.parquet")
+    got_x = sorted(
+        r["x"]
+        for r in indexed_scan(
+            spark, ix, str(lake), "x", 2.0, 4.0
+        ).collect()
+    )
+    assert got_x == [2.5, 3.5]
+
+
+def test_counts_agree_with_pruning_report(spark, tmp_path):
+    """Cross-operator invariant: the index's file-level accounting
+    must equal pruning_report's FILE-level skip decisions on the same
+    lake + predicate (the index is file-granular; row groups inside a
+    surviving file are the scan's business)."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        pruning_report,
+    )
+
+    lake = _lake(tmp_path)
+    ix = build_skip_index(spark, lake, ["v"])
+    mine = {
+        r["partition"]: r
+        for r in scan_file_counts(ix, "v", 120, 520).collect()
+    }
+    ref = {
+        r["partition"]: r
+        for r in pruning_report(spark, lake, "v", 120, 520).collect()
+    }
+    for part in ref:
+        assert mine[part]["n_files"] == ref[part]["n_files"]
+        assert (
+            mine[part]["n_files"] - mine[part]["n_files_read"]
+            == ref[part]["n_skippable_files"]
+        )
+        assert mine[part]["rows_scanned"] == ref[part]["rows_scanned"]
