@@ -52,6 +52,7 @@ def build_skip_index(
     path: str,
     columns: list[str],
     force_generic: bool = False,
+    files: DataFrame | None = None,
 ) -> DataFrame:
     """One row per (file, indexed column): the file-level stats an
     index-backed scan prunes with. Columns: ``path`` (full URI),
@@ -142,8 +143,49 @@ def build_skip_index(
         "num_values long, has_stats boolean, index_version int"
     )
     return _footer_frame(
-        _listing(spark, path), _rows, schema, force_generic
+        _listing(spark, path) if files is None else files,
+        _rows,
+        schema,
+        force_generic,
     )
+
+
+def refresh_skip_index(
+    spark: SparkSession,
+    path: str,
+    old_index: DataFrame,
+    columns: list[str],
+    force_generic: bool = False,
+) -> DataFrame:
+    """Incremental index maintenance: bring ``old_index`` up to date
+    with the lake at ``path`` WITHOUT re-reading footers for files the
+    index already covers. File identity is (path, bytes) — a file
+    that vanished drops out, a file whose size changed (rewritten in
+    place) re-reads, a new file reads for the first time, everything
+    else reuses its existing index rows byte-for-byte. ``columns``
+    must be the set the old index was built with (rows for a file are
+    reused wholesale; a widened column list needs a fresh
+    ``build_skip_index``).
+
+    Scale: the incremental cost is footer reads for CHANGED files
+    only, plus one file-listing join against the index — refreshing a
+    100 TB lake that gained a day's partitions costs that day's
+    footers, not the lake's."""
+    listing = _listing(spark, path).select("path", "length")
+    old = old_index.filter(F.col("index_version") == INDEX_VERSION)
+    known = old.select(
+        "path", F.col("bytes").alias("length")
+    ).distinct()
+    fresh_files = listing.join(known, ["path", "length"], "left_anti")
+    kept = old.join(
+        listing.withColumnRenamed("length", "bytes"),
+        ["path", "bytes"],
+        "left_semi",
+    ).select(*old.columns)  # joins front their keys; keep index order
+    fresh = build_skip_index(
+        spark, path, columns, force_generic, files=fresh_files
+    )
+    return kept.unionByName(fresh)
 
 
 def _survivors(index: DataFrame, column: str, lo, hi) -> DataFrame:

@@ -211,3 +211,85 @@ def test_counts_agree_with_pruning_report(spark, tmp_path):
             == ref[part]["n_skippable_files"]
         )
         assert mine[part]["rows_scanned"] == ref[part]["rows_scanned"]
+
+
+def test_refresh_reads_only_changed_files(spark, tmp_path):
+    """Incremental refresh reuses index rows for unchanged files
+    WITHOUT opening them (proven by replacing an unchanged file's
+    bytes with same-size garbage: any footer read would crash),
+    re-reads size-changed files, indexes new files, and drops
+    vanished ones."""
+    import os
+
+    from data_engineering_etl_self_service_spark.operators.skipindex import (
+        refresh_skip_index,
+    )
+
+    lake = tmp_path / "lake"
+    d1, d2 = lake / "p=1", lake / "p=2"
+    d1.mkdir(parents=True)
+    d2.mkdir(parents=True)
+
+    def _wf(p, vals):
+        pq.write_table(
+            pa.table({"v": pa.array(vals, pa.int64())}), str(p)
+        )
+
+    _wf(d1 / "f0.parquet", range(0, 10))
+    _wf(d1 / "f1.parquet", range(10, 20))
+    _wf(d2 / "f2.parquet", range(20, 30))
+
+    ixdir = str(tmp_path / "ix")
+    build_skip_index(spark, str(lake), ["v"]).write.parquet(ixdir)
+    old = spark.read.parquet(ixdir)
+    old_rows = {r["path"].rsplit("/", 1)[-1]: r for r in old.collect()}
+
+    # unchanged identity, unreadable bytes: must be REUSED, not read
+    f0 = d1 / "f0.parquet"
+    size0 = os.path.getsize(f0)
+    f0.write_bytes(b"\x00" * size0)
+    # vanished
+    (d1 / "f1.parquet").unlink()
+    # rewritten with a different size -> re-read
+    _wf(d2 / "f2.parquet", range(100, 160))
+    # brand new -> read
+    _wf(d2 / "f3.parquet", range(500, 505))
+
+    new = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in refresh_skip_index(
+            spark, str(lake), old, ["v"]
+        ).collect()
+    }
+    assert set(new) == {"f0.parquet", "f2.parquet", "f3.parquet"}
+    assert new["f0.parquet"] == old_rows["f0.parquet"]  # byte-for-byte reuse
+    assert (new["f2.parquet"]["min_i"], new["f2.parquet"]["max_i"]) == (100, 159)
+    assert new["f2.parquet"]["n_rows"] == 60
+    assert (new["f3.parquet"]["min_i"], new["f3.parquet"]["max_i"]) == (500, 504)
+
+
+def test_refresh_noop_lake_reads_nothing_and_matches_full_build(spark, tmp_path):
+    """A refresh over an unchanged lake returns the old index exactly
+    — and (garbage-bytes trick again) never opens a single file."""
+    import os
+
+    from data_engineering_etl_self_service_spark.operators.skipindex import (
+        refresh_skip_index,
+    )
+
+    lake = _lake(tmp_path)
+    ixdir = str(tmp_path / "ix")
+    build_skip_index(spark, lake, ["v"]).write.parquet(ixdir)
+    old = spark.read.parquet(ixdir)
+    want = sorted(map(tuple, old.collect()))
+    for root, _, names in os.walk(lake):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                sz = os.path.getsize(p)
+                with open(p, "wb") as fh:
+                    fh.write(b"\x00" * sz)
+    got = sorted(
+        map(tuple, refresh_skip_index(spark, lake, old, ["v"]).collect())
+    )
+    assert got == want
