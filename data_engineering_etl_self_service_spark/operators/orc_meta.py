@@ -1,0 +1,854 @@
+"""ORC tail introspection + stripe-statistics pruning — pure Python.
+
+Second-format parity for the lake's data-skipping toolchain: the engine
+reads ORC natively (sources/files.py ``read_orc``), and a self-service
+lake accumulates ORC alongside parquet the moment one upstream team
+writes it — so the footers-only audits (operators/parquet_meta.py,
+SURVEY §4's partition-pruning row as a measurable tool) need an ORC
+twin or the audit silently covers half the lake. Same posture as the
+parquet stack: every byte read is metadata (PostScript + Footer +
+Metadata at the file TAIL), fetched with ranged reads through
+:func:`parquet_meta.open_ranged` on any filesystem, decoded executor-
+side with a dependency-free protobuf reader (the wire format is public:
+protobuf encoding spec + Apache ORC's ``orc_proto.proto``), and rolled
+up per hive partition.
+
+ORC file tail layout (ORC spec v1):
+
+    ... data ... | Metadata | Footer | PostScript | ps_len (1 byte)
+
+- **PostScript** (never compressed): footerLength, compression kind,
+  compressionBlockSize, metadataLength, magic "ORC".
+- **Footer** (compressed as a chunked stream when compression != NONE):
+  stripe directory (offset/index/data/footer lengths + row counts), the
+  type tree, file-level ColumnStatistics, numberOfRows.
+- **Metadata**: per-STRIPE ColumnStatistics — the stats a scanner uses
+  to skip whole stripes without touching their data, and exactly what
+  :func:`orc_pruning_report` audits.
+
+Chunked compression framing: each chunk is a 3-byte little-endian
+header ``(length << 1) | is_original`` followed by ``length`` bytes —
+original chunks pass through, compressed ones inflate with the
+PostScript's codec (ZLIB = raw DEFLATE, SNAPPY/LZ4 = raw blocks, ZSTD =
+frames; the pure decoders from operators/snappy.py, lz4.py and zstd.py
+keep this dependency-free, with libzstd first on the zstd path).
+
+Stats decoded per column kind: IntegerStatistics (zigzag sint64
+min/max/sum), DoubleStatistics, StringStatistics (min/max plus the
+lowerBound/upperBound pair newer writers emit when values are truncated
+— bounds are used conservatively), DateStatistics (days), plus
+numberOfValues/hasNull. Unknown kinds carry no window and therefore
+never prove a skip (the conservative answer a real scanner gives).
+"""
+
+from __future__ import annotations
+
+from .parquet_meta import (
+    _footer_frame,
+    _rel_label,
+    _root_norm,
+    _window_misses,
+    open_ranged,
+)
+
+_MAGIC = b"ORC"
+
+#: PostScript.compression → codec name (orc_proto.proto CompressionKind)
+_COMPRESSION = {
+    0: "none",
+    1: "zlib",
+    2: "snappy",
+    3: "lzo",
+    4: "lz4",
+    5: "zstd",
+    6: "brotli",
+}
+
+#: Type.kind enum → name (orc_proto.proto Type.Kind)
+_KINDS = {
+    0: "boolean",
+    1: "byte",
+    2: "short",
+    3: "int",
+    4: "long",
+    5: "float",
+    6: "double",
+    7: "string",
+    8: "binary",
+    9: "timestamp",
+    10: "list",
+    11: "map",
+    12: "struct",
+    13: "union",
+    14: "decimal",
+    15: "date",
+    16: "varchar",
+    17: "char",
+    18: "timestamp_instant",
+}
+
+#: metadata decompression ceiling per stream — a hostile tail could
+#: declare huge chunk expansions; ORC footers/metadata are KB-to-low-MB
+#: in practice, so 256 MiB is generous and still bounds a bomb.
+_MAX_STREAM = 256 << 20
+
+
+# ---------------------------------------------------------------- protobuf
+
+def _uvarint(buf: bytes, i: int) -> tuple[int, int]:
+    """Unsigned LEB128 varint at ``buf[i:]`` → (value, next_pos)."""
+    r = s = 0
+    for _ in range(10):  # 10 bytes bound a 64-bit varint
+        if i >= len(buf):
+            raise ValueError("orc proto: truncated varint")
+        b = buf[i]
+        i += 1
+        r |= (b & 0x7F) << s
+        if not b & 0x80:
+            return r, i
+        s += 7
+    raise ValueError("orc proto: varint longer than 10 bytes")
+
+
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _pb_fields(buf: bytes) -> dict[int, list]:
+    """Decode one protobuf message into ``{field_number: [values]}`` —
+    varints as ints, length-delimited as bytes, fixed32/64 as raw bytes.
+    Nested messages and packed repeats stay bytes; the per-message
+    mappers below interpret them (same generic-tree strategy as the
+    parquet thrift reader)."""
+    i, n, out = 0, len(buf), {}
+    while i < n:
+        tag, i = _uvarint(buf, i)
+        f, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = _uvarint(buf, i)
+        elif wt == 2:
+            ln, i = _uvarint(buf, i)
+            if i + ln > n:
+                raise ValueError("orc proto: truncated field")
+            v = buf[i : i + ln]
+            i += ln
+        elif wt == 1:
+            if i + 8 > n:
+                raise ValueError("orc proto: truncated fixed64")
+            v = buf[i : i + 8]
+            i += 8
+        elif wt == 5:
+            if i + 4 > n:
+                raise ValueError("orc proto: truncated fixed32")
+            v = buf[i : i + 4]
+            i += 4
+        else:
+            raise ValueError(f"orc proto: unsupported wire type {wt}")
+        out.setdefault(f, []).append(v)
+    return out
+
+
+def _one(fields: dict, f: int, default=None):
+    v = fields.get(f)
+    return v[-1] if v else default
+
+
+def _packed_u32(fields: dict, f: int) -> list[int]:
+    """A ``repeated uint32`` field under either encoding: packed (one
+    bytes blob of varints) or expanded (one varint per element)."""
+    out = []
+    for v in fields.get(f, []):
+        if isinstance(v, int):
+            out.append(v)
+        else:
+            i = 0
+            while i < len(v):
+                x, i = _uvarint(v, i)
+                out.append(x)
+    return out
+
+
+# ------------------------------------------------------- stream inflation
+
+def _inflate_chunk(chunk: bytes, codec: str) -> bytes:
+    if codec == "zlib":
+        import zlib
+
+        return zlib.decompress(chunk, -15)  # raw DEFLATE per ORC spec
+    if codec == "snappy":
+        from .snappy import snappy_decompress
+
+        return snappy_decompress(chunk)
+    if codec == "zstd":
+        try:
+            from .encoding import _native_decompress
+
+            return _native_decompress(chunk, "zstd")
+        except Exception:
+            from .zstd import zstd_decompress
+
+            return zstd_decompress(chunk, max_out=_MAX_STREAM)
+    if codec == "lz4":
+        from .lz4 import _decode_block
+
+        out = bytearray()
+        _decode_block(chunk, out, 0)
+        return bytes(out)
+    raise ValueError(f"orc: unsupported compression codec {codec!r}")
+
+
+def _orc_stream(buf: bytes, codec: str) -> bytes:
+    """Inflate one ORC chunked stream (Footer or Metadata section)."""
+    if codec == "none":
+        return bytes(buf)
+    out = bytearray()
+    i, n = 0, len(buf)
+    while i < n:
+        if i + 3 > n:
+            raise ValueError("orc: truncated chunk header")
+        h = buf[i] | buf[i + 1] << 8 | buf[i + 2] << 16
+        i += 3
+        ln = h >> 1
+        if i + ln > n:
+            raise ValueError("orc: truncated chunk body")
+        chunk = buf[i : i + ln]
+        i += ln
+        if h & 1:
+            out += chunk
+        else:
+            out += _inflate_chunk(chunk, codec)
+        if len(out) > _MAX_STREAM:
+            raise ValueError(
+                f"orc: metadata stream exceeds {_MAX_STREAM} bytes"
+            )
+    return bytes(out)
+
+
+# --------------------------------------------------------- message mappers
+
+def _map_col_stats(buf: bytes) -> dict:
+    """ColumnStatistics → plain dict: ``n_values, has_null, min, max,
+    sum, stat_kind``. ``min``/``max`` are None when the writer emitted
+    no window of a kind this reader types (the conservative no-skip
+    answer); string stats fall back to the lowerBound/upperBound pair —
+    a truncated upper bound is rounded UP by the writer, so windows
+    built from bounds stay sound, just conservative."""
+    import struct as _struct
+
+    f = _pb_fields(buf)
+    out = {
+        "n_values": _one(f, 1, None),
+        "has_null": bool(_one(f, 10, 0)),
+        "min": None,
+        "max": None,
+        "sum": None,
+        "stat_kind": None,
+    }
+    if 2 in f:  # IntegerStatistics (sint64 zigzag)
+        s = _pb_fields(f[2][-1])
+        out["stat_kind"] = "int"
+        if 1 in s:
+            out["min"] = _zigzag(s[1][-1])
+        if 2 in s:
+            out["max"] = _zigzag(s[2][-1])
+        if 3 in s:
+            out["sum"] = _zigzag(s[3][-1])
+    elif 3 in f:  # DoubleStatistics (fixed64 IEEE754)
+        s = _pb_fields(f[3][-1])
+        out["stat_kind"] = "double"
+        for fld, key in ((1, "min"), (2, "max"), (3, "sum")):
+            if fld in s:
+                out[key] = _struct.unpack("<d", s[fld][-1])[0]
+    elif 4 in f:  # StringStatistics
+        s = _pb_fields(f[4][-1])
+        out["stat_kind"] = "string"
+        mn = s.get(1, s.get(4))  # minimum, else lowerBound
+        mx = s.get(2, s.get(5))  # maximum, else upperBound
+        if mn:
+            out["min"] = mn[-1].decode("utf-8", "replace")
+        if mx:
+            out["max"] = mx[-1].decode("utf-8", "replace")
+        if 3 in s:
+            out["sum"] = _zigzag(s[3][-1])
+    elif 7 in f:  # DateStatistics (sint32 days since epoch)
+        s = _pb_fields(f[7][-1])
+        out["stat_kind"] = "date"
+        if 1 in s:
+            out["min"] = _zigzag(s[1][-1])
+        if 2 in s:
+            out["max"] = _zigzag(s[2][-1])
+    return out
+
+
+def _map_types(type_bufs: list[bytes]) -> list[dict]:
+    """Footer.types (pre-order) → ``[{id, kind, subtypes, field_names}]``."""
+    out = []
+    for tid, buf in enumerate(type_bufs):
+        f = _pb_fields(buf)
+        out.append(
+            {
+                "id": tid,
+                "kind": _KINDS.get(_one(f, 1, 0), "unknown"),
+                "subtypes": _packed_u32(f, 2),
+                "field_names": [
+                    b.decode("utf-8", "replace") for b in f.get(3, [])
+                ],
+            }
+        )
+    return out
+
+
+def column_id(types: list[dict], path: str) -> int:
+    """Resolve a (possibly dotted) column path to its ORC type id by
+    walking struct fieldNames from the root. Raises on unknown names —
+    an audit that silently scores a missing column as unskippable
+    everywhere would read as a layout verdict."""
+    tid = 0
+    for seg in path.split("."):
+        t = types[tid]
+        if t["kind"] != "struct" or seg not in t["field_names"]:
+            raise ValueError(
+                f"orc: column {path!r} not found (at segment {seg!r})"
+            )
+        tid = t["subtypes"][t["field_names"].index(seg)]
+    return tid
+
+
+# --------------------------------------------------------------- tail read
+
+def read_orc_tail(fh, fsize: int) -> dict:
+    """Decode an ORC file's tail from an open random-access handle —
+    ranged reads ONLY (one speculative 16 KiB tail fetch, one more
+    ranged read iff the metadata+footer region is larger). Returns::
+
+        {num_rows, compression, n_stripes,
+         stripes: [{offset, index_len, data_len, footer_len, n_rows}],
+         types:   [{id, kind, subtypes, field_names}],
+         file_stats:   [col_stat per type id],
+         stripe_stats: [[col_stat per type id] per stripe]}
+
+    where each col_stat is :func:`_map_col_stats`' dict. Raises
+    ValueError on anything that isn't an ORC tail (wrong magic,
+    truncated sections, unsupported codec) — never guesses."""
+    if fsize < 4:
+        raise ValueError("orc: file too small")
+    probe = min(fsize, 16 << 10)
+    fh.seek(fsize - probe)
+    tail = fh.read(probe)
+    ps_len = tail[-1]
+    if ps_len + 1 > len(tail):
+        raise ValueError("orc: postscript longer than tail probe")
+    ps = _pb_fields(tail[-1 - ps_len : -1])
+    magic = _one(ps, 8000, b"")
+    if magic != _MAGIC:
+        raise ValueError(f"orc: bad postscript magic {magic!r}")
+    footer_len = _one(ps, 1, 0)
+    codec = _COMPRESSION.get(_one(ps, 2, 0))
+    if codec is None:
+        raise ValueError(f"orc: unknown compression id {_one(ps, 2)}")
+    meta_len = _one(ps, 5, 0)
+    need = meta_len + footer_len + ps_len + 1
+    if need > fsize:
+        raise ValueError("orc: declared tail exceeds file size")
+    if need > len(tail):
+        fh.seek(fsize - need)
+        tail = fh.read(need)
+    meta_raw = tail[len(tail) - need : len(tail) - need + meta_len]
+    foot_raw = tail[
+        len(tail) - ps_len - 1 - footer_len : len(tail) - ps_len - 1
+    ]
+
+    footer = _pb_fields(_orc_stream(foot_raw, codec))
+    stripes = []
+    for sbuf in footer.get(3, []):
+        s = _pb_fields(sbuf)
+        stripes.append(
+            {
+                "offset": _one(s, 1, 0),
+                "index_len": _one(s, 2, 0),
+                "data_len": _one(s, 3, 0),
+                "footer_len": _one(s, 4, 0),
+                "n_rows": _one(s, 5, 0),
+            }
+        )
+    types = _map_types(footer.get(4, []))
+    file_stats = [_map_col_stats(b) for b in footer.get(7, [])]
+
+    stripe_stats: list[list[dict]] = []
+    raw_stripe_stats: list[list[bytes]] = []
+    if meta_len:
+        meta = _pb_fields(_orc_stream(meta_raw, codec))
+        for ss_buf in meta.get(1, []):
+            ss = _pb_fields(ss_buf)
+            stripe_stats.append(
+                [_map_col_stats(b) for b in ss.get(1, [])]
+            )
+            raw_stripe_stats.append(list(ss.get(1, [])))
+
+    return {
+        "num_rows": _one(footer, 6, 0),
+        "content_length": _one(footer, 2, 0),
+        "compression": codec,
+        "compression_id": _one(ps, 2, 0),
+        "compression_block": _one(ps, 3, 0),
+        "writer_version": _one(ps, 6),
+        "writer": _one(footer, 9),
+        "row_index_stride": _one(footer, 8),
+        "n_stripes": len(stripes),
+        "stripes": stripes,
+        "types": types,
+        "file_stats": file_stats,
+        "stripe_stats": stripe_stats,
+        # raw protobuf bytes for zero-decode re-emit (orc_concat)
+        "_raw_footer": footer,
+        "_raw_stripe_stats": raw_stripe_stats,
+        "_raw_ps": ps,
+    }
+
+
+def read_orc_tail_path(path: str) -> dict:
+    """Driver/test convenience: :func:`read_orc_tail` on a path."""
+    import os
+
+    fh = open_ranged(path)
+    try:
+        fh.seek(0, os.SEEK_END)
+        return read_orc_tail(fh, fh.tell())
+    finally:
+        fh.close()
+
+
+# ----------------------------------------------------------------- audits
+
+def _stripe_skippable(st: dict | None, lo, hi, not_null: bool) -> bool:
+    """One stripe's skippability from its column statistics — the exact
+    mirror of parquet's per-row-group rule (ADVICE r8 semantics): ORC
+    ``numberOfValues`` counts NON-NULL values, so ``n_values == 0``
+    means all-NULL (or empty), which satisfies no range and is the
+    whole rule for ``IS NOT NULL`` pruning; missing stats or a window
+    of a foreign kind never prove a skip."""
+    if st is None:
+        return False
+    nv = st["n_values"]
+    if not_null:
+        return nv == 0
+    if nv == 0:
+        return True
+    return _window_misses(st["min"], st["max"], lo, hi)
+
+
+def _orc_listing(spark, path):
+    """File listing for ORC audits: binaryFile paths + lengths only
+    (content never projected), compaction staging dirs filtered —
+    :func:`parquet_meta._listing`'s glob swapped to ``*.orc``."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.orc")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .filter(~F.col("path").rlike("__(compacting|retired)/"))
+    )
+
+
+def orc_pruning_report(
+    spark,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    not_null: bool = False,
+    force_generic: bool = False,
+):
+    """Tail-bytes-only DATA-SKIPPING audit over an ORC lake: for the
+    predicate ``lo <= column <= hi`` (or ``column IS NOT NULL``), how
+    many files and STRIPES the per-stripe statistics let a scan skip,
+    per hive partition — the ORC twin of
+    :func:`parquet_meta.pruning_report`, at the granularity ORC
+    scanners actually prune (the stripe).
+
+    One row per partition: ``n_files, n_skippable_files, n_stripes,
+    n_skippable_stripes, rows_total, rows_scanned`` — ``rows_scanned``
+    sums the rows of NON-skippable stripes (stripe row counts are exact
+    in the stripe directory, so the I/O answer here is tighter than the
+    parquet report's per-file rows). A file with no Metadata section
+    (writer emitted no stripe stats) falls back to file-level stats:
+    all stripes skippable iff the FILE's window proves a miss.
+
+    Scale: identical posture to the parquet audits — executor-side
+    ranged tail reads (KB per file at any file size), shuffle-free
+    decode, one bounded per-partition rollup."""
+    from pyspark.sql import functions as F
+
+    if not not_null and (lo is None or hi is None):
+        raise ValueError("orc_pruning_report: range mode needs lo and hi")
+    root_norm = _root_norm(path)
+
+    def _row(p, fsize, fh):
+        t = read_orc_tail(fh, fsize)
+        cid = column_id(t["types"], column)
+        n_stripes = len(t["stripes"])
+        n_skip = rows_scanned = 0
+        per_stripe = t["stripe_stats"]
+        for si, stripe in enumerate(t["stripes"]):
+            if si < len(per_stripe) and cid < len(per_stripe[si]):
+                st = per_stripe[si][cid]
+            elif cid < len(t["file_stats"]):
+                st = t["file_stats"][cid]
+            else:
+                st = None
+            if _stripe_skippable(st, lo, hi, not_null):
+                n_skip += 1
+            else:
+                rows_scanned += stripe["n_rows"]
+        return {
+            "partition": _rel_label(p, root_norm),
+            "n_rows": t["num_rows"],
+            "n_stripes": n_stripes,
+            "n_skip_stripes": n_skip,
+            "rows_scanned": rows_scanned,
+            "file_skippable": n_stripes > 0 and n_skip == n_stripes,
+        }
+
+    schema = (
+        "partition string, n_rows long, n_stripes long, "
+        "n_skip_stripes long, rows_scanned long, file_skippable boolean"
+    )
+    per_file = _footer_frame(
+        _orc_listing(spark, path), _row, schema, force_generic
+    )
+    return per_file.groupBy("partition").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.col("file_skippable").cast("long")).alias(
+            "n_skippable_files"
+        ),
+        F.sum("n_stripes").alias("n_stripes"),
+        F.sum("n_skip_stripes").alias("n_skippable_stripes"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum("rows_scanned").alias("rows_scanned"),
+    )
+
+
+# ------------------------------------------------- zero-decode concat
+
+def _pb_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_uint(f: int, v: int) -> bytes:
+    return _pb_uvarint(f << 3) + _pb_uvarint(v)
+
+
+def _pb_sint(f: int, v: int) -> bytes:
+    return _pb_uvarint(f << 3) + _pb_uvarint((v << 1) ^ (v >> 63))
+
+
+def _pb_blob(f: int, b: bytes) -> bytes:
+    return _pb_uvarint(f << 3 | 2) + _pb_uvarint(len(b)) + b
+
+
+def _pb_f64(f: int, v: float) -> bytes:
+    import struct as _struct
+
+    return _pb_uvarint(f << 3 | 1) + _struct.pack("<d", v)
+
+
+def _encode_col_stats(merged: dict) -> bytes:
+    """Re-encode a merged ColumnStatistics dict. Only the fields this
+    reader types are emitted; a kind it can't merge degrades to
+    counts-only stats (valid per spec — statistics are optional field
+    by field, and counts-only still answers all-NULL pruning)."""
+    out = bytearray()
+    if merged.get("n_values") is not None:
+        out += _pb_uint(1, merged["n_values"])
+    kind, mn, mx, sm = (
+        merged.get("stat_kind"),
+        merged.get("min"),
+        merged.get("max"),
+        merged.get("sum"),
+    )
+    if kind == "int" and mn is not None and mx is not None:
+        inner = _pb_sint(1, mn) + _pb_sint(2, mx)
+        if sm is not None:
+            inner += _pb_sint(3, sm)
+        out += _pb_blob(2, bytes(inner))
+    elif kind == "double" and mn is not None and mx is not None:
+        inner = _pb_f64(1, mn) + _pb_f64(2, mx)
+        if sm is not None:
+            inner += _pb_f64(3, sm)
+        out += _pb_blob(3, bytes(inner))
+    elif kind == "string" and mn is not None and mx is not None:
+        inner = _pb_blob(1, mn.encode()) + _pb_blob(2, mx.encode())
+        if sm is not None:
+            inner += _pb_sint(3, sm)
+        out += _pb_blob(4, bytes(inner))
+    elif kind == "date" and mn is not None and mx is not None:
+        out += _pb_blob(7, bytes(_pb_sint(1, mn) + _pb_sint(2, mx)))
+    out += _pb_uint(10, 1 if merged.get("has_null") else 0)
+    return bytes(out)
+
+
+def _merge_col_stats(per_input: list[dict]) -> dict:
+    """Fold one column's per-input statistics into file-level stats for
+    the merged file: counts sum, has_null ORs, min/max/sum merge when
+    every input carries a window of the SAME kind (else the window is
+    dropped — counts-only is the conservative valid fallback). Inputs
+    with ``n_values == 0`` (all-NULL slices) carry no window by
+    construction and must not veto the merge."""
+    live = [s for s in per_input if s.get("n_values")]
+    kinds = {s["stat_kind"] for s in live}
+    out = {
+        "n_values": sum(s.get("n_values") or 0 for s in per_input),
+        "has_null": any(s.get("has_null") for s in per_input),
+        "stat_kind": None,
+        "min": None,
+        "max": None,
+        "sum": None,
+    }
+    if live and len(kinds) == 1 and None not in kinds:
+        mins = [s["min"] for s in live]
+        maxs = [s["max"] for s in live]
+        if all(v is not None for v in mins + maxs):
+            out["stat_kind"] = live[0]["stat_kind"]
+            out["min"] = min(mins)
+            out["max"] = max(maxs)
+            sums = [s["sum"] for s in live]
+            if all(v is not None for v in sums):
+                out["sum"] = sum(sums)
+    return out
+
+
+def _chunked(payload: bytes, codec: str, block: int) -> bytes:
+    """Wrap ``payload`` as an ORC chunked stream WITHOUT compressing:
+    original-bit chunks bounded by the compression block size (readers
+    size chunk buffers by it). With ``codec='none'`` the stream is the
+    raw bytes."""
+    if codec == "none":
+        return payload
+    out = bytearray()
+    block = max(1, block)
+    for i in range(0, len(payload), block):
+        part = payload[i : i + block]
+        out += (len(part) << 1 | 1).to_bytes(3, "little")
+        out += part
+    return bytes(out)
+
+
+def orc_concat(out_path: str, in_paths: list[str]) -> dict:
+    """Concatenate ORC files by STRIPE COPY — zero decode, zero
+    re-encode (the small-file compaction ORC's layout makes possible:
+    stripes are self-contained, so merging N files is N ranged copies
+    plus one new tail; ``orc-tools merge`` is the upstream analog).
+    Inputs must agree on the type tree, compression kind and block size
+    (raises otherwise — a silent mixed-codec merge would corrupt).
+
+    The merged tail is built field-for-field: the stripe directory
+    re-anchors each copied stripe at its new offset; per-stripe
+    statistics in the Metadata section are the inputs' OWN stats
+    re-emitted VERBATIM (raw protobuf bytes — per-stripe stats of a
+    single-stripe input are its file stats), so data skipping over the
+    merged file prunes exactly as well as over the originals; merged
+    file-level statistics fold counts always and min/max windows when
+    kinds agree. Footer/Metadata are written as original-bit chunks —
+    no compressor needed on the write path.
+
+    Returns ``{n_stripes, num_rows, bytes}`` for the merged file.
+    Scale: executor-callable (plain file handles through
+    :func:`open_ranged`), I/O = one sequential copy of each input's
+    stripe region + tail-sized reads — the decode/re-encode cost of a
+    parquet compaction never appears."""
+    import os
+
+    if not in_paths:
+        raise ValueError("orc_concat: no inputs")
+    tails = []
+    for p in in_paths:
+        fh = open_ranged(p)
+        try:
+            fh.seek(0, os.SEEK_END)
+            fsize = fh.tell()
+            t = read_orc_tail(fh, fsize)
+            # raw footer fields for verbatim re-emit of types/stats
+            probe = t["_raw_footer"]
+            tails.append((p, fsize, t, probe))
+        finally:
+            fh.close()
+
+    t0 = tails[0][2]
+    raw0 = tails[0][3]
+    codec, block = t0["compression"], t0["compression_block"]
+    types0 = raw0.get(4, [])
+    for p, _, t, raw in tails[1:]:
+        if t["compression"] != codec or t["compression_block"] != block:
+            raise ValueError(
+                f"orc_concat: compression mismatch at {p!r} "
+                f"({t['compression']}/{t['compression_block']} vs "
+                f"{codec}/{block})"
+            )
+        if raw.get(4, []) != types0:
+            raise ValueError(f"orc_concat: type tree mismatch at {p!r}")
+
+    stripes_out = []  # (new_offset, index, data, footer, rows)
+    stripe_stats_out = []  # raw ColumnStatistics bytes per stripe
+    pos = 3  # "ORC" header
+    with open(out_path, "wb") as out:
+        out.write(_MAGIC)
+        for p, fsize, t, raw in tails:
+            fh = open_ranged(p)
+            try:
+                for si, s in enumerate(t["stripes"]):
+                    length = (
+                        s["index_len"] + s["data_len"] + s["footer_len"]
+                    )
+                    fh.seek(s["offset"])
+                    remaining = length
+                    while remaining:
+                        buf = fh.read(min(remaining, 8 << 20))
+                        if not buf:
+                            raise ValueError(
+                                f"orc_concat: truncated stripe in {p!r}"
+                            )
+                        out.write(buf)
+                        remaining -= len(buf)
+                    stripes_out.append(
+                        (
+                            pos,
+                            s["index_len"],
+                            s["data_len"],
+                            s["footer_len"],
+                            s["n_rows"],
+                        )
+                    )
+                    pos += length
+                    # per-stripe stats: the input's own, verbatim
+                    if t["_raw_stripe_stats"]:
+                        stripe_stats_out.append(
+                            t["_raw_stripe_stats"][si]
+                        )
+                    else:
+                        stripe_stats_out.append(raw.get(7, []))
+            finally:
+                fh.close()
+
+        # ---- Metadata: repeated StripeStatistics{repeated ColumnStatistics}
+        meta = bytearray()
+        for col_bufs in stripe_stats_out:
+            ss = b"".join(_pb_blob(1, b) for b in col_bufs)
+            meta += _pb_blob(1, ss)
+        meta_stream = _chunked(bytes(meta), codec, block)
+
+        # ---- Footer
+        foot = bytearray()
+        foot += _pb_uint(1, 3)  # headerLength = len("ORC")
+        foot += _pb_uint(2, pos)  # contentLength
+        for off, il, dl, fl, rows in stripes_out:
+            si = (
+                _pb_uint(1, off)
+                + _pb_uint(2, il)
+                + _pb_uint(3, dl)
+                + _pb_uint(4, fl)
+                + _pb_uint(5, rows)
+            )
+            foot += _pb_blob(3, si)
+        for tb in types0:
+            foot += _pb_blob(4, tb)
+        for ub in raw0.get(5, []):  # user metadata, verbatim
+            foot += _pb_blob(5, ub)
+        foot += _pb_uint(6, sum(t["num_rows"] for _, _, t, _ in tails))
+        n_cols = len(types0)
+        for cid in range(n_cols):
+            per_input = []
+            for _, _, t, _ in tails:
+                fs = t["file_stats"]
+                per_input.append(
+                    fs[cid]
+                    if cid < len(fs)
+                    else {"n_values": 0, "has_null": False,
+                          "stat_kind": None, "min": None, "max": None,
+                          "sum": None}
+                )
+            foot += _pb_blob(7, _encode_col_stats(_merge_col_stats(per_input)))
+        if t0["row_index_stride"] is not None:
+            foot += _pb_uint(8, t0["row_index_stride"])
+        if t0["writer"] is not None:
+            foot += _pb_uint(9, t0["writer"])
+        foot_stream = _chunked(bytes(foot), codec, block)
+
+        out.write(meta_stream)
+        out.write(foot_stream)
+
+        # ---- PostScript (never compressed)
+        ps = bytearray()
+        ps += _pb_uint(1, len(foot_stream))
+        ps += _pb_uint(2, t0["compression_id"])
+        if codec != "none":
+            ps += _pb_uint(3, block)
+        for vb in t0["_raw_ps"].get(4, []):
+            ps += (
+                _pb_blob(4, vb)
+                if isinstance(vb, bytes)
+                else _pb_uint(4, vb)
+            )
+        ps += _pb_uint(5, len(meta_stream))
+        if t0["writer_version"] is not None:
+            ps += _pb_uint(6, t0["writer_version"])
+        ps += _pb_blob(8000, _MAGIC)
+        if len(ps) > 255:
+            raise ValueError("orc_concat: postscript overflow")
+        out.write(ps)
+        out.write(bytes([len(ps)]))
+        total = out.tell()
+
+    return {
+        "n_stripes": len(stripes_out),
+        "num_rows": sum(t["num_rows"] for _, _, t, _ in tails),
+        "bytes": total,
+    }
+
+
+def orc_layout_report(spark, path: str, force_generic: bool = False):
+    """Per-partition ORC layout facts from tail bytes only: file and
+    stripe counts, rows, average stripe rows, and the compression codec
+    mix — the ORC face of :func:`parquet_meta.lake_layout_report`, for
+    the same decision (are stripes sized for the cluster, did a codec
+    change sneak in). Integer arithmetic throughout (long ``div``)."""
+    from pyspark.sql import functions as F
+
+    root_norm = _root_norm(path)
+
+    def _row(p, fsize, fh):
+        t = read_orc_tail(fh, fsize)
+        return {
+            "partition": _rel_label(p, root_norm),
+            "bytes": fsize,
+            "n_rows": t["num_rows"],
+            "n_stripes": t["n_stripes"],
+            "compression": t["compression"],
+        }
+
+    schema = (
+        "partition string, bytes long, n_rows long, n_stripes long, "
+        "compression string"
+    )
+    per_file = _footer_frame(
+        _orc_listing(spark, path), _row, schema, force_generic
+    )
+    return per_file.groupBy("partition").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum("n_stripes").alias("n_stripes"),
+        F.expr("sum(n_rows) div greatest(sum(n_stripes), 1L)").alias(
+            "avg_stripe_rows"
+        ),
+        F.array_sort(F.collect_set("compression")).alias("codecs"),
+    )

@@ -13903,3 +13903,150 @@ def domain_mix(spark, sf_dir):
         "target_ppm",
         "weight_ppm",
     ).join(achieved, "lang")
+
+
+@register(
+    "orc_scan_pruning",
+    """
+    WITH d AS (
+      SELECT doc_id % 8 AS part,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    p AS (
+      SELECT part,
+             CAST(part % 3 + 2 AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM d GROUP BY part),
+    f AS (
+      SELECT part, k, n,
+             [ {'o': coalesce(list_sum([ (n + k - 1 - i) // k
+                                          for i in generate_series(0, j - 1) ]), 0),
+                'r': (n + k - 1 - j) // k }
+               for j in generate_series(0, k - 1) ] AS stripes
+      FROM p)
+    SELECT CAST(part AS INTEGER) AS part,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(CASE WHEN list_sum([ CASE WHEN x.o + x.r - 1 < 24
+                                               OR x.o > 71
+                                          THEN 1 ELSE 0 END
+                                     for x in stripes ]) = k
+                THEN 1 ELSE 0 END AS BIGINT) AS n_skippable_files,
+           k AS n_stripes,
+           CAST(list_sum([ CASE WHEN x.o + x.r - 1 < 24 OR x.o > 71
+                                THEN 1 ELSE 0 END
+                           for x in stripes ]) AS BIGINT)
+             AS n_skippable_stripes,
+           n AS rows_total,
+           CAST(list_sum([ CASE WHEN x.o + x.r - 1 < 24 OR x.o > 71
+                                THEN 0 ELSE x.r END
+                           for x in stripes ]) AS BIGINT) AS rows_scanned
+    FROM f
+    ORDER BY part
+    """,
+)
+def orc_scan_pruning(spark, sf_dir):
+    """ORC stripe-statistics data-skipping audit (operators/orc_meta.py
+    orc_pruning_report) — second-format parity for the lake's skipping
+    toolchain: the engine reads ORC natively (sources/files.py
+    read_orc), so the footers-only audits must cover an ORC lake too.
+    For the pinned predicate ``24 <= v <= 71``: how many files and
+    STRIPES per partition the per-stripe statistics (the Metadata
+    section at the file tail) let a scan skip, and the stripe-row I/O
+    the predicate actually pays.
+
+    Builder-exercises-auditor, one level deeper than scan_pruning: each
+    partition's value column 0..n-1 is written as CONTIGUOUS slices
+    across k = p%3+2 SINGLE-stripe ORC files (pyarrow writer, codec
+    cycling uncompressed/zlib/snappy/zstd/lz4 by partition — the audit
+    decodes every chunked-stream codec in one run), which
+    ``orc_concat`` then merges into ONE k-stripe file per partition by
+    zero-decode stripe copy — so every stripe's [min, max] window is a
+    closed-form offset interval the DuckDB oracle restates symbolically
+    (the same ceil-div ladder as scan_pruning).
+
+    Scale: the audit reads tail bytes only (PostScript + Footer +
+    Metadata, KB per file at any size); the builder's concat copies
+    stripe regions without decoding — the compaction cost model this
+    format makes possible.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .operators.orc_meta import orc_concat, orc_pruning_report
+
+    scratch = (
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "orc_scan_pruning"
+    )
+    sf_name = Path(sf_dir.rstrip("/")).name
+    out_dir = str(scratch / sf_name)
+    stage_dir = str(scratch / (sf_name + "_stage"))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("part", (F.col("doc_id") % 8).cast("int"))
+    )
+
+    def build(pdf):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        part = int(pdf["part"].iloc[0])
+        k = part % 3 + 2
+        codec = ["uncompressed", "zlib", "snappy", "zstd", "lz4"][
+            part % 5
+        ]
+        pdf = pdf.sort_values("doc_id")
+        n = sum(len(t.split(" ")) for t in pdf["text"])
+        sdir = _os.path.join(stage_dir, f"part={part}")
+        pdir = _os.path.join(out_dir, f"part={part}")
+        _os.makedirs(sdir, exist_ok=True)
+        _os.makedirs(pdir, exist_ok=True)
+        off = 0
+        slices = []
+        for j in range(k):
+            rows = (n + k - 1 - j) // k
+            sp = _os.path.join(sdir, f"s-{j:03d}.orc")
+            po.write_table(
+                pa.table(
+                    {"v": pa.array(range(off, off + rows), pa.int64())}
+                ),
+                sp,
+                compression=codec,
+            )
+            slices.append(sp)
+            off += rows
+        info = orc_concat(_os.path.join(pdir, "merged.orc"), slices)
+        return pd.DataFrame(
+            {"part": [part], "n_stripes": [info["n_stripes"]]}
+        )
+
+    d.groupBy("part").applyInPandas(
+        build, "part int, n_stripes int"
+    ).count()
+
+    rep = orc_pruning_report(spark, out_dir, column="v", lo=24, hi=71)
+    return rep.select(
+        F.regexp_extract("partition", r"part=(\d+)", 1)
+        .cast("int")
+        .alias("part"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_skippable_files").cast("long").alias(
+            "n_skippable_files"
+        ),
+        F.col("n_stripes").cast("long").alias("n_stripes"),
+        F.col("n_skippable_stripes").cast("long").alias(
+            "n_skippable_stripes"
+        ),
+        F.col("rows_total").cast("long").alias("rows_total"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+    )

@@ -1,0 +1,445 @@
+"""ORC tail introspection, stripe pruning, and zero-decode concat.
+
+Every decode is pinned against pyarrow.orc's view of the same file
+(metadata parity) or against recomputed actual values (stripe windows
+re-derived by reading the stripe's rows) — the same two-implementation
+posture as tests/test_parquet_meta.py. The concat round-trips through
+BOTH readers this container has: pyarrow's C++ ORC reader and Spark's
+Java ORC reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.orc as po
+import pytest
+
+from data_engineering_etl_self_service_spark.operators.orc_meta import (
+    column_id,
+    orc_concat,
+    orc_layout_report,
+    orc_pruning_report,
+    read_orc_tail,
+    read_orc_tail_path,
+)
+
+CODECS = ["uncompressed", "zlib", "snappy", "zstd", "lz4"]
+
+
+def _table(lo: int, n: int) -> pa.Table:
+    return pa.table(
+        {
+            "v": pa.array(range(lo, lo + n), pa.int64()),
+            "s": pa.array([f"k{i:06d}" for i in range(lo, lo + n)]),
+            "d": pa.array([i * 0.5 for i in range(lo, lo + n)]),
+        }
+    )
+
+
+@pytest.mark.parametrize("codec", CODECS)
+def test_tail_decode_matches_pyarrow(tmp_path, codec):
+    """num_rows / stripe count / codec / per-stripe windows parity with
+    pyarrow on a multi-stripe file under every chunk codec."""
+    p = str(tmp_path / f"t_{codec}.orc")
+    n = 50_000
+    po.write_table(_table(0, n), p, compression=codec, stripe_size=64 << 10)
+    t = read_orc_tail_path(p)
+    f = po.ORCFile(p)
+    assert t["num_rows"] == n == f.nrows
+    assert t["n_stripes"] == f.nstripes
+    assert sum(s["n_rows"] for s in t["stripes"]) == n
+    cid = column_id(t["types"], "v")
+    fs = t["file_stats"][cid]
+    assert (fs["min"], fs["max"], fs["sum"]) == (0, n - 1, n * (n - 1) // 2)
+    # values are written in order, so stripe windows tile contiguously
+    off = 0
+    for si, stripe in enumerate(t["stripes"]):
+        st = t["stripe_stats"][si][cid]
+        assert (st["min"], st["max"]) == (off, off + stripe["n_rows"] - 1)
+        off += stripe["n_rows"]
+    scid = column_id(t["types"], "s")
+    assert t["file_stats"][scid]["min"] == "k000000"
+    dcid = column_id(t["types"], "d")
+    assert t["file_stats"][dcid]["max"] == (n - 1) * 0.5
+
+
+def test_stripe_stats_match_recomputed_actuals(tmp_path):
+    """Decoded per-stripe windows equal min/max recomputed from the
+    stripe's actual rows (read_stripe) — not just internally consistent."""
+    p = str(tmp_path / "actuals.orc")
+    po.write_table(
+        _table(0, 30_000), p, compression="snappy", stripe_size=64 << 10
+    )
+    t = read_orc_tail_path(p)
+    f = po.ORCFile(p)
+    assert f.nstripes == t["n_stripes"] > 1
+    cid = column_id(t["types"], "v")
+    for si in range(f.nstripes):
+        col = f.read_stripe(si).column("v").to_pylist()
+        st = t["stripe_stats"][si][cid]
+        assert st["min"] == min(col) and st["max"] == max(col)
+        assert st["n_values"] == len(col)
+
+
+def test_date_and_null_stats(tmp_path):
+    import datetime as dt
+
+    p = str(tmp_path / "dates.orc")
+    days = [dt.date(2020, 1, 1) + dt.timedelta(days=i) for i in range(10)]
+    po.write_table(
+        pa.table(
+            {
+                "day": pa.array(days, pa.date32()),
+                "maybe": pa.array([None] * 10, pa.int64()),
+            }
+        ),
+        p,
+    )
+    t = read_orc_tail_path(p)
+    did = column_id(t["types"], "day")
+    st = t["file_stats"][did]
+    epoch = dt.date(1970, 1, 1)
+    assert st["stat_kind"] == "date"
+    assert st["min"] == (days[0] - epoch).days
+    assert st["max"] == (days[-1] - epoch).days
+    mid = column_id(t["types"], "maybe")
+    ms = t["file_stats"][mid]
+    assert ms["n_values"] == 0 and ms["has_null"]
+
+
+def test_column_id_nested_and_missing(tmp_path):
+    p = str(tmp_path / "nested.orc")
+    po.write_table(
+        pa.table(
+            {
+                "top": pa.array([1, 2], pa.int64()),
+                "obj": pa.array(
+                    [{"x": 1, "y": "a"}, {"x": 2, "y": "b"}],
+                    pa.struct([("x", pa.int64()), ("y", pa.string())]),
+                ),
+            }
+        ),
+        p,
+    )
+    t = read_orc_tail_path(p)
+    assert t["types"][column_id(t["types"], "obj.x")]["kind"] == "long"
+    with pytest.raises(ValueError, match="not found"):
+        column_id(t["types"], "obj.z")
+    with pytest.raises(ValueError, match="not found"):
+        column_id(t["types"], "nope")
+
+
+class _CountingHandle:
+    def __init__(self, fh):
+        self.fh = fh
+        self.bytes_read = 0
+
+    def seek(self, *a):
+        return self.fh.seek(*a)
+
+    def read(self, n=-1):
+        out = self.fh.read(n)
+        self.bytes_read += len(out)
+        return out
+
+    def close(self):
+        self.fh.close()
+
+
+def test_tail_bytes_only_on_multi_gb_file(tmp_path):
+    """A real ORC tail grafted onto a 2 GiB sparse body: the decode
+    reads tail bytes only (the 16 KiB probe, one more ranged read iff
+    the tail region is larger) — any data read would show up as
+    gigabytes in the counter."""
+    import io
+
+    buf = io.BytesIO()
+    po.write_table(_table(0, 1000), buf, compression="zlib")
+    raw = buf.getvalue()
+    ps_len = raw[-1]
+    small = read_orc_tail_path_from_bytes(raw)
+    tail_len = (
+        small["_tail_bytes"]
+    )
+    big = tmp_path / "big.orc"
+    with open(big, "wb") as f:
+        f.write(b"ORC")
+        f.seek(2 << 30)
+        f.write(raw[len(raw) - tail_len :])
+    fsize = os.path.getsize(big)
+    assert fsize > 2 << 30
+    fh = _CountingHandle(open(big, "rb"))
+    t = read_orc_tail(fh, fsize)
+    fh.close()
+    assert t["num_rows"] == 1000
+    assert fh.bytes_read <= 32 << 10
+    assert ps_len > 0
+
+
+def read_orc_tail_path_from_bytes(raw: bytes) -> dict:
+    """Helper: decode a tail from in-memory bytes and report how long
+    the metadata+footer+postscript+1 region is."""
+    import io
+
+    fh = io.BytesIO(raw)
+    t = read_orc_tail(fh, len(raw))
+    ps_len = raw[-1]
+    # recompute the region length the reader needs
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        _one,
+        _pb_fields,
+    )
+
+    ps = _pb_fields(raw[-1 - ps_len : -1])
+    t["_tail_bytes"] = _one(ps, 1, 0) + _one(ps, 5, 0) + ps_len + 1
+    return t
+
+
+def test_rejects_non_orc_and_truncated(tmp_path):
+    import io
+
+    with pytest.raises(ValueError):
+        read_orc_tail(io.BytesIO(b"PAR1" + b"\x00" * 100 + b"\x04"), 105)
+    buf = io.BytesIO()
+    po.write_table(_table(0, 100), buf)
+    raw = buf.getvalue()
+    # keep one byte less than the declared metadata+footer+ps region:
+    # the postscript parses but its declared tail exceeds the file
+    need = read_orc_tail_path_from_bytes(raw)["_tail_bytes"]
+    cut = raw[len(raw) - (need - 1) :]
+    with pytest.raises(ValueError, match="exceeds file size"):
+        read_orc_tail(io.BytesIO(cut), len(cut))
+
+
+# ------------------------------------------------------------------ concat
+
+
+@pytest.mark.parametrize("codec", ["uncompressed", "snappy", "zstd"])
+def test_concat_roundtrip_pyarrow(tmp_path, codec):
+    ins, tabs, off = [], [], 0
+    for j, rows in enumerate([30, 50, 20, 1]):
+        t = _table(off, rows)
+        p = str(tmp_path / f"in{j}.orc")
+        po.write_table(t, p, compression=codec)
+        ins.append(p)
+        tabs.append(t)
+        off += rows
+    merged = str(tmp_path / "merged.orc")
+    info = orc_concat(merged, ins)
+    assert info["n_stripes"] == 4 and info["num_rows"] == 101
+    assert po.ORCFile(merged).read().equals(pa.concat_tables(tabs))
+    t = read_orc_tail_path(merged)
+    cid = column_id(t["types"], "v")
+    wins = [(s[cid]["min"], s[cid]["max"]) for s in t["stripe_stats"]]
+    assert wins == [(0, 29), (30, 79), (80, 99), (100, 100)]
+    fs = t["file_stats"][cid]
+    assert (fs["min"], fs["max"], fs["sum"]) == (0, 100, 5050)
+
+
+def test_concat_readable_by_spark(spark, tmp_path):
+    """Spark's JAVA ORC reader (a second, stricter implementation)
+    accepts the hand-built tail and returns the exact union of rows."""
+    d = tmp_path / "parts"
+    d.mkdir()
+    ins, off = [], 0
+    for j, rows in enumerate([40, 25, 35]):
+        p = str(d / f"in{j}.orc")
+        po.write_table(_table(off, rows), p, compression="snappy")
+        ins.append(p)
+        off += rows
+    mdir = tmp_path / "merged"
+    mdir.mkdir()
+    orc_concat(str(mdir / "m.orc"), ins)
+    got = spark.read.orc(str(mdir)).orderBy("v").collect()
+    assert len(got) == 100
+    assert [r["v"] for r in got] == list(range(100))
+    assert got[37]["s"] == "k000037"
+    assert got[99]["d"] == 99 * 0.5
+
+
+def test_concat_merges_stats_with_all_null_input(tmp_path):
+    """An all-NULL input contributes no window and must not veto the
+    merged file-level min/max (counts still sum, has_null ORs)."""
+    a = str(tmp_path / "a.orc")
+    b = str(tmp_path / "b.orc")
+    po.write_table(pa.table({"v": pa.array([5, 6, 7], pa.int64())}), a)
+    po.write_table(pa.table({"v": pa.array([None] * 4, pa.int64())}), b)
+    merged = str(tmp_path / "m.orc")
+    orc_concat(merged, [a, b])
+    t = read_orc_tail_path(merged)
+    cid = column_id(t["types"], "v")
+    fs = t["file_stats"][cid]
+    assert (fs["min"], fs["max"]) == (5, 7)
+    assert fs["n_values"] == 3 and fs["has_null"]
+    assert po.ORCFile(merged).read().column("v").null_count == 4
+
+
+def test_concat_rejects_mismatches(tmp_path):
+    a = str(tmp_path / "a.orc")
+    b = str(tmp_path / "b.orc")
+    c = str(tmp_path / "c.orc")
+    po.write_table(_table(0, 10), a, compression="snappy")
+    po.write_table(_table(10, 10), b, compression="zlib")
+    po.write_table(pa.table({"other": pa.array([1])}), c, compression="snappy")
+    with pytest.raises(ValueError, match="compression mismatch"):
+        orc_concat(str(tmp_path / "m1.orc"), [a, b])
+    with pytest.raises(ValueError, match="type tree mismatch"):
+        orc_concat(str(tmp_path / "m2.orc"), [a, c])
+    with pytest.raises(ValueError, match="no inputs"):
+        orc_concat(str(tmp_path / "m3.orc"), [])
+
+
+# ------------------------------------------------------------------ audits
+
+
+def _build_lake(tmp_path):
+    """part=a: one merged 3-stripe file (windows [0,99] [100,199]
+    [200,299]) + one all-null file. part=b: one single-stripe file
+    [500,599]."""
+    lake = tmp_path / "lake"
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    pa_dir = lake / "part=a"
+    pb_dir = lake / "part=b"
+    pa_dir.mkdir(parents=True)
+    pb_dir.mkdir(parents=True)
+    ins = []
+    for j in range(3):
+        p = str(stage / f"s{j}.orc")
+        po.write_table(
+            pa.table(
+                {"v": pa.array(range(j * 100, j * 100 + 100), pa.int64())}
+            ),
+            p,
+            compression="snappy",
+        )
+        ins.append(p)
+    orc_concat(str(pa_dir / "merged.orc"), ins)
+    po.write_table(
+        pa.table({"v": pa.array([None] * 40, pa.int64())}),
+        str(pa_dir / "nulls.orc"),
+        compression="snappy",
+    )
+    po.write_table(
+        pa.table({"v": pa.array(range(500, 600), pa.int64())}),
+        str(pb_dir / "f.orc"),
+        compression="snappy",
+    )
+    return lake
+
+
+def test_pruning_report_range_and_not_null(spark, tmp_path):
+    lake = _build_lake(tmp_path)
+    rep = {
+        r["partition"]: r.asDict()
+        for r in orc_pruning_report(
+            spark, str(lake), column="v", lo=120, hi=180
+        ).collect()
+    }
+    a = rep["part=a"]
+    # stripes [0,99] skip, [100,199] hit, [200,299] skip; null file skips
+    assert a["n_files"] == 2 and a["n_skippable_files"] == 1
+    assert a["n_stripes"] == 4 and a["n_skippable_stripes"] == 3
+    assert a["rows_total"] == 340 and a["rows_scanned"] == 100
+    b = rep["part=b"]
+    assert b["n_skippable_files"] == 1 and b["rows_scanned"] == 0
+
+    nn = {
+        r["partition"]: r.asDict()
+        for r in orc_pruning_report(
+            spark, str(lake), column="v", not_null=True
+        ).collect()
+    }
+    # IS NOT NULL: only the all-null file skips
+    assert nn["part=a"]["n_skippable_stripes"] == 1
+    assert nn["part=a"]["rows_scanned"] == 300
+    assert nn["part=b"]["n_skippable_stripes"] == 0
+
+    with pytest.raises(ValueError, match="range mode needs"):
+        orc_pruning_report(spark, str(lake), column="v")
+
+
+def test_pruning_report_string_predicate(spark, tmp_path):
+    lake = tmp_path / "slake"
+    d = lake / "part=0"
+    d.mkdir(parents=True)
+    po.write_table(
+        pa.table({"s": pa.array(["apple", "banana", "cherry"])}),
+        str(d / "f0.orc"),
+    )
+    po.write_table(
+        pa.table({"s": pa.array(["melon", "peach", "plum"])}),
+        str(d / "f1.orc"),
+    )
+    rep = orc_pruning_report(
+        spark, str(lake), column="s", lo="aa", hi="dd"
+    ).collect()[0]
+    assert rep["n_skippable_files"] == 1
+    assert rep["rows_scanned"] == 3
+
+
+def test_force_generic_matches_local(spark, tmp_path):
+    lake = _build_lake(tmp_path)
+    local = sorted(
+        map(
+            tuple,
+            orc_pruning_report(
+                spark, str(lake), column="v", lo=120, hi=180
+            ).collect(),
+        )
+    )
+    ranged = sorted(
+        map(
+            tuple,
+            orc_pruning_report(
+                spark,
+                str(lake),
+                column="v",
+                lo=120,
+                hi=180,
+                force_generic=True,
+            ).collect(),
+        )
+    )
+    assert local == ranged
+
+
+def test_layout_report(spark, tmp_path):
+    lake = _build_lake(tmp_path)
+    rep = {
+        r["partition"]: r.asDict()
+        for r in orc_layout_report(spark, str(lake)).collect()
+    }
+    a = rep["part=a"]
+    assert a["n_files"] == 2 and a["n_stripes"] == 4
+    assert a["rows_total"] == 340
+    assert a["codecs"] == ["snappy"]
+    assert a["avg_stripe_rows"] == 340 // 4
+    assert rep["part=b"]["n_stripes"] == 1
+
+
+def test_spark_written_orc_decodes(spark, tmp_path):
+    """Spark's Java ORC WRITER output (the third implementation in the
+    container) decodes identically: rows, stripes, file stats."""
+    out = str(tmp_path / "sparkorc")
+    spark.range(10_000).selectExpr(
+        "id AS v", "format_string('r%05d', id) AS s"
+    ).coalesce(1).write.option("compression", "zlib").orc(out)
+    files = [
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".orc")
+    ]
+    assert len(files) == 1
+    t = read_orc_tail_path(files[0])
+    assert t["num_rows"] == 10_000
+    assert t["compression"] == "zlib"
+    cid = column_id(t["types"], "v")
+    assert (
+        t["file_stats"][cid]["min"],
+        t["file_stats"][cid]["max"],
+    ) == (0, 9_999)
+    f = po.ORCFile(files[0])
+    assert t["n_stripes"] == f.nstripes
