@@ -836,7 +836,41 @@ def compile_pipeline(
         # a snapshot table lives on. Flagged units are rewritten with
         # verified-equal row counts either way.
         n_compacted = 0
+        n_retention_deleted = 0
         maint = spec.destination.options.get("maintenance") or {}
+        # Retention as a YAML switch (round 9): after a PASSED publish
+        # to a SNAPSHOT table, delete rows matching the predicate via
+        # position-delete vectors (sources/snapshots.py delete_where —
+        # no data rewrite; pair with compact_small_files + vacuum for
+        # physical erasure). {{ ds }} substitutes so rolling windows
+        # express naturally:
+        #   destination:
+        #     maintenance:
+        #       retention_delete_where: "event_date < date_sub('{{ ds }}', 30)"
+        # Runs BEFORE compaction so a same-run compact materializes it.
+        if published and maint.get("retention_delete_where"):
+            if spec.destination.type != "snapshot":
+                raise ValueError(
+                    "maintenance.retention_delete_where requires a "
+                    "snapshot destination (row-level deletes commit "
+                    "via the manifest pointer); got "
+                    f"{spec.destination.type!r}"
+                )
+            pred = str(maint["retention_delete_where"])
+            if ds is not None:
+                pred = pred.replace("{{ ds }}", ds).replace("{ds}", ds)
+            from ..sources.snapshots import (
+                _read_manifest,
+                delete_where,
+                snapshot_versions,
+            )
+
+            before = snapshot_versions(published)[-1]
+            v = delete_where(spark, published, pred)
+            if v != before:
+                n_retention_deleted = _read_manifest(published, v).get(
+                    "n_deleted", 0
+                )
         if (
             published
             and spec.destination.type in ("parquet", "snapshot")
@@ -901,6 +935,7 @@ def compile_pipeline(
                 "total_s": round(t3 - t0, 3),
                 "rows_quarantined": n_bad_rows,
                 "partitions_compacted": n_compacted,
+                "rows_retention_deleted": n_retention_deleted,
             },
         )
 

@@ -14050,3 +14050,69 @@ def orc_scan_pruning(spark, sf_dir):
         F.col("rows_total").cast("long").alias("rows_total"),
         F.col("rows_scanned").cast("long").alias("rows_scanned"),
     )
+
+
+@register(
+    "snapshot_row_deletes",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           {dsum_expr('o_totalprice')} AS total_price
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000)
+      AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 50000)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def snapshot_row_deletes(spark, sf_dir):
+    """Row-level DELETE on a snapshot table via POSITION-DELETE vectors
+    (sources/snapshots.py delete_where — the Iceberg position-delete /
+    Delta deletion-vector design on the manifest protocol): two stacked
+    DELETE WHERE commits against an orders snapshot, then the visible
+    table rolled up per priority. The oracle restates the surviving
+    rows as plain WHERE NOT(...) predicates — every vector application
+    (broadcast anti-join on (file, pos)) must reproduce them exactly.
+
+    Scale: each delete costs one predicate scan + a delete-file write
+    proportional to MATCHED rows + one manifest commit — the data dirs
+    carry by reference, so deleting from a 100 TB table moves zero
+    data. Readers pay a map-side broadcast anti-join until compaction
+    materializes the vectors.
+    """
+    import shutil
+    from pathlib import Path
+
+    from .sources.snapshots import (
+        delete_where,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "snapshot_row_deletes"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    write_snapshot(orders, base, mode="overwrite")
+    delete_where(
+        spark, base, "o_orderstatus = 'F' AND o_totalprice > 150000"
+    )
+    delete_where(
+        spark, base, "o_orderpriority = '1-URGENT' AND o_totalprice < 50000"
+    )
+    return (
+        read_snapshot(spark, base)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -30,6 +30,16 @@ Design notes for scale:
   corrupt each other, matching the single-committer manifest protocol.
 - ``vacuum`` deletes data directories referenced by NO retained
   manifest, never anything a live version can still read.
+- **Row-level deletes without rewriting data** (round 9):
+  ``delete_where`` writes POSITION DELETE files — (data file, row
+  position) pairs, the Iceberg position-delete / Delta deletion-vector
+  idea — and commits a version whose manifest carries the data dirs BY
+  REFERENCE plus the delete files. A delete over a 100 TB table costs
+  one predicate scan plus a KB-to-MB delete-file write, never a
+  rewrite; readers apply the vectors with one (broadcast when small)
+  anti-join on (file, pos). Compaction/overwrite MATERIALIZES the
+  deletes and clears the vectors; time travel to a pre-delete version
+  still sees the rows.
 """
 
 from __future__ import annotations
@@ -43,6 +53,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_snapshots"
 _DATA_DIR = "data"
+_DELETE_DIR = "deletes"
+
+#: position-delete rows below this broadcast to the anti-join (16-byte
+#: pairs → ~64 MB serialized at the cap, the practical broadcast ceiling)
+_BROADCAST_DELETE_ROWS = 4 << 20
 
 
 def _manifest_path(base_dir: str, version: int) -> str:
@@ -118,6 +133,7 @@ def _commit_manifest(
     schema,
     meta,
     max_retries: int = 10,
+    deletes_of_head=None,
 ) -> int:
     """The single-pointer commit core shared by every snapshot writer:
     ``dirs_of_head(head_data_dirs) -> data_dirs`` is recomputed against
@@ -128,17 +144,33 @@ def _commit_manifest(
     zero-arg callable — callables are re-evaluated per retry for the
     same reason (review r9: a compaction that lost the race to a
     streaming commit must not re-publish the PRE-race batch_id, or the
-    exactly-once replay guard re-appends the raced epoch). Returns the
-    committed version number."""
+    exactly-once replay guard re-appends the raced epoch).
+
+    ``deletes_of_head(head_delete_dirs, head_delete_rows) ->
+    (delete_dirs, delete_rows)`` controls the position-delete carry
+    (round 9), re-derived against the current head per retry like the
+    data dirs. Default: ``overwrite`` clears the vectors (the new data
+    IS the post-delete truth — both full-rewrite writers read through
+    :func:`read_snapshot`, which applies them); every other mode
+    carries them by reference. Returns the committed version number."""
     os.makedirs(os.path.join(base_dir, _MANIFEST_DIR), exist_ok=True)
     for _ in range(max_retries):
         versions = snapshot_versions(base_dir)
         version = (versions[-1] + 1) if versions else 1
-        head_dirs = (
-            _read_manifest(base_dir, versions[-1])["data_dirs"]
-            if versions
-            else []
+        head_m = (
+            _read_manifest(base_dir, versions[-1]) if versions else {}
         )
+        head_dirs = head_m.get("data_dirs", [])
+        head_dels = head_m.get("delete_dirs", [])
+        head_del_rows = head_m.get("delete_rows", 0)
+        if deletes_of_head is not None:
+            del_dirs, del_rows = deletes_of_head(
+                head_dels, head_del_rows
+            )
+        elif mode == "overwrite":
+            del_dirs, del_rows = [], 0
+        else:
+            del_dirs, del_rows = head_dels, head_del_rows
         schema_v = schema() if callable(schema) else schema
         meta_v = meta() if callable(meta) else meta
         manifest = {
@@ -148,6 +180,11 @@ def _commit_manifest(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
             "data_dirs": dirs_of_head(head_dirs),
+            **(
+                {"delete_dirs": del_dirs, "delete_rows": del_rows}
+                if del_dirs
+                else {}
+            ),
             # written schema, recorded per commit: schema drift between
             # versions becomes an auditable fact instead of a read-time
             # surprise (see schema_changes()).
@@ -170,12 +207,62 @@ def _commit_manifest(
     )
 
 
-def read_snapshot(
-    spark: SparkSession,
-    base_dir: str,
-    version: int | None = None,
+def _rel_file_col(base_dir: str):
+    """``_metadata.file_path`` normalized to the manifest's namespace:
+    scheme stripped, table root removed — 'data/<uuid>/part-...parquet'.
+    Both the delete WRITER and every reader derive the key through this
+    one expression, so (file, pos) matching holds by construction."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    norm = os.path.realpath(base_dir)
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+        ),
+        "^" + re.escape(norm + "/"),
+        "",
+    )
+
+
+def _lineage_read(
+    spark: SparkSession, base_dir: str, manifest: dict
 ) -> DataFrame:
-    """Read a committed version (latest by default) — time travel."""
+    """A version's data with row lineage (``_file``, ``_pos``) and its
+    position deletes APPLIED. The anti-join side broadcasts while the
+    table's cumulative delete count stays under
+    ``_BROADCAST_DELETE_ROWS`` (deletes are a small fraction of a
+    healthy table — the broadcast makes the apply a map-side filter,
+    no shuffle of the data); past the cap both sides shuffle on the
+    (file, pos) pair."""
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(base_dir, d) for d in manifest["data_dirs"]]
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*paths)
+        .withColumn("_file", _rel_file_col(base_dir))
+        .withColumn("_pos", F.col("_metadata.row_index"))
+    )
+    del_dirs = manifest.get("delete_dirs") or []
+    if del_dirs:
+        dels = spark.read.parquet(
+            *[os.path.join(base_dir, d) for d in del_dirs]
+        ).select("file", "pos")
+        if manifest.get("delete_rows", 0) <= _BROADCAST_DELETE_ROWS:
+            from pyspark.sql.functions import broadcast
+
+            dels = broadcast(dels)
+        df = df.join(
+            dels,
+            (df["_file"] == dels["file"]) & (df["_pos"] == dels["pos"]),
+            "left_anti",
+        )
+    return df
+
+
+def _head_manifest(base_dir: str, version: int | None = None) -> dict:
     versions = snapshot_versions(base_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {base_dir}")
@@ -185,10 +272,80 @@ def read_snapshot(
         raise FileNotFoundError(
             f"snapshot v{version} not found (have {versions})"
         )
-    manifest = _read_manifest(base_dir, version)
+    return _read_manifest(base_dir, version)
+
+
+def read_snapshot(
+    spark: SparkSession,
+    base_dir: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a committed version (latest by default) — time travel.
+    Versions carrying position deletes (:func:`delete_where`) apply
+    them transparently; versions without any keep the plain-scan fast
+    path (no metadata columns, no join in the plan)."""
+    manifest = _head_manifest(base_dir, version)
+    if manifest.get("delete_dirs"):
+        return _lineage_read(spark, base_dir, manifest).drop(
+            "_file", "_pos"
+        )
     paths = [os.path.join(base_dir, d) for d in manifest["data_dirs"]]
     return (
         spark.read.option("mergeSchema", "true").parquet(*paths)
+    )
+
+
+def delete_where(
+    spark: SparkSession, base_dir: str, predicate
+) -> int:
+    """Row-level DELETE FROM without rewriting data files: rows of the
+    CURRENT version matching ``predicate`` (SQL string or Column) stop
+    being visible from the committed version on, via position-delete
+    files — the Iceberg position-delete / Delta deletion-vector design
+    re-expressed on the manifest protocol.
+
+    Cost model at 100 TB: one predicate scan (filter pushdown applies —
+    Spark prunes files/row groups before positions are even computed),
+    one write of (file, pos) pairs proportional to MATCHED rows, one
+    manifest commit. The data dirs are carried by reference — zero data
+    movement. Readers pay one (broadcast when small) anti-join until a
+    compaction or overwrite materializes the deletes and clears the
+    vectors. Deletes STACK: each call appends a delete dir; positions
+    already dead are invisible to the predicate scan (it reads through
+    the existing vectors), so a row is never deleted twice.
+
+    Returns the committed version — or the CURRENT version unchanged
+    when nothing matched (no empty commits; the staged empty dir is
+    removed). Time travel to any pre-delete version still sees the
+    rows — GDPR-style physical erasure additionally needs
+    ``compact_snapshot`` + ``vacuum`` (documented contract)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    versions = snapshot_versions(base_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {base_dir}")
+    manifest = _read_manifest(base_dir, versions[-1])
+    df = _lineage_read(spark, base_dir, manifest)
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    matches = df.filter(cond).select(
+        F.col("_file").alias("file"), F.col("_pos").alias("pos")
+    )
+    rel = os.path.join(_DELETE_DIR, uuid.uuid4().hex)
+    out = os.path.join(base_dir, rel)
+    matches.write.mode("error").parquet(out)
+    n_new = spark.read.parquet(out).count()
+    if n_new == 0:
+        shutil.rmtree(out, ignore_errors=True)
+        return versions[-1]
+    return _commit_manifest(
+        base_dir,
+        lambda head_dirs: head_dirs,
+        "delete",
+        manifest.get("schema"),
+        {"n_deleted": n_new},
+        deletes_of_head=lambda dels, rows: (dels + [rel], rows + n_new),
     )
 
 
@@ -214,13 +371,17 @@ def vacuum(
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     live: set[str] = set()
     for v in keep:
-        live.update(_read_manifest(base_dir, v)["data_dirs"])
+        m = _read_manifest(base_dir, v)
+        live.update(m["data_dirs"])
+        live.update(m.get("delete_dirs", []))
     deleted = []
-    droot = os.path.join(base_dir, _DATA_DIR)
-    if os.path.isdir(droot):
-        now = _time.time()
+    now = _time.time()
+    for root_name in (_DATA_DIR, _DELETE_DIR):
+        droot = os.path.join(base_dir, root_name)
+        if not os.path.isdir(droot):
+            continue
         for name in os.listdir(droot):
-            rel = os.path.join(_DATA_DIR, name)
+            rel = os.path.join(root_name, name)
             full = os.path.join(droot, name)
             if rel in live:
                 continue
@@ -457,6 +618,22 @@ def compact_small_dirs(
         and d not in partitioned
         and os.path.join(_DATA_DIR, d) in head_set
     ]
+    # position deletes on the head (round 9): a flagged dir rewrites
+    # WITH its vectors applied (else the rewrite would resurrect dead
+    # rows), and the row-count guard compares against physical rows
+    # minus that dir's deletes; vectors for UNflagged dirs carry
+    # forward in the commit (the default non-overwrite carry), while
+    # entries naming the retired dirs simply stop matching anything.
+    head_dels = head.get("delete_dirs", [])
+    dels_df = (
+        spark.read.parquet(
+            *[os.path.join(base_dir, d) for d in head_dels]
+        ).select("file", "pos")
+        if head_dels
+        else None
+    )
+    from pyspark.sql import functions as F
+
     pending = []  # (rel, new_rel|None, audit, n_files_after, rows_after)
     swap: dict[str, str] = {}
     for rel, a in flagged:
@@ -466,11 +643,25 @@ def compact_small_dirs(
         n_files = max(
             1, math.ceil(a["total_bytes"] / (target_mb << 20))
         )
-        spark.read.parquet(src).repartition(n_files).write.mode(
-            "error"
-        ).parquet(dst)
+        expected = a["total_rows"]
+        reader = spark.read.parquet(src)
+        if dels_df is not None:
+            dir_dels = dels_df.filter(
+                F.col("file").startswith(rel + "/")
+            )
+            expected -= dir_dels.count()
+            lineage = reader.withColumn(
+                "_file", _rel_file_col(base_dir)
+            ).withColumn("_pos", F.col("_metadata.row_index"))
+            reader = lineage.join(
+                F.broadcast(dir_dels),
+                (lineage["_file"] == dir_dels["file"])
+                & (lineage["_pos"] == dir_dels["pos"]),
+                "left_anti",
+            ).drop("_file", "_pos")
+        reader.repartition(n_files).write.mode("error").parquet(dst)
         rows_after = spark.read.parquet(dst).count()
-        if rows_after == a["total_rows"]:
+        if rows_after == expected:
             swap[rel] = new_rel
             pending.append((rel, new_rel, a, n_files, rows_after))
         else:
@@ -537,6 +728,8 @@ def snapshot_stats(base_dir: str) -> list[dict]:
                 "mode": m.get("mode"),
                 "created_utc": m.get("created_utc"),
                 "n_data_dirs": len(m.get("data_dirs", [])),
+                "n_delete_dirs": len(m.get("delete_dirs", [])),
+                "delete_rows": m.get("delete_rows", 0),
                 "batch_id": m.get("batch_id"),
             }
         )

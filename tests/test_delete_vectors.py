@@ -1,0 +1,201 @@
+"""Position-delete vectors on snapshot tables (sources/snapshots.py
+delete_where): row-level DELETE without rewriting data files, applied
+at read, materialized by compaction, reclaimed by vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_etl_self_service_spark.sources import snapshots as snap
+from data_engineering_etl_self_service_spark.sources.snapshots import (
+    compact_small_dirs,
+    compact_snapshot,
+    delete_where,
+    read_snapshot,
+    snapshot_stats,
+    snapshot_versions,
+    vacuum,
+    write_snapshot,
+)
+
+
+def _mk(spark, tmp_path, n=100):
+    base = str(tmp_path / "tbl")
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.format_string("row%04d", F.col("id")).alias("name"),
+    )
+    write_snapshot(df, base, mode="overwrite")
+    return base
+
+
+def test_delete_hides_rows_without_touching_data(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    v1 = snapshot_versions(base)[-1]
+    m1 = snap._read_manifest(base, v1)
+    v2 = delete_where(spark, base, "grp = 3")
+    got = read_snapshot(spark, base)
+    assert got.filter("grp = 3").count() == 0
+    assert got.count() == 100 - 14  # ids 3,10,...,94
+    # data dirs carried BY REFERENCE — zero data movement
+    m2 = snap._read_manifest(base, v2)
+    assert m2["data_dirs"] == m1["data_dirs"]
+    assert m2["delete_rows"] == 14 and len(m2["delete_dirs"]) == 1
+    # time travel to the pre-delete version still sees every row
+    assert read_snapshot(spark, base, version=v1).count() == 100
+    # a version without vectors keeps the plain-scan fast path
+    plan = read_snapshot(
+        spark, base, version=v1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_deletes_stack_and_never_double_delete(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    delete_where(spark, base, "grp = 3")
+    # overlapping predicate: grp=3 rows are already dead, so the second
+    # vector records only the LIVE matches (id < 30 minus dead ones)
+    v3 = delete_where(spark, base, "id < 30")
+    m3 = snap._read_manifest(base, v3)
+    dead_first = {i for i in range(100) if i % 7 == 3}
+    live_matches = {i for i in range(30) if i not in dead_first}
+    assert m3["n_deleted"] == len(live_matches)
+    assert m3["delete_rows"] == 14 + len(live_matches)
+    got = read_snapshot(spark, base)
+    expect = [
+        i for i in range(100) if i % 7 != 3 and i >= 30
+    ]
+    assert sorted(r["id"] for r in got.collect()) == expect
+
+
+def test_column_predicate_and_no_match_no_commit(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    v = delete_where(spark, base, F.col("name") == "row0007")
+    assert read_snapshot(spark, base).count() == 99
+    # nothing matches: no new version, no orphan delete dir
+    v2 = delete_where(spark, base, "id > 1000000")
+    assert v2 == v
+    ddirs = os.listdir(os.path.join(base, "deletes"))
+    assert len(ddirs) == 1
+
+
+def test_append_after_delete(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    delete_where(spark, base, "grp = 0")
+    extra = spark.range(100, 120).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.format_string("row%04d", F.col("id")).alias("name"),
+    )
+    write_snapshot(extra, base, mode="append")
+    got = read_snapshot(spark, base)
+    # appended rows are new files — vectors are positional, so even
+    # grp=0 appends stay visible; the old grp=0 rows stay dead
+    assert got.filter("id >= 100").count() == 20
+    assert got.filter("(grp = 0) AND (id < 100)").count() == 0
+    m = snap._read_manifest(base, snapshot_versions(base)[-1])
+    assert m["delete_rows"] > 0  # carried across the append
+
+
+def test_compact_materializes_and_vacuum_reclaims(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    vdel = delete_where(spark, base, "grp = 5")
+    before = sorted(r["id"] for r in read_snapshot(spark, base).collect())
+    vc = compact_snapshot(spark, base)
+    m = snap._read_manifest(base, vc)
+    assert "delete_dirs" not in m
+    after = sorted(r["id"] for r in read_snapshot(spark, base).collect())
+    assert after == before
+    # the delete-version still replays exactly while retained
+    assert sorted(
+        r["id"] for r in read_snapshot(spark, base, version=vdel).collect()
+    ) == before
+    vacuum(base, keep_last=1)
+    assert os.listdir(os.path.join(base, "deletes")) == []
+    assert sorted(
+        r["id"] for r in read_snapshot(spark, base).collect()
+    ) == before
+
+
+def test_vacuum_keeps_live_delete_dirs(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    delete_where(spark, base, "grp = 1")
+    vacuum(base, keep_last=1)
+    # head references the vector — vacuum must not reclaim it
+    assert len(os.listdir(os.path.join(base, "deletes"))) == 1
+    assert read_snapshot(spark, base).filter("grp = 1").count() == 0
+
+
+def test_crash_before_commit_is_invisible(spark, tmp_path):
+    """A writer that died after staging delete files but before the
+    manifest link: readers unaffected, vacuum's grace period reclaims."""
+    base = _mk(spark, tmp_path)
+    orphan = os.path.join(base, "deletes", "deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    assert read_snapshot(spark, base).count() == 100
+    vacuum(base, keep_last=1, min_age_s=9999)
+    assert os.path.isdir(orphan)  # younger than the grace period
+    vacuum(base, keep_last=1)
+    assert not os.path.isdir(orphan)
+
+
+def test_shuffle_join_path_parity(spark, tmp_path, monkeypatch):
+    base = _mk(spark, tmp_path)
+    delete_where(spark, base, "grp = 2")
+    broadcast = sorted(
+        r["id"] for r in read_snapshot(spark, base).collect()
+    )
+    monkeypatch.setattr(snap, "_BROADCAST_DELETE_ROWS", 0)
+    shuffled = sorted(
+        r["id"] for r in read_snapshot(spark, base).collect()
+    )
+    assert broadcast == shuffled
+
+
+def test_compact_small_dirs_respects_vectors(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    for lo in (0, 40):
+        df = spark.range(lo, lo + 40).select(
+            F.col("id"), (F.col("id") % 5).alias("grp")
+        )
+        write_snapshot(df.coalesce(4), base, mode="append")
+    delete_where(spark, base, "grp = 4")
+    visible = sorted(
+        r["id"] for r in read_snapshot(spark, base).collect()
+    )
+    rep = compact_small_dirs(
+        spark, base, small_file_bytes=1 << 20, target_mb=1
+    ).collect()
+    assert rep and all(r["swapped"] for r in rep)
+    # rewrites applied the vectors: dead rows NOT resurrected
+    after = sorted(r["id"] for r in read_snapshot(spark, base).collect())
+    assert after == visible
+    # and the physical data now excludes them (vector entries for the
+    # retired dirs match nothing; compaction materialized the deletes)
+    m = snap._read_manifest(base, snapshot_versions(base)[-1])
+    raw = spark.read.parquet(
+        *[os.path.join(base, d) for d in m["data_dirs"]]
+    )
+    assert raw.filter("grp = 4").count() == 0
+
+
+def test_stats_and_diff_see_through_vectors(spark, tmp_path):
+    base = _mk(spark, tmp_path)
+    v1 = snapshot_versions(base)[-1]
+    v2 = delete_where(spark, base, "id = 42")
+    st = {s["version"]: s for s in snapshot_stats(base)}
+    assert st[v2]["n_delete_dirs"] == 1 and st[v2]["delete_rows"] == 1
+    assert st[v1]["n_delete_dirs"] == 0
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        snapshot_diff,
+    )
+
+    d = snapshot_diff(spark, base, v1, v2, key_cols=["id"]).collect()
+    assert len(d) == 1
+    assert d[0]["change_type"] == "delete" and d[0]["id"] == 42

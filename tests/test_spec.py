@@ -240,6 +240,7 @@ def test_pipeline_metrics_and_row_count(spark, tmp_path):
         "total_s",
         "rows_quarantined",
         "partitions_compacted",
+        "rows_retention_deleted",
     }
     assert m["total_s"] >= m["checks_s"] >= 0
 
@@ -1628,3 +1629,73 @@ def test_yaml_maintenance_compacts_snapshot_destination(spark, tmp_path):
         snapshots.read_snapshot(spark, str(out), version=1).count()
         == 400
     )
+
+
+def test_yaml_maintenance_retention_delete_where(spark, tmp_path):
+    """destination.maintenance.retention_delete_where (round 9): a
+    passed snapshot publish is followed by a position-delete commit —
+    rows past the retention predicate (with {{ ds }} substituted) stop
+    being visible, zero data rewritten; a same-run compaction then
+    materializes the vectors. Parquet destinations reject the switch
+    loudly."""
+    import json as _json
+
+    from data_engineering_etl_self_service_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from data_engineering_etl_self_service_spark.plans.spec import (
+        spec_from_dict,
+    )
+    from data_engineering_etl_self_service_spark.sources import snapshots
+
+    src = tmp_path / "in.json"
+    out = tmp_path / "tbl"
+    with open(src, "w") as fh:
+        for i in range(100):
+            fh.write(
+                _json.dumps(
+                    {"event_id": i, "day": f"2025-08-{(i % 20) + 1:02d}"}
+                )
+                + "\n"
+            )
+    base_spec = {
+        "pipeline_info": {"dag_id": "retention"},
+        "source": {"type": "file", "format": "json", "path": str(src)},
+        "destination": {
+            "type": "snapshot",
+            "path": str(out),
+            "maintenance": {
+                "retention_delete_where": "day < '{{ ds }}'",
+            },
+        },
+        "data_quality_checks": [
+            {"check_type": "min_row_count", "threshold": 1}
+        ],
+    }
+    res = run_pipeline(spark, spec_from_dict(base_spec), ds="2025-08-05")
+    assert res.report.passed
+    # days 01..04 deleted: 4 of the 20 day values, 5 rows each
+    assert res.metrics["rows_retention_deleted"] == 20
+    head = snapshots.read_snapshot(spark, str(out))
+    assert head.count() == 80
+    assert head.filter("day < '2025-08-05'").count() == 0
+    # the publish version (pre-delete) still shows all rows
+    assert snapshots.read_snapshot(spark, str(out), version=1).count() == 100
+    # vectors, not rewrites: the delete commit carries the same data dirs
+    vs = snapshots.snapshot_versions(str(out))
+    m_pub = snapshots._read_manifest(str(out), vs[0])
+    m_del = snapshots._read_manifest(str(out), vs[-1])
+    assert m_del["mode"] == "delete"
+    assert m_del["data_dirs"] == m_pub["data_dirs"]
+
+    # a parquet destination must reject the switch, not no-op it
+    import pytest as _pytest
+
+    bad = dict(base_spec)
+    bad["destination"] = {
+        "type": "parquet",
+        "path": str(tmp_path / "plain"),
+        "maintenance": {"retention_delete_where": "day < '{{ ds }}'"},
+    }
+    with _pytest.raises(ValueError, match="retention_delete_where"):
+        run_pipeline(spark, spec_from_dict(bad), ds="2025-08-05")
