@@ -162,6 +162,11 @@ EXTENDED = [
     "clustering_depth",
     "skip_index_scan",
     "domain_mix",
+    # round 9 cont.: ORC stripe-stats pruning (second-format audit
+    # parity, zero-decode stripe concat in the builder) + row-level
+    # deletes via position-delete vectors on snapshot tables
+    "orc_scan_pruning",
+    "snapshot_row_deletes",
 ]
 
 HEADLINE = CORE + EXTENDED
