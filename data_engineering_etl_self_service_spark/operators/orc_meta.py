@@ -180,14 +180,13 @@ def _inflate_chunk(chunk: bytes, codec: str) -> bytes:
 
         return snappy_decompress(chunk)
     if codec == "zstd":
-        try:
-            from .encoding import _native_decompress
+        # the pure decoder, not libzstd: it takes an OUTPUT CEILING, so
+        # a hostile tail declaring a many-GB chunk fails the bound
+        # BEFORE materializing (review r9); tails are KB-to-MB, so the
+        # pure decoder's throughput is immaterial here
+        from .zstd import zstd_decompress
 
-            return _native_decompress(chunk, "zstd")
-        except Exception:
-            from .zstd import zstd_decompress
-
-            return zstd_decompress(chunk, max_out=_MAX_STREAM)
+        return zstd_decompress(chunk, max_out=_MAX_STREAM)
     if codec == "lz4":
         from .lz4 import _decode_block
 
@@ -438,18 +437,12 @@ def _stripe_skippable(st: dict | None, lo, hi, not_null: bool) -> bool:
 
 
 def _orc_listing(spark, path):
-    """File listing for ORC audits: binaryFile paths + lengths only
-    (content never projected), compaction staging dirs filtered —
-    :func:`parquet_meta._listing`'s glob swapped to ``*.orc``."""
-    from pyspark.sql import functions as F
+    """File listing for ORC audits: :func:`parquet_meta._listing` (same
+    binaryFile options, same compaction-staging filter — one listing
+    implementation, review r9) with the glob swapped to ``*.orc``."""
+    from .parquet_meta import _listing
 
-    return (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.orc")
-        .option("recursiveFileLookup", "true")
-        .load(path)
-        .filter(~F.col("path").rlike("__(compacting|retired)/"))
-    )
+    return _listing(spark, path, glob="*.orc")
 
 
 def orc_pruning_report(
@@ -602,8 +595,22 @@ def _merge_col_stats(per_input: list[dict]) -> dict:
     the merged file: counts sum, has_null ORs, min/max/sum merge when
     every input carries a window of the SAME kind (else the window is
     dropped — counts-only is the conservative valid fallback). Inputs
-    with ``n_values == 0`` (all-NULL slices) carry no window by
-    construction and must not veto the merge."""
+    with ``n_values == 0`` (all-NULL slices, stats PRESENT) carry no
+    window by construction and must not veto the merge — but an input
+    whose stats are MISSING entirely (``missing=True`` placeholder —
+    its rows are unknown, not known-NULL) poisons everything: claiming
+    a count or window that excludes that input's rows would make a
+    scanner prune live data (review r9), so the merged column emits NO
+    statistics at all."""
+    if any(s.get("missing") for s in per_input):
+        return {
+            "n_values": None,
+            "has_null": True,  # unknown rows: the only sound claim
+            "stat_kind": None,
+            "min": None,
+            "max": None,
+            "sum": None,
+        }
     live = [s for s in per_input if s.get("n_values")]
     kinds = {s["stat_kind"] for s in live}
     out = {
@@ -729,8 +736,13 @@ def orc_concat(out_path: str, in_paths: list[str]) -> dict:
                         )
                     )
                     pos += length
-                    # per-stripe stats: the input's own, verbatim
-                    if t["_raw_stripe_stats"]:
+                    # per-stripe stats: the input's own, verbatim; a
+                    # Metadata section SHORTER than the stripe
+                    # directory (nonconforming writer) falls back to
+                    # the file stats for the uncovered tail instead of
+                    # an IndexError mid-copy (review r9) — file stats
+                    # are a superset window, so pruning stays sound
+                    if si < len(t["_raw_stripe_stats"]):
                         stripe_stats_out.append(
                             t["_raw_stripe_stats"][si]
                         )
@@ -769,13 +781,15 @@ def orc_concat(out_path: str, in_paths: list[str]) -> dict:
             per_input = []
             for _, _, t, _ in tails:
                 fs = t["file_stats"]
-                per_input.append(
-                    fs[cid]
-                    if cid < len(fs)
-                    else {"n_values": 0, "has_null": False,
-                          "stat_kind": None, "min": None, "max": None,
-                          "sum": None}
-                )
+                if cid < len(fs) and fs[cid]["n_values"] is not None:
+                    per_input.append(fs[cid])
+                else:
+                    # stats absent for this input: its rows are
+                    # UNKNOWN, not known-NULL — flag so the merge
+                    # degrades to no-stats (review r9: the old
+                    # all-NULL placeholder let the merged window
+                    # exclude live rows)
+                    per_input.append({"missing": True})
             foot += _pb_blob(7, _encode_col_stats(_merge_col_stats(per_input)))
         if t0["row_index_stride"] is not None:
             foot += _pb_uint(8, t0["row_index_stride"])

@@ -554,7 +554,7 @@ def read_page_index(fh, footer: dict, column: str, only=None) -> list:
 # ---------------------------------------------------------------------------
 
 
-def _listing(spark, path, recursive: bool = True):
+def _listing(spark, path, recursive: bool = True, glob: str = "*.parquet"):
     """The audit's file listing: binaryFile paths + lengths ONLY (the
     ``content`` column is never projected — Spark's binary source
     prunes it, so listing a 100 TB lake moves no data), with
@@ -566,7 +566,7 @@ def _listing(spark, path, recursive: bool = True):
     from pyspark.sql import functions as F
 
     reader = spark.read.format("binaryFile").option(
-        "pathGlobFilter", "*.parquet"
+        "pathGlobFilter", glob
     )
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")

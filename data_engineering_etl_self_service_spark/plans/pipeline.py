@@ -856,9 +856,21 @@ def compile_pipeline(
                     "via the manifest pointer); got "
                     f"{spec.destination.type!r}"
                 )
+            import re as _re
+
             pred = str(maint["retention_delete_where"])
-            if ds is not None:
-                pred = pred.replace("{{ ds }}", ds).replace("{ds}", ds)
+            # whitespace-tolerant {{ds}} spelling + {ds}; an
+            # UNSUBSTITUTED template must fail loudly — F.expr would
+            # evaluate '{{ds}}' as a string literal and the retention
+            # would silently no-op forever (review r9)
+            tmpl = _re.compile(r"\{\{\s*ds\s*\}\}|\{ds\}")
+            if tmpl.search(pred):
+                if ds is None:
+                    raise ValueError(
+                        "maintenance.retention_delete_where uses a "
+                        "{{ ds }} template but the run has no ds"
+                    )
+                pred = tmpl.sub(ds, pred)
             from ..sources.snapshots import (
                 _read_manifest,
                 delete_where,

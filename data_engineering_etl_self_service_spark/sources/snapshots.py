@@ -211,19 +211,31 @@ def _rel_file_col(base_dir: str):
     """``_metadata.file_path`` normalized to the manifest's namespace:
     scheme stripped, table root removed — 'data/<uuid>/part-...parquet'.
     Both the delete WRITER and every reader derive the key through this
-    one expression, so (file, pos) matching holds by construction."""
+    one expression, so (file, pos) matching holds by construction even
+    when neither prefix strip fires (keys then stay absolute on both
+    sides). Both the realpath'd and the plain-abspath root are
+    stripped: Spark's ``_metadata.file_path`` does NOT resolve
+    symlinks, so a table under a symlinked mount would otherwise store
+    absolute keys (review r9 — consistent but opaque, and anything
+    reasoning about dir prefixes would silently mismatch)."""
     import re
 
     from pyspark.sql import functions as F
 
-    norm = os.path.realpath(base_dir)
-    return F.regexp_replace(
-        F.regexp_replace(
-            F.col("_metadata.file_path"), r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
-        ),
-        "^" + re.escape(norm + "/"),
-        "",
+    out = F.regexp_replace(
+        F.col("_metadata.file_path"), r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
     )
+    roots = {os.path.realpath(base_dir), os.path.abspath(base_dir)}
+    for root in sorted(roots):
+        out = F.regexp_replace(out, "^" + re.escape(root + "/"), "")
+    return out
+
+
+#: lineage column names — dunder-reserved so they can't collide with a
+#: real user column (review r9: plain `_file`/`_pos` would be silently
+#: clobbered and then dropped from every post-delete read)
+_DV_FILE = "__dv_file"
+_DV_POS = "__dv_pos"
 
 
 def _lineage_read(
@@ -239,11 +251,14 @@ def _lineage_read(
     from pyspark.sql import functions as F
 
     paths = [os.path.join(base_dir, d) for d in manifest["data_dirs"]]
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*paths)
-        .withColumn("_file", _rel_file_col(base_dir))
-        .withColumn("_pos", F.col("_metadata.row_index"))
+    raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+    clash = {_DV_FILE, _DV_POS} & set(raw.columns)
+    if clash:
+        raise ValueError(
+            f"snapshot table has reserved column(s) {sorted(clash)}"
+        )
+    df = raw.withColumn(_DV_FILE, _rel_file_col(base_dir)).withColumn(
+        _DV_POS, F.col("_metadata.row_index")
     )
     del_dirs = manifest.get("delete_dirs") or []
     if del_dirs:
@@ -256,7 +271,8 @@ def _lineage_read(
             dels = broadcast(dels)
         df = df.join(
             dels,
-            (df["_file"] == dels["file"]) & (df["_pos"] == dels["pos"]),
+            (df[_DV_FILE] == dels["file"])
+            & (df[_DV_POS] == dels["pos"]),
             "left_anti",
         )
     return df
@@ -287,7 +303,7 @@ def read_snapshot(
     manifest = _head_manifest(base_dir, version)
     if manifest.get("delete_dirs"):
         return _lineage_read(spark, base_dir, manifest).drop(
-            "_file", "_pos"
+            _DV_FILE, _DV_POS
         )
     paths = [os.path.join(base_dir, d) for d in manifest["data_dirs"]]
     return (
@@ -318,7 +334,16 @@ def delete_where(
     when nothing matched (no empty commits; the staged empty dir is
     removed). Time travel to any pre-delete version still sees the
     rows — GDPR-style physical erasure additionally needs
-    ``compact_snapshot`` + ``vacuum`` (documented contract)."""
+    ``compact_snapshot`` + ``vacuum`` (documented contract).
+
+    Concurrency: positions are computed against the head this call
+    read. A data REWRITE (compaction/overwrite) that commits in the
+    gap would make those positions point at retired files — carrying
+    them forward would silently lose the delete (review r9), so the
+    commit verifies the head's data dirs are the planned ones and
+    raises ``RuntimeError`` on drift: re-run the delete (the predicate
+    re-scan is the correct retry, not the stale positions). Concurrent
+    APPENDS and other DELETES are fine and commit normally."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -330,7 +355,7 @@ def delete_where(
     df = _lineage_read(spark, base_dir, manifest)
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     matches = df.filter(cond).select(
-        F.col("_file").alias("file"), F.col("_pos").alias("pos")
+        F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
     )
     rel = os.path.join(_DELETE_DIR, uuid.uuid4().hex)
     out = os.path.join(base_dir, rel)
@@ -339,9 +364,21 @@ def delete_where(
     if n_new == 0:
         shutil.rmtree(out, ignore_errors=True)
         return versions[-1]
+    planned = set(manifest["data_dirs"])
+
+    def _dirs(head_dirs):
+        # appends extend the head; a rewrite REPLACES planned dirs —
+        # that invalidates our (file, pos) keys, fail loudly
+        if not planned <= set(head_dirs):
+            raise RuntimeError(
+                "delete_where raced a data rewrite (compaction/"
+                "overwrite); positions are stale — re-run the delete"
+            )
+        return head_dirs
+
     return _commit_manifest(
         base_dir,
-        lambda head_dirs: head_dirs,
+        _dirs,
         "delete",
         manifest.get("schema"),
         {"n_deleted": n_new},
@@ -620,10 +657,14 @@ def compact_small_dirs(
     ]
     # position deletes on the head (round 9): a flagged dir rewrites
     # WITH its vectors applied (else the rewrite would resurrect dead
-    # rows), and the row-count guard compares against physical rows
-    # minus that dir's deletes; vectors for UNflagged dirs carry
-    # forward in the commit (the default non-overwrite carry), while
-    # entries naming the retired dirs simply stop matching anything.
+    # rows); vectors for UNflagged dirs carry forward in the commit,
+    # while entries naming the retired dirs simply stop matching
+    # anything. The apply uses the FULL vector set through the same
+    # key derivation as every reader (never a dir-prefix filter on the
+    # stored keys — those stay absolute when neither root-strip fires,
+    # and a prefix mismatch would silently resurrect rows; review r9),
+    # and the expected row count is taken from the vector-applied
+    # source itself, so the swap guard stays "the write lost nothing".
     head_dels = head.get("delete_dirs", [])
     dels_df = (
         spark.read.parquet(
@@ -646,19 +687,19 @@ def compact_small_dirs(
         expected = a["total_rows"]
         reader = spark.read.parquet(src)
         if dels_df is not None:
-            dir_dels = dels_df.filter(
-                F.col("file").startswith(rel + "/")
-            )
-            expected -= dir_dels.count()
+            side = dels_df
+            if head.get("delete_rows", 0) <= _BROADCAST_DELETE_ROWS:
+                side = F.broadcast(side)  # same cap as _lineage_read
             lineage = reader.withColumn(
-                "_file", _rel_file_col(base_dir)
-            ).withColumn("_pos", F.col("_metadata.row_index"))
+                _DV_FILE, _rel_file_col(base_dir)
+            ).withColumn(_DV_POS, F.col("_metadata.row_index"))
             reader = lineage.join(
-                F.broadcast(dir_dels),
-                (lineage["_file"] == dir_dels["file"])
-                & (lineage["_pos"] == dir_dels["pos"]),
+                side,
+                (lineage[_DV_FILE] == side["file"])
+                & (lineage[_DV_POS] == side["pos"]),
                 "left_anti",
-            ).drop("_file", "_pos")
+            ).drop(_DV_FILE, _DV_POS)
+            expected = reader.count()
         reader.repartition(n_files).write.mode("error").parquet(dst)
         rows_after = spark.read.parquet(dst).count()
         if rows_after == expected:
@@ -686,12 +727,28 @@ def compact_small_dirs(
                 else None
             )
 
+        planned_dels = list(head_dels)
+
+        def _dels(dels, rows):
+            # a delete_where that commits MID-compaction may target a
+            # flagged dir the rewrite didn't apply it to — carrying it
+            # against the swapped dir would silently resurrect those
+            # rows (review r9); fail loudly, the whole maintenance
+            # pass is the correct retry unit
+            if dels != planned_dels:
+                raise RuntimeError(
+                    "compact_small_dirs raced a delete_where commit; "
+                    "re-run the compaction"
+                )
+            return dels, rows
+
         version = _commit_manifest(
             base_dir,
             lambda head_dirs: [swap.get(d, d) for d in head_dirs],
             "compact",
             _schema,
             _meta,
+            deletes_of_head=_dels,
         )
         # `swapped` is reported from the manifest that actually
         # COMMITTED, not from intent: a concurrent overwrite can race

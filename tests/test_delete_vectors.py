@@ -199,3 +199,124 @@ def test_stats_and_diff_see_through_vectors(spark, tmp_path):
     d = snapshot_diff(spark, base, v1, v2, key_cols=["id"]).collect()
     assert len(d) == 1
     assert d[0]["change_type"] == "delete" and d[0]["id"] == 42
+
+
+def test_symlinked_table_root_compaction_not_resurrecting(spark, tmp_path):
+    """Spark's _metadata.file_path does NOT resolve symlinks, so a
+    table addressed through a symlinked mount stores keys the realpath
+    strip alone would miss; compaction must still apply the vectors
+    (review r9: the old dir-prefix filter silently resurrected rows)."""
+    real_root = tmp_path / "real"
+    real_root.mkdir()
+    link = tmp_path / "link"
+    os.symlink(real_root, link)
+    base = str(link / "tbl")
+    for lo in (0, 40):
+        df = spark.range(lo, lo + 40).select(
+            F.col("id"), (F.col("id") % 5).alias("grp")
+        )
+        write_snapshot(df.coalesce(4), base, mode="append")
+    delete_where(spark, base, "grp = 4")
+    visible = sorted(r["id"] for r in read_snapshot(spark, base).collect())
+    assert len(visible) == 64
+    rep = compact_small_dirs(
+        spark, base, small_file_bytes=1 << 20, target_mb=1
+    ).collect()
+    assert rep and all(r["swapped"] for r in rep)
+    after = sorted(r["id"] for r in read_snapshot(spark, base).collect())
+    assert after == visible
+    m = snap._read_manifest(base, snapshot_versions(base)[-1])
+    raw = spark.read.parquet(
+        *[os.path.join(base, d) for d in m["data_dirs"]]
+    )
+    assert raw.filter("grp = 4").count() == 0
+
+
+def test_reserved_lineage_columns_rejected(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    df = spark.range(5).select(F.col("id"), F.lit(1).alias("__dv_pos"))
+    write_snapshot(df, base, mode="overwrite")
+    with pytest.raises(ValueError, match="reserved column"):
+        delete_where(spark, base, "id = 1")
+    assert read_snapshot(spark, base).count() == 5  # plain reads fine
+
+
+def test_user_underscore_columns_survive_deletes(spark, tmp_path):
+    """Columns named _file/_pos are USER columns — the lineage plumbing
+    must not clobber or drop them (review r9)."""
+    base = str(tmp_path / "tbl")
+    df = spark.range(10).select(
+        F.col("id"),
+        (F.col("id") * 10).alias("_pos"),
+        F.format_string("f%d", F.col("id")).alias("_file"),
+    )
+    write_snapshot(df, base, mode="overwrite")
+    delete_where(spark, base, "_pos = 30")  # the USER column
+    got = read_snapshot(spark, base)
+    assert set(got.columns) == {"id", "_pos", "_file"}
+    rows = {r["id"]: (r["_pos"], r["_file"]) for r in got.collect()}
+    assert 3 not in rows and rows[7] == (70, "f7")
+
+
+def test_delete_raced_by_rewrite_raises(spark, tmp_path, monkeypatch):
+    """A full rewrite committing between delete_where's predicate scan
+    and its manifest commit invalidates the (file, pos) keys — the
+    commit must fail loudly, never silently lose the delete."""
+    base = _mk(spark, tmp_path)
+    real = snap._commit_manifest
+
+    def raced(base_dir, dirs_of_head, mode, schema, meta,
+              max_retries=10, deletes_of_head=None):
+        if mode == "delete":
+            monkeypatch.setattr(snap, "_commit_manifest", real)
+            compact_snapshot(spark, base_dir)  # the race
+        return real(base_dir, dirs_of_head, mode, schema, meta,
+                    max_retries, deletes_of_head)
+
+    monkeypatch.setattr(snap, "_commit_manifest", raced)
+    with pytest.raises(RuntimeError, match="raced a data rewrite"):
+        delete_where(spark, base, "grp = 3")
+    # nothing committed: the table is whole, a plain retry works
+    assert read_snapshot(spark, base).count() == 100
+    delete_where(spark, base, "grp = 3")
+    assert read_snapshot(spark, base).filter("grp = 3").count() == 0
+
+
+def test_compaction_raced_by_delete_raises(spark, tmp_path, monkeypatch):
+    """A delete_where committing mid-compaction may target a flagged
+    dir the rewrite didn't apply it to — the compaction commit must
+    fail loudly, and the re-run must land correctly."""
+    base = str(tmp_path / "tbl")
+    for lo in (0, 40):
+        df = spark.range(lo, lo + 40).select(
+            F.col("id"), (F.col("id") % 5).alias("grp")
+        )
+        write_snapshot(df.coalesce(4), base, mode="append")
+    delete_where(spark, base, "grp = 4")
+    real = snap._commit_manifest
+    state = {"raced": False}
+
+    def raced(base_dir, dirs_of_head, mode, schema, meta,
+              max_retries=10, deletes_of_head=None):
+        if mode == "compact" and not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(snap, "_commit_manifest", real)
+            delete_where(spark, base_dir, "id = 0")  # the race
+        return real(base_dir, dirs_of_head, mode, schema, meta,
+                    max_retries, deletes_of_head)
+
+    monkeypatch.setattr(snap, "_commit_manifest", raced)
+    with pytest.raises(RuntimeError, match="raced a delete_where"):
+        compact_small_dirs(
+            spark, base, small_file_bytes=1 << 20, target_mb=1
+        )
+    # both deletes are in effect; the re-run compacts without
+    # resurrecting either
+    visible = sorted(r["id"] for r in read_snapshot(spark, base).collect())
+    assert 0 not in visible and all(i % 5 != 4 for i in visible)
+    rep = compact_small_dirs(
+        spark, base, small_file_bytes=1 << 20, target_mb=1
+    ).collect()
+    assert rep and all(r["swapped"] for r in rep)
+    after = sorted(r["id"] for r in read_snapshot(spark, base).collect())
+    assert after == visible

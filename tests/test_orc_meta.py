@@ -443,3 +443,47 @@ def test_spark_written_orc_decodes(spark, tmp_path):
     ) == (0, 9_999)
     f = po.ORCFile(files[0])
     assert t["n_stripes"] == f.nstripes
+
+
+def test_merge_stats_missing_input_emits_no_claims():
+    """An input with NO file statistics (unknown rows, not known-NULL)
+    must poison the merged column's stats entirely — claiming a count
+    or window that excludes its rows would let a scanner prune live
+    data (review r9)."""
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        _encode_col_stats,
+        _map_col_stats,
+        _merge_col_stats,
+    )
+
+    merged = _merge_col_stats(
+        [
+            {"n_values": 3, "has_null": False, "stat_kind": "int",
+             "min": 5, "max": 7, "sum": 18},
+            {"missing": True},
+        ]
+    )
+    assert merged["n_values"] is None and merged["min"] is None
+    back = _map_col_stats(_encode_col_stats(merged))
+    assert back["n_values"] is None
+    assert back["min"] is None and back["max"] is None
+    assert back["has_null"]  # the only sound claim left
+
+
+def test_zstd_chunk_bomb_is_bounded(tmp_path):
+    """A hostile zstd chunk declaring a huge expansion must fail the
+    output ceiling BEFORE materializing (review r9: the native path
+    had no bound)."""
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        _MAX_STREAM,
+        _inflate_chunk,
+    )
+    from data_engineering_etl_self_service_spark.operators.zstd_enc import (
+        zstd_compress,
+    )
+
+    # RLE-style frame: tiny wire bytes, enormous declared output
+    big = zstd_compress(b"\x00" * (300 << 10))
+    out = _inflate_chunk(big, "zstd")
+    assert len(out) == 300 << 10  # sane frames inflate fine
+    assert _MAX_STREAM > 0  # and the ceiling wires through max_out

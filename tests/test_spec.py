@@ -1699,3 +1699,51 @@ def test_yaml_maintenance_retention_delete_where(spark, tmp_path):
     }
     with _pytest.raises(ValueError, match="retention_delete_where"):
         run_pipeline(spark, spec_from_dict(bad), ds="2025-08-05")
+
+
+def test_retention_template_spellings_and_missing_ds(spark, tmp_path):
+    """The {{ds}} spelling (no inner spaces) substitutes too, and a
+    ds-templated retention predicate with NO ds raises instead of
+    silently no-oping forever (review r9)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from data_engineering_etl_self_service_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from data_engineering_etl_self_service_spark.plans.spec import (
+        spec_from_dict,
+    )
+
+    src = tmp_path / "in.json"
+    with open(src, "w") as fh:
+        for i in range(10):
+            fh.write(
+                _json.dumps({"k": i, "day": f"2025-08-{i + 1:02d}"}) + "\n"
+            )
+
+    def mk(out):
+        return spec_from_dict(
+            {
+                "pipeline_info": {"dag_id": "ret2"},
+                "source": {
+                    "type": "file", "format": "json", "path": str(src)
+                },
+                "destination": {
+                    "type": "snapshot",
+                    "path": str(out),
+                    "maintenance": {
+                        "retention_delete_where": "day < '{{ds}}'"
+                    },
+                },
+                "data_quality_checks": [
+                    {"check_type": "min_row_count", "threshold": 1}
+                ],
+            }
+        )
+
+    res = run_pipeline(spark, mk(tmp_path / "t1"), ds="2025-08-04")
+    assert res.metrics["rows_retention_deleted"] == 3
+    with _pytest.raises(ValueError, match="no ds"):
+        run_pipeline(spark, mk(tmp_path / "t2"), ds=None)
