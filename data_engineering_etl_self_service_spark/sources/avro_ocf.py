@@ -1846,3 +1846,123 @@ def resolution_adapter(writer, reader, named_w=None, named_r=None):
             raise ValueError("avro resolution: fixed size mismatch")
         return lambda v: v
     raise ValueError(f"avro resolution: unsupported type {wt}")
+
+
+# --------------------------------------------------------------------------
+# Zero-decode OCF concatenation (round 9 — the row-format twin of
+# operators/orc_meta.py orc_concat)
+# --------------------------------------------------------------------------
+
+def _read_varlong_fh(fh):
+    """One zigzag varlong from an open file handle; ``None`` at a clean
+    EOF boundary (no bytes at all), ValueError on truncation mid-value."""
+    acc = shift = 0
+    first = True
+    while True:
+        b = fh.read(1)
+        if not b:
+            if first:
+                return None
+            raise ValueError("avro: truncated varint")
+        first = False
+        x = b[0]
+        acc |= (x & 0x7F) << shift
+        if not x & 0x80:
+            return (acc >> 1) ^ -(acc & 1)
+        shift += 7
+        if shift > 70:
+            raise ValueError("avro: varint longer than 10 bytes")
+
+
+def concat_ocf_files(out_path: str, in_paths: list[str]) -> dict:
+    """Concatenate OCF files by BLOCK COPY — zero decode, zero
+    decompress (the small-file compaction Avro's container makes
+    possible: each block is ``[count][size][payload][sync]`` and
+    payloads are self-contained under the file's codec, so merging N
+    files is a header write plus N streamed block-region copies with
+    only the 16-byte sync markers rewritten to the output's). The
+    upstream analog is ``avro-tools concat``.
+
+    Inputs must agree on the schema (parsed-JSON equality — field
+    order is semantic in Avro and is compared as written) and codec;
+    mismatches raise. Block payload bytes are copied VERBATIM —
+    deflate/snappy/zstd/lz4 streams, including snappy's in-payload
+    CRC, transfer untouched. Each input's own sync marker is verified
+    after every block (truncation/corruption fails loudly mid-copy,
+    before the output is committed by the caller).
+
+    Returns ``{n_blocks, num_rows, bytes}``. Scale: executor-callable;
+    I/O = one sequential pass over each input; the decode → re-encode →
+    recompress cost of a row-level merge never appears, and the
+    output's blocks keep the inputs' compression ratios exactly."""
+    from ..operators.parquet_meta import open_ranged
+
+    if not in_paths:
+        raise ValueError("concat_ocf_files: no inputs")
+    heads = []
+    for p in in_paths:
+        fh = open_ranged(p)
+        try:
+            prefix = fh.read(1 << 20)
+        finally:
+            fh.close()
+        h = parse_ocf_header(prefix)
+        heads.append((p, h, prefix[: h["body_pos"]]))
+    p0, h0, header0 = heads[0]
+    for p, h, _ in heads[1:]:
+        if h["schema"] != h0["schema"]:
+            raise ValueError(f"concat_ocf_files: schema mismatch at {p!r}")
+        if h["codec"] != h0["codec"]:
+            raise ValueError(
+                f"concat_ocf_files: codec mismatch at {p!r} "
+                f"({h['codec']} vs {h0['codec']})"
+            )
+    n_blocks = num_rows = 0
+    with open(out_path, "wb") as out:
+        out.write(header0)  # metadata map + output sync, verbatim
+        for p, h, _ in heads:
+            fh = open_ranged(p)
+            try:
+                fh.seek(h["body_pos"])
+                while True:
+                    count = _read_varlong_fh(fh)
+                    if count is None:
+                        break
+                    size = _read_varlong_fh(fh)
+                    if size is None or size < 0:
+                        raise ValueError(
+                            f"concat_ocf_files: bad block size in {p!r}"
+                        )
+                    if count < 0:
+                        # negative block counts are legal per spec
+                        # (abs(count) records + an extra long) but no
+                        # mainstream writer emits them — reject rather
+                        # than miscopy
+                        raise ValueError(
+                            f"concat_ocf_files: negative block count "
+                            f"in {p!r}"
+                        )
+                    out.write(_zigzag(count))
+                    out.write(_zigzag(size))
+                    remaining = size
+                    while remaining:
+                        buf = fh.read(min(remaining, 8 << 20))
+                        if not buf:
+                            raise ValueError(
+                                f"concat_ocf_files: truncated block "
+                                f"in {p!r}"
+                            )
+                        out.write(buf)
+                        remaining -= len(buf)
+                    if fh.read(16) != h["sync"]:
+                        raise ValueError(
+                            f"concat_ocf_files: sync marker mismatch "
+                            f"in {p!r}"
+                        )
+                    out.write(h0["sync"])
+                    n_blocks += 1
+                    num_rows += count
+            finally:
+                fh.close()
+        total = out.tell()
+    return {"n_blocks": n_blocks, "num_rows": num_rows, "bytes": total}

@@ -1397,3 +1397,93 @@ def test_sync_split_malformed_bytes_raise_value_error(tmp_path):
         with open(f, "rb") as fh:
             with pytest.raises(ValueError, match="avro"):
                 _read_ocf_range(fh, hdr, 0, cut, cut)
+
+
+def test_concat_ocf_zero_decode_merge(spark, tmp_path):
+    """Zero-decode OCF concat (round 9, the row-format twin of
+    orc_concat): block-copied merges decode identically through BOTH
+    the pure reader and the Spark scan path, across codecs; payload
+    bytes transfer verbatim (only sync markers rewrite)."""
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        concat_ocf_files,
+        read_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "ev",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    for codec in ("null", "deflate", "snappy", "zstd"):
+        d = tmp_path / codec
+        d.mkdir()
+        ins, expected, off = [], [], 0
+        for j, n in enumerate([30, 50, 20]):
+            recs = [
+                {"id": i, "s": f"v{i:04d}"} for i in range(off, off + n)
+            ]
+            p = str(d / f"in{j}.avro")
+            with open(p, "wb") as fh:
+                fh.write(
+                    write_ocf(recs, schema, codec=codec, block_records=16)
+                )
+            ins.append(p)
+            expected += recs
+            off += n
+        mdir = d / "merged"
+        mdir.mkdir()
+        m = str(mdir / "m.avro")
+        info = concat_ocf_files(m, ins)
+        assert info["num_rows"] == 100
+        # pure reader: records identical, codec preserved
+        with open(m, "rb") as fh:
+            _, cod, recs = read_ocf(fh.read())
+        assert cod == codec and recs == expected
+        # Spark scan path over the merged file
+        rows = {
+            r["id"]: r["s"]
+            for r in read_avro_ocf(spark, str(mdir)).collect()
+        }
+        assert len(rows) == 100 and rows[42] == "v0042"
+
+
+def test_concat_ocf_rejects_mismatches(tmp_path):
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        concat_ocf_files,
+    )
+
+    s1 = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    s2 = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "int"}],
+    }
+    a = str(tmp_path / "a.avro")
+    b = str(tmp_path / "b.avro")
+    c = str(tmp_path / "c.avro")
+    with open(a, "wb") as fh:
+        fh.write(write_ocf([{"id": 1}], s1, codec="null"))
+    with open(b, "wb") as fh:
+        fh.write(write_ocf([{"id": 2}], s2, codec="null"))
+    with open(c, "wb") as fh:
+        fh.write(write_ocf([{"id": 3}], s1, codec="deflate"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        concat_ocf_files(str(tmp_path / "m1.avro"), [a, b])
+    with pytest.raises(ValueError, match="codec mismatch"):
+        concat_ocf_files(str(tmp_path / "m2.avro"), [a, c])
+    with pytest.raises(ValueError, match="no inputs"):
+        concat_ocf_files(str(tmp_path / "m3.avro"), [])
+    # a truncated input fails loudly mid-copy, naming the file
+    blob = write_ocf([{"id": i} for i in range(50)], s1, codec="null")
+    t = str(tmp_path / "trunc.avro")
+    with open(t, "wb") as fh:
+        fh.write(blob[:-9])
+    with pytest.raises(ValueError, match="trunc.avro"):
+        concat_ocf_files(str(tmp_path / "m4.avro"), [a, t])
