@@ -53,6 +53,7 @@ def build_skip_index(
     columns: list[str],
     force_generic: bool = False,
     files: DataFrame | None = None,
+    format: str = "parquet",
 ) -> DataFrame:
     """One row per (file, indexed column): the file-level stats an
     index-backed scan prunes with. Columns: ``path`` (full URI),
@@ -64,7 +65,20 @@ def build_skip_index(
     carried usable stats — the soundness gate), ``index_version``.
 
     File-level windows: min of row-group mins / max of maxs, valid
-    only when every row group is statted."""
+    only when every row group is statted.
+
+    ``format="orc"`` indexes an ORC lake through the same row shape
+    (round 9 — second-format parity): file-level ColumnStatistics from
+    the tail (operators/orc_meta.py), int/date kinds on the long lane,
+    float/double on the double lane, string/varchar/char on the string
+    lane; ORC ``numberOfValues`` counts NON-NULL values, so the row is
+    NORMALIZED to the index's parquet semantics (``num_values`` = all
+    slots, ``null_count = n_rows - numberOfValues``) and the shared
+    all-NULL rule ``null_count == num_values`` holds across both
+    lanes. Missing file stats or a column absent from the type tree
+    leave ``has_stats`` false (never pruned)."""
+    if format not in ("parquet", "orc"):
+        raise ValueError(f"build_skip_index: unknown format {format!r}")
     root_norm = _root_norm(path)
     cols = list(columns)
 
@@ -135,6 +149,65 @@ def build_skip_index(
             )
         return out
 
+    def _orc_rows(p, fsize, fh):
+        from .orc_meta import column_id, read_orc_tail
+
+        t = read_orc_tail(fh, fsize)
+        label = _rel_label(p, root_norm)
+        n_rows = t["num_rows"]
+        out = []
+        for name in cols:
+            mn = mx = None
+            nulls = None
+            nvals = 0
+            has = False
+            ptype = None
+            try:
+                cid = column_id(t["types"], name)
+            except ValueError:
+                cid = None
+            if cid is not None:
+                ptype = t["types"][cid]["kind"]
+                if cid < len(t["file_stats"]):
+                    st = t["file_stats"][cid]
+                    if st["n_values"] is not None:
+                        # normalize to the index's PARQUET semantics:
+                        # num_values counts ALL slots (so the shared
+                        # all-NULL rule null_count == num_values
+                        # holds); ORC's numberOfValues is non-null
+                        nvals = n_rows
+                        nulls = n_rows - st["n_values"]
+                        mn, mx = st["min"], st["max"]
+                        # window present, or provably all-NULL/empty
+                        has = (
+                            mn is not None and mx is not None
+                        ) or st["n_values"] == 0
+            is_i = has and isinstance(mn, int)
+            is_d = has and isinstance(mn, float)
+            is_s = has and isinstance(mn, str)
+            out.append(
+                {
+                    "path": p,
+                    "partition": label,
+                    "bytes": fsize,
+                    "n_rows": n_rows,
+                    "n_row_groups": t["n_stripes"],
+                    "column": name,
+                    "ptype": ptype,
+                    "min_i": mn if is_i else None,
+                    "max_i": mx if is_i else None,
+                    "min_d": mn if is_d else None,
+                    "max_d": mx if is_d else None,
+                    "min_s": mn if is_s else None,
+                    "max_s": mx if is_s else None,
+                    "null_count": nulls,
+                    "num_values": nvals,
+                    "has_stats": bool(has),
+                    "index_version": INDEX_VERSION,
+                }
+            )
+        return out
+
     schema = (
         "path string, partition string, bytes long, n_rows long, "
         "n_row_groups long, column string, ptype string, "
@@ -142,9 +215,10 @@ def build_skip_index(
         "min_s string, max_s string, null_count long, "
         "num_values long, has_stats boolean, index_version int"
     )
+    glob = "*.orc" if format == "orc" else "*.parquet"
     return _footer_frame(
-        _listing(spark, path) if files is None else files,
-        _rows,
+        _listing(spark, path, glob=glob) if files is None else files,
+        _orc_rows if format == "orc" else _rows,
         schema,
         force_generic,
     )
@@ -156,6 +230,7 @@ def refresh_skip_index(
     old_index: DataFrame,
     columns: list[str],
     force_generic: bool = False,
+    format: str = "parquet",
 ) -> DataFrame:
     """Incremental index maintenance: bring ``old_index`` up to date
     with the lake at ``path`` WITHOUT re-reading footers for files the
@@ -171,7 +246,8 @@ def refresh_skip_index(
     only, plus one file-listing join against the index — refreshing a
     100 TB lake that gained a day's partitions costs that day's
     footers, not the lake's."""
-    listing = _listing(spark, path).select("path", "length")
+    glob = "*.orc" if format == "orc" else "*.parquet"
+    listing = _listing(spark, path, glob=glob).select("path", "length")
     old = old_index.filter(F.col("index_version") == INDEX_VERSION)
     known = old.select(
         "path", F.col("bytes").alias("length")
@@ -183,7 +259,8 @@ def refresh_skip_index(
         "left_semi",
     ).select(*old.columns)  # joins front their keys; keep index order
     fresh = build_skip_index(
-        spark, path, columns, force_generic, files=fresh_files
+        spark, path, columns, force_generic, files=fresh_files,
+        format=format,
     )
     return kept.unionByName(fresh)
 
@@ -223,13 +300,18 @@ def indexed_scan(
     column: str,
     lo,
     hi,
+    format: str = "parquet",
 ) -> DataFrame:
     """Read only the files the skip index can't rule out for
     ``lo <= column <= hi``, with the predicate re-applied (the index
     prunes FILES; row-group/page pruning inside survivors and exact
     filtering remain the scan's job). ``root`` anchors hive partition
     column recovery (``basePath``). An index that rules out every
-    file returns an empty frame with the table's schema."""
+    file returns an empty frame with the table's schema.
+    ``format="orc"`` scans an ORC lake (the index itself is
+    format-agnostic — same row shape either way)."""
+    if format not in ("parquet", "orc"):
+        raise ValueError(f"indexed_scan: unknown format {format!r}")
     paths = [
         r["path"]
         for r in _survivors(index, column, lo, hi)
@@ -237,9 +319,15 @@ def indexed_scan(
         .collect()
     ]
     reader = spark.read.option("basePath", root)
+    if format == "orc":
+        # DataFrameReader.orc takes a LIST (extra positionals bind to
+        # mergeSchema/... options); .parquet takes varargs
+        load = lambda *ps: reader.orc(list(ps))  # noqa: E731
+    else:
+        load = reader.parquet
     if not paths:
-        return reader.parquet(root).filter(F.lit(False))
-    return reader.parquet(*paths).filter(F.col(column).between(lo, hi))
+        return load(root).filter(F.lit(False))
+    return load(*paths).filter(F.col(column).between(lo, hi))
 
 
 def scan_file_counts(index: DataFrame, column: str, lo, hi) -> DataFrame:

@@ -293,3 +293,100 @@ def test_refresh_noop_lake_reads_nothing_and_matches_full_build(spark, tmp_path)
         map(tuple, refresh_skip_index(spark, lake, old, ["v"]).collect())
     )
     assert got == want
+
+
+def test_orc_lane_indexed_scan_soundness(spark, tmp_path):
+    """format="orc" (round 9): the skip index built from ORC tails
+    prunes files exactly like the parquet lane — indexed results equal
+    the full scan for int/string predicates, an all-NULL file prunes,
+    missing columns survive, and the planner accounting matches."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from data_engineering_etl_self_service_spark.operators.skipindex import (
+        build_skip_index,
+        indexed_scan,
+        refresh_skip_index,
+        scan_file_counts,
+    )
+
+    lake = tmp_path / "orclake"
+    for part in range(3):
+        d = lake / f"part={part}"
+        d.mkdir(parents=True)
+        for j in range(2):
+            base = part * 200 + j * 100
+            po.write_table(
+                pa.table(
+                    {
+                        "v": pa.array(
+                            range(base, base + 100), pa.int64()
+                        ),
+                        "s": pa.array(
+                            [f"k{i:06d}" for i in range(base, base + 100)]
+                        ),
+                    }
+                ),
+                str(d / f"f{j}.orc"),
+                compression="snappy",
+            )
+    # plus an all-NULL file that must prune under any range predicate
+    po.write_table(
+        pa.table(
+            {
+                "v": pa.array([None] * 10, pa.int64()),
+                "s": pa.array([None] * 10, pa.string()),
+            }
+        ),
+        str(lake / "part=0" / "nulls.orc"),
+        compression="snappy",
+    )
+    ix = build_skip_index(
+        spark, str(lake), ["v", "s"], format="orc"
+    ).localCheckpoint()
+    full = spark.read.option("basePath", str(lake)).orc(str(lake))
+    for lo, hi in ((120, 180), (0, 599), (9_000, 9_999)):
+        got = sorted(
+            r["v"]
+            for r in indexed_scan(
+                spark, ix, str(lake), "v", lo, hi, format="orc"
+            ).collect()
+        )
+        exp = sorted(
+            r["v"]
+            for r in full.filter(f"v between {lo} and {hi}").collect()
+        )
+        assert got == exp
+    got_s = indexed_scan(
+        spark, ix, str(lake), "s", "k000150", "k000250", format="orc"
+    ).count()
+    assert got_s == 101
+    # planner accounting: the 120..180 window lives in ONE file
+    acct = {
+        r["partition"]: r.asDict()
+        for r in scan_file_counts(ix, "v", 120, 180).collect()
+    }
+    assert acct["part=0"]["n_files"] == 3  # 2 data + 1 all-null
+    assert acct["part=0"]["n_files_read"] == 1
+    assert acct["part=1"]["n_files_read"] == 0
+    # a column absent from the type tree never prunes
+    ix2 = build_skip_index(spark, str(lake), ["nope"], format="orc")
+    rows = ix2.collect()
+    assert rows and all(not r["has_stats"] for r in rows)
+    # incremental refresh on the ORC lane reuses unchanged files
+    po.write_table(
+        pa.table(
+            {
+                "v": pa.array(range(900, 950), pa.int64()),
+                "s": pa.array([f"k{i:06d}" for i in range(900, 950)]),
+            }
+        ),
+        str(lake / "part=2" / "new.orc"),
+        compression="snappy",
+    )
+    ix3 = refresh_skip_index(spark, str(lake), ix, ["v", "s"], format="orc")
+    assert ix3.filter("column = 'v'").count() == 8
+    got = indexed_scan(
+        spark, ix3, str(lake), "v", 920, 930, format="orc"
+    ).count()
+    assert got == 11
