@@ -311,6 +311,38 @@ def read_snapshot(
     )
 
 
+def version_as_of(base_dir: str, ts_utc: str) -> int:
+    """The version a reader at UTC time ``ts_utc`` would have seen:
+    the LATEST version whose manifest ``created_utc`` is <= the given
+    ISO-8601 instant ('YYYY-MM-DDTHH:MM:SSZ' — string comparison IS
+    chronological for this fixed format, the same reason the lake's
+    ds-partitions sort). The ``TIMESTAMP AS OF`` half of time travel
+    (``read_snapshot(version=...)`` is the ``VERSION AS OF`` half);
+    reads only manifests, no Spark job. Raises when the table has no
+    version that old."""
+    best = None
+    for v in snapshot_versions(base_dir):
+        created = _read_manifest(base_dir, v).get("created_utc", "")
+        if created and created <= ts_utc:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no snapshot at or before {ts_utc} in {base_dir}"
+        )
+    return best
+
+
+def read_snapshot_as_of(
+    spark: SparkSession, base_dir: str, ts_utc: str
+) -> DataFrame:
+    """Time travel by TIMESTAMP: read the table as a reader at
+    ``ts_utc`` saw it (:func:`version_as_of` + :func:`read_snapshot`,
+    delete vectors of THAT version applied)."""
+    return read_snapshot(
+        spark, base_dir, version=version_as_of(base_dir, ts_utc)
+    )
+
+
 def delete_where(
     spark: SparkSession, base_dir: str, predicate
 ) -> int:

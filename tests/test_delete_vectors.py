@@ -320,3 +320,43 @@ def test_compaction_raced_by_delete_raises(spark, tmp_path, monkeypatch):
     assert rep and all(r["swapped"] for r in rep)
     after = sorted(r["id"] for r in read_snapshot(spark, base).collect())
     assert after == visible
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path, monkeypatch):
+    """TIMESTAMP AS OF: version_as_of picks the latest manifest at or
+    before the instant; reads apply that version's vectors. Manifest
+    timestamps are pinned via the time module so versions land at
+    known, distinct instants."""
+    import time as _time
+
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        read_snapshot_as_of,
+        version_as_of,
+    )
+
+    base = str(tmp_path / "tbl")
+    stamps = iter(
+        ["2025-08-01T10:00:00Z", "2025-08-02T10:00:00Z"]
+    )
+    real_strftime = _time.strftime
+    monkeypatch.setattr(
+        snap.time,
+        "strftime",
+        lambda fmt, t=None: next(stamps, None)
+        or real_strftime(fmt, t or _time.gmtime()),
+    )
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).alias("grp")
+    )
+    write_snapshot(df, base, mode="overwrite")  # v1 @ 08-01
+    delete_where(spark, base, "grp = 1")  # v2 @ 08-02
+    assert version_as_of(base, "2025-08-01T12:00:00Z") == 1
+    assert version_as_of(base, "2025-08-02T10:00:00Z") == 2
+    assert read_snapshot_as_of(
+        spark, base, "2025-08-01T23:59:59Z"
+    ).count() == 10
+    assert read_snapshot_as_of(
+        spark, base, "2025-08-03T00:00:00Z"
+    ).count() == 5
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        version_as_of(base, "2025-07-31T00:00:00Z")
