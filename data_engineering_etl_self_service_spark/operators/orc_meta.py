@@ -829,6 +829,190 @@ def orc_concat(out_path: str, in_paths: list[str]) -> dict:
     }
 
 
+def compact_orc_flagged(
+    spark,
+    path: str,
+    small_file_bytes: int = 32 << 20,
+    target_bytes: int = 128 << 20,
+):
+    """Audit → action for an ORC lake: merge each hive partition's
+    small files by ZERO-DECODE stripe concat (:func:`orc_concat`) —
+    the OPTIMIZE loop whose I/O is a sequential byte copy of the small
+    files only: no shuffle, no decompress, no re-encode (the parquet
+    loop, operators/layout.py ``compact_flagged``, must rewrite
+    through Spark; ORC's self-contained stripes make the rewrite
+    unnecessary). Same staging/swap discipline as the parquet loop:
+    merged output + HARDLINKS of untouched files build in
+    ``<part>__compacting``, the swap is two renames with the recovery
+    sweep restoring a crash between them, and every audit ignores the
+    ``__compacting``/``__retired`` states.
+
+    Small files batch per (codec, type-tree) — a mixed-codec partition
+    merges each codec's files among themselves — up to ``target_bytes``
+    per output file; batches of one keep the file untouched. A merged
+    file is verified by reading it back THROUGH SPARK (row count ==
+    the tails' sum) before its partition swaps; drift keeps the
+    original and drops the rewrite.
+
+    Local/shared-filesystem lakes only (raises otherwise, same honest
+    boundary as the parquet rename loop). Returns one row per flagged
+    partition: ``(partition, files_before, files_after, rows_before,
+    rows_after, swapped)``. Scale: enumerating small files is the
+    irreducible unit of any OPTIMIZE; each merge streams bytes
+    sequentially, so the loop's cost is the small files' bytes — the
+    data being fixed — never the partition's."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            "compact_orc_flagged requires a local/shared-filesystem "
+            f"path; got {path!r}"
+        )
+    root = _root_norm(path)
+    # recovery sweep (same protocol as layout.compact_flagged)
+    for walk_root, dirs, _files in os.walk(root):
+        for d in list(dirs):
+            full = os.path.join(walk_root, d)
+            if d.endswith("__compacting"):
+                shutil.rmtree(full, ignore_errors=True)
+                dirs.remove(d)
+            elif d.endswith("__retired"):
+                src = full[: -len("__retired")]
+                if not os.path.exists(src):
+                    os.rename(full, src)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+                dirs.remove(d)
+
+    def _row(p, fsize, fh):
+        t = read_orc_tail(fh, fsize)
+        import hashlib
+
+        fp = hashlib.sha256(
+            b"\x00".join(t["_raw_footer"].get(4, []))
+            + t["compression"].encode()
+        ).hexdigest()[:16]
+        return {
+            "partition": _rel_label(p, root),
+            "path": p,
+            "bytes": fsize,
+            "n_rows": t["num_rows"],
+            "group_key": fp,
+        }
+
+    schema = (
+        "partition string, path string, bytes long, n_rows long, "
+        "group_key string"
+    )
+    files = _footer_frame(_orc_listing(spark, path), _row, schema)
+    small = files.filter(F.col("bytes") < small_file_bytes).collect()
+    by_part: dict[str, list] = {}
+    for r in small:
+        by_part.setdefault(r["partition"], []).append(r)
+
+    from ..sources.avro_ocf import _local_fspath
+
+    rows = []
+    for part in sorted(by_part):
+        part_dir = os.path.join(root, part) if part != "." else root
+        if not os.path.isdir(part_dir):
+            continue
+        # batches per (codec, type-tree), filled to target_bytes
+        batches: list[list] = []
+        groups: dict[str, list] = {}
+        for r in sorted(by_part[part], key=lambda r: r["path"]):
+            groups.setdefault(r["group_key"], []).append(r)
+        for g in groups.values():
+            cur: list = []
+            size = 0
+            for r in g:
+                if cur and size + r["bytes"] > target_bytes:
+                    batches.append(cur)
+                    cur, size = [], 0
+                cur.append(r)
+                size += r["bytes"]
+            if cur:
+                batches.append(cur)
+        batches = [b for b in batches if len(b) >= 2]
+        if not batches:
+            continue
+        files_before = sum(
+            1 for f in os.listdir(part_dir) if f.endswith(".orc")
+        )
+        rows_before = sum(
+            r["n_rows"] for b in batches for r in b
+        )
+        staging = part_dir + "__compacting"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        merged_names = []
+        expected = 0
+        batched_paths = {
+            os.path.realpath(_local_fspath(r["path"]) or r["path"])
+            for b in batches
+            for r in b
+        }
+        ok = True
+        try:
+            for i, b in enumerate(batches):
+                name = f"merged-{i:05d}.orc"
+                info = orc_concat(
+                    os.path.join(staging, name),
+                    [r["path"] for r in b],
+                )
+                expected += info["num_rows"]
+                merged_names.append(name)
+            # untouched files ride along as hardlinks (zero copy)
+            for f in os.listdir(part_dir):
+                fp = os.path.join(part_dir, f)
+                if (
+                    os.path.isfile(fp)
+                    and os.path.realpath(fp) not in batched_paths
+                ):
+                    os.link(fp, os.path.join(staging, f))
+            got = (
+                spark.read.orc(
+                    [os.path.join(staging, n) for n in merged_names]
+                ).count()
+                if merged_names
+                else 0
+            )
+            ok = got == expected == rows_before
+        except ValueError:
+            # codec/type drift discovered mid-merge (a file changed
+            # between audit and merge): keep the original partition
+            ok = False
+        if ok:
+            retired = part_dir + "__retired"
+            shutil.rmtree(retired, ignore_errors=True)
+            os.rename(part_dir, retired)
+            os.rename(staging, part_dir)
+            shutil.rmtree(retired)
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
+        files_after = sum(
+            1 for f in os.listdir(part_dir) if f.endswith(".orc")
+        )
+        rows.append(
+            (
+                part,
+                files_before,
+                files_after,
+                rows_before,
+                expected if ok else rows_before,
+                ok,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "partition string, files_before long, files_after long, "
+        "rows_before long, rows_after long, swapped boolean",
+    )
+
+
 def orc_layout_report(spark, path: str, force_generic: bool = False):
     """Per-partition ORC layout facts from tail bytes only: file and
     stripe counts, rows, average stripe rows, and the compression codec

@@ -487,3 +487,115 @@ def test_zstd_chunk_bomb_is_bounded(tmp_path):
     out = _inflate_chunk(big, "zstd")
     assert len(out) == 300 << 10  # sane frames inflate fine
     assert _MAX_STREAM > 0  # and the ceiling wires through max_out
+
+
+# -------------------------------------------------------------- compaction
+
+
+def test_compact_orc_flagged_zero_decode_loop(spark, tmp_path):
+    """The ORC OPTIMIZE loop: small files merge by stripe concat
+    (batched per codec), large files ride along untouched (hardlinked,
+    byte-identical), rows survive exactly, the audit flag clears, and
+    a second run is a no-op."""
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        compact_orc_flagged,
+    )
+
+    lake = tmp_path / "lake"
+    for part in range(2):
+        d = lake / f"part={part}"
+        d.mkdir(parents=True)
+        base = part * 1000
+        # 4 small snappy + 2 small zstd + 1 big(ish) snappy file
+        off = base
+        for j in range(4):
+            po.write_table(
+                pa.table({"v": pa.array(range(off, off + 50), pa.int64())}),
+                str(d / f"s{j}.orc"),
+                compression="snappy",
+            )
+            off += 50
+        for j in range(2):
+            po.write_table(
+                pa.table({"v": pa.array(range(off, off + 50), pa.int64())}),
+                str(d / f"z{j}.orc"),
+                compression="zstd",
+            )
+            off += 50
+        # pseudo-random values defeat RLE so the file stays over the
+        # small-file threshold (sequential ints delta-encode to ~KBs)
+        po.write_table(
+            pa.table(
+                {
+                    "v": pa.array(
+                        [
+                            (i * 2654435761) % (1 << 40)
+                            for i in range(off, off + 20_000)
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            str(d / "big.orc"),
+            compression="snappy",
+        )
+    big_bytes = (lake / "part=0" / "big.orc").read_bytes()
+    before = sorted(
+        r["v"] for r in spark.read.orc(str(lake / "part=0")).collect()
+    )
+    rep = {
+        r["partition"]: r.asDict()
+        for r in compact_orc_flagged(
+            spark, str(lake), small_file_bytes=64 << 10
+        ).collect()
+    }
+    p0 = rep["part=0"]
+    assert p0["swapped"] and p0["rows_before"] == 300
+    # 4 snappy -> 1, 2 zstd -> 1, big untouched: 7 files -> 3
+    assert p0["files_before"] == 7 and p0["files_after"] == 3
+    after = sorted(
+        r["v"] for r in spark.read.orc(str(lake / "part=0")).collect()
+    )
+    assert after == before
+    assert (lake / "part=0" / "big.orc").read_bytes() == big_bytes
+    # merged files carry real stripe stats: the pruning audit still
+    # sees every original window
+    repp = orc_pruning_report(
+        spark, str(lake), column="v", lo=60, hi=90
+    ).collect()
+    by = {r["partition"]: r for r in repp}
+    assert by["part=0"]["rows_total"] == 20_300
+    assert by["part=0"]["n_skippable_stripes"] > 0
+    # second run: nothing left under the threshold to merge (merged
+    # files may still be < threshold but each batch is a singleton)
+    rep2 = compact_orc_flagged(
+        spark, str(lake), small_file_bytes=64 << 10
+    ).collect()
+    assert all(not r["swapped"] for r in rep2) or not rep2
+
+
+def test_compact_orc_flagged_rejects_remote_and_recovers(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        compact_orc_flagged,
+    )
+
+    with pytest.raises(ValueError, match="local"):
+        compact_orc_flagged(spark, "s3a://bucket/lake")
+    # crash-recovery sweep: a partition stranded mid-swap (src absent,
+    # __retired present) is restored before the audit runs
+    lake = tmp_path / "lake"
+    d = lake / "part=0"
+    d.mkdir(parents=True)
+    for j in range(2):
+        po.write_table(
+            pa.table({"v": pa.array(range(j * 10, j * 10 + 10), pa.int64())}),
+            str(d / f"s{j}.orc"),
+        )
+    os.rename(str(d), str(lake / "part=0__retired"))
+    rep = compact_orc_flagged(
+        spark, str(lake), small_file_bytes=1 << 20
+    ).collect()
+    assert (lake / "part=0").is_dir()
+    assert rep and rep[0]["swapped"]
+    got = sorted(r["v"] for r in spark.read.orc(str(lake)).collect())
+    assert got == list(range(20))
