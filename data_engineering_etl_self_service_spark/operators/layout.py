@@ -54,6 +54,32 @@ def compact(
     return n_files
 
 
+def recover_compaction_state(path: str) -> None:
+    """Recovery sweep for a previous crashed compaction run (review
+    r8): a partition stranded mid-swap (src missing, ``__retired``
+    present) is restored; completed swaps' leftovers and stale
+    ``__compacting`` staging reclaimed. Shared by the parquet rename
+    loop here and the ORC zero-decode loop
+    (operators/orc_meta.py ``compact_orc_flagged``) so the swap
+    protocol has ONE implementation (review r9)."""
+    import os
+    import shutil
+
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            full = os.path.join(root, d)
+            if d.endswith("__compacting"):
+                shutil.rmtree(full, ignore_errors=True)
+                dirs.remove(d)
+            elif d.endswith("__retired"):
+                src = full[: -len("__retired")]
+                if not os.path.exists(src):
+                    os.rename(full, src)  # crashed between renames
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+                dirs.remove(d)
+
+
 def compact_flagged(
     spark: SparkSession,
     path: str,
@@ -103,22 +129,7 @@ def compact_flagged(
             target_mb=target_mb,
         )
 
-    # recovery sweep for a previous crashed run (review r8): a
-    # partition stranded mid-swap (src missing, __retired present) is
-    # restored; completed swaps' leftovers and stale staging reclaimed.
-    for root, dirs, _files in os.walk(path):
-        for d in list(dirs):
-            full = os.path.join(root, d)
-            if d.endswith("__compacting"):
-                shutil.rmtree(full, ignore_errors=True)
-                dirs.remove(d)
-            elif d.endswith("__retired"):
-                src = full[: -len("__retired")]
-                if not os.path.exists(src):
-                    os.rename(full, src)  # crashed between renames
-                else:
-                    shutil.rmtree(full, ignore_errors=True)
-                dirs.remove(d)
+    recover_compaction_state(path)
 
     audit = lake_audit_report(spark, path, small_file_bytes)
     flagged = [

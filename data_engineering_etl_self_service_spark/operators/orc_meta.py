@@ -863,6 +863,7 @@ def compact_orc_flagged(
     data being fixed — never the partition's."""
     import os
     import shutil
+    import uuid as uuid_mod
 
     from pyspark.sql import functions as F
 
@@ -872,20 +873,9 @@ def compact_orc_flagged(
             f"path; got {path!r}"
         )
     root = _root_norm(path)
-    # recovery sweep (same protocol as layout.compact_flagged)
-    for walk_root, dirs, _files in os.walk(root):
-        for d in list(dirs):
-            full = os.path.join(walk_root, d)
-            if d.endswith("__compacting"):
-                shutil.rmtree(full, ignore_errors=True)
-                dirs.remove(d)
-            elif d.endswith("__retired"):
-                src = full[: -len("__retired")]
-                if not os.path.exists(src):
-                    os.rename(full, src)
-                else:
-                    shutil.rmtree(full, ignore_errors=True)
-                dirs.remove(d)
+    from .layout import recover_compaction_state
+
+    recover_compaction_state(root)
 
     def _row(p, fsize, fh):
         t = read_orc_tail(fh, fsize)
@@ -894,6 +884,10 @@ def compact_orc_flagged(
         fp = hashlib.sha256(
             b"\x00".join(t["_raw_footer"].get(4, []))
             + t["compression"].encode()
+            # orc_concat also requires equal compression block sizes —
+            # a fingerprint without it batches mixed-block-size files
+            # into one doomed merge (review r9)
+            + str(t["compression_block"]).encode()
         ).hexdigest()[:16]
         return {
             "partition": _rel_label(p, root),
@@ -907,7 +901,17 @@ def compact_orc_flagged(
         "partition string, path string, bytes long, n_rows long, "
         "group_key string"
     )
-    files = _footer_frame(_orc_listing(spark, path), _row, schema)
+    files = _footer_frame(
+        _orc_listing(spark, path), _row, schema
+    ).localCheckpoint()
+    totals = {
+        r["partition"]: (int(r["nf"]), int(r["nr"]))
+        for r in files.groupBy("partition")
+        .agg(
+            F.count("*").alias("nf"), F.sum("n_rows").alias("nr")
+        )
+        .collect()
+    }
     small = files.filter(F.col("bytes") < small_file_bytes).collect()
     by_part: dict[str, list] = {}
     for r in small:
@@ -917,8 +921,16 @@ def compact_orc_flagged(
 
     rows = []
     for part in sorted(by_part):
-        part_dir = os.path.join(root, part) if part != "." else root
-        if not os.path.isdir(part_dir):
+        part_dir = os.path.join(root, part)
+        # only hive partition SUBDIRECTORIES are compactable units —
+        # swapping the table root itself would retire (and then
+        # delete) every sibling partition dir riding inside it, and a
+        # crash mid-swap would strand the whole table outside the
+        # recovery sweep's walk root (review r9; same rule as the
+        # parquet loop)
+        if part == "." or not os.path.isdir(part_dir):
+            continue
+        if os.path.realpath(part_dir) == os.path.realpath(root):
             continue
         # batches per (codec, type-tree), filled to target_bytes
         batches: list[list] = []
@@ -939,17 +951,18 @@ def compact_orc_flagged(
         batches = [b for b in batches if len(b) >= 2]
         if not batches:
             continue
-        files_before = sum(
-            1 for f in os.listdir(part_dir) if f.endswith(".orc")
-        )
-        rows_before = sum(
-            r["n_rows"] for b in batches for r in b
-        )
+        files_before, rows_before = totals[part]
+        batched_rows = sum(r["n_rows"] for b in batches for r in b)
         staging = part_dir + "__compacting"
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging)
         merged_names = []
         expected = 0
+        # a unique run tag keeps merged names from colliding with a
+        # previous run's merged-* files riding along as untouched
+        # (review r9: a bare merged-00000.orc collided with itself on
+        # the second pass and crashed the hardlink loop)
+        run_tag = uuid_mod.uuid4().hex[:8]
         batched_paths = {
             os.path.realpath(_local_fspath(r["path"]) or r["path"])
             for b in batches
@@ -958,7 +971,7 @@ def compact_orc_flagged(
         ok = True
         try:
             for i, b in enumerate(batches):
-                name = f"merged-{i:05d}.orc"
+                name = f"merged-{run_tag}-{i:05d}.orc"
                 info = orc_concat(
                     os.path.join(staging, name),
                     [r["path"] for r in b],
@@ -980,7 +993,7 @@ def compact_orc_flagged(
                 if merged_names
                 else 0
             )
-            ok = got == expected == rows_before
+            ok = got == expected == batched_rows
         except ValueError:
             # codec/type drift discovered mid-merge (a file changed
             # between audit and merge): keep the original partition
@@ -996,15 +1009,12 @@ def compact_orc_flagged(
         files_after = sum(
             1 for f in os.listdir(part_dir) if f.endswith(".orc")
         )
+        # rows_* report PARTITION TOTALS, matching the parquet loop's
+        # identically-shaped report (review r9: same schema must mean
+        # the same thing); a faithful merge preserves the total
         rows.append(
-            (
-                part,
-                files_before,
-                files_after,
-                rows_before,
-                expected if ok else rows_before,
-                ok,
-            )
+            (part, files_before, files_after, rows_before,
+             rows_before, ok)
         )
     return spark.createDataFrame(
         rows,

@@ -1870,7 +1870,11 @@ def _read_varlong_fh(fh):
         if not x & 0x80:
             return (acc >> 1) ^ -(acc & 1)
         shift += 7
-        if shift > 70:
+        # >= 70: a 10th continuation byte means an 11-byte varint —
+        # out of 64-bit range; re-encoding a masked value would emit
+        # block headers that no longer describe the copied payload
+        # (review r9; same bound as _Reader.read_long)
+        if shift >= 70:
             raise ValueError("avro: varint longer than 10 bytes")
 
 
@@ -1903,10 +1907,24 @@ def concat_ocf_files(out_path: str, in_paths: list[str]) -> dict:
     for p in in_paths:
         fh = open_ranged(p)
         try:
-            prefix = fh.read(1 << 20)
+            # grow-and-retry: a 'malformed header' on a short prefix
+            # may just be a schema bigger than the guess — double the
+            # read until the header parses or the cap proves the file
+            # really is malformed (review r9; same protocol as
+            # _peek_header_local)
+            n = 1 << 20
+            while True:
+                fh.seek(0)
+                prefix = fh.read(n)
+                try:
+                    h = parse_ocf_header(prefix)
+                    break
+                except ValueError:
+                    if len(prefix) < n or n >= 64 << 20:
+                        raise
+                    n *= 2
         finally:
             fh.close()
-        h = parse_ocf_header(prefix)
         heads.append((p, h, prefix[: h["body_pos"]]))
     p0, h0, header0 = heads[0]
     for p, h, _ in heads[1:]:

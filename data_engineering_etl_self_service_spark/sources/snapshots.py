@@ -319,7 +319,19 @@ def version_as_of(base_dir: str, ts_utc: str) -> int:
     ds-partitions sort). The ``TIMESTAMP AS OF`` half of time travel
     (``read_snapshot(version=...)`` is the ``VERSION AS OF`` half);
     reads only manifests, no Spark job. Raises when the table has no
-    version that old."""
+    version that old — and on a NON-canonical timestamp (missing 'Z',
+    SQL-style space separator, fractional seconds): lexicographic
+    comparison against a differently-shaped string would silently pick
+    a plausible wrong version (review r9)."""
+    import re
+
+    if not re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", ts_utc
+    ):
+        raise ValueError(
+            "version_as_of: ts_utc must be 'YYYY-MM-DDTHH:MM:SSZ' "
+            f"(got {ts_utc!r})"
+        )
     best = None
     for v in snapshot_versions(base_dir):
         created = _read_manifest(base_dir, v).get("created_utc", "")

@@ -1487,3 +1487,42 @@ def test_concat_ocf_rejects_mismatches(tmp_path):
         fh.write(blob[:-9])
     with pytest.raises(ValueError, match="trunc.avro"):
         concat_ocf_files(str(tmp_path / "m4.avro"), [a, t])
+
+
+def test_concat_ocf_varint_bound_and_big_header(tmp_path):
+    """An 11-byte varint block count is rejected (not silently masked
+    to 64 bits), and a header larger than the initial 1 MiB prefix
+    read parses via grow-and-retry."""
+    import io
+
+    from data_engineering_etl_self_service_spark.sources.avro_ocf import (
+        _read_varlong_fh,
+        concat_ocf_files,
+        read_ocf,
+    )
+
+    with pytest.raises(ValueError, match="10 bytes"):
+        _read_varlong_fh(io.BytesIO(b"\xff" * 10 + b"\x01"))
+    # and a max-width valid varint still decodes
+    assert _read_varlong_fh(io.BytesIO(b"\xfe" + b"\xff" * 8 + b"\x01")) is not None
+
+    # schema with a ~2 MiB doc string pushes the header past the
+    # initial prefix read
+    schema = {
+        "type": "record",
+        "name": "wide",
+        "doc": "x" * (2 << 20),
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    a = str(tmp_path / "a.avro")
+    b = str(tmp_path / "b.avro")
+    with open(a, "wb") as fh:
+        fh.write(write_ocf([{"id": 1}, {"id": 2}], schema))
+    with open(b, "wb") as fh:
+        fh.write(write_ocf([{"id": 3}], schema))
+    m = str(tmp_path / "m.avro")
+    info = concat_ocf_files(m, [a, b])
+    assert info["num_rows"] == 3
+    with open(m, "rb") as fh:
+        _, _, recs = read_ocf(fh.read())
+    assert [r["id"] for r in recs] == [1, 2, 3]

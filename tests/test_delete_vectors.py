@@ -360,3 +360,18 @@ def test_timestamp_as_of_time_travel(spark, tmp_path, monkeypatch):
     ).count() == 5
     with pytest.raises(FileNotFoundError, match="at or before"):
         version_as_of(base, "2025-07-31T00:00:00Z")
+
+
+def test_version_as_of_rejects_noncanonical_timestamps(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        version_as_of,
+    )
+
+    base = _mk(spark, tmp_path)
+    for bad in (
+        "2025-08-02T10:00:00",      # missing Z
+        "2025-08-02 10:00:00Z",     # space separator
+        "2025-08-02T10:00:00.5Z",   # fractional seconds
+    ):
+        with pytest.raises(ValueError, match="YYYY-MM-DD"):
+            version_as_of(base, bad)

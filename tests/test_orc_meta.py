@@ -550,7 +550,9 @@ def test_compact_orc_flagged_zero_decode_loop(spark, tmp_path):
         ).collect()
     }
     p0 = rep["part=0"]
-    assert p0["swapped"] and p0["rows_before"] == 300
+    # rows_* are PARTITION TOTALS (the parquet loop's semantics)
+    assert p0["swapped"] and p0["rows_before"] == 20_300
+    assert p0["rows_after"] == 20_300
     # 4 snappy -> 1, 2 zstd -> 1, big untouched: 7 files -> 3
     assert p0["files_before"] == 7 and p0["files_after"] == 3
     after = sorted(
@@ -599,3 +601,74 @@ def test_compact_orc_flagged_rejects_remote_and_recovers(spark, tmp_path):
     assert rep and rep[0]["swapped"]
     got = sorted(r["v"] for r in spark.read.orc(str(lake)).collect())
     assert got == list(range(20))
+
+
+def test_compact_orc_flagged_never_swaps_table_root(spark, tmp_path):
+    """Small files directly under the table ROOT (partition label '.')
+    must not trigger a root swap — retiring the root would delete the
+    sibling partition dirs riding inside it and strand the table
+    outside the recovery sweep on a crash (review r9)."""
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        compact_orc_flagged,
+    )
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    for j in range(3):
+        po.write_table(
+            pa.table({"v": pa.array(range(j * 5, j * 5 + 5), pa.int64())}),
+            str(lake / f"root{j}.orc"),
+        )
+    d = lake / "part=0"
+    d.mkdir()
+    for j in range(2):
+        po.write_table(
+            pa.table(
+                {"v": pa.array(range(100 + j * 5, 105 + j * 5), pa.int64())}
+            ),
+            str(d / f"s{j}.orc"),
+        )
+    rep = compact_orc_flagged(
+        spark, str(lake), small_file_bytes=1 << 20
+    ).collect()
+    # only the hive subdir compacted; root files untouched
+    assert [r["partition"] for r in rep] == ["part=0"]
+    assert sorted(f.name for f in lake.iterdir() if f.is_file()) == [
+        "root0.orc", "root1.orc", "root2.orc",
+    ]
+    assert (lake / "part=0").is_dir()
+    assert spark.read.orc(str(lake / "part=0")).count() == 10
+
+
+def test_compact_orc_flagged_reruns_with_prior_merged_files(spark, tmp_path):
+    """A second run whose new batches coexist with the first run's
+    merged-* outputs must not collide on names (review r9)."""
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        compact_orc_flagged,
+    )
+
+    lake = tmp_path / "lake"
+    d = lake / "part=0"
+    d.mkdir(parents=True)
+    for j in range(2):
+        po.write_table(
+            pa.table({"v": pa.array(range(j * 5, j * 5 + 5), pa.int64())}),
+            str(d / f"a{j}.orc"),
+        )
+    r1 = compact_orc_flagged(
+        spark, str(lake), small_file_bytes=1 << 20
+    ).collect()
+    assert r1[0]["swapped"]
+    # new small files arrive; the prior merged file is still small and
+    # joins the next batch (or rides along) — either way, no crash
+    for j in range(2):
+        po.write_table(
+            pa.table({"v": pa.array(range(50 + j * 5, 55 + j * 5), pa.int64())}),
+            str(d / f"b{j}.orc"),
+        )
+    r2 = compact_orc_flagged(
+        spark, str(lake), small_file_bytes=1 << 20
+    ).collect()
+    assert r2 and r2[0]["swapped"]
+    got = sorted(r["v"] for r in spark.read.orc(str(d)).collect())
+    assert got == list(range(10)) + list(range(50, 60))
