@@ -590,6 +590,149 @@ def merge_into_snapshot(
     return write_snapshot(merged, base_dir, mode="overwrite", meta=meta)
 
 
+def materialize_deletes(
+    spark: SparkSession,
+    base_dir: str,
+    min_deleted_fraction: float = 0.1,
+) -> int:
+    """Targeted delete-vector materialization (the Iceberg
+    ``rewrite_position_deletes``/``rewrite_data_files`` maintenance
+    pair, on the manifest protocol): rewrite ONLY the data dirs whose
+    deleted-row fraction reached ``min_deleted_fraction`` (vectors
+    applied, so the rewrite is the post-delete truth), then shrink the
+    vector set to the entries still covering surviving dirs — a table
+    that accumulated heavy deletes in one region pays one bounded
+    rewrite there, not a full-table compaction, and readers' anti-join
+    side gets smaller instead of growing forever.
+
+    Per-dir accounting is footers-only (file row counts from
+    parquet_meta.file_audit_rows; deleted counts from the vector
+    files' dir prefixes — KB-scale I/O at any table size). Returns the
+    committed version; a table without vectors (or with nothing over
+    the threshold AND nothing to shrink) returns the current version
+    unchanged. Race posture mirrors ``compact_small_dirs``: the commit
+    re-derives against the current head and fails loudly when a
+    concurrent delete/rewrite invalidates the plan."""
+    from pyspark.sql import functions as F
+
+    from ..operators.parquet_meta import file_audit_rows
+
+    versions = snapshot_versions(base_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {base_dir}")
+    head = _read_manifest(base_dir, versions[-1])
+    head_dels = head.get("delete_dirs") or []
+    if not head_dels:
+        return versions[-1]
+    dels = spark.read.parquet(
+        *[os.path.join(base_dir, d) for d in head_dels]
+    ).select("file", "pos")
+    # dir attribution from the vector key itself: keys are
+    # 'data/<uuid>/...' (relative) or absolute with '/data/<uuid>/'
+    # inside — the extract handles both
+    dir_of = F.regexp_extract(
+        F.col("file"), r"(?:^|/)(data/[^/]+)/", 1
+    )
+    del_by_dir = {
+        r["d"]: r["n"]
+        for r in dels.groupBy(dir_of.alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["d"]
+    }
+    rows_by_dir: dict[str, int] = {}
+    audit = file_audit_rows(
+        spark,
+        [os.path.join(base_dir, d) for d in head["data_dirs"]],
+        label_root=base_dir,
+    ).collect()
+    for r in audit:
+        parts = r["partition"].split("/")
+        if len(parts) >= 2 and parts[0] == _DATA_DIR:
+            key = "/".join(parts[:2])
+            rows_by_dir[key] = rows_by_dir.get(key, 0) + r["n_rows"]
+    flagged = [
+        d
+        for d in head["data_dirs"]
+        if rows_by_dir.get(d, 0) > 0
+        and del_by_dir.get(d, 0) / rows_by_dir[d] >= min_deleted_fraction
+    ]
+    if not flagged:
+        return versions[-1]
+
+    swap: dict[str, str] = {}
+    for rel in flagged:
+        src = os.path.join(base_dir, rel)
+        new_rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        manifest_one = dict(head, data_dirs=[rel])
+        rewritten = _lineage_read(
+            spark, base_dir, manifest_one
+        ).drop(_DV_FILE, _DV_POS)
+        rewritten.write.mode("error").parquet(
+            os.path.join(base_dir, new_rel)
+        )
+        expected = rows_by_dir[rel] - del_by_dir.get(rel, 0)
+        got = spark.read.parquet(
+            os.path.join(base_dir, new_rel)
+        ).count()
+        if got != expected:
+            raise RuntimeError(
+                f"materialize_deletes: rewrite of {rel} kept {got} "
+                f"rows, expected {expected} — aborting before commit "
+                "(the new dir is a vacuum-reclaimable orphan)"
+            )
+        swap[rel] = new_rel
+
+    # vectors still needed: entries NOT covered by a rewritten dir
+    covered = F.lit(False)
+    for rel in flagged:
+        covered = covered | dir_of.eqNullSafe(F.lit(rel))
+    remaining = dels.filter(~covered)
+    new_del_rel = os.path.join(_DELETE_DIR, uuid.uuid4().hex)
+    remaining.write.mode("error").parquet(
+        os.path.join(base_dir, new_del_rel)
+    )
+    n_remaining = spark.read.parquet(
+        os.path.join(base_dir, new_del_rel)
+    ).count()
+    if n_remaining == 0:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(base_dir, new_del_rel), ignore_errors=True
+        )
+
+    planned_dels = list(head_dels)
+
+    def _dels(cur, rows):
+        if cur != planned_dels:
+            raise RuntimeError(
+                "materialize_deletes raced a delete_where commit; "
+                "re-run the maintenance pass"
+            )
+        return (
+            ([new_del_rel], n_remaining) if n_remaining else ([], 0)
+        )
+
+    def _dirs(cur):
+        if not set(swap) <= set(cur):
+            raise RuntimeError(
+                "materialize_deletes raced a data rewrite; re-run "
+                "the maintenance pass"
+            )
+        return [swap.get(d, d) for d in cur]
+
+    last = last_committed_batch(base_dir)
+    return _commit_manifest(
+        base_dir,
+        _dirs,
+        "materialize",
+        head.get("schema"),
+        {"batch_id": last} if last is not None else None,
+        deletes_of_head=_dels,
+    )
+
+
 def compact_snapshot(
     spark: SparkSession, base_dir: str, target_files: int | None = None
 ) -> int:

@@ -375,3 +375,63 @@ def test_version_as_of_rejects_noncanonical_timestamps(spark, tmp_path):
     ):
         with pytest.raises(ValueError, match="YYYY-MM-DD"):
             version_as_of(base, bad)
+
+
+def test_materialize_deletes_targets_heavy_dirs_only(spark, tmp_path):
+    """rewrite_position_deletes analog: only the data dir over the
+    deleted-fraction threshold rewrites (vectors applied); the other
+    dir stays by reference; the vector set shrinks to the entries
+    still covering surviving dirs."""
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        materialize_deletes,
+    )
+
+    base = str(tmp_path / "tbl")
+    # dir A: ids 0..99 (will be heavily deleted); dir B: 100..199
+    write_snapshot(
+        spark.range(100).select(F.col("id")), base, mode="overwrite"
+    )
+    write_snapshot(
+        spark.range(100, 200).select(F.col("id")), base, mode="append"
+    )
+    m0 = snap._read_manifest(base, snapshot_versions(base)[-1])
+    dir_a, dir_b = m0["data_dirs"]
+    delete_where(spark, base, "id < 50")    # 50% of dir A
+    delete_where(spark, base, "id = 150")   # 1% of dir B
+    visible = sorted(r["id"] for r in read_snapshot(spark, base).collect())
+    v = materialize_deletes(spark, base, min_deleted_fraction=0.25)
+    m = snap._read_manifest(base, v)
+    assert m["mode"] == "materialize"
+    # dir A swapped, dir B carried by reference
+    assert dir_a not in m["data_dirs"] and dir_b in m["data_dirs"]
+    # the vector set shrank to dir B's single entry
+    assert m["delete_rows"] == 1 and len(m["delete_dirs"]) == 1
+    after = sorted(r["id"] for r in read_snapshot(spark, base).collect())
+    assert after == visible
+    # dir A's replacement physically excludes the deleted rows
+    new_a = [d for d in m["data_dirs"] if d != dir_b][0]
+    raw = spark.read.parquet(os.path.join(base, new_a))
+    assert raw.count() == 50 and raw.filter("id < 50").count() == 0
+
+
+def test_materialize_deletes_noop_and_full_drain(spark, tmp_path):
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        materialize_deletes,
+    )
+
+    base = _mk(spark, tmp_path)
+    v0 = snapshot_versions(base)[-1]
+    # no vectors at all: no-op
+    assert materialize_deletes(spark, base) == v0
+    delete_where(spark, base, "id < 2")
+    v1 = snapshot_versions(base)[-1]
+    # under threshold: no-op
+    assert materialize_deletes(spark, base, min_deleted_fraction=0.5) == v1
+    # over threshold (2% >= 0.01): the single dir rewrites and the
+    # table drops its vectors entirely
+    v2 = materialize_deletes(spark, base, min_deleted_fraction=0.01)
+    m = snap._read_manifest(base, v2)
+    assert "delete_dirs" not in m
+    assert read_snapshot(spark, base).count() == 98
+    vacuum(base, keep_last=1)
+    assert read_snapshot(spark, base).count() == 98
