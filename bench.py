@@ -167,6 +167,9 @@ EXTENDED = [
     # deletes via position-delete vectors on snapshot tables
     "orc_scan_pruning",
     "snapshot_row_deletes",
+    # round 9 cont.: ORC row-index-granule audit (the level below the
+    # stripe audit — parquet page-index parity)
+    "orc_scan_pruning_granules",
 ]
 
 HEADLINE = CORE + EXTENDED

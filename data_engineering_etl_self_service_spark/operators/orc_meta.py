@@ -523,6 +523,156 @@ def orc_pruning_report(
     )
 
 
+#: Stream.Kind enum values that matter here (orc_proto.proto):
+#: ROW_INDEX=6 (the per-granule statistics this module prunes with)
+_KIND_ROW_INDEX = 6
+
+
+def read_stripe_row_index(fh, tail: dict, stripe_idx: int, cid: int):
+    """One stripe's ROW_INDEX entries for type id ``cid`` → a list of
+    per-granule column-stats dicts (:func:`_map_col_stats` shape), or
+    ``None`` when the stripe carries no row index for the column
+    (writer disabled it — callers degrade to stripe granularity).
+
+    I/O: TWO ranged reads — the stripe FOOTER (stream directory) and
+    the one ROW_INDEX stream (streams are laid out in directory order,
+    so the target's offset is the running sum of the lengths before
+    it). Each granule covers ``row_index_stride`` rows (Footer field
+    8); the last one is the remainder."""
+    s = tail["stripes"][stripe_idx]
+    codec = tail["compression"]
+    fh.seek(s["offset"] + s["index_len"] + s["data_len"])
+    sf = _pb_fields(_orc_stream(fh.read(s["footer_len"]), codec))
+    off = s["offset"]
+    target = None
+    tlen = 0
+    for b in sf.get(1, []):
+        f = _pb_fields(b)
+        kind, col, ln = _one(f, 1, 0), _one(f, 2, 0), _one(f, 3, 0)
+        if kind == _KIND_ROW_INDEX and col == cid:
+            target, tlen = off, ln
+            break
+        off += ln
+    if target is None or tlen == 0:
+        return None
+    fh.seek(target)
+    ri = _pb_fields(_orc_stream(fh.read(tlen), codec))
+    out = []
+    for e in ri.get(1, []):
+        ef = _pb_fields(e)
+        if 2 in ef:
+            out.append(_map_col_stats(ef[2][-1]))
+        else:
+            out.append(
+                {
+                    "n_values": None,
+                    "has_null": True,
+                    "min": None,
+                    "max": None,
+                    "sum": None,
+                    "stat_kind": None,
+                }
+            )
+    return out
+
+
+def orc_granule_pruning_report(
+    spark,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    not_null: bool = False,
+    force_generic: bool = False,
+):
+    """Row-index-granule data-skipping audit — the ORC twin of the
+    parquet PageIndex audit (``parquet_meta.page_pruning_report``),
+    one level below :func:`orc_pruning_report`: per partition, how
+    many ``row_index_stride``-row granules the per-granule statistics
+    let a scan skip, and the granule-exact row I/O the predicate pays.
+
+    Marginal-cost I/O posture (matches the parquet page audit): a
+    stripe whose STRIPE stats already prove a miss is counted skipped
+    WITHOUT reading its row index — index bytes are spent only on
+    stripes the coarser pass couldn't rule out. A stripe with no row
+    index (writer disabled it) degrades honestly to stripe
+    granularity: one granule carrying the stripe's stats.
+
+    One row per partition: ``n_files, n_stripes, n_granules,
+    n_skippable_granules, rows_total, rows_scanned``."""
+    from pyspark.sql import functions as F
+
+    if not not_null and (lo is None or hi is None):
+        raise ValueError(
+            "orc_granule_pruning_report: range mode needs lo and hi"
+        )
+    root_norm = _root_norm(path)
+
+    def _row(p, fsize, fh):
+        t = read_orc_tail(fh, fsize)
+        cid = column_id(t["types"], column)
+        stride = t["row_index_stride"] or 0
+        n_stripes = len(t["stripes"])
+        n_gran = n_skip = rows_scanned = 0
+        per_stripe = t["stripe_stats"]
+        for si, stripe in enumerate(t["stripes"]):
+            srows = stripe["n_rows"]
+            if si < len(per_stripe) and cid < len(per_stripe[si]):
+                sstat = per_stripe[si][cid]
+            elif cid < len(t["file_stats"]):
+                sstat = t["file_stats"][cid]
+            else:
+                sstat = None
+            if stride:
+                k = max(1, -(-srows // stride))
+            else:
+                k = 1
+            if _stripe_skippable(sstat, lo, hi, not_null):
+                # coarser stats already prove the miss: every granule
+                # skips, zero index bytes spent
+                n_gran += k
+                n_skip += k
+                continue
+            entries = (
+                read_stripe_row_index(fh, t, si, cid) if stride else None
+            )
+            if not entries:
+                n_gran += 1
+                rows_scanned += srows
+                continue
+            for g, est in enumerate(entries):
+                grows = min(stride, srows - g * stride)
+                n_gran += 1
+                if _stripe_skippable(est, lo, hi, not_null):
+                    n_skip += 1
+                else:
+                    rows_scanned += grows
+        return {
+            "partition": _rel_label(p, root_norm),
+            "n_rows": t["num_rows"],
+            "n_stripes": n_stripes,
+            "n_granules": n_gran,
+            "n_skip_granules": n_skip,
+            "rows_scanned": rows_scanned,
+        }
+
+    schema = (
+        "partition string, n_rows long, n_stripes long, "
+        "n_granules long, n_skip_granules long, rows_scanned long"
+    )
+    per_file = _footer_frame(
+        _orc_listing(spark, path), _row, schema, force_generic
+    )
+    return per_file.groupBy("partition").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_stripes").alias("n_stripes"),
+        F.sum("n_granules").alias("n_granules"),
+        F.sum("n_skip_granules").alias("n_skippable_granules"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum("rows_scanned").alias("rows_scanned"),
+    )
+
+
 # ------------------------------------------------- zero-decode concat
 
 def _pb_uvarint(v: int) -> bytes:

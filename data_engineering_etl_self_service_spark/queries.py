@@ -14116,3 +14116,121 @@ def snapshot_row_deletes(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "orc_scan_pruning_granules",
+    """
+    WITH d AS (
+      SELECT doc_id % 8 AS part,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    p AS (
+      SELECT part, CAST(SUM(n) AS BIGINT) AS n
+      FROM d GROUP BY part),
+    g AS (
+      SELECT part, n,
+             [ {'o': 1000 * j,
+                'r': LEAST(1000, n - 1000 * j)}
+               for j in generate_series(0, (n + 999) // 1000 - 1) ]
+               AS gs
+      FROM p)
+    SELECT CAST(part AS INTEGER) AS part,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(1 AS BIGINT) AS n_stripes,
+           CAST(len(gs) AS BIGINT) AS n_granules,
+           CAST(list_sum([ CASE WHEN x.o + x.r - 1 < 1100
+                                     OR x.o > 2050
+                                THEN 1 ELSE 0 END
+                           for x in gs ]) AS BIGINT)
+             AS n_skippable_granules,
+           n AS rows_total,
+           CAST(list_sum([ CASE WHEN x.o + x.r - 1 < 1100
+                                     OR x.o > 2050
+                                THEN 0 ELSE x.r END
+                           for x in gs ]) AS BIGINT) AS rows_scanned
+    FROM g
+    ORDER BY part
+    """,
+)
+def orc_scan_pruning_granules(spark, sf_dir):
+    """ORC row-index-granule data-skipping audit (operators/orc_meta.py
+    orc_granule_pruning_report) — the level below orc_scan_pruning and
+    the ORC twin of scan_pruning_pages: for the pinned predicate
+    ``1100 <= v <= 2050``, how many 1000-row row-index granules the
+    per-granule statistics (decoded from each stripe's ROW_INDEX
+    stream) let a scan skip per partition, and the granule-exact row
+    I/O the predicate pays.
+
+    Builder-exercises-auditor: each partition's value column 0..n-1 is
+    written as ONE single-stripe ORC file with ``row_index_stride =
+    1000`` (codec cycling by partition), so every granule's [min, max]
+    window is the closed-form interval [1000g, min(1000(g+1), n)-1]
+    the DuckDB oracle restates symbolically.
+
+    Scale: index bytes are read ONLY for stripes the stripe-level
+    stats couldn't rule out (the marginal-cost posture of the parquet
+    page audit); everything stays tail+index bytes, KB per file.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    from .operators.orc_meta import orc_granule_pruning_report
+
+    out_dir = str(
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "orc_scan_pruning_granules"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("part", (F.col("doc_id") % 8).cast("int"))
+    )
+
+    def build(pdf):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        part = int(pdf["part"].iloc[0])
+        codec = ["uncompressed", "zlib", "snappy", "zstd", "lz4"][
+            part % 5
+        ]
+        pdf = pdf.sort_values("doc_id")
+        n = sum(len(t.split(" ")) for t in pdf["text"])
+        pdir = _os.path.join(out_dir, f"part={part}")
+        _os.makedirs(pdir, exist_ok=True)
+        po.write_table(
+            pa.table({"v": pa.array(range(n), pa.int64())}),
+            _os.path.join(pdir, "f.orc"),
+            compression=codec,
+            row_index_stride=1000,
+        )
+        return pd.DataFrame({"part": [part], "n": [n]})
+
+    d.groupBy("part").applyInPandas(build, "part int, n long").count()
+
+    rep = orc_granule_pruning_report(
+        spark, out_dir, column="v", lo=1100, hi=2050
+    )
+    return rep.select(
+        F.regexp_extract("partition", r"part=(\d+)", 1)
+        .cast("int")
+        .alias("part"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_stripes").cast("long").alias("n_stripes"),
+        F.col("n_granules").cast("long").alias("n_granules"),
+        F.col("n_skippable_granules").cast("long").alias(
+            "n_skippable_granules"
+        ),
+        F.col("rows_total").cast("long").alias("rows_total"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+    )

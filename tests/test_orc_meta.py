@@ -672,3 +672,148 @@ def test_compact_orc_flagged_reruns_with_prior_merged_files(spark, tmp_path):
     assert r2 and r2[0]["swapped"]
     got = sorted(r["v"] for r in spark.read.orc(str(d)).collect())
     assert got == list(range(10)) + list(range(50, 60))
+
+
+# ------------------------------------------------------------ row index
+
+
+def test_row_index_entries_match_recomputed_actuals(tmp_path):
+    """Per-granule windows decoded from the ROW_INDEX stream equal
+    min/max recomputed from the granule's actual rows, across a
+    multi-stripe file."""
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        read_stripe_row_index,
+    )
+
+    p = str(tmp_path / "ri.orc")
+    n = 30_000
+    # pseudo-random values keep the stripe-size estimate honest so the
+    # 64 KiB stripe_size actually yields several stripes
+    po.write_table(
+        pa.table(
+            {
+                "v": pa.array(
+                    [(i * 2654435761) % (1 << 40) for i in range(n)],
+                    pa.int64(),
+                )
+            }
+        ),
+        p,
+        compression="snappy",
+        stripe_size=64 << 10,
+        row_index_stride=1000,
+    )
+    t = read_orc_tail_path(p)
+    assert t["n_stripes"] > 1 and t["row_index_stride"] == 1000
+    cid = column_id(t["types"], "v")
+    f = po.ORCFile(p)
+    with open(p, "rb") as fh:
+        for si in range(t["n_stripes"]):
+            col = f.read_stripe(si).column("v").to_pylist()
+            entries = read_stripe_row_index(fh, t, si, cid)
+            assert len(entries) == -(-len(col) // 1000)
+            for g, est in enumerate(entries):
+                sl = col[g * 1000 : (g + 1) * 1000]
+                assert (est["min"], est["max"]) == (min(sl), max(sl))
+                assert est["n_values"] == len(sl)
+
+
+def test_granule_report_marginal_io_and_null_mode(spark, tmp_path):
+    """Granule audit semantics: a stripe the STRIPE stats already skip
+    spends zero index bytes (counted via a byte-counting handle); an
+    all-null granule skips under both range and IS NOT NULL modes."""
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        orc_granule_pruning_report,
+        read_orc_tail,
+        read_stripe_row_index,
+    )
+
+    lake = tmp_path / "lake"
+    d = lake / "part=0"
+    d.mkdir(parents=True)
+    # granule 0: all null; granules 1-2: values 1000..2999
+    vals = [None] * 1000 + list(range(1000, 3000))
+    po.write_table(
+        pa.table({"v": pa.array(vals, pa.int64())}),
+        str(d / "f.orc"),
+        row_index_stride=1000,
+    )
+    rep = orc_granule_pruning_report(
+        spark, str(lake), column="v", lo=1500, hi=1800
+    ).collect()[0]
+    # null granule skips, [1000,1999] survives, [2000,2999] skips
+    assert rep["n_granules"] == 3
+    assert rep["n_skippable_granules"] == 2
+    assert rep["rows_scanned"] == 1000
+    nn = orc_granule_pruning_report(
+        spark, str(lake), column="v", not_null=True
+    ).collect()[0]
+    assert nn["n_skippable_granules"] == 1 and nn["rows_scanned"] == 2000
+
+    # marginal I/O: a file whose single stripe misses entirely reads
+    # tail bytes only — no stripe footer, no index stream
+    skiplake = tmp_path / "skiplake" / "part=0"
+    skiplake.mkdir(parents=True)
+    p2 = str(skiplake / "skip.orc")
+    po.write_table(
+        pa.table({"v": pa.array(range(100), pa.int64())}),
+        p2,
+        row_index_stride=1000,
+    )
+    t2 = read_orc_tail_path(p2)
+    import os as _os
+
+    class _Count:
+        def __init__(self, fh):
+            self.fh, self.bytes_read = fh, 0
+
+        def seek(self, *a):
+            return self.fh.seek(*a)
+
+        def read(self, n=-1):
+            out = self.fh.read(n)
+            self.bytes_read += len(out)
+            return out
+
+        def close(self):
+            self.fh.close()
+
+    # replicate the report's per-file logic with a counting handle
+    fh = _Count(open(p2, "rb"))
+    tail = read_orc_tail(fh, _os.path.getsize(p2))
+    tail_only = fh.bytes_read
+    # stripe stats prove the miss for lo=10_000 — the report never
+    # calls read_stripe_row_index; prove index reads WOULD add bytes
+    cid = column_id(tail["types"], "v")
+    read_stripe_row_index(fh, tail, 0, cid)
+    assert fh.bytes_read > tail_only  # index bytes are extra…
+    fh.close()
+    rep2 = orc_granule_pruning_report(
+        spark, str(tmp_path / "skiplake"), column="v", lo=10_000, hi=20_000
+    )
+    row = {
+        r["partition"]: r.asDict() for r in rep2.collect()
+    }["part=0"]
+    assert row["n_skippable_granules"] == row["n_granules"]
+
+
+def test_granule_report_degrades_without_stride(spark, tmp_path):
+    """stride bigger than the stripe -> one granule per stripe; the
+    report still answers at that honest granularity."""
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        orc_granule_pruning_report,
+    )
+
+    lake = tmp_path / "lake"
+    d = lake / "part=0"
+    d.mkdir(parents=True)
+    po.write_table(
+        pa.table({"v": pa.array(range(500), pa.int64())}),
+        str(d / "f.orc"),
+        row_index_stride=10_000,
+    )
+    rep = orc_granule_pruning_report(
+        spark, str(lake), column="v", lo=100, hi=200
+    ).collect()[0]
+    assert rep["n_granules"] == 1 and rep["n_skippable_granules"] == 0
+    assert rep["rows_scanned"] == 500
