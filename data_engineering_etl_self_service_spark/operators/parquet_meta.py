@@ -982,7 +982,13 @@ def encoding_report(spark, path, force_generic: bool = False):
     )
 
 
-def clustering_report(spark, path: str, column: str, force_generic: bool = False):
+def clustering_report(
+    spark,
+    path: str,
+    column: str,
+    force_generic: bool = False,
+    format: str = "parquet",
+):
     """How well-CLUSTERED a lake is on ``column``, from footer min/max
     stats only — the metric that decides whether a sort / Z-order
     rewrite would pay for itself. Perfectly clustered files carry
@@ -1010,10 +1016,18 @@ def clustering_report(spark, path: str, column: str, force_generic: bool = False
     groups' [min of mins, max of maxs], usable only when EVERY row
     group has stats (partial stats can't bound the file). Scale: two
     rows per file into one partition-keyed window sort — auditing a
-    100 TB lake shuffles file-count rows, never data."""
+    100 TB lake shuffles file-count rows, never data.
+
+    ``format="orc"`` audits an ORC lake (round 9 — second-format
+    parity): the per-file window comes from the tail's file-level
+    ColumnStatistics (operators/orc_meta.py); all-NULL or stats-less
+    files count as unstatted, exactly like a parquet file with
+    unusable row-group stats. The sweep itself is format-agnostic."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if format not in ("parquet", "orc"):
+        raise ValueError(f"clustering_report: unknown format {format!r}")
     root_norm = _root_norm(path)
 
     def _row(p, fsize, fh):
@@ -1059,12 +1073,61 @@ def clustering_report(spark, path: str, column: str, force_generic: bool = False
             "max_s": mx if kind == "str" else None,
         }
 
+    def _orc_row(p, fsize, fh):
+        from .orc_meta import column_id, read_orc_tail
+
+        t = read_orc_tail(fh, fsize)
+        mn = mx = None
+        ok = False
+        try:
+            cid = column_id(t["types"], column)
+        except ValueError:
+            cid = None
+        if cid is not None and cid < len(t["file_stats"]):
+            st = t["file_stats"][cid]
+            if (
+                st["n_values"]
+                and st["min"] is not None
+                and st["max"] is not None
+                and not isinstance(st["min"], bool)
+            ):
+                ok = True
+                mn, mx = st["min"], st["max"]
+        kind = (
+            "str"
+            if ok and isinstance(mn, str)
+            else ("num" if ok else None)
+        )
+        return {
+            "partition": _rel_label(p, root_norm),
+            "statted": ok,
+            "min_n": (
+                float(mn) if kind == "num" and isinstance(mn, float)
+                else None
+            ),
+            "max_n": (
+                float(mx) if kind == "num" and isinstance(mx, float)
+                else None
+            ),
+            "min_i": mn if kind == "num" and isinstance(mn, int) else None,
+            "max_i": mx if kind == "num" and isinstance(mx, int) else None,
+            "min_s": mn if kind == "str" else None,
+            "max_s": mx if kind == "str" else None,
+        }
+
     schema = (
         "partition string, statted boolean, min_n double, max_n double, "
         "min_i long, max_i long, min_s string, max_s string"
     )
     per_file = _footer_frame(
-        _listing(spark, path), _row, schema, force_generic
+        _listing(
+            spark,
+            path,
+            glob="*.orc" if format == "orc" else "*.parquet",
+        ),
+        _orc_row if format == "orc" else _row,
+        schema,
+        force_generic,
     )
     # two rollups (sweep + counts) fan out of the per-file pass —
     # materialize it once so the lake is listed and footers decoded

@@ -817,3 +817,49 @@ def test_granule_report_degrades_without_stride(spark, tmp_path):
     ).collect()[0]
     assert rep["n_granules"] == 1 and rep["n_skippable_granules"] == 0
     assert rep["rows_scanned"] == 500
+
+
+def test_clustering_report_orc_lane(spark, tmp_path):
+    """clustering_report(format="orc"): contiguous windows -> depth 1,
+    0 overlap pairs; interleaved windows -> full depth; all-null file
+    counts unstatted; parity of semantics with the parquet lane."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        clustering_report,
+    )
+
+    lake = tmp_path / "lake"
+    good = lake / "part=good"
+    bad = lake / "part=bad"
+    good.mkdir(parents=True)
+    bad.mkdir(parents=True)
+    for j in range(3):  # disjoint [0,99] [100,199] [200,299]
+        po.write_table(
+            pa.table(
+                {"v": pa.array(range(j * 100, j * 100 + 100), pa.int64())}
+            ),
+            str(good / f"f{j}.orc"),
+        )
+    po.write_table(
+        pa.table({"v": pa.array([None] * 5, pa.int64())}),
+        str(good / "nulls.orc"),
+    )
+    for j in range(3):  # interleaved: every file spans 0..299
+        po.write_table(
+            pa.table(
+                {"v": pa.array(list(range(j, 300, 3)), pa.int64())}
+            ),
+            str(bad / f"f{j}.orc"),
+        )
+    rep = {
+        r["partition"]: r.asDict()
+        for r in clustering_report(
+            spark, str(lake), column="v", format="orc"
+        ).collect()
+    }
+    g = rep["part=good"]
+    assert g["n_files"] == 4 and g["n_unstatted"] == 1
+    assert g["max_depth"] == 1 and g["n_overlap_pairs"] == 0
+    assert g["clustered"]
+    b = rep["part=bad"]
+    assert b["max_depth"] == 3 and b["n_overlap_pairs"] == 3
+    assert not b["clustered"]
