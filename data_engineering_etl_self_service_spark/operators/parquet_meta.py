@@ -1030,6 +1030,34 @@ def clustering_report(
         raise ValueError(f"clustering_report: unknown format {format!r}")
     root_norm = _root_norm(path)
 
+    def _lane_row(p, ok, mn, mx):
+        """The shared typed-lane row both format branches emit (review
+        r9: the kind classification must not fork per format)."""
+        kind = (
+            "str"
+            if ok and isinstance(mn, str)
+            else ("num" if ok else None)
+        )
+        return {
+            "partition": _rel_label(p, root_norm),
+            "statted": ok,
+            # typed coordinate pair — exactly one populated per FILE
+            # (int stats ride the long lane losslessly; float/double
+            # the double lane; strings the string lane)
+            "min_n": (
+                float(mn) if kind == "num" and isinstance(mn, float)
+                else None
+            ),
+            "max_n": (
+                float(mx) if kind == "num" and isinstance(mx, float)
+                else None
+            ),
+            "min_i": mn if kind == "num" and isinstance(mn, int) else None,
+            "max_i": mx if kind == "num" and isinstance(mx, int) else None,
+            "min_s": mn if kind == "str" else None,
+            "max_s": mx if kind == "str" else None,
+        }
+
     def _row(p, fsize, fh):
         f = read_footer_handle(fh, fsize)
         mn = mx = None
@@ -1048,30 +1076,7 @@ def clustering_report(
                 break
             mn = c["min"] if mn is None else min(mn, c["min"])
             mx = c["max"] if mx is None else max(mx, c["max"])
-        kind = (
-            "str"
-            if ok and isinstance(mn, str)
-            else ("num" if ok else None)
-        )
-        return {
-            "partition": _rel_label(p, root_norm),
-            "statted": ok,
-            # typed coordinate pair — exactly one populated per audit
-            # (int stats ride the long lane losslessly; float/double
-            # the double lane; strings the string lane)
-            "min_n": (
-                float(mn) if kind == "num" and isinstance(mn, float)
-                else None
-            ),
-            "max_n": (
-                float(mx) if kind == "num" and isinstance(mx, float)
-                else None
-            ),
-            "min_i": mn if kind == "num" and isinstance(mn, int) else None,
-            "max_i": mx if kind == "num" and isinstance(mx, int) else None,
-            "min_s": mn if kind == "str" else None,
-            "max_s": mx if kind == "str" else None,
-        }
+        return _lane_row(p, ok, mn, mx)
 
     def _orc_row(p, fsize, fh):
         from .orc_meta import column_id, read_orc_tail
@@ -1093,38 +1098,20 @@ def clustering_report(
             ):
                 ok = True
                 mn, mx = st["min"], st["max"]
-        kind = (
-            "str"
-            if ok and isinstance(mn, str)
-            else ("num" if ok else None)
-        )
-        return {
-            "partition": _rel_label(p, root_norm),
-            "statted": ok,
-            "min_n": (
-                float(mn) if kind == "num" and isinstance(mn, float)
-                else None
-            ),
-            "max_n": (
-                float(mx) if kind == "num" and isinstance(mx, float)
-                else None
-            ),
-            "min_i": mn if kind == "num" and isinstance(mn, int) else None,
-            "max_i": mx if kind == "num" and isinstance(mx, int) else None,
-            "min_s": mn if kind == "str" else None,
-            "max_s": mx if kind == "str" else None,
-        }
+        return _lane_row(p, ok, mn, mx)
 
     schema = (
         "partition string, statted boolean, min_n double, max_n double, "
         "min_i long, max_i long, min_s string, max_s string"
     )
+    if format == "orc":
+        from .orc_meta import _orc_listing
+
+        listing = _orc_listing(spark, path)
+    else:
+        listing = _listing(spark, path)
     per_file = _footer_frame(
-        _listing(
-            spark,
-            path,
-            glob="*.orc" if format == "orc" else "*.parquet",
-        ),
+        listing,
         _orc_row if format == "orc" else _row,
         schema,
         force_generic,
@@ -1160,12 +1147,36 @@ def clustering_report(
         F.sum(F.when(F.col("statted"), 0).otherwise(1)).alias(
             "n_unstatted"
         ),
+        # distinct typed lanes among STATTED files: a schema-evolved
+        # partition (int files + double files) puts windows in lanes
+        # the single-ordering sweep never compares across
+        F.count_distinct(
+            F.when(
+                F.col("statted"),
+                F.when(F.col("min_i").isNotNull(), F.lit("i"))
+                .when(F.col("min_n").isNotNull(), F.lit("n"))
+                .otherwise(F.lit("s")),
+            )
+        ).alias("n_lanes"),
     )
-    # left join: a partition with zero statted files still reports
+    # left join: a partition with zero statted files still reports —
+    # but its VERDICT is withheld (NULL), never a green clustered=True
+    # from an empty sweep (review r9: a typo'd column would otherwise
+    # audit as perfectly clustered); likewise when statted files split
+    # across multiple typed lanes, where cross-lane overlap is
+    # invisible to the sweep. Depth/pair counts stay 0 in both cases —
+    # honest "nothing measurable", with n_unstatted/n_lanes the tell.
     return (
         counts.join(sweep, "partition", "left")
         .fillna({"max_depth": 0, "n_overlap_pairs": 0})
-        .withColumn("clustered", F.col("n_overlap_pairs") == 0)
+        .withColumn(
+            "clustered",
+            F.when(
+                (F.col("n_unstatted") == F.col("n_files"))
+                | (F.col("n_lanes") > 1),
+                F.lit(None).cast("boolean"),
+            ).otherwise(F.col("n_overlap_pairs") == 0),
+        )
     )
 
 

@@ -863,3 +863,36 @@ def test_clustering_report_orc_lane(spark, tmp_path):
     b = rep["part=bad"]
     assert b["max_depth"] == 3 and b["n_overlap_pairs"] == 3
     assert not b["clustered"]
+
+
+def test_clustering_report_withholds_verdict_honestly(spark, tmp_path):
+    """A typo'd/absent column or a mixed-typed-lane partition reports
+    clustered=NULL, never a green verdict from an empty or
+    lane-blind sweep (review r9)."""
+    from data_engineering_etl_self_service_spark.operators.parquet_meta import (
+        clustering_report,
+    )
+
+    lake = tmp_path / "lake"
+    d = lake / "part=0"
+    d.mkdir(parents=True)
+    po.write_table(
+        pa.table({"v": pa.array(range(100), pa.int64())}),
+        str(d / "a.orc"),
+    )
+    # absent column: all files unstatted -> verdict withheld
+    rep = clustering_report(
+        spark, str(lake), column="nope", format="orc"
+    ).collect()[0]
+    assert rep["n_unstatted"] == rep["n_files"] == 1
+    assert rep["clustered"] is None
+    # mixed lanes: int file + double file, overlapping values —
+    # the sweep can't compare across lanes, so no verdict
+    po.write_table(
+        pa.table({"v": pa.array([50.0, 60.0], pa.float64())}),
+        str(d / "b.orc"),
+    )
+    rep2 = clustering_report(
+        spark, str(lake), column="v", format="orc"
+    ).collect()[0]
+    assert rep2["n_lanes"] == 2 and rep2["clustered"] is None
