@@ -576,6 +576,30 @@ def read_stripe_row_index(fh, tail: dict, stripe_idx: int, cid: int):
     return out
 
 
+def _granule_scan(
+    entries: list[dict], stride: int, srows: int, lo, hi, not_null: bool
+) -> tuple[int, int, int]:
+    """Fold one stripe's row-index entries into ``(n_granules,
+    n_skip_granules, rows_scanned)``. Defensive against nonconforming
+    writers (ADVICE r9): an entry count above ``ceil(srows/stride)``
+    yields clamped zero-row granules (never negative rows_scanned),
+    and an entry count BELOW it leaves a tail of rows no granule
+    covers — those are charged to ``rows_scanned`` (the conservative
+    no-skip answer: a scanner without index coverage must read them)."""
+    n_gran = n_skip = rows_scanned = covered = 0
+    for g, est in enumerate(entries):
+        grows = max(0, min(stride, srows - g * stride))
+        covered += grows
+        n_gran += 1
+        if _stripe_skippable(est, lo, hi, not_null):
+            n_skip += 1
+        else:
+            rows_scanned += grows
+    if covered < srows:
+        rows_scanned += srows - covered
+    return n_gran, n_skip, rows_scanned
+
+
 def orc_granule_pruning_report(
     spark,
     path: str,
@@ -640,13 +664,12 @@ def orc_granule_pruning_report(
                 n_gran += 1
                 rows_scanned += srows
                 continue
-            for g, est in enumerate(entries):
-                grows = min(stride, srows - g * stride)
-                n_gran += 1
-                if _stripe_skippable(est, lo, hi, not_null):
-                    n_skip += 1
-                else:
-                    rows_scanned += grows
+            dg, ds, dr = _granule_scan(
+                entries, stride, srows, lo, hi, not_null
+            )
+            n_gran += dg
+            n_skip += ds
+            rows_scanned += dr
         return {
             "partition": _rel_label(p, root_norm),
             "n_rows": t["num_rows"],
@@ -674,6 +697,14 @@ def orc_granule_pruning_report(
 
 
 # ------------------------------------------------- zero-decode concat
+
+#: Footer proto fields (ORC v1 spec) orc_concat knows how to re-emit:
+#: 1 headerLength, 2 contentLength, 3 stripes, 4 types, 5 user
+#: metadata, 6 numberOfRows, 7 statistics, 8 rowIndexStride, 9 writer,
+#: 11 calendar, 12 softwareVersion. Field 10 (encryption) and anything
+#: newer is a hard reject — see the guard in :func:`orc_concat`.
+_CONCAT_FOOTER_FIELDS = frozenset({1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12})
+
 
 def _pb_uvarint(v: int) -> bytes:
     out = bytearray()
@@ -747,14 +778,23 @@ def _merge_col_stats(per_input: list[dict]) -> dict:
     dropped — counts-only is the conservative valid fallback). Inputs
     with ``n_values == 0`` (all-NULL slices, stats PRESENT) carry no
     window by construction and must not veto the merge — but an input
-    whose stats are MISSING entirely (``missing=True`` placeholder —
-    its rows are unknown, not known-NULL) poisons everything: claiming
-    a count or window that excludes that input's rows would make a
-    scanner prune live data (review r9), so the merged column emits NO
-    statistics at all."""
+    whose stats are MISSING entirely (``missing=True`` placeholder,
+    carrying the input's ``rows`` total — its rows are unknown, not
+    known-NULL) poisons the window: claiming a min/max that excludes
+    that input's rows would make a scanner prune live data (review
+    r9). The COUNT is still emitted as an upper bound (present inputs'
+    counts + missing inputs' full row totals): leaving numberOfValues
+    unset would read as 0 through protobuf-default-decoding external
+    ORC readers, whose SARG evaluation treats ``count==0 && hasNull``
+    as all-NULL and skips the whole merged file (ADVICE r9). An
+    over-count can never ENABLE a skip — pruning only fires on
+    count==0 — so the upper bound is the conservative sound value."""
     if any(s.get("missing") for s in per_input):
         return {
-            "n_values": None,
+            "n_values": sum(
+                (s["rows"] if s.get("missing") else s.get("n_values") or 0)
+                for s in per_input
+            ),
             "has_null": True,  # unknown rows: the only sound claim
             "stat_kind": None,
             "min": None,
@@ -844,6 +884,26 @@ def orc_concat(out_path: str, in_paths: list[str]) -> dict:
     raw0 = tails[0][3]
     codec, block = t0["compression"], t0["compression_block"]
     types0 = raw0.get(4, [])
+    # the merged tail re-emits only the Footer fields this writer knows;
+    # an input whose footer carries anything else — above all field 10,
+    # column ENCRYPTION, whose variants/keys a stripe copy cannot carry —
+    # would be silently stripped, producing an unreadable or silently
+    # weaker merged file with a success return (ADVICE r9). Reject it.
+    for p, _, t, raw in tails:
+        unknown = sorted(set(raw) - _CONCAT_FOOTER_FIELDS)
+        if unknown:
+            what = (
+                "column encryption"
+                if 10 in unknown
+                else "unknown footer field(s)"
+            )
+            raise ValueError(
+                f"orc_concat: {p!r} carries {what} "
+                f"(Footer field {unknown}) this zero-decode merge "
+                "cannot re-emit — merging would drop it and corrupt "
+                "the output; rewrite these files through a full "
+                "reader/writer instead"
+            )
     for p, _, t, raw in tails[1:]:
         if t["compression"] != codec or t["compression_block"] != block:
             raise ValueError(
@@ -853,6 +913,14 @@ def orc_concat(out_path: str, in_paths: list[str]) -> dict:
             )
         if raw.get(4, []) != types0:
             raise ValueError(f"orc_concat: type tree mismatch at {p!r}")
+        if raw.get(11, []) != raw0.get(11, []):
+            # proleptic-Gregorian vs Julian-hybrid dates are DIFFERENT
+            # values for the same stored integers — a mixed merge would
+            # silently shift dates in whichever inputs disagree
+            raise ValueError(
+                f"orc_concat: calendar mismatch at {p!r} "
+                f"({raw.get(11, [])} vs {raw0.get(11, [])})"
+            )
 
     stripes_out = []  # (new_offset, index, data, footer, rows)
     stripe_stats_out = []  # raw ColumnStatistics bytes per stripe
@@ -936,15 +1004,27 @@ def orc_concat(out_path: str, in_paths: list[str]) -> dict:
                 else:
                     # stats absent for this input: its rows are
                     # UNKNOWN, not known-NULL — flag so the merge
-                    # degrades to no-stats (review r9: the old
-                    # all-NULL placeholder let the merged window
-                    # exclude live rows)
-                    per_input.append({"missing": True})
+                    # degrades to a windowless count upper bound
+                    # (review r9: the old all-NULL placeholder let
+                    # the merged window exclude live rows; ADVICE r9:
+                    # an UNSET count decodes as 0 in proto-default
+                    # readers, whose count==0+hasNull SARG skips the
+                    # whole file — carry the row total instead)
+                    per_input.append(
+                        {"missing": True, "rows": t["num_rows"]}
+                    )
             foot += _pb_blob(7, _encode_col_stats(_merge_col_stats(per_input)))
         if t0["row_index_stride"] is not None:
             foot += _pb_uint(8, t0["row_index_stride"])
         if t0["writer"] is not None:
             foot += _pb_uint(9, t0["writer"])
+        # calendar (field 11, input-equality enforced above) and
+        # softwareVersion (field 12, informational) carry through
+        # verbatim instead of being dropped (ADVICE r9)
+        for cal in raw0.get(11, [])[-1:]:
+            foot += _pb_uint(11, cal)
+        for sv in raw0.get(12, [])[-1:]:
+            foot += _pb_blob(12, sv)
         foot_stream = _chunked(bytes(foot), codec, block)
 
         out.write(meta_stream)

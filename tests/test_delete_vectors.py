@@ -435,3 +435,67 @@ def test_materialize_deletes_noop_and_full_drain(spark, tmp_path):
     assert read_snapshot(spark, base).count() == 98
     vacuum(base, keep_last=1)
     assert read_snapshot(spark, base).count() == 98
+
+
+def test_materialize_planner_collects_dirs_not_files(spark, tmp_path):
+    """VERDICT r9 #1: the rewrite planner's row accounting rolls up
+    EXECUTOR-side — the frame the driver collects has one row per data
+    DIR (the bounded shape del_by_dir already uses), never one per
+    file with its per-row-group/per-chunk arrays."""
+    base = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.range(100).repartition(4), base, mode="overwrite"
+    )
+    write_snapshot(
+        spark.range(100, 200).repartition(5), base, mode="append"
+    )
+    m = snap._read_manifest(base, snapshot_versions(base)[-1])
+    # the fixture is only meaningful if dirs hold MULTIPLE files
+    for d in m["data_dirs"]:
+        files = [
+            f
+            for f in os.listdir(os.path.join(base, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) > 1
+    rows = snap._dir_row_counts(spark, base, m["data_dirs"]).collect()
+    assert len(rows) == len(m["data_dirs"]) == 2  # dirs, not 9 files
+    got = {r["d"]: r["n"] for r in rows}
+    assert set(got) == set(m["data_dirs"])
+    assert sum(got.values()) == 200
+
+
+def test_materialize_tolerates_duplicate_vector_entries(spark, tmp_path):
+    """ADVICE r9: two concurrent delete_where calls with overlapping
+    predicates can commit the same (file, pos) twice. The anti-join
+    never cared; the materialization ACCOUNTING must dedup or its
+    expected-row check aborts a correct rewrite."""
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        materialize_deletes,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(spark.range(100).select(F.col("id")), base, mode="overwrite")
+    delete_where(spark, base, "id < 30")
+    m = snap._read_manifest(base, snapshot_versions(base)[-1])
+    [del_rel] = m["delete_dirs"]
+    # simulate the race: the same 30 (file, pos) pairs land in a
+    # SECOND committed vector dir
+    dup_rel = os.path.join(snap._DELETE_DIR, "duplicated0race")
+    spark.read.parquet(os.path.join(base, del_rel)).write.parquet(
+        os.path.join(base, dup_rel)
+    )
+    snap._commit_manifest(
+        base,
+        lambda dirs: dirs,
+        "delete",
+        m.get("schema"),
+        None,
+        deletes_of_head=lambda dels, rows: (dels + [dup_rel], rows + 30),
+    )
+    assert read_snapshot(spark, base).count() == 70
+    # before the dedup fix this raised: expected 100-60=40 vs actual 70
+    v = materialize_deletes(spark, base, min_deleted_fraction=0.1)
+    m2 = snap._read_manifest(base, v)
+    assert "delete_dirs" not in m2  # fully drained
+    assert read_snapshot(spark, base).count() == 70

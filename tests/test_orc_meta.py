@@ -445,11 +445,14 @@ def test_spark_written_orc_decodes(spark, tmp_path):
     assert t["n_stripes"] == f.nstripes
 
 
-def test_merge_stats_missing_input_emits_no_claims():
+def test_merge_stats_missing_input_windowless_count_upper_bound():
     """An input with NO file statistics (unknown rows, not known-NULL)
-    must poison the merged column's stats entirely — claiming a count
-    or window that excludes its rows would let a scanner prune live
-    data (review r9)."""
+    must poison the merged column's WINDOW — claiming a min/max that
+    excludes its rows would let a scanner prune live data (review r9).
+    The COUNT survives as an upper bound (ADVICE r9): an UNSET
+    numberOfValues decodes as 0 through protobuf-generated external
+    readers, whose ``count==0 && hasNull`` SARG rule would then skip
+    the whole merged file; an over-count can never enable a skip."""
     from data_engineering_etl_self_service_spark.operators.orc_meta import (
         _encode_col_stats,
         _map_col_stats,
@@ -460,14 +463,16 @@ def test_merge_stats_missing_input_emits_no_claims():
         [
             {"n_values": 3, "has_null": False, "stat_kind": "int",
              "min": 5, "max": 7, "sum": 18},
-            {"missing": True},
+            {"missing": True, "rows": 4},
         ]
     )
-    assert merged["n_values"] is None and merged["min"] is None
+    # 3 known values + 4 unknown-rows upper bound; no window claims
+    assert merged["n_values"] == 7
+    assert merged["min"] is None and merged["max"] is None
     back = _map_col_stats(_encode_col_stats(merged))
-    assert back["n_values"] is None
+    assert back["n_values"] == 7  # PRESENT on the wire — never reads as 0
     assert back["min"] is None and back["max"] is None
-    assert back["has_null"]  # the only sound claim left
+    assert back["has_null"]  # unknown rows: the only sound claim
 
 
 def test_zstd_chunk_bomb_is_bounded(tmp_path):
@@ -896,3 +901,126 @@ def test_clustering_report_withholds_verdict_honestly(spark, tmp_path):
         spark, str(lake), column="v", format="orc"
     ).collect()[0]
     assert rep2["n_lanes"] == 2 and rep2["clustered"] is None
+
+
+# ----------------------------------------------- ADVICE r9 hardening
+
+
+def test_granule_scan_clamps_nonconforming_entry_counts():
+    """A writer emitting MORE row-index entries than ceil(rows/stride)
+    must never produce negative rows_scanned (clamped zero-row
+    granules), and one emitting FEWER must charge the uncovered tail
+    to rows_scanned — the conservative no-skip answer (ADVICE r9)."""
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        _granule_scan,
+    )
+
+    def ent(lo, hi):
+        return {
+            "n_values": 1, "has_null": False, "min": lo, "max": hi,
+            "sum": None, "stat_kind": "int",
+        }
+
+    # conforming: 25 rows, stride 10 -> granules of 10/10/5
+    miss, hit = ent(1000, 2000), ent(0, 5)
+    n, s, scanned = _granule_scan(
+        [miss, hit, miss], 10, 25, 0, 9, False
+    )
+    assert (n, s, scanned) == (3, 2, 10)
+    # too many entries: extras are zero-row granules, never negative
+    n, s, scanned = _granule_scan(
+        [hit, hit, hit, hit, hit], 10, 25, 0, 9, False
+    )
+    assert (n, s) == (5, 0)
+    assert scanned == 25  # 10 + 10 + 5 + 0 + 0 — not 10+10+5-5-15
+    # too few entries: the 15 uncovered tail rows count as scanned
+    n, s, scanned = _granule_scan([miss], 10, 25, 0, 9, False)
+    assert (n, s) == (1, 1)
+    assert scanned == 15  # skip covers only its own 10 rows
+
+
+def _patch_footer(src: str, dst: str, extra: bytes) -> None:
+    """Append raw protobuf bytes to an UNCOMPRESSED ORC file's Footer
+    and rebuild the PostScript (test fixture for writer-emitted fields
+    this container's writers don't produce)."""
+    from data_engineering_etl_self_service_spark.operators import (
+        orc_meta as om,
+    )
+
+    raw = open(src, "rb").read()
+    ps_len = raw[-1]
+    ps = om._pb_fields(raw[-1 - ps_len : -1])
+    foot_len = ps[1][-1]
+    foot_end = len(raw) - 1 - ps_len
+    foot = raw[foot_end - foot_len : foot_end] + extra
+    new_ps = bytearray()
+    new_ps += om._pb_uint(1, len(foot))
+    for f in (2, 3):
+        for v in ps.get(f, []):
+            new_ps += om._pb_uint(f, v)
+    for v in ps.get(4, []):
+        new_ps += (
+            om._pb_blob(4, v) if isinstance(v, bytes) else om._pb_uint(4, v)
+        )
+    for f in (5, 6):
+        for v in ps.get(f, []):
+            new_ps += om._pb_uint(f, v)
+    new_ps += om._pb_blob(8000, b"ORC")
+    assert len(new_ps) <= 255
+    with open(dst, "wb") as out:
+        out.write(raw[: foot_end - foot_len])
+        out.write(foot)
+        out.write(bytes(new_ps))
+        out.write(bytes([len(new_ps)]))
+
+
+def test_concat_rejects_encryption_and_unknown_footer_fields(tmp_path):
+    """An encrypted (or future-field-carrying) input must be REJECTED,
+    not silently copied into an unreadable merged file (ADVICE r9:
+    orc_concat re-emits only the fields it knows)."""
+    from data_engineering_etl_self_service_spark.operators import (
+        orc_meta as om,
+    )
+
+    a = str(tmp_path / "a.orc")
+    b = str(tmp_path / "b.orc")
+    po.write_table(_table(0, 100), a, compression="uncompressed")
+    po.write_table(_table(100, 100), b, compression="uncompressed")
+    enc = str(tmp_path / "enc.orc")
+    _patch_footer(b, enc, om._pb_blob(10, b""))  # Footer.encryption
+    with pytest.raises(ValueError, match="encryption"):
+        om.orc_concat(str(tmp_path / "m1.orc"), [a, enc])
+    fut = str(tmp_path / "fut.orc")
+    _patch_footer(b, fut, om._pb_blob(13, b"\x08\x01"))  # unknown field
+    with pytest.raises(ValueError, match="unknown footer field"):
+        om.orc_concat(str(tmp_path / "m2.orc"), [a, fut])
+
+
+def test_concat_carries_calendar_and_rejects_mixed(tmp_path, spark):
+    """The calendar field (Footer 11) rides through the merge verbatim
+    — dropping it would relabel Julian-hybrid dates as proleptic — and
+    inputs DISAGREEING on it refuse to merge (ADVICE r9)."""
+    from data_engineering_etl_self_service_spark.operators import (
+        orc_meta as om,
+    )
+
+    raw_a = str(tmp_path / "raw_a.orc")
+    raw_b = str(tmp_path / "raw_b.orc")
+    po.write_table(_table(0, 100), raw_a, compression="uncompressed")
+    po.write_table(_table(100, 100), raw_b, compression="uncompressed")
+    a = str(tmp_path / "a.orc")
+    b = str(tmp_path / "b.orc")
+    _patch_footer(raw_a, a, om._pb_uint(11, 1))  # PROLEPTIC_GREGORIAN
+    _patch_footer(raw_b, b, om._pb_uint(11, 1))
+    merged = str(tmp_path / "m.orc")
+    info = om.orc_concat(merged, [a, b])
+    assert info["num_rows"] == 200
+    t = om.read_orc_tail_path(merged)
+    assert t["_raw_footer"].get(11) == [1]  # carried, not dropped
+    # both this container's readers still accept the merged file
+    assert po.ORCFile(merged).nrows == 200
+    assert spark.read.orc([merged]).count() == 200
+    c = str(tmp_path / "c.orc")
+    _patch_footer(raw_b, c, om._pb_uint(11, 0))  # JULIAN_GREGORIAN
+    with pytest.raises(ValueError, match="calendar mismatch"):
+        om.orc_concat(str(tmp_path / "m2.orc"), [a, c])
