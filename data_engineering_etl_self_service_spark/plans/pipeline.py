@@ -686,7 +686,13 @@ def _write_sink(
         from ..sources.snapshots import write_snapshot
 
         write_snapshot(
-            df, path, mode=dst.options.get("snapshot_mode", "append")
+            df,
+            path,
+            mode=dst.options.get("snapshot_mode", "append"),
+            # data-file format of the versioned table (round 10):
+            # parquet (default) or orc — maintenance hooks dispatch on
+            # the manifest, so compaction/vacuum work on either
+            format=dst.options.get("format", "parquet"),
         )
         return
     if dst.type == "rollup":

@@ -14234,3 +14234,92 @@ def orc_scan_pruning_granules(spark, sf_dir):
         F.col("rows_total").cast("long").alias("rows_total"),
         F.col("rows_scanned").cast("long").alias("rows_scanned"),
     )
+
+
+@register(
+    "orc_snapshot_scan",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           {dsum_expr('o_totalprice')} AS total_price,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS v1_rows
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orc_snapshot_scan(spark, sf_dir):
+    """ORC-format snapshot table end to end (round 10 —
+    sources/snapshots.py ``format="orc"``): version 1 lands the
+    even-keyed half of orders as ORC through the manifest protocol,
+    version 2 APPENDS the odd-keyed half, `compact_snapshot` rewrites
+    the head (still ORC — the format rides the manifest), and the
+    result rolls the LATEST version up per priority while ``v1_rows``
+    counts the same priority's rows as VERSION 1 saw them (time
+    travel). The oracle restates both the union and the version-1
+    membership (`o_orderkey % 2 = 0`) over plain orders.
+
+    Scale: appends carry prior data dirs by reference (zero copy);
+    the compaction is one bounded rewrite committed by a single
+    manifest pointer; both reads are plain ORC scans — the manifest
+    adds no per-row cost at any table size. Position deletes stay a
+    LOUD boundary on ORC tables (no ``_metadata.row_index`` in this
+    Spark build) — pinned in tests/test_orc_snapshots.py.
+    """
+    import shutil
+    from pathlib import Path
+
+    from .sources.snapshots import (
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "orc_snapshot_scan"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    write_snapshot(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        base,
+        mode="overwrite",
+        format="orc",
+    )
+    write_snapshot(
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        base,
+        mode="append",
+        format="orc",
+    )
+    compact_snapshot(spark, base)
+    head = (
+        read_snapshot(spark, base)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+    v1 = (
+        read_snapshot(spark, base, version=1)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("v1_rows"))
+    )
+    return (
+        head.join(F.broadcast(v1), "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            "total_price",
+            F.coalesce("v1_rows", F.lit(0)).alias("v1_rows"),
+        )
+        .orderBy("o_orderpriority")
+    )
