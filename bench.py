@@ -16,15 +16,18 @@ comparison, and ``value`` (= ``headline_queries_total_wall``) over the
 full growing suite for coverage. New headline queries go in
 ``EXTENDED`` only.
 
-Round 10 (VERDICT r9 #3 — tenancy swallowed the frozen metric): a
-pinned CPU calibration probe brackets the core pass. The JSON line
-carries ``cal_before_sec``/``cal_after_sec``/``cal_drift_pct`` plus
-``core_value_normalized`` (= core total * CAL_REF_SEC / measured
-probe wall — the load-cancelled round-over-round number) and
-``tainted`` (true when the probe drifted >15% across the pass even
-after one retry: the machine's load CHANGED mid-pass and no scalar
-correction is honest). Compare ``core_value_normalized`` across
-rounds; fall back to raw ``core_value`` only when both runs were idle.
+Round 10 (VERDICT r9 #3 — tenancy swallowed the frozen metric): the
+FROZEN core set is timed in TWO time-separated passes (per-query min
+over all 4 samples — a minutes-scale co-tenant load wave that poisons
+one pass is dodged by the other), with a pinned pure-CPU
+calibration probe timed at the start/middle/end of the core region.
+The JSON line carries ``cal_sec`` (the three probe walls),
+``cal_drift_pct`` (their spread — >15% means the load CHANGED inside
+the timed region and the output is flagged ``tainted``), and
+``core_value_normalized`` (= core total * CAL_REF_SEC / mean probe
+wall — the load-cancelled round-over-round number). Compare
+``core_value_normalized`` across rounds; fall back to raw
+``core_value`` only when both runs were idle.
 """
 
 from __future__ import annotations
@@ -190,31 +193,40 @@ HEADLINE = CORE + EXTENDED
 #: Idle-machine reference wall for the calibration probe (round 10 —
 #: VERDICT r9 #3: same-HEAD core-30 swung 24.7-46.9 s across five runs,
 #: so the frozen metric could not resolve regressions under ~40%).
-#: Measured as the median probe wall on this container with load avg
-#: < 0.5 (0.2215/0.2285/0.2255 across three idle sessions, 2026-08-16);
-#: the normalized core total is raw * (this / measured), which
-#: cancels tenancy slowdowns to first order. Re-baseline ONLY with an
-#: idle machine and note it in SCALE.md (bench-methodology).
-CAL_REF_SEC = 0.225
+#: Baselined from the calibration lines of IDLE bench.py runs (load
+#: avg < 0.5; before=0.448/after=0.456, drift 1.9%, 2026-08-16) — see
+#: the _calibrate docstring for why a probe-only session can't provide
+#: this number. The normalized core total is raw * (this / measured),
+#: which cancels tenancy slowdowns to first order. Re-baseline ONLY
+#: from an idle bench run and note it in SCALE.md (bench-methodology).
+CAL_REF_SEC = 0.452
 
-#: calibration drift (before vs after the core pass) above this
-#: fraction marks the pass tenancy-contaminated: retry once, and if it
-#: still drifts, flag the output tainted rather than report noise as
+#: calibration spread (max vs min across the start/mid/end probe
+#: points of the core region) above this fraction marks the run
+#: tenancy-contaminated: the load CHANGED inside the timed region, so
+#: the output is flagged tainted rather than reporting noise as
 #: signal.
 CAL_DRIFT_LIMIT = 0.15
 
 
 def _calibrate(spark) -> float:
-    """Fixed pinned load probe: sum(xxhash64) over 48 M longs in 32
-    partitions — pure JVM whole-stage codegen, no engine code, no I/O,
-    ~1 s idle. Its wall moves with machine tenancy and nothing else
-    (the engine can't make it faster or slower), so the ratio to
+    """Fixed pinned load probe: bit_xor(xxhash64) over 2.56 B longs in
+    32 partitions — pure JVM whole-stage codegen, no engine code, no
+    I/O, no allocation, ~0.45 s on this container warm. Its wall moves
+    with machine CPU tenancy and nothing else, so the ratio to
     CAL_REF_SEC measures how contended the timed region was. Median of
-    3 so one scheduler hiccup can't fake a loaded machine."""
+    3 so one scheduler hiccup can't fake a loaded machine. Two designs
+    were measured and rejected in r10: an ALLOCATION-heavy probe
+    (string per row) tracked the JVM's own GC debt from the preceding
+    core queries (probe walls 0.53 → 2.25 → 0.90 across one idle run —
+    engine state, not tenancy), and a fresh probe-only session runs
+    ~2× slower than a warmed bench session (JIT depth), so CAL_REF_SEC
+    must be baselined from the calibration lines of an IDLE bench.py
+    run, never from a standalone probe session."""
     walls = []
     for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(0, 48_000_000, 1, 32).selectExpr(
+        spark.range(0, 2_560_000_000, 1, 32).selectExpr(
             "bit_xor(xxhash64(id)) as h"  # overflow-free under ANSI
         ).collect()
         walls.append(time.perf_counter() - t0)
@@ -266,44 +278,48 @@ def main() -> None:
         return time.perf_counter() - t0, n
 
     def _time_set(names) -> None:
+        # samples ACCUMULATE across passes: the frozen core set is
+        # timed in TWO time-separated passes (below) and each query
+        # keeps its min over all 4 samples — minutes-scale co-tenant
+        # load waves that poison one whole pass get dodged by the
+        # other, which no single-window statistic can do (r10: two
+        # idle runs with stable probes still disagreed 28% on the
+        # heavy queries because a load wave held through one pass).
         for name in names:
             fn = QUERIES[name]
             t1, n = _time_once(fn)
             t2, n = _time_once(fn)
-            samples[name] = 2
-            samples_sec[name] = [round(t1, 3), round(t2, 3)]
-            timings[name] = round(min(t1, t2), 3)
+            ss = samples_sec.setdefault(name, [])
+            ss += [round(t1, 3), round(t2, 3)]
+            samples[name] = len(ss)
+            timings[name] = round(min(ss), 3)
             print(
                 f"# {name}: {timings[name]:.3f}s ({n} rows, "
-                f"samples {samples_sec[name]})",
+                f"samples {ss})",
                 file=sys.stderr,
             )
 
-    # Calibration bracket around the FROZEN core pass (round 10 —
-    # VERDICT r9 #3): the pinned probe is timed immediately before and
-    # after the core set. Large before/after drift means the machine's
-    # load CHANGED mid-pass (the one failure normalization can't fix),
-    # so the core pass retries once; persistent drift flags the output
-    # tainted instead of publishing noise as a round-over-round signal.
+    # Calibration points around and between the TWO core passes
+    # (round 10 — VERDICT r9 #3): the pinned probe is timed at the
+    # start, the midpoint, and the end of the core region. Spread
+    # across the three points means the machine's load CHANGED inside
+    # the timed region — normalization can correct a STEADY slowdown,
+    # so persistent spread flags the output tainted instead of
+    # publishing noise as a round-over-round signal.
     _calibrate(spark)  # JIT warm-up for the probe itself
-    cal_before = cal_after = None
-    core_attempts = 0
-    while True:
-        core_attempts += 1
-        cal_before = _calibrate(spark)
-        _time_set(CORE)
-        cal_after = _calibrate(spark)
-        drift = abs(cal_after - cal_before) / min(cal_before, cal_after)
-        print(
-            f"# calibration: before={cal_before:.3f}s "
-            f"after={cal_after:.3f}s drift={100 * drift:.1f}% "
-            f"(ref {CAL_REF_SEC}s, attempt {core_attempts})",
-            file=sys.stderr,
-        )
-        if drift <= CAL_DRIFT_LIMIT or core_attempts >= 2:
-            break
+    cals = [_calibrate(spark)]
+    _time_set(CORE)
+    cals.append(_calibrate(spark))
+    _time_set(CORE)  # second separated pass, samples accumulate
+    cals.append(_calibrate(spark))
+    drift = (max(cals) - min(cals)) / min(cals)
+    print(
+        f"# calibration: {[round(c, 3) for c in cals]} "
+        f"spread={100 * drift:.1f}% (ref {CAL_REF_SEC}s)",
+        file=sys.stderr,
+    )
     tainted = drift > CAL_DRIFT_LIMIT
-    cal_mean = (cal_before + cal_after) / 2
+    cal_mean = sum(cals) / len(cals)
     _time_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
@@ -316,11 +332,10 @@ def main() -> None:
     core_norm = round(core_total * CAL_REF_SEC / cal_mean, 3)
     cal_fields = {
         "cal_ref_sec": CAL_REF_SEC,
-        "cal_before_sec": round(cal_before, 3),
-        "cal_after_sec": round(cal_after, 3),
+        "cal_sec": [round(c, 3) for c in cals],
         "cal_drift_pct": round(100 * drift, 1),
         "core_value_normalized": core_norm,
-        "core_attempts": core_attempts,
+        "core_passes": 2,
         "tainted": tainted,
     }
     # Full detail (all per-query timings + both raw samples) goes to a
@@ -342,7 +357,7 @@ def main() -> None:
         "queries": timings,
         "samples": samples,
         "samples_sec": samples_sec,
-        "policy": "best-of-2-all",
+        "policy": "core-best-of-4-2pass, ext-best-of-2",
         **cal_fields,
         "sf": sf,
     }
@@ -371,7 +386,7 @@ def main() -> None:
         "core_n": len(CORE),
         "n_queries": len(timings),
         "queries": {n: timings[n] for n in CORE},
-        "policy": "best-of-2-all",
+        "policy": "core-best-of-4-2pass, ext-best-of-2",
         **cal_fields,
         "detail": os.path.relpath(detail_path, repo),
         "sf": sf,

@@ -163,8 +163,19 @@ def compact_flagged(
         compact(spark, src, staging, target_mb=target_mb)
         return part, spark.read.parquet(staging).count()
 
+    # concurrency is only safe when the flagged units are DISJOINT
+    # directory trees: a mixed-layout lake can flag both 'ds=1' (loose
+    # files) and 'ds=1/hr=2', and rewriting them concurrently races
+    # A's recursive scan against B's staging writes and renames inside
+    # the same tree (review r10). Nested flags are rare and legal —
+    # fall back to the sequential order for exactly that case.
+    nested = any(
+        a != b and (b + "/").startswith(a + "/")
+        for a, _fb, _rb in flagged
+        for b, _fb2, _rb2 in flagged
+    )
     rewritten: dict[str, int] = {}
-    if flagged:
+    if flagged and not nested:
         with _cf.ThreadPoolExecutor(
             max_workers=min(8, len(flagged))
         ) as pool:
@@ -175,7 +186,12 @@ def compact_flagged(
     for part, files_before, rows_before in flagged:
         src = os.path.join(path, part)
         staging = src + "__compacting"
-        rows_after = rewritten[part]
+        if part in rewritten:
+            rows_after = rewritten[part]
+        else:
+            # nested mode: rewrite+swap one unit at a time so no
+            # sibling staging/rename is ever visible to this scan
+            rows_after = _rewrite((part, files_before, rows_before))[1]
         swapped = rows_after == rows_before
         if swapped:
             retired = src + "__retired"

@@ -581,14 +581,20 @@ def _granule_scan(
 ) -> tuple[int, int, int]:
     """Fold one stripe's row-index entries into ``(n_granules,
     n_skip_granules, rows_scanned)``. Defensive against nonconforming
-    writers (ADVICE r9): an entry count above ``ceil(srows/stride)``
-    yields clamped zero-row granules (never negative rows_scanned),
-    and an entry count BELOW it leaves a tail of rows no granule
-    covers — those are charged to ``rows_scanned`` (the conservative
-    no-skip answer: a scanner without index coverage must read them)."""
+    writers (ADVICE r9): entries past ``ceil(srows/stride)`` cover
+    zero rows and are ignored entirely (never negative rows_scanned,
+    never skip-ratio padding), and an entry count BELOW it leaves a
+    tail of rows no granule covers — those are charged to
+    ``rows_scanned`` (the conservative no-skip answer: a scanner
+    without index coverage must read them)."""
     n_gran = n_skip = rows_scanned = covered = 0
     for g, est in enumerate(entries):
         grows = max(0, min(stride, srows - g * stride))
+        if grows == 0:
+            # fabricated entry past the stripe's rows: counting it as
+            # a (skippable) granule would inflate the skip ratio with
+            # granules no scan could ever skip rows from (review r10)
+            continue
         covered += grows
         n_gran += 1
         if _stripe_skippable(est, lo, hi, not_null):

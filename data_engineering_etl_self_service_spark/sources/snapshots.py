@@ -142,7 +142,9 @@ def write_snapshot(
         else [new_rel],
         mode,
         df.schema.simpleString(),
-        {"format": format, **(meta or {})},
+        # format LAST so a caller meta key named "format" can't make
+        # the manifest lie about what the data files are (review r10)
+        {**(meta or {}), "format": format},
         max_retries,
     )
 
@@ -733,12 +735,16 @@ def materialize_deletes(
     # counting duplicates would inflate del_by_dir and make the
     # rewrite's expected row count mismatch the actual rewrite,
     # aborting the pass with a spurious RuntimeError (ADVICE r9)
+    # localCheckpoint: the deduped frame feeds BOTH the per-dir count
+    # and the remaining-vector rewrite below — materialize once instead
+    # of paying the vector scan + dedup shuffle twice (review r10)
     dels = (
         spark.read.parquet(
             *[os.path.join(base_dir, d) for d in head_dels]
         )
         .select("file", "pos")
         .dropDuplicates(["file", "pos"])
+        .localCheckpoint()
     )
     # dir attribution from the vector key itself: keys are
     # 'data/<uuid>/...' (relative) or absolute with '/data/<uuid>/'

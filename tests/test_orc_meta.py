@@ -927,12 +927,18 @@ def test_granule_scan_clamps_nonconforming_entry_counts():
         [miss, hit, miss], 10, 25, 0, 9, False
     )
     assert (n, s, scanned) == (3, 2, 10)
-    # too many entries: extras are zero-row granules, never negative
+    # too many entries: fabricated zero-row extras are NOT granules —
+    # counting them (skippable or not) would inflate the skip ratio —
+    # and rows_scanned never goes negative
     n, s, scanned = _granule_scan(
         [hit, hit, hit, hit, hit], 10, 25, 0, 9, False
     )
-    assert (n, s) == (5, 0)
-    assert scanned == 25  # 10 + 10 + 5 + 0 + 0 — not 10+10+5-5-15
+    assert (n, s) == (3, 0)
+    assert scanned == 25  # 10 + 10 + 5 — not 10+10+5-5-15
+    n, s, scanned = _granule_scan(
+        [miss, miss, miss, miss, miss], 10, 25, 0, 9, False
+    )
+    assert (n, s, scanned) == (3, 3, 0)  # extras don't pad n_skip
     # too few entries: the 15 uncovered tail rows count as scanned
     n, s, scanned = _granule_scan([miss], 10, 25, 0, 9, False)
     assert (n, s) == (1, 1)
