@@ -302,3 +302,83 @@ def test_yaml_snapshot_destination_orc_with_maintenance(spark, tmp_path):
         range(400)
     )
     assert read_snapshot(spark, str(out), version=1).count() == 400
+
+
+def test_snapshot_diff_on_orc_table(spark, tmp_path):
+    """The CDC read side is format-agnostic: snapshot_diff between two
+    ORC versions classifies insert/update/delete through the same
+    manifest-dispatched reads."""
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        snapshot_diff,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        base,
+        mode="overwrite",
+        format="orc",
+    )
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "id long, v string"
+        ),
+        base,
+        mode="overwrite",
+        format="orc",
+    )
+    got = {
+        (r["change_type"], r["id"]): r["v"]
+        for r in snapshot_diff(spark, base, 1, 2, ["id"]).collect()
+    }
+    assert got == {
+        ("update", 2): "B",
+        ("delete", 3): "c",
+        ("insert", 4): "d",
+    }
+
+
+def test_yaml_retention_on_orc_snapshot_is_loud(spark, tmp_path):
+    """maintenance.retention_delete_where on an ORC snapshot
+    destination surfaces the position-delete boundary as the SPECIFIC
+    error, not a silent no-op or a cryptic analysis failure."""
+    import json as _json
+
+    from data_engineering_etl_self_service_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from data_engineering_etl_self_service_spark.plans.spec import (
+        spec_from_dict,
+    )
+
+    src = tmp_path / "in.json"
+    out = tmp_path / "tbl"
+    with open(src, "w") as fh:
+        for i in range(50):
+            fh.write(_json.dumps({"event_id": i}) + "\n")
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"dag_id": "retention_orc"},
+            "source": {"type": "file", "format": "json", "path": str(src)},
+            "destination": {
+                "type": "snapshot",
+                "path": str(out),
+                "format": "orc",
+                "maintenance": {
+                    "retention_delete_where": "event_id < 10"
+                },
+            },
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+        }
+    )
+    with pytest.raises(
+        ValueError, match="position deletes require parquet"
+    ):
+        run_pipeline(spark, spec, ds="2025-08-15")
+    # the publish itself landed (v1) — only the retention step refused
+    assert snapshot_versions(str(out)) == [1]
+    assert read_snapshot(spark, str(out)).count() == 50
