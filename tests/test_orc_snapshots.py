@@ -382,3 +382,35 @@ def test_yaml_retention_on_orc_snapshot_is_loud(spark, tmp_path):
     # the publish itself landed (v1) — only the retention step refused
     assert snapshot_versions(str(out)) == [1]
     assert read_snapshot(spark, str(out)).count() == 50
+
+
+def test_streaming_batch_sink_orc_exactly_once(spark, tmp_path):
+    """snapshot_batch_sink(format='orc'): micro-batches land as ORC
+    versions, the replay guard stays exactly-once, and maintenance
+    (compact_snapshot) keeps both the format and the batch_id
+    watermark."""
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        last_committed_batch,
+        snapshot_batch_sink,
+    )
+
+    base = str(tmp_path / "tbl")
+    sink = snapshot_batch_sink(base, format="orc")
+    sink(spark.range(0, 5), 0)
+    sink(spark.range(5, 10), 1)
+    assert last_committed_batch(base) == 1
+    assert snap._table_format(snap._head_manifest(base)) == "orc"
+    assert glob.glob(
+        os.path.join(
+            base, snap._head_manifest(base)["data_dirs"][0], "*.orc"
+        )
+    )
+    sink(spark.range(5, 10), 1)  # crash replay — must be a no-op
+    assert read_snapshot(spark, base).count() == 10
+    compact_snapshot(spark, base, target_files=1)
+    assert last_committed_batch(base) == 1
+    assert snap._table_format(snap._head_manifest(base)) == "orc"
+    sink(spark.range(5, 10), 1)  # replay after maintenance: still no-op
+    assert read_snapshot(spark, base).count() == 10
+    sink(spark.range(10, 12), 2)  # the NEXT epoch appends normally
+    assert read_snapshot(spark, base).count() == 12
