@@ -966,7 +966,10 @@ def compact_small_dirs(
     as ``operators/layout.py compact_flagged``. Scale: the audit reads
     footer bytes only; the flagged list is one bounded collect (a row
     per DATA DIRECTORY, O(appends) by the manifest design); each
-    rewrite shuffles only that directory's rows."""
+    rewrite shuffles only that directory's rows, and the rewrites
+    submit CONCURRENTLY (bounded thread pool, round 10 — they write
+    disjoint unreferenced uuid dirs with no renames, so the only
+    serialization point is the single manifest commit)."""
     import math
 
     from ..operators.parquet_meta import lake_audit_report
@@ -1046,9 +1049,14 @@ def compact_small_dirs(
     )
     from pyspark.sql import functions as F
 
-    pending = []  # (rel, new_rel|None, audit, n_files_after, rows_after)
-    swap: dict[str, str] = {}
-    for rel, a in flagged:
+    def _rewrite_one(item):
+        # one flagged dir → one fresh UNREFERENCED dir: read (vectors
+        # applied), repartition, write, read-back count. Independent
+        # Spark jobs over disjoint uuid dirs with no renames anywhere,
+        # so they submit CONCURRENTLY below (round 10 — the same
+        # executor-parallel posture as the rename-loop compactors);
+        # the single manifest commit afterwards is what publishes.
+        rel, a = item
         src = os.path.join(base_dir, rel)
         new_rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         dst = os.path.join(base_dir, new_rel)
@@ -1084,11 +1092,22 @@ def compact_small_dirs(
             else spark.read.parquet(dst)
         ).count()
         if rows_after == expected:
+            return (rel, new_rel, a, n_files, rows_after)
+        # drift: the new dir stays unreferenced — vacuum reclaims it
+        return (rel, None, a, a["n_files"], rows_after)
+
+    pending = []  # (rel, new_rel|None, audit, n_files_after, rows_after)
+    swap: dict[str, str] = {}
+    if flagged:
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(
+            max_workers=min(8, len(flagged))
+        ) as pool:
+            pending = list(pool.map(_rewrite_one, flagged))
+    for rel, new_rel, _a, _nf, _ra in pending:
+        if new_rel is not None:
             swap[rel] = new_rel
-            pending.append((rel, new_rel, a, n_files, rows_after))
-        else:
-            # drift: the new dir stays unreferenced — vacuum reclaims it
-            pending.append((rel, None, a, a["n_files"], rows_after))
     committed: set[str] = set()
     if swap:
 
