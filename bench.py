@@ -186,6 +186,9 @@ EXTENDED = [
     # round 10: ORC-format snapshot tables (append by reference,
     # time travel, manifest-committed compaction)
     "orc_snapshot_scan",
+    # round 11: streaming change-data-feed source over snapshot tables
+    # (Delta CDF analog — offsets are committed versions)
+    "snapshot_change_feed",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -14323,3 +14323,105 @@ def orc_snapshot_scan(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "snapshot_change_feed",
+    f"""
+    SELECT change_type, version,
+           COUNT(*) AS n_rows,
+           {dsum_expr('o_totalprice')} AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM (
+      SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS version,
+             o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'insert', CAST(2 AS BIGINT), o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 1
+      UNION ALL
+      SELECT 'delete', CAST(3 AS BIGINT), o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 = 0
+    ) feed
+    GROUP BY change_type, version
+    ORDER BY version, change_type
+    """,
+)
+def snapshot_change_feed(spark, sf_dir):
+    """Streaming change-data-feed over a snapshot table, end to end
+    (round 11 — sources/cdf.py, the Delta CDF / Iceberg
+    incremental-read analog): version 1 lands a third of orders,
+    version 2 APPENDS another third, ``delete_where`` kills the
+    multiples of five via position-delete vectors, and
+    ``compact_snapshot`` rewrites the layout (a maintenance commit the
+    feed must stay SILENT on). The ``snapshot_cdf`` streaming source
+    then drains the whole history via ``availableNow`` — offsets are
+    committed versions, partitions are per-file Arrow decodes on
+    executors — and the result rolls the feed up per (change_type,
+    version). The oracle restates membership per version over plain
+    orders: v1/v2 inserts by the ``% 3`` slices, v3 deletes as the
+    visible ``% 5`` multiples; the compaction contributes no rows on
+    either side.
+
+    Scale: each version's feed I/O is its own delta (appends read the
+    appended files, deletes semi-join the new vector); the stream's
+    offset log makes a 100 TB table tail-able with per-version cost,
+    and Spark's checkpoint carries the consumer position across
+    restarts (crash-resume pinned in tests/test_cdf.py).
+    """
+    import shutil
+    from pathlib import Path
+
+    from .sources.cdf import register_snapshot_cdf
+    from .sources.snapshots import (
+        compact_snapshot,
+        delete_where,
+        write_snapshot,
+    )
+
+    root = (
+        Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / "snapshot_change_feed"
+        / Path(sf_dir.rstrip("/")).name
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    base, ck, out = str(root / "tbl"), str(root / "ck"), str(root / "out")
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_snapshot(
+        orders.filter(F.col("o_orderkey") % 3 == 0), base, mode="overwrite"
+    )
+    write_snapshot(
+        orders.filter(F.col("o_orderkey") % 3 == 1), base, mode="append"
+    )
+    delete_where(spark, base, "o_orderkey % 5 = 0")
+    compact_snapshot(spark, base)  # maintenance: silent in the feed
+
+    register_snapshot_cdf(spark)
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", base)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .groupBy("change_type", "version")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("version", "change_type")
+    )

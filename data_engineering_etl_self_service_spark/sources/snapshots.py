@@ -861,14 +861,19 @@ def compact_snapshot(
     table, so the compact→vacuum maintenance pair (the CLI's
     ``optimize --snapshot``) preserves :func:`last_committed_batch` and
     the exactly-once replay guard of :func:`snapshot_batch_sink`.
+
+    The commit is tagged ``maintenance: true`` (round 11): it rewrites
+    layout, never logical content, so the change feed
+    (``sources/cdf.py``) stays silent on it instead of restating the
+    whole table as delete+insert like a real overwrite.
     """
     df = read_snapshot(spark, base_dir)
     if target_files is not None:
         df = df.coalesce(int(target_files))
-    meta = None
+    meta: dict = {"maintenance": True}
     last = last_committed_batch(base_dir)
     if last is not None:
-        meta = {"batch_id": last}
+        meta["batch_id"] = last
     return write_snapshot(
         df,
         base_dir,
