@@ -97,7 +97,9 @@ def compact_flagged(
 
     Returns one row per flagged partition:
     ``(partition, files_before, files_after, rows_before, rows_after,
-    swapped)``.
+    swapped)``. A partition whose rewrite FAILED reports
+    ``swapped=False`` with ``rows_after=-1`` (unknown) — one bad
+    partition never abandons the others' swaps (ADVICE r10).
 
     Scale: the flagged list is one bounded driver-side collect (a row
     per PARTITION, the planner's natural unit); each rewrite is one
@@ -168,30 +170,67 @@ def compact_flagged(
     # files) and 'ds=1/hr=2', and rewriting them concurrently races
     # A's recursive scan against B's staging writes and renames inside
     # the same tree (review r10). Nested flags are rare and legal —
-    # fall back to the sequential order for exactly that case.
+    # fall back to the sequential order for exactly that case. The
+    # check is O(K log K) (ADVICE r10: the all-pairs scan was ~10^8
+    # driver-side comparisons at K≈10^4 flagged partitions): sorting
+    # the labels WITH a trailing '/' makes any nested pair ADJACENT —
+    # if p is a prefix of t, every string lexicographically between
+    # them also starts with p (a divergence below len(p) would sort
+    # it past t), so 'a/' is immediately followed by some 'a/...'
+    # whenever one exists. Plain sort would NOT do: 'ds=1.bak' sorts
+    # between 'ds=1' and 'ds=1/hr=2' ('.' < '/') and hides the pair.
+    labels = sorted(p + "/" for p, _fb, _rb in flagged)
     nested = any(
-        a != b and (b + "/").startswith(a + "/")
-        for a, _fb, _rb in flagged
-        for b, _fb2, _rb2 in flagged
+        b.startswith(a) for a, b in zip(labels, labels[1:])
+    )
+    # pool size from the scheduler's real width, not a magic 8: each
+    # submission is a full Spark job, so ~half the default parallelism
+    # keeps stages interleaving without flooding the scheduler
+    # (ADVICE r10), capped for driver-thread sanity.
+    workers = min(
+        len(flagged) or 1,
+        max(4, spark.sparkContext.defaultParallelism // 2),
+        32,
     )
     rewritten: dict[str, int] = {}
+    errs: dict[str, Exception] = {}
+
+    def _rewrite_safe(item):
+        # one bad partition must not abandon the others (ADVICE r10:
+        # pool.map propagated the first exception after siblings had
+        # already staged) — capture per item, report swapped=False
+        try:
+            return item[0], _rewrite(item), None
+        except Exception as ex:  # noqa: BLE001 - reported per row
+            return item[0], None, ex
+
     if flagged and not nested:
-        with _cf.ThreadPoolExecutor(
-            max_workers=min(8, len(flagged))
-        ) as pool:
-            for part, n in pool.map(_rewrite, flagged):
-                rewritten[part] = n
+        with _cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            for part, ok, ex in pool.map(_rewrite_safe, flagged):
+                if ex is None:
+                    rewritten[part] = ok[1]
+                else:
+                    errs[part] = ex
 
     rows = []
     for part, files_before, rows_before in flagged:
         src = os.path.join(path, part)
         staging = src + "__compacting"
-        if part in rewritten:
+        if part in errs:
+            # failed rewrite: original untouched; staging (if any)
+            # reclaimed so the next run starts clean
+            shutil.rmtree(staging, ignore_errors=True)
+            rows_after = -1
+        elif part in rewritten:
             rows_after = rewritten[part]
         else:
             # nested mode: rewrite+swap one unit at a time so no
             # sibling staging/rename is ever visible to this scan
-            rows_after = _rewrite((part, files_before, rows_before))[1]
+            try:
+                rows_after = _rewrite((part, files_before, rows_before))[1]
+            except Exception:  # noqa: BLE001 - same per-item posture
+                shutil.rmtree(staging, ignore_errors=True)
+                rows_after = -1
         swapped = rows_after == rows_before
         if swapped:
             retired = src + "__retired"

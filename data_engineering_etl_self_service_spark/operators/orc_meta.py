@@ -783,30 +783,22 @@ def _merge_col_stats(per_input: list[dict]) -> dict:
     every input carries a window of the SAME kind (else the window is
     dropped — counts-only is the conservative valid fallback). Inputs
     with ``n_values == 0`` (all-NULL slices, stats PRESENT) carry no
-    window by construction and must not veto the merge — but an input
-    whose stats are MISSING entirely (``missing=True`` placeholder,
-    carrying the input's ``rows`` total — its rows are unknown, not
-    known-NULL) poisons the window: claiming a min/max that excludes
-    that input's rows would make a scanner prune live data (review
-    r9). The COUNT is still emitted as an upper bound (present inputs'
-    counts + missing inputs' full row totals): leaving numberOfValues
-    unset would read as 0 through protobuf-default-decoding external
-    ORC readers, whose SARG evaluation treats ``count==0 && hasNull``
-    as all-NULL and skips the whole merged file (ADVICE r9). An
-    over-count can never ENABLE a skip — pruning only fires on
-    count==0 — so the upper bound is the conservative sound value."""
+    window by construction and must not veto the merge.
+
+    Callers must only invoke this when EVERY input carries stats for
+    the column (``orc_concat`` checks ``stats_complete`` and omits
+    Footer field 7 for the whole file otherwise — ADVICE r10: there is
+    NO sound numberOfValues for unknown rows; an unset count decodes
+    as proto-default 0 → count==0+hasNull SARGs skip the file (ADVICE
+    r9), and a row-total upper bound can equal the merged rowCount →
+    numberOfValues==rowCount readers infer no-nulls and prune IS NULL
+    over live NULL rows. Absence of the statistics list is the only
+    encoding that makes no claim either way)."""
     if any(s.get("missing") for s in per_input):
-        return {
-            "n_values": sum(
-                (s["rows"] if s.get("missing") else s.get("n_values") or 0)
-                for s in per_input
-            ),
-            "has_null": True,  # unknown rows: the only sound claim
-            "stat_kind": None,
-            "min": None,
-            "max": None,
-            "sum": None,
-        }
+        raise AssertionError(
+            "_merge_col_stats called with missing-stats input — the "
+            "caller must omit the statistics list instead"
+        )
     live = [s for s in per_input if s.get("n_values")]
     kinds = {s["stat_kind"] for s in live}
     out = {
@@ -1001,25 +993,32 @@ def orc_concat(out_path: str, in_paths: list[str]) -> dict:
             foot += _pb_blob(5, ub)
         foot += _pb_uint(6, sum(t["num_rows"] for _, _, t, _ in tails))
         n_cols = len(types0)
-        for cid in range(n_cols):
-            per_input = []
-            for _, _, t, _ in tails:
-                fs = t["file_stats"]
-                if cid < len(fs) and fs[cid]["n_values"] is not None:
-                    per_input.append(fs[cid])
-                else:
-                    # stats absent for this input: its rows are
-                    # UNKNOWN, not known-NULL — flag so the merge
-                    # degrades to a windowless count upper bound
-                    # (review r9: the old all-NULL placeholder let
-                    # the merged window exclude live rows; ADVICE r9:
-                    # an UNSET count decodes as 0 in proto-default
-                    # readers, whose count==0+hasNull SARG skips the
-                    # whole file — carry the row total instead)
-                    per_input.append(
-                        {"missing": True, "rows": t["num_rows"]}
-                    )
-            foot += _pb_blob(7, _encode_col_stats(_merge_col_stats(per_input)))
+        # file-level ColumnStatistics (field 7) are emitted ONLY when
+        # EVERY input carries stats for EVERY column. An input whose
+        # stats are missing holds UNKNOWN rows, and there is no sound
+        # count to emit for it: r9's all-NULL placeholder let merged
+        # windows exclude live rows; r10's row-total upper bound can
+        # EQUAL the merged rowCount when the statted inputs are
+        # null-free, and external readers that derive nullability as
+        # numberOfValues != rowCount (e.g. Trino's
+        # TupleDomainOrcPredicate, which ignores hasNull there) then
+        # prune IS NULL predicates over live NULL rows (ADVICE r10).
+        # An ABSENT statistics list makes no claims at all — the spec
+        # marks it optional — so omission is the only sound encoding;
+        # per-stripe stats in the Metadata section (the inputs' own,
+        # verbatim) still drive data skipping for the covered inputs.
+        stats_complete = all(
+            cid < len(t["file_stats"])
+            and t["file_stats"][cid]["n_values"] is not None
+            for _, _, t, _ in tails
+            for cid in range(n_cols)
+        )
+        if stats_complete:
+            for cid in range(n_cols):
+                per_input = [t["file_stats"][cid] for _, _, t, _ in tails]
+                foot += _pb_blob(
+                    7, _encode_col_stats(_merge_col_stats(per_input))
+                )
         if t0["row_index_stride"] is not None:
             foot += _pb_uint(8, t0["row_index_stride"])
         if t0["writer"] is not None:
@@ -1164,18 +1163,34 @@ def compact_orc_flagged(
         "partition string, path string, bytes long, n_rows long, "
         "group_key string"
     )
-    files = _footer_frame(
-        _orc_listing(spark, path), _row, schema
-    ).localCheckpoint()
-    totals = {
-        r["partition"]: (int(r["nf"]), int(r["nr"]))
-        for r in files.groupBy("partition")
-        .agg(
-            F.count("*").alias("nf"), F.sum("n_rows").alias("nr")
-        )
-        .collect()
-    }
-    small = files.filter(F.col("bytes") < small_file_bytes).collect()
+    # the footer frame feeds TWO driver rollups (totals + small list);
+    # materialize it ONCE as a parquet spill instead of localCheckpoint
+    # (VERDICT r10 #2: localCheckpoint blocks live on executors — an
+    # executor loss mid-maintenance kills the lineage-truncated frame
+    # on a real cluster). The spill dir's ``__compacting`` suffix makes
+    # a crash leftover reclaimable by the NEXT run's recovery sweep,
+    # and the audit never sees it (it lists ``*.orc`` only).
+    spill = os.path.join(
+        root, f".footer-spill-{uuid_mod.uuid4().hex[:8]}__compacting"
+    )
+    _footer_frame(_orc_listing(spark, path), _row, schema).write.mode(
+        "error"
+    ).parquet(spill)
+    try:
+        files = spark.read.parquet(spill)
+        totals = {
+            r["partition"]: (int(r["nf"]), int(r["nr"]))
+            for r in files.groupBy("partition")
+            .agg(
+                F.count("*").alias("nf"), F.sum("n_rows").alias("nr")
+            )
+            .collect()
+        }
+        small = files.filter(
+            F.col("bytes") < small_file_bytes
+        ).collect()
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
     by_part: dict[str, list] = {}
     for r in small:
         by_part.setdefault(r["partition"], []).append(r)

@@ -474,6 +474,10 @@ def delete_where(
         shutil.rmtree(out, ignore_errors=True)
         return versions[-1]
     planned = set(manifest["data_dirs"])
+    planned_dels = set(manifest.get("delete_dirs") or [])
+    # mutated inside the retry callbacks below: the vector file may be
+    # rewritten (deduped) when a concurrent delete won the race
+    state = {"rel": rel, "n": n_new}
 
     def _dirs(head_dirs):
         # appends extend the head; a rewrite REPLACES planned dirs —
@@ -485,14 +489,61 @@ def delete_where(
             )
         return head_dirs
 
-    return _commit_manifest(
-        base_dir,
-        _dirs,
-        "delete",
-        manifest.get("schema"),
-        {"n_deleted": n_new},
-        deletes_of_head=lambda dels, rows: (dels + [rel], rows + n_new),
-    )
+    def _dels(dels, rows):
+        # WRITE-time dedup (round 11 — VERDICT r10 #1 advisory):
+        # concurrent delete_where calls with overlapping predicates
+        # each scan the same head without the other's vector, so both
+        # match the same (file, pos) pairs. The loser of the commit
+        # race anti-joins its vector against the vectors that appeared
+        # since its scan, re-derived per retry, so the manifest's
+        # delete_rows stat is EXACT and readers' anti-join side never
+        # carries redundant pairs. The superseded vector file becomes
+        # a vacuum-reclaimable orphan.
+        extra = [
+            d for d in dels if d not in planned_dels and d != state["rel"]
+        ]
+        if extra:
+            mine = spark.read.parquet(
+                os.path.join(base_dir, state["rel"])
+            ).select("file", "pos")
+            theirs = spark.read.parquet(
+                *[os.path.join(base_dir, d) for d in extra]
+            ).select("file", "pos")
+            deduped = mine.join(theirs, ["file", "pos"], "left_anti")
+            new_rel = os.path.join(_DELETE_DIR, uuid.uuid4().hex)
+            deduped.write.mode("error").parquet(
+                os.path.join(base_dir, new_rel)
+            )
+            n2 = spark.read.parquet(
+                os.path.join(base_dir, new_rel)
+            ).count()
+            if n2 == 0:
+                # every planned pair was already committed by the
+                # concurrent winner — nothing left to publish
+                shutil.rmtree(
+                    os.path.join(base_dir, new_rel), ignore_errors=True
+                )
+                raise _AlreadyDeleted()
+            state["rel"], state["n"] = new_rel, n2
+            planned_dels.update(extra)  # settled: don't re-dedupe
+        return dels + [state["rel"]], rows + state["n"]
+
+    try:
+        return _commit_manifest(
+            base_dir,
+            _dirs,
+            "delete",
+            manifest.get("schema"),
+            lambda: {"n_deleted": state["n"]},
+            deletes_of_head=_dels,
+        )
+    except _AlreadyDeleted:
+        return snapshot_versions(base_dir)[-1]
+
+
+class _AlreadyDeleted(Exception):
+    """Every pair a delete_where planned was committed concurrently by
+    another delete — the commit is a no-op, not an error."""
 
 
 def vacuum(
@@ -729,122 +780,135 @@ def materialize_deletes(
     head_dels = head.get("delete_dirs") or []
     if not head_dels:
         return versions[-1]
-    # concurrent delete_where calls with overlapping predicates each
-    # scan the same head without the other's vector, so one dead row
-    # can appear in TWO vector files; the anti-join doesn't care, but
-    # counting duplicates would inflate del_by_dir and make the
-    # rewrite's expected row count mismatch the actual rewrite,
-    # aborting the pass with a spurious RuntimeError (ADVICE r9)
-    # localCheckpoint: the deduped frame feeds BOTH the per-dir count
-    # and the remaining-vector rewrite below — materialize once instead
-    # of paying the vector scan + dedup shuffle twice (review r10)
-    dels = (
+    # concurrent delete_where calls with overlapping predicates could
+    # historically land one dead row in TWO vector files (commit-time
+    # dedup closes that at the source since round 11, but tables
+    # written before it may still carry duplicates); the anti-join
+    # doesn't care, but counting duplicates would inflate del_by_dir
+    # and make the rewrite's expected row count mismatch the actual
+    # rewrite, aborting the pass with a spurious RuntimeError (ADVICE
+    # r9). The deduped frame feeds BOTH the per-dir count and the
+    # remaining-vector rewrite below — materialize it ONCE as a
+    # parquet spill under the table's own delete root (VERDICT r10
+    # #2: localCheckpoint blocks live on executors, so an executor
+    # loss mid-maintenance killed the pass on a real cluster; the
+    # spill is the same bounded metadata, crash leftovers are
+    # unreferenced orphans vacuum reclaims, and it is removed below)
+    import shutil
+
+    spill_rel = os.path.join(_DELETE_DIR, uuid.uuid4().hex)
+    spill = os.path.join(base_dir, spill_rel)
+    (
         spark.read.parquet(
             *[os.path.join(base_dir, d) for d in head_dels]
         )
         .select("file", "pos")
         .dropDuplicates(["file", "pos"])
-        .localCheckpoint()
+        .write.mode("error")
+        .parquet(spill)
     )
-    # dir attribution from the vector key itself: keys are
-    # 'data/<uuid>/...' (relative) or absolute with '/data/<uuid>/'
-    # inside — the extract handles both
-    dir_of = F.regexp_extract(
-        F.col("file"), r"(?:^|/)(data/[^/]+)/", 1
-    )
-    del_by_dir = {
-        r["d"]: r["n"]
-        for r in dels.groupBy(dir_of.alias("d"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-        if r["d"]
-    }
-    rows_by_dir = {
-        r["d"]: r["n"]
-        for r in _dir_row_counts(
-            spark, base_dir, head["data_dirs"]
-        ).collect()
-    }
-    flagged = [
-        d
-        for d in head["data_dirs"]
-        if rows_by_dir.get(d, 0) > 0
-        and del_by_dir.get(d, 0) / rows_by_dir[d] >= min_deleted_fraction
-    ]
-    if not flagged:
-        return versions[-1]
-
-    swap: dict[str, str] = {}
-    for rel in flagged:
-        src = os.path.join(base_dir, rel)
-        new_rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-        manifest_one = dict(head, data_dirs=[rel])
-        rewritten = _lineage_read(
-            spark, base_dir, manifest_one
-        ).drop(_DV_FILE, _DV_POS)
-        rewritten.write.mode("error").parquet(
-            os.path.join(base_dir, new_rel)
+    dels = spark.read.parquet(spill)
+    try:
+        # dir attribution from the vector key itself: keys are
+        # 'data/<uuid>/...' (relative) or absolute with '/data/<uuid>/'
+        # inside — the extract handles both
+        dir_of = F.regexp_extract(
+            F.col("file"), r"(?:^|/)(data/[^/]+)/", 1
         )
-        expected = rows_by_dir[rel] - del_by_dir.get(rel, 0)
-        got = spark.read.parquet(
-            os.path.join(base_dir, new_rel)
+        del_by_dir = {
+            r["d"]: r["n"]
+            for r in dels.groupBy(dir_of.alias("d"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+            if r["d"]
+        }
+        rows_by_dir = {
+            r["d"]: r["n"]
+            for r in _dir_row_counts(
+                spark, base_dir, head["data_dirs"]
+            ).collect()
+        }
+        flagged = [
+            d
+            for d in head["data_dirs"]
+            if rows_by_dir.get(d, 0) > 0
+            and del_by_dir.get(d, 0) / rows_by_dir[d]
+            >= min_deleted_fraction
+        ]
+        if not flagged:
+            return versions[-1]
+
+        swap: dict[str, str] = {}
+        for rel in flagged:
+            new_rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+            manifest_one = dict(head, data_dirs=[rel])
+            rewritten = _lineage_read(
+                spark, base_dir, manifest_one
+            ).drop(_DV_FILE, _DV_POS)
+            rewritten.write.mode("error").parquet(
+                os.path.join(base_dir, new_rel)
+            )
+            expected = rows_by_dir[rel] - del_by_dir.get(rel, 0)
+            got = spark.read.parquet(
+                os.path.join(base_dir, new_rel)
+            ).count()
+            if got != expected:
+                raise RuntimeError(
+                    f"materialize_deletes: rewrite of {rel} kept {got} "
+                    f"rows, expected {expected} — aborting before "
+                    "commit (the new dir is a vacuum-reclaimable "
+                    "orphan)"
+                )
+            swap[rel] = new_rel
+
+        # vectors still needed: entries NOT covered by a rewritten dir
+        covered = F.lit(False)
+        for rel in flagged:
+            covered = covered | dir_of.eqNullSafe(F.lit(rel))
+        remaining = dels.filter(~covered)
+        new_del_rel = os.path.join(_DELETE_DIR, uuid.uuid4().hex)
+        remaining.write.mode("error").parquet(
+            os.path.join(base_dir, new_del_rel)
+        )
+        n_remaining = spark.read.parquet(
+            os.path.join(base_dir, new_del_rel)
         ).count()
-        if got != expected:
-            raise RuntimeError(
-                f"materialize_deletes: rewrite of {rel} kept {got} "
-                f"rows, expected {expected} — aborting before commit "
-                "(the new dir is a vacuum-reclaimable orphan)"
+        if n_remaining == 0:
+            shutil.rmtree(
+                os.path.join(base_dir, new_del_rel), ignore_errors=True
             )
-        swap[rel] = new_rel
 
-    # vectors still needed: entries NOT covered by a rewritten dir
-    covered = F.lit(False)
-    for rel in flagged:
-        covered = covered | dir_of.eqNullSafe(F.lit(rel))
-    remaining = dels.filter(~covered)
-    new_del_rel = os.path.join(_DELETE_DIR, uuid.uuid4().hex)
-    remaining.write.mode("error").parquet(
-        os.path.join(base_dir, new_del_rel)
-    )
-    n_remaining = spark.read.parquet(
-        os.path.join(base_dir, new_del_rel)
-    ).count()
-    if n_remaining == 0:
-        import shutil
+        planned_dels = list(head_dels)
 
-        shutil.rmtree(
-            os.path.join(base_dir, new_del_rel), ignore_errors=True
+        def _dels(cur, rows):
+            if cur != planned_dels:
+                raise RuntimeError(
+                    "materialize_deletes raced a delete_where commit; "
+                    "re-run the maintenance pass"
+                )
+            return (
+                ([new_del_rel], n_remaining) if n_remaining else ([], 0)
+            )
+
+        def _dirs(cur):
+            if not set(swap) <= set(cur):
+                raise RuntimeError(
+                    "materialize_deletes raced a data rewrite; re-run "
+                    "the maintenance pass"
+                )
+            return [swap.get(d, d) for d in cur]
+
+        last = last_committed_batch(base_dir)
+        return _commit_manifest(
+            base_dir,
+            _dirs,
+            "materialize",
+            head.get("schema"),
+            {"batch_id": last} if last is not None else None,
+            deletes_of_head=_dels,
         )
-
-    planned_dels = list(head_dels)
-
-    def _dels(cur, rows):
-        if cur != planned_dels:
-            raise RuntimeError(
-                "materialize_deletes raced a delete_where commit; "
-                "re-run the maintenance pass"
-            )
-        return (
-            ([new_del_rel], n_remaining) if n_remaining else ([], 0)
-        )
-
-    def _dirs(cur):
-        if not set(swap) <= set(cur):
-            raise RuntimeError(
-                "materialize_deletes raced a data rewrite; re-run "
-                "the maintenance pass"
-            )
-        return [swap.get(d, d) for d in cur]
-
-    last = last_committed_batch(base_dir)
-    return _commit_manifest(
-        base_dir,
-        _dirs,
-        "materialize",
-        head.get("schema"),
-        {"batch_id": last} if last is not None else None,
-        deletes_of_head=_dels,
-    )
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
 
 
 def compact_snapshot(
@@ -1106,10 +1170,23 @@ def compact_small_dirs(
     if flagged:
         import concurrent.futures as _cf
 
-        with _cf.ThreadPoolExecutor(
-            max_workers=min(8, len(flagged))
-        ) as pool:
-            pending = list(pool.map(_rewrite_one, flagged))
+        def _rewrite_safe(item):
+            # one bad dir must not abandon the siblings' rewrites
+            # (ADVICE r10): its row reports swapped=False/-1 rows and
+            # the staged dir (if any) is an orphan for vacuum
+            try:
+                return _rewrite_one(item)
+            except Exception:  # noqa: BLE001 - reported per row
+                rel, a = item
+                return (rel, None, a, a["n_files"], -1)
+
+        workers = min(
+            len(flagged),
+            max(4, spark.sparkContext.defaultParallelism // 2),
+            32,
+        )
+        with _cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            pending = list(pool.map(_rewrite_safe, flagged))
     for rel, new_rel, _a, _nf, _ra in pending:
         if new_rel is not None:
             swap[rel] = new_rel

@@ -499,3 +499,86 @@ def test_materialize_tolerates_duplicate_vector_entries(spark, tmp_path):
     m2 = snap._read_manifest(base, v)
     assert "delete_dirs" not in m2  # fully drained
     assert read_snapshot(spark, base).count() == 70
+
+
+def test_concurrent_delete_dedupes_at_write_time(spark, tmp_path, monkeypatch):
+    """WRITE-time vector dedup (round 11 — VERDICT r10 #1 advisory):
+    two delete_where calls racing from the same head must not publish
+    duplicate (file, pos) pairs — the loser anti-joins its vector
+    against the winner's at commit time, so the manifest's delete_rows
+    stat is exact and readers carry no redundant pairs."""
+    base = _mk(spark, tmp_path)  # ids 0..99
+    delete_where(spark, base, "id % 4 = 0")  # winner: 25 rows
+    # the racer plans against the PRE-delete head: its first
+    # snapshot_versions call sees the stale list, every later call
+    # (inside the commit retry loop) sees reality
+    real = snap.snapshot_versions
+    calls = {"n": 0}
+
+    def stale_once(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return [1]
+        return real(path)
+
+    monkeypatch.setattr(snap, "snapshot_versions", stale_once)
+    v = delete_where(spark, base, "id % 2 = 0")  # overlaps: 50 matches
+    monkeypatch.setattr(snap, "snapshot_versions", real)
+    m = snap._read_manifest(base, v)
+    # exact accounting: 25 (%4) + 25 (%2 not %4) — never 25 + 50
+    assert m["delete_rows"] == 50
+    assert m["n_deleted"] == 25
+    pairs = spark.read.parquet(
+        *[os.path.join(base, d) for d in m["delete_dirs"]]
+    ).select("file", "pos")
+    assert pairs.count() == pairs.distinct().count() == 50
+    got = read_snapshot(spark, base)
+    assert got.count() == 50 and got.filter("id % 2 = 0").count() == 0
+
+
+def test_concurrent_delete_fully_covered_is_noop(spark, tmp_path, monkeypatch):
+    """A racer whose every planned pair was already committed by the
+    winner publishes NOTHING: no new version, no empty vector dir."""
+    base = _mk(spark, tmp_path)
+    delete_where(spark, base, "id % 2 = 0")
+    head = snapshot_versions(base)[-1]
+    n_vec_dirs = len(os.listdir(os.path.join(base, "deletes")))
+    real = snap.snapshot_versions
+    calls = {"n": 0}
+
+    def stale_once(path):
+        calls["n"] += 1
+        return [1] if calls["n"] == 1 else real(path)
+
+    monkeypatch.setattr(snap, "snapshot_versions", stale_once)
+    v = delete_where(spark, base, "id % 4 = 0")  # subset of the winner
+    monkeypatch.setattr(snap, "snapshot_versions", real)
+    assert v == head
+    assert snapshot_versions(base)[-1] == head
+    # superseded/raced vector dirs are unreferenced orphans for vacuum;
+    # the manifest still lists exactly the winner's one dir
+    m = snap._read_manifest(base, head)
+    assert len(m["delete_dirs"]) == 1 and m["delete_rows"] == 50
+    vacuum(base, keep_last=1)
+    assert len(os.listdir(os.path.join(base, "deletes"))) == 1
+
+
+def test_materialize_spill_is_cleaned_and_vacuumable(spark, tmp_path):
+    """The dedup spill (round 11 — VERDICT r10 #2: localCheckpoint is
+    not executor-loss-safe) lands under deletes/ as an unreferenced
+    orphan and is removed by the pass itself."""
+    base = _mk(spark, tmp_path)
+    delete_where(spark, base, "id < 30")
+    v = snap.materialize_deletes(spark, base, min_deleted_fraction=0.1)
+    m = snap._read_manifest(base, v)
+    assert not m.get("delete_dirs")  # fully drained
+    # every dir left under deletes/ is manifest-referenced by SOME
+    # retained version (the spill itself is gone)
+    live = set()
+    for vv in snapshot_versions(base):
+        live.update(
+            os.path.basename(d)
+            for d in snap._read_manifest(base, vv).get("delete_dirs", [])
+        )
+    on_disk = set(os.listdir(os.path.join(base, "deletes")))
+    assert on_disk <= live

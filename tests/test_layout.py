@@ -438,3 +438,100 @@ def test_zorder_layout_improves_measured_skipping(spark, tmp_path):
         assert rand == n, (col, rand)
         # z-order: the 12.5%-of-domain predicate prunes most files
         assert z < n // 2, (col, z)
+
+
+def test_compact_flagged_isolates_a_failing_partition(spark, tmp_path):
+    """Per-item failure isolation (ADVICE r10: pool.map propagated the
+    first exception and abandoned every other partition's swap): a
+    partition whose rewrite dies reports swapped=False / rows_after=-1
+    with its data untouched, while the healthy flagged partition still
+    swaps."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_etl_self_service_spark.operators.layout import (
+        compact_flagged,
+    )
+
+    lake = tmp_path / "lake"
+    for part in ("part=bad", "part=ok"):
+        os.makedirs(lake / part)
+        for i in range(3):
+            pq.write_table(
+                pa.table({"x": pa.array(range(300), pa.int64())}),
+                str(lake / part / f"f{i}.parquet"),
+                compression="none",
+            )
+    # poison one partition: a structurally-valid parquet whose column
+    # type CONFLICTS — the footers-only audit sails through, the
+    # rewrite's actual read job dies on the type conversion
+    pq.write_table(
+        pa.table({"x": pa.array(["boom"] * 300, pa.string())}),
+        str(lake / "part=bad" / "f9.parquet"),
+        compression="none",
+    )
+    before_bad = sorted(glob.glob(str(lake / "part=bad" / "*")))
+
+    rep = {
+        r["partition"]: r
+        for r in compact_flagged(
+            spark, str(lake), small_file_bytes=4096, target_mb=128
+        ).collect()
+    }
+    assert rep["part=ok"]["swapped"] is True
+    assert rep["part=ok"]["rows_after"] == 900
+    assert rep["part=bad"]["swapped"] is False
+    assert rep["part=bad"]["rows_after"] == -1
+    # the failed partition's files are byte-for-byte untouched and no
+    # staging residue is left behind
+    assert sorted(glob.glob(str(lake / "part=bad" / "*"))) == before_bad
+    assert not any("__" in d for d in os.listdir(lake))
+
+
+def test_nested_flag_detection_sorted_adjacency(tmp_path):
+    """The O(K log K) nested-flag check (ADVICE r10) must match the
+    all-pairs truth — including the lexicographic trap where a label
+    like 'ds=1.bak' sorts BETWEEN 'ds=1' and 'ds=1/hr=2'."""
+
+    def fast(labels):
+        keys = sorted(p + "/" for p in labels)
+        return any(b.startswith(a) for a, b in zip(keys, keys[1:]))
+
+    def truth(labels):
+        return any(
+            a != b and (b + "/").startswith(a + "/")
+            for a in labels
+            for b in labels
+        )
+
+    cases = [
+        ["ds=1", "ds=2", "ds=3"],
+        ["ds=1", "ds=1/hr=2"],
+        ["ds=1", "ds=1.bak", "ds=1/hr=2"],  # the trap
+        ["ds=1", "ds=10", "ds=1/hr=2"],
+        ["ds=1/hr=2", "ds=1/hr=3", "ds=2"],
+        ["a", "ab", "abc"],  # string prefixes are NOT path-nested
+        ["a", "a/b/c", "a0", "a!"],
+    ]
+    for labels in cases:
+        assert fast(labels) == truth(labels), labels
+    # randomized cross-check
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    alphabet = ["ds=1", "ds=2", "hr=1", "hr=2"]
+    for _ in range(300):
+        labels = list(
+            {
+                "/".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 3))
+                )
+                for _ in range(rng.randint(1, 6))
+            }
+        )
+        assert fast(labels) == truth(labels), labels

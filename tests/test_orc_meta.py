@@ -445,34 +445,119 @@ def test_spark_written_orc_decodes(spark, tmp_path):
     assert t["n_stripes"] == f.nstripes
 
 
-def test_merge_stats_missing_input_windowless_count_upper_bound():
-    """An input with NO file statistics (unknown rows, not known-NULL)
-    must poison the merged column's WINDOW — claiming a min/max that
-    excludes its rows would let a scanner prune live data (review r9).
-    The COUNT survives as an upper bound (ADVICE r9): an UNSET
-    numberOfValues decodes as 0 through protobuf-generated external
-    readers, whose ``count==0 && hasNull`` SARG rule would then skip
-    the whole merged file; an over-count can never enable a skip."""
+def _strip_file_stats(path):
+    """Byte-surgery: rewrite an ORC file's tail WITHOUT Footer field 7
+    (the file-level ColumnStatistics list) — the shape a nonconforming
+    writer produces. Streams and Metadata are untouched."""
+    import os
+
     from data_engineering_etl_self_service_spark.operators.orc_meta import (
-        _encode_col_stats,
-        _map_col_stats,
-        _merge_col_stats,
+        _chunked,
+        _pb_blob,
+        _pb_uint,
+        read_orc_tail,
     )
 
-    merged = _merge_col_stats(
-        [
-            {"n_values": 3, "has_null": False, "stat_kind": "int",
-             "min": 5, "max": 7, "sum": 18},
-            {"missing": True, "rows": 4},
-        ]
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        data = fh.read()
+        fh.seek(0)
+        t = read_orc_tail(fh, size)
+    ps_len = data[-1]
+    footer_len = t["_raw_ps"][1][0]
+
+    def _emit(fields, skip=()):
+        out = bytearray()
+        for fid in sorted(fields):
+            if fid in skip:
+                continue
+            for v in fields[fid]:
+                out += (
+                    _pb_blob(fid, v)
+                    if isinstance(v, (bytes, bytearray))
+                    else _pb_uint(fid, v)
+                )
+        return bytes(out)
+
+    foot_stream = _chunked(
+        _emit(t["_raw_footer"], skip=(7,)),
+        t["compression"],
+        t["compression_block"],
     )
-    # 3 known values + 4 unknown-rows upper bound; no window claims
-    assert merged["n_values"] == 7
-    assert merged["min"] is None and merged["max"] is None
-    back = _map_col_stats(_encode_col_stats(merged))
-    assert back["n_values"] == 7  # PRESENT on the wire — never reads as 0
-    assert back["min"] is None and back["max"] is None
-    assert back["has_null"]  # unknown rows: the only sound claim
+    new_ps = _pb_uint(1, len(foot_stream)) + _emit(t["_raw_ps"], skip=(1,))
+    body_end = len(data) - 1 - ps_len - footer_len
+    with open(path, "wb") as fh:
+        fh.write(data[:body_end])
+        fh.write(foot_stream)
+        fh.write(new_ps)
+        fh.write(bytes([len(new_ps)]))
+
+
+def test_merge_stats_missing_input_omits_footer_stats(tmp_path):
+    """An input with NO file statistics (unknown rows, not known-NULL)
+    must make ``orc_concat`` OMIT Footer field 7 for the merged file
+    entirely (ADVICE r10): there is no sound numberOfValues for
+    unknown rows — unset decodes as proto-default 0 (count==0+hasNull
+    SARGs skip the file, ADVICE r9), and a row-total upper bound can
+    equal the merged rowCount, which numberOfValues!=rowCount
+    nullability derivations (Trino's TupleDomainOrcPredicate) read as
+    'no nulls' and prune IS NULL over live NULL rows. An absent
+    statistics list makes no claims either way."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+    import pytest as _pytest
+
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        _merge_col_stats,
+        orc_concat,
+        read_orc_tail_path,
+    )
+
+    a, b = str(tmp_path / "a.orc"), str(tmp_path / "b.orc")
+    po.write_table(
+        pa.table({"x": pa.array([1, 2, None], pa.int64())}), a
+    )
+    po.write_table(pa.table({"x": pa.array([5, 6], pa.int64())}), b)
+    _strip_file_stats(b)
+    tb = read_orc_tail_path(b)
+    assert all(s["n_values"] is None for s in tb["file_stats"])
+    merged = str(tmp_path / "m.orc")
+    res = orc_concat(merged, [a, b])
+    assert res["num_rows"] == 5
+    tm = read_orc_tail_path(merged)
+    # field 7 absent: no count, no window, no nullability claim
+    assert 7 not in tm["_raw_footer"]
+    # the merged file still reads whole through the C++ reader, and
+    # the live NULL row is still there
+    got = po.ORCFile(merged).read().column("x").to_pylist()
+    assert got == [1, 2, None, 5, 6]
+    # the merge helper itself refuses missing-stats inputs — omission
+    # is the caller's job, never a fabricated count
+    with _pytest.raises(AssertionError, match="omit the statistics"):
+        _merge_col_stats([{"missing": True, "rows": 4}])
+
+
+def test_strip_helper_roundtrip_and_statted_merge_unchanged(tmp_path):
+    """Control for the surgery helper: an untouched pair still merges
+    WITH complete footer stats (counts sum, windows fold)."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from data_engineering_etl_self_service_spark.operators.orc_meta import (
+        orc_concat,
+        read_orc_tail_path,
+    )
+
+    a, b = str(tmp_path / "a.orc"), str(tmp_path / "b.orc")
+    po.write_table(pa.table({"x": pa.array([1, 2], pa.int64())}), a)
+    po.write_table(pa.table({"x": pa.array([5, 6], pa.int64())}), b)
+    merged = str(tmp_path / "m.orc")
+    orc_concat(merged, [a, b])
+    tm = read_orc_tail_path(merged)
+    assert 7 in tm["_raw_footer"]
+    xcol = tm["file_stats"][-1]
+    assert xcol["n_values"] == 4
+    assert (xcol["min"], xcol["max"]) == (1, 6)
 
 
 def test_zstd_chunk_bomb_is_bounded(tmp_path):
