@@ -102,6 +102,23 @@ def _read_source(spark: SparkSession, spec: PipelineSpec, ds: str | None) -> Dat
         raise NotImplementedError(
             "kafka batch source requires spark-sql-kafka jars; see sources/kafka.py"
         )
+    if src.type == "snapshot_cdf":
+        # incremental pipeline over a snapshot table (round 11): the
+        # batch change feed for versions (after_version, to_version] —
+        # (row..., change_type, version). A scheduled run passes the
+        # version it last consumed as after_version (template fields
+        # substitute like every other option); the streaming twin is
+        # spark.readStream.format("snapshot_cdf") (sources/cdf.py).
+        from ..sources.cdf import changes_between
+
+        return changes_between(
+            spark,
+            opts["path"],
+            after_version=int(opts.get("after_version", 0)),
+            to_version=(
+                int(opts["to_version"]) if "to_version" in opts else None
+            ),
+        )
     raise ValueError(f"unsupported source type: {src.type}")
 
 

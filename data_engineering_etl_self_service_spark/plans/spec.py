@@ -24,7 +24,14 @@ import yaml
 from ..operators.quality import KNOWN_CHECKS
 
 #: source kinds the compiler accepts (reference surface + engine extensions)
-SOURCE_TYPES = ("http_api", "file", "table", "synthetic_events", "kafka")
+SOURCE_TYPES = (
+    "http_api",
+    "file",
+    "table",
+    "synthetic_events",
+    "kafka",
+    "snapshot_cdf",
+)
 SINK_TYPES = ("parquet", "json", "snapshot", "rollup", "shards", "none")
 #: declarative transformation ops (compiled to DataFrame expressions —
 #: the reference has no transform stage at all; SURVEY §2.2 requires the

@@ -323,3 +323,38 @@ def test_cdf_to_snapshot_sink_handoff(spark, tmp_path):
     got = read_snapshot(spark, down)
     assert got.count() == 150
     assert got.filter(F.col("version") == 2).count() == 50
+
+
+def test_yaml_pipeline_snapshot_cdf_source(spark, tmp_path):
+    """The self-service face of the feed: a YAML pipeline whose SOURCE
+    is the change feed of a snapshot table — an incremental consumer
+    that publishes only what changed after the version it last saw."""
+    from data_engineering_etl_self_service_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from data_engineering_etl_self_service_spark.plans.spec import (
+        spec_from_dict,
+    )
+
+    base = _mk(spark, tmp_path)  # v1: 100 inserts, v2: 50 inserts
+    delete_where(spark, base, "id % 10 = 0")  # v3: 15 deletes
+    out = str(tmp_path / "published")
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "cdf_consumer"},
+            "source": {
+                "type": "snapshot_cdf",
+                "path": base,
+                "after_version": 1,
+            },
+            "destination": {"type": "parquet", "path": out},
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+        }
+    )
+    assert not spec.warnings
+    result = run_pipeline(spark, spec, ds="2026-01-01")
+    assert result.report.passed and result.published_path
+    got = spark.read.parquet(result.published_path)
+    assert _counts(got) == {("insert", 2): 50, ("delete", 3): 15}
