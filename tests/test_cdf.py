@@ -358,3 +358,42 @@ def test_yaml_pipeline_snapshot_cdf_source(spark, tmp_path):
     assert result.report.passed and result.published_path
     got = spark.read.parquet(result.published_path)
     assert _counts(got) == {("insert", 2): 50, ("delete", 3): 15}
+
+
+def test_maxversionsperbatch_paces_continuous_runs(spark, tmp_path):
+    """In a continuous (non-availableNow) run, maxversionsperbatch caps
+    how many committed versions one micro-batch may cover — a consumer
+    restarted against a long backlog drains it in bounded steps instead
+    of one giant batch."""
+    base = _mk(spark, tmp_path)  # v1, v2
+    write_snapshot(_df(spark, 200, 210), base, mode="append")  # v3
+    assert C.register_snapshot_cdf(spark)
+    batches: list[set[int]] = []
+
+    def _sink(df, batch_id):
+        vs = {r["version"] for r in df.select("version").distinct().collect()}
+        if vs:
+            batches.append(vs)
+
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", base)
+        .option("maxversionsperbatch", "1")
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if {v for b in batches for v in b} == {1, 2, 3}:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert {v for b in batches for v in b} == {1, 2, 3}
+    assert all(len(b) == 1 for b in batches)  # one version per batch
