@@ -6623,25 +6623,34 @@ def group_sample_topk(spark, sf_dir):
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled DuckDB twin of operators/graph.py:kcore_peel over the
     support->=2 co-purchase graph — one (degree, keep, filter) CTE
-    triple per peel round (the pagerank unrolling pattern)."""
+    triple per peel round (the pagerank unrolling pattern).
+
+    Every CTE is ``AS MATERIALIZED``: each ``e{r}`` is referenced
+    three times by the next round (degree agg + both IN subqueries),
+    so DuckDB's default CTE inlining re-evaluates the chain
+    exponentially in the round count — the plain form was 2 s at
+    sf0.01 but disk-spilled for >10 min at sf0.1; materialized it is
+    2 s there too (caught by the round-11 full sf0.1 sweep)."""
     ctes = [
-        """items AS (
+        """items AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)""",
-        """e0 AS (
+        """e0 AS MATERIALIZED (
       SELECT a.p AS u, b.p AS v
       FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
       GROUP BY a.p, b.p HAVING COUNT(*) >= 2)""",
     ]
     for r in range(rounds):
         ctes.append(
-            f"""d{r} AS (
+            f"""d{r} AS MATERIALIZED (
       SELECT n, COUNT(*) AS deg
       FROM (SELECT u AS n FROM e{r} UNION ALL SELECT v FROM e{r})
       GROUP BY n)"""
         )
-        ctes.append(f"k{r} AS (SELECT n FROM d{r} WHERE deg >= {k})")
         ctes.append(
-            f"""e{r + 1} AS (
+            f"k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"""e{r + 1} AS MATERIALIZED (
       SELECT u, v FROM e{r}
       WHERE u IN (SELECT n FROM k{r}) AND v IN (SELECT n FROM k{r}))"""
         )
