@@ -240,8 +240,9 @@ def changes_between(
     both sides. Maintenance commits contribute nothing."""
     committed = set(snapshot_versions(base_dir))
     frames: list[DataFrame] = []
-    head_cols = set(read_snapshot(spark, base_dir).limit(0).columns)
-    clash = {CHANGE_COL, VERSION_COL} & head_cols
+    head_schema = read_snapshot(spark, base_dir).limit(0).schema
+    head_cols = [f.name for f in head_schema]
+    clash = {CHANGE_COL, VERSION_COL} & set(head_cols)
     if clash:
         raise ValueError(
             f"snapshot table has reserved column(s) {sorted(clash)}"
@@ -287,7 +288,21 @@ def changes_between(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
-    return out
+    # the feed speaks the table's CURRENT schema, exactly like the
+    # streaming face (and Delta CDF): columns a later overwrite DROPPED
+    # do not resurrect in old versions' rows, columns it ADDED null-in
+    from pyspark.sql import functions as F
+
+    return out.select(
+        *[
+            F.col(f.name)
+            if f.name in out.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in head_schema
+        ],
+        CHANGE_COL,
+        VERSION_COL,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -591,12 +606,18 @@ try:  # pragma: no cover - import surface depends on pyspark minor version
                 ):
                     by_file.setdefault(fk, []).append(p)
                 for fk in sorted(by_file):
-                    data_abs = (
-                        fk if fk.startswith("/") else os.path.join(dir_abs, fk)
-                    )
+                    if fk.startswith("/"):
+                        data_abs, root = fk, os.path.dirname(fk)
+                    else:
+                        data_abs = os.path.join(dir_abs, fk)
+                        # the version DATA DIR is the key's first two
+                        # segments ('data/<uuid>') — hive partition
+                        # columns live in the path BELOW it and must
+                        # come back valued, not null-filled
+                        root = os.path.join(dir_abs, *fk.split("/")[:2])
                     yield from _emit_arrow(
                         data_abs,
-                        os.path.dirname(data_abs),
+                        root,
                         fmt,
                         "delete",
                         v,

@@ -397,3 +397,42 @@ def test_maxversionsperbatch_paces_continuous_runs(spark, tmp_path):
         q.stop()
     assert {v for b in batches for v in b} == {1, 2, 3}
     assert all(len(b) == 1 for b in batches)  # one version per batch
+
+
+def test_delete_vectors_on_partitioned_table_keep_partition_columns(
+    spark, tmp_path
+):
+    """delete_where works on hive-partitioned snapshots (the layout is
+    overwrite-only, deletes are vectors) — the feed's delete rows must
+    carry the path-encoded partition column VALUED, on both faces."""
+    base = str(tmp_path / "tbl")
+    write_snapshot(
+        _df(spark, 0, 60), base, mode="overwrite", partition_by=("grp",)
+    )
+    delete_where(spark, base, "grp = 3")
+    batch = C.changes_between(spark, base, after_version=1)
+    stream = _stream_all(spark, base, tmp_path, "pvec", startingversion="2")
+    _assert_parity(spark, batch, stream)
+    rows = stream.collect()
+    assert rows and all(
+        r["change_type"] == "delete" and r["grp"] == 3 for r in rows
+    )
+
+
+def test_dropped_column_speaks_head_schema_on_both_faces(spark, tmp_path):
+    """A later overwrite that DROPS a column must not resurrect it in
+    old versions' feed rows — the feed speaks the table's CURRENT
+    schema (Delta CDF semantics), identically on both faces."""
+    base = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.range(10).select("id", F.lit("gone").alias("tmp")),
+        base,
+        mode="overwrite",
+    )
+    write_snapshot(
+        spark.range(20, 25).select("id"), base, mode="overwrite"
+    )
+    batch = C.changes_between(spark, base)
+    assert set(batch.columns) == {"id", "change_type", "version"}
+    stream = _stream_all(spark, base, tmp_path, "drop")
+    _assert_parity(spark, batch, stream)
