@@ -14422,7 +14422,13 @@ def snapshot_change_feed(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # still running: reading the sink now would race the writer
+        # and hand the oracle a partial result that LOOKS complete
+        q.stop()
+        raise RuntimeError(
+            "snapshot_change_feed: availableNow drain exceeded 600 s"
+        )
     return (
         spark.read.parquet(out)
         .groupBy("change_type", "version")

@@ -96,17 +96,26 @@ def _classify_version(base_dir: str, v: int, committed: set[int]) -> dict:
     m = _read_manifest(base_dir, v)
     mode = m.get("mode")
     fmt = _table_format(m)
+    parent = _read_manifest(base_dir, v - 1) if (v - 1) in committed else None
+    if parent is None and v > 1 and v - 1 >= min(committed, default=v):
+        # versions are dense; a missing interior parent can't happen
+        raise FileNotFoundError(
+            f"snapshot v{v - 1} manifest missing at {base_dir}"
+        )
+    if parent is None and v > 1:
+        # v is the table's earliest retained version: emit its visible
+        # state as an initial snapshot (vectors of v applied). This
+        # check runs BEFORE the maintenance short-circuit — after the
+        # documented compact→vacuum maintenance pair the earliest
+        # retained version IS a maintenance commit, and classifying it
+        # 'none' would hand a from-the-beginning consumer an EMPTY
+        # feed (review r11: silent total loss on the standard
+        # maintenance schedule).
+        return {"kind": "initial", "manifest": m, "fmt": fmt}
     if mode in ("compact", "materialize") or m.get("maintenance"):
         return {"kind": "none", "manifest": m, "fmt": fmt}
-    parent = _read_manifest(base_dir, v - 1) if (v - 1) in committed else None
     if parent is None:
-        if v - 1 >= min(committed, default=v):
-            # versions are dense; a missing interior parent can't happen
-            raise FileNotFoundError(
-                f"snapshot v{v - 1} manifest missing at {base_dir}"
-            )
-        # v is the table's earliest retained version: emit its visible
-        # state as an initial snapshot (vectors of v applied)
+        # v == 1: the table's first commit, whatever its mode
         return {"kind": "initial", "manifest": m, "fmt": fmt}
     if mode == "append":
         prev = set(parent.get("data_dirs", []))
@@ -196,23 +205,40 @@ def _read_dirs(
 def _deleted_rows(
     spark: SparkSession, base_dir: str, info: dict
 ) -> DataFrame:
-    """The rows a ``delete`` commit killed: the version's data files
-    semi-joined against the NEW vectors on (file, pos) — broadcast
-    under the same cap as every vector reader. Prior vectors need no
-    application: ``delete_where`` computes matches through them, so a
-    new vector holds only rows that were visible at its parent."""
+    """The rows a ``delete`` commit killed: ONLY the data files the new
+    vectors reference (their distinct file keys are a bounded metadata
+    collect), semi-joined against the vectors on (file, pos) —
+    broadcast under the same cap as every vector reader. Reading whole
+    data dirs here would make a 100-row delete on a 100k-file version
+    cost a full table scan (review r11); the streaming face plans
+    per-referenced-file already. Prior vectors need no application:
+    ``delete_where`` computes matches through them, so a new vector
+    holds only rows that were visible at its parent."""
     from pyspark.sql import functions as F
 
     from .snapshots import _DV_FILE, _DV_POS, _rel_file_col
 
     m = info["manifest"]
-    raw = _read_dirs(spark, base_dir, m["data_dirs"], "parquet")
-    df = raw.withColumn(_DV_FILE, _rel_file_col(base_dir)).withColumn(
-        _DV_POS, F.col("_metadata.row_index")
-    )
     vecs = spark.read.parquet(
         *[os.path.join(base_dir, d) for d in info["new_vecs"]]
     ).select("file", "pos")
+    keys = [
+        r["file"] for r in vecs.select("file").distinct().collect()
+    ]
+    paths = [
+        k if k.startswith("/") else os.path.join(base_dir, k)
+        for k in sorted(keys)
+    ]
+    # basePath keeps hive partition columns discoverable when the
+    # referenced files live under key=value subdirs of the version dir
+    raw = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", base_dir)
+        .parquet(*paths)
+    )
+    df = raw.withColumn(_DV_FILE, _rel_file_col(base_dir)).withColumn(
+        _DV_POS, F.col("_metadata.row_index")
+    )
     if m.get("n_deleted", 0) <= _BROADCAST_DELETE_ROWS:
         vecs = F.broadcast(vecs)
     return df.join(
@@ -404,14 +430,21 @@ def _vector_pairs_for(vec_dirs_abs: tuple, file_keys: set) -> dict:
     import pyarrow.dataset as pads
 
     by_file: dict[str, list[int]] = {}
+    keys = sorted(file_keys)
     for vdir in vec_dirs_abs:
         ds = pads.dataset(vdir, format="parquet")
-        tbl = ds.to_table(columns=["file", "pos"])
-        files = tbl.column("file").to_pylist()
-        poss = tbl.column("pos").to_pylist()
-        for fk, p in zip(files, poss):
-            if fk in file_keys:
-                by_file.setdefault(fk, []).append(p)
+        # filter pushes into the parquet scan: each per-data-file task
+        # decodes only the row groups holding ITS keys instead of
+        # Python-iterating the whole vector set (review r11 — O(files
+        # × vector bytes) read amplification on initial snapshots)
+        tbl = ds.to_table(
+            columns=["file", "pos"],
+            filter=pads.field("file").isin(keys),
+        )
+        for fk, p in zip(
+            tbl.column("file").to_pylist(), tbl.column("pos").to_pylist()
+        ):
+            by_file.setdefault(fk, []).append(p)
     return by_file
 
 
@@ -565,28 +598,45 @@ try:  # pragma: no cover - import surface depends on pyspark minor version
                 )
             self.base_dir = path
             self.starting = int(options.get("startingversion", "1"))
-            # cap versions per micro-batch in continuous runs (0 = all
-            # pending; availableNow's single-batch plan ignores the cap
-            # by construction — latestOffset is called once there)
-            self.max_versions = int(options.get("maxversionsperbatch", "0"))
+            if "maxversionsperbatch" in options:
+                # deliberate non-feature (review r11): the Python
+                # source API exposes neither the start offset to
+                # latestOffset nor the trigger type, so ANY
+                # per-batch admission cap here is leaky — a capped
+                # cold offset regressed below the checkpoint and
+                # double-emitted on restart (confirmed), and a warm
+                # cap under availableNow's single-batch fallback
+                # silently STRANDS versions beyond the cap for that
+                # run (confirmed: reader objects can be reused warm
+                # across query starts). Offsets stay purely
+                # log-driven: latestOffset always reports the true
+                # head, every batch covers exactly (start, end].
+                raise ValueError(
+                    "snapshot_cdf does not support "
+                    "maxversionsperbatch: per-batch admission "
+                    "control cannot be made exactly-once through "
+                    "the Python data source API (no start offset "
+                    "at latestOffset time). Pace consumers with "
+                    "trigger intervals instead."
+                )
             self.target_schema = target_schema
-            self._cur = self.starting - 1
+            self._floor = self.starting - 1
 
         def initialOffset(self) -> dict:
             return {"version": self.starting - 1}
 
         def latestOffset(self) -> dict:
+            # ALWAYS the true head: a stateless, monotone offset can
+            # neither regress below a checkpoint (duplicates) nor lag
+            # it (stranded versions) whatever Spark does with reader
+            # instances across (re)starts
             vs = snapshot_versions(self.base_dir)
-            latest = vs[-1] if vs else self._cur
-            if self.max_versions > 0:
-                latest = min(latest, self._cur + self.max_versions)
-            self._cur = max(self._cur, latest)
-            return {"version": self._cur}
+            self._floor = max(self._floor, vs[-1] if vs else 0)
+            return {"version": self._floor}
 
         def partitions(self, start: dict, end: dict):
             lo, hi = int(start["version"]), int(end["version"])
-            if hi < lo:  # post-restart in-memory counter behind offset log
-                self._cur = max(self._cur, lo)
+            if hi < lo:  # defensive: never plan a regressing range
                 hi = lo
             return [
                 _CDFPartition(s)
@@ -605,15 +655,19 @@ try:  # pragma: no cover - import surface depends on pyspark minor version
                     tbl.column("pos").to_pylist(),
                 ):
                     by_file.setdefault(fk, []).append(p)
+                import re as _re
+
                 for fk in sorted(by_file):
+                    # the version DATA DIR is the 'data/<uuid>' prefix
+                    # of the key (relative OR absolute) — hive
+                    # partition columns live in the path BELOW it and
+                    # must come back valued, not null-filled
                     if fk.startswith("/"):
-                        data_abs, root = fk, os.path.dirname(fk)
+                        data_abs = fk
+                        m = _re.match(r"^(.*/data/[^/]+)/", fk)
+                        root = m.group(1) if m else os.path.dirname(fk)
                     else:
                         data_abs = os.path.join(dir_abs, fk)
-                        # the version DATA DIR is the key's first two
-                        # segments ('data/<uuid>') — hive partition
-                        # columns live in the path BELOW it and must
-                        # come back valued, not null-filled
                         root = os.path.join(dir_abs, *fk.split("/")[:2])
                     yield from _emit_arrow(
                         data_abs,
@@ -654,14 +708,17 @@ try:  # pragma: no cover - import surface depends on pyspark minor version
             )
 
         def commit(self, end: dict) -> None:
-            self._cur = max(self._cur, int(end["version"]))
+            self._floor = max(self._floor, int(end["version"]))
 
     class SnapshotCDFDataSource(DataSource):
         """``spark.readStream.format("snapshot_cdf")`` with options
-        ``path`` (table dir, required), ``startingversion`` (first
+        ``path`` (table dir, required) and ``startingversion`` (first
         version to include; default 1 = table start → initial
-        snapshot), ``maxversionsperbatch`` (continuous-run batch cap;
-        0 = all pending)."""
+        snapshot). Each micro-batch covers every version committed
+        since the last batch; pace consumers with trigger intervals
+        (``maxversionsperbatch`` is a deliberate, LOUD non-feature —
+        see the reader's constructor for why per-batch admission
+        control cannot be exactly-once through this API)."""
 
         @classmethod
         def name(cls) -> str:

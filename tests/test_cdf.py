@@ -360,13 +360,15 @@ def test_yaml_pipeline_snapshot_cdf_source(spark, tmp_path):
     assert _counts(got) == {("insert", 2): 50, ("delete", 3): 15}
 
 
-def test_maxversionsperbatch_paces_continuous_runs(spark, tmp_path):
-    """In a continuous (non-availableNow) run, maxversionsperbatch caps
-    how many committed versions one micro-batch may cover — a consumer
-    restarted against a long backlog drains it in bounded steps instead
-    of one giant batch."""
-    base = _mk(spark, tmp_path)  # v1, v2
-    write_snapshot(_df(spark, 200, 210), base, mode="append")  # v3
+def test_continuous_run_tails_new_versions(spark, tmp_path):
+    """A continuous (processingTime) run picks up versions committed
+    WHILE it runs, each exactly once; offsets are purely log-driven
+    (the stateless-latestOffset contract that survives reader reuse
+    across query starts)."""
+    import time
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 50), base, mode="overwrite")  # v1
     assert C.register_snapshot_cdf(spark)
     batches: list[set[int]] = []
 
@@ -378,7 +380,6 @@ def test_maxversionsperbatch_paces_continuous_runs(spark, tmp_path):
     q = (
         spark.readStream.format("snapshot_cdf")
         .option("path", base)
-        .option("maxversionsperbatch", "1")
         .load()
         .writeStream.foreachBatch(_sink)
         .option("checkpointLocation", str(tmp_path / "ck"))
@@ -386,8 +387,13 @@ def test_maxversionsperbatch_paces_continuous_runs(spark, tmp_path):
         .start()
     )
     try:
-        import time
-
+        deadline = time.time() + 60
+        while time.time() < deadline and not batches:
+            time.sleep(1)
+        assert batches and batches[0] == {1}
+        for lo in (100, 200):  # v2, v3 while the stream runs
+            write_snapshot(_df(spark, lo, lo + 10), base, mode="append")
+            time.sleep(2)
         deadline = time.time() + 120
         while time.time() < deadline:
             if {v for b in batches for v in b} == {1, 2, 3}:
@@ -396,7 +402,31 @@ def test_maxversionsperbatch_paces_continuous_runs(spark, tmp_path):
     finally:
         q.stop()
     assert {v for b in batches for v in b} == {1, 2, 3}
-    assert all(len(b) == 1 for b in batches)  # one version per batch
+    # exactly once: no version appears in two batches
+    seen = [v for b in batches for v in b]
+    assert len(seen) == len(set(seen))
+
+
+def test_maxversionsperbatch_is_a_loud_non_feature(spark, tmp_path):
+    """Per-batch admission control cannot be exactly-once through the
+    Python source API (review r11: a capped cold offset regressed
+    below the checkpoint and double-emitted; a warm cap under
+    availableNow's single-batch fallback stranded versions) — asking
+    for it must fail LOUDLY, never silently mis-deliver."""
+    base = _mk(spark, tmp_path)
+    assert C.register_snapshot_cdf(spark)
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", base)
+        .option("maxversionsperbatch", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_capped")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="maxversionsperbatch"):
+        q.awaitTermination(300)
 
 
 def test_delete_vectors_on_partitioned_table_keep_partition_columns(
