@@ -319,7 +319,19 @@ def main() -> None:
     # the timed region — normalization can correct a STEADY slowdown,
     # so persistent spread flags the output tainted instead of
     # publishing noise as a round-over-round signal.
-    _calibrate(spark)  # JIT warm-up for the probe itself
+    # Warm the probe to CONVERGENCE, not a fixed once: the probe's wall
+    # keeps dropping through the JVM's tiered JIT ramp (measured r11:
+    # an idle run's three points read 0.558 → 0.486 → 0.463 — a
+    # monotone ~20% warmth decay that tripped the taint gate while the
+    # per-pass NORMALIZED cores of two such runs agreed within 2%).
+    # The probe must measure MACHINE load, not JVM ramp — iterate until
+    # two consecutive medians agree within 3% (bounded), then measure.
+    prev = _calibrate(spark)
+    for _ in range(5):
+        cur = _calibrate(spark)
+        if abs(cur - prev) / prev <= 0.03:
+            break
+        prev = cur
     cals = [_calibrate(spark)]
     _time_set(CORE)
     cals.append(_calibrate(spark))
