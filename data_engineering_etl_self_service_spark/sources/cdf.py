@@ -764,6 +764,93 @@ except ImportError:  # pragma: no cover
     HAVE_CDF_DATASOURCE = False
 
 
+def replicate_snapshot(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+) -> None:
+    """Maintain ``dst_dir`` as a REPLICA of ``src_dir`` by tailing its
+    change feed — the apply side of CDC, closing the loop the
+    reference's Kafka consumer only gestured at (ref:
+    dags/kafka_stream.py:87-92 recovered): downstream stays convergent
+    through appends, row-level deletes, AND full restatements, with
+    exactly-once application across restarts (Spark's checkpoint
+    carries the feed position; the replica's manifest ``batch_id``
+    guard drops replayed batches, the ``snapshot_batch_sink`` recipe).
+
+    ``key_cols`` must uniquely identify upstream rows (replication is
+    keyed application; a key-less multiset has no well-defined replica
+    under out-of-order batch folding). Each micro-batch reduces to ONE
+    action per key (latest version wins; at the same version a
+    restatement's insert beats its delete), then applies as one
+    anti-join + union + atomic overwrite of the replica — the
+    copy-on-write merge cost contract, one shuffle on the key per
+    batch, never a rescan of historical batches. Drains everything
+    committed and returns (``availableNow``); call again to catch up."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .snapshots import last_committed_batch, write_snapshot
+
+    register_snapshot_cdf(spark)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        # replay guard — EXCEPT for batch 0: batch ids restart per
+        # checkpoint, so a re-sync under a fresh checkpoint always
+        # arrives as batch 0 and a guard keyed on the old run's ids
+        # would silently skip it (leaving the replica stale forever).
+        # Batch 0 is safe unguarded: it applies as a full restatement
+        # (overwrite of the replica from the batch alone), which is
+        # idempotent under crash-replay.
+        last = last_committed_batch(dst_dir)
+        if batch_id > 0 and last is not None and batch_id <= last:
+            return  # replayed epoch — already durable
+        # one action per key: latest version wins; 'insert' > 'delete'
+        # lexicographically, so DESC breaks a restatement's same-version
+        # delete+insert pair toward the new row
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(VERSION_COL), F.desc(CHANGE_COL)
+        )
+        act = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        inserts = act.filter(
+            F.col(CHANGE_COL) == "insert"
+        ).drop(CHANGE_COL, VERSION_COL)
+        if batch_id == 0 or not snapshot_versions(dst_dir):
+            # batch 0 is the first batch of a FRESH checkpoint — a
+            # (re-)sync whose feed starts from the consumer's declared
+            # beginning (an initial snapshot when history expired).
+            # Folding it into pre-existing replica state would keep
+            # stale rows the expired window deleted upstream; the
+            # replica restates from the batch alone.
+            new = inserts
+        else:
+            base = read_snapshot(spark, dst_dir)
+            touched = act.select(*key_cols)
+            new = base.join(touched, key_cols, "left_anti").unionByName(
+                inserts, allowMissingColumns=True
+            )
+        write_snapshot(
+            new, dst_dir, mode="overwrite", meta={"batch_id": batch_id}
+        )
+
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", src_dir)
+        .load()
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def register_snapshot_cdf(spark: SparkSession) -> bool:
     """Register the ``snapshot_cdf`` streaming format; returns
     availability (False only on pyspark builds without the Python

@@ -466,3 +466,65 @@ def test_dropped_column_speaks_head_schema_on_both_faces(spark, tmp_path):
     assert set(batch.columns) == {"id", "change_type", "version"}
     stream = _stream_all(spark, base, tmp_path, "drop")
     _assert_parity(spark, batch, stream)
+
+
+def test_replicate_snapshot_converges_through_all_change_kinds(
+    spark, tmp_path
+):
+    """The apply side of CDC: a downstream replica tails the upstream
+    feed through appends, row-level deletes, a silent maintenance
+    compaction, a full restatement, and more appends — and converges
+    to the upstream head exactly, resumably, with replay protection."""
+    src = _mk(spark, tmp_path)  # v1, v2
+    delete_where(spark, src, "id % 4 = 0")  # v3
+    dst, ck = str(tmp_path / "replica"), str(tmp_path / "ck_rep")
+
+    def _rows(base):
+        return sorted(
+            tuple(r)
+            for r in read_snapshot(spark, base)
+            .select("id", "grp", "name")
+            .collect()
+        )
+
+    C.replicate_snapshot(spark, src, dst, ck, key_cols=["id"])
+    assert _rows(dst) == _rows(src)
+    # more history: maintenance (silent), restatement, append
+    compact_snapshot(spark, src)  # v4
+    write_snapshot(_df(spark, 500, 520), src, mode="overwrite")  # v5
+    write_snapshot(_df(spark, 600, 605), src, mode="append")  # v6
+    C.replicate_snapshot(spark, src, dst, ck, key_cols=["id"])
+    assert _rows(dst) == _rows(src)
+    # replay protection: no new versions → the replica does not commit
+    head = snapshot_versions(dst)[-1]
+    C.replicate_snapshot(spark, src, dst, ck, key_cols=["id"])
+    assert snapshot_versions(dst)[-1] == head
+
+
+def test_replica_resync_with_fresh_checkpoint_drops_stale_rows(
+    spark, tmp_path
+):
+    """A replica re-synced with a FRESH checkpoint after upstream
+    history expired must restate from the initial snapshot — stale
+    replica rows the expired window deleted upstream must not survive
+    the keyed fold."""
+    src = _mk(spark, tmp_path)  # v1, v2: 150 rows
+    dst = str(tmp_path / "replica")
+    C.replicate_snapshot(
+        spark, src, dst, str(tmp_path / "ck1"), key_cols=["id"]
+    )
+    assert read_snapshot(spark, dst).count() == 150
+    # upstream deletes + history expiry while the replica is offline
+    delete_where(spark, src, "id < 50")  # v3
+    vacuum(src, keep_last=1)
+    # old checkpoint: caught-up-consumer expiry is LOUD
+    with pytest.raises(Exception, match="history expired"):
+        C.replicate_snapshot(
+            spark, src, dst, str(tmp_path / "ck1"), key_cols=["id"]
+        )
+    # fresh checkpoint: full re-sync — the 50 dead rows disappear
+    C.replicate_snapshot(
+        spark, src, dst, str(tmp_path / "ck2"), key_cols=["id"]
+    )
+    got = read_snapshot(spark, dst)
+    assert got.count() == 100 and got.filter("id < 50").count() == 0
