@@ -12816,20 +12816,10 @@ def lake_audit(spark, sf_dir):
     size); its rollups shuffle one row per file and per file-column —
     auditing a 100 TB lake moves MBs.
     """
-    import os
-    import shutil
-    from pathlib import Path
 
     from .operators.parquet_meta import lake_audit_report
 
-    out_dir = str(
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "lake_audit"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = _scratch_dir("lake_audit")
 
     d = (
         _t(spark, sf_dir, "documents")
@@ -12940,20 +12930,10 @@ def scan_pruning(spark, sf_dir):
     WITHOUT scanning it, the question clustering/Z-order decisions
     hang on.
     """
-    import os
-    import shutil
-    from pathlib import Path
 
     from .operators.parquet_meta import pruning_report
 
-    out_dir = str(
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "scan_pruning"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = _scratch_dir("scan_pruning")
 
     d = (
         _t(spark, sf_dir, "documents")
@@ -13089,20 +13069,10 @@ def scan_pruning_pages(spark, sf_dir):
     measures whether a layout's intra-file ordering serves a predicate
     (the clustering decision one level below lake_audit/scan_pruning).
     """
-    import os
-    import shutil
-    from pathlib import Path
 
     from .operators.parquet_meta import page_pruning_report
 
-    out_dir = str(
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "scan_pruning_pages"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = _scratch_dir("scan_pruning_pages")
 
     d = (
         _t(spark, sf_dir, "documents")
@@ -13248,20 +13218,10 @@ def scan_pruning_typed(spark, sf_dir):
     Scale: identical footer-bytes-only I/O posture as scan_pruning;
     string/double/null stats are what real lakes key on (ds strings,
     event-time doubles, sparse optional columns)."""
-    import os
-    import shutil
-    from pathlib import Path
 
     from .operators.parquet_meta import pruning_report
 
-    out_dir = str(
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "scan_pruning_typed"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = _scratch_dir("scan_pruning_typed")
 
     d = (
         _t(spark, sf_dir, "documents")
@@ -13364,20 +13324,10 @@ def bloom_point_lookup(spark, sf_dir):
     Scale: footer + bloom-bytes-only ranged reads (~1.2 bytes per
     distinct value); a 100 TB point-lookup audit moves MBs.
     """
-    import os
-    import shutil
-    from pathlib import Path
 
     from .operators.parquet_bloom import bloom_skipping_report
 
-    out_dir = str(
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "bloom_point_lookup"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = _scratch_dir("bloom_point_lookup")
 
     d = (
         _t(spark, sf_dir, "documents")
@@ -13503,20 +13453,10 @@ def encoding_audit(spark, sf_dir):
     Scale: the lake_audit I/O posture — footer bytes only, one
     shuffled row per file x column.
     """
-    import os
-    import shutil
-    from pathlib import Path
 
     from .operators.parquet_meta import encoding_report
 
-    out_dir = str(
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "encoding_audit"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = _scratch_dir("encoding_audit")
 
     d = (
         _t(spark, sf_dir, "documents")
@@ -13620,20 +13560,10 @@ def clustering_depth(spark, sf_dir):
     partition-keyed window — auditing a 100 TB lake shuffles
     file-count rows.
     """
-    import os
-    import shutil
-    from pathlib import Path
 
     from .operators.parquet_meta import clustering_report
 
-    out_dir = str(
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "clustering_depth"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = _scratch_dir("clustering_depth")
 
     d = (
         _t(spark, sf_dir, "documents")
@@ -13744,8 +13674,6 @@ def skip_index_scan(spark, sf_dir):
     row-group pruning inside survivors is unchanged.
     """
     import os
-    import shutil
-    from pathlib import Path
 
     from .operators.skipindex import (
         build_skip_index,
@@ -13753,15 +13681,9 @@ def skip_index_scan(spark, sf_dir):
         scan_file_counts,
     )
 
-    base = (
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "skip_index_scan"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    out_dir = str(base / "lake")
-    ix_dir = str(base / "index")
-    shutil.rmtree(str(base), ignore_errors=True)
+    base = _scratch_dir("skip_index_scan")
+    out_dir = os.path.join(base, "lake")
+    ix_dir = os.path.join(base, "index")
     os.makedirs(out_dir, exist_ok=True)
 
     d = (
@@ -13979,21 +13901,12 @@ def orc_scan_pruning(spark, sf_dir):
     format makes possible.
     """
     import os
-    import shutil
-    from pathlib import Path
 
     from .operators.orc_meta import orc_concat, orc_pruning_report
 
-    scratch = (
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "orc_scan_pruning"
-    )
-    sf_name = Path(sf_dir.rstrip("/")).name
-    out_dir = str(scratch / sf_name)
-    stage_dir = str(scratch / (sf_name + "_stage"))
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(stage_dir, ignore_errors=True)
+    scratch = _scratch_dir("orc_scan_pruning")
+    out_dir = os.path.join(scratch, "lake")
+    stage_dir = os.path.join(scratch, "stage")
     os.makedirs(out_dir, exist_ok=True)
 
     d = (
@@ -14089,8 +14002,7 @@ def snapshot_row_deletes(spark, sf_dir):
     data. Readers pay a map-side broadcast anti-join until compaction
     materializes the vectors.
     """
-    import shutil
-    from pathlib import Path
+    import os
 
     from .sources.snapshots import (
         delete_where,
@@ -14098,13 +14010,7 @@ def snapshot_row_deletes(spark, sf_dir):
         write_snapshot,
     )
 
-    base = str(
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "snapshot_row_deletes"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = os.path.join(_scratch_dir("snapshot_row_deletes"), "tbl")
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
@@ -14181,20 +14087,10 @@ def orc_scan_pruning_granules(spark, sf_dir):
     stats couldn't rule out (the marginal-cost posture of the parquet
     page audit); everything stays tail+index bytes, KB per file.
     """
-    import os
-    import shutil
-    from pathlib import Path
 
     from .operators.orc_meta import orc_granule_pruning_report
 
-    out_dir = str(
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "orc_scan_pruning_granules"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = _scratch_dir("orc_scan_pruning_granules")
 
     d = (
         _t(spark, sf_dir, "documents")
@@ -14276,8 +14172,7 @@ def orc_snapshot_scan(spark, sf_dir):
     LOUD boundary on ORC tables (no ``_metadata.row_index`` in this
     Spark build) — pinned in tests/test_orc_snapshots.py.
     """
-    import shutil
-    from pathlib import Path
+    import os
 
     from .sources.snapshots import (
         compact_snapshot,
@@ -14285,13 +14180,7 @@ def orc_snapshot_scan(spark, sf_dir):
         write_snapshot,
     )
 
-    base = str(
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "orc_snapshot_scan"
-        / Path(sf_dir.rstrip("/")).name
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = os.path.join(_scratch_dir("orc_snapshot_scan"), "tbl")
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -14380,8 +14269,7 @@ def snapshot_change_feed(spark, sf_dir):
     and Spark's checkpoint carries the consumer position across
     restarts (crash-resume pinned in tests/test_cdf.py).
     """
-    import shutil
-    from pathlib import Path
+    import os
 
     from .sources.cdf import register_snapshot_cdf
     from .sources.snapshots import (
@@ -14390,14 +14278,16 @@ def snapshot_change_feed(spark, sf_dir):
         write_snapshot,
     )
 
-    root = (
-        Path(__file__).resolve().parents[1]
-        / ".scratch"
-        / "snapshot_change_feed"
-        / Path(sf_dir.rstrip("/")).name
+    # process-scoped scratch (ADVICE r11): a repo-level dir shared
+    # across processes let two concurrent bench/oracle runs at the same
+    # SF rmtree each other's live table mid-stream; scratch_dir is
+    # keyed by PID and generation-suffixed per call
+    root = _scratch_dir("snapshot_change_feed")
+    base, ck, out = (
+        os.path.join(root, "tbl"),
+        os.path.join(root, "ck"),
+        os.path.join(root, "out"),
     )
-    shutil.rmtree(root, ignore_errors=True)
-    base, ck, out = str(root / "tbl"), str(root / "ck"), str(root / "out")
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"

@@ -218,6 +218,8 @@ def _deleted_rows(
 
     from .snapshots import _DV_FILE, _DV_POS, _rel_file_col
 
+    import re
+
     m = info["manifest"]
     vecs = spark.read.parquet(
         *[os.path.join(base_dir, d) for d in info["new_vecs"]]
@@ -225,20 +227,50 @@ def _deleted_rows(
     keys = [
         r["file"] for r in vecs.select("file").distinct().collect()
     ]
-    paths = [
-        k if k.startswith("/") else os.path.join(base_dir, k)
-        for k in sorted(keys)
-    ]
-    # basePath keeps hive partition columns discoverable when the
-    # referenced files live under key=value subdirs of the version dir
-    raw = (
-        spark.read.option("mergeSchema", "true")
-        .option("basePath", base_dir)
-        .parquet(*paths)
-    )
-    df = raw.withColumn(_DV_FILE, _rel_file_col(base_dir)).withColumn(
-        _DV_POS, F.col("_metadata.row_index")
-    )
+    # keys are relative to the table root when either root-strip fired
+    # at write time, absolute otherwise (symlink/mount spellings —
+    # _rel_file_col). An absolute key is NOT under basePath=base_dir,
+    # so reading it there raises AnalysisException; mirror the
+    # streaming face (read(), delete_vec branch — ADVICE r11): group
+    # absolute keys by their 'data/<uuid>' version-dir prefix and read
+    # each group under THAT root, so hive partition columns below it
+    # still discover. basePath keeps those columns discoverable when
+    # the referenced files live under key=value subdirs.
+    rel_keys = sorted(k for k in keys if not k.startswith("/"))
+    by_root: dict[str, list[str]] = {}
+    for k in sorted(keys):
+        if k.startswith("/"):
+            mt = re.match(r"^(.*/data/[^/]+)/", k)
+            root = mt.group(1) if mt else os.path.dirname(k)
+            by_root.setdefault(root, []).append(k)
+
+    def _lineage(raw: DataFrame) -> DataFrame:
+        # _metadata is a hidden SCAN column: it must materialize into
+        # real columns per read, BEFORE any union
+        return raw.withColumn(
+            _DV_FILE, _rel_file_col(base_dir)
+        ).withColumn(_DV_POS, F.col("_metadata.row_index"))
+
+    frames = []
+    if rel_keys:
+        frames.append(
+            _lineage(
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", base_dir)
+                .parquet(*[os.path.join(base_dir, k) for k in rel_keys])
+            )
+        )
+    for root in sorted(by_root):
+        frames.append(
+            _lineage(
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", root)
+                .parquet(*by_root[root])
+            )
+        )
+    df = frames[0]
+    for fdf in frames[1:]:
+        df = df.unionByName(fdf, allowMissingColumns=True)
     if m.get("n_deleted", 0) <= _BROADCAST_DELETE_ROWS:
         vecs = F.broadcast(vecs)
     return df.join(
@@ -316,12 +348,16 @@ def changes_between(
         out = out.unionByName(f, allowMissingColumns=True)
     # the feed speaks the table's CURRENT schema, exactly like the
     # streaming face (and Delta CDF): columns a later overwrite DROPPED
-    # do not resurrect in old versions' rows, columns it ADDED null-in
+    # do not resurrect in old versions' rows, columns it ADDED null-in,
+    # and columns whose TYPE drifted (int widened to bigint by a later
+    # overwrite) cast to the head's type even when the requested range
+    # ends before the drift — the streaming face casts every column
+    # through Arrow already (ADVICE r11)
     from pyspark.sql import functions as F
 
     return out.select(
         *[
-            F.col(f.name)
+            F.col(f.name).cast(f.dataType).alias(f.name)
             if f.name in out.columns
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in head_schema
@@ -851,6 +887,11 @@ def replicate_snapshot(
     q.awaitTermination()
 
 
+#: one-shot guard for the by-value registration below — the effect is
+#: process-global, so repeated registration only re-pays the bookkeeping
+_PICKLE_BY_VALUE_DONE = False
+
+
 def register_snapshot_cdf(spark: SparkSession) -> bool:
     """Register the ``snapshot_cdf`` streaming format; returns
     availability (False only on pyspark builds without the Python
@@ -862,21 +903,39 @@ def register_snapshot_cdf(spark: SparkSession) -> bool:
     does exactly that) would ship class references the workers can't
     import. Registering the module for BY-VALUE cloudpickle
     serialization makes the source self-contained on the wire, the
-    same way ``__main__``-defined sources already are."""
+    same way ``__main__``-defined sources already are.
+
+    SCOPE NOTE (ADVICE r11): ``register_pickle_by_value`` is
+    PROCESS-GLOBAL for Spark's serializer — after this call, EVERY
+    pickled closure in the session that references the ``cdf`` or
+    ``snapshots`` modules (any snapshot UDF/foreachBatch path) ships
+    those two modules by value instead of by reference, adding their
+    source (~100 KB) to each such task payload. That is the price of
+    supporting bare-``sys.path`` drivers; deployments that install
+    this package on workers (pip / ``--py-files``) can skip this
+    registration and use ``spark.dataSource.register(
+    SnapshotCDFDataSource)`` directly. The registration runs ONCE per
+    process; no other module is registered by value."""
     if not HAVE_CDF_DATASOURCE:
         return False
-    try:
-        from pyspark import cloudpickle as _cp  # Spark's own serializer
-    except ImportError:  # pragma: no cover
-        import cloudpickle as _cp  # type: ignore[no-redef]
-    import sys
+    global _PICKLE_BY_VALUE_DONE
+    if not _PICKLE_BY_VALUE_DONE:
+        try:
+            from pyspark import cloudpickle as _cp  # Spark's serializer
+        except ImportError:  # pragma: no cover
+            import cloudpickle as _cp  # type: ignore[no-redef]
+        import sys
 
-    for modname in (__name__, __name__.rsplit(".", 1)[0] + ".snapshots"):
-        mod = sys.modules.get(modname)
-        if mod is not None:
-            try:
-                _cp.register_pickle_by_value(mod)
-            except Exception:  # pragma: no cover - older cloudpickle
-                pass
+        for modname in (
+            __name__,
+            __name__.rsplit(".", 1)[0] + ".snapshots",
+        ):
+            mod = sys.modules.get(modname)
+            if mod is not None:
+                try:
+                    _cp.register_pickle_by_value(mod)
+                except Exception:  # pragma: no cover - older cloudpickle
+                    pass
+        _PICKLE_BY_VALUE_DONE = True
     spark.dataSource.register(SnapshotCDFDataSource)
     return True
