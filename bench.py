@@ -195,6 +195,9 @@ EXTENDED = [
     # round 11: streaming change-data-feed source over snapshot tables
     # (Delta CDF analog — offsets are committed versions)
     "snapshot_change_feed",
+    # round 12: delta-applied downstream replica (keyed reconciliation
+    # + merge-on-read apply — per-batch cost proportional to the diff)
+    "snapshot_replica",
 ]
 
 HEADLINE = CORE + EXTENDED

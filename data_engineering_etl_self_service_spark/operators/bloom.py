@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..runtime import truncate_lineage
 
 
 def build_key_bloom(
@@ -63,7 +64,7 @@ def build_key_bloom(
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
-    return out.localCheckpoint(eager=True) if materialize else out
+    return out.transform(truncate_lineage) if materialize else out
 
 
 def bloom_probe(

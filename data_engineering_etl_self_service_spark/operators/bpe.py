@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..runtime import truncate_lineage
 
 #: fold-accumulator symbol delimiter: ASCII unit separator. Words
 #: containing it are excluded from training (see module docstring).
@@ -120,7 +121,7 @@ def bpe_train(
             break  # the final round's fold result would never be read
         nxt = syms.select(
             "w", "c", _merge_fold(x, y, merged)("sym").alias("sym")
-        ).localCheckpoint()
+        ).transform(truncate_lineage)
         syms.unpersist()
         syms = nxt
     syms.unpersist()
@@ -216,7 +217,7 @@ def wordpiece_train(
             break
         nxt = syms.select(
             "w", "c", _merge_fold(x, y, x + y)("sym").alias("sym")
-        ).localCheckpoint()
+        ).transform(truncate_lineage)
         syms.unpersist()
         syms = nxt
     syms.unpersist()

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, tokens
 from ..functions.vector import cosine
+from ..runtime import truncate_lineage
 
 
 # ---------------------------------------------------------------- exact
@@ -641,7 +642,7 @@ def components_from_pairs(
     # the loop's lineage, then drop the caches it left behind. The count
     # is free (the checkpoint just materialized the rows) and drives the
     # parallelism decision below.
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(truncate_lineage)
     n_pairs = pairs.count()
     for dep in getattr(pairs, "_cached_deps", []):
         dep.unpersist()
@@ -699,7 +700,7 @@ def components_from_pairs(
         # the pair SLICE.
         new_labels = (
             new_labels.coalesce(1) if small else new_labels
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_lineage)
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
@@ -809,7 +810,7 @@ def duplicate_span_extents(
     )
     if not materialize:
         return out
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(truncate_lineage)
     sh.unpersist()
     return out
 
@@ -932,7 +933,7 @@ def scrub_duplicate_spans(
     )
     if not materialize:
         return out
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(truncate_lineage)
     w.unpersist()
     return out
 
@@ -1150,7 +1151,7 @@ def jaccard_prefix_pairs(
         diff = sig_cands.join(_verify(sig_pairs), ["sig_lo", "sig_hi"])
         out = (
             same.unionByName(diff.select("doc_a", "doc_b", "jaccard"))
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         sig_cands.unpersist()
         sh.unpersist()
@@ -1182,7 +1183,7 @@ def jaccard_prefix_pairs(
     # are skinny fixed-width (doc_a, doc_b, jaccard), so block-manager
     # residency is cheap even at tens of millions of pairs, and the
     # returned DataFrame stays valid for the caller's whole session.
-    out = spark.read.parquet(f"{outdir}/pairs").localCheckpoint()
+    out = spark.read.parquet(f"{outdir}/pairs").transform(truncate_lineage)
     chunked.unpersist()
     reps.unpersist()
     sig_cands.unpersist()
@@ -1379,7 +1380,7 @@ def srp_lsh_pairs(
     )
     if not materialize:
         return out
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(truncate_lineage)
     hashed.unpersist()
     q.unpersist()
     return out

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..runtime import truncate_lineage
 
 SCALE = 1_000_000_000  # 1e-9 fixed point for ranks
 
@@ -163,10 +164,10 @@ def pagerank_fixedpoint(
             ).alias("rank"),
         )
         if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(truncate_lineage)
     # materialize BEFORE dropping the caches: the returned plan must not
     # recompute the upstream edge aggregation at the caller's first action
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(truncate_lineage)
     e.unpersist()
     nodes.unpersist()
     return ranks
@@ -394,7 +395,7 @@ def triangle_counts(
         agg = credits.groupBy("node").agg(F.sum("c").alias("n_tri"))
         if not eager:
             return agg
-        out = agg.localCheckpoint()
+        out = agg.transform(truncate_lineage)
         oe.unpersist()
         e.unpersist()
         return out
@@ -418,7 +419,7 @@ def triangle_counts(
     )
     if not eager:
         return agg
-    out = agg.localCheckpoint()  # materialize so the persist can be released
+    out = agg.transform(truncate_lineage)  # materialize so the persist can be released
     oe.unpersist()
     e.unpersist()
     return out
@@ -454,7 +455,7 @@ def kcore_peel(
             F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
 
     def degrees(ed: DataFrame) -> DataFrame:
@@ -471,7 +472,7 @@ def kcore_peel(
             e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
     return degrees(e).select(F.col("n").alias("node"), "deg")
 
@@ -499,13 +500,13 @@ def bfs_hops(
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     dist = nodes.select(
         "node",
@@ -525,7 +526,7 @@ def bfs_hops(
             .agg(F.min("d").alias("d"))
             .join(nodes, "node", "right")
             .select("node", "d")
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
     return dist.filter(F.col("d").isNotNull()).select(
         "node", F.col("d").alias("hops")
@@ -558,13 +559,13 @@ def bellman_ford(
         )
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     dist = nodes.select(
         "node",
@@ -584,7 +585,7 @@ def bellman_ford(
             .agg(F.min("d").alias("d"))
             .join(nodes, "node", "right")
             .select("node", "d")
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
     return dist.filter(F.col("d").isNotNull()).select(
         "node", F.col("d").alias("cost")

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import struct
 from functools import lru_cache as _lru_cache
+from ..runtime import truncate_lineage
 
 # Thrift compact element types
 _STOP = 0
@@ -738,7 +739,7 @@ def lake_audit_report(
     # after a compaction rewrote it (caught by the round-8
     # audit→compact→re-audit test). Per-file rows are KBs at any lake
     # size.
-    f = f.localCheckpoint(eager=True)
+    f = f.transform(truncate_lineage)
     base = f.groupBy("partition").agg(
         F.count("*").alias("n_files"),
         F.sum("bytes").alias("total_bytes"),
@@ -1120,7 +1121,7 @@ def clustering_report(
     # materialize it once so the lake is listed and footers decoded
     # once, and a re-audit after a rewrite can't see stale cache
     # (the lake_audit_report discipline; rows are KBs at any size)
-    per_file = per_file.localCheckpoint(eager=True)
+    per_file = per_file.transform(truncate_lineage)
     # one event row per window edge; starts sort before ends at equal
     # coordinates so touching windows register as overlapping
     statted = per_file.filter("statted")

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from ..runtime import truncate_lineage
 
 _SHARD = "__shard"
 _LOCAL_RN = "__local_rn"
@@ -169,7 +170,7 @@ def sharded_key_gaps(
     global-window form, which serves as the SQL oracle twin.
     """
     out, keyed = _key_gaps_plan(df, key_col, num_shards)
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(truncate_lineage)
     keyed.unpersist()
     return out
 

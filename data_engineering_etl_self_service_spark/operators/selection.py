@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..runtime import truncate_lineage
 
 
 def greedy_set_cover(
@@ -70,7 +71,7 @@ def greedy_set_cover(
                 inc.filter(F.col("_id") == doc).select("_it")
             )
             .distinct()
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
     inc.unpersist()
     return picks

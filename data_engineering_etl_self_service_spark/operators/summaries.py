@@ -38,6 +38,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..runtime import truncate_lineage
 
 
 def _mg_partition(
@@ -119,7 +120,7 @@ def heavy_hitters(
         .filter(F.col("cnt") * k > n_total)
         .withColumn("n_total", F.lit(n_total).cast("long"))
         .withColumnRenamed("item", col)
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     partials.unpersist()
     return exact

@@ -39,6 +39,7 @@ from .functions.text import (
     word_shingles,
 )
 from .session import ensure_session_defaults
+from .runtime import truncate_lineage
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -6275,7 +6276,7 @@ def peak_concurrency(spark, sf_dir):
     out = (
         run.groupBy(F.to_date("t").alias("day"))
         .agg(F.max("conc").alias("peak_concurrent"))
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     handle.unpersist()
     return out
@@ -6325,7 +6326,7 @@ def skyline_parts(spark, sf_dir):
         )
         .filter(F.col("pre").isNull() | (F.col("pre") <= F.col("p_size")))
         .select("p_partkey", "p_retailprice", "p_size")
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     handle.unpersist()
     return out
@@ -6985,7 +6986,7 @@ def _bigram_collocations_build(spark, sf_dir, eager=True):
     )
     if not eager:
         return out
-    out = out.localCheckpoint()
+    out = out.transform(truncate_lineage)
     uni.unpersist()
     return out
 
@@ -7096,7 +7097,7 @@ def weighted_median_price(spark, sf_dir):
     out = (
         run.filter(2 * F.col("cumw") >= F.lit(total))
         .agg(F.min("price").alias("weighted_median"))
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     handle.unpersist()
     return out
@@ -7333,7 +7334,7 @@ def clustering_coefficient(spark, sf_dir):
         )
         .orderBy(F.desc("cc_ppm"), "p_partkey")
         .limit(25)
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     edges.unpersist()
     return out
@@ -7597,7 +7598,7 @@ def basket_lift(spark, sf_dir):
         )
         .orderBy(F.desc("lift_ppm"), "part_a", "part_b")
         .limit(20)
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     items.unpersist()
     return out
@@ -7770,7 +7771,7 @@ def trigram_rarity(spark, sf_dir):
     substring inside codegen — no UDF, text never leaves the JVM).
     """
     out, tris = _trigram_rarity_build(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)  # |docs| small rows; frees cache
+    out = out.transform(truncate_lineage)  # |docs| small rows; frees cache
     tris.unpersist()
     return out
 
@@ -8703,7 +8704,7 @@ def rfm_scores(spark, sf_dir):
     tests/test_plans.py).
     """
     out, handles = _rfm_build(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)  # ≤125 segment rows; frees caches
+    out = out.transform(truncate_lineage)  # ≤125 segment rows; frees caches
     for h in handles:
         h.unpersist()
     return out
@@ -11681,7 +11682,7 @@ def image_dhash_groups(spark, sf_dir, materialize=True):
         # h feeds BOTH the group aggregate and the row side of the join
         # below — uncached, Spark would run the PNG encode/decode/hash
         # pass once per branch (review r6c). |docs| skinny rows.
-        h = h.localCheckpoint(eager=True)
+        h = h.transform(truncate_lineage)
     g = h.groupBy("dhash").agg(
         F.count(F.lit(1)).cast("long").alias("group_size"),
         F.min("doc_id").alias("canon"),
@@ -11798,7 +11799,7 @@ def image_neardup_pairs(spark, sf_dir, materialize=True):
         # h feeds FOUR plan branches (both band sides + both hash-lookup
         # sides) — uncached, the per-image PNG/hash pass would run ~4x
         # (review r6c). |docs| skinny rows.
-        h = h.localCheckpoint(eager=True)
+        h = h.transform(truncate_lineage)
     bands = h.select(
         "doc_id",
         "dhash",
@@ -14329,4 +14330,108 @@ def snapshot_change_feed(spark, sf_dir):
             F.max("o_orderkey").cast("long").alias("max_key"),
         )
         .orderBy("version", "change_type")
+    )
+
+
+@register(
+    "snapshot_replica",
+    f"""
+    SELECT slice, COUNT(*) AS n_rows,
+           {dsum_expr('price')} AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM (
+      SELECT CAST(o_orderkey % 3 AS BIGINT) AS slice, o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 2
+    ) replica
+    GROUP BY slice
+    ORDER BY slice
+    """,
+)
+def snapshot_replica(spark, sf_dir):
+    """CDC end to end with a DELTA-applied downstream replica (round 12
+    — VERDICT r11 #1, sources/cdf.py replicate_snapshot): an upstream
+    snapshot table goes through an overwrite, an append, a row-level
+    delete, and a full restatement that changes some prices and adds a
+    third slice; the replica tails its change feed in TWO sync calls.
+    The second sync applies as ONE merge commit
+    (merge_into_snapshot_delta): the restatement's unchanged rows drop
+    in keyed reconciliation, changed rows become update pairs, deletes
+    become a position-delete vector on the replica, new rows one
+    appended dir — per-batch write cost proportional to the DIFF,
+    never a replica rewrite. The query raises unless the replica's
+    head commit really is a ``merge`` (so this oracle row is also
+    driver evidence that the delta path ran, not a silent fallback).
+    The oracle restates final replica membership over plain orders.
+
+    Scale: upstream delete costs a vector; the restatement diff costs
+    its changed rows; replica maintenance (materialize_deletes /
+    compact_snapshot) is feed-silent — the 100 TB replica applies a
+    100-row upstream change as ~100 rows of I/O (pinned byte-counted
+    in tests/test_cdf_keyed.py).
+    """
+    import os
+
+    from .sources.cdf import replicate_snapshot
+    from .sources.snapshots import (
+        _read_manifest,
+        delete_where,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    root = _scratch_dir("snapshot_replica")
+    src, dst, ck = (
+        os.path.join(root, "src"),
+        os.path.join(root, "dst"),
+        os.path.join(root, "ck"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_snapshot(
+        orders.filter(F.col("o_orderkey") % 3 == 0), src, mode="overwrite"
+    )
+    write_snapshot(
+        orders.filter(F.col("o_orderkey") % 3 == 1), src, mode="append"
+    )
+    replicate_snapshot(spark, src, dst, ck, key_cols=["o_orderkey"])
+
+    delete_where(spark, src, "o_orderkey % 5 = 0")
+    visible = read_snapshot(spark, src)
+    restated = visible.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(orders.filter(F.col("o_orderkey") % 3 == 2))
+    write_snapshot(restated, src, mode="overwrite")
+    replicate_snapshot(spark, src, dst, ck, key_cols=["o_orderkey"])
+
+    head = _read_manifest(dst, snapshot_versions(dst)[-1])
+    if head["mode"] != "merge":
+        raise RuntimeError(
+            "snapshot_replica: the second sync must apply as a delta "
+            f"merge commit, got mode={head['mode']!r} — the replica "
+            "fell back to a rewrite"
+        )
+    return (
+        read_snapshot(spark, dst)
+        .groupBy(
+            (F.col("o_orderkey") % 3).cast("long").alias("slice")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("slice")
     )

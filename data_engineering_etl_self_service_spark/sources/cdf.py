@@ -38,6 +38,11 @@ Change derivation per committed version (manifest modes):
   key-less contract Iceberg's changelog scan uses; with natural keys,
   downstream can reconcile delete+insert pairs — or use
   ``snapshot_diff`` for keyed update classification).
+- ``merge``       → delta merge (``merge_into_snapshot_delta``): the
+  NEW vectors' rows as ``delete`` plus the NEW dirs' rows as
+  ``insert`` — both are the commit's own delta; a keyed consumer
+  reconciles same-version delete+insert pairs into updates
+  (:func:`reconcile_updates`).
 - ``compact`` / ``materialize`` / any commit tagged
   ``maintenance: true`` (``compact_snapshot``) → NO rows: data-layout
   maintenance never changes logical content, so the feed is silent.
@@ -92,6 +97,9 @@ def _classify_version(base_dir: str, v: int, committed: set[int]) -> dict:
     - ``insert_dirs``     — append: only ``new_dirs`` rows are inserts
     - ``delete_vecs``     — delete: only ``new_vecs`` positions died
     - ``restate``         — overwrite: delete-all-parent + insert-all-new
+    - ``merge``           — delta merge: ``new_vecs`` positions died AND
+      ``new_dirs`` rows are inserts (``merge_into_snapshot_delta`` —
+      a keyed consumer reconciles same-version pairs into updates)
     """
     m = _read_manifest(base_dir, v)
     mode = m.get("mode")
@@ -141,6 +149,20 @@ def _classify_version(base_dir: str, v: int, committed: set[int]) -> dict:
             "manifest": m,
             "fmt": fmt,
             "parent": parent,
+        }
+    if mode == "merge":
+        prev_dirs = set(parent.get("data_dirs", []))
+        prev_vecs = set(parent.get("delete_dirs", []))
+        return {
+            "kind": "merge",
+            "manifest": m,
+            "fmt": fmt,
+            "new_dirs": [
+                d for d in m["data_dirs"] if d not in prev_dirs
+            ],
+            "new_vecs": [
+                d for d in m.get("delete_dirs", []) if d not in prev_vecs
+            ],
         }
     raise ValueError(
         f"snapshot v{v} at {base_dir} has unknown mode {mode!r} — "
@@ -280,17 +302,185 @@ def _deleted_rows(
     ).drop(_DV_FILE, _DV_POS)
 
 
+def reconcile_updates(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keyed update classification over a change feed (round 12 —
+    VERDICT r11 #2, the Delta CDF semantics): same-version
+    ``delete``+``insert`` pairs on equal keys — a restatement's two
+    halves, or a delta merge's kill+replace — reconcile into
+    ``update_preimage``/``update_postimage`` row pairs; pairs whose
+    non-key columns are all equal (rows a restatement carried through
+    unchanged) drop entirely; unpaired rows keep their original
+    ``change_type``. Works on any frame speaking the feed contract
+    (table columns + ``change_type`` + ``version``): the batch face's
+    output, or each micro-batch of the streaming source inside
+    ``foreachBatch`` (the per-FILE streaming partitions cannot pair
+    rows across files, so keyed classification is a one-join batch
+    transform by design — see ``replicate_snapshot`` for the apply
+    side).
+
+    ``key_cols`` must uniquely identify rows within one version.
+    Rows with a NULL key never pair (SQL equality): they surface as
+    the unpaired delete + insert, the same documented behavior as
+    ``snapshot_diff``. Change types other than 'insert'/'delete'
+    (an already-reconciled frame) pass through untouched.
+
+    Plan: ONE full-outer self-join on (version, key) plus an
+    explode — at 100 TB both sides shuffle once on the key, same
+    cost contract as ``snapshot_diff``."""
+    from pyspark.sql import functions as F
+
+    missing = [k for k in key_cols if k not in df.columns]
+    if missing or not key_cols:
+        raise ValueError(
+            f"reconcile_updates: key columns {missing or key_cols!r} "
+            "not in the feed frame"
+        )
+    for c in (CHANGE_COL, VERSION_COL):
+        if c not in df.columns:
+            raise ValueError(
+                f"reconcile_updates expects a change-feed frame with "
+                f"{c!r} (got columns {df.columns})"
+            )
+    table_cols = [
+        c for c in df.columns if c not in (CHANGE_COL, VERSION_COL)
+    ]
+    data_cols = [c for c in table_cols if c not in key_cols]
+
+    def _side(change: str, tag: str, present: str) -> DataFrame:
+        side_struct = (
+            [F.struct(*[F.col(c) for c in data_cols]).alias(tag)]
+            if data_cols
+            else []
+        )
+        return df.filter(F.col(CHANGE_COL) == change).select(
+            VERSION_COL,
+            *key_cols,
+            *side_struct,
+            F.lit(1).alias(present),
+        )
+
+    d = _side("delete", "_old", "_dp")
+    i = _side("insert", "_new", "_ip")
+    j = d.join(i, on=[VERSION_COL, *key_cols], how="full_outer")
+    if data_cols:
+        changed = None
+        for c in data_cols:
+            t = ~F.col(f"_old.{c}").eqNullSafe(F.col(f"_new.{c}"))
+            changed = t if changed is None else (changed | t)
+    else:
+        changed = F.lit(False)
+
+    def _mk(side: str, tag: str):
+        return F.struct(
+            *[F.col(f"{side}.{c}").alias(c) for c in data_cols],
+            F.lit(tag).alias(CHANGE_COL),
+        )
+
+    # no otherwise(): an unchanged pair leaves the array NULL, and
+    # explode() of NULL emits zero rows — the drop, with no cast
+    # gymnastics for an empty typed array
+    arr = (
+        F.when(F.col("_dp").isNull(), F.array(_mk("_new", "insert")))
+        .when(F.col("_ip").isNull(), F.array(_mk("_old", "delete")))
+        .when(
+            changed,
+            F.array(
+                _mk("_old", "update_preimage"),
+                _mk("_new", "update_postimage"),
+            ),
+        )
+    )
+    out = j.select(
+        F.col(VERSION_COL), *key_cols, F.explode(arr).alias("_e")
+    ).select(
+        *[
+            F.col(c) if c in key_cols else F.col(f"_e.{c}").alias(c)
+            for c in table_cols
+        ],
+        F.col(f"_e.{CHANGE_COL}").alias(CHANGE_COL),
+        F.col(VERSION_COL),
+    )
+    passthrough = df.filter(
+        ~F.col(CHANGE_COL).isin("insert", "delete")
+    ).select(*table_cols, CHANGE_COL, VERSION_COL)
+    return out.unionByName(passthrough)
+
+
+def _changes_via_files(
+    spark: SparkSession,
+    base_dir: str,
+    after_version: int,
+    to_version: int | None,
+    head_schema,
+) -> DataFrame:
+    """Deep-history batch route (round 12 — VERDICT r11 #3): the
+    union-arm face grows its analyzed plan by one scan per version, the
+    same plan-growth class the r11 sf0.1 sweep caught in connected
+    components — a backfill over 10³–10⁴ committed versions pays
+    quadratic analysis cost or OOMs the driver. This route reuses the
+    STREAMING face's per-file planner instead: one spec row per
+    data/vector file, decoded executor-side with Arrow
+    (``_read_partition_spec``) under a single ``mapInArrow`` node — the
+    plan is O(1) in version count, and each version still costs only
+    its own delta I/O. Pushdown is moot (the feed is whole-row by
+    contract)."""
+    import json
+
+    from pyspark.sql import functions as F  # noqa: F401 - parity import
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    committed = snapshot_versions(base_dir)
+    hi = committed[-1] if to_version is None else to_version
+    parts = _plan_partitions(base_dir, after_version, hi)
+    out_struct = T.StructType(
+        list(head_schema.fields)
+        + [
+            T.StructField(CHANGE_COL, T.StringType(), False),
+            T.StructField(VERSION_COL, T.LongType(), False),
+        ]
+    )
+    if not parts:
+        return spark.createDataFrame([], out_struct)
+    arrow_schema = to_arrow_schema(out_struct)
+    specs = [(json.dumps(p),) for p in parts]
+    n_tasks = max(
+        1, min(len(specs), spark.sparkContext.defaultParallelism * 2)
+    )
+    spec_df = spark.createDataFrame(specs, "spec string").repartition(
+        n_tasks
+    )
+
+    def _gen(batches):
+        for b in batches:
+            for s in b.column(0).to_pylist():
+                yield from _read_partition_spec(
+                    json.loads(s), arrow_schema
+                )
+
+    return spec_df.mapInArrow(_gen, schema=out_struct)
+
+
 def changes_between(
     spark: SparkSession,
     base_dir: str,
     after_version: int = 0,
     to_version: int | None = None,
+    key_cols: list[str] | None = None,
+    max_union_versions: int = 64,
 ) -> DataFrame:
     """BATCH change feed: every row-level change committed in versions
     ``(after_version, to_version]``, as the table's columns plus
     ``change_type`` ('insert'|'delete') and ``version``. The streaming
     source emits exactly these rows (pinned by parity tests); use this
     face for backfills and ad-hoc "what changed since v?" queries.
+
+    ``key_cols`` (round 12 — VERDICT r11 #2) switches the feed to
+    KEYED classification: same-version delete+insert pairs reconcile
+    into ``update_preimage``/``update_postimage`` rows and unchanged
+    restated rows drop — Delta CDF semantics, one extra key-shuffle
+    (:func:`reconcile_updates`; parity with ``snapshot_diff`` is
+    pinned in tests).
 
     Scale: each version contributes only its own delta I/O — appends
     read the appended files, deletes semi-join the new vector
@@ -305,11 +495,21 @@ def changes_between(
         raise ValueError(
             f"snapshot table has reserved column(s) {sorted(clash)}"
         )
-    for v in _plan_versions(base_dir, after_version, to_version):
-        info = _classify_version(base_dir, v, committed)
+    plan = _plan_versions(base_dir, after_version, to_version)
+    infos = {v: _classify_version(base_dir, v, committed) for v in plan}
+    active = [v for v in plan if infos[v]["kind"] != "none"]
+    if len(active) > max_union_versions:
+        # deep range: one union arm per version would grow the analyzed
+        # plan with history depth (the r11-sweep plan-growth class) —
+        # route through the streaming face's per-file planner instead,
+        # one mapInArrow node whatever the version count
+        feed = _changes_via_files(
+            spark, base_dir, after_version, to_version, head_schema
+        )
+        return reconcile_updates(feed, key_cols) if key_cols else feed
+    for v in active:
+        info = infos[v]
         kind = info["kind"]
-        if kind == "none":
-            continue
         if kind == "initial":
             frames.append(
                 _with_change(read_snapshot(spark, base_dir, v), "insert", v)
@@ -329,6 +529,21 @@ def changes_between(
             if info["new_vecs"]:
                 frames.append(
                     _with_change(_deleted_rows(spark, base_dir, info), "delete", v)
+                )
+        elif kind == "merge":
+            if info["new_vecs"]:
+                frames.append(
+                    _with_change(_deleted_rows(spark, base_dir, info), "delete", v)
+                )
+            if info["new_dirs"]:
+                frames.append(
+                    _with_change(
+                        _read_dirs(
+                            spark, base_dir, info["new_dirs"], info["fmt"]
+                        ),
+                        "insert",
+                        v,
+                    )
                 )
         else:  # restate
             frames.append(
@@ -355,7 +570,7 @@ def changes_between(
     # through Arrow already (ADVICE r11)
     from pyspark.sql import functions as F
 
-    return out.select(
+    feed = out.select(
         *[
             F.col(f.name).cast(f.dataType).alias(f.name)
             if f.name in out.columns
@@ -365,6 +580,7 @@ def changes_between(
         CHANGE_COL,
         VERSION_COL,
     )
+    return reconcile_updates(feed, key_cols) if key_cols else feed
 
 
 # ---------------------------------------------------------------------------
@@ -436,11 +652,16 @@ def _plan_partitions(
             )
         elif kind == "insert_dirs":
             _file_parts("insert", v, m, info["new_dirs"], fmt, None)
-        elif kind == "delete_vecs":
+        elif kind in ("delete_vecs", "merge"):
             for d in info["new_vecs"]:
                 vdir = os.path.join(base_dir, d)
                 for f in _list_data_files(vdir, ".parquet"):
                     parts.append(("delete_vec", v, f, base_dir, "parquet", ()))
+            if kind == "merge":
+                # the merge's own new dirs postdate its vector (the
+                # vector references only files visible at the parent),
+                # so its inserts never need vector exclusion
+                _file_parts("insert", v, m, info["new_dirs"], fmt, None)
         else:  # restate
             p = info["parent"]
             _file_parts(
@@ -543,6 +764,76 @@ def _emit_arrow(
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
+def _read_partition_spec(spec, target_schema):
+    """Decode ONE planned partition spec (``_plan_partitions``) into
+    aligned Arrow batches — the executor-side unit shared by the
+    STREAMING source's ``read()`` and the batch face's deep-history
+    ``mapInArrow`` route (round 12 — VERDICT r11 #3). Pure pyarrow; no
+    SparkContext."""
+    kind, v, file_abs, dir_abs, fmt, vec_dirs = spec
+    if kind == "delete_vec":
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(file_abs, columns=["file", "pos"])
+        by_file: dict[str, list[int]] = {}
+        for fk, p in zip(
+            tbl.column("file").to_pylist(),
+            tbl.column("pos").to_pylist(),
+        ):
+            by_file.setdefault(fk, []).append(p)
+        import re as _re
+
+        for fk in sorted(by_file):
+            # the version DATA DIR is the 'data/<uuid>' prefix
+            # of the key (relative OR absolute) — hive
+            # partition columns live in the path BELOW it and
+            # must come back valued, not null-filled
+            if fk.startswith("/"):
+                data_abs = fk
+                m = _re.match(r"^(.*/data/[^/]+)/", fk)
+                root = m.group(1) if m else os.path.dirname(fk)
+            else:
+                data_abs = os.path.join(dir_abs, fk)
+                root = os.path.join(dir_abs, *fk.split("/")[:2])
+            yield from _emit_arrow(
+                data_abs,
+                root,
+                fmt,
+                "delete",
+                v,
+                target_schema,
+                take_positions=by_file[fk],
+            )
+        return
+    drop = None
+    if vec_dirs:
+        # every key shape a vector may store for this file:
+        # relative to the table root (the normal case — both
+        # the plain and the realpath'd spelling) or absolute
+        base = os.path.dirname(os.path.dirname(dir_abs))
+        keys = {
+            file_abs,
+            os.path.relpath(file_abs, base),
+            os.path.relpath(
+                os.path.realpath(file_abs), os.path.realpath(base)
+            ),
+        }
+        pairs = _vector_pairs_for(vec_dirs, keys)
+        drop = sorted(
+            {p for ps in pairs.values() for p in ps}
+        ) or None
+    change = "delete" if kind == "restate_del" else "insert"
+    yield from _emit_arrow(
+        file_abs,
+        dir_abs,
+        fmt,
+        change,
+        v,
+        target_schema,
+        drop_positions=drop,
+    )
+
+
 def _parse_simple_type(s: str):
     """Parse a Spark ``simpleString`` type (the shape snapshot
     manifests record, e.g. ``struct<o_orderkey:bigint,ps:array<int>>``)
@@ -634,6 +925,22 @@ try:  # pragma: no cover - import surface depends on pyspark minor version
                 )
             self.base_dir = path
             self.starting = int(options.get("startingversion", "1"))
+            if "keycols" in options or "key_cols" in options:
+                # loud boundary (round 12): partitions are per-FILE
+                # executor-side decodes — keyed update classification
+                # needs to PAIR a restatement's delete+insert rows
+                # across files, a key-shuffle no independent partition
+                # can perform. The keyed face is a one-join batch
+                # transform over each micro-batch instead.
+                raise ValueError(
+                    "snapshot_cdf does not classify keyed updates at "
+                    "the source (per-file partitions cannot pair rows "
+                    "across files). Apply reconcile_updates(batch, "
+                    "key_cols) inside foreachBatch — see "
+                    "replicate_snapshot for the apply-side recipe — "
+                    "or use changes_between(key_cols=...) for "
+                    "batch/backfill reads."
+                )
             if "maxversionsperbatch" in options:
                 # deliberate non-feature (review r11): the Python
                 # source API exposes neither the start offset to
@@ -680,67 +987,8 @@ try:  # pragma: no cover - import surface depends on pyspark minor version
             ]
 
         def read(self, partition: "_CDFPartition"):
-            kind, v, file_abs, dir_abs, fmt, vec_dirs = partition.spec
-            if kind == "delete_vec":
-                import pyarrow.parquet as pq
-
-                tbl = pq.read_table(file_abs, columns=["file", "pos"])
-                by_file: dict[str, list[int]] = {}
-                for fk, p in zip(
-                    tbl.column("file").to_pylist(),
-                    tbl.column("pos").to_pylist(),
-                ):
-                    by_file.setdefault(fk, []).append(p)
-                import re as _re
-
-                for fk in sorted(by_file):
-                    # the version DATA DIR is the 'data/<uuid>' prefix
-                    # of the key (relative OR absolute) — hive
-                    # partition columns live in the path BELOW it and
-                    # must come back valued, not null-filled
-                    if fk.startswith("/"):
-                        data_abs = fk
-                        m = _re.match(r"^(.*/data/[^/]+)/", fk)
-                        root = m.group(1) if m else os.path.dirname(fk)
-                    else:
-                        data_abs = os.path.join(dir_abs, fk)
-                        root = os.path.join(dir_abs, *fk.split("/")[:2])
-                    yield from _emit_arrow(
-                        data_abs,
-                        root,
-                        fmt,
-                        "delete",
-                        v,
-                        self.target_schema,
-                        take_positions=by_file[fk],
-                    )
-                return
-            drop = None
-            if vec_dirs:
-                # every key shape a vector may store for this file:
-                # relative to the table root (the normal case — both
-                # the plain and the realpath'd spelling) or absolute
-                base = os.path.dirname(os.path.dirname(dir_abs))
-                keys = {
-                    file_abs,
-                    os.path.relpath(file_abs, base),
-                    os.path.relpath(
-                        os.path.realpath(file_abs), os.path.realpath(base)
-                    ),
-                }
-                pairs = _vector_pairs_for(vec_dirs, keys)
-                drop = sorted(
-                    {p for ps in pairs.values() for p in ps}
-                ) or None
-            change = "delete" if kind == "restate_del" else "insert"
-            yield from _emit_arrow(
-                file_abs,
-                dir_abs,
-                fmt,
-                change,
-                v,
-                self.target_schema,
-                drop_positions=drop,
+            yield from _read_partition_spec(
+                partition.spec, self.target_schema
             )
 
         def commit(self, end: dict) -> None:
@@ -818,17 +1066,33 @@ def replicate_snapshot(
 
     ``key_cols`` must uniquely identify upstream rows (replication is
     keyed application; a key-less multiset has no well-defined replica
-    under out-of-order batch folding). Each micro-batch reduces to ONE
-    action per key (latest version wins; at the same version a
-    restatement's insert beats its delete), then applies as one
-    anti-join + union + atomic overwrite of the replica — the
-    copy-on-write merge cost contract, one shuffle on the key per
-    batch, never a rescan of historical batches. Drains everything
-    committed and returns (``availableNow``); call again to catch up."""
+    under out-of-order batch folding). Each micro-batch first
+    reconciles same-version delete+insert pairs into update rows
+    (:func:`reconcile_updates` — unchanged restated rows drop here,
+    so a 100-row restatement diff costs 100 rows, not the table),
+    then reduces to ONE action per key (latest version wins) and
+    applies in one pass as a DELTA merge
+    (``merge_into_snapshot_delta``, round 12 — VERDICT r11 #1):
+    tombstones and replaced rows die via a position-delete vector,
+    new/changed rows land as one appended dir — per-batch write cost
+    proportional to the BATCH, never a rewrite of the replica (the
+    r11 applier's whole-table copy-on-write overwrite is gone). Only
+    batch 0 of a fresh checkpoint — a (re-)sync — restates the
+    replica by full overwrite, because stale local rows can't be
+    trusted there. Replica maintenance is the standard pair:
+    ``materialize_deletes`` folds accumulated vectors,
+    ``compact_snapshot`` merges batch dirs; both are
+    maintenance-silent in the replica's own change feed. Drains
+    everything committed and returns (``availableNow``); call again
+    to catch up."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .snapshots import last_committed_batch, write_snapshot
+    from .snapshots import (
+        last_committed_batch,
+        merge_into_snapshot_delta,
+        write_snapshot,
+    )
 
     register_snapshot_cdf(spark)
 
@@ -843,20 +1107,24 @@ def replicate_snapshot(
         last = last_committed_batch(dst_dir)
         if batch_id > 0 and last is not None and batch_id <= last:
             return  # replayed epoch — already durable
-        # one action per key: latest version wins; 'insert' > 'delete'
-        # lexicographically, so DESC breaks a restatement's same-version
-        # delete+insert pair toward the new row
+        # keyed classification first: restatement pairs become one
+        # update action (preimage is informational — drop it), rows a
+        # restatement carried through UNCHANGED vanish before they
+        # can cost a single write
+        rec = reconcile_updates(batch, key_cols).filter(
+            F.col(CHANGE_COL) != "update_preimage"
+        )
+        # one action per key: latest version wins; post-reconcile each
+        # (version, key) holds at most one action, the change-type
+        # tiebreak only pins determinism for contract-violating input
         w = Window.partitionBy(*key_cols).orderBy(
             F.desc(VERSION_COL), F.desc(CHANGE_COL)
         )
         act = (
-            batch.withColumn("_rn", F.row_number().over(w))
+            rec.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        inserts = act.filter(
-            F.col(CHANGE_COL) == "insert"
-        ).drop(CHANGE_COL, VERSION_COL)
         if batch_id == 0 or not snapshot_versions(dst_dir):
             # batch 0 is the first batch of a FRESH checkpoint — a
             # (re-)sync whose feed starts from the consumer's declared
@@ -864,16 +1132,23 @@ def replicate_snapshot(
             # Folding it into pre-existing replica state would keep
             # stale rows the expired window deleted upstream; the
             # replica restates from the batch alone.
-            new = inserts
-        else:
-            base = read_snapshot(spark, dst_dir)
-            touched = act.select(*key_cols)
-            new = base.join(touched, key_cols, "left_anti").unionByName(
-                inserts, allowMissingColumns=True
+            new = act.filter(
+                F.col(CHANGE_COL).isin("insert", "update_postimage")
+            ).drop(CHANGE_COL, VERSION_COL)
+            write_snapshot(
+                new, dst_dir, mode="overwrite", meta={"batch_id": batch_id}
             )
-        write_snapshot(
-            new, dst_dir, mode="overwrite", meta={"batch_id": batch_id}
-        )
+        else:
+            merge_into_snapshot_delta(
+                spark,
+                dst_dir,
+                act.withColumn(
+                    "_tomb", F.col(CHANGE_COL) == "delete"
+                ).drop(CHANGE_COL, VERSION_COL),
+                key_cols,
+                delete_col="_tomb",
+                meta={"batch_id": batch_id},
+            )
 
     q = (
         spark.readStream.format("snapshot_cdf")
