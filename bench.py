@@ -197,7 +197,9 @@ EXTENDED = [
     "snapshot_change_feed",
     # round 12: delta-applied downstream replica (keyed reconciliation
     # + merge-on-read apply — per-batch cost proportional to the diff)
+    # + Delta-CDF keyed update classification over a restatement
     "snapshot_replica",
+    "keyed_change_feed",
 ]
 
 HEADLINE = CORE + EXTENDED

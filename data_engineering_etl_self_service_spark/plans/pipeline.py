@@ -109,8 +109,16 @@ def _read_source(spark: SparkSession, spec: PipelineSpec, ds: str | None) -> Dat
         # version it last consumed as after_version (template fields
         # substitute like every other option); the streaming twin is
         # spark.readStream.format("snapshot_cdf") (sources/cdf.py).
+        # key_cols (round 12) switches to KEYED classification:
+        # same-version delete+insert pairs become
+        # update_preimage/update_postimage rows, unchanged restated
+        # rows drop (Delta CDF semantics; sources/cdf.py
+        # reconcile_updates).
         from ..sources.cdf import changes_between
 
+        key_cols = opts.get("key_cols")
+        if isinstance(key_cols, str):
+            key_cols = [c.strip() for c in key_cols.split(",") if c.strip()]
         return changes_between(
             spark,
             opts["path"],
@@ -118,6 +126,7 @@ def _read_source(spark: SparkSession, spec: PipelineSpec, ds: str | None) -> Dat
             to_version=(
                 int(opts["to_version"]) if "to_version" in opts else None
             ),
+            key_cols=key_cols,
         )
     raise ValueError(f"unsupported source type: {src.type}")
 
@@ -711,6 +720,70 @@ def _write_sink(
             # the manifest, so compaction/vacuum work on either
             format=dst.options.get("format", "parquet"),
         )
+        return
+    if dst.type == "snapshot_merge":
+        # Keyed upsert into a versioned table — the APPLY side of a
+        # self-service CDC pipeline (round 12). YAML shape:
+        #   destination:
+        #     type: snapshot_merge
+        #     path: /lake/customers
+        #     key_cols: id            # or [id, region]
+        #     delete_col: is_deleted  # optional tombstone column
+        #     apply_feed: true        # input is a change feed: fold it
+        #     strategy: delta         # delta (MoR, default) | cow
+        # With apply_feed the run's rows are a change-feed frame (e.g.
+        # a snapshot_cdf source with key_cols): they fold to one action
+        # per key first (sources/cdf.py feed_actions), so
+        # source: snapshot_cdf + destination: snapshot_merge IS keyed
+        # replication in pure YAML. strategy=delta applies as one
+        # merge-on-read commit (vector + appended dir, per-run cost
+        # proportional to the input); cow is the full-rewrite
+        # merge_into_snapshot. The first run seeds the table.
+        from ..sources.snapshots import (
+            merge_into_snapshot,
+            merge_into_snapshot_delta,
+            snapshot_versions,
+            write_snapshot,
+        )
+
+        key_cols = dst.options.get("key_cols")
+        if isinstance(key_cols, str):
+            key_cols = [c.strip() for c in key_cols.split(",") if c.strip()]
+        if not key_cols:
+            raise ValueError(
+                "snapshot_merge destination requires key_cols"
+            )
+        delete_col = dst.options.get("delete_col")
+        out = df
+        if dst.options.get("apply_feed"):
+            from ..sources.cdf import feed_actions
+
+            out = feed_actions(out, key_cols)
+            delete_col = "_tombstone"
+        strategy = dst.options.get("strategy", "delta")
+        if strategy not in ("delta", "cow"):
+            raise ValueError(
+                f"snapshot_merge strategy must be delta|cow, got {strategy!r}"
+            )
+        if not snapshot_versions(path):
+            from pyspark.sql import functions as F
+
+            seed = out
+            if delete_col is not None:
+                seed = seed.filter(
+                    ~F.coalesce(
+                        F.col(delete_col).cast("boolean"), F.lit(False)
+                    )
+                ).drop(delete_col)
+            write_snapshot(seed, path, mode="overwrite")
+        elif strategy == "cow":
+            merge_into_snapshot(
+                df.sparkSession, path, out, key_cols, delete_col=delete_col
+            )
+        else:
+            merge_into_snapshot_delta(
+                df.sparkSession, path, out, key_cols, delete_col=delete_col
+            )
         return
     if dst.type == "rollup":
         # Continuous aggregate: fold this run's rows into a fine-grain

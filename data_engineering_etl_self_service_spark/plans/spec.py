@@ -32,7 +32,15 @@ SOURCE_TYPES = (
     "kafka",
     "snapshot_cdf",
 )
-SINK_TYPES = ("parquet", "json", "snapshot", "rollup", "shards", "none")
+SINK_TYPES = (
+    "parquet",
+    "json",
+    "snapshot",
+    "snapshot_merge",
+    "rollup",
+    "shards",
+    "none",
+)
 #: declarative transformation ops (compiled to DataFrame expressions —
 #: the reference has no transform stage at all; SURVEY §2.2 requires the
 #: engine to expose select/filter in the self-service contract)

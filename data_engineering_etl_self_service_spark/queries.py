@@ -14435,3 +14435,92 @@ def snapshot_replica(spark, sf_dir):
         )
         .orderBy("slice")
     )
+
+
+@register(
+    "keyed_change_feed",
+    f"""
+    SELECT change_type, COUNT(*) AS n_rows,
+           {dsum_expr('price')} AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM (
+      SELECT 'delete' AS change_type, o_orderkey, o_totalprice AS price
+      FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_orderkey % 13 = 0
+      UNION ALL
+      SELECT 'update_preimage', o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_orderkey % 13 <> 0
+        AND o_orderkey % 7 = 0
+      UNION ALL
+      SELECT 'update_postimage', o_orderkey, o_totalprice * 2
+      FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_orderkey % 13 <> 0
+        AND o_orderkey % 7 = 0
+      UNION ALL
+      SELECT 'insert', o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_orderkey % 2 = 1 AND o_orderkey % 11 = 0
+    ) feed
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+)
+def keyed_change_feed(spark, sf_dir):
+    """Keyed (Delta-CDF-semantics) change classification over a full
+    restatement (round 12 — sources/cdf.py reconcile_updates /
+    changes_between(key_cols)): version 1 lands the even-key orders;
+    version 2 OVERWRITES with the same rows except multiples of 13
+    dropped, multiples of 7 repriced (×2), and odd multiples of 11
+    added. The keyed feed must classify exactly: drops as ``delete``,
+    repricings as ``update_preimage``+``update_postimage`` pairs, new
+    rows as ``insert`` — and every row the restatement carried through
+    UNCHANGED must contribute NOTHING (the property that makes keyed
+    CDC affordable: a restatement costs its diff, not the table). The
+    oracle restates the four classes over plain orders.
+
+    Plan: the unkeyed per-version feed plus ONE full-outer
+    reconciliation join on (version, key) + explode — at 100 TB both
+    sides shuffle once on the key, the snapshot_diff cost contract.
+    """
+    import os
+
+    from .sources.cdf import changes_between
+    from .sources.snapshots import write_snapshot
+
+    base = os.path.join(_scratch_dir("keyed_change_feed"), "tbl")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    write_snapshot(v1, base, mode="overwrite")
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") % 2 == 1)
+                & (F.col("o_orderkey") % 11 == 0)
+            )
+        )
+    )
+    write_snapshot(v2, base, mode="overwrite")
+    feed = changes_between(
+        spark, base, after_version=1, key_cols=["o_orderkey"]
+    )
+    return (
+        feed.groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice", "total_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )

@@ -47,8 +47,13 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
         cdir = spark.conf.get(CHECKPOINT_DIR, None)
         sc = spark.sparkContext
         if cdir:
-            if sc.getCheckpointDir() != cdir:
+            # setCheckpointDir mints a fresh UUID subdir per call, so
+            # only re-point when the CONFIGURED value changed (tracked
+            # on the context — getCheckpointDir returns the resolved
+            # UUID path, never the configured one)
+            if getattr(sc, "_etl_configured_ckpt_dir", None) != cdir:
                 sc.setCheckpointDir(cdir)
+                sc._etl_configured_ckpt_dir = cdir
         elif sc.getCheckpointDir() is None:
             raise ValueError(
                 f"{RELIABLE_FLAG} is true but no checkpoint directory "

@@ -410,7 +410,7 @@ def _changes_via_files(
     spark: SparkSession,
     base_dir: str,
     after_version: int,
-    to_version: int | None,
+    to_version: int,
     head_schema,
 ) -> DataFrame:
     """Deep-history batch route (round 12 — VERDICT r11 #3): the
@@ -426,13 +426,10 @@ def _changes_via_files(
     contract)."""
     import json
 
-    from pyspark.sql import functions as F  # noqa: F401 - parity import
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    committed = snapshot_versions(base_dir)
-    hi = committed[-1] if to_version is None else to_version
-    parts = _plan_partitions(base_dir, after_version, hi)
+    parts = _plan_partitions(base_dir, after_version, to_version)
     out_struct = T.StructType(
         list(head_schema.fields)
         + [
@@ -502,9 +499,12 @@ def changes_between(
         # deep range: one union arm per version would grow the analyzed
         # plan with history depth (the r11-sweep plan-growth class) —
         # route through the streaming face's per-file planner instead,
-        # one mapInArrow node whatever the version count
+        # one mapInArrow node whatever the version count. The range end
+        # is pinned to the version set THIS call planned against, so a
+        # commit racing this call cannot widen the feed past the
+        # decision point.
         feed = _changes_via_files(
-            spark, base_dir, after_version, to_version, head_schema
+            spark, base_dir, after_version, plan[-1], head_schema
         )
         return reconcile_updates(feed, key_cols) if key_cols else feed
     for v in active:
@@ -1048,6 +1048,37 @@ except ImportError:  # pragma: no cover
     HAVE_CDF_DATASOURCE = False
 
 
+def feed_actions(feed: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Fold a (possibly multi-version) change-feed frame into ONE merge
+    action per key: keyed reconciliation first (unchanged restated rows
+    drop, preimages are informational and drop too), then latest
+    version wins per key. Returns the table's columns plus a boolean
+    ``_tombstone`` — exactly the input shape
+    ``merge_into_snapshot_delta``/``merge_into_snapshot`` take with
+    ``delete_col="_tombstone"``. Shared by :func:`replicate_snapshot`
+    and the YAML ``snapshot_merge`` destination's ``apply_feed`` mode.
+    One key-shuffle for the reconcile join, one for the fold window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rec = reconcile_updates(feed, key_cols).filter(
+        F.col(CHANGE_COL) != "update_preimage"
+    )
+    # post-reconcile each (version, key) holds at most one action; the
+    # change-type tiebreak only pins determinism for contract-violating
+    # input (duplicate keys within one version)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(VERSION_COL), F.desc(CHANGE_COL)
+    )
+    return (
+        rec.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_tombstone", F.col(CHANGE_COL) == "delete")
+        .drop(CHANGE_COL, VERSION_COL)
+    )
+
+
 def replicate_snapshot(
     spark: SparkSession,
     src_dir: str,
@@ -1085,7 +1116,6 @@ def replicate_snapshot(
     maintenance-silent in the replica's own change feed. Drains
     everything committed and returns (``availableNow``); call again
     to catch up."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from .snapshots import (
@@ -1107,24 +1137,12 @@ def replicate_snapshot(
         last = last_committed_batch(dst_dir)
         if batch_id > 0 and last is not None and batch_id <= last:
             return  # replayed epoch — already durable
-        # keyed classification first: restatement pairs become one
-        # update action (preimage is informational — drop it), rows a
-        # restatement carried through UNCHANGED vanish before they
-        # can cost a single write
-        rec = reconcile_updates(batch, key_cols).filter(
-            F.col(CHANGE_COL) != "update_preimage"
-        )
-        # one action per key: latest version wins; post-reconcile each
-        # (version, key) holds at most one action, the change-type
-        # tiebreak only pins determinism for contract-violating input
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.desc(VERSION_COL), F.desc(CHANGE_COL)
-        )
-        act = (
-            rec.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        # keyed classification + fold: restatement pairs become one
+        # update action, rows a restatement carried through UNCHANGED
+        # vanish before they can cost a single write, latest version
+        # wins per key (feed_actions — shared with the YAML
+        # snapshot_merge destination's apply_feed mode)
+        act = feed_actions(batch, key_cols)
         if batch_id == 0 or not snapshot_versions(dst_dir):
             # batch 0 is the first batch of a FRESH checkpoint — a
             # (re-)sync whose feed starts from the consumer's declared
@@ -1132,9 +1150,7 @@ def replicate_snapshot(
             # Folding it into pre-existing replica state would keep
             # stale rows the expired window deleted upstream; the
             # replica restates from the batch alone.
-            new = act.filter(
-                F.col(CHANGE_COL).isin("insert", "update_postimage")
-            ).drop(CHANGE_COL, VERSION_COL)
+            new = act.filter(~F.col("_tombstone")).drop("_tombstone")
             write_snapshot(
                 new, dst_dir, mode="overwrite", meta={"batch_id": batch_id}
             )
@@ -1142,11 +1158,9 @@ def replicate_snapshot(
             merge_into_snapshot_delta(
                 spark,
                 dst_dir,
-                act.withColumn(
-                    "_tomb", F.col(CHANGE_COL) == "delete"
-                ).drop(CHANGE_COL, VERSION_COL),
+                act,
                 key_cols,
-                delete_col="_tomb",
+                delete_col="_tombstone",
                 meta={"batch_id": batch_id},
             )
 

@@ -254,6 +254,154 @@ def test_stream_keycols_is_a_loud_boundary(spark, tmp_path):
         q.awaitTermination(300)
 
 
+def test_yaml_pipeline_keyed_cdf_source(spark, tmp_path):
+    """The self-service face: a YAML pipeline whose source is the KEYED
+    change feed — downstream publishes classified updates, not
+    delete+insert pairs."""
+    from data_engineering_etl_self_service_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from data_engineering_etl_self_service_spark.plans.spec import (
+        spec_from_dict,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 20), base, mode="overwrite")  # v1
+    restated = _df(spark, 0, 19).withColumn(
+        "name",
+        F.when(F.col("id") == 3, F.lit("CHANGED")).otherwise(F.col("name")),
+    )
+    write_snapshot(restated, base, mode="overwrite")  # v2
+    out = str(tmp_path / "published")
+    spec = spec_from_dict(
+        {
+            "pipeline_info": {"name": "keyed_cdf_consumer"},
+            "source": {
+                "type": "snapshot_cdf",
+                "path": base,
+                "after_version": 1,
+                "key_cols": "id",
+            },
+            "destination": {"type": "parquet", "path": out},
+            "data_quality_checks": [
+                {"check_type": "min_row_count", "threshold": 1}
+            ],
+        }
+    )
+    assert not spec.warnings
+    result = run_pipeline(spark, spec, ds="2026-01-01")
+    assert result.report.passed and result.published_path
+    got = sorted(
+        (r["change_type"], r["id"])
+        for r in spark.read.parquet(result.published_path).collect()
+    )
+    assert got == [
+        ("delete", 19),
+        ("update_postimage", 3),
+        ("update_preimage", 3),
+    ]
+
+
+def test_yaml_cdc_replication_cdf_source_to_merge_sink(spark, tmp_path):
+    """Keyed replication in pure YAML: source snapshot_cdf(key_cols) →
+    destination snapshot_merge(apply_feed) — run 1 seeds, run 2 applies
+    the upstream delta as ONE merge commit."""
+    from data_engineering_etl_self_service_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from data_engineering_etl_self_service_spark.plans.spec import (
+        spec_from_dict,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_snapshot(_df(spark, 0, 50), src, mode="overwrite")  # v1
+
+    def _spec(after):
+        return spec_from_dict(
+            {
+                "pipeline_info": {"name": "yaml_cdc_replication"},
+                "source": {
+                    "type": "snapshot_cdf",
+                    "path": src,
+                    "after_version": after,
+                    "key_cols": "id",
+                },
+                "destination": {
+                    "type": "snapshot_merge",
+                    "path": dst,
+                    "key_cols": "id",
+                    "apply_feed": True,
+                },
+                "data_quality_checks": [],
+            }
+        )
+
+    spec1 = _spec(0)
+    assert not spec1.warnings
+    run_pipeline(spark, spec1, ds="2026-01-01")
+    assert _rows(spark, dst) == _rows(spark, src)
+    # upstream delta: delete + restatement changing one row
+    delete_where(spark, src, "id % 10 = 3")  # v2
+    restated = read_snapshot(spark, src).withColumn(
+        "name",
+        F.when(F.col("id") == 7, F.lit("UPDATED")).otherwise(F.col("name")),
+    )
+    write_snapshot(restated, src, mode="overwrite")  # v3
+    run_pipeline(spark, _spec(1), ds="2026-01-02")
+    assert _rows(spark, dst) == _rows(spark, src)
+    m = _read_manifest(dst, snapshot_versions(dst)[-1])
+    assert m["mode"] == "merge"
+    assert m["n_deleted"] == 6 and m["n_inserted"] == 1  # 5 dead + 1 updated
+
+
+def test_yaml_merge_sink_plain_upsert_and_strategies(spark, tmp_path):
+    """snapshot_merge without apply_feed: plain keyed upsert rows with a
+    tombstone column; cow strategy produces the same table state."""
+    from data_engineering_etl_self_service_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from data_engineering_etl_self_service_spark.plans.spec import (
+        spec_from_dict,
+    )
+
+    seed = str(tmp_path / "seed.parquet")
+    _df(spark, 0, 20).withColumn("dead", F.lit(False)).write.parquet(seed)
+    upd = str(tmp_path / "upd.parquet")
+    spark.createDataFrame(
+        [(3, 99, "NEW3", False), (5, 0, "", True), (40, 5, "row0040", False)],
+        "id long, grp long, name string, dead boolean",
+    ).write.parquet(upd)
+
+    def _run(path_in, dst, strategy):
+        spec = spec_from_dict(
+            {
+                "pipeline_info": {"name": f"merge_{strategy}"},
+                "source": {"type": "table", "path": path_in},
+                "destination": {
+                    "type": "snapshot_merge",
+                    "path": dst,
+                    "key_cols": "id",
+                    "delete_col": "dead",
+                    "strategy": strategy,
+                },
+                "data_quality_checks": [],
+            }
+        )
+        assert not spec.warnings
+        run_pipeline(spark, spec, ds="2026-01-01")
+
+    state = {}
+    for strategy in ("delta", "cow"):
+        dst = str(tmp_path / f"dst_{strategy}")
+        _run(seed, dst, strategy)
+        _run(upd, dst, strategy)
+        state[strategy] = _rows(spark, dst)
+        head = {r["id"] for r in read_snapshot(spark, dst).collect()}
+        assert 5 not in head and 40 in head
+    assert state["delta"] == state["cow"]
+
+
 # ---------------------------------------------------------------------------
 # replica: delta apply — convergence AND delta-proportional write cost
 # ---------------------------------------------------------------------------
