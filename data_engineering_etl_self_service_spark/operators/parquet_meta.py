@@ -45,7 +45,6 @@ from __future__ import annotations
 
 import struct
 from functools import lru_cache as _lru_cache
-from ..runtime import truncate_lineage
 
 # Thrift compact element types
 _STOP = 0
@@ -739,6 +738,8 @@ def lake_audit_report(
     # after a compaction rewrote it (caught by the round-8
     # audit→compact→re-audit test). Per-file rows are KBs at any lake
     # size.
+    from ..runtime import truncate_lineage
+
     f = f.transform(truncate_lineage)
     base = f.groupBy("partition").agg(
         F.count("*").alias("n_files"),
@@ -1121,6 +1122,8 @@ def clustering_report(
     # materialize it once so the lake is listed and footers decoded
     # once, and a re-audit after a rewrite can't see stale cache
     # (the lake_audit_report discipline; rows are KBs at any size)
+    from ..runtime import truncate_lineage
+
     per_file = per_file.transform(truncate_lineage)
     # one event row per window edge; starts sort before ends at equal
     # coordinates so touching windows register as overlapping

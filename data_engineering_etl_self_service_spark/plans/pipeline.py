@@ -756,10 +756,10 @@ def _write_sink(
         delete_col = dst.options.get("delete_col")
         out = df
         if dst.options.get("apply_feed"):
-            from ..sources.cdf import feed_actions
+            from ..sources.cdf import TOMBSTONE_COL, feed_actions
 
             out = feed_actions(out, key_cols)
-            delete_col = "_tombstone"
+            delete_col = TOMBSTONE_COL
         strategy = dst.options.get("strategy", "delta")
         if strategy not in ("delta", "cow"):
             raise ValueError(

@@ -324,9 +324,13 @@ def reconcile_updates(df: DataFrame, key_cols: list[str]) -> DataFrame:
     ``snapshot_diff``. Change types other than 'insert'/'delete'
     (an already-reconciled frame) pass through untouched.
 
-    Plan: ONE full-outer self-join on (version, key) plus an
-    explode — at 100 TB both sides shuffle once on the key, same
-    cost contract as ``snapshot_diff``."""
+    Plan: ONE pass over the feed — a single grouped aggregation on
+    (version, key) collects each key's ≤1 insert and ≤1 delete side
+    (plus any passthrough rows), classification is an array expression
+    exploded back out. The feed is scanned exactly once (review r12:
+    the join formulation filtered the uncached feed three times — 3×
+    the Arrow decode on a deep-range backfill), and the one key
+    shuffle matches the ``snapshot_diff`` cost contract."""
     from pyspark.sql import functions as F
 
     missing = [k for k in key_cols if k not in df.columns]
@@ -346,22 +350,37 @@ def reconcile_updates(df: DataFrame, key_cols: list[str]) -> DataFrame:
     ]
     data_cols = [c for c in table_cols if c not in key_cols]
 
-    def _side(change: str, tag: str, present: str) -> DataFrame:
-        side_struct = (
-            [F.struct(*[F.col(c) for c in data_cols]).alias(tag)]
-            if data_cols
-            else []
-        )
-        return df.filter(F.col(CHANGE_COL) == change).select(
-            VERSION_COL,
-            *key_cols,
-            *side_struct,
-            F.lit(1).alias(present),
-        )
-
-    d = _side("delete", "_old", "_dp")
-    i = _side("insert", "_new", "_ip")
-    j = d.join(i, on=[VERSION_COL, *key_cols], how="full_outer")
+    # the per-row payload carried through the aggregation; keys-only
+    # tables carry a placeholder so the struct is never empty
+    payload = (
+        F.struct(*[F.col(c) for c in data_cols])
+        if data_cols
+        else F.struct(F.lit(1).alias("__present"))
+    )
+    is_ins = F.col(CHANGE_COL) == "insert"
+    is_del = F.col(CHANGE_COL) == "delete"
+    g = df.groupBy(VERSION_COL, *key_cols).agg(
+        # collect_list skips NULLs; under the key contract each side
+        # holds ≤1 element (try_element_at(.,1) is NULL on the empty
+        # side — element_at throws under ANSI — and pins determinism
+        # only for contract-violating duplicate keys, like
+        # snapshot_diff's tiebreak). No max(struct): structs carrying
+        # maps aren't orderable, collect_list doesn't care.
+        F.try_element_at(
+            F.collect_list(F.when(is_ins, payload)), F.lit(1)
+        ).alias("_new"),
+        F.try_element_at(
+            F.collect_list(F.when(is_del, payload)), F.lit(1)
+        ).alias("_old"),
+        F.collect_list(
+            F.when(
+                ~is_ins & ~is_del,
+                F.struct(
+                    payload.alias("_r"), F.col(CHANGE_COL).alias("_ct")
+                ),
+            )
+        ).alias("_others"),
+    )
     if data_cols:
         changed = None
         for c in data_cols:
@@ -370,28 +389,44 @@ def reconcile_updates(df: DataFrame, key_cols: list[str]) -> DataFrame:
     else:
         changed = F.lit(False)
 
-    def _mk(side: str, tag: str):
+    def _mk(side: str, tag: str) -> F.Column:
         return F.struct(
             *[F.col(f"{side}.{c}").alias(c) for c in data_cols],
             F.lit(tag).alias(CHANGE_COL),
         )
 
-    # no otherwise(): an unchanged pair leaves the array NULL, and
-    # explode() of NULL emits zero rows — the drop, with no cast
-    # gymnastics for an empty typed array
-    arr = (
-        F.when(F.col("_dp").isNull(), F.array(_mk("_new", "insert")))
-        .when(F.col("_ip").isNull(), F.array(_mk("_old", "delete")))
+    both = F.col("_old").isNotNull() & F.col("_new").isNotNull()
+    pairs = (
+        F.when(
+            F.col("_old").isNull() & F.col("_new").isNotNull(),
+            F.array(_mk("_new", "insert")),
+        )
         .when(
-            changed,
+            F.col("_new").isNull() & F.col("_old").isNotNull(),
+            F.array(_mk("_old", "delete")),
+        )
+        .when(
+            both & changed,
             F.array(
                 _mk("_old", "update_preimage"),
                 _mk("_new", "update_postimage"),
             ),
         )
+        # unchanged pair (or neither side, i.e. passthrough-only key):
+        # a LENGTH-0 slice of a correctly-TYPED array — the drop
+        .otherwise(F.slice(F.array(_mk("_new", "insert")), 1, 0))
     )
-    out = j.select(
-        F.col(VERSION_COL), *key_cols, F.explode(arr).alias("_e")
+    others = F.transform(
+        F.col("_others"),
+        lambda o: F.struct(
+            *[o["_r"][c].alias(c) for c in data_cols],
+            o["_ct"].alias(CHANGE_COL),
+        ),
+    )
+    return g.select(
+        F.col(VERSION_COL),
+        *key_cols,
+        F.explode(F.concat(pairs, others)).alias("_e"),
     ).select(
         *[
             F.col(c) if c in key_cols else F.col(f"_e.{c}").alias(c)
@@ -400,10 +435,43 @@ def reconcile_updates(df: DataFrame, key_cols: list[str]) -> DataFrame:
         F.col(f"_e.{CHANGE_COL}").alias(CHANGE_COL),
         F.col(VERSION_COL),
     )
-    passthrough = df.filter(
-        ~F.col(CHANGE_COL).isin("insert", "delete")
-    ).select(*table_cols, CHANGE_COL, VERSION_COL)
-    return out.unionByName(passthrough)
+
+
+#: one-shot guard for the by-value registration below — the effect is
+#: process-global, so repeated registration only re-pays the bookkeeping
+_PICKLE_BY_VALUE_DONE = False
+
+
+def _ensure_pickle_by_value() -> None:
+    """Register the cdf + snapshots modules for BY-VALUE cloudpickle
+    serialization, once per process — the Python workers that execute
+    the streaming source AND the deep-history ``mapInArrow`` route
+    inherit only PYTHONPATH, so a driver that put this repo on
+    ``sys.path`` by hand (the supported external driver contract)
+    would otherwise ship closures the workers can't import (review
+    r12: the batch route hit exactly that cliff at version
+    ``max_union_versions+1``). See :func:`register_snapshot_cdf` for
+    the task-payload cost this trades."""
+    global _PICKLE_BY_VALUE_DONE
+    if _PICKLE_BY_VALUE_DONE:
+        return
+    try:
+        from pyspark import cloudpickle as _cp  # Spark's serializer
+    except ImportError:  # pragma: no cover
+        import cloudpickle as _cp  # type: ignore[no-redef]
+    import sys
+
+    for modname in (
+        __name__,
+        __name__.rsplit(".", 1)[0] + ".snapshots",
+    ):
+        mod = sys.modules.get(modname)
+        if mod is not None:
+            try:
+                _cp.register_pickle_by_value(mod)
+            except Exception:  # pragma: no cover - older cloudpickle
+                pass
+    _PICKLE_BY_VALUE_DONE = True
 
 
 def _changes_via_files(
@@ -412,6 +480,7 @@ def _changes_via_files(
     after_version: int,
     to_version: int,
     head_schema,
+    infos: dict | None = None,
 ) -> DataFrame:
     """Deep-history batch route (round 12 — VERDICT r11 #3): the
     union-arm face grows its analyzed plan by one scan per version, the
@@ -429,7 +498,12 @@ def _changes_via_files(
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    parts = _plan_partitions(base_dir, after_version, to_version)
+    # the _gen closure below references this module by name; make it
+    # self-contained on the wire for bare-sys.path drivers
+    _ensure_pickle_by_value()
+    parts = _plan_partitions(
+        base_dir, after_version, to_version, infos=infos
+    )
     out_struct = T.StructType(
         list(head_schema.fields)
         + [
@@ -504,7 +578,7 @@ def changes_between(
         # commit racing this call cannot widen the feed past the
         # decision point.
         feed = _changes_via_files(
-            spark, base_dir, after_version, plan[-1], head_schema
+            spark, base_dir, after_version, plan[-1], head_schema, infos
         )
         return reconcile_updates(feed, key_cols) if key_cols else feed
     for v in active:
@@ -616,7 +690,10 @@ def _hive_parts(file_abs: str, dir_abs: str) -> list[tuple[str, str | None]]:
 
 
 def _plan_partitions(
-    base_dir: str, after_version: int, to_version: int
+    base_dir: str,
+    after_version: int,
+    to_version: int,
+    infos: dict | None = None,
 ) -> list[tuple]:
     """Partition specs for every change in ``(after, to]`` — plain
     tuples (picklable) of::
@@ -627,7 +704,10 @@ def _plan_partitions(
 
     ``vec_dirs_abs`` carries the position-delete dirs whose pairs must
     be EXCLUDED from an emitted file (an initial snapshot / restated
-    parent with live vectors must not resurrect dead rows)."""
+    parent with live vectors must not resurrect dead rows).
+    ``infos`` reuses per-version classifications a caller already
+    computed (review r12: the deep batch route otherwise re-reads and
+    re-classifies every manifest a second time)."""
     committed = set(snapshot_versions(base_dir))
     parts: list[tuple] = []
 
@@ -642,7 +722,11 @@ def _plan_partitions(
                 parts.append((kind, v, f, dir_abs, fmt, vecs_abs))
 
     for v in _plan_versions(base_dir, after_version, to_version):
-        info = _classify_version(base_dir, v, committed)
+        info = (
+            infos[v]
+            if infos is not None and v in infos
+            else _classify_version(base_dir, v, committed)
+        )
         kind, m, fmt = info["kind"], info["manifest"], info["fmt"]
         if kind == "none":
             continue
@@ -1048,19 +1132,31 @@ except ImportError:  # pragma: no cover
     HAVE_CDF_DATASOURCE = False
 
 
+#: the boolean action column :func:`feed_actions` emits —
+#: dunder-reserved (the ``__dv_file`` discipline) so it cannot collide
+#: silently with a real table column; feed_actions raises on clash
+TOMBSTONE_COL = "__cdc_tombstone"
+
+
 def feed_actions(feed: DataFrame, key_cols: list[str]) -> DataFrame:
     """Fold a (possibly multi-version) change-feed frame into ONE merge
     action per key: keyed reconciliation first (unchanged restated rows
     drop, preimages are informational and drop too), then latest
-    version wins per key. Returns the table's columns plus a boolean
-    ``_tombstone`` — exactly the input shape
+    version wins per key. Returns the table's columns plus the boolean
+    :data:`TOMBSTONE_COL` — exactly the input shape
     ``merge_into_snapshot_delta``/``merge_into_snapshot`` take with
-    ``delete_col="_tombstone"``. Shared by :func:`replicate_snapshot`
+    ``delete_col=TOMBSTONE_COL``. Shared by :func:`replicate_snapshot`
     and the YAML ``snapshot_merge`` destination's ``apply_feed`` mode.
-    One key-shuffle for the reconcile join, one for the fold window."""
+    One key-shuffle for the reconcile aggregation, one for the fold
+    window."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    clash = {TOMBSTONE_COL, "__cdc_rn"} & set(feed.columns)
+    if clash:
+        raise ValueError(
+            f"feed frame has reserved column(s) {sorted(clash)}"
+        )
     rec = reconcile_updates(feed, key_cols).filter(
         F.col(CHANGE_COL) != "update_preimage"
     )
@@ -1071,10 +1167,10 @@ def feed_actions(feed: DataFrame, key_cols: list[str]) -> DataFrame:
         F.desc(VERSION_COL), F.desc(CHANGE_COL)
     )
     return (
-        rec.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .withColumn("_tombstone", F.col(CHANGE_COL) == "delete")
+        rec.withColumn("__cdc_rn", F.row_number().over(w))
+        .filter(F.col("__cdc_rn") == 1)
+        .drop("__cdc_rn")
+        .withColumn(TOMBSTONE_COL, F.col(CHANGE_COL) == "delete")
         .drop(CHANGE_COL, VERSION_COL)
     )
 
@@ -1150,7 +1246,7 @@ def replicate_snapshot(
             # Folding it into pre-existing replica state would keep
             # stale rows the expired window deleted upstream; the
             # replica restates from the batch alone.
-            new = act.filter(~F.col("_tombstone")).drop("_tombstone")
+            new = act.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
             write_snapshot(
                 new, dst_dir, mode="overwrite", meta={"batch_id": batch_id}
             )
@@ -1160,7 +1256,7 @@ def replicate_snapshot(
                 dst_dir,
                 act,
                 key_cols,
-                delete_col="_tombstone",
+                delete_col=TOMBSTONE_COL,
                 meta={"batch_id": batch_id},
             )
 
@@ -1174,11 +1270,6 @@ def replicate_snapshot(
         .start()
     )
     q.awaitTermination()
-
-
-#: one-shot guard for the by-value registration below — the effect is
-#: process-global, so repeated registration only re-pays the bookkeeping
-_PICKLE_BY_VALUE_DONE = False
 
 
 def register_snapshot_cdf(spark: SparkSession) -> bool:
@@ -1207,24 +1298,6 @@ def register_snapshot_cdf(spark: SparkSession) -> bool:
     process; no other module is registered by value."""
     if not HAVE_CDF_DATASOURCE:
         return False
-    global _PICKLE_BY_VALUE_DONE
-    if not _PICKLE_BY_VALUE_DONE:
-        try:
-            from pyspark import cloudpickle as _cp  # Spark's serializer
-        except ImportError:  # pragma: no cover
-            import cloudpickle as _cp  # type: ignore[no-redef]
-        import sys
-
-        for modname in (
-            __name__,
-            __name__.rsplit(".", 1)[0] + ".snapshots",
-        ):
-            mod = sys.modules.get(modname)
-            if mod is not None:
-                try:
-                    _cp.register_pickle_by_value(mod)
-                except Exception:  # pragma: no cover - older cloudpickle
-                    pass
-        _PICKLE_BY_VALUE_DONE = True
+    _ensure_pickle_by_value()
     spark.dataSource.register(SnapshotCDFDataSource)
     return True

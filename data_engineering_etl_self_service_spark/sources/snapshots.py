@@ -777,12 +777,20 @@ def merge_into_snapshot_delta(
             "merge_into_snapshot (copy-on-write) on ORC snapshot "
             "tables."
         )
+    # dunder-reserved internal flag (the _DV_FILE discipline): a real
+    # user column with this name would be silently clobbered then
+    # consumed as the tombstone — fail loudly instead (review r12)
+    if "__merge_del" in updates.columns:
+        raise ValueError(
+            "merge_into_snapshot_delta: '__merge_del' is a reserved "
+            "column name"
+        )
     upd = updates
     if delete_col is None:
-        upd = upd.withColumn("_del", F.lit(False))
+        upd = upd.withColumn("__merge_del", F.lit(False))
     else:
         upd = upd.withColumn(
-            "_del",
+            "__merge_del",
             F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)),
         ).drop(delete_col)
 
@@ -801,7 +809,7 @@ def merge_into_snapshot_delta(
     if n_vec == 0:
         shutil.rmtree(os.path.join(base_dir, vec_rel), ignore_errors=True)
 
-    inserts = upd.filter(~F.col("_del")).drop("_del")
+    inserts = upd.filter(~F.col("__merge_del")).drop("__merge_del")
     data_rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     inserts.write.mode("error").parquet(os.path.join(base_dir, data_rel))
     n_ins = spark.read.parquet(os.path.join(base_dir, data_rel)).count()
@@ -860,16 +868,30 @@ def merge_into_snapshot_delta(
             planned_dels.update(extra)
         return dels + [state["rel"]], rows + state["n"]
 
+    def _meta():
+        # caller meta first, stat keys LAST so a colliding caller key
+        # can't make the manifest lie about the vector size (the
+        # write_snapshot 'format'-last discipline — review r12; the
+        # broadcast decision in _deleted_rows reads n_deleted). When
+        # the caller carries no batch_id, the head's streaming high
+        # watermark is preserved (re-read per retry) so vacuum after a
+        # merge can't break snapshot_batch_sink's replay guard — the
+        # merge_into_snapshot rule.
+        out = dict(meta or {})
+        if "batch_id" not in out:
+            last = last_committed_batch(base_dir)
+            if last is not None:
+                out["batch_id"] = last
+        out["n_deleted"] = state["n"]
+        out["n_inserted"] = n_ins
+        return out
+
     return _commit_manifest(
         base_dir,
         _dirs,
         "merge",
         inserts.schema.simpleString() if n_ins else manifest.get("schema"),
-        lambda: {
-            "n_deleted": state["n"],
-            "n_inserted": n_ins,
-            **(meta or {}),
-        },
+        _meta,
         deletes_of_head=_dels,
     )
 

@@ -492,6 +492,109 @@ def test_replica_still_converges_through_all_change_kinds(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# review-fix pins (r12 adversarial pass)
+# ---------------------------------------------------------------------------
+
+
+def test_reserved_cdc_columns_are_loud(spark, tmp_path):
+    """A real user column named like the internal CDC flags must fail
+    loudly, never be silently clobbered (the __dv_file discipline)."""
+    from data_engineering_etl_self_service_spark.sources.cdf import (
+        TOMBSTONE_COL,
+        feed_actions,
+    )
+
+    feed = spark.createDataFrame(
+        [(1, "x", True, "insert", 1)],
+        f"id long, name string, {TOMBSTONE_COL} boolean, "
+        "change_type string, version long",
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        feed_actions(feed, ["id"])
+    base = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.range(5).select(
+            "id", F.lit(False).alias("__merge_del")
+        ),
+        base,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        merge_into_snapshot_delta(
+            spark, base, read_snapshot(spark, base), ["id"]
+        )
+
+
+def test_merge_meta_cannot_override_stats_and_carries_batch_id(
+    spark, tmp_path
+):
+    """(a) caller meta colliding with n_deleted/n_inserted must not
+    make the manifest lie (the broadcast decision reads n_deleted);
+    (b) a merge on a streaming-fed table carries the batch_id high
+    watermark forward, so vacuum after a merge can't break the
+    exactly-once replay guard."""
+    from data_engineering_etl_self_service_spark.sources.snapshots import (
+        last_committed_batch,
+        vacuum,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(
+        _df(spark, 0, 30), base, mode="overwrite", meta={"batch_id": 7}
+    )
+    updates = spark.createDataFrame(
+        [(3, 99, "NEW", False)], "id long, grp long, name string, dead boolean"
+    )
+    merge_into_snapshot_delta(
+        spark,
+        base,
+        updates,
+        ["id"],
+        delete_col="dead",
+        meta={"n_deleted": 0, "n_inserted": 99},
+    )
+    m = _read_manifest(base, snapshot_versions(base)[-1])
+    assert m["n_deleted"] == 1 and m["n_inserted"] == 1  # truth wins
+    assert m["batch_id"] == 7  # watermark carried without caller meta
+    vacuum(base, keep_last=1)
+    assert last_committed_batch(base) == 7
+
+
+def test_reconcile_is_single_pass_no_join(spark, tmp_path):
+    """The keyed classification must scan the feed ONCE (one grouped
+    aggregation), never a self-join that re-executes the feed per
+    side (review r12: 3x Arrow decode on deep-range backfills)."""
+    from data_engineering_etl_self_service_spark.sources.cdf import (
+        reconcile_updates,
+    )
+
+    p = str(tmp_path / "feed.parquet")
+    spark.createDataFrame(
+        [
+            (1, "a", "delete", 2),
+            (1, "b", "insert", 2),
+            (2, "c", "insert", 2),
+            (3, "d", "delete", 2),
+            (4, "e", "delete", 2),
+            (4, "e", "insert", 2),
+        ],
+        "id long, name string, change_type string, version long",
+    ).write.parquet(p)
+    feed = spark.read.parquet(p)
+    out = reconcile_updates(feed, ["id"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Relation") == 1  # the feed is scanned once
+    got = sorted((r["change_type"], r["id"]) for r in out.collect())
+    assert got == [
+        ("delete", 3),
+        ("insert", 2),
+        ("update_postimage", 1),
+        ("update_preimage", 1),
+    ]  # id=4's unchanged pair dropped
+
+
+# ---------------------------------------------------------------------------
 # deep histories: bounded plan via the per-file batch route
 # ---------------------------------------------------------------------------
 
