@@ -266,20 +266,30 @@ def _deleted_rows(
             root = mt.group(1) if mt else os.path.dirname(k)
             by_root.setdefault(root, []).append(k)
 
-    def _lineage(raw: DataFrame) -> DataFrame:
+    def _lineage(raw: DataFrame, key_col) -> DataFrame:
         # _metadata is a hidden SCAN column: it must materialize into
         # real columns per read, BEFORE any union
-        return raw.withColumn(
-            _DV_FILE, _rel_file_col(base_dir)
-        ).withColumn(_DV_POS, F.col("_metadata.row_index"))
+        return raw.withColumn(_DV_FILE, key_col).withColumn(
+            _DV_POS, F.col("_metadata.row_index")
+        )
 
+    #: for ABSOLUTE-key groups the join key is the raw schemeless
+    #: path, NOT the root-stripped one: the files are read AT the
+    #: vector's own key paths, so the raw spelling matches the stored
+    #: key by construction (the stream face's logic) — root-stripping
+    #: could re-relativize a path the writer stored absolute and
+    #: silently match nothing
+    abs_key = F.regexp_replace(
+        F.col("_metadata.file_path"), r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"
+    )
     frames = []
     if rel_keys:
         frames.append(
             _lineage(
                 spark.read.option("mergeSchema", "true")
                 .option("basePath", base_dir)
-                .parquet(*[os.path.join(base_dir, k) for k in rel_keys])
+                .parquet(*[os.path.join(base_dir, k) for k in rel_keys]),
+                _rel_file_col(base_dir),
             )
         )
     for root in sorted(by_root):
@@ -287,7 +297,8 @@ def _deleted_rows(
             _lineage(
                 spark.read.option("mergeSchema", "true")
                 .option("basePath", root)
-                .parquet(*by_root[root])
+                .parquet(*by_root[root]),
+                abs_key,
             )
         )
     df = frames[0]

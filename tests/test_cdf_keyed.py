@@ -525,6 +525,49 @@ def test_reserved_cdc_columns_are_loud(spark, tmp_path):
         )
 
 
+def test_batch_face_reads_absolute_key_vectors(spark, tmp_path):
+    """ADVICE r11 low #1: delete vectors whose file keys are ABSOLUTE
+    (symlink/mount spellings where neither root-strip fired) must read
+    on the BATCH face too — the key is not under basePath=base_dir, so
+    the pre-fix read raised AnalysisException. Fabricated by rewriting
+    a real vector's keys to absolute paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 40), base, mode="overwrite")  # v1
+    delete_where(spark, base, "id % 4 = 0")  # v2: 10 rows
+    m = _read_manifest(base, 2)
+    vdir = os.path.join(base, m["delete_dirs"][0])
+    for name in os.listdir(vdir):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(vdir, name)
+        t = pq.read_table(p)
+        abs_keys = pa.array(
+            [
+                k if k.startswith("/") else os.path.join(base, k)
+                for k in t.column("file").to_pylist()
+            ],
+            pa.string(),
+        )
+        pq.write_table(
+            t.set_column(t.column_names.index("file"), "file", abs_keys), p
+        )
+        # drop the stale Hadoop checksum sidecar of the original write
+        crc = os.path.join(vdir, f".{name}.crc")
+        if os.path.exists(crc):
+            os.unlink(crc)
+    batch = C.changes_between(spark, base, after_version=1)
+    got = sorted(r["id"] for r in batch.collect())
+    assert got == list(range(0, 40, 4))
+    assert {r["change_type"] for r in batch.collect()} == {"delete"}
+    # stream parity on the same absolute-key vector
+    stream = C.changes_between(spark, base, after_version=1,
+                               max_union_versions=0)
+    assert sorted(r["id"] for r in stream.collect()) == got
+
+
 def test_merge_meta_cannot_override_stats_and_carries_batch_id(
     spark, tmp_path
 ):
