@@ -800,6 +800,28 @@ def merge_into_snapshot_delta(
     # new vector holds first deaths only, like delete_where
     touched = upd.select(*key_cols).distinct()
     lineage = _lineage_read(spark, base_dir, manifest)
+    # TYPE drift is a loud boundary: appending a column whose type
+    # differs from the table's (e.g. an upstream partition column that
+    # re-inferred bigint→int) would commit data dirs parquet's
+    # mergeSchema cannot reconcile — the table turns unreadable at the
+    # NEXT read, far from the cause (caught r12 by the partitioned-
+    # replica test). New columns (widening) stay allowed.
+    table_types = {f.name: f.dataType for f in lineage.schema.fields}
+    drift = [
+        (f.name, f.dataType.simpleString(), table_types[f.name].simpleString())
+        for f in upd.schema.fields
+        if f.name != "__merge_del"
+        and f.name in table_types
+        and f.dataType != table_types[f.name]
+    ]
+    if drift:
+        raise ValueError(
+            "merge_into_snapshot_delta: updates' column types differ "
+            f"from the table's: {drift} (updates-type vs table-type). "
+            "Cast the updates to the table's types, or adopt a new "
+            "schema via mode='overwrite' (for a CDC replica: re-sync "
+            "with a fresh checkpoint)."
+        )
     matches = lineage.join(touched, key_cols, "left_semi").select(
         F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
     )

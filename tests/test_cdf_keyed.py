@@ -637,6 +637,76 @@ def test_reconcile_is_single_pass_no_join(spark, tmp_path):
     ]  # id=4's unchanged pair dropped
 
 
+def test_replica_tracks_upstream_schema_drift(spark, tmp_path):
+    """An upstream append that ADDS a column between syncs: the feed
+    speaks the head schema, so the delta apply lands the wider rows and
+    the replica's old rows null-in — no rewrite, no failure."""
+    src = str(tmp_path / "src")
+    write_snapshot(_df(spark, 0, 30), src, mode="overwrite")
+    dst, ck = str(tmp_path / "replica"), str(tmp_path / "ck")
+    C.replicate_snapshot(spark, src, dst, ck, key_cols=["id"])
+    write_snapshot(
+        _df(spark, 100, 110).withColumn("tag", F.lit("late")),
+        src,
+        mode="append",
+    )
+    C.replicate_snapshot(spark, src, dst, ck, key_cols=["id"])
+    got = read_snapshot(spark, dst)
+    assert "tag" in got.columns
+    assert got.filter(F.col("tag") == "late").count() == 10
+    assert got.filter(F.col("tag").isNull()).count() == 30
+    assert _read_manifest(dst, snapshot_versions(dst)[-1])["mode"] == "merge"
+
+
+def test_replica_of_hive_partitioned_upstream(spark, tmp_path):
+    """Partitioned upstream tables version by full rewrite; the keyed
+    reconciliation turns each rewrite into its diff, and path-encoded
+    partition columns ride the feed as plain valued columns."""
+    src = str(tmp_path / "src")
+    write_snapshot(
+        _df(spark, 0, 40), src, mode="overwrite", partition_by=("grp",)
+    )
+    dst, ck = str(tmp_path / "replica"), str(tmp_path / "ck")
+    C.replicate_snapshot(spark, src, dst, ck, key_cols=["id"])
+    assert _rows(spark, dst) == _rows(spark, src)
+    # rewrite: drop grp=3, re-tag one row. Partition-column inference
+    # types path columns INT, so the rewrite must cast back to the
+    # table's declared bigint — the un-cast version is the type-drift
+    # trap the next test pins as a loud boundary.
+    nxt = (
+        read_snapshot(spark, src)
+        .withColumn("grp", F.col("grp").cast("long"))
+        .filter(F.col("grp") != 3)
+        .withColumn(
+            "name",
+            F.when(F.col("id") == 8, F.lit("KEPT")).otherwise(F.col("name")),
+        )
+    )
+    write_snapshot(nxt, src, mode="overwrite", partition_by=("grp",))
+    C.replicate_snapshot(spark, src, dst, ck, key_cols=["id"])
+    assert _rows(spark, dst) == _rows(spark, src)
+    m = _read_manifest(dst, snapshot_versions(dst)[-1])
+    assert m["mode"] == "merge"
+    assert m["n_inserted"] == 1  # only the changed row, not the rewrite
+
+
+def test_merge_type_drift_is_a_loud_boundary(spark, tmp_path):
+    """Updates whose column TYPE differs from the table's (the
+    partition-column bigint→int re-inference trap) must fail at WRITE
+    time — committing them would leave parquet files mergeSchema cannot
+    reconcile, an unreadable table discovered far from the cause."""
+    base = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), base, mode="overwrite")  # grp long
+    updates = spark.createDataFrame(
+        [(3, 9, "x")], "id long, grp int, name string"
+    )
+    with pytest.raises(ValueError, match="types differ"):
+        merge_into_snapshot_delta(spark, base, updates, ["id"])
+    # the staged probe left no committed version behind
+    assert snapshot_versions(base) == [1]
+    assert read_snapshot(spark, base).count() == 10
+
+
 # ---------------------------------------------------------------------------
 # deep histories: bounded plan via the per-file batch route
 # ---------------------------------------------------------------------------
