@@ -804,3 +804,22 @@ def test_file_route_parity_with_union_route(spark, tmp_path):
         ("update_postimage", 201),
         ("update_preimage", 201),
     ]
+
+
+def test_file_route_parity_on_orc(spark, tmp_path):
+    """The per-file batch route decodes ORC data files too (the format
+    rides the manifest into each partition spec) — parity with the
+    union route across appends and a restatement."""
+    base = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 50), base, mode="overwrite", format="orc")
+    write_snapshot(_df(spark, 50, 70), base, mode="append", format="orc")
+    write_snapshot(
+        _df(spark, 200, 220), base, mode="overwrite", format="orc"
+    )
+    union = C.changes_between(spark, base)
+    files = C.changes_between(spark, base, max_union_versions=0)
+    cols = sorted(union.columns)
+    assert sorted(tuple(r) for r in files.select(*cols).collect()) == sorted(
+        tuple(r) for r in union.select(*cols).collect()
+    )
+    assert "MapInArrow" in files._jdf.queryExecution().analyzed().toString()

@@ -108,6 +108,37 @@ def test_examples_directory_specs_parse_and_run(
         )
         src = cfg.get("source", {})
         src_path = str(src.get("path", ""))
+        if src.get("type") == "snapshot_cdf" and not pathlib.Path(
+            src_path
+        ).exists():
+            # CDC replication example (round 12): materialize a small
+            # upstream snapshot history (overwrite + append + row-level
+            # delete) and check the replica converges to its head
+            from data_engineering_etl_self_service_spark.sources.snapshots import (
+                delete_where,
+                read_snapshot,
+                write_snapshot,
+            )
+
+            up = str(tmp_path / "cdc_upstream")
+            base_df = spark.range(40).selectExpr(
+                "id", "id % 7 AS grp", "concat('r', id) AS name"
+            )
+            write_snapshot(
+                base_df.filter("id % 2 = 0"), up, mode="overwrite"
+            )
+            write_snapshot(base_df.filter("id % 2 = 1"), up, mode="append")
+            delete_where(spark, up, "id % 10 = 0")
+            cfg["source"]["path"] = up
+            q = tmp_path / p.name
+            q.write_text(_yaml.safe_dump(cfg))
+            assert not load_spec(str(q)).warnings
+            rc = main(["run", str(q), "--ds", "2025-08-13"])
+            assert rc == 0, p.name
+            got = read_snapshot(spark, cfg["destination"]["path"])
+            assert got.count() == 36  # 40 minus the 4 deleted
+            assert got.filter("id % 10 = 0").count() == 0
+            continue
         if src.get("type") == "file" and not pathlib.Path(
             src_path.split("{", 1)[0]
         ).exists():
