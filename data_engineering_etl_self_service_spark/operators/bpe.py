@@ -46,6 +46,127 @@ from ..runtime import truncate_lineage
 DELIM = "\x1f"
 
 
+#: Rounds between REAL lineage truncations in the distributed training
+#: loops (lazy persist chaining in between — one job per round), so
+#: analyzed-plan depth stays bounded for large n_merges (the r11
+#: components-loop failure class, linear-not-exponential here).
+_FOLD_CKPT_EVERY = 12
+
+#: Driver-tier budget (opt r12): when the (word, count) TYPE table has
+#: at most this many rows, the merge rounds run as the classic
+#: in-memory BPE/WordPiece loop on the driver — identical integer
+#: arithmetic, identical tie-breaks, identical greedy fold, so the
+#: rules are bit-for-bit the distributed loop's (pinned by
+#: tests/test_bpe.py both ways and by the DuckDB oracles). The type
+#: table is the vocabulary, not the corpus: 64 Ki (word, count) rows is
+#: the same bounded-driver-artifact class as k-means' centroids or
+#: pagerank's n_nodes, and each distributed round costs a full Spark
+#: job (~0.3 s of pure scheduling at ANY data size below cache scale),
+#: so below the budget the driver loop is strictly faster at every
+#: scale. Above it, the distributed loop runs exactly as before.
+#: Runtime-settable (0 disables the tier):
+DRIVER_VOCAB_CONF = "spark.data_engineering_etl.bpe.driver_vocab_rows"
+_DRIVER_VOCAB_DEFAULT = 65536
+
+
+def _driver_vocab_rows(spark) -> int:
+    try:
+        return int(
+            spark.conf.get(DRIVER_VOCAB_CONF, str(_DRIVER_VOCAB_DEFAULT))
+        )
+    except (TypeError, ValueError):
+        return _DRIVER_VOCAB_DEFAULT
+
+
+def _take_type_table(words, word_col, count_col, budget):
+    """The driver-tier probe: take budget+1 eligible (word, count) rows.
+    Returns the list if it fits the budget (and is BMP-only, so the
+    Python char split mirrors Spark's UTF-16 ``split(w, '(?!$)')``
+    exactly), else None — callers then run the distributed loop."""
+    if budget <= 0:
+        return None
+    rows = (
+        words.filter(~F.col(word_col).contains(DELIM))
+        .select(F.col(word_col).alias("w"), F.col(count_col).alias("c"))
+        .take(budget + 1)
+    )
+    if len(rows) > budget:
+        return None
+    wc = [(r["w"], int(r["c"])) for r in rows]
+    if any(ord(ch) > 0xFFFF for w, _ in wc for ch in w):
+        return None  # astral chars split per UTF-16 unit in the JVM
+    return wc
+
+
+def _local_merge(syms: list, x: str, y: str, merged: str) -> list:
+    """Python mirror of :func:`_merge_fold`'s greedy left-to-right
+    non-overlapping merge (the accumulator's endswith check == the
+    last emitted symbol equals ``x``)."""
+    out = []
+    for s in syms:
+        if out and out[-1] == x and s == y:
+            out[-1] = merged
+        else:
+            out.append(s)
+    return out
+
+
+def _bpe_train_local(wc, n_merges):
+    """Classic in-memory BPE rounds over the (word, count) type table —
+    the driver tier of :func:`bpe_train`. Same argmax tie-break
+    (count DESC, left ASC, right ASC), same fold."""
+    tbl = [(list(w) if w else [""], c) for w, c in wc]
+    rules = []
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for syms, c in tbl:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (x, y), _ = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = x + y
+        rules.append((rank, x, y, merged))
+        if rank == n_merges:
+            break
+        tbl = [(_local_merge(syms, x, y, merged), c) for syms, c in tbl]
+    return rules
+
+
+def _wordpiece_train_local(wc, n_merges):
+    """Driver tier of :func:`wordpiece_train`: likelihood-ratio scored
+    merges with the identical floored-integer score and
+    (score DESC, count DESC, left ASC, right ASC) tie-break."""
+    tbl = [(list(w) if w else [""], c) for w, c in wc]
+    rules = []
+    for rank in range(1, n_merges + 1):
+        pc: dict = {}
+        uni: dict = {}
+        for syms, c in tbl:
+            for s in syms:
+                uni[s] = uni.get(s, 0) + c
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        scored = [
+            (cnt * WP_SCALE // (uni[x] * uni[y]), cnt, x, y)
+            for (x, y), cnt in pc.items()
+        ]
+        score, cnt, x, y = min(
+            scored, key=lambda t: (-t[0], -t[1], t[2], t[3])
+        )
+        rules.append((rank, x, y, x + y, int(score), int(cnt)))
+        if rank == n_merges:
+            break
+        tbl = [(_local_merge(syms, x, y, x + y), c) for syms, c in tbl]
+    return rules
+
+
 def _merge_fold(x: str, y: str, merged: str):
     """Column fn: greedy left-to-right merge of adjacent (x, y) -> merged
     over a symbol array, via a string-accumulator fold (mirrors the
@@ -84,7 +205,16 @@ def bpe_train(
     the word-TYPE table (one row per distinct word with its corpus
     frequency) — collapse the corpus first; that is the only
     corpus-sized step of the whole algorithm.
+
+    Small type tables (≤ ``DRIVER_VOCAB_CONF`` rows) train on the
+    driver with the identical arithmetic (see the constant's comment);
+    larger vocabularies run the distributed rounds below.
     """
+    wc = _take_type_table(
+        words, word_col, count_col, _driver_vocab_rows(words.sparkSession)
+    )
+    if wc is not None:
+        return _bpe_train_local(wc, n_merges)
     syms = words.filter(~F.col(word_col).contains(DELIM)).select(
         F.col(word_col).alias("w"),
         F.col(count_col).alias("c"),
@@ -93,8 +223,17 @@ def bpe_train(
     # split with the empty-ish lookahead pattern yields chars without a
     # trailing '' element (Spark's split(w, '') appends one; '(?!$)' splits
     # at every position except end-of-string)
+    # LAZY persist chaining (opt r12): each round's fold result is
+    # persisted lazily and materialized AS A SIDE EFFECT of the next
+    # round's argmax collect, so a merge round costs exactly ONE Spark
+    # job instead of two (argmax + an eager localCheckpoint of the
+    # whole table — measured ~2× the wall at n_merges=8). The cache
+    # chain grows one projection layer of plan per round, which is
+    # linear (the r11 components hazard was exponential JOIN-tree
+    # growth), and is cut by a real truncation every
+    # ``_FOLD_CKPT_EVERY`` rounds to stay bounded for large n_merges.
     syms = syms.persist()
-    syms.count()
+    live = [syms]  # persisted frames not yet safe to release
     rules: list[tuple[int, str, str, str]] = []
     for rank in range(1, n_merges + 1):
         idx = F.explode(F.sequence(F.lit(0), F.size("sym") - 2)).alias("i")
@@ -112,6 +251,9 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # syms is now materialized in cache — its parent is releasable
+        while len(live) > 1:
+            live.pop(0).unpersist()
         if not best:
             break
         x, y = best[0]["x"], best[0]["y"]
@@ -119,12 +261,20 @@ def bpe_train(
         rules.append((rank, x, y, merged))
         if rank == n_merges:
             break  # the final round's fold result would never be read
-        nxt = syms.select(
-            "w", "c", _merge_fold(x, y, merged)("sym").alias("sym")
-        ).transform(truncate_lineage)
-        syms.unpersist()
+        if rank % _FOLD_CKPT_EVERY == 0:
+            nxt = syms.select(
+                "w", "c", _merge_fold(x, y, merged)("sym").alias("sym")
+            ).transform(truncate_lineage)
+            syms.unpersist()
+            live = [nxt]
+        else:
+            nxt = syms.select(
+                "w", "c", _merge_fold(x, y, merged)("sym").alias("sym")
+            ).persist()
+            live.append(nxt)
         syms = nxt
-    syms.unpersist()
+    for df in live:
+        df.unpersist()
     return rules
 
 
@@ -161,14 +311,24 @@ def wordpiece_train(
     collect, and the fold is shuffle-free.
 
     Returns [(rank, left, right, merged, score_scaled, pair_count)].
+
+    Small type tables take the driver tier, exactly as in
+    :func:`bpe_train`.
     """
+    wc = _take_type_table(
+        words, word_col, count_col, _driver_vocab_rows(words.sparkSession)
+    )
+    if wc is not None:
+        return _wordpiece_train_local(wc, n_merges)
     syms = words.filter(~F.col(word_col).contains(DELIM)).select(
         F.col(word_col).alias("w"),
         F.col(count_col).alias("c"),
         F.split(F.col(word_col), "(?!$)").alias("sym"),
     )
+    # lazy persist chaining — same one-job-per-round discipline as
+    # bpe_train (see the comment there)
     syms = syms.persist()
-    syms.count()
+    live = [syms]
     rules: list[tuple[int, str, str, str, int, int]] = []
     for rank in range(1, n_merges + 1):
         uni = (
@@ -207,6 +367,8 @@ def wordpiece_train(
             .limit(1)
             .collect()
         )
+        while len(live) > 1:
+            live.pop(0).unpersist()
         if not best:
             break
         x, y = best[0]["x"], best[0]["y"]
@@ -215,12 +377,20 @@ def wordpiece_train(
         )
         if rank == n_merges:
             break
-        nxt = syms.select(
-            "w", "c", _merge_fold(x, y, x + y)("sym").alias("sym")
-        ).transform(truncate_lineage)
-        syms.unpersist()
+        if rank % _FOLD_CKPT_EVERY == 0:
+            nxt = syms.select(
+                "w", "c", _merge_fold(x, y, x + y)("sym").alias("sym")
+            ).transform(truncate_lineage)
+            syms.unpersist()
+            live = [nxt]
+        else:
+            nxt = syms.select(
+                "w", "c", _merge_fold(x, y, x + y)("sym").alias("sym")
+            ).persist()
+            live.append(nxt)
         syms = nxt
-    syms.unpersist()
+    for df in live:
+        df.unpersist()
     return rules
 
 

@@ -66,8 +66,9 @@ def nb_train(
     pass over text.
     """
     from ..functions.text import tokens
+    from ..runtime import spread_scan
 
-    tk = docs.select(
+    tk = spread_scan(docs, id_col).select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_y"),
         F.explode(tokens(F.col(text_col))).alias("w"),
@@ -122,8 +123,9 @@ def nb_score_multinomial(
     array_sort makes it irrelevant).
     """
     from ..functions.text import tokens
+    from ..runtime import spread_scan
 
-    tk = docs.select(
+    tk = spread_scan(docs, id_col).select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
     )

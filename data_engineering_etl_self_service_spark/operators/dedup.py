@@ -111,7 +111,16 @@ def _hashed_shingle_table(
     for MinHash signatures (MIN is duplicate-insensitive); set-semantics
     consumers (Jaccard counts) must dedupe their (usually much smaller)
     slice themselves.
+
+    The input is first spread to the session's core count
+    (``runtime.spread_scan`` — identity at real scan parallelism): the
+    tokenize + shingle explode is the corpus-sized CPU stage of every
+    consumer, and a single small parquet file otherwise serializes it
+    on one task.
     """
+    from ..runtime import spread_scan
+
+    docs = spread_scan(docs, id_col)
     toks = docs.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("t")
     )
@@ -466,8 +475,9 @@ def simhash_signatures(
     shuffle on doc id.
     """
     from ..functions.text import tokens
+    from ..runtime import spread_scan
 
-    tok = docs.select(
+    tok = spread_scan(docs, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", F.xxhash64(F.col("tok")))
@@ -748,12 +758,15 @@ def duplicate_span_extents(
     the caller) — for plan audits only.
     """
     from ..functions.text import word_shingles
+    from ..runtime import spread_scan
 
     # persist: the positional gram set feeds BOTH the eligibility count
     # and the match join — without it the explode (the widest stage) runs
     # twice, and both consumers shuffle it on gram anyway.
+    # spread first: the positional-gram explode is the corpus-sized CPU
+    # stage, and a single-file scan would otherwise run it on one task.
     sh = (
-        docs.select(
+        spread_scan(docs, id_col).select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(
                 word_shingles(F.col(text_col), k=k, distinct=False)
@@ -773,16 +786,36 @@ def duplicate_span_extents(
         .select("gram")
     )
     m = sh.join(eligible, "gram")
-    a = m.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram"
-    )
-    b = m.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram"
+    # Pair expansion as a grouped JVM expression (opt r12): the former
+    # a ⋈ b self-join on gram inlined the (sh ⋈ eligible) subtree twice
+    # — the eligibility agg and the posting join each ran TWICE, and
+    # the join's build side was the whole posting table. A groupBy on
+    # the join's own key adds NO exchange; per-gram posting lists are
+    # bounded by ``max_gram_occ`` (the eligibility filter is upstream),
+    # so collect_list here is skew-free BY CONSTRUCTION — this is not
+    # the unbounded-group hazard, the [2, max_gram_occ] band is the
+    # bound. Sorted (doc_id, pos) structs expand i<j combinations,
+    # which is exactly the join's doc_a < doc_b output (same-doc pairs
+    # dropped by the filter, both position orders covered because every
+    # (i, j) with doc_i < doc_j appears once).
+    grp = m.groupBy("gram").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "pos"))
+        ).alias("es")
     )
     pairs = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pos_a", "pos_b")
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(es, (a, i) -> "
+                    "transform(slice(es, i + 2, size(es) - i - 1), "
+                    "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                    "a.pos AS pos_a, b.pos AS pos_b))))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.doc_a") < F.col("p.doc_b"))
+        .select("p.doc_a", "p.doc_b", "p.pos_a", "p.pos_b")
     )
     win = Window.partitionBy(
         "doc_a", "doc_b", F.col("pos_a") - F.col("pos_b")
@@ -860,8 +893,9 @@ def scrub_duplicate_spans(
     for plan audits, like :func:`duplicate_span_extents`.
     """
     from ..functions.text import tokens as _tokens
+    from ..runtime import spread_scan
 
-    w = docs.select(
+    w = spread_scan(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         _tokens(F.col(text_col)).alias("t"),
     ).persist()

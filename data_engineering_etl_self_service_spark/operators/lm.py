@@ -35,8 +35,9 @@ def lm_fluency(
     (single-token documents have no transitions to score).
     """
     from ..functions.text import tokens
+    from ..runtime import spread_scan
 
-    tk = docs.select(
+    tk = spread_scan(docs, id_col).select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("w")
     )
     b = (

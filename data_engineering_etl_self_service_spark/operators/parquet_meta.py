@@ -617,8 +617,13 @@ def _footer_frame(files, row_fn, schema: str, force_generic: bool = False):
     footer-bytes-only ranged read (:func:`open_ranged`): ``row_fn(path,
     size, fh)`` gets an open random-access handle and returns a plain
     dict — or a LIST of dicts for audits that emit several rows per
-    file (the bloom probe report). Shuffle-free; the input frame
-    carries (path, length) only."""
+    file (the bloom probe report). The input frame carries (path,
+    length) only; at real lake scale the listing arrives in many
+    splits and the pass is shuffle-free, while a small listing (fewer
+    splits than cores) is first spread across the session's cores by
+    ``runtime.spread_scan`` — a tiny (path, length)-only exchange that
+    keeps the footer decodes from serializing on one task."""
+    from ..runtime import spread_scan
 
     def gen(it):
         import pandas as pd
@@ -635,7 +640,9 @@ def _footer_frame(files, row_fn, schema: str, force_generic: bool = False):
             if rows:  # empty pandas batches break Arrow list casts
                 yield pd.DataFrame(rows)
 
-    return files.select("path", "length").mapInPandas(gen, schema)
+    return spread_scan(files.select("path", "length"), "path").mapInPandas(
+        gen, schema
+    )
 
 
 def file_audit_rows(

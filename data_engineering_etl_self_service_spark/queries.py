@@ -39,7 +39,7 @@ from .functions.text import (
     word_shingles,
 )
 from .session import ensure_session_defaults
-from .runtime import truncate_lineage
+from .runtime import spread_scan, truncate_lineage
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -1921,6 +1921,7 @@ def multimodal_decode(spark, sf_dir):
                 {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
             )
 
+    d = spread_scan(d, "doc_id")
     payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
     return decode_features(payloads)
 
@@ -1973,6 +1974,7 @@ def audio_features(spark, sf_dir):
                 {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
             )
 
+    d = spread_scan(d, "doc_id")
     payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
     return audio_frame_features(payloads, frame=64)
 
@@ -2057,6 +2059,7 @@ def flac_stereo_features(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, n_samples long, energy_left long, "
@@ -2130,6 +2133,7 @@ def jpeg_progressive_decode(spark, sf_dir):
                 {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
             )
 
+    d = spread_scan(d, "doc_id")
     payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
     return decode_features(payloads).select(
         "doc_id",
@@ -2213,6 +2217,7 @@ def ogg_metadata(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         metas,
         "doc_id long, codec string, channels long, sample_rate long, "
@@ -2300,6 +2305,7 @@ def mp4_metadata(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         metas,
         "doc_id long, brand string, n_tracks long, video_width long, "
@@ -2423,6 +2429,7 @@ def mp3_metadata(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         metas,
         "doc_id long, version string, bitrate_kbps long, "
@@ -2482,6 +2489,7 @@ def png_decode(spark, sf_dir):
                 {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
             )
 
+    d = spread_scan(d, "doc_id")
     payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
     return decode_features(payloads).select(
         "doc_id",
@@ -2553,6 +2561,7 @@ def jpeg420_decode(spark, sf_dir):
                 {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
             )
 
+    d = spread_scan(d, "doc_id")
     payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
     return decode_features(payloads).select(
         "doc_id",
@@ -2624,6 +2633,7 @@ def jpeg422_decode(spark, sf_dir):
                 {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
             )
 
+    d = spread_scan(d, "doc_id")
     payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
     return decode_features(payloads).select(
         "doc_id",
@@ -3406,7 +3416,7 @@ def posexplode_tokens(spark, sf_dir):
     from .functions.text import tokens
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    return d.select(
+    return spread_scan(d, "doc_id").select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
     )
 
@@ -3643,7 +3653,7 @@ def term_doc_freq(spark, sf_dir):
     skew ("the" appears everywhere) before the shuffle on term.
     """
     d = _t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tok = spread_scan(d, "doc_id").select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     return (
         tok.groupBy("term")
         .agg(
@@ -6107,14 +6117,32 @@ def triangle_parts(spark, sf_dir):
 def _triangle_parts_build(spark, sf_dir, eager=True):
     from .operators.graph import triangle_counts
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    li = spread_scan(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
+    # Basket-local pair expansion (opt r12): ONE scan + ONE groupBy on
+    # the order key collects each basket's distinct parts as a sorted
+    # array, and the ordered pairs (u < v by construction) expand as a
+    # JVM expression — replacing the former items.distinct() + self-join
+    # shape, which scanned lineitem twice and paid a distinct exchange
+    # plus a join exchange before the pair distinct. Fan-out per basket
+    # stays C(width, 2) with TPC-H-bounded widths, exactly as the join
+    # produced; the edge SET is unchanged.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     edges = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
     )
     per_node = triangle_counts(edges, normalized=True, eager=eager)
@@ -6158,7 +6186,7 @@ def heavy_hitter_tokens(spark, sf_dir):
     from .operators.summaries import heavy_hitters
 
     d = _t(spark, sf_dir, "documents")
-    stream = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    stream = spread_scan(d, "doc_id").select(F.explode(tokens(F.col("text"))).alias("tok"))
     return heavy_hitters(stream, "tok", k=200)
 
 
@@ -6772,13 +6800,13 @@ def incremental_heavy_hitters(spark, sf_dir):
 
     cap, k = 400, 200
     d = _t(spark, sf_dir, "documents")
-    full = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    full = spread_scan(d, "doc_id").select(F.explode(tokens(F.col("text"))).alias("tok"))
     base = _scratch_dir("mgstate")
 
     def batch(i: int):
-        return d.filter(F.col("doc_id") % 3 == i).select(
-            F.explode(tokens(F.col("text"))).alias("tok")
-        )
+        return spread_scan(
+            d.filter(F.col("doc_id") % 3 == i), "doc_id"
+        ).select(F.explode(tokens(F.col("text"))).alias("tok"))
 
     state = mg_summary(batch(0), "tok", cap)
     write_snapshot(state, base, mode="overwrite")
@@ -7727,7 +7755,7 @@ def corpus_cover_picks(spark, sf_dir):
     from .operators.selection import greedy_set_cover
 
     d = _t(spark, sf_dir, "documents")
-    inc = d.select(
+    inc = spread_scan(d, "doc_id").select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).distinct()
     picks = greedy_set_cover(inc, n_picks=5, id_col="doc_id", item_col="tok")
@@ -7798,7 +7826,13 @@ def _trigram_rarity_build(spark, sf_dir):
     ).otherwise(F.expr("array()").cast("array<string>"))
     # persist: the exploded pairs feed BOTH the DF-count agg and the
     # score join — without it the codegen'd explode runs twice.
-    tris = d.select("doc_id", F.explode(tri_arr).alias("tri")).persist()
+    # spread first: the char-split + trigram explode is the corpus-sized
+    # CPU stage (single-file scans would serialize it on one task).
+    tris = (
+        spread_scan(d, "doc_id")
+        .select("doc_id", F.explode(tri_arr).alias("tri"))
+        .persist()
+    )
     dfreq = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("dfreq"))
     rare = F.sum(F.when(F.col("dfreq") <= 2, 1).otherwise(0)).cast("long")
     out = (
@@ -7965,7 +7999,7 @@ def vocab_encode(spark, sf_dir):
     exercised by the fixture corpus.
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = d.select(
+    toks = spread_scan(d, "doc_id").select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
     )
     wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -8172,6 +8206,7 @@ def multimodal_transform(spark, sf_dir):
                 {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
             )
 
+    d = spread_scan(d, "doc_id")
     payloads = d.mapInPandas(make_payloads, "doc_id long, payload binary")
     out = transform_payloads(payloads, resize_to=(5, 4), audio_factor=2)
     return decode_features(out)
@@ -9075,6 +9110,7 @@ def html_extract_stats(spark, sf_dir):
     from .operators.html import build_html, extract_main_text, strip_html
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread_scan(d, "doc_id")
 
     @pandas_udf("string")
     def _build(doc_id, text):
@@ -9220,6 +9256,7 @@ def warc_extract_stats(spark, sf_dir):
                 ],
             )
 
+    d = spread_scan(d, "doc_id")
     pages = d.mapInPandas(
         chain,
         "doc_id long, uri string, gzipped boolean, chunked boolean, "
@@ -9304,6 +9341,7 @@ def pdf_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, n_pages long, n_streams long, flate_streams long, "
@@ -9937,6 +9975,7 @@ def tiff_metadata(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         metas,
         "doc_id long, byte_order string, n_pages long, width long, "
@@ -10025,6 +10064,7 @@ def tar_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         chain,
         "doc_id long, n_members long, total_bytes long, "
@@ -10110,6 +10150,7 @@ def zip_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         chain,
         "doc_id long, n_members long, stored long, deflated long, "
@@ -10188,6 +10229,7 @@ def wds_sample_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "data"])
 
+    d = spread_scan(d, "doc_id")
     shards = d.mapInPandas(pack, "doc_id long, data binary")
     samples = wds_sample_rows(shards)
     return samples.select(
@@ -11039,6 +11081,7 @@ def adpcm_decode_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, n_samples long, first_sample int, last_sample int, "
@@ -11094,6 +11137,7 @@ def unicode_normalize_report(spark, sf_dir):
     from .operators.unicodenorm import build_denormalized, normalize
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread_scan(d, "doc_id")
 
     @pandas_udf("string")
     def _build(doc_id, text):
@@ -11205,6 +11249,7 @@ def docx_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, n_paragraphs long, n_runs long, full_chars long, "
@@ -11289,6 +11334,7 @@ def eml_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, subject string, sender string, date_epoch long, "
@@ -11371,6 +11417,7 @@ def code_file_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, lang string, has_shebang boolean, "
@@ -11438,6 +11485,7 @@ def srt_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, n_cues long, first_start_ms long, last_end_ms long, "
@@ -11508,6 +11556,7 @@ def latex_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, n_sections long, has_equation boolean, "
@@ -11597,6 +11646,7 @@ def tfrecord_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, n_records long, crc_ok boolean, id_match boolean, "
@@ -11675,6 +11725,7 @@ def image_dhash_groups(spark, sf_dir, materialize=True):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     h = d.mapInPandas(
         hashes, "doc_id long, dhash long, pattern_class long"
     )
@@ -11794,6 +11845,7 @@ def image_neardup_pairs(spark, sf_dir, materialize=True):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     h = d.mapInPandas(hashes, "doc_id long, dhash long, cls long")
     if materialize:
         # h feeds FOUR plan branches (both band sides + both hash-lookup
@@ -11945,6 +11997,7 @@ def sqlite_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, n_rows long, ids_sum long, n_null_text long, "
@@ -12153,6 +12206,7 @@ def markdown_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, n_paragraphs long, has_list boolean, "
@@ -12226,6 +12280,7 @@ def feed_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, dialect string, feed_title string, n_items long, "
@@ -12295,6 +12350,7 @@ def epub_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, book_title string, n_chapters long, "
@@ -12374,6 +12430,7 @@ def charset_sniff_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, encoding string, had_bom boolean, "
@@ -12454,6 +12511,7 @@ def decompress_sniff_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, compression string, ok boolean, data_chars long, "
@@ -12559,6 +12617,7 @@ def avro_extract_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, codec string, n_records long, sum_chars long, "
@@ -12675,6 +12734,7 @@ def parquet_footer_stats(spark, sf_dir):
                 )
             yield pd.DataFrame(rows)
 
+    d = spread_scan(d, "doc_id")
     return d.mapInPandas(
         stats,
         "doc_id long, n_rows long, n_row_groups long, n_columns long, "
@@ -12753,6 +12813,7 @@ def kafka_avro_stats(spark, sf_dir):
                 vals.append(confluent_frame(body, i % 100))
             yield pd.DataFrame({"value": vals})
 
+    d = spread_scan(d, "doc_id")
     framed = d.mapInPandas(to_wire, "value binary")
     decoded = decode_confluent_avro(framed, "value", _EVT)
     return decoded.select(

@@ -28,9 +28,41 @@ read per call, so tests and notebooks can flip it mid-session.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 RELIABLE_FLAG = "spark.data_engineering_etl.checkpoint.reliable"
 CHECKPOINT_DIR = "spark.data_engineering_etl.checkpoint.dir"
+
+
+def spread_scan(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Raise scan parallelism to the session's core count before a
+    CPU-heavy per-row stage — identity whenever the input already has
+    at least ``defaultParallelism`` partitions.
+
+    A single small parquet file (one row group) arrives as ONE input
+    split, which serializes every downstream narrow stage — including
+    the Arrow-batched Python decode passes, the engine's heaviest
+    per-row CPU — on one core no matter how many the session has
+    (guide §2: the distributed algorithm first; §6: a split can never
+    be finer than a row group). At 100 TB a table is thousands of row
+    groups and this helper returns ``df`` unchanged, so the
+    codec-query plans stay zero-exchange at scale (the property
+    test_codec_queries_* pins); at bench/test scale it inserts one
+    tiny exchange of the scan's (pruned) columns and buys back the
+    other N-1 cores for the decode stage.
+
+    ``key_col``: hash-partition on this column (deterministic
+    placement under task retry — guide §2.5's rand-repartition
+    hazard); default round-robin is also retry-safe (Spark sorts
+    before round-robin) but pays that local sort.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_col is not None:
+        return df.repartition(target, F.col(key_col))
+    return df.repartition(target)
 
 
 def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -260,3 +260,50 @@ def test_unigram_hard_em_prunes_and_recounts(spark):
     # M-step: corpus-weighted piece usage in the best segmentations
     assert got == {"ab": 10, "a": 2}  # 'abab'x5 -> 2 'ab' each; 'a'x2
     # the prune fell out: ba/aba/b carry no rows at all
+
+
+def test_driver_tier_matches_distributed_loop(spark):
+    """The ≤DRIVER_VOCAB_CONF driver tier must produce bit-identical
+    rules to the distributed merge rounds — both for BPE (count argmax)
+    and WordPiece (floored likelihood-ratio argmax). Run the same
+    word-type table through both paths by flipping the budget conf."""
+    from data_engineering_etl_self_service_spark.operators.bpe import (
+        DRIVER_VOCAB_CONF,
+        bpe_train,
+        wordpiece_train,
+    )
+
+    words = spark.createDataFrame(
+        [("lower", 5), ("lowest", 3), ("newer", 6), ("wider", 2),
+         ("new", 7), ("aaa", 4), ("", 2)],
+        "w string, c long",
+    )
+    spark.conf.set(DRIVER_VOCAB_CONF, "0")  # force distributed
+    try:
+        dist_bpe = bpe_train(words, n_merges=6)
+        dist_wp = wordpiece_train(words, n_merges=6)
+    finally:
+        spark.conf.unset(DRIVER_VOCAB_CONF)
+    local_bpe = bpe_train(words, n_merges=6)
+    local_wp = wordpiece_train(words, n_merges=6)
+    assert local_bpe == dist_bpe
+    assert local_wp == dist_wp
+
+
+def test_driver_tier_budget_and_astral_fallback(spark):
+    """Above-budget or astral-char word tables must take the
+    distributed path (the probe returns None): astral chars split per
+    UTF-16 unit in the JVM, which list(w) would not mirror."""
+    from data_engineering_etl_self_service_spark.operators.bpe import (
+        _take_type_table,
+    )
+
+    words = spark.createDataFrame(
+        [("abc", 1), ("abd", 2), ("xyz", 3)], "w string, c long"
+    )
+    assert _take_type_table(words, "w", "c", 2) is None  # over budget
+    assert _take_type_table(words, "w", "c", 0) is None  # tier disabled
+    got = _take_type_table(words, "w", "c", 10)
+    assert sorted(got) == [("abc", 1), ("abd", 2), ("xyz", 3)]
+    astral = spark.createDataFrame([("a\U0001F600b", 1)], "w string, c long")
+    assert _take_type_table(astral, "w", "c", 10) is None

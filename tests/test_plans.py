@@ -39,6 +39,15 @@ def _op_count(plan: str, op: str) -> int:
     return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.M))
 
 
+def _data_exchanges(plan: str) -> int:
+    """Exchanges excluding the scale-adaptive scan-spread repartition
+    (runtime.spread_scan): a spread plans as REPARTITION_BY_NUM, while
+    every data-required shuffle (aggs, joins, windows) plans as
+    ENSURE_REQUIREMENTS — and the spread is identity at real scan
+    parallelism, so the data-exchange count is the 100 TB plan shape."""
+    return _op_count(plan, "Exchange") - plan.count("REPARTITION_BY_NUM")
+
+
 def test_sessionization_single_shuffle(spark, sf_dir):
     plan = _plan(spark, "sessionize_stats", sf_dir)
     assert _op_count(plan, "Exchange") == 1, plan
@@ -126,9 +135,14 @@ def test_bigram_collocations_bounded_exchanges_no_python_rows(spark, sf_dir):
 
 def test_codec_queries_are_single_scan_shuffle_free(spark, sf_dir):
     """Every codec/container query is ONE Arrow-batched pass over the
-    scan: exactly one parquet scan, zero exchanges (scan parallelism at
-    any scale), and the Python stage is Arrow (ArrowEvalPython /
-    MapInPandas), never row-at-a-time BatchEvalPython."""
+    scan: exactly one parquet scan, and the Python stage is Arrow
+    (ArrowEvalPython / MapInPandas), never row-at-a-time
+    BatchEvalPython. Exchanges: at most the ONE scale-adaptive
+    scan-spread repartition (runtime.spread_scan — identity whenever
+    the scan already has >= defaultParallelism splits, i.e. at any
+    real scale; pinned in test_runtime.py::test_spread_scan_*), and
+    when present it must be the deterministic doc_id hash partition,
+    never a payload-carrying shuffle added downstream of the decode."""
     for name in (
         "jpeg420_decode",
         "jpeg422_decode",
@@ -162,7 +176,10 @@ def test_codec_queries_are_single_scan_shuffle_free(spark, sf_dir):
         "kafka_avro_stats",
     ):
         plan = _plan(spark, name, sf_dir)
-        assert _op_count(plan, "Exchange") == 0, (name, plan)
+        n_ex = _op_count(plan, "Exchange")
+        assert n_ex <= 1, (name, plan)
+        if n_ex:
+            assert "hashpartitioning(doc_id" in plan, (name, plan)
         assert "BatchEvalPython" not in plan, name
         assert _op_count(plan, "Scan parquet") == 1, name
 
@@ -170,25 +187,31 @@ def test_codec_queries_are_single_scan_shuffle_free(spark, sf_dir):
 def test_warc_chain_is_one_fused_pass(spark, sf_dir):
     """warc_extract_stats fuses pack + member inflate + record explode
     + HTML extraction into ONE Arrow pass over ONE scan; the only
-    exchange is the final per-doc rollup. (A draft self-joined the
+    exchanges are the final per-doc rollup and (small scans only) the
+    scale-adaptive scan-spread repartition. (A draft self-joined the
     packed frame and the plan re-ran the gzip-heavy pack stage 4x —
     this pin keeps that from regressing.)"""
     plan = _plan(spark, "warc_extract_stats", sf_dir)
     assert _op_count(plan, "Scan parquet") == 1, plan
-    assert _op_count(plan, "Exchange") <= 1, plan
+    assert _op_count(plan, "Exchange") <= 2, plan
     assert _op_count(plan, "MapInPandas") == 1, plan
     assert "BatchEvalPython" not in plan
 
 
 def test_lm_fluency_bounded_exchanges_all_codegen(spark, sf_dir):
     """LM fluency scoring: unigram agg + bigram agg + doc rollup are
-    the only exchanges (the scoring joins reuse the token-key
-    partitioning); bigram explode stays in codegen — no Python rows,
-    no cartesian."""
+    the only data-sized exchanges (the scoring joins reuse the
+    token-key partitioning); bigram explode stays in codegen — no
+    Python rows, no cartesian. The scan-spread repartition
+    (runtime.spread_scan — identity at real scan parallelism) may
+    additionally appear once per consumer subtree in the pre-AQE plan;
+    runtime exchange reuse collapses those, and at scale they vanish
+    entirely, so the pin allows them but insists they are doc_id
+    hash partitions, not payload shuffles."""
     plan = _plan(spark, "lm_fluency_scores", sf_dir)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert _op_count(plan, "Exchange") <= 3, plan
+    assert _data_exchanges(plan) <= 3, plan
     assert _op_count(plan, "Scan parquet") <= 3, plan
 
 
@@ -204,7 +227,7 @@ def test_exact_substr_scrub_single_scan_no_pair_join(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().explainString(jmode)
     assert _op_count(plan, "Scan parquet") == 1, plan
-    assert _op_count(plan, "Exchange") <= 6, plan
+    assert _data_exchanges(plan) <= 6, plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
@@ -286,7 +309,7 @@ def test_scan_pruning_is_footer_sized(spark, sf_dir):
     assert "BatchEvalPython" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert _op_count(p, "Scan binaryFile") == 1  # one footer scan
-    assert _op_count(p, "Exchange") == 1  # the per-partition rollup
+    assert _data_exchanges(p) == 1  # the per-partition rollup
 
 
 def test_scan_pruning_pages_is_index_sized(spark, sf_dir):
@@ -300,7 +323,7 @@ def test_scan_pruning_pages_is_index_sized(spark, sf_dir):
     assert "BatchEvalPython" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert _op_count(p, "Scan binaryFile") == 1
-    assert _op_count(p, "Exchange") == 1
+    assert _data_exchanges(p) == 1
     assert "content" not in p
 
 
@@ -314,7 +337,7 @@ def test_bloom_point_lookup_is_footer_sized(spark, sf_dir):
     assert "BatchEvalPython" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert _op_count(p, "Scan binaryFile") == 1
-    assert _op_count(p, "Exchange") == 1
+    assert _data_exchanges(p) == 1
     assert "content" not in p
 
 
@@ -328,7 +351,7 @@ def test_scan_pruning_typed_is_footer_sized(spark, sf_dir):
     assert "BatchEvalPython" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert _op_count(p, "Scan binaryFile") == 3
-    assert _op_count(p, "Exchange") == 3
+    assert _data_exchanges(p) == 3
     assert "content" not in p
 
 
@@ -341,7 +364,7 @@ def test_encoding_audit_is_footer_sized(spark, sf_dir):
     assert "BatchEvalPython" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert _op_count(p, "Scan binaryFile") == 1
-    assert _op_count(p, "Exchange") == 1
+    assert _data_exchanges(p) == 1
     assert "content" not in p
 
 

@@ -77,3 +77,33 @@ def test_reliable_checkpoint_parity_on_iterative_queries(spark, tmp_path):
         assert os.path.isdir(ckpt) and any(os.scandir(ckpt))
     finally:
         _reset(spark)
+
+
+def test_spread_scan_is_identity_at_scan_parallelism(spark):
+    """The 100 TB contract: an input that already has >=
+    defaultParallelism partitions passes through UNCHANGED (same object,
+    so the codec-query plans stay zero-exchange at real scan
+    parallelism — the posture test_codec_queries_* pins)."""
+    from data_engineering_etl_self_service_spark.runtime import spread_scan
+
+    n = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000, 1, n)
+    assert spread_scan(df, "id") is df
+    wide = spark.range(0, 1000, 1, n + 3)
+    assert spread_scan(wide) is wide
+
+
+def test_spread_scan_spreads_small_scans_deterministically(spark):
+    """A 1-split input is raised to defaultParallelism partitions; the
+    rows are unchanged, and the keyed form hash-partitions (deterministic
+    placement under task retry — no rand-derived keys)."""
+    from data_engineering_etl_self_service_spark.runtime import spread_scan
+
+    df = spark.range(0, 97, 1, 1)
+    out = spread_scan(df, "id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in out.collect()) == list(range(97))
+    # keyless (round-robin) form: same rows, same partition count
+    out2 = spread_scan(df)
+    assert out2.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in out2.collect()) == list(range(97))
