@@ -381,17 +381,34 @@ def triangle_counts(
             )
             .filter(F.size("w") > 0)
         )
-        credits = (
-            per_edge.select(F.col("u").alias("node"), F.size("w").alias("c"))
-            .unionAll(
-                per_edge.select(F.col("v").alias("node"), F.size("w").alias("c"))
-            )
-            .unionAll(
-                per_edge.select(
-                    F.explode("w").alias("node"), F.lit(1).alias("c")
+        # ONE pass over per_edge (opt r12): the former 3-way union
+        # (u-credits + v-credits + w-explode) inlined the expensive
+        # join+intersect subtree three times — every edge paid the
+        # adjacency intersection thrice. Credits now assemble as one
+        # array expression and explode once; same multiset of
+        # (node, c) rows, one intersect per edge.
+        credits = per_edge.select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("node"),
+                            F.size("w").cast("long").alias("c"),
+                        ),
+                        F.struct(
+                            F.col("v").alias("node"),
+                            F.size("w").cast("long").alias("c"),
+                        ),
+                    ),
+                    F.transform(
+                        "w",
+                        lambda x: F.struct(
+                            x.alias("node"), F.lit(1).cast("long").alias("c")
+                        ),
+                    ),
                 )
-            )
-        )
+            ).alias("cr")
+        ).select("cr.node", "cr.c")
         agg = credits.groupBy("node").agg(F.sum("c").alias("n_tri"))
         if not eager:
             return agg

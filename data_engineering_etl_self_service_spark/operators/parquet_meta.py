@@ -1310,6 +1310,89 @@ def pruning_report(
     )
 
 
+def pruning_report_multi(
+    spark,
+    path: str,
+    specs: "list[dict]",
+    force_generic: bool = False,
+):
+    """Several :func:`pruning_report` audits of the SAME lake in ONE
+    footer pass (opt r12): each file's footer is ranged-read and
+    decoded once and every spec's skip rule evaluated against it,
+    instead of one full listing + decode per predicate — the
+    typed-audit query ran three. ``specs``: dicts with ``label`` (the
+    output ``mode``), ``column``, and either ``lo``+``hi`` or
+    ``not_null=True``. Output: ``pruning_report``'s rollup columns
+    prefixed by ``mode``, one row per (mode, partition); each mode's
+    rows equal its standalone ``pruning_report`` exactly."""
+    from pyspark.sql import functions as F
+
+    for sp in specs:
+        if not sp.get("not_null") and (
+            sp.get("lo") is None or sp.get("hi") is None
+        ):
+            raise ValueError(
+                f"pruning_report_multi: spec {sp.get('label')!r} needs "
+                "lo and hi (or not_null=True)"
+            )
+    root_norm = _root_norm(path)
+
+    def _rows(p, fsize, fh):
+        footer = read_footer_handle(fh, fsize)
+        label = _rel_label(p, root_norm)
+        out = []
+        for sp in specs:
+            n_rgs = n_skip = 0
+            for rg in footer["row_groups"]:
+                n_rgs += 1
+                col = next(
+                    (
+                        c
+                        for c in rg["columns"]
+                        if c["path"] == sp["column"]
+                    ),
+                    None,
+                )
+                if _rg_skippable(
+                    col,
+                    sp.get("lo"),
+                    sp.get("hi"),
+                    bool(sp.get("not_null")),
+                ):
+                    n_skip += 1
+            out.append(
+                {
+                    "mode": sp["label"],
+                    "partition": label,
+                    "n_rows": footer["num_rows"],
+                    "n_row_groups": n_rgs,
+                    "n_skip_rgs": n_skip,
+                    "file_skippable": n_rgs > 0 and n_skip == n_rgs,
+                }
+            )
+        return out
+
+    schema = (
+        "mode string, partition string, n_rows long, n_row_groups long, "
+        "n_skip_rgs long, file_skippable boolean"
+    )
+    per_file = _footer_frame(
+        _listing(spark, path), _rows, schema, force_generic
+    )
+    return per_file.groupBy("mode", "partition").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.col("file_skippable").cast("long")).alias(
+            "n_skippable_files"
+        ),
+        F.sum("n_row_groups").alias("n_row_groups"),
+        F.sum("n_skip_rgs").alias("n_skippable_rgs"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(
+            F.when(F.col("file_skippable"), 0).otherwise(F.col("n_rows"))
+        ).alias("rows_scanned"),
+    )
+
+
 def page_pruning_report(
     spark,
     path: str,

@@ -13281,7 +13281,7 @@ def scan_pruning_typed(spark, sf_dir):
     string/double/null stats are what real lakes key on (ds strings,
     event-time doubles, sparse optional columns)."""
 
-    from .operators.parquet_meta import pruning_report
+    from .operators.parquet_meta import pruning_report_multi
 
     out_dir = _scratch_dir("scan_pruning_typed")
 
@@ -13291,74 +13291,102 @@ def scan_pruning_typed(spark, sf_dir):
         .withColumn("part", (F.col("doc_id") % 6).cast("int"))
     )
 
-    def build(pdf):
+    # Two-phase build (opt r12): the file CONTENTS depend only on each
+    # partition's total word count (values are closed-form in the row
+    # offset), so phase 1 is a word-count agg and phase 2 writes each
+    # FILE in its own task — 14 parallel writers instead of 6 partition
+    # tasks serializing 2-4 files each (the pyarrow row_group_size=8
+    # write is the expensive half of this query). Byte-identical lake:
+    # same file names, same values, same row-group layout.
+    counts = {
+        int(r["part"]): int(r["n"])
+        for r in spread_scan(d, "doc_id")
+        .select("part", F.size(F.split("text", " ")).alias("w"))
+        .groupBy("part")
+        .agg(F.sum("w").alias("n"))
+        .collect()
+    }
+    specs = []
+    for part, n in sorted(counts.items()):
+        k = part % 3 + 2
+        off = 0
+        for j in range(k):
+            rows = (n + k - 1 - j) // k
+            specs.append((part, j, rows, off))
+            off += rows
+
+    def build(it):
         import os as _os
 
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        part = int(pdf["part"].iloc[0])
-        k = part % 3 + 2
-        pdf = pdf.sort_values("doc_id")
-        n = sum(len(t.split(" ")) for t in pdf["text"])
-        pdir = _os.path.join(out_dir, f"key=cat_{part}")
-        _os.makedirs(pdir, exist_ok=True)
-        off = 0
-        for j in range(k):
-            rows = (n + k - 1 - j) // k
-            # file 0's first 8 rows are NULL in both audited columns
-            # (one all-null row group at row_group_size=8)
-            svals = [
-                None if j == 0 and i < 8 else f"w{off + i:09d}"
-                for i in range(rows)
-            ]
-            xvals = [
-                None if j == 0 and i < 8 else off + i + 0.25
-                for i in range(rows)
-            ]
-            pq.write_table(
-                pa.table(
-                    {
-                        "s": pa.array(svals, pa.string()),
-                        "x": pa.array(xvals, pa.float64()),
-                    }
-                ),
-                _os.path.join(pdir, f"f-{j:03d}.parquet"),
-                row_group_size=8,
-            )
-            off += rows
-        return pd.DataFrame({"part": [part], "n_files": [k]})
+        for pdf in it:
+            done = []
+            for part, j, rows, off in zip(
+                pdf["part"], pdf["j"], pdf["rows"], pdf["off"]
+            ):
+                part, j, rows, off = int(part), int(j), int(rows), int(off)
+                pdir = _os.path.join(out_dir, f"key=cat_{part}")
+                _os.makedirs(pdir, exist_ok=True)
+                # file 0's first 8 rows are NULL in both audited columns
+                # (one all-null row group at row_group_size=8)
+                svals = [
+                    None if j == 0 and i < 8 else f"w{off + i:09d}"
+                    for i in range(rows)
+                ]
+                xvals = [
+                    None if j == 0 and i < 8 else off + i + 0.25
+                    for i in range(rows)
+                ]
+                pq.write_table(
+                    pa.table(
+                        {
+                            "s": pa.array(svals, pa.string()),
+                            "x": pa.array(xvals, pa.float64()),
+                        }
+                    ),
+                    _os.path.join(pdir, f"f-{j:03d}.parquet"),
+                    row_group_size=8,
+                )
+                done.append(part)
+            if done:
+                yield pd.DataFrame({"part": done})
 
-    d.groupBy("part").applyInPandas(
-        build, "part int, n_files int"
-    ).count()
+    spark.createDataFrame(
+        specs, "part int, j int, rows long, off long"
+    ).repartition(len(specs)).mapInPandas(build, "part int").count()
 
-    def report(mode, **kw):
-        rep = pruning_report(spark, out_dir, **kw)
-        return rep.select(
-            F.lit(mode).alias("mode"),
-            F.regexp_extract("partition", r"key=cat_(\d+)", 1)
-            .cast("int")
-            .alias("part"),
-            F.col("n_files").cast("long").alias("n_files"),
-            F.col("n_skippable_files").cast("long").alias(
-                "n_skippable_files"
-            ),
-            F.col("n_row_groups").cast("long").alias("n_row_groups"),
-            F.col("n_skippable_rgs").cast("long").alias(
-                "n_skippable_rgs"
-            ),
-            F.col("rows_total").cast("long").alias("rows_total"),
-            F.col("rows_scanned").cast("long").alias("rows_scanned"),
-        )
-
-    return (
-        report("s_between", column="s", lo="w%09d" % 16, hi="w%09d" % 47)
-        .unionByName(
-            report("x_between", column="x", lo=16.25, hi=47.25)
-        )
-        .unionByName(report("not_null", column="s", not_null=True))
+    # ONE footer pass evaluates all three predicates (pruning_report
+    # ran the listing + decode once per mode)
+    rep = pruning_report_multi(
+        spark,
+        out_dir,
+        [
+            {
+                "label": "s_between",
+                "column": "s",
+                "lo": "w%09d" % 16,
+                "hi": "w%09d" % 47,
+            },
+            {"label": "x_between", "column": "x", "lo": 16.25, "hi": 47.25},
+            {"label": "not_null", "column": "s", "not_null": True},
+        ],
+    )
+    return rep.select(
+        "mode",
+        F.regexp_extract("partition", r"key=cat_(\d+)", 1)
+        .cast("int")
+        .alias("part"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_skippable_files").cast("long").alias(
+            "n_skippable_files"
+        ),
+        F.col("n_row_groups").cast("long").alias("n_row_groups"),
+        F.col("n_skippable_rgs").cast("long").alias("n_skippable_rgs"),
+        F.col("rows_total").cast("long").alias("rows_total"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
     )
 
 
@@ -13397,7 +13425,30 @@ def bloom_point_lookup(spark, sf_dir):
         .withColumn("part", (F.col("doc_id") % 6).cast("int"))
     )
 
-    def build(pdf):
+    # two-phase build (opt r12, the scan_pruning_typed discipline):
+    # file contents are closed-form in (part, j, rows, off), so phase 1
+    # is a word-count agg and phase 2 writes + bloom-grafts each FILE
+    # in its own task — the graft hashes every distinct value in pure
+    # Python, the expensive half, now 14-way parallel instead of
+    # serialized inside 6 partition tasks. Byte-identical lake.
+    counts = {
+        int(r["part"]): int(r["n"])
+        for r in spread_scan(d, "doc_id")
+        .select("part", F.size(F.split("text", " ")).alias("w"))
+        .groupBy("part")
+        .agg(F.sum("w").alias("n"))
+        .collect()
+    }
+    specs = []
+    for part, n in sorted(counts.items()):
+        k = part % 3 + 2
+        off = 0
+        for j in range(k):
+            rows = (n + k - 1 - j) // k
+            specs.append((part, j, rows, off))
+            off += rows
+
+    def build(it):
         import os as _os
         import tempfile as _tf
 
@@ -13409,33 +13460,33 @@ def bloom_point_lookup(spark, sf_dir):
             graft_bloom_filters,
         )
 
-        part = int(pdf["part"].iloc[0])
-        k = part % 3 + 2
-        pdf = pdf.sort_values("doc_id")
-        n = sum(len(t.split(" ")) for t in pdf["text"])
-        pdir = _os.path.join(out_dir, f"part={part}")
-        _os.makedirs(pdir, exist_ok=True)
-        off = 0
-        for j in range(k):
-            rows = (n + k - 1 - j) // k
-            stage = _tf.mktemp(suffix=".parquet")
-            pq.write_table(
-                pa.table(
-                    {"v": pa.array(range(off, off + rows), pa.int64())}
-                ),
-                stage,
-                row_group_size=512,
-            )
-            graft_bloom_filters(
-                stage, _os.path.join(pdir, f"f-{j:03d}.parquet"), "v"
-            )
-            _os.unlink(stage)
-            off += rows
-        return pd.DataFrame({"part": [part], "n_files": [k]})
+        for pdf in it:
+            done = []
+            for part, j, rows, off in zip(
+                pdf["part"], pdf["j"], pdf["rows"], pdf["off"]
+            ):
+                part, j, rows, off = int(part), int(j), int(rows), int(off)
+                pdir = _os.path.join(out_dir, f"part={part}")
+                _os.makedirs(pdir, exist_ok=True)
+                stage = _tf.mktemp(suffix=".parquet")
+                pq.write_table(
+                    pa.table(
+                        {"v": pa.array(range(off, off + rows), pa.int64())}
+                    ),
+                    stage,
+                    row_group_size=512,
+                )
+                graft_bloom_filters(
+                    stage, _os.path.join(pdir, f"f-{j:03d}.parquet"), "v"
+                )
+                _os.unlink(stage)
+                done.append(part)
+            if done:
+                yield pd.DataFrame({"part": done})
 
-    d.groupBy("part").applyInPandas(
-        build, "part int, n_files int"
-    ).count()
+    spark.createDataFrame(
+        specs, "part int, j int, rows long, off long"
+    ).repartition(len(specs)).mapInPandas(build, "part int").count()
 
     # three pinned probes: two present (first/late value), one absent
     rep = bloom_skipping_report(

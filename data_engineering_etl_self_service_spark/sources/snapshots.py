@@ -144,7 +144,11 @@ def write_snapshot(
         df.schema.simpleString(),
         # format LAST so a caller meta key named "format" can't make
         # the manifest lie about what the data files are (review r10)
-        {**(meta or {}), "format": format},
+        {
+            **(meta or {}),
+            **({"partitioned": list(partition_by)} if partition_by else {}),
+            "format": format,
+        },
         max_retries,
     )
 
@@ -216,6 +220,15 @@ def _commit_manifest(
                 f"format={fmt!r} would mix formats in one version — "
                 "use mode='overwrite' to switch the table's format"
             )
+        # partitioned layouts keep schema inference: the reader derives
+        # partition columns from directories and orders them LAST,
+        # which an explicit written-order schema would contradict
+        read_schema_v = (
+            None
+            if (meta_v or {}).get("partitioned")
+            or head_m.get("partitioned")
+            else _merged_read_schema(head_m, schema_v, mode)
+        )
         manifest = {
             "version": version,
             "mode": mode,
@@ -233,6 +246,18 @@ def _commit_manifest(
             # versions becomes an auditable fact instead of a read-time
             # surprise (see schema_changes()).
             **({"schema": schema_v} if schema_v is not None else {}),
+            # READ schema (opt r12): the by-name union mergeSchema
+            # would compute across this version's dirs, precomputed at
+            # commit time so every read skips the distributed
+            # footer-merge job. Absent when unprovable (unparseable
+            # DDL, same-name type drift) — readers then fall back to
+            # mergeSchema, the previous behavior, including its loud
+            # failure on irreconcilable drift.
+            **(
+                {"read_schema": read_schema_v}
+                if read_schema_v is not None
+                else {}
+            ),
             **(meta_v or {}),
         }
         tmp = _manifest_path(base_dir, version) + f".{uuid.uuid4().hex}.tmp"
@@ -249,6 +274,63 @@ def _commit_manifest(
     raise RuntimeError(
         f"snapshot commit contention: gave up after {max_retries} retries"
     )
+
+
+def _merged_read_schema(head_m: dict, schema_v, mode: str):
+    """simpleString of the table's READ schema after this commit — the
+    by-name union parquet's ``mergeSchema`` would compute over the
+    version's data dirs, derived at commit time from the head's
+    recorded read schema + the written frame's schema. ``None`` when it
+    cannot be proven equal to what mergeSchema would say (unparseable
+    DDL, or the same column name carrying a different type), in which
+    case readers fall back to the mergeSchema footer job unchanged —
+    including its loud failure on irreconcilable type drift."""
+    if schema_v is None:
+        return None
+    if mode == "overwrite" or not head_m:
+        return schema_v
+    base = head_m.get("read_schema") or head_m.get("schema")
+    if not base:
+        return None
+    from pyspark.sql import types as T
+
+    from .cdf import _parse_simple_type
+
+    try:
+        bs = _parse_simple_type(base)
+        ns = _parse_simple_type(schema_v)
+    except (ValueError, RecursionError):
+        return None
+    if not isinstance(bs, T.StructType) or not isinstance(
+        ns, T.StructType
+    ):
+        return None
+    by_name = {f.name: f for f in bs.fields}
+    out = list(bs.fields)
+    for f in ns.fields:
+        g = by_name.get(f.name)
+        if g is None:
+            out.append(f)  # new column: mergeSchema appends it
+        elif g.dataType != f.dataType:
+            return None  # type drift: only the footer merge may decide
+    return T.StructType(out).simpleString()
+
+
+def _manifest_read_schema(manifest: dict):
+    """The manifest's precomputed read schema as a ``StructType``, or
+    ``None`` when absent/unparseable (reader then uses mergeSchema)."""
+    rs = manifest.get("read_schema")
+    if not rs:
+        return None
+    from pyspark.sql import types as T
+
+    from .cdf import _parse_simple_type
+
+    try:
+        struct = _parse_simple_type(rs)
+    except (ValueError, RecursionError):
+        return None
+    return struct if isinstance(struct, T.StructType) else None
 
 
 def _rel_file_col(base_dir: str):
@@ -302,7 +384,13 @@ def _lineage_read(
             "a manifest carrying both is corrupt"
         )
     paths = [os.path.join(base_dir, d) for d in manifest["data_dirs"]]
-    raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+    rs = _manifest_read_schema(manifest)
+    reader = (
+        spark.read.schema(rs)
+        if rs is not None
+        else spark.read.option("mergeSchema", "true")
+    )
+    raw = reader.parquet(*paths)
     clash = {_DV_FILE, _DV_POS} & set(raw.columns)
     if clash:
         raise ValueError(
@@ -357,7 +445,14 @@ def read_snapshot(
             _DV_FILE, _DV_POS
         )
     paths = [os.path.join(base_dir, d) for d in manifest["data_dirs"]]
-    reader = spark.read.option("mergeSchema", "true")
+    # the precomputed read schema skips the distributed footer-merge
+    # job mergeSchema pays at every plan (opt r12); absent → fall back
+    rs = _manifest_read_schema(manifest)
+    reader = (
+        spark.read.schema(rs)
+        if rs is not None
+        else spark.read.option("mergeSchema", "true")
+    )
     if _table_format(manifest) == "orc":
         return reader.orc(paths)  # .orc takes a LIST, not varargs
     return reader.parquet(*paths)
@@ -793,6 +888,11 @@ def merge_into_snapshot_delta(
             "__merge_del",
             F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)),
         ).drop(delete_col)
+    # the updates frame drives TWO writes (vector + inserts) — persist,
+    # or its whole upstream (a CDC micro-batch: Python-source Arrow
+    # decode + the reconcile shuffle) executes twice (opt r12). Batch-
+    # sized by contract (the delta, never the table).
+    upd = upd.persist()
 
     # positions of every TOUCHED key (tombstoned AND replaced rows die;
     # replacements come back from the fresh data dir) — one semi-join
@@ -835,6 +935,7 @@ def merge_into_snapshot_delta(
     data_rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
     inserts.write.mode("error").parquet(os.path.join(base_dir, data_rel))
     n_ins = spark.read.parquet(os.path.join(base_dir, data_rel)).count()
+    upd.unpersist()  # both consumers (vector + inserts) have run
     if n_ins == 0:
         shutil.rmtree(os.path.join(base_dir, data_rel), ignore_errors=True)
 
