@@ -148,6 +148,63 @@ def _init_centroids(
     return [list(r["xf"]) for r in rows]
 
 
+#: Driver-tier budget for k-means FIT (opt r12, the bpe_train /
+#: pagerank_fixedpoint bounded-artifact pattern): when the quantized
+#: vector table has at most this many rows, the Lloyd iterations run in
+#: exact Python integers on the driver (~33 MB at 64 dims) — each
+#: distributed iteration otherwise costs a full Spark job whose
+#: k×dim-literal assignment expression re-compiles per round. Identical
+#: arithmetic, identical lowest-id tie-breaks; bit-equality with the
+#: distributed loop pinned in tests/test_clustering.py. Above the
+#: budget the distributed loop runs exactly as before. The fit's
+#: OUTPUT (k×dim centroids) is driver state in both tiers — only the
+#: fit input collection is gated. 0 disables the tier.
+KMEANS_DRIVER_CONF = "spark.data_engineering_etl.kmeans.driver_rows_max"
+_KMEANS_DRIVER_DEFAULT = 65536
+
+
+def _kmeans_driver_rows(spark) -> int:
+    try:
+        return int(
+            spark.conf.get(KMEANS_DRIVER_CONF, str(_KMEANS_DRIVER_DEFAULT))
+        )
+    except (TypeError, ValueError):
+        return _KMEANS_DRIVER_DEFAULT
+
+
+def _kmeans_fit_local(
+    rows: "list[tuple]", k: int, n_iters: int
+) -> list[list[int]]:
+    """Exact Lloyd iterations in Python integers over collected
+    (id, xf) rows — the driver tier of :func:`kmeans_fit`. Mirrors the
+    distributed loop bit for bit: init = k lowest-id vectors,
+    assignment argmin on (d2, cid) with lowest-cid ties, centroid
+    update = per-dim floor(sum / n), empty clusters keep their
+    previous centroid."""
+    rows = sorted(rows, key=lambda r: r[0])
+    vecs = [list(map(int, xf)) for _, xf in rows]
+    cents = [list(v) for v in vecs[:k]]
+    dim = len(vecs[0]) if vecs else 0
+    for _ in range(n_iters):
+        sums = [[0] * dim for _ in range(k)]
+        ns = [0] * k
+        for x in vecs:
+            best_d2, best_c = None, None
+            for cid, c in enumerate(cents):
+                d2 = sum((xi - ci) * (xi - ci) for xi, ci in zip(x, c))
+                if best_d2 is None or d2 < best_d2:
+                    best_d2, best_c = d2, cid
+            s = sums[best_c]
+            for i, xi in enumerate(x):
+                s[i] += xi
+            ns[best_c] += 1
+        for cid in range(k):
+            if ns[cid]:
+                n = ns[cid]
+                cents[cid] = [s // n for s in sums[cid]]
+    return cents
+
+
 def kmeans_fit(
     embs: DataFrame,
     k: int = 8,
@@ -157,7 +214,21 @@ def kmeans_fit(
 ) -> list[list[int]]:
     """Run ``n_iters`` exact Lloyd iterations; return final integer
     centroids (k × dim, 1e-6 fixed point). Empty clusters keep their
-    previous centroid."""
+    previous centroid.
+
+    Small inputs (≤ ``KMEANS_DRIVER_CONF`` rows) fit on the driver with
+    identical integer arithmetic; larger ones run the distributed loop
+    below, unchanged."""
+    budget = _kmeans_driver_rows(embs.sparkSession)
+    if budget > 0:
+        head = (
+            embs.select(id_col, _fixed(vec_col).alias("xf"))
+            .take(budget + 1)
+        )
+        if len(head) <= budget:
+            return _kmeans_fit_local(
+                [(r[0], r["xf"]) for r in head], k, n_iters
+            )
     cents = _init_centroids(embs, k, vec_col, id_col)
     # Each iteration re-scans the narrow (xf-only) projection rather than
     # persisting it: measured locally the persist is a wash warm and SLOWER

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, tokens
 from ..functions.vector import cosine
-from ..runtime import truncate_lineage
+from ..runtime import truncate_lineage, truncate_lineage_lazy
 
 
 # ---------------------------------------------------------------- exact
@@ -652,7 +652,7 @@ def components_from_pairs(
     # the loop's lineage, then drop the caches it left behind. The count
     # is free (the checkpoint just materialized the rows) and drives the
     # parallelism decision below.
-    pairs = pairs.transform(truncate_lineage)
+    pairs = pairs.transform(truncate_lineage_lazy)
     n_pairs = pairs.count()
     for dep in getattr(pairs, "_cached_deps", []):
         dep.unpersist()
@@ -710,7 +710,7 @@ def components_from_pairs(
         # the pair SLICE.
         new_labels = (
             new_labels.coalesce(1) if small else new_labels
-        ).transform(truncate_lineage)
+        ).transform(truncate_lineage_lazy)
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
         labels = new_labels

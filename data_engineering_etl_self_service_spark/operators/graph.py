@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ..runtime import truncate_lineage
+from ..runtime import truncate_lineage, truncate_lineage_lazy
 
 SCALE = 1_000_000_000  # 1e-9 fixed point for ranks
 
@@ -164,7 +164,7 @@ def pagerank_fixedpoint(
             ).alias("rank"),
         )
         if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iters:
-            ranks = ranks.transform(truncate_lineage)
+            ranks = ranks.transform(truncate_lineage_lazy)
     # materialize BEFORE dropping the caches: the returned plan must not
     # recompute the upstream edge aggregation at the caller's first action
     ranks = ranks.transform(truncate_lineage)
@@ -472,7 +472,7 @@ def kcore_peel(
             F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
         )
         .distinct()
-        .transform(truncate_lineage)
+        .transform(truncate_lineage_lazy)
     )
 
     def degrees(ed: DataFrame) -> DataFrame:
@@ -489,7 +489,7 @@ def kcore_peel(
             e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .transform(truncate_lineage)
+            .transform(truncate_lineage_lazy)
         )
     return degrees(e).select(F.col("n").alias("node"), "deg")
 
@@ -543,7 +543,7 @@ def bfs_hops(
             .agg(F.min("d").alias("d"))
             .join(nodes, "node", "right")
             .select("node", "d")
-            .transform(truncate_lineage)
+            .transform(truncate_lineage_lazy)
         )
     return dist.filter(F.col("d").isNotNull()).select(
         "node", F.col("d").alias("hops")
@@ -602,7 +602,7 @@ def bellman_ford(
             .agg(F.min("d").alias("d"))
             .join(nodes, "node", "right")
             .select("node", "d")
-            .transform(truncate_lineage)
+            .transform(truncate_lineage_lazy)
         )
     return dist.filter(F.col("d").isNotNull()).select(
         "node", F.col("d").alias("cost")

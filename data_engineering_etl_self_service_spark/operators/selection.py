@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ..runtime import truncate_lineage
+from ..runtime import truncate_lineage, truncate_lineage_lazy
 
 
 def greedy_set_cover(
@@ -71,7 +71,7 @@ def greedy_set_cover(
                 inc.filter(F.col("_id") == doc).select("_it")
             )
             .distinct()
-            .transform(truncate_lineage)
+            .transform(truncate_lineage_lazy)
         )
     inc.unpersist()
     return picks

@@ -34,6 +34,19 @@ RELIABLE_FLAG = "spark.data_engineering_etl.checkpoint.reliable"
 CHECKPOINT_DIR = "spark.data_engineering_etl.checkpoint.dir"
 
 
+def truncate_lineage_lazy(df: DataFrame) -> DataFrame:
+    """:func:`truncate_lineage` with ``eager=False`` — the analyzed
+    plan truncates NOW (same plan-growth guarantee) but materialization
+    rides the next action instead of costing its own Spark job. The
+    in-loop form for iterative operators whose round already ends in an
+    action (a convergence collect) or whose rounds are bounded and
+    tiny: per round, one job instead of two (opt r12). Keep the EAGER
+    form wherever caches are unpersisted right after truncation — a
+    lazy checkpoint materialized later would recompute the dropped
+    upstream."""
+    return truncate_lineage(df, eager=False)
+
+
 def spread_scan(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """Raise scan parallelism to the session's core count before a
     CPU-heavy per-row stage — identity whenever the input already has

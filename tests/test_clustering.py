@@ -162,3 +162,23 @@ def test_assignment_expression_and_numpy_paths_bit_equal(spark, sf_dir):
         .collect()
     }
     assert expr == nump and len(expr) == 200
+
+
+def test_kmeans_driver_tier_matches_distributed_loop(spark, sf_dir):
+    """The ≤KMEANS_DRIVER_CONF fit tier must produce bit-identical
+    centroids to the distributed Lloyd loop (same init, same argmin
+    tie-break, same floor-div update, same empty-cluster carry)."""
+    from data_engineering_etl_self_service_spark.catalog import load_table
+    from data_engineering_etl_self_service_spark.operators.clustering import (
+        KMEANS_DRIVER_CONF,
+        kmeans_fit,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    spark.conf.set(KMEANS_DRIVER_CONF, "0")  # force distributed
+    try:
+        dist = kmeans_fit(embs, k=5, n_iters=3)
+    finally:
+        spark.conf.unset(KMEANS_DRIVER_CONF)
+    local = kmeans_fit(embs, k=5, n_iters=3)
+    assert local == dist
