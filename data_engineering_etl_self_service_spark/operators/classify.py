@@ -66,9 +66,10 @@ def nb_train(
     pass over text.
     """
     from ..functions.text import tokens
-    from ..runtime import spread_scan
 
-    tk = spread_scan(docs, id_col).select(
+    # spread_scan measured worse here (tiny vocabulary — the model agg
+    # collapses map-side; the exchange buys nothing back)
+    tk = docs.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_y"),
         F.explode(tokens(F.col(text_col))).alias("w"),
@@ -123,9 +124,8 @@ def nb_score_multinomial(
     array_sort makes it irrelevant).
     """
     from ..functions.text import tokens
-    from ..runtime import spread_scan
 
-    tk = spread_scan(docs, id_col).select(
+    tk = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
     )

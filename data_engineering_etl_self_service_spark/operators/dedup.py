@@ -112,15 +112,20 @@ def _hashed_shingle_table(
     consumers (Jaccard counts) must dedupe their (usually much smaller)
     slice themselves.
 
-    The input is first spread to the session's core count
-    (``runtime.spread_scan`` — identity at real scan parallelism): the
-    tokenize + shingle explode is the corpus-sized CPU stage of every
-    consumer, and a single small parquet file otherwise serializes it
-    on one task.
+    On the ``distinct=True`` (set-semantics) path the input is first
+    spread to the session's core count (``runtime.spread_scan`` —
+    identity at real scan parallelism): the tokenize + shingle explode
+    feeds the distinct shuffle and the heavy Jaccard machinery, and a
+    single small parquet file otherwise serializes it on one task
+    (measured: jaccard_prefix 8.7 -> 7.6 s at sf0.1). The
+    ``distinct=False`` (MinHash signature) path measured WORSE with the
+    spread — its downstream is one map-side-combined agg — so it keeps
+    the raw scan.
     """
     from ..runtime import spread_scan
 
-    docs = spread_scan(docs, id_col)
+    if distinct:
+        docs = spread_scan(docs, id_col)
     toks = docs.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("t")
     )
@@ -475,9 +480,11 @@ def simhash_signatures(
     shuffle on doc id.
     """
     from ..functions.text import tokens
-    from ..runtime import spread_scan
 
-    tok = spread_scan(docs, id_col).select(
+    # spread_scan measured worse here (4.2 -> 5.0 s at sf0.1): the 64
+    # conditional bit sums are one map-side-combined agg — the exchange
+    # costs more than the parallelized explode saves
+    tok = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", F.xxhash64(F.col("tok")))

@@ -3416,7 +3416,7 @@ def posexplode_tokens(spark, sf_dir):
     from .functions.text import tokens
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    return spread_scan(d, "doc_id").select(
+    return d.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
     )
 
@@ -3653,7 +3653,7 @@ def term_doc_freq(spark, sf_dir):
     skew ("the" appears everywhere) before the shuffle on term.
     """
     d = _t(spark, sf_dir, "documents")
-    tok = spread_scan(d, "doc_id").select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     return (
         tok.groupBy("term")
         .agg(
@@ -6186,7 +6186,7 @@ def heavy_hitter_tokens(spark, sf_dir):
     from .operators.summaries import heavy_hitters
 
     d = _t(spark, sf_dir, "documents")
-    stream = spread_scan(d, "doc_id").select(F.explode(tokens(F.col("text"))).alias("tok"))
+    stream = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return heavy_hitters(stream, "tok", k=200)
 
 
@@ -6800,13 +6800,13 @@ def incremental_heavy_hitters(spark, sf_dir):
 
     cap, k = 400, 200
     d = _t(spark, sf_dir, "documents")
-    full = spread_scan(d, "doc_id").select(F.explode(tokens(F.col("text"))).alias("tok"))
+    full = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
     base = _scratch_dir("mgstate")
 
     def batch(i: int):
-        return spread_scan(
-            d.filter(F.col("doc_id") % 3 == i), "doc_id"
-        ).select(F.explode(tokens(F.col("text"))).alias("tok"))
+        return d.filter(F.col("doc_id") % 3 == i).select(
+            F.explode(tokens(F.col("text"))).alias("tok")
+        )
 
     state = mg_summary(batch(0), "tok", cap)
     write_snapshot(state, base, mode="overwrite")
@@ -7999,7 +7999,7 @@ def vocab_encode(spark, sf_dir):
     exercised by the fixture corpus.
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = spread_scan(d, "doc_id").select(
+    toks = d.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
     )
     wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))

@@ -342,16 +342,17 @@ def test_bloom_point_lookup_is_footer_sized(spark, sf_dir):
 
 
 def test_scan_pruning_typed_is_footer_sized(spark, sf_dir):
-    """scan_pruning_typed (round 9): three typed pruning modes union
-    three footer-only audits of the SAME mini-lake — three binaryFile
-    listings (one per mode), one rollup exchange each, and the
-    content column never projected."""
+    """scan_pruning_typed (round 9, fused round 12): the three typed
+    pruning modes evaluate in ONE footer pass over ONE binaryFile
+    listing (pruning_report_multi — each mode formerly paid its own
+    listing + decode), one rollup exchange on (mode, partition), and
+    the content column never projected."""
     p = _plan(spark, "scan_pruning_typed", sf_dir)
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert _op_count(p, "Scan binaryFile") == 3
-    assert _data_exchanges(p) == 3
+    assert _op_count(p, "Scan binaryFile") == 1
+    assert _data_exchanges(p) == 1
     assert "content" not in p
 
 
