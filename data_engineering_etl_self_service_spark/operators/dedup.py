@@ -1100,6 +1100,11 @@ def jaccard_prefix_pairs(
         f"(n_sh * {threshold_num} + {threshold_den} - 1) div {threshold_den}"
     )
     prefix = ranked.filter(F.col("pos") <= F.col("n_sh") - ceil_tau_n + 1)
+    # prefix feeds BOTH arms of the candidate self-join — persist, or
+    # the freq join + per-doc rank window execute twice inside the one
+    # action that materializes the candidates (opt r12; ~20% of
+    # postings by construction, skinny fixed-width columns)
+    prefix = prefix.persist()
 
     a = prefix.select(
         F.col("_id").alias("doc_a"), F.col("hs"), F.col("n_sh").alias("n_a")
@@ -1195,6 +1200,7 @@ def jaccard_prefix_pairs(
             .transform(truncate_lineage)
         )
         sig_cands.unpersist()
+        prefix.unpersist()
         sh.unpersist()
         return out
 
@@ -1228,6 +1234,7 @@ def jaccard_prefix_pairs(
     chunked.unpersist()
     reps.unpersist()
     sig_cands.unpersist()
+    prefix.unpersist()
     sh.unpersist()
     return out
 
