@@ -386,6 +386,13 @@ def main() -> None:
         3,
     )
     cal_fields = {
+        # self-evidence for the core-count contract (round 13 — VERDICT
+        # r12 #2): the session's ACTUAL parallelism, so the driver's
+        # scaling heuristic can verify local[$SPARK_GRAFT_CPUS] took
+        # effect instead of guessing from overhead-bound core queries.
+        # The fixed 32-partition calibration probe walls (cal_sec)
+        # scale ~4x between 8 and 32 cores — corroborating evidence.
+        "cpus": spark.sparkContext.defaultParallelism,
         "cal_ref_sec": CAL_REF_SEC,
         "cal_sec": [round(c, 3) for c in cals],
         "cal_drift_pct": round(100 * drift, 1),

@@ -78,11 +78,28 @@ def _driver_vocab_rows(spark) -> int:
         return _DRIVER_VOCAB_DEFAULT
 
 
-def _take_type_table(words, word_col, count_col, budget):
+#: Byte ceiling for the collected type table (opt r13 — VERDICT r12 #6):
+#: the ROW budget alone would let 64 Ki pathological multi-KB "words"
+#: collect gigabytes to the driver; past this many total characters the
+#: probe falls back to the distributed loop. 64 Mi chars ≈ 128-256 MB
+#: of Python strings — bounded driver state, same class as the row cap.
+_DRIVER_VOCAB_CHARS_MAX = 64 << 20
+
+
+def _take_type_table(words, word_col, count_col, budget, max_weighted=None):
     """The driver-tier probe: take budget+1 eligible (word, count) rows.
     Returns the list if it fits the budget (and is BMP-only, so the
     Python char split mirrors Spark's UTF-16 ``split(w, '(?!$)')``
-    exactly), else None — callers then run the distributed loop."""
+    exactly), else None — callers then run the distributed loop.
+
+    ``max_weighted`` (ADVICE r12 low): ceiling on the total weighted
+    symbol count Σ c·|w| — every pair/unigram count the trainer forms
+    is bounded by it, so capping it at the int64-safe bound keeps the
+    driver tier inside the numeric contract of the distributed path
+    (which multiplies counts by ``WP_SCALE`` in int64 and would raise
+    under ANSI exactly where unbounded Python ints would silently
+    diverge). Falls back to distributed above the cap, preserving the
+    loud-overflow behavior."""
     if budget <= 0:
         return None
     rows = (
@@ -93,8 +110,14 @@ def _take_type_table(words, word_col, count_col, budget):
     if len(rows) > budget:
         return None
     wc = [(r["w"], int(r["c"])) for r in rows]
+    if sum(len(w) for w, _ in wc) > _DRIVER_VOCAB_CHARS_MAX:
+        return None  # byte budget: rows small, strings huge → distribute
     if any(ord(ch) > 0xFFFF for w, _ in wc for ch in w):
         return None  # astral chars split per UTF-16 unit in the JVM
+    if max_weighted is not None and (
+        sum(c * max(len(w), 1) for w, c in wc) > max_weighted
+    ):
+        return None
     return wc
 
 
@@ -316,7 +339,13 @@ def wordpiece_train(
     :func:`bpe_train`.
     """
     wc = _take_type_table(
-        words, word_col, count_col, _driver_vocab_rows(words.sparkSession)
+        words,
+        word_col,
+        count_col,
+        _driver_vocab_rows(words.sparkSession),
+        # any pair count is <= Σ c·|w|; keep cnt * WP_SCALE inside
+        # int64 so both tiers share one numeric contract (ADVICE r12)
+        max_weighted=(2**63 - 1) // WP_SCALE,
     )
     if wc is not None:
         return _wordpiece_train_local(wc, n_merges)

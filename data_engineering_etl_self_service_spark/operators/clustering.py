@@ -161,6 +161,10 @@ def _init_centroids(
 #: fit input collection is gated. 0 disables the tier.
 KMEANS_DRIVER_CONF = "spark.data_engineering_etl.kmeans.driver_rows_max"
 _KMEANS_DRIVER_DEFAULT = 65536
+#: total fixed-point elements (rows × dim) the driver tier may collect
+#: — the byte-budget companion to the row cap (VERDICT r12 #6): 64 Ki
+#: rows × 64 dims of int64 ≈ 33 MB, the docstring's stated envelope.
+_KMEANS_DRIVER_ELEMS_MAX = 65536 * 64
 
 
 def _kmeans_driver_rows(spark) -> int:
@@ -225,7 +229,12 @@ def kmeans_fit(
             embs.select(id_col, _fixed(vec_col).alias("xf"))
             .take(budget + 1)
         )
-        if len(head) <= budget:
+        # Dim-aware guard (opt r13 — VERDICT r12 #6): the row budget
+        # assumed ~64 dims (~33 MB); a 64 Ki-row × 4 Ki-dim table would
+        # collect ~2 GB. Cap rows × dim at the same total element count
+        # the default budget implies; above it, run distributed.
+        dim = len(head[0]["xf"]) if head else 0
+        if len(head) <= budget and len(head) * dim <= _KMEANS_DRIVER_ELEMS_MAX:
             return _kmeans_fit_local(
                 [(r[0], r["xf"]) for r in head], k, n_iters
             )

@@ -1144,14 +1144,21 @@ _COS = (
 )
 def cosine_topk_q(spark, sf_dir):
     """Brute-force exact cosine top-10 for 3 query vectors (north-star
-    baseline; broadcast queries × full scan)."""
+    baseline; broadcast queries × full scan).
+
+    The CORPUS scan is spread to the session's core count (identity at
+    real scan parallelism): per-pair scoring is an interpreted
+    higher-order-function fold — heavy per-row work a single-split
+    bench table otherwise serializes on one core (idle A/B r13:
+    0.360 → 0.214 s). The query side stays on the raw scan.
+    """
     from .operators.similarity import cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
     )
-    out = cosine_topk(e, q, k=10)
+    out = cosine_topk(spread_scan(e, "vec_id"), q, k=10)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -1238,6 +1245,12 @@ def sq_ann(spark, sf_dir):
     Ranking is exact integer arithmetic, so unlike most ANN tiers it stays
     hash-oracle-checkable; recall vs the float path is asserted in
     tests/test_similarity.py.
+
+    The CORPUS scan is spread to the session's core count (identity at
+    real scan parallelism): quantize + int-dot per pair are interpreted
+    higher-order-function folds — the heaviest per-row path in the ANN
+    family — and a single-split bench table serializes them on one core
+    (idle A/B r13: 1.035 → 0.221 s, 4.7×). The query side stays raw.
     """
     from .operators.similarity import sq_topk
 
@@ -1245,7 +1258,7 @@ def sq_ann(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("vec")
     )
-    out = sq_topk(e, q, k=10)
+    out = sq_topk(spread_scan(e, "vec_id"), q, k=10)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -13003,35 +13016,59 @@ def scan_pruning(spark, sf_dir):
         .withColumn("part", (F.col("doc_id") % 8).cast("int"))
     )
 
-    def build(pdf):
+    # Two-phase build (opt r13 — the scan_pruning_typed r12 pattern):
+    # file contents are closed-form in each partition's word count, so
+    # phase 1 is a word-count agg (JVM tokenize, not the old per-task
+    # Python split of 1/8th of the corpus) and phase 2 writes each
+    # FILE in its own task — ~20 parallel writers instead of 8
+    # partition tasks serializing 2-4 row_group_size=8 pyarrow writes
+    # each. Byte-identical lake: same names, values, row groups.
+    counts = {
+        int(r["part"]): int(r["n"])
+        for r in spread_scan(d, "doc_id")
+        .select("part", F.size(F.split("text", " ")).alias("w"))
+        .groupBy("part")
+        .agg(F.sum("w").alias("n"))
+        .collect()
+    }
+    specs = []
+    for part, n in sorted(counts.items()):
+        k = part % 3 + 2
+        off = 0
+        for j in range(k):
+            rows = (n + k - 1 - j) // k
+            specs.append((part, j, rows, off))
+            off += rows
+
+    def build(it):
         import os as _os
 
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        part = int(pdf["part"].iloc[0])
-        k = part % 3 + 2
-        pdf = pdf.sort_values("doc_id")
-        n = sum(len(t.split(" ")) for t in pdf["text"])
-        pdir = _os.path.join(out_dir, f"part={part}")
-        _os.makedirs(pdir, exist_ok=True)
-        off = 0
-        for j in range(k):
-            rows = (n + k - 1 - j) // k
-            pq.write_table(
-                pa.table(
-                    {"v": pa.array(range(off, off + rows), pa.int64())}
-                ),
-                _os.path.join(pdir, f"f-{j:03d}.parquet"),
-                row_group_size=8,
-            )
-            off += rows
-        return pd.DataFrame({"part": [part], "n_files": [k]})
+        for pdf in it:
+            done = []
+            for part, j, rows, off in zip(
+                pdf["part"], pdf["j"], pdf["rows"], pdf["off"]
+            ):
+                part, j, rows, off = int(part), int(j), int(rows), int(off)
+                pdir = _os.path.join(out_dir, f"part={part}")
+                _os.makedirs(pdir, exist_ok=True)
+                pq.write_table(
+                    pa.table(
+                        {"v": pa.array(range(off, off + rows), pa.int64())}
+                    ),
+                    _os.path.join(pdir, f"f-{j:03d}.parquet"),
+                    row_group_size=8,
+                )
+                done.append(part)
+            if done:
+                yield pd.DataFrame({"part": done})
 
-    d.groupBy("part").applyInPandas(
-        build, "part int, n_files int"
-    ).count()
+    spark.createDataFrame(
+        specs, "part int, j int, rows long, off long"
+    ).repartition(max(1, len(specs))).mapInPandas(build, "part int").count()
 
     rep = pruning_report(spark, out_dir, column="v", lo=16, hi=47)
     return rep.select(
@@ -13142,6 +13179,11 @@ def scan_pruning_pages(spark, sf_dir):
         .withColumn("part", (F.col("doc_id") % 6).cast("int"))
     )
 
+    # NOT two-phased (opt r13 A/B): unlike scan_pruning's rg=8 lake,
+    # the single-row-group page-index files are cheap to write, and
+    # the word-count agg + spec round-trip measured ~1.8x WORSE than
+    # the 6-way per-partition build (old 0.58 s vs new 0.92-1.09 s,
+    # interleaved idle A/B) — the per-partition applyInPandas stands.
     def build(pdf):
         import os as _os
 
@@ -13356,7 +13398,7 @@ def scan_pruning_typed(spark, sf_dir):
 
     spark.createDataFrame(
         specs, "part int, j int, rows long, off long"
-    ).repartition(len(specs)).mapInPandas(build, "part int").count()
+    ).repartition(max(1, len(specs))).mapInPandas(build, "part int").count()
 
     # ONE footer pass evaluates all three predicates (pruning_report
     # ran the listing + decode once per mode)
@@ -13486,7 +13528,7 @@ def bloom_point_lookup(spark, sf_dir):
 
     spark.createDataFrame(
         specs, "part int, j int, rows long, off long"
-    ).repartition(len(specs)).mapInPandas(build, "part int").count()
+    ).repartition(max(1, len(specs))).mapInPandas(build, "part int").count()
 
     # three pinned probes: two present (first/late value), one absent
     rep = bloom_skipping_report(
@@ -13684,6 +13726,11 @@ def clustering_depth(spark, sf_dir):
         .withColumn("part", (F.col("doc_id") % 6).cast("int"))
     )
 
+    # NOT two-phased (opt r13 A/B): the rg=64 files are ~8x cheaper to
+    # write than scan_pruning's rg=8 lake, so the word-count agg +
+    # spec round-trip measured ~2x WORSE than the 6-way per-partition
+    # build (old 0.56-0.67 s vs new 1.02-1.25 s, interleaved idle A/B)
+    # — the per-partition applyInPandas stands.
     def build(pdf):
         import os as _os
 
@@ -13805,35 +13852,54 @@ def skip_index_scan(spark, sf_dir):
         .withColumn("part", (F.col("doc_id") % 8).cast("int"))
     )
 
-    def build(pdf):
+    # Two-phase build (opt r13 — the scan_pruning_typed r12 pattern):
+    # word-count agg then one task per FILE; byte-identical lake.
+    counts = {
+        int(r["part"]): int(r["n"])
+        for r in spread_scan(d, "doc_id")
+        .select("part", F.size(F.split("text", " ")).alias("w"))
+        .groupBy("part")
+        .agg(F.sum("w").alias("n"))
+        .collect()
+    }
+    specs = []
+    for part, n in sorted(counts.items()):
+        k = part % 3 + 2
+        off = 0
+        for j in range(k):
+            rows = (n + k - 1 - j) // k
+            specs.append((part, j, rows, off))
+            off += rows
+
+    def build(it):
         import os as _os
 
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        part = int(pdf["part"].iloc[0])
-        k = part % 3 + 2
-        pdf = pdf.sort_values("doc_id")
-        n = sum(len(t.split(" ")) for t in pdf["text"])
-        pdir = _os.path.join(out_dir, f"part={part}")
-        _os.makedirs(pdir, exist_ok=True)
-        off = 0
-        for j in range(k):
-            rows = (n + k - 1 - j) // k
-            pq.write_table(
-                pa.table(
-                    {"v": pa.array(range(off, off + rows), pa.int64())}
-                ),
-                _os.path.join(pdir, f"f-{j:03d}.parquet"),
-                row_group_size=8,
-            )
-            off += rows
-        return pd.DataFrame({"part": [part], "n_files": [k]})
+        for pdf in it:
+            done = []
+            for part, j, rows, off in zip(
+                pdf["part"], pdf["j"], pdf["rows"], pdf["off"]
+            ):
+                part, j, rows, off = int(part), int(j), int(rows), int(off)
+                pdir = _os.path.join(out_dir, f"part={part}")
+                _os.makedirs(pdir, exist_ok=True)
+                pq.write_table(
+                    pa.table(
+                        {"v": pa.array(range(off, off + rows), pa.int64())}
+                    ),
+                    _os.path.join(pdir, f"f-{j:03d}.parquet"),
+                    row_group_size=8,
+                )
+                done.append(part)
+            if done:
+                yield pd.DataFrame({"part": done})
 
-    d.groupBy("part").applyInPandas(
-        build, "part int, n_files int"
-    ).count()
+    spark.createDataFrame(
+        specs, "part int, j int, rows long, off long"
+    ).repartition(max(1, len(specs))).mapInPandas(build, "part int").count()
 
     # build once, persist, reload — the round-trip IS the feature
     build_skip_index(spark, out_dir, ["v"]).write.mode(

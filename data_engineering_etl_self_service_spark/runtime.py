@@ -68,9 +68,29 @@ def spread_scan(df: DataFrame, key_col: str | None = None) -> DataFrame:
     placement under task retry — guide §2.5's rand-repartition
     hazard); default round-robin is also retry-safe (Spark sorts
     before round-robin) but pays that local sort.
+
+    Probe order (opt r13 — VERDICT r12 #7 / ADVICE r12): a file-rooted
+    frame whose leaf scans already list >= ``defaultParallelism``
+    FILES short-circuits to identity from ``df.inputFiles()`` alone —
+    the cached FileIndex listing, no physical-plan compile, so the
+    at-scale (many-file) path never pays the second plan compilation
+    the old ``df.rdd`` probe cost per call site. Only frames below
+    that bound (bench-scale single-file scans, non-file test frames)
+    still pay the ``df.rdd.getNumPartitions()`` probe, which remains
+    the authority on split count (one big file may still split into
+    enough partitions — repartitioning would REDUCE parallelism
+    there). Callers pass scan-rooted or otherwise cheap frames: the
+    rdd probe of a frame containing exchanges can force upstream
+    query-stage execution under AQE.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= target:
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     if key_col is not None:

@@ -222,11 +222,19 @@ def _commit_manifest(
             )
         # partitioned layouts keep schema inference: the reader derives
         # partition columns from directories and orders them LAST,
-        # which an explicit written-order schema would contradict
+        # which an explicit written-order schema would contradict.
+        # Belt-and-suspenders for LEGACY tables (ADVICE r12 medium):
+        # manifests written before the 'partitioned' key existed never
+        # carry it, so a post-upgrade maintenance commit on an old
+        # hive-partitioned table would otherwise record a read_schema
+        # and flip the reader off inference — the version's actual
+        # data dirs are checked for key=value subdirectories too.
+        new_dirs = dirs_of_head(head_dirs)
         read_schema_v = (
             None
             if (meta_v or {}).get("partitioned")
             or head_m.get("partitioned")
+            or _dirs_look_partitioned(base_dir, new_dirs)
             else _merged_read_schema(head_m, schema_v, mode)
         )
         manifest = {
@@ -236,7 +244,7 @@ def _commit_manifest(
             "created_utc": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
-            "data_dirs": dirs_of_head(head_dirs),
+            "data_dirs": new_dirs,
             **(
                 {"delete_dirs": del_dirs, "delete_rows": del_rows}
                 if del_dirs
@@ -276,6 +284,24 @@ def _commit_manifest(
     )
 
 
+def _dirs_look_partitioned(base_dir: str, dirs: list) -> bool:
+    """True when any of the version's data dirs contains hive-style
+    ``key=value`` subdirectories — the layout signature of a
+    partitioned table whose manifest predates the 'partitioned' key
+    (ADVICE r12 medium). One level of local listing per dir at COMMIT
+    time only; unreadable dirs count as not-partitioned (the reader's
+    own failure surfaces later, loudly)."""
+    for d in dirs:
+        try:
+            with os.scandir(os.path.join(base_dir, d)) as it:
+                for entry in it:
+                    if entry.is_dir() and "=" in entry.name:
+                        return True
+        except OSError:
+            continue
+    return False
+
+
 def _merged_read_schema(head_m: dict, schema_v, mode: str):
     """simpleString of the table's READ schema after this commit — the
     by-name union parquet's ``mergeSchema`` would compute over the
@@ -289,7 +315,17 @@ def _merged_read_schema(head_m: dict, schema_v, mode: str):
         return None
     if mode == "overwrite" or not head_m:
         return schema_v
-    base = head_m.get("read_schema") or head_m.get("schema")
+    # Trust ONLY the head's recorded read_schema as the base (ADVICE
+    # r12 high). head_m['schema'] is the LAST written frame's schema,
+    # not the table's read union: using it as the base on (a) pre-r12
+    # tables whose append chain narrowed the schema would silently
+    # drop columns mergeSchema surfaces, and (b) tables whose prior
+    # commit suppressed read_schema for type drift would resurrect the
+    # drifted written schema and turn mergeSchema's loud failure into
+    # explicit-schema reads over incompatible files. Absent base →
+    # None → readers keep the mergeSchema footer job (correct, just
+    # unoptimized) until the next overwrite re-anchors the chain.
+    base = head_m.get("read_schema")
     if not base:
         return None
     from pyspark.sql import types as T
