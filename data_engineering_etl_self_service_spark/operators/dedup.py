@@ -764,7 +764,7 @@ def duplicate_span_extents(
     ``materialize=False`` returns the lazy plan (and leaks the persist to
     the caller) — for plan audits only.
     """
-    from ..functions.text import word_shingles
+    from ..functions.text import tokens as _tokens
     from ..runtime import spread_scan
 
     # persist: the positional gram set feeds BOTH the eligibility count
@@ -772,15 +772,25 @@ def duplicate_span_extents(
     # twice, and both consumers shuffle it on gram anyway.
     # spread first: the positional-gram explode is the corpus-sized CPU
     # stage, and a single-file scan would otherwise run it on one task.
+    # Gram build is explode(start positions) + slice/concat as plain
+    # column exprs (opt r13): word_shingles' transform(idx, ...) lambda
+    # evaluates interpreted outside whole-stage codegen — the 4x the
+    # _shingle_table docstring measured. pos == the 1-based start index
+    # (identical to the old posexplode's pos0+1).
+    _t = _tokens(F.col(text_col))
     sh = (
-        spread_scan(docs, id_col).select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(
-                word_shingles(F.col(text_col), k=k, distinct=False)
-            ).alias("pos0", "gram"),
-        )
+        spread_scan(docs, id_col)
+        .select(F.col(id_col).alias("doc_id"), _t.alias("t"))
+        .select("doc_id", "t", F.explode(
+            F.when(
+                F.size("t") >= k,
+                F.sequence(F.lit(1), F.size("t") - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"))
         .select(
-            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram"
+            "doc_id",
+            F.col("i").cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice("t", F.col("i"), k)).alias("gram"),
         )
         .persist()
     )
@@ -914,9 +924,15 @@ def scrub_duplicate_spans(
     idx = F.when(
         F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)))
-    sh = w.select("doc_id", F.posexplode(grams).alias("pos0", "gram")).select(
-        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram"
+    # explode the start positions FIRST, then build the gram as a plain
+    # slice/concat column (opt r13): a transform(idx, ...) lambda
+    # evaluates interpreted outside whole-stage codegen — the same 4x
+    # the _shingle_table docstring measured. pos == the 1-based start
+    # index, so the exploded value IS the old posexplode's pos0+1.
+    sh = w.select("doc_id", "t", F.explode(idx).alias("i")).select(
+        "doc_id",
+        F.col("i").cast("long").alias("pos"),
+        F.concat_ws(" ", F.slice("t", F.col("i"), k)).alias("gram"),
     )
     elig = (
         sh.groupBy("gram")

@@ -599,8 +599,16 @@ def delete_where(
     )
     rel = os.path.join(_DELETE_DIR, uuid.uuid4().hex)
     out = os.path.join(base_dir, rel)
-    matches.write.mode("error").parquet(out)
-    n_new = spark.read.parquet(out).count()
+    # the matched-row count rides the write job as an observed metric
+    # (opt r13): the old read-back count cost one extra Spark job
+    # (+ schema inference) per delete call
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    matches.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "error"
+    ).parquet(out)
+    n_new = int(obs.get["n"])
     if n_new == 0:
         shutil.rmtree(out, ignore_errors=True)
         return versions[-1]
@@ -961,16 +969,26 @@ def merge_into_snapshot_delta(
     matches = lineage.join(touched, key_cols, "left_semi").select(
         F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
     )
+    # row counts ride the write jobs as observed metrics (opt r13):
+    # the old read-back counts cost two extra Spark jobs per merge
+    from pyspark.sql import Observation
+
     vec_rel = os.path.join(_DELETE_DIR, uuid.uuid4().hex)
-    matches.write.mode("error").parquet(os.path.join(base_dir, vec_rel))
-    n_vec = spark.read.parquet(os.path.join(base_dir, vec_rel)).count()
+    vec_obs = Observation()
+    matches.observe(vec_obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "error"
+    ).parquet(os.path.join(base_dir, vec_rel))
+    n_vec = int(vec_obs.get["n"])
     if n_vec == 0:
         shutil.rmtree(os.path.join(base_dir, vec_rel), ignore_errors=True)
 
     inserts = upd.filter(~F.col("__merge_del")).drop("__merge_del")
     data_rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-    inserts.write.mode("error").parquet(os.path.join(base_dir, data_rel))
-    n_ins = spark.read.parquet(os.path.join(base_dir, data_rel)).count()
+    ins_obs = Observation()
+    inserts.observe(ins_obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "error"
+    ).parquet(os.path.join(base_dir, data_rel))
+    n_ins = int(ins_obs.get["n"])
     upd.unpersist()  # both consumers (vector + inserts) have run
     if n_ins == 0:
         shutil.rmtree(os.path.join(base_dir, data_rel), ignore_errors=True)
