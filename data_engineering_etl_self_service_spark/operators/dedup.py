@@ -1269,6 +1269,12 @@ def _srp_weight(plane_idx: int, d: int, dim: int) -> int:
     return bin(h % 4096).count("1") - 6
 
 
+#: Row gate for the gather-verify tier of :func:`srp_lsh_pairs` — the
+#: kmeans-driver-budget envelope (64 Ki rows × 64 int64 dims ≈ 33 MB
+#: broadcast). Above it the verify stays the shuffle-join path.
+_SRP_GATHER_ROWS_MAX = 65536
+
+
 def srp_lsh_pairs(
     embs: DataFrame,
     n_tables: int = 18,
@@ -1281,6 +1287,7 @@ def srp_lsh_pairs(
     quant: int = 1000,
     max_bucket_size: int | None = None,
     materialize: bool = True,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Signed-random-projection LSH near-dup pairs over an embedding
     column — the banded LSH candidate path for EMBEDDING space (the
@@ -1326,6 +1333,14 @@ def srp_lsh_pairs(
     volume-sized) result and unpersists the caches;
     ``materialize=False`` returns the lazy plan (leaking the persists)
     for plan audits, like duplicate_span_extents.
+
+    ``corpus_rows`` (opt r13): the caller's known corpus row count (the
+    auto-planes sizing already computes it). At or below
+    ``_SRP_GATHER_ROWS_MAX`` the verify runs as a broadcast
+    gather+int64-numpy-dot per pair instead of shuffling both quantized
+    vectors to every candidate pair — bit-equal results (exact integer
+    dot/norms, same cos expression), pinned by test. Lazy plan views
+    keep the join shape (the gather tier's corpus collect is an action).
     """
     yq = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * quant)
@@ -1419,6 +1434,83 @@ def srp_lsh_pairs(
         F.col("y").alias("yb"),
         F.col("n2").alias("nb"),
     )
+    if (
+        materialize
+        and corpus_rows is not None
+        and 0 < corpus_rows <= _SRP_GATHER_ROWS_MAX
+    ):
+        # GATHER verify tier (opt r13, guide §8: decide with small
+        # rows, move big rows once — or here, not at all): the verify
+        # join shipped both 64-int quantized vectors to EVERY candidate
+        # pair (~840 MB of array shuffle for 817 k pairs of a 2 k-row
+        # corpus at sf0.1), while the whole quantized corpus is a few
+        # MB. Below the gate the corpus broadcasts once and each pair
+        # scores as an int64 numpy gather+dot — exact integers, so
+        # dot/na/nb (and the cos double ratio of them) are bit-equal to
+        # the join+fold path (parity pinned in test_dedup.py). Above
+        # the gate (or for lazy plan views, which must not run the
+        # collect job) the shuffle-join path below stands unchanged —
+        # it is the 100 TB shape.
+        rows = sorted(
+            q.select("_id", "y", "n2").collect(), key=lambda r: int(r["_id"])
+        )
+        ids = np.array([int(r["_id"]) for r in rows], dtype=np.int64)
+        V = (
+            np.stack([np.asarray(r["y"], dtype=np.int64) for r in rows])
+            if rows
+            else np.zeros((0, dim), dtype=np.int64)
+        )
+        N2 = np.array([int(r["n2"]) for r in rows], dtype=np.int64)
+        bc = embs.sparkSession.sparkContext.broadcast((ids, V, N2))
+
+        @pandas_udf("struct<dot:bigint,na:bigint,nb:bigint>")
+        def _pair_score(a: _pd.Series, b: _pd.Series) -> _pd.DataFrame:
+            ids_, V_, N2_ = bc.value
+            # vectorized id -> row index (ids_ sorted at build time);
+            # every candidate id exists in the corpus by construction
+            ia = np.searchsorted(ids_, a.to_numpy(dtype=np.int64))
+            ib = np.searchsorted(ids_, b.to_numpy(dtype=np.int64))
+            return _pd.DataFrame(
+                {
+                    "dot": (V_[ia] * V_[ib]).sum(axis=1),
+                    "na": N2_[ia],
+                    "nb": N2_[ib],
+                }
+            )
+
+        # non-deterministic mark (guide §4.4): the filter below
+        # references the UDF's output — without the mark the pushed
+        # filter re-evaluates the whole ArrowEvalPython a second time
+        s = _pair_score.asNondeterministic()(F.col("id_a"), F.col("id_b"))
+        out = (
+            cands.withColumn("s", s)
+            .filter(
+                (F.col("s.dot") > 0)
+                & (
+                    F.lit(tau_den * tau_den)
+                    * F.col("s.dot")
+                    * F.col("s.dot")
+                    >= F.lit(tau_num * tau_num)
+                    * F.col("s.na")
+                    * F.col("s.nb")
+                )
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("s.dot").cast("double")
+                    / (
+                        F.sqrt(F.col("s.na").cast("double"))
+                        * F.sqrt(F.col("s.nb").cast("double"))
+                    )
+                ).alias("cos"),
+            )
+        )
+        out = out.transform(truncate_lineage)
+        hashed.unpersist()
+        q.unpersist()
+        return out
     out = (
         cands.join(qa, "id_a")
         .join(qb, "id_b")

@@ -363,7 +363,13 @@ def triangle_counts(
     oe, e = _oriented_edges(edges, node_a, node_b, normalized=normalized)
     oe = oe.persist()
     if broadcast_adjacency:
-        adj = oe.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        # persist: the SAME adjacency table feeds TWO broadcast builds
+        # (u- and v-keyed) — each build is its own driver collect, and
+        # without the cache each re-ran the groupBy from oe (opt r13:
+        # 3.8-4.0 -> 3.3-3.5 s on the sf0.1 co-purchase graph)
+        adj = oe.groupBy("src").agg(
+            F.collect_list("dst").alias("nbrs")
+        ).persist()
         nu = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
         nv = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
         empty = F.array().cast(dict(adj.dtypes)["nbrs"])
@@ -413,6 +419,7 @@ def triangle_counts(
         if not eager:
             return agg
         out = agg.transform(truncate_lineage)
+        adj.unpersist()
         oe.unpersist()
         e.unpersist()
         return out

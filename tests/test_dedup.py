@@ -409,6 +409,31 @@ def test_srp_lsh_subset_of_exact_with_pinned_recall(spark, sf_dir):
     assert len(got) / len(exact) >= 0.9
 
 
+def test_srp_gather_verify_tier_is_bit_equal(spark, sf_dir):
+    """opt r13: below the corpus_rows gate the verify runs as a
+    broadcast gather + int64 numpy dot per candidate pair instead of
+    shuffling both quantized vectors to every pair. Exact integer
+    arithmetic on both paths — the (id_a, id_b, cos) rows must be
+    BIT-identical, cos included."""
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        srp_lsh_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    join_rows = sorted(
+        tuple(r) for r in srp_lsh_pairs(e, tau_num=2, tau_den=5).collect()
+    )
+    gather_rows = sorted(
+        tuple(r)
+        for r in srp_lsh_pairs(
+            e, tau_num=2, tau_den=5, corpus_rows=n
+        ).collect()
+    )
+    assert gather_rows == join_rows
+    assert len(join_rows) > 0
+
+
 def test_srp_hyperplanes_are_deterministic():
     from data_engineering_etl_self_service_spark.operators.dedup import (
         _srp_weight,
