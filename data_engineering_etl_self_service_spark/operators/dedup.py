@@ -641,6 +641,49 @@ def neardup_groups(
     )
 
 
+#: Driver-tier budget for :func:`components_from_pairs` (opt r13 — the
+#: bpe/kmeans bounded-artifact pattern): at or below this many pairs the
+#: transitive closure runs as union-find on the driver (~1 MB of id
+#: pairs at the default) — each distributed min-label round otherwise
+#: costs a full Spark job (~0.3 s of scheduling at any sub-cache size)
+#: and shallow clusters still take diameter+1 rounds. Identical labels
+#: (union-by-min-root ⇒ root == component min == the propagation fixed
+#: point), pinned by test. 0 disables the tier.
+COMPONENTS_DRIVER_CONF = (
+    "spark.data_engineering_etl.components.driver_pairs_max"
+)
+_COMPONENTS_DRIVER_DEFAULT = 65536
+
+
+def _components_driver(pair_rows) -> list:
+    """Union-find with min-root over collected (a, b) pairs — the
+    driver tier of :func:`components_from_pairs`. Attaching the larger
+    root under the smaller keeps every root the MINIMUM id of its
+    component, which is exactly the min-label-propagation fixed point
+    the distributed loop converges to."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pair_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(v, find(v)) for v in parent]
+
+
 def components_from_pairs(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -654,6 +697,12 @@ def components_from_pairs(
     :func:`neardup_groups`, exposed so ANY candidate-pair producer (text
     LSH, embedding cosine, fuzzy entity matching) composes into
     transitive clusters. Semantics and cost discipline documented there.
+
+    Pair graphs at or below ``COMPONENTS_DRIVER_CONF`` pairs (with
+    numeric ids, where Python's ``<`` matches Spark's ``min`` ordering
+    exactly) resolve on the driver via union-find — identical labels,
+    one collect instead of diameter+1 jobs. Larger graphs run the
+    distributed loop below, unchanged.
     """
     # Materialize the (small) pair graph, cut the producer's plan out of
     # the loop's lineage, then drop the caches it left behind. The count
@@ -663,6 +712,38 @@ def components_from_pairs(
     n_pairs = pairs.count()
     for dep in getattr(pairs, "_cached_deps", []):
         dep.unpersist()
+    from pyspark.sql import types as T
+
+    spark = pairs.sparkSession
+    try:
+        budget = int(
+            spark.conf.get(
+                COMPONENTS_DRIVER_CONF, str(_COMPONENTS_DRIVER_DEFAULT)
+            )
+        )
+    except (TypeError, ValueError):
+        budget = _COMPONENTS_DRIVER_DEFAULT
+    idt = pairs.schema[a_col].dataType
+    if (
+        0 < n_pairs <= budget
+        and isinstance(
+            idt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        )
+        and pairs.schema[b_col].dataType == idt
+    ):
+        rows = pairs.select(a_col, b_col).collect()
+        comp = _components_driver(
+            [(int(r[0]), int(r[1])) for r in rows]
+        )
+        return spark.createDataFrame(
+            comp,
+            T.StructType(
+                [
+                    T.StructField(out_id_col, idt, False),
+                    T.StructField("group_id", idt, False),
+                ]
+            ),
+        )
     edges = (
         pairs.select(
             F.explode(

@@ -409,6 +409,43 @@ def test_srp_lsh_subset_of_exact_with_pinned_recall(spark, sf_dir):
     assert len(got) / len(exact) >= 0.9
 
 
+def test_components_driver_tier_matches_distributed_loop(spark):
+    """opt r13: below the pair budget, connected components resolve on
+    the driver via union-find with min-root. Labels must be IDENTICAL
+    to the distributed min-label-propagation loop (root == component
+    min == the propagation fixed point), on a graph with chains,
+    cycles, a star, and singleton-free pair structure."""
+    from data_engineering_etl_self_service_spark.operators.dedup import (
+        COMPONENTS_DRIVER_CONF,
+        components_from_pairs,
+    )
+
+    pair_list = (
+        [(i, i + 1) for i in range(1, 8)]  # chain 1..8
+        + [(10, 12), (12, 14), (10, 14)]  # cycle
+        + [(20, 21), (20, 22), (20, 23)]  # star
+        + [(31, 30)]  # min on the b side
+    )
+    pairs = spark.createDataFrame(pair_list, "doc_a long, doc_b long")
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in components_from_pairs(pairs, "doc_a", "doc_b").collect()
+        )
+
+    spark.conf.set(COMPONENTS_DRIVER_CONF, "0")  # force distributed
+    try:
+        dist = run()
+    finally:
+        spark.conf.unset(COMPONENTS_DRIVER_CONF)
+    drv = run()  # default budget: driver tier
+    assert drv == dist
+    groups = dict(drv)
+    assert groups[8] == 1 and groups[14] == 10 and groups[23] == 20
+    assert groups[31] == 30
+
+
 def test_srp_gather_verify_tier_is_bit_equal(spark, sf_dir):
     """opt r13: below the corpus_rows gate the verify runs as a
     broadcast gather + int64 numpy dot per candidate pair instead of
