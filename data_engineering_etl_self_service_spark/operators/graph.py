@@ -449,6 +449,53 @@ def triangle_counts(
     return out
 
 
+#: Driver-tier budget for the fixed-round graph loops below (opt r13 —
+#: the bpe/kmeans/components bounded-artifact pattern): at or below
+#: this many (aggregated) edges, the ``rounds`` iterations run in exact
+#: Python integers on the driver — each distributed round otherwise
+#: costs a full Spark job (~0.3 s of scheduling at any sub-cache size)
+#: on graphs that are routinely dimension-table-sized (25 nations, ~40
+#: trade lanes). Identical arithmetic (integer min-relaxation / integer
+#: degree peeling), parity pinned in tests; node ids may be any type
+#: (the loops use only equality/hashing). 0 disables the tier.
+GRAPH_DRIVER_CONF = "spark.data_engineering_etl.graph.driver_edges_max"
+_GRAPH_DRIVER_DEFAULT = 65536
+
+
+def _graph_driver_edges(spark) -> int:
+    try:
+        return int(
+            spark.conf.get(GRAPH_DRIVER_CONF, str(_GRAPH_DRIVER_DEFAULT))
+        )
+    except (TypeError, ValueError):
+        return _GRAPH_DRIVER_DEFAULT
+
+
+def _relax_driver(rows, source, rounds, weighted) -> list:
+    """Round-synchronous min-relaxation in Python ints — the driver
+    tier of :func:`bfs_hops` / :func:`bellman_ford`. Each round pushes
+    ``d + w`` (or ``d + 1``) from every node reached at round START and
+    keeps the per-node MIN — exactly the distributed union+groupBy."""
+    adj: dict = {}
+    nodes = set()
+    for r in rows:
+        s, d = r[0], r[1]
+        w = int(r[2]) if weighted else 1
+        nodes.add(s)
+        nodes.add(d)
+        adj.setdefault(s, []).append((d, w))
+    dist = {source: 0} if source in nodes else {}
+    for _ in range(rounds):
+        new = dict(dist)
+        for s, d0 in dist.items():
+            for d, w in adj.get(s, ()):
+                nd = d0 + w
+                if d not in new or nd < new[d]:
+                    new[d] = nd
+        dist = new
+    return [(n, d) for n, d in dist.items()]
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,
@@ -471,16 +518,58 @@ def kcore_peel(
 
     Returns (node, deg): the nodes still present after ``rounds`` peels
     with their degrees in the surviving subgraph.
+
+    Normalized edge lists at or below ``GRAPH_DRIVER_CONF`` peel on the
+    driver in exact Python integers (identical degree threshold per
+    round); larger graphs run the distributed loop, unchanged.
     """
-    e = (
+    from pyspark.sql import types as T
+
+    spark = edges.sparkSession
+    budget = _graph_driver_edges(spark)
+    e_base = (
         edges.select(F.col(node_a).alias("x"), F.col(node_b).alias("y"))
         .filter(F.col("x") != F.col("y"))
         .select(
             F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
         )
         .distinct()
-        .transform(truncate_lineage_lazy)
     )
+    if budget > 0:
+        e_base = e_base.persist()
+        probe = e_base.take(budget + 1)
+        if len(probe) <= budget:
+            es = [(r[0], r[1]) for r in probe]
+            for _ in range(rounds):
+                deg: dict = {}
+                for u, v in es:
+                    deg[u] = deg.get(u, 0) + 1
+                    deg[v] = deg.get(v, 0) + 1
+                keep = {n for n, d in deg.items() if d >= k}
+                es = [(u, v) for u, v in es if u in keep and v in keep]
+            deg = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            node_t = e_base.schema["u"].dataType
+            e_base.unpersist()
+            return spark.createDataFrame(
+                sorted(deg.items()),
+                T.StructType(
+                    [
+                        T.StructField("node", node_t, False),
+                        T.StructField("deg", T.LongType(), False),
+                    ]
+                ),
+            )
+    e = e_base.transform(truncate_lineage_lazy)
+    if budget > 0:
+        # the lazy checkpoint materializes on the first round's action,
+        # reading the persisted rows; drop the cache after the loop via
+        # the final degrees() action would be ideal, but the loop
+        # rebinds ``e`` each round — release the probe cache here (the
+        # first round may recompute the distinct once, as before).
+        e_base.unpersist()
 
     def degrees(ed: DataFrame) -> DataFrame:
         return (
@@ -520,12 +609,37 @@ def bfs_hops(
     it also keeps the operator unrollable as a SQL oracle.
 
     Returns (node, hops) for nodes reached within ``rounds``.
+
+    Edge lists at or below ``GRAPH_DRIVER_CONF`` run the rounds on the
+    driver in exact Python integers (identical round-synchronous min
+    relaxation); larger graphs run the distributed loop, unchanged.
     """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .transform(truncate_lineage)
-    )
+    from pyspark.sql import types as T
+
+    spark = edges.sparkSession
+    budget = _graph_driver_edges(spark)
+    e_base = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    if budget > 0:
+        e_base = e_base.persist()
+        probe = e_base.take(budget + 1)
+        if len(probe) <= budget:
+            out = _relax_driver(probe, source, rounds, weighted=False)
+            node_t = e_base.schema["src"].dataType
+            e_base.unpersist()
+            return spark.createDataFrame(
+                out,
+                T.StructType(
+                    [
+                        T.StructField("node", node_t, False),
+                        T.StructField("hops", T.LongType(), False),
+                    ]
+                ),
+            )
+    e = e_base.transform(truncate_lineage)
+    if budget > 0:
+        e_base.unpersist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -574,8 +688,17 @@ def bellman_ford(
     diameter assertion, exactly like bfs_hops.
 
     Returns (node, cost) for nodes reached within ``rounds``.
+
+    Aggregated edge lists at or below ``GRAPH_DRIVER_CONF`` run the
+    rounds on the driver in exact Python integers (identical
+    round-synchronous min relaxation); larger graphs run the
+    distributed loop, unchanged.
     """
-    e = (
+    from pyspark.sql import types as T
+
+    spark = edges.sparkSession
+    budget = _graph_driver_edges(spark)
+    e_base = (
         edges.select(
             F.col(src_col).alias("src"),
             F.col(dst_col).alias("dst"),
@@ -583,8 +706,26 @@ def bellman_ford(
         )
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
-        .transform(truncate_lineage)
     )
+    if budget > 0:
+        e_base = e_base.persist()
+        probe = e_base.take(budget + 1)
+        if len(probe) <= budget:
+            out = _relax_driver(probe, source, rounds, weighted=True)
+            node_t = e_base.schema["src"].dataType
+            e_base.unpersist()
+            return spark.createDataFrame(
+                out,
+                T.StructType(
+                    [
+                        T.StructField("node", node_t, False),
+                        T.StructField("cost", T.LongType(), False),
+                    ]
+                ),
+            )
+    e = e_base.transform(truncate_lineage)
+    if budget > 0:
+        e_base.unpersist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))

@@ -286,6 +286,51 @@ def test_bellman_ford_hand_graph_and_fixpoint(spark, sf_dir):
     assert all(r["cost"] >= 0 for r in rows)
 
 
+def test_graph_driver_tiers_match_distributed_loops(spark):
+    """opt r13: bfs_hops / bellman_ford / kcore_peel run their rounds
+    on the driver below the edge budget. Both tiers must produce
+    identical rows on graphs with cycles, unreachable islands, and
+    parallel edges."""
+    from data_engineering_etl_self_service_spark.operators.graph import (
+        GRAPH_DRIVER_CONF,
+        bellman_ford,
+        bfs_hops,
+        kcore_peel,
+    )
+
+    bf_edges = spark.createDataFrame(
+        [("a", "b", 10), ("a", "c", 1), ("c", "d", 1), ("d", "b", 1),
+         ("b", "e", 1), ("x", "y", 5), ("a", "b", 3)],
+        "src string, dst string, cost long",
+    )
+    bfs_edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+         ("x", "y"), ("d", "s")],
+        "src string, dst string",
+    )
+    kc_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)]
+        + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        + [(13, 20), (20, 21)],
+        "u long, v long",
+    )
+
+    def run_all():
+        return (
+            sorted(tuple(r) for r in bellman_ford(bf_edges, "a", 4).collect()),
+            sorted(tuple(r) for r in bfs_hops(bfs_edges, "s", 3).collect()),
+            sorted(tuple(r) for r in kcore_peel(kc_edges, 2, 4).collect()),
+        )
+
+    drv = run_all()  # default budget: driver tier
+    spark.conf.set(GRAPH_DRIVER_CONF, "0")  # force distributed
+    try:
+        dist = run_all()
+    finally:
+        spark.conf.unset(GRAPH_DRIVER_CONF)
+    assert drv == dist
+
+
 def test_bellman_ford_parallel_edges_keep_cheapest(spark):
     from data_engineering_etl_self_service_spark.operators.graph import (
         bellman_ford,
