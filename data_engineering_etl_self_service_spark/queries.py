@@ -8752,6 +8752,20 @@ def rfm_scores(spark, sf_dir):
     no sort ever runs on a single partition (pinned in
     tests/test_plans.py).
     """
+    # Driver tier (opt r13, the bounded-artifact pattern): below the
+    # row budget the three quintile ranks + the ≤125-row segment
+    # rollup run in Python over the collected per-customer base —
+    # each distributed_rank pass otherwise costs a range exchange, a
+    # per-shard count collect, and a window job. Identical NTILE
+    # arithmetic (the ntile_bucket formula in Python ints over the
+    # same total orders), parity pinned in test_ranking.py. Above the
+    # budget (the 100 TB shape: customers ≫ 64 Ki) the distributed
+    # path below is unchanged.
+    budget = _rank_driver_rows(spark)
+    if budget > 0:
+        head = _rfm_base(spark, sf_dir).take(budget + 1)
+        if len(head) <= budget:
+            return _rfm_driver(spark, head)
     out, handles = _rfm_build(spark, sf_dir)
     out = out.transform(truncate_lineage)  # ≤125 segment rows; frees caches
     for h in handles:
@@ -8759,10 +8773,83 @@ def rfm_scores(spark, sf_dir):
     return out
 
 
-def _rfm_build(spark, sf_dir):
+#: row budget for the rfm driver tier (0 disables)
+RANK_DRIVER_CONF = "spark.data_engineering_etl.rank.driver_rows_max"
+_RANK_DRIVER_DEFAULT = 65536
+
+
+def _rank_driver_rows(spark) -> int:
+    try:
+        return int(
+            spark.conf.get(RANK_DRIVER_CONF, str(_RANK_DRIVER_DEFAULT))
+        )
+    except (TypeError, ValueError):
+        return _RANK_DRIVER_DEFAULT
+
+
+def _ntile_py(rank: int, total: int, k: int) -> int:
+    """Python twin of operators/ranking.ntile_bucket — SQL NTILE(k)
+    semantics in exact ints (first total%k buckets get one extra row)."""
+    q, r = divmod(total, k)
+    if q == 0:
+        return rank
+    big = r * (q + 1)
+    if rank <= big:
+        return -(-rank // (q + 1))
+    return r + (-(-(rank - big) // q))
+
+
+def _rfm_driver(spark, head):
+    """Quintile + segment rollup over collected base rows — bit-equal
+    to the distributed_rank/ntile_bucket path (same total orders, same
+    NTILE arithmetic; doubles compare identically in Python)."""
+    n = len(head)
+    rows = [
+        (int(r["custkey"]), int(r["recency_days"]), int(r["frequency"]),
+         float(r["monetary"]))
+        for r in head
+    ]
+    buckets = {}
+    for dim, key in (
+        (1, lambda t: (-t[1], t[0])),   # r: recency DESC, custkey
+        (2, lambda t: (t[2], t[0])),    # f: frequency, custkey
+        (3, lambda t: (t[3], t[0])),    # m: monetary, custkey
+    ):
+        for rank, t in enumerate(sorted(rows, key=key), start=1):
+            buckets.setdefault(t[0], [None, None, None])[dim - 1] = (
+                _ntile_py(rank, n, 5)
+            )
+    segs: dict = {}
+    for ck, (r_, f_, m_) in buckets.items():
+        cur = segs.get((r_, f_, m_))
+        if cur is None:
+            segs[(r_, f_, m_)] = [1, ck]
+        else:
+            cur[0] += 1
+            if ck < cur[1]:
+                cur[1] = ck
+    out_rows = [
+        (r_, f_, m_, cnt, mk)
+        for (r_, f_, m_), (cnt, mk) in sorted(segs.items())
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("r", T.LongType(), False),
+            T.StructField("f", T.LongType(), False),
+            T.StructField("m", T.LongType(), False),
+            T.StructField("n_customers", T.LongType(), False),
+            T.StructField("example_custkey", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
+def _rfm_base(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     mxd = o.agg(F.max("o_orderdate").alias("mxd"))
-    base = (
+    return (
         o.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
             F.max("o_orderdate").alias("last_order"),
@@ -8779,6 +8866,10 @@ def _rfm_build(spark, sf_dir):
             "monetary",
         )
     )
+
+
+def _rfm_build(spark, sf_dir):
+    base = _rfm_base(spark, sf_dir)
     # NTILE(5) ... ORDER BY recency_days DESC ≡ ascending on the negation
     dims = [
         ("r", [-F.col("recency_days"), F.col("custkey")]),

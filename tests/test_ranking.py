@@ -191,3 +191,27 @@ def test_sharded_running_agg_plan_has_no_single_partition(spark):
     h.unpersist()
     assert "Exchange SinglePartition" not in plan, plan
     assert "hashpartitioning(__shard" in plan, plan
+
+
+def test_rfm_driver_tier_matches_distributed_rank(spark, sf_dir):
+    """opt r13: rfm_scores' driver tier (Python NTILE over the
+    collected per-customer base) must produce exactly the
+    distributed_rank/ntile_bucket path's segment rows."""
+    from data_engineering_etl_self_service_spark.queries import (
+        QUERIES,
+        RANK_DRIVER_CONF,
+    )
+
+    def run():
+        return sorted(
+            tuple(r) for r in QUERIES["rfm_scores"](spark, sf_dir).collect()
+        )
+
+    drv = run()  # default budget: driver tier at fixture scale
+    spark.conf.set(RANK_DRIVER_CONF, "0")  # force distributed
+    try:
+        dist = run()
+    finally:
+        spark.conf.unset(RANK_DRIVER_CONF)
+    assert drv == dist
+    assert len(drv) > 0
